@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession configuration for Verify/Bench/tests.
+  *
+  * Centralizes the settings that matter for oracle parity and local-mode
+  * throughput; on a real cluster the same settings hold (AQE, broadcast
+  * thresholds), with shuffle partitions sized to the cluster instead.
+  */
+object Sessions {
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    // testdata events.ts is TIMESTAMP(NANOS); read as Long, converted in Tables
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Session for ScalaTest suites. */
+  def local(cores: Int = 4): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]"), cores.toString)
+      .getOrCreate()
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational-completeness queries over the driver testdata (SURVEY.md §2.2–§2.7).
+  *
+  * Each query here maps one operator family of the reference onto the TPC-H-ish
+  * tables so the driver's DuckDB oracle can hash-check it at sf0.01. Domain
+  * dataflows (classifier, mention scoring, …) live in their own modules.
+  *
+  * Scale notes (100 TB north star): every query keeps filters/projections at the
+  * scan (pushdown), joins dimension tables via broadcast, and aggregates with
+  * map-side partial aggregation. No collect(), no driver-side loops.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Reference A-family groupBy aggregations (SURVEY §2.4; intelligent_classifier.py
+    * city stats / db.py counts): wide agg with sum/avg/count + arithmetic. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Multi-way equi join with broadcast dimensions (SURVEY §2.3 J2/J4 shape):
+    * revenue per region; nation/region are broadcast (dims ≪ fact). */
+  def q3RevenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = broadcast(Tables.nation(spark, dir))
+    val r  = broadcast(Tables.region(spark, dir))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** LEFT SEMI join — existence checks (`_exists_in_db`, h3_scheduler.py:672-678). */
+  def jSemiCustomersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** LEFT ANTI join — absent-in-db novelty flag (h3_scheduler.py:654-660).
+    * Filtered to finished orders so the result is non-empty on the testdata. */
+  def jAntiCustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === lit("F")).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** W1 latest-snapshot-per-key (db.py:131-145): row_number over desc event time.
+    * Tie-broken by event_id so the pick is deterministic for the oracle. */
+  def w1LatestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("event_type").as("latest_event_type"),
+        round(col("value"), 4).as("latest_value"))
+  }
+
+  /** A7 exact percentiles per group (intelligent_classifier.py:488-541 —
+    * reference computes p50/p95 by manual sort-index; we use exact interpolated
+    * percentile, which DuckDB's quantile_cont reproduces). */
+  def a7Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50_value"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_value"),
+        count(lit(1)).as("n"))
+
+  /** A1 authority decay sum (intelligent_classifier.py:51-99): per-key
+    * Σ value·exp(-Δdays/τ), soft-capped tanh(raw/100)·100, clamped [0,100].
+    * Day-level date math keeps ns-vs-µs timestamp precision out of the oracle. */
+  def a1DecaySum(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = lit("2025-01-01").cast("date")
+    val days = datediff(asOf, to_date(col("ts")))
+    val weighted = col("value") * exp(days.cast("double") / lit(-90.0))
+    // tanh spelled as (e^2x-1)/(e^2x+1) on both sides: the oracle's DuckDB
+    // (1.0.0) ships no tanh/log1p builtins, and an identical formula keeps
+    // float behavior aligned beyond the 6dp rounding.
+    def tanhE(x: org.apache.spark.sql.Column) =
+      (exp(x * 2.0) - 1.0) / (exp(x * 2.0) + 1.0)
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(weighted).as("raw"))
+      .select(
+        col("user_id"),
+        round(least(greatest(tanhE(col("raw") / lit(100.0)) * lit(100.0), lit(0.0)), lit(100.0)), 6)
+          .as("authority_score"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary"   -> (q1PricingSummary _),
+    "q3_revenue_by_region" -> (q3RevenueByRegion _),
+    "j_semi_customers_with_orders"  -> (jSemiCustomersWithOrders _),
+    "j_anti_customers_without_orders" -> (jAntiCustomersWithoutOrders _),
+    "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
+    "a7_percentiles" -> (a7Percentiles _),
+    "a1_decay_sum"   -> (a1DecaySum _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_revenue_by_region" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "j_semi_customers_with_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j_anti_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "w1_latest_event_per_user" ->
+      """SELECT user_id, event_id AS latest_event_id,
+        |  event_type AS latest_event_type, round(value, 4) AS latest_value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+    "a7_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_value,
+        |  round(quantile_cont(value, 0.95), 6) AS p95_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a1_decay_sum" ->
+      """SELECT user_id,
+        |  round(least(greatest((exp(raw / 100.0 * 2.0) - 1.0) / (exp(raw / 100.0 * 2.0) + 1.0) * 100.0, 0.0), 100.0), 6) AS authority_score
+        |FROM (SELECT user_id,
+        |        sum(value * exp(date_diff('day', CAST(ts AS DATE), DATE '2025-01-01') / -90.0)) AS raw
+        |      FROM events GROUP BY user_id)""".stripMargin)
+}
