@@ -14,12 +14,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  private def modules = Seq(
+    (ops.Relational.queries, ops.Relational.oracles),
+    (ops.Windows.queries, ops.Windows.oracles),
+    (ops.SetOps.queries, ops.SetOps.oracles),
+    (ops.Joins.queries, ops.Joins.oracles),
+    (ops.Scalars.queries, ops.Scalars.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    modules.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles
+    modules.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Non-equi join shapes (SURVEY.md §2.3): theta predicates layered on equi keys
+  * (J3-style containment, J7-style range). Pure theta joins (no equi component)
+  * are deliberately avoided at scale — every join here carries an equi key so
+  * Spark plans a shuffled/broadcast hash join, with the theta part as a
+  * post-join filter, never a cartesian product.
+  */
+object Joins {
+
+  /** Equi+theta join — order total exceeding the customer's account balance
+    * (shape of J3's "containment on top of key match", utils/database.py:140-201). */
+  def jThetaPriceVsAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey") && o("o_totalprice") > c("c_acctbal"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_big_orders"),
+        round(sum(col("o_totalprice") - col("c_acctbal")), 4).as("sum_excess"))
+  }
+
+  /** Range/band join — line quantity within ±5 of part size (J7 radius-join
+    * shape, utils/database.py:224-237: equi prune + range predicate + agg). */
+  def jRangeQuantitySize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey")
+        && li("l_quantity") >= p("p_size") - 5
+        && li("l_quantity") <= p("p_size") + 5)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_in_band"),
+        round(avg(col("l_quantity") - col("p_size")), 6).as("avg_band_offset"))
+  }
+
+  /** String-containment theta join on a broadcast dimension (J3:
+    * `lower(poi.name) contains lower(q.name)`; scanner.py:217-285). The probe
+    * side is tiny and broadcast; containment runs as a codegen'd filter. */
+  def jContainsTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Seq("widget", "bolt", "gear").toDF("token")
+    Tables.part(spark, dir)
+      .join(broadcast(probes), col("p_name").contains(col("token")), "inner")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 6).as("avg_price"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "j_theta_price_vs_acctbal" -> (jThetaPriceVsAcctbal _),
+    "j_range_quantity_size" -> (jRangeQuantitySize _),
+    "j_contains_tokens" -> (jContainsTokens _))
+
+  val oracles: Map[String, String] = Map(
+    "j_theta_price_vs_acctbal" ->
+      """SELECT c_nationkey, count(*) AS n_big_orders,
+        |  round(sum(o_totalprice - c_acctbal), 4) AS sum_excess
+        |FROM orders JOIN customer
+        |  ON o_custkey = c_custkey AND o_totalprice > c_acctbal
+        |GROUP BY c_nationkey""".stripMargin,
+    "j_range_quantity_size" ->
+      """SELECT p_brand, count(*) AS n_in_band,
+        |  round(avg(l_quantity - p_size), 6) AS avg_band_offset
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+        |GROUP BY p_brand""".stripMargin,
+    "j_contains_tokens" ->
+      """SELECT token, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+        |FROM part JOIN (VALUES ('widget'), ('bolt'), ('gear')) AS t(token)
+        |  ON contains(p_name, token)
+        |GROUP BY token""".stripMargin)
+}

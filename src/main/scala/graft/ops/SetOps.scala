@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Set operations, distinct, array set-functions, rollup (SURVEY.md §2.6 + the
+  * grouping-set freebies Catalyst provides beyond the reference).
+  */
+object SetOps {
+
+  /** D1/D2 — UNION (distinct) of two relations (scanner.py:335 catalog ∪ CSE). */
+  def dUnionNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+    c.union(s).distinct()
+  }
+
+  /** INTERSECT — nations having both customers and suppliers. */
+  def dIntersectNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").cast("int").as("nationkey")))
+
+  /** EXCEPT — nations with FURNITURE customers but no high-balance supplier
+    * (filtered so the result is non-empty on the testdata). */
+  def dExceptNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "FURNITURE")
+      .select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(spark, dir)
+        .filter(col("s_acctbal") > 7000.0)
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+
+  /** D4/D5 — array distinct + overlap test over tokenized names
+    * (google_places_ingester.py:98-104 order-preserving distinct;
+    * matching.py:157-159 token overlap). */
+  def dArrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        size(array_distinct(words)).cast("long").as("n_distinct_tokens"),
+        arrays_overlap(words, array(lit("widget"), lit("gear"))).as("is_widget_or_gear"),
+        size(array_intersect(words, array(lit("cold"), lit("small"), lit("large"))))
+          .cast("long").as("n_size_words"))
+  }
+
+  /** ROLLUP with grouping flags — hierarchy totals (not in the reference;
+    * declared Catalyst capability per SURVEY §2.6). */
+  def dRollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 4).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "d_union_nations" -> (dUnionNations _),
+    "d_intersect_nations" -> (dIntersectNations _),
+    "d_except_nations" -> (dExceptNations _),
+    "d_array_ops" -> (dArrayOps _),
+    "d_rollup_region_nation" -> (dRollupRegionNation _))
+
+  val oracles: Map[String, String] = Map(
+    "d_union_nations" ->
+      "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey AS nationkey FROM supplier",
+    "d_intersect_nations" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier",
+    "d_except_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000.0""".stripMargin,
+    "d_array_ops" ->
+      """SELECT p_partkey,
+        |  len(list_distinct(string_split(p_name, ' '))) AS n_distinct_tokens,
+        |  list_has_any(string_split(p_name, ' '), ['widget', 'gear']) AS is_widget_or_gear,
+        |  len(list_intersect(string_split(p_name, ' '), ['cold', 'small', 'large'])) AS n_size_words
+        |FROM part""".stripMargin,
+    "d_rollup_region_nation" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Window-function operators (SURVEY.md §2.5 W1–W10).
+  *
+  * W1 (latest-per-key) lives in [[Relational]]; here: trailing range windows
+  * (W2 momentum), top-N per group (W3/W5/W7), deterministic multi-key top-k
+  * (W6/W10), and per-group rank gating (W9).
+  *
+  * Scale: window shuffles partition by their key (user_id / custkey) — at
+  * 100 TB these are high-cardinality keys, so the exchange is well spread; no
+  * global sort is ever requested except under an explicit LIMIT (top-k), which
+  * Spark executes as per-partition top-k + single reduce.
+  */
+object Windows {
+
+  /** W2 — trailing 14-day first/last delta (intelligent_classifier.py:184-209).
+    * Day-indexed RANGE frame so the oracle's integer RANGE matches exactly. */
+  def w2TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val dayIdx = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      .rangeBetween(-14, 0)
+    Tables.events(spark, dir)
+      .withColumn("day_idx", dayIdx.cast("long"))
+      .withColumn("trailing_sum", round(sum(col("value")).over(w), 4))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("day_idx"),
+        col("trailing_sum"), col("trailing_n"))
+  }
+
+  /** W3/W5 — top-N per group with deterministic tie-break (dedup.py:47-96 keeps
+    * ≤N best-scored rows per key; collection_generator.py:309-311 top-8). */
+  def w3TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** W6/W10 — global multi-key ordered top-k (scoring.py:182-206 tie-break:
+    * score desc rounded, then key asc; logging_ext.py top-10 domains). */
+  def w6TopEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value_r"))
+      .orderBy(col("value_r").desc, col("user_id").asc, col("event_id").asc)
+      .limit(20)
+
+  /** W9 + A-style gate — per-group rank cap plus HAVING count≥2
+    * (scanner.py:841-842 limit-per-poi; collection min size). */
+  def w9RankGate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val ranked = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    ranked.groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("top5_purchase_sum"),
+        count(lit(1)).as("n_kept"))
+      .filter(col("n_kept") >= 2)
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "w2_trailing_window" -> (w2TrailingWindow _),
+    "w3_top_orders_per_customer" -> (w3TopOrdersPerCustomer _),
+    "w6_top_events" -> (w6TopEvents _),
+    "w9_rank_gate" -> (w9RankGate _))
+
+  val oracles: Map[String, String] = Map(
+    "w2_trailing_window" ->
+      """SELECT event_id, user_id, day_idx,
+        |  round(sum(value) OVER w, 4) AS trailing_sum,
+        |  count(*) OVER w AS trailing_n
+        |FROM (SELECT event_id, user_id, value,
+        |        date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+        |             RANGE BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w3_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER
+        |        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |      FROM orders) WHERE rnk <= 3""".stripMargin,
+    "w6_top_events" ->
+      """SELECT event_id, user_id, round(value, 2) AS value_r
+        |FROM events
+        |ORDER BY value_r DESC, user_id ASC, event_id ASC LIMIT 20""".stripMargin,
+    "w9_rank_gate" ->
+      """SELECT user_id, round(sum(value), 4) AS top5_purchase_sum, count(*) AS n_kept
+        |FROM (SELECT user_id, value, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+        |      FROM events WHERE event_type = 'purchase') WHERE rnk <= 5
+        |GROUP BY user_id HAVING count(*) >= 2""".stripMargin)
+}
