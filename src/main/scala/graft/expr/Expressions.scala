@@ -1,0 +1,134 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §2.10): null-safe, codegen-capable
+  * (each emits a static call into [[TextAlgo]], so whole-stage codegen spans
+  * stay unbroken — no Scala-closure UDF boxing in the hot join path J5).
+  */
+object Expressions {
+
+  private val algo = "graft.expr.TextAlgo"
+
+  /** normalize_text (P12; matching.py:19-72). */
+  case class NormalizeText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(TextAlgo.normalize(v.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString($algo.normalize($c.toString()))")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** trigram_similarity (scoring.py:250-267). */
+  case class TrigramSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      TextAlgo.trigramSimilarity(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) =>
+        s"$algo.trigramSimilarity($l.toString(), $r.toString())")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** fuzzy_ratio — Ratcliff-Obershelp, SequenceMatcher semantics (scoring.py:219). */
+  case class FuzzyRatio(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      TextAlgo.fuzzyRatio(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) =>
+        s"$algo.fuzzyRatio($l.toString(), $r.toString())")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** name_score — max(fuzzy, trigram, fuzzy(nostop)) (scoring.py:209-230). */
+  case class NameScore(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      TextAlgo.nameScore(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) =>
+        s"$algo.nameScore($l.toString(), $r.toString())")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** dedupe_key (dedup.py:18-45). */
+  case class DedupeKey(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(TextAlgo.dedupeKey(v.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString($algo.dedupeKey($c.toString()))")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** domain_of, single-url form (domains.py:34-83). */
+  case class DomainOf(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(TextAlgo.domainOf(v.asInstanceOf[UTF8String].toString, null, null))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString($algo.domainOf($c.toString(), null, null))")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** apex_domain (domains.py:13-32). */
+  case class ApexDomain(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(TextAlgo.apexDomain(v.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString($algo.apexDomain($c.toString()))")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+}
+
+/** Column-level API + SQL registration for the custom expressions. */
+object functions {
+  import Expressions._
+
+  private def asCol(e: Expression): Column = org.apache.spark.sql.GraftColumnBridge.toColumn(e)
+  private def expr(c: Column): Expression = org.apache.spark.sql.GraftColumnBridge.toExpression(c)
+
+  def normalize_text(c: Column): Column = asCol(NormalizeText(expr(c)))
+  def trigram_similarity(a: Column, b: Column): Column = asCol(TrigramSimilarity(expr(a), expr(b)))
+  def fuzzy_ratio(a: Column, b: Column): Column = asCol(FuzzyRatio(expr(a), expr(b)))
+  def name_score(a: Column, b: Column): Column = asCol(NameScore(expr(a), expr(b)))
+  def dedupe_key(c: Column): Column = asCol(DedupeKey(expr(c)))
+  def domain_of(c: Column): Column = asCol(DomainOf(expr(c)))
+  def apex_domain(c: Column): Column = asCol(ApexDomain(expr(c)))
+
+  /** Haversine meters composed from built-in trig (codegen'd end-to-end;
+    * matching.py:102-115 semantics, R=6371000). */
+  def haversine_meters(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val r = lit(6371000.0)
+    val phi1 = radians(lat1)
+    val phi2 = radians(lat2)
+    val dPhi = radians(lat2 - lat1)
+    val dLambda = radians(lng2 - lng1)
+    val a = pow(sin(dPhi / 2), 2) + cos(phi1) * cos(phi2) * pow(sin(dLambda / 2), 2)
+    r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  /** Register all custom expressions for SQL use. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("normalize_text", es => NormalizeText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("trigram_similarity", es => TrigramSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("fuzzy_ratio", es => FuzzyRatio(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("name_score", es => NameScore(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dedupe_key", es => DedupeKey(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("domain_of", es => DomainOf(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("apex_domain", es => ApexDomain(es.head), "scala_udf")
+  }
+}

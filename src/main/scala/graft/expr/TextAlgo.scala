@@ -1,0 +1,284 @@
+package graft.expr
+
+import java.text.Normalizer
+
+/** Pure text/URL/geo algorithms with the exact semantics of the reference's
+  * Python utilities (cited per function). Kept free of Spark types so the same
+  * code backs Catalyst expressions, plain Scala tests, and driver-side tools.
+  *
+  * Object methods compile to static forwarders, so generated code can call
+  * `graft.expr.TextAlgo.normalize(...)` directly from whole-stage codegen.
+  */
+object TextAlgo {
+
+  // ------------------------------------------------------------- normalize
+
+  /** Text normalization (reference: mention_scanner/matching.py:19-72).
+    * Chain: NFD accent strip → variation substitutions (apostrophes, café,
+    * ligatures, ampersand, st/ste) → punctuation→space → whitespace collapse →
+    * lowercase+trim.
+    */
+  def normalize(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    // NFD + drop combining marks (Mn)
+    val nfd = Normalizer.normalize(text, Normalizer.Form.NFD)
+    val sb = new StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    var t = handleVariations(sb.toString)
+    t = t.replaceAll("[^\\p{L}\\p{N}_\\s]", " ")
+    t = t.replaceAll("\\s+", " ")
+    t.toLowerCase.trim
+  }
+
+  /** Variation substitutions, applied in the reference's order
+    * (matching.py:36-68). Lowercases first, as the reference does. */
+  private def handleVariations(text0: String): String = {
+    var text = text0.toLowerCase
+    val variations = Seq(
+      "\u2019" -> "'", // typographic apostrophe → ASCII
+      "'" -> "",       // remove apostrophes entirely
+      "`" -> "",
+      "caf\u00e9" -> "cafe",
+      "caf\u00e9s" -> "cafes",
+      "\u0153" -> "oe",
+      "\u00e6" -> "ae",
+      " & " -> " and ",
+      "&" -> "and",
+      " st " -> " saint ",
+      " ste " -> " sainte ")
+    variations.foreach { case (from, to) => text = text.replace(from, to) }
+    text
+  }
+
+  // -------------------------------------------------------------- trigram
+
+  /** Padded character trigram set (scoring.py:255-257: two-space padding). */
+  def trigrams(s: String): Set[String] = {
+    val padded = "  " + s.toLowerCase + "  "
+    (0 until padded.length - 2).map(i => padded.substring(i, i + 3)).toSet
+  }
+
+  /** Trigram Jaccard similarity (scoring.py:250-267 / matching.py:81-100). */
+  def trigramSimilarity(a: String, b: String): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
+    val ta = trigrams(a)
+    val tb = trigrams(b)
+    if (ta.isEmpty || tb.isEmpty) return 0.0
+    val inter = ta.intersect(tb).size
+    val union = ta.union(tb).size
+    if (union > 0) inter.toDouble / union else 0.0
+  }
+
+  // ------------------------------------------------- fuzzy (Ratcliff-Obershelp)
+
+  /** SequenceMatcher.ratio() semantics (scoring.py:219): 2·M/T where M is the
+    * total length of matching blocks found by recursive longest-common-block
+    * search with the "popularity" junk heuristic DISABLED (reference inputs are
+    * short titles/snippets, where CPython's autojunk has no effect below 200
+    * chars). Lowercasing is the caller's job, as in the reference.
+    */
+  def fuzzyRatio(a: String, b: String): Double = {
+    if (a == null || b == null) return 0.0
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val matched = matchingBlocksTotal(a, b)
+    2.0 * matched / (a.length + b.length)
+  }
+
+  private def matchingBlocksTotal(a: String, b: String): Int = {
+    // b-index positions per char, as CPython's b2j
+    val b2j = new java.util.HashMap[Char, java.util.ArrayList[Integer]]()
+    var i = 0
+    while (i < b.length) {
+      val c = b.charAt(i)
+      var l = b2j.get(c)
+      if (l == null) { l = new java.util.ArrayList[Integer](); b2j.put(c, l) }
+      l.add(i)
+      i += 1
+    }
+
+    // find longest matching block in a[alo,ahi) x b[blo,bhi)  (difflib algorithm)
+    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+      var besti = alo; var bestj = blo; var bestsize = 0
+      var j2len = new java.util.HashMap[Integer, Integer]()
+      var ia = alo
+      while (ia < ahi) {
+        val newj2len = new java.util.HashMap[Integer, Integer]()
+        val positions = b2j.get(a.charAt(ia))
+        if (positions != null) {
+          val it = positions.iterator()
+          while (it.hasNext) {
+            val jj = it.next().intValue()
+            if (jj >= blo && jj < bhi) {
+              val k = Option(j2len.get(jj - 1)).map(_.intValue).getOrElse(0) + 1
+              newj2len.put(jj, k)
+              if (k > bestsize) { besti = ia - k + 1; bestj = jj - k + 1; bestsize = k }
+            }
+          }
+        }
+        j2len = newj2len
+        ia += 1
+      }
+      // extend over equal elements on both flanks (difflib does this for junk;
+      // with no junk the core loop already finds the maximal block)
+      (besti, bestj, bestsize)
+    }
+
+    def recurse(alo: Int, ahi: Int, blo: Int, bhi: Int): Int = {
+      val (bi, bj, size) = longestMatch(alo, ahi, blo, bhi)
+      if (size == 0) 0
+      else size + recurse(alo, bi, blo, bj) + recurse(bi + size, ahi, bj + size, bhi)
+    }
+
+    recurse(0, a.length, 0, b.length)
+  }
+
+  // ------------------------------------------------------------- stopwords
+
+  /** KISS stopword removal (scoring.py:270-279): FR/venue stopwords, drop
+    * tokens ≤2 chars, rejoin with single spaces. */
+  def removeStopwords(text: String): String = {
+    val stop = Set("le", "la", "les", "du", "de", "des", "un", "une", "et", "ou",
+      "restaurant", "cafe", "bar", "chez", "aux", "au", "paris")
+    text.toLowerCase.split("\\s+").iterator
+      .filter(w => w.nonEmpty && !stop.contains(w) && w.length > 2)
+      .mkString(" ")
+  }
+
+  /** Discriminant tokens (matching.py:117-125): normalized words >3 chars not
+    * in the venue stopword list (note: contains accented 'café' on purpose —
+    * the reference checks post-normalization tokens against it verbatim). */
+  def discriminantTokens(text: String): Set[String] = {
+    val stop = Set("restaurant", "caf\u00e9", "bar", "brasserie", "bistro", "the", "une", "des", "les")
+    normalize(text).split(" ").iterator.filter(w => w.length > 3 && !stop.contains(w)).toSet
+  }
+
+  /** Combined name score (scoring.py:209-230): max of raw fuzzy, trigram, and
+    * stopword-normalized fuzzy. */
+  def nameScore(poiName: String, text: String): Double = {
+    if (poiName == null || poiName.isEmpty) return 0.0
+    if (text == null || text.trim.isEmpty) return 0.0
+    val fuzzy = fuzzyRatio(poiName.toLowerCase, text.toLowerCase)
+    val tri = trigramSimilarity(poiName, text)
+    val np = removeStopwords(poiName)
+    val nt = removeStopwords(text)
+    val fuzzy2 = if (np.nonEmpty && nt.nonEmpty) math.max(fuzzy, fuzzyRatio(np, nt)) else fuzzy
+    math.max(fuzzy2, tri)
+  }
+
+  // ------------------------------------------------------------ URL / domain
+
+  /** Registrable-domain extraction (domains.py:34-83): url netloc (scheme
+    * defaulted), else displayLink (port/path stripped), else regex on
+    * formattedUrl; lowercased, www-stripped; "" if all absent. */
+  def domainOf(url: String, displayLink: String, formattedUrl: String): String = {
+    def stripWww(d: String) = if (d.startsWith("www.")) d.substring(4) else d
+    if (url != null && url.nonEmpty) {
+      val u = if (url.startsWith("http://") || url.startsWith("https://")) url else "http://" + url
+      val netloc = netlocOf(u)
+      if (netloc.nonEmpty) return stripWww(netloc.toLowerCase)
+    }
+    if (displayLink != null && displayLink.nonEmpty) {
+      val d = stripWww(displayLink.toLowerCase.split(':')(0).split('/')(0))
+      if (d.nonEmpty) return d
+    }
+    if (formattedUrl != null && formattedUrl.nonEmpty) {
+      val m = "^(?:https?://)?([^/]+)".r.findFirstMatchIn(formattedUrl)
+      if (m.isDefined) return stripWww(m.get.group(1).toLowerCase)
+    }
+    ""
+  }
+
+  /** Apex (eTLD+1 approximation: last two labels — domains.py:13-32). */
+  def apexDomain(domain: String): String = {
+    if (domain == null || domain.isEmpty) return ""
+    var d = domain.toLowerCase
+    if (d.startsWith("http")) d = netlocOf(d)
+    if (d.startsWith("www.")) d = d.substring(4)
+    val parts = d.split('.')
+    if (parts.length >= 2) parts.takeRight(2).mkString(".") else d
+  }
+
+  /** Subdomain suffix match (domains.py:85-100). */
+  def isSubdomainMatch(candidate: String, apex: String): Boolean = {
+    if (candidate == null || candidate.isEmpty || apex == null || apex.isEmpty) false
+    else apexDomain(candidate) == apex || candidate.endsWith("." + apex)
+  }
+
+  /** URL → dedupe key (dedup.py:18-45): netloc + path without trailing slash,
+    * file extension, -partN/-update/-vN/-N suffixes, and language prefixes. */
+  def dedupeKey(url: String): String = {
+    if (url == null) return ""
+    try {
+      val netloc = netlocOf(url)
+      var path = pathOf(url)
+      while (path.endsWith("/")) path = path.substring(0, path.length - 1)
+      path = path.replaceAll("\\.[^/]*$", "")
+      path = path.replaceAll("-(part\\d+|update|v\\d+|\\d+)$", "")
+      path = path.replaceAll("^/(?:us|uk|ca|au|br|de|it|es|fr)/(?:en|fr|de|it|es|pt_BR|pt)/", "/")
+      path = path.replaceAll("^/(?:en|fr|de|it|es|pt)/", "/")
+      netloc + path
+    } catch { case _: Exception => url }
+  }
+
+  private def netlocOf(url: String): String = {
+    val afterScheme = {
+      val i = url.indexOf("://")
+      if (i >= 0) url.substring(i + 3) else return ""
+    }
+    val end = afterScheme.indexWhere(c => c == '/' || c == '?' || c == '#')
+    if (end >= 0) afterScheme.substring(0, end) else afterScheme
+  }
+
+  private def pathOf(url: String): String = {
+    // urlparse semantics: without a scheme the whole string is the path
+    val i = url.indexOf("://")
+    val p0 =
+      if (i < 0) url
+      else {
+        val rest = url.substring(i + 3)
+        val slash = rest.indexOf('/')
+        if (slash < 0) return ""
+        rest.substring(slash)
+      }
+    val cut = p0.indexWhere(c => c == '?' || c == '#')
+    if (cut >= 0) p0.substring(0, cut) else p0
+  }
+
+  // ------------------------------------------------------------------- geo
+
+  /** Haversine distance in meters (matching.py:102-115; R=6371000). */
+  def haversineMeters(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
+    val R = 6371000.0
+    val phi1 = math.toRadians(lat1)
+    val phi2 = math.toRadians(lat2)
+    val dPhi = math.toRadians(lat2 - lat1)
+    val dLambda = math.toRadians(lng2 - lng1)
+    val a = math.sin(dPhi / 2) * math.sin(dPhi / 2) +
+      math.cos(phi1) * math.cos(phi2) * math.sin(dLambda / 2) * math.sin(dLambda / 2)
+    R * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+  }
+
+  /** Ray-casting point-in-polygon over a single ring of (lng,lat) pairs
+    * (shapely usage at h3_scheduler.py:441-446 re-expressed; no PostGIS). */
+  def pointInRing(lng: Double, lat: Double, ring: Array[Array[Double]]): Boolean = {
+    var inside = false
+    var i = 0
+    var j = ring.length - 1
+    while (i < ring.length) {
+      val xi = ring(i)(0); val yi = ring(i)(1)
+      val xj = ring(j)(0); val yj = ring(j)(1)
+      val intersects = ((yi > lat) != (yj > lat)) &&
+        (lng < (xj - xi) * (lat - yi) / (yj - yi) + xi)
+      if (intersects) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+}

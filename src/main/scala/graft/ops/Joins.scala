@@ -49,10 +49,35 @@ object Joins {
         round(avg(col("p_retailprice")), 6).as("avg_price"))
   }
 
+  /** J5 — similarity join (matching.py:74-201): trigram over normalized names
+    * on a broadcast probe side, best match per probe via deterministic window.
+    * Uses the custom codegen'd expressions (normalize_text, trigram_similarity,
+    * name_score) — not SQL-expressible, so the driver records a rows-only check;
+    * exact semantics are pinned by TextAlgoSpec golden vectors. */
+  def j5SimilarityJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.expr.{functions => F}
+    import org.apache.spark.sql.expressions.Window
+    val probes = Seq("cold widgett", "larg bolt", "standart gadget").toDF("probe")
+    val sim = F.trigram_similarity(
+      F.normalize_text(col("p_name")), F.normalize_text(col("probe")))
+    val scored = Tables.part(spark, dir)
+      .join(broadcast(probes))
+      .withColumn("tri_sim", round(sim, 6))
+      .withColumn("nscore", round(F.name_score(col("probe"), col("p_name")), 6))
+      .filter(col("tri_sim") >= 0.3)
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("tri_sim").desc, col("p_partkey").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("probe"), col("p_partkey"), col("p_name"), col("tri_sim"), col("nscore"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "j_theta_price_vs_acctbal" -> (jThetaPriceVsAcctbal _),
     "j_range_quantity_size" -> (jRangeQuantitySize _),
-    "j_contains_tokens" -> (jContainsTokens _))
+    "j_contains_tokens" -> (jContainsTokens _),
+    "j5_similarity_join" -> (j5SimilarityJoin _))
 
   val oracles: Map[String, String] = Map(
     "j_theta_price_vs_acctbal" ->

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expr.{functions => F}
+
+/** Catalyst-expression integration: evaluation via both interpreted and
+  * whole-stage-codegen paths, plus SQL registration. */
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(4)
+  import spark.implicits._
+
+  test("custom expressions evaluate over a DataFrame") {
+    val df = Seq(
+      ("L'Ambroisie", "lambroisie", "https://www.lefooding.com/fr/fr/a/b-v2"),
+      ("Café de Flore", "cafe de flore paris review", "https://guide.michelin.com/fr/paris/abc.html"))
+      .toDF("a", "b", "url")
+    val out = df.select(
+      F.normalize_text(col("a")).as("norm"),
+      F.trigram_similarity(col("a"), col("b")).as("tri"),
+      F.fuzzy_ratio(lower(col("a")), lower(col("b"))).as("fz"),
+      F.name_score(col("a"), col("b")).as("ns"),
+      F.dedupe_key(col("url")).as("dk"),
+      F.domain_of(col("url")).as("dom"),
+      F.apex_domain(F.domain_of(col("url"))).as("apex")).collect()
+
+    assert(out(0).getString(0) == "lambroisie")
+    assert(math.abs(out(0).getDouble(1) - 0.6666666667) < 1e-9)
+    assert(math.abs(out(0).getDouble(2) - 0.9523809524) < 1e-9)
+    assert(out(0).getDouble(3) >= 0.95) // name_score = max(...) ≥ fuzzy
+    assert(out(0).getString(4) == "www.lefooding.com/a/b")
+    assert(out(0).getString(5) == "lefooding.com")
+    assert(out(1).getString(5) == "guide.michelin.com")
+    assert(out(1).getString(6) == "michelin.com")
+  }
+
+  test("null-safety: null inputs yield null outputs") {
+    val df = Seq((Option.empty[String], Option.empty[String])).toDF("a", "b")
+    val r = df.select(
+      F.normalize_text(col("a")),
+      F.trigram_similarity(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("SQL registration") {
+    F.registerAll(spark)
+    val r = spark.sql(
+      "SELECT normalize_text('Café & Co') AS n, trigram_similarity('abc', 'abc') AS t").collect()(0)
+    assert(r.getString(0) == "cafe and co")
+    assert(r.getDouble(1) == 1.0)
+  }
+
+  test("haversine column matches scalar implementation") {
+    val df = Seq((48.8566, 2.3522, 45.7640, 4.8357)).toDF("lat1", "lng1", "lat2", "lng2")
+    val d = df.select(F.haversine_meters(col("lat1"), col("lng1"), col("lat2"), col("lng2"))).collect()(0).getDouble(0)
+    assert(math.abs(d - 391498.93167) < 1e-3)
+  }
+}

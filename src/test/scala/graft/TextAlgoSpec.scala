@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.expr.TextAlgo
+
+/** Golden-vector parity with the reference's Python utilities (values computed
+  * with CPython unicodedata/difflib against the exact reference algorithms:
+  * matching.py:19-72 normalize, scoring.py:250-267 trigram, scoring.py:219
+  * SequenceMatcher ratio, dedup.py:18-45 dedupe_key, matching.py:102-115
+  * haversine), plus ScalaCheck properties.
+  */
+class TextAlgoSpec extends AnyFunSuite {
+
+  /** Deterministic property sampling (scalatestplus isn't in the offline
+    * cache, so drive ScalaCheck generators directly). */
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+  private def forAll[A, B](genA: Gen[A], genB: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(genA, genB))(t => f(t._1, t._2))
+
+  // ---- normalize golden vectors
+  test("normalize matches reference") {
+    assert(TextAlgo.normalize("L'Ambroisie") == "lambroisie")
+    assert(TextAlgo.normalize("Café de Flore") == "cafe de flore")
+    assert(TextAlgo.normalize("Le Cœur & l'Esprit") == "le coeur and lesprit")
+    assert(TextAlgo.normalize("Chez Saint-Germain") == "chez saint germain")
+    assert(TextAlgo.normalize("La Brasserie du Marché") == "la brasserie du marche")
+    assert(TextAlgo.normalize("A  &  B") == "a and b")
+    assert(TextAlgo.normalize("  Le St Tropez  ") == "le saint tropez")
+    assert(TextAlgo.normalize("") == "")
+    assert(TextAlgo.normalize(null) == "")
+  }
+
+  test("normalize is idempotent") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val once = TextAlgo.normalize(s)
+      assert(TextAlgo.normalize(once) == once)
+    }
+  }
+
+  // ---- trigram golden vectors (10dp)
+  private def approx(a: Double, b: Double, eps: Double = 1e-9) = math.abs(a - b) <= eps
+
+  test("trigram similarity matches reference") {
+    assert(approx(TextAlgo.trigramSimilarity("L'Ambroisie", "lambroisie"), 0.6666666667, 1e-9))
+    assert(approx(TextAlgo.trigramSimilarity("Café de Flore", "cafe de flore paris review"), 0.34375))
+    assert(approx(TextAlgo.trigramSimilarity("Le Cœur & l'Esprit", "le coeur and lesprit"), 0.3666666667, 1e-9))
+    assert(approx(TextAlgo.trigramSimilarity("Chez Saint-Germain", " st germain bistro"), 0.1818181818, 1e-9))
+    assert(approx(TextAlgo.trigramSimilarity("La Brasserie du Marché", "best brasserie marche in paris 2024"), 0.2708333333, 1e-9))
+    assert(approx(TextAlgo.trigramSimilarity("Septime", "Septime - the hottest table in town"), 0.2105263158, 1e-9))
+  }
+
+  test("trigram properties: symmetric, bounded, self=1") {
+    forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val s = TextAlgo.trigramSimilarity(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(approx(s, TextAlgo.trigramSimilarity(b, a)))
+    }
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { a =>
+      assert(approx(TextAlgo.trigramSimilarity(a, a), 1.0))
+    }
+  }
+
+  // ---- fuzzy (SequenceMatcher.ratio) golden vectors
+  test("fuzzy ratio matches CPython difflib") {
+    def f(a: String, b: String) = TextAlgo.fuzzyRatio(a.toLowerCase, b.toLowerCase)
+    assert(approx(f("L'Ambroisie", "lambroisie"), 0.9523809524, 1e-9))
+    assert(approx(f("Café de Flore", "cafe de flore paris review"), 0.6153846154, 1e-9))
+    assert(approx(f("Le Cœur & l'Esprit", "le coeur and lesprit"), 0.7894736842, 1e-9))
+    assert(approx(f("Chez Saint-Germain", " st germain bistro"), 0.5555555556, 1e-9))
+    assert(approx(f("La Brasserie du Marché", "best brasserie marche in paris 2024"), 0.5614035088, 1e-9))
+    assert(approx(f("Septime", "Septime - the hottest table in town"), 0.3333333333, 1e-9))
+  }
+
+  test("fuzzy ratio bounded and 1.0 on equal strings") {
+    forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val r = TextAlgo.fuzzyRatio(a, b)
+      assert(r >= 0.0 && r <= 1.0)
+    }
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { a =>
+      assert(approx(TextAlgo.fuzzyRatio(a, a), 1.0))
+    }
+  }
+
+  // ---- stopwords / tokens
+  test("stopword removal matches reference") {
+    assert(TextAlgo.removeStopwords("Le restaurant de la Tour") == "tour")
+    assert(TextAlgo.removeStopwords("chez paris au bar et ou un une") == "")
+  }
+
+  test("discriminant tokens") {
+    assert(TextAlgo.discriminantTokens("Restaurant Le Chateaubriand") == Set("chateaubriand"))
+    assert(TextAlgo.discriminantTokens("The Bar") == Set.empty[String])
+  }
+
+  // ---- dedupe key golden vectors
+  test("dedupe_key matches reference") {
+    assert(TextAlgo.dedupeKey("https://www.lefooding.com/fr/fr/restaurants/le-rigmarole-v2")
+      == "www.lefooding.com/restaurants/le-rigmarole")
+    assert(TextAlgo.dedupeKey("https://guide.michelin.com/fr/paris/abc.html")
+      == "guide.michelin.com/paris/abc")
+    assert(TextAlgo.dedupeKey("http://timeout.fr/en/food/best-bistros-part3/")
+      == "timeout.fr/food/best-bistros")
+    assert(TextAlgo.dedupeKey("https://blog.example.co/posts/new-cafe-2024")
+      == "blog.example.co/posts/new-cafe")
+    assert(TextAlgo.dedupeKey("https://x.com/a/b/c-update/") == "x.com/a/b/c")
+    assert(TextAlgo.dedupeKey("https://x.com/") == "x.com")
+  }
+
+  // ---- domain extraction
+  test("domain_of fallback chain matches reference") {
+    assert(TextAlgo.domainOf("https://www.lefooding.com/x", null, null) == "lefooding.com")
+    assert(TextAlgo.domainOf("lefooding.com/x", null, null) == "lefooding.com")
+    assert(TextAlgo.domainOf(null, "WWW.Timeout.FR:443/paris", null) == "timeout.fr")
+    assert(TextAlgo.domainOf(null, null, "https://www.abc.fr/x/y") == "abc.fr")
+    assert(TextAlgo.domainOf(null, null, null) == "")
+  }
+
+  test("apex + subdomain match") {
+    assert(TextAlgo.apexDomain("guide.michelin.com") == "michelin.com")
+    assert(TextAlgo.apexDomain("www.lefooding.com") == "lefooding.com")
+    assert(TextAlgo.isSubdomainMatch("guide.michelin.com", "michelin.com"))
+    assert(!TextAlgo.isSubdomainMatch("michelin.com.evil.io", "michelin.com"))
+  }
+
+  // ---- geo
+  test("haversine matches reference formula") {
+    assert(approx(TextAlgo.haversineMeters(48.8566, 2.3522, 45.7640, 4.8357), 391498.9316742573, 1e-4))
+    assert(approx(TextAlgo.haversineMeters(48.8566, 2.3522, 48.8606, 2.3376), 1157.0046974814777, 1e-6))
+    assert(TextAlgo.haversineMeters(48.0, 2.0, 48.0, 2.0) == 0.0)
+  }
+
+  test("point in ring: unit square") {
+    val ring = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(1.0, 1.0), Array(0.0, 1.0))
+    assert(TextAlgo.pointInRing(0.5, 0.5, ring))
+    assert(!TextAlgo.pointInRing(1.5, 0.5, ring))
+    assert(!TextAlgo.pointInRing(-0.1, 0.5, ring))
+  }
+}
