@@ -19,7 +19,8 @@ object SparkEntry {
     (ops.Windows.queries, ops.Windows.oracles),
     (ops.SetOps.queries, ops.SetOps.oracles),
     (ops.Joins.queries, ops.Joins.oracles),
-    (ops.Scalars.queries, ops.Scalars.oracles))
+    (ops.Scalars.queries, ops.Scalars.oracles),
+    (domain.Classify.queries, domain.Classify.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,143 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic in-code domain fixtures (FIXTURES.md §B).
+  *
+  * Single source of truth: each fixture is a Scala value rendered BOTH as a
+  * Spark DataFrame and as a SQL VALUES clause for the DuckDB oracle, so the
+  * engine and the oracle can never see different data. Timestamps are midnight
+  * UTC so integer day arithmetic matches on both sides. `asOf` is the explicit
+  * "now" every domain operator takes (FIXTURES.md determinism rules).
+  */
+object Fixtures {
+
+  val asOf = "2025-06-01 00:00:00"
+
+  // --------------------------------------------------------------- poi (b1)
+
+  /** (id, name, category, city, rating, reviews_count, first_seen_at,
+    * eligibility_status). Personas per intelligent_classifier.py:590-632:
+    * p1 new+trending cafe, p2 established bistro, p3 struggling bar,
+    * p4 hidden-gem wine bar; plus p5 bakery (momentum multiplier), p6
+    * null-rating, p7 heavyweight approved, p8 null-created_at mention path. */
+  val pois: Seq[(String, String, String, String, Option[Double], Option[Int], Option[String], String)] = Seq(
+    ("p1", "New Trendy Cafe", "cafe", "paris", Some(4.8), Some(50), Some("2025-05-10 00:00:00"), "hold"),
+    ("p2", "Classic Bistro", "restaurant", "paris", Some(4.2), Some(800), Some("2024-01-15 00:00:00"), "eligible"),
+    ("p3", "Struggling Bar", "bar", "paris", Some(3.2), Some(20), Some("2024-11-20 00:00:00"), "hold"),
+    ("p4", "Secret Wine Bar", "bar", "paris", Some(4.7), Some(120), Some("2025-02-20 00:00:00"), "hold"),
+    ("p5", "Boulangerie Moderne", "bakery", "paris", Some(4.5), Some(210), Some("2024-06-01 00:00:00"), "eligible"),
+    ("p6", "Mystery Spot", "restaurant", "paris", None, Some(5), None, "hold"),
+    ("p7", "Grand Institution", "restaurant", "lyon", Some(4.9), Some(1500), Some("2023-03-01 00:00:00"), "approved"),
+    ("p8", "Cafe Sans Date", "cafe", "lyon", Some(4.4), Some(90), Some("2025-04-25 00:00:00"), "hold"))
+
+  // ---------------------------------------------- source_mention (b3 subset)
+
+  /** (id, poi_id, source_type, authority_weight, match_score, w_time
+    * (None → computed/fallback), created_at (None → 0.5 fallback in A1 and
+    * excluded from windowed checks)). */
+  val mentions: Seq[(String, String, String, Option[Double], Option[Double], Option[Double], Option[String])] = Seq(
+    ("m01", "p1", "guide", Some(0.9), Some(0.95), Some(0.9),  Some("2025-05-20 00:00:00")),
+    ("m02", "p1", "press", Some(0.8), Some(0.90), Some(0.85), Some("2025-05-25 00:00:00")),
+    ("m03", "p2", "guide", Some(1.0), Some(0.92), None,       Some("2024-09-01 00:00:00")),
+    ("m04", "p2", "press", Some(0.7), Some(0.80), Some(0.4),  Some("2025-03-10 00:00:00")),
+    ("m05", "p4", "press", Some(0.8), Some(0.85), Some(0.5),  Some("2025-04-15 00:00:00")),
+    ("m06", "p4", "local", Some(0.5), Some(0.75), Some(0.7),  Some("2025-05-15 00:00:00")),
+    ("m07", "p4", "local", Some(0.4), Some(0.70), None,       Some("2025-05-28 00:00:00")),
+    ("m08", "p5", "local", Some(0.6), Some(0.88), Some(0.85), Some("2025-05-22 00:00:00")),
+    ("m09", "p7", "guide", Some(1.0), Some(0.98), Some(0.95), Some("2025-05-18 00:00:00")),
+    ("m10", "p7", "guide", Some(1.0), Some(0.96), Some(0.92), Some("2025-05-26 00:00:00")),
+    ("m11", "p7", "press", Some(0.9), Some(0.94), Some(0.88), Some("2025-05-29 00:00:00")),
+    ("m12", "p8", "blog",  Some(0.4), Some(0.60), None,       None),
+    ("m13", "p2", "local", None,      None,       Some(0.3),  Some("2024-12-01 00:00:00")))
+
+  // ------------------------------------------------- rating_snapshot (b2)
+
+  /** (poi_id, source_id, rating_value, reviews_count, captured_at). The
+    * classifier reads the same rows via created_at (reference schema drift,
+    * SURVEY §1.2 — the engine standardizes on captured_at). */
+  val snapshots: Seq[(String, String, Double, Int, String)] = Seq(
+    ("p1", "google", 4.7, 38, "2025-05-20 00:00:00"),
+    ("p1", "google", 4.8, 50, "2025-05-30 00:00:00"),
+    ("p2", "google", 4.2, 790, "2025-05-19 00:00:00"),
+    ("p2", "google", 4.2, 796, "2025-05-26 00:00:00"),
+    ("p2", "google", 4.2, 800, "2025-05-31 00:00:00"),
+    ("p2", "google", 4.1, 700, "2025-01-10 00:00:00"),
+    ("p3", "google", 3.2, 20, "2025-05-25 00:00:00"),
+    ("p4", "google", 4.7, 117, "2025-05-21 00:00:00"),
+    ("p4", "google", 4.7, 120, "2025-05-29 00:00:00"),
+    ("p5", "google", 4.5, 206, "2025-05-20 00:00:00"),
+    ("p5", "google", 4.5, 210, "2025-05-27 00:00:00"),
+    ("p7", "google", 4.9, 1491, "2025-05-18 00:00:00"),
+    ("p7", "google", 4.9, 1500, "2025-05-30 00:00:00"),
+    ("p8", "google", 4.4, 90, "2025-04-01 00:00:00"))
+
+  // ----------------------------------------------- source_catalog (b4)
+
+  /** (source_id, base_url, type, authority_weight, is_active). */
+  val catalog: Seq[(String, String, String, Double, Boolean)] = Seq(
+    ("lefooding", "https://www.lefooding.com", "guide", 0.9, true),
+    ("timeout", "https://www.timeout.fr", "press", 0.8, true),
+    ("sortiraparis", "https://www.sortiraparis.com", "press", 0.7, true),
+    ("michelin", "https://guide.michelin.com", "guide", 1.0, true),
+    ("parisbouge", "https://parisbouge.com", "local", 0.5, true),
+    ("deadblog", "https://deadblog.fr", "blog", 0.3, false),
+    ("mysteryfr", "https://mystery.fr", "unknown", 0.4, true))
+
+  // ------------------------------------------------------ DataFrame views
+
+  def poiDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pois.toDF("id", "name", "category", "city", "rating", "reviews_count",
+      "first_seen_at", "eligibility_status")
+      .withColumn("first_seen_at", to_timestamp(col("first_seen_at")))
+  }
+
+  def mentionsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    mentions.toDF("id", "poi_id", "source_type", "authority_weight",
+      "match_score", "w_time", "created_at")
+      .withColumn("created_at", to_timestamp(col("created_at")))
+  }
+
+  def snapshotsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshots.toDF("poi_id", "source_id", "rating_value", "reviews_count", "captured_at")
+      .withColumn("captured_at", to_timestamp(col("captured_at")))
+  }
+
+  def catalogDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    catalog.toDF("source_id", "base_url", "type", "authority_weight", "is_active")
+  }
+
+  // -------------------------------------------------------- VALUES SQL
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def sqlTs(s: Option[String]): String =
+    s.map(v => s"TIMESTAMP ${sqlStr(v)}").getOrElse("CAST(NULL AS TIMESTAMP)")
+  private def sqlNum[T](v: Option[T]): String =
+    v.map(_.toString).getOrElse("NULL")
+
+  /** poi VALUES clause for oracle CTEs. */
+  def poiValues: String = pois.map { case (id, n, cat, city, r, rc, fs, es) =>
+    s"(${sqlStr(id)}, ${sqlStr(n)}, ${sqlStr(cat)}, ${sqlStr(city)}, ${sqlNum(r)}, ${sqlNum(rc)}, ${sqlTs(fs)}, ${sqlStr(es)})"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS poi(id, name, category, city, rating, reviews_count, first_seen_at, eligibility_status)"
+
+  def mentionValues: String = mentions.map { case (id, pid, st, aw, ms, wt, ca) =>
+    s"(${sqlStr(id)}, ${sqlStr(pid)}, ${sqlStr(st)}, ${sqlNum(aw)}, ${sqlNum(ms)}, ${sqlNum(wt)}, ${sqlTs(ca)})"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS m(id, poi_id, source_type, authority_weight, match_score, w_time, created_at)"
+
+  def snapshotValues: String = snapshots.map { case (pid, sid, rv, rc, ca) =>
+    s"(${sqlStr(pid)}, ${sqlStr(sid)}, $rv, $rc, TIMESTAMP ${sqlStr(ca)})"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS s(poi_id, source_id, rating_value, reviews_count, captured_at)"
+
+  def catalogValues: String = catalog.map { case (sid, url, t, aw, act) =>
+    s"(${sqlStr(sid)}, ${sqlStr(url)}, ${sqlStr(t)}, $aw, $act)"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS c(source_id, base_url, type, authority_weight, is_active)"
+}
