@@ -20,7 +20,8 @@ object SparkEntry {
     (ops.SetOps.queries, ops.SetOps.oracles),
     (ops.Joins.queries, ops.Joins.oracles),
     (ops.Scalars.queries, ops.Scalars.oracles),
-    (domain.Classify.queries, domain.Classify.oracles))
+    (domain.Classify.queries, domain.Classify.oracles),
+    (domain.MentionScoring.queries, domain.MentionScoring.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -85,6 +85,62 @@ object Fixtures {
     ("deadblog", "https://deadblog.fr", "blog", 0.3, false),
     ("mysteryfr", "https://mystery.fr", "unknown", 0.4, true))
 
+  // ------------------------------------------- serp candidates (b7 subset)
+
+  /** (cand_id, poi_id, poi_name, poi_lat, poi_lng, title, snippet, url,
+    * domain, name_match). `name_match` is fixture INPUT (the name-scoring
+    * expressions are pinned separately — they are not SQL-expressible), so the
+    * whole §2.8 arithmetic/decision tree stays oracle-checkable. Rows cover
+    * the decision table (scoring.py:138-179): confirmed-domain auto-accept,
+    * score_high accept, country-mismatch hard reject, mid-conditional review,
+    * mid-conditions-failed reject, score-too-low reject, excluded domain. */
+  val serpCandidates: Seq[(String, String, String, Double, Double, String, String, String, String, Double)] = Seq(
+    ("c1", "p1", "New Trendy Cafe", 48.8566, 2.3522,
+      "New Trendy Cafe Paris review", "the best new cafe in paris 75001",
+      "https://www.lefooding.com/paris/new-trendy-cafe", "lefooding.com", 0.90),
+    ("c2", "p2", "Classic Bistro", 48.8600, 2.3400,
+      "Classic Bistro guide", "michelin selection bistro",
+      "https://guide.michelin.com/fr/paris/classic-bistro", "guide.michelin.com", 0.60),
+    ("c3", "p1", "New Trendy Cafe", 48.8566, 2.3522,
+      "New Trendy Cafe", "the best bistro in germany",
+      "https://bistro-blog.de/new-trendy-cafe", "bistro-blog.de", 0.80),
+    ("c4", "p4", "Secret Wine Bar", 48.8700, 2.3600,
+      "wine bars we love downtown", "a quiet spot",
+      "https://unknown-blog.net/wine-bars", "unknown-blog.net", 0.35),
+    ("c5", "p3", "Struggling Bar", 48.8400, 2.3300,
+      "ten random drinks", "nothing relevant here",
+      "https://random-site.org/drinks", "random-site.org", 0.08),
+    ("c6", "p2", "Classic Bistro", 48.6000, 2.1000,
+      "classic bistro memories", "a story about food",
+      "https://deadblog.fr/story", "deadblog.fr", 0.45),
+    ("c7", "p5", "Boulangerie Moderne", 48.8570, 2.3530,
+      "boulangerie moderne bakery", "croissants to die for",
+      "https://parisbouge.com/boulangerie-moderne", "parisbouge.com", 0.50),
+    ("c9", "p1", "New Trendy Cafe", 48.8566, 2.3522,
+      "trendy cafes 2025", "our selection",
+      "https://www.sortiraparis.com/paris-cafes/75010-guide", "sortiraparis.com", 0.55),
+    ("c10", "p1", "New Trendy Cafe", 48.8566, 2.3522,
+      "New Trendy Cafe instagram", "photos and reels paris",
+      "https://www.instagram.com/newtrendycafe", "instagram.com", 0.95))
+
+  /** Excluded domains (P6; config.json:114-139 subset). */
+  val excludedDomains: Seq[String] = Seq(
+    "instagram.com", "facebook.com", "tripadvisor.fr", "tripadvisor.com",
+    "yelp.fr", "yelp.com", "booking.com", "ubereats.com")
+
+  /** Paris city profile literals (city_profiles.py:36-44). */
+  object ParisProfile {
+    val aliases = Seq("paris", "parís", "parigi", "パリ")
+    val adminNames = Seq("île-de-france", "grand paris", "region parisienne")
+    val postalPrefixes = Seq("75", "750")
+    val countryIndicators = Seq("france", "fr")
+    val countryMismatchPatterns = Seq(
+      "\\benglish\\b", "\\bunited states\\b", "\\busa\\b",
+      "\\bgermany\\b", "\\bspain\\b", "\\bitaly\\b")
+    val centroidLat = 48.8566
+    val centroidLng = 2.3522
+  }
+
   // ------------------------------------------------------ DataFrame views
 
   def poiDf(spark: SparkSession): DataFrame = {
@@ -112,32 +168,52 @@ object Fixtures {
     catalog.toDF("source_id", "base_url", "type", "authority_weight", "is_active")
   }
 
+  def serpCandidatesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    serpCandidates.toDF("cand_id", "poi_id", "poi_name", "poi_lat", "poi_lng",
+      "title", "snippet", "url", "domain", "name_match")
+  }
+
   // -------------------------------------------------------- VALUES SQL
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
   private def sqlTs(s: Option[String]): String =
     s.map(v => s"TIMESTAMP ${sqlStr(v)}").getOrElse("CAST(NULL AS TIMESTAMP)")
-  private def sqlNum[T](v: Option[T]): String =
-    v.map(_.toString).getOrElse("NULL")
+  // doubles are CAST explicitly: DuckDB would otherwise type VALUES literals
+  // as DECIMAL and return Decimal results that hash differently from Spark's
+  private def sqlDbl(v: Double): String = s"CAST($v AS DOUBLE)"
+  private def sqlDblOpt(v: Option[Double]): String =
+    v.map(sqlDbl).getOrElse("CAST(NULL AS DOUBLE)")
+  private def sqlIntOpt(v: Option[Int]): String =
+    v.map(_.toString).getOrElse("CAST(NULL AS INTEGER)")
 
   /** poi VALUES clause for oracle CTEs. */
   def poiValues: String = pois.map { case (id, n, cat, city, r, rc, fs, es) =>
-    s"(${sqlStr(id)}, ${sqlStr(n)}, ${sqlStr(cat)}, ${sqlStr(city)}, ${sqlNum(r)}, ${sqlNum(rc)}, ${sqlTs(fs)}, ${sqlStr(es)})"
+    s"(${sqlStr(id)}, ${sqlStr(n)}, ${sqlStr(cat)}, ${sqlStr(city)}, ${sqlDblOpt(r)}, ${sqlIntOpt(rc)}, ${sqlTs(fs)}, ${sqlStr(es)})"
   }.mkString("(VALUES ", ", ", ")") +
     " AS poi(id, name, category, city, rating, reviews_count, first_seen_at, eligibility_status)"
 
   def mentionValues: String = mentions.map { case (id, pid, st, aw, ms, wt, ca) =>
-    s"(${sqlStr(id)}, ${sqlStr(pid)}, ${sqlStr(st)}, ${sqlNum(aw)}, ${sqlNum(ms)}, ${sqlNum(wt)}, ${sqlTs(ca)})"
+    s"(${sqlStr(id)}, ${sqlStr(pid)}, ${sqlStr(st)}, ${sqlDblOpt(aw)}, ${sqlDblOpt(ms)}, ${sqlDblOpt(wt)}, ${sqlTs(ca)})"
   }.mkString("(VALUES ", ", ", ")") +
     " AS m(id, poi_id, source_type, authority_weight, match_score, w_time, created_at)"
 
   def snapshotValues: String = snapshots.map { case (pid, sid, rv, rc, ca) =>
-    s"(${sqlStr(pid)}, ${sqlStr(sid)}, $rv, $rc, TIMESTAMP ${sqlStr(ca)})"
+    s"(${sqlStr(pid)}, ${sqlStr(sid)}, ${sqlDbl(rv)}, $rc, TIMESTAMP ${sqlStr(ca)})"
   }.mkString("(VALUES ", ", ", ")") +
     " AS s(poi_id, source_id, rating_value, reviews_count, captured_at)"
 
   def catalogValues: String = catalog.map { case (sid, url, t, aw, act) =>
-    s"(${sqlStr(sid)}, ${sqlStr(url)}, ${sqlStr(t)}, $aw, $act)"
+    s"(${sqlStr(sid)}, ${sqlStr(url)}, ${sqlStr(t)}, ${sqlDbl(aw)}, $act)"
   }.mkString("(VALUES ", ", ", ")") +
     " AS c(source_id, base_url, type, authority_weight, is_active)"
+
+  def serpCandidateValues: String = serpCandidates.map {
+    case (cid, pid, pn, lat, lng, ti, sn, url, dom, nm) =>
+      s"(${sqlStr(cid)}, ${sqlStr(pid)}, ${sqlStr(pn)}, ${sqlDbl(lat)}, ${sqlDbl(lng)}, ${sqlStr(ti)}, ${sqlStr(sn)}, ${sqlStr(url)}, ${sqlStr(dom)}, ${sqlDbl(nm)})"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS cand(cand_id, poi_id, poi_name, poi_lat, poi_lng, title, snippet, url, domain, name_match)"
+
+  def excludedDomainValues: String =
+    excludedDomains.map(d => s"(${sqlStr(d)})").mkString("(VALUES ", ", ", ")") + " AS x(domain)"
 }

@@ -1,0 +1,281 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.TextAlgo
+
+/** Mention scoring + decision (SURVEY §2.8; reference:
+  * mention_scanner/scoring.py:61-179, city_profiles.py:93-236,
+  * utils/database.py:585-734 for the catalog resolution J2, scanner.py:768-787
+  * for the P6 exclusion filter).
+  *
+  * Whole tree is ONE select of column expressions over the candidate set with
+  * the source catalog broadcast — no per-candidate lookups. Geo/authority/
+  * penalty/decision arithmetic is oracle-checked; the name-match component is
+  * a fixture input here because its expressions (trigram/fuzzy) are custom —
+  * they are pinned by TextAlgoSpec and exercised in mention_name_scores.
+  */
+object MentionScoring {
+
+  import Fixtures.ParisProfile
+
+  /** Resolved catalog rows: (ord, source_id, domain, type, authority_weight). */
+  lazy val resolvedCatalog: Seq[(Int, String, String, String, Double)] =
+    Fixtures.catalog.zipWithIndex.map { case ((sid, base, t, aw, _), i) =>
+      (i, sid, TextAlgo.domainOf(base, null, null), t, aw)
+    }
+
+  private def catalogResolvedDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    resolvedCatalog.toDF("ord", "source_id", "cat_domain", "cat_type", "cat_authority")
+  }
+
+  private def catalogResolvedValues: String =
+    resolvedCatalog.map { case (o, sid, d, t, aw) =>
+      s"($o, '$sid', '$d', '$t', CAST($aw AS DOUBLE))"
+    }.mkString("(VALUES ", ", ", ")") +
+      " AS cat(ord, source_id, cat_domain, cat_type, cat_authority)"
+
+  // ----------------------------------------------------------- geo signals
+
+  /** Geo score as the SUM of detected signal components — NOT clamped to 1,
+    * matching the reference (city_profiles.py:228: plain sum). */
+  def geoScore(title: Column, snippet: Column, url: Column,
+      poiLat: Column, poiLng: Column): Column = {
+    val t = lower(title)
+    val s = lower(snippet)
+    val u = lower(url)
+    val city = ParisProfile.aliases
+      .map(a => t.contains(lit(a)) || s.contains(lit(a)))
+      .reduce(_ || _)
+    val postal = ParisProfile.postalPrefixes
+      .map { p => val re = s"\\b$p\\d{1,3}\\b"; t.rlike(re) || s.rlike(re) || u.rlike(re) }
+      .reduce(_ || _)
+    val admin = ParisProfile.adminNames
+      .map(a => t.contains(lit(a)) || s.contains(lit(a)))
+      .reduce(_ || _)
+    val country = ParisProfile.countryIndicators
+      .map(i => t.contains(lit(i)) || s.contains(lit(i)))
+      .reduce(_ || _)
+    val urlSeg = ParisProfile.aliases
+      .map(a => u.contains(lit(s"/$a/")) || u.contains(lit(s"/$a-")) || u.endsWith(lit(s"/$a")))
+      .reduce(_ || _)
+    val distKm = graft.expr.functions.haversine_meters(
+      poiLat, poiLng, lit(ParisProfile.centroidLat), lit(ParisProfile.centroidLng)) / 1000.0
+    val dist = when(distKm < 3.0, 0.3).when(distKm < 15.0, 0.15).otherwise(0.0)
+    when(city, 0.4).otherwise(0.0) +
+      when(postal, 0.3).otherwise(0.0) +
+      when(admin, 0.2).otherwise(0.0) +
+      when(country, 0.1).otherwise(0.0) +
+      when(urlSeg, 0.3).otherwise(0.0) +
+      dist
+  }
+
+  /** Country-mismatch hard penalty over title+snippet+url (scoring.py:282-345;
+    * city-mismatch is structurally dead in the reference — profiles carry no
+    * competing_cities — so total = country only). */
+  def countryMismatch(title: Column, snippet: Column, url: Column): Column = {
+    val text = lower(concat_ws(" ", title, snippet, url))
+    ParisProfile.countryMismatchPatterns.map(text.rlike(_)).reduce(_ || _)
+  }
+
+  // --------------------------------------------------- J2 catalog resolution
+
+  /** Resolve candidate domains to catalog sources: exact (www-stripped) match,
+    * else suffix match either direction (first catalog row wins), else the
+    * unknown/generic source, else lowest-authority press
+    * (utils/database.py:617-731). Catalog is broadcast; candidates never
+    * shuffle. */
+  def resolveAuthority(cands: DataFrame, spark: SparkSession): DataFrame = {
+    val cat = resolvedCatalog
+    val unknownSid = cat.find(c => Seq("unknown", "generic", "other").contains(c._4.toLowerCase))
+      .map(c => (c._2, c._5))
+    val pressFallback = cat.filter(_._4.toLowerCase == "press")
+      .sortBy(c => (c._5, c._1)).headOption.map(c => (c._2, c._5))
+    val fallback = unknownSid.orElse(pressFallback)
+
+    val catDf = broadcast(catalogResolvedDf(spark))
+    val d = regexp_replace(lower(col("domain")), "www\\.", "")
+    val withD = cands.withColumn("norm_domain", d)
+
+    // pass 1: exact
+    val exact = catDf.select(col("cat_domain").as("e_dom"),
+      col("source_id").as("e_sid"), col("cat_authority").as("e_auth"), col("ord").as("e_ord"))
+    val p1 = withD.join(exact, col("norm_domain") === col("e_dom"), "left")
+    // pass 2: suffix either direction, first catalog row by ord
+    val suffix = catDf.select(col("cat_domain").as("s_dom"),
+      col("source_id").as("s_sid"), col("cat_authority").as("s_auth"), col("ord").as("s_ord"))
+    val p2 = p1.join(suffix,
+      col("e_sid").isNull &&
+        (col("norm_domain").endsWith(col("s_dom")) || col("s_dom").endsWith(col("norm_domain"))),
+      "left")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cand_id")).orderBy(coalesce(col("s_ord"), lit(Int.MaxValue)).asc)
+    p2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("resolved_source_id",
+        coalesce(col("e_sid"), col("s_sid"), lit(fallback.map(_._1).orNull)))
+      .withColumn("authority",
+        coalesce(col("e_auth"), col("s_auth"),
+          lit(fallback.map(_._2).getOrElse(0.5))))
+      .drop("e_dom", "e_sid", "e_auth", "e_ord", "s_dom", "s_sid", "s_auth", "s_ord", "rn")
+  }
+
+  // ------------------------------------------------------------- full tree
+
+  /** P6 exclusion + §2.8 score + decision over a candidate DataFrame. */
+  def scoreAndDecide(cands: DataFrame, spark: SparkSession): DataFrame = {
+    val excluded = Fixtures.excludedDomains
+    val filtered = cands.filter(!lower(col("domain")).isin(excluded: _*))
+    val withAuth = resolveAuthority(filtered, spark)
+
+    val geo = geoScore(col("title"), col("snippet"), col("url"), col("poi_lat"), col("poi_lng"))
+    val pen = when(countryMismatch(col("title"), col("snippet"), col("url")), 1.0).otherwise(0.0)
+    val base = lit(0.60) * col("name_match") + lit(0.25) * col("g") + lit(0.15) * col("authority")
+    val fin = least(greatest(base - col("penalty"), lit(0.0)), lit(1.0))
+
+    val scored = withAuth
+      .withColumn("g", geo)
+      .withColumn("penalty", pen)
+      .withColumn("base_score", base)
+      .withColumn("final_score", fin)
+
+    val decision = when(col("authority") >= 1.0 && col("penalty") === 0.0, "ACCEPT")
+      .when(col("penalty") > 0.0, "REJECT")
+      .when(col("final_score") >= 0.35, "ACCEPT")
+      .when(col("final_score") >= 0.20 && (col("g") >= 0.25 || col("authority") >= 0.60), "REVIEW")
+      .otherwise("REJECT")
+    val acceptedBy = when(col("authority") >= 1.0 && col("penalty") === 0.0, "confirmed_domain")
+      .when(col("penalty") > 0.0, "")
+      .when(col("final_score") >= 0.35, "score_high")
+      .when(col("final_score") >= 0.20 && (col("g") >= 0.25 || col("authority") >= 0.60), "mid_conditional")
+      .otherwise("")
+
+    scored.select(
+      col("cand_id"), col("poi_id"), col("resolved_source_id"),
+      round(col("name_match"), 6).as("name_match"),
+      round(col("g"), 6).as("geo_score"),
+      round(col("authority"), 6).as("authority"),
+      round(col("penalty"), 6).as("penalty_total"),
+      round(col("base_score"), 6).as("base_score"),
+      round(col("final_score"), 6).as("final_score"),
+      decision.as("decision"),
+      acceptedBy.as("accepted_by"))
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  def qMentionScoreDecision(spark: SparkSession, dir: String): DataFrame =
+    scoreAndDecide(Fixtures.serpCandidatesDf(spark), spark)
+
+  /** Name-matching expressions over the same candidates (custom expressions →
+    * rows-only driver check; semantics pinned by TextAlgoSpec). */
+  def qMentionNameScores(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.{functions => F}
+    Fixtures.serpCandidatesDf(spark).select(
+      col("cand_id"),
+      F.normalize_text(col("poi_name")).as("poi_norm"),
+      round(F.trigram_similarity(col("poi_name"), concat_ws(" ", col("title"), col("snippet"))), 6).as("trigram"),
+      round(F.fuzzy_ratio(lower(col("poi_name")), lower(concat_ws(" ", col("title"), col("snippet")))), 6).as("fuzzy"),
+      round(F.name_score(col("poi_name"), concat_ws(" ", col("title"), col("snippet"))), 6).as("name_score"),
+      F.dedupe_key(col("url")).as("dedupe_key"),
+      F.apex_domain(col("domain")).as("apex"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mention_score_decision" -> (qMentionScoreDecision _),
+    "mention_name_scores" -> (qMentionNameScores _))
+
+  private def geoSqlExpr: String = {
+    def containsAny(col: String, vals: Seq[String]) =
+      vals.map(v => s"contains($col, '${v.replace("'", "''")}')").mkString("(", " OR ", ")")
+    val city = containsAny("lower(title)", ParisProfile.aliases) +
+      " OR " + containsAny("lower(snippet)", ParisProfile.aliases)
+    val postal = ParisProfile.postalPrefixes.map { p =>
+      s"regexp_matches(lower(title), '\\b$p\\d{1,3}\\b') OR regexp_matches(lower(snippet), '\\b$p\\d{1,3}\\b') OR regexp_matches(lower(url), '\\b$p\\d{1,3}\\b')"
+    }.mkString("(", " OR ", ")")
+    val admin = containsAny("lower(title)", ParisProfile.adminNames) +
+      " OR " + containsAny("lower(snippet)", ParisProfile.adminNames)
+    val country = containsAny("lower(title)", ParisProfile.countryIndicators) +
+      " OR " + containsAny("lower(snippet)", ParisProfile.countryIndicators)
+    val urlSeg = ParisProfile.aliases.map { a =>
+      s"contains(lower(url), '/$a/') OR contains(lower(url), '/$a-') OR lower(url) LIKE '%/$a'"
+    }.mkString("(", " OR ", ")")
+    val dist =
+      s"""6371.0 * 2.0 * atan2(
+         |  sqrt(pow(sin(radians(${ParisProfile.centroidLat} - poi_lat) / 2), 2)
+         |    + cos(radians(poi_lat)) * cos(radians(${ParisProfile.centroidLat}))
+         |    * pow(sin(radians(${ParisProfile.centroidLng} - poi_lng) / 2), 2)),
+         |  sqrt(1.0 - (pow(sin(radians(${ParisProfile.centroidLat} - poi_lat) / 2), 2)
+         |    + cos(radians(poi_lat)) * cos(radians(${ParisProfile.centroidLat}))
+         |    * pow(sin(radians(${ParisProfile.centroidLng} - poi_lng) / 2), 2))))""".stripMargin
+    s"""(CASE WHEN ($city) THEN 0.4 ELSE 0.0 END
+       | + CASE WHEN ($postal) THEN 0.3 ELSE 0.0 END
+       | + CASE WHEN ($admin) THEN 0.2 ELSE 0.0 END
+       | + CASE WHEN ($country) THEN 0.1 ELSE 0.0 END
+       | + CASE WHEN ($urlSeg) THEN 0.3 ELSE 0.0 END
+       | + CASE WHEN ($dist) < 3.0 THEN 0.3 WHEN ($dist) < 15.0 THEN 0.15 ELSE 0.0 END)""".stripMargin
+  }
+
+  private def oracleSqlDecision: String = {
+    val mismatch = ParisProfile.countryMismatchPatterns
+      .map(p => s"regexp_matches(lower(concat_ws(' ', title, snippet, url)), '$p')")
+      .mkString("(", " OR ", ")")
+    val excl = Fixtures.excludedDomains.map(d => s"'$d'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT cand.*,
+       |    coalesce(
+       |      (SELECT source_id FROM $catalogResolvedValues
+       |       WHERE cat_domain = replace(lower(cand.domain), 'www.', '') ORDER BY ord LIMIT 1),
+       |      (SELECT source_id FROM $catalogResolvedValues
+       |       WHERE ends_with(replace(lower(cand.domain), 'www.', ''), cat_domain)
+       |          OR ends_with(cat_domain, replace(lower(cand.domain), 'www.', ''))
+       |       ORDER BY ord LIMIT 1),
+       |      (SELECT source_id FROM $catalogResolvedValues
+       |       WHERE lower(cat_type) IN ('unknown','generic','other') ORDER BY ord LIMIT 1),
+       |      (SELECT source_id FROM $catalogResolvedValues
+       |       WHERE lower(cat_type) = 'press' ORDER BY cat_authority ASC, ord ASC LIMIT 1)
+       |    ) AS resolved_source_id,
+       |    coalesce(
+       |      (SELECT cat_authority FROM $catalogResolvedValues
+       |       WHERE cat_domain = replace(lower(cand.domain), 'www.', '') ORDER BY ord LIMIT 1),
+       |      (SELECT cat_authority FROM $catalogResolvedValues
+       |       WHERE ends_with(replace(lower(cand.domain), 'www.', ''), cat_domain)
+       |          OR ends_with(cat_domain, replace(lower(cand.domain), 'www.', ''))
+       |       ORDER BY ord LIMIT 1),
+       |      (SELECT cat_authority FROM $catalogResolvedValues
+       |       WHERE lower(cat_type) IN ('unknown','generic','other') ORDER BY ord LIMIT 1),
+       |      (SELECT cat_authority FROM $catalogResolvedValues
+       |       WHERE lower(cat_type) = 'press' ORDER BY cat_authority ASC, ord ASC LIMIT 1),
+       |      0.5) AS authority,
+       |    $geoSqlExpr AS g,
+       |    CASE WHEN $mismatch THEN 1.0 ELSE 0.0 END AS penalty
+       |  FROM ${Fixtures.serpCandidateValues}
+       |  WHERE lower(domain) NOT IN ($excl)),
+       |fin AS (
+       |  SELECT *,
+       |    0.60 * name_match + 0.25 * g + 0.15 * authority AS base_score,
+       |    least(greatest(0.60 * name_match + 0.25 * g + 0.15 * authority - penalty, 0.0), 1.0) AS final_score
+       |  FROM scored)
+       |SELECT cand_id, poi_id, resolved_source_id,
+       |  CAST(round(name_match, 6) AS DOUBLE) AS name_match,
+       |  CAST(round(g, 6) AS DOUBLE) AS geo_score,
+       |  CAST(round(authority, 6) AS DOUBLE) AS authority,
+       |  CAST(round(penalty, 6) AS DOUBLE) AS penalty_total,
+       |  CAST(round(base_score, 6) AS DOUBLE) AS base_score,
+       |  CAST(round(final_score, 6) AS DOUBLE) AS final_score,
+       |  CASE WHEN authority >= 1.0 AND penalty = 0.0 THEN 'ACCEPT'
+       |       WHEN penalty > 0.0 THEN 'REJECT'
+       |       WHEN final_score >= 0.35 THEN 'ACCEPT'
+       |       WHEN final_score >= 0.20 AND (g >= 0.25 OR authority >= 0.60) THEN 'REVIEW'
+       |       ELSE 'REJECT' END AS decision,
+       |  CASE WHEN authority >= 1.0 AND penalty = 0.0 THEN 'confirmed_domain'
+       |       WHEN penalty > 0.0 THEN ''
+       |       WHEN final_score >= 0.35 THEN 'score_high'
+       |       WHEN final_score >= 0.20 AND (g >= 0.25 OR authority >= 0.60) THEN 'mid_conditional'
+       |       ELSE '' END AS accepted_by
+       |FROM fin""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "mention_score_decision" -> oracleSqlDecision)
+}
