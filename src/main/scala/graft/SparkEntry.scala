@@ -21,7 +21,9 @@ object SparkEntry {
     (ops.Joins.queries, ops.Joins.oracles),
     (ops.Scalars.queries, ops.Scalars.oracles),
     (domain.Classify.queries, domain.Classify.oracles),
-    (domain.MentionScoring.queries, domain.MentionScoring.oracles))
+    (domain.MentionScoring.queries, domain.MentionScoring.oracles),
+    (domain.MentionDedup.queries, domain.MentionDedup.oracles),
+    (domain.Spatial.queries, domain.Spatial.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

