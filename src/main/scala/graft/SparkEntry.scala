@@ -20,6 +20,10 @@ object SparkEntry {
     (ops.SetOps.queries, ops.SetOps.oracles),
     (ops.Joins.queries, ops.Joins.oracles),
     (ops.Scalars.queries, ops.Scalars.oracles),
+    (ops.TextDedup.queries, ops.TextDedup.oracles),
+    (ops.TextAnalysis.queries, ops.TextAnalysis.oracles),
+    (ops.Similarity.queries, ops.Similarity.oracles),
+    (ops.Multimodal.queries, ops.Multimodal.oracles),
     (domain.Classify.queries, domain.Classify.oracles),
     (domain.MentionScoring.queries, domain.MentionScoring.oracles),
     (domain.MentionDedup.queries, domain.MentionDedup.oracles),

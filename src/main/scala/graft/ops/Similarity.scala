@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column (driver
+  * mandate): brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design: brute-force is queries × corpus — fine only when the query
+  * side is small and broadcast (it is here). The LSH variant buckets the
+  * corpus ONCE by hyperplane sign bits (this is the shuffle/bucketing key
+  * you'd persist at 100 TB) and probes only matching buckets, turning ANN
+  * into an equi-join. Recall vs brute force is asserted in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Cosine over float arrays va/vb, computed in double (column names are
+    * positional contracts of this module's internal selects). */
+  private def cosine: Column = {
+    val dot = expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr("sqrt(aggregate(va, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val nb = expr("sqrt(aggregate(vb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    dot / (na * nb)
+  }
+
+  val K = 5
+  val NumQueries = 5
+
+  /** Brute-force exact top-k: small query set broadcast against the corpus,
+    * per-query window for the top-k. Deterministic tie-break on rounded
+    * similarity then vec_id. */
+  def simBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("va")))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("vb"))
+    val scored = queries.join(corpus, col("q_id") =!= col("n_id"))
+      .withColumn("cos_r", round(cosine, 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), col("cos_r").as("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  // --------------------------------------------------- LSH (random hyperplane)
+
+  val NumTables = 4
+  val NumPlanes = 6 // per table
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p in table
+    * t is a fixed integer-hash formula — reproducible across executors with no
+    * RNG state, which is what makes the bucket ids stable partition keys. */
+  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+    val h = (t * 7919 + p * 1000003 + d * 8191) * 2654435761L
+    ((h >>> 16) % 2001L - 1000L) / 1000.0
+  }
+
+  /** Sign-bit signature of vector column `v` for one hash table. */
+  def signatureExpr(table: Int, dim: Int): Column = {
+    val bits = (0 until NumPlanes).map { pl =>
+      val terms = (0 until dim).map(d => s"CAST(v[$d] AS DOUBLE) * ${planeComponent(table, pl, d)}")
+        .mkString(" + ")
+      s"CASE WHEN ($terms) >= 0 THEN ${1 << pl} ELSE 0 END"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  /** LSH ANN, multi-table + multi-probe: 4 independent hyperplane tables of 6
+    * bits; candidates = union over tables of (own bucket + all 1-bit-flipped
+    * buckets). At 100 TB: the corpus is signed/bucketed ONCE per table (the
+    * persistable bucketing key), and each query probes ~7 buckets per table —
+    * an equi-join on (table, sig), never a scan of the corpus per query.
+    * Recall vs brute force is asserted in TrainingOpsSpec. */
+  def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = Tables.embeddings(spark, dir)
+    val corpusBase = e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
+    val queriesBase = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("v"))
+
+    def signed(df: DataFrame, idCol: String, asVec: String): DataFrame =
+      (0 until NumTables).map { t =>
+        df.withColumn("sig", signatureExpr(t, dim))
+          .select(col(idCol), col("v").as(asVec), lit(t).as("tbl"), col("sig"))
+      }.reduce(_ unionByName _)
+
+    val corpus = signed(corpusBase, "n_id", "vb")
+    val probes = signed(queriesBase, "q_id", "va")
+      .select(col("q_id"), col("va"), col("tbl"),
+        explode(expr(s"array_union(array(sig), transform(sequence(0, ${NumPlanes - 1}), b -> " +
+          s"cast(sig as int) ^ shiftleft(1, b)))")).as("sig"))
+
+    val cands = broadcast(probes).join(corpus, Seq("tbl", "sig"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos_r", round(cosine, 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), col("cos_r").as("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "sim_bruteforce_topk" -> (simBruteforceTopk _),
+    "sim_lsh_topk" -> (simLshTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |      CAST(n.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |        CAST(n.embedding AS DOUBLE[])), 6) DESC, n.vec_id ASC) AS rnk
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+         |  WHERE q.vec_id < $NumQueries) WHERE rnk <= $K""".stripMargin)
+}

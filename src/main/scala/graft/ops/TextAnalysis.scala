@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (driver mandate):
+  * language-ID (marker-word heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting. All are pure
+  * column pipelines — codegen'd, no UDFs — and every one is oracle-checked.
+  */
+object TextAnalysis {
+
+  /** Marker-word lists per language. The heuristic is the n-gram/stopword
+    * counting approach of classic langid tools; the marker sets here are small
+    * and deterministic so the operator (argmax + tie-break) is the thing under
+    * test, not a lexicon. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "fast", "slow", "small"),
+    "fr" -> Seq("le", "la", "vite", "petit"),
+    "de" -> Seq("der", "die", "das", "schnell"),
+    "es" -> Seq("el", "los", "rapido"),
+    "zh" -> Seq("shu", "ju", "kuai"))
+
+  private def markerCount(words: Column, lang: String): Column = {
+    val lst = markers(lang).map(w => s"'$w'").mkString("array(", ", ", ")")
+    expr(s"size(filter(words, w -> array_contains($lst, w)))")
+  }
+
+  /** Language ID: count marker tokens per language over the whitespace
+    * tokens; predict argmax with deterministic lexicographic tie-break;
+    * 'und' when no marker hits at all. */
+  def taLangId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = markers.keys.toSeq.sorted
+    val base = Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+    val withScores = langs.foldLeft(base) { (df, l) =>
+      df.withColumn(s"score_$l", markerCount(col("words"), l).cast("long"))
+    }
+    // argmax with lexicographic tie-break: greatest over (score, inverse-rank,
+    // lang) structs — on score ties the larger inverse rank (= earlier lang)
+    // wins, matching the oracle's first-match CASE over sorted langs
+    val best = langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"score_$l").as("s"), lit(langs.size - i).as("inv"), lit(l).as("l"))
+    }
+    val winner = greatest(best: _*)
+    withScores.select(
+      (col("doc_id") +: langs.map(l => col(s"score_$l"))) :+
+        when(winner.getField("s") > 0, winner.getField("l")).otherwise("und").as("predicted_lang") :+
+        col("lang").as("labeled_lang"): _*)
+  }
+
+  /** Quality scoring (reference shape: length/punct/stopword ratios — the
+    * quality gate of a pretraining filter): word count, mean word length,
+    * alpha ratio, stopword ratio, composite [0,1] score. */
+  def taQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and")
+      .map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_chars_actual", length(trim(col("text"))).cast("long"))
+      .withColumn("mean_word_len",
+        round((col("n_chars_actual") - (col("n_words") - 1)).cast("double") / col("n_words"), 6))
+      .withColumn("stopword_ratio",
+        round(expr(s"size(filter(words, w -> array_contains($stop, w)))").cast("double")
+          / col("n_words"), 6))
+      .withColumn("quality_score",
+        round(least(
+          when(col("n_words") >= 10, 0.4).otherwise(col("n_words").cast("double") * 0.04)
+            + when(col("mean_word_len").between(3.0, 8.0), 0.3).otherwise(0.0)
+            + when(col("stopword_ratio").between(0.05, 0.5), 0.3).otherwise(0.0),
+          lit(1.0)), 6))
+      .select(col("doc_id"), col("n_words"), col("n_chars_actual"),
+        col("mean_word_len"), col("stopword_ratio"), col("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single non-space symbols) + a chars-per-token
+    * estimate (the ~4 chars/token rule of thumb). */
+  def taTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).cast("long")
+          .as("bpeish_tokens"),
+        ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_tokens_len4"))
+
+  /** Document fingerprinting: md5 over the sorted distinct token set (bag
+    * fingerprint, order-insensitive) + md5 of the raw text (exact). */
+  def taFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("exact_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("words")))).cast("binary")).as("bag_fp"))
+
+  val queries: Map[String, Relational.Q] = Map(
+    "ta_lang_id" -> (taLangId _),
+    "ta_quality_score" -> (taQualityScore _),
+    "ta_token_count" -> (taTokenCount _),
+    "ta_fingerprint" -> (taFingerprint _))
+
+  private def markerSql(lang: String): String =
+    markers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = {
+    val langs = markers.keys.toSeq.sorted
+    val scoreCols = langs.map(l =>
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> list_contains(${markerSql(l)}, w))) AS score_$l")
+      .mkString(",\n        ")
+    // argmax with lexicographic tie-break: pick first lang of the max score
+    val caseArg = langs.map(l =>
+      s"WHEN score_$l = best THEN '$l'").mkString(" ")
+    Map(
+      "ta_lang_id" ->
+        s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+           |  CASE WHEN best > 0 THEN (CASE $caseArg END) ELSE 'und' END AS predicted_lang,
+           |  lang AS labeled_lang
+           |FROM (SELECT *, greatest(${langs.map(l => s"score_$l").mkString(", ")}) AS best
+           |      FROM (SELECT doc_id, lang,
+           |        $scoreCols
+           |      FROM documents))""".stripMargin,
+      "ta_quality_score" ->
+        """SELECT doc_id, n_words, n_chars_actual,
+          |  CAST(round((n_chars_actual - (n_words - 1)) * 1.0 / n_words, 6) AS DOUBLE) AS mean_word_len,
+          |  CAST(round(n_stop * 1.0 / n_words, 6) AS DOUBLE) AS stopword_ratio,
+          |  CAST(round(least(
+          |    (CASE WHEN n_words >= 10 THEN 0.4 ELSE n_words * 0.04 END)
+          |    + (CASE WHEN round((n_chars_actual - (n_words - 1)) * 1.0 / n_words, 6) BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+          |    + (CASE WHEN round(n_stop * 1.0 / n_words, 6) BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END),
+          |    1.0), 6) AS DOUBLE) AS quality_score
+          |FROM (SELECT doc_id,
+          |        len(string_split_regex(trim(text), '\s+')) AS n_words,
+          |        length(trim(text)) AS n_chars_actual,
+          |        len(list_filter(string_split_regex(trim(text), '\s+'),
+          |            w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop
+          |      FROM documents)""".stripMargin,
+      "ta_token_count" ->
+        """SELECT doc_id,
+          |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+          |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpeish_tokens,
+          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_len4
+          |FROM documents""".stripMargin,
+      "ta_fingerprint" ->
+        """SELECT doc_id, md5(text) AS exact_fp,
+          |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS bag_fp
+          |FROM documents""".stripMargin)
+  }
+}

@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Document deduplication suite for training-data pipelines (driver mandate:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup — each a
+  * first-class operator over the `documents`/`embeddings` tables).
+  *
+  * Scale design: NOTHING here is O(N²) on the full corpus. Every pairwise
+  * operator first generates candidate pairs through an equi-join key —
+  * content hash (exact), LSH band bucket (MinHash), band bucket (SimHash),
+  * (lang, source) block (n-gram), label block (embedding) — so the shuffle is
+  * keyed and bounded; the quadratic step runs only within buckets. At 100 TB
+  * the block/band keys are exactly the partition keys you'd bucket by.
+  */
+object TextDedup {
+
+  // ------------------------------------------------------------- exact (md5)
+
+  /** Exact dedup by content hash (hash-groupBy; the standard first pass of
+    * every training-data dedup): per-hash canonical survivor + corpus summary.
+    * The testdata has no byte-identical documents, so the per-group output is
+    * summarized (n_docs vs distinct hashes) to keep the oracle check strong
+    * and non-empty. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+    hashed.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("content_hash")).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col("content_hash"))).as("n_dup_docs"))
+  }
+
+  // ------------------------------------------------- char-set Jaccard pairs
+
+  /** Character-set Jaccard near-dup pairs within (lang, source) blocks —
+    * semantics chosen to equal DuckDB's jaccard() so the oracle can verify
+    * the whole pair pipeline end-to-end. */
+  def ddJaccardChars(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), "")).as("chars"))
+    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("chars").as("ch_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("chars").as("ch_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac",
+        size(array_intersect(col("ch_a"), col("ch_b"))).cast("double") /
+          size(array_union(col("ch_a"), col("ch_b"))).cast("double"))
+      .filter(col("jac") >= 0.999999) // identical char sets
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+  }
+
+  // ------------------------------------------------------ word-3-gram Jaccard
+
+  /** Word 3-grams of the `words` column (empty when fewer than 3 tokens —
+    * sequence(0,-1) would count DOWN in Spark, so guard explicitly). */
+  private def shingles: Column =
+    expr("CASE WHEN size(words) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
+      "ELSE transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2])) END")
+
+  /** Word-3-gram (shingle) Jaccard pairs within (lang, source) blocks with
+    * threshold — the classical near-dup measure MinHash approximates. */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", array_distinct(shingles))
+      .select(col("doc_id"), col("lang"), col("source"), col("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jac") >= 0.2)
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+  }
+
+  // ------------------------------------------------------------ MinHash + LSH
+
+  val NumHashes = 32
+  val Bands = 8 // 8 bands x 4 rows
+
+  /** Deterministic affine hash family over murmur3 shingle hashes:
+    * h_i(x) = (a_i·x + b_i) mod p, coefficients derived from the band index —
+    * no RNG state, so signatures are reproducible across runs/executors. */
+  private def minhashSignature(sh: Column): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val hashes = (0 until NumHashes).map { i =>
+      val a = 1103515245L * (i + 1) % p
+      val b = (12345L + 2654435761L * i) % p
+      // min over shingles of (a * h(s) + b) mod p ; murmur3 via hash()
+      expr(s"array_min(transform(sh, s -> ($a * (abs(cast(hash(s) as bigint)) % $p) + $b) % $p))")
+    }
+    array(hashes: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → 32-wide signature → 8 LSH bands →
+    * band-bucket equi-join → exact shingle-Jaccard verification ≥ 0.2.
+    * Candidate generation is the banded join (shuffle on band hash), never a
+    * full cross product. */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", array_distinct(shingles))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh")))
+      .select(col("doc_id"), col("sh"), col("sig"))
+
+    val rowsPerBand = NumHashes / Bands
+    val banded = docs.select(col("doc_id"), col("sh"),
+      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
+        s"concat_ws(':', b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("col", "band_key")
+
+    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("band_key"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("band_key"))
+    val cands = a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cands.withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jac") >= 0.2)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+  }
+
+  // ----------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash from word-level xxhash64: per-bit majority vote over token
+    * hashes, computed with integer column expressions (codegen-friendly). */
+  def simhash64(words: Column): Column = {
+    // For each of 64 bits: sum(+1 if bit set else -1) over tokens → sign bit.
+    val bitCols = (0 until 64).map { bit =>
+      expr(s"CASE WHEN aggregate(transform(words, w -> " +
+        s"CASE WHEN shiftright(xxhash64(w), $bit) & 1 = 1 THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x) > 0 " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), $bit) ELSE CAST(0 AS BIGINT) END")
+    }
+    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: 4×16-bit band buckets → hamming ≤ 3 verify. */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("sim", simhash64(col("words")))
+      .select(col("doc_id"), col("sim"))
+    val banded = docs.select(col("doc_id"), col("sim"),
+      explode(expr("transform(sequence(0, 3), b -> concat_ws(':', b, shiftright(sim, b * 16) & 65535))"))
+        .as("band_key"))
+    val a = banded.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("band_key"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  // ------------------------------------------------- embedding cosine near-dup
+
+  /** Cosine similarity of two float-array columns as a single codegen'd
+    * expression chain (zip_with + aggregate), computed in double. */
+  def cosineSim(a: Column, b: Column): Column = {
+    val dot = expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr("sqrt(aggregate(va, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val nb = expr("sqrt(aggregate(vb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs: block by label (at scale: an IVF/cluster id),
+    * exact cosine within block, threshold. */
+  def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "dd_exact" -> (ddExact _),
+    "dd_jaccard_chars" -> (ddJaccardChars _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_embed_cosine" -> (ddEmbedCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents""".stripMargin,
+    "dd_jaccard_chars" ->
+      """SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(round(jaccard(a.text, b.text), 6) AS DOUBLE) AS jac
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE jaccard(a.text, b.text) >= 0.999999""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      range(len(string_split_regex(trim(text), '\s+')) - 2),
+        |      i -> concat_ws(' ',
+        |        string_split_regex(trim(text), '\s+')[i + 1],
+        |        string_split_regex(trim(text), '\s+')[i + 2],
+        |        string_split_regex(trim(text), '\s+')[i + 3]))) AS grams
+        |  FROM documents)
+        |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(round(len(list_intersect(a.grams, b.grams)) * 1.0
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS DOUBLE) AS jac
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2""".stripMargin,
+    "dd_embed_cosine" ->
+      """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Similarity, TextDedup}
+
+/** Behavioral specs for the probabilistic training-data operators — the
+  * driver's oracle only does rows-only checks on these, so recall and
+  * invariants are pinned here. */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(4)
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("MinHash+LSH finds true near-duplicates (high-jaccard pairs)") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val dir = writeDocs(Seq(
+      (1L, base, "en", "s1", 10L),
+      (2L, base + " tonight", "en", "s1", 10L),              // ~0.87 jaccard
+      (3L, "completely different words entirely unrelated content here now", "en", "s1", 10L),
+      (4L, base.replace("quick", "fast"), "en", "s1", 10L))) // still high overlap
+    val pairs = TextDedup.ddMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-identical pair must be found")
+    assert(pairs.contains((1L, 4L)), "one-word-substitution pair must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("SimHash: identical texts collide at hamming 0; near texts are close") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = writeDocs(Seq(
+      (1L, base, "en", "s1", 10L),
+      (2L, base, "en", "s1", 10L),
+      (3L, base + " lambda", "en", "s1", 10L)))
+    val pairs = TextDedup.ddSimhash(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) == 0L, "identical docs must have hamming distance 0")
+    pairs.get((1L, 3L)).foreach(h => assert(h <= 3L))
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val bf = Similarity.simBruteforceTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.simLshTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.3, s"multi-probe LSH recall@5 too low: $recall")
+    // and every LSH result must be a genuine corpus neighbor, not noise
+    assert(lsh.forall { case (q, n) => q < Similarity.NumQueries && n != q })
+  }
+
+  test("stub decoder features are deterministic and correct") {
+    val f = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"), "image/stub")
+    assert(f.byteLen == 3 && f.byteSum == 97 + 98 + 99 && f.firstByte == 97)
+    assert(f.nFrames == 1 && f.format == "stub/raw")
+    val big = Multimodal.StubDecoder.decode(Array.fill[Byte](2500)(1), "image/stub")
+    assert(big.nFrames == 2)
+  }
+
+  test("extractFeatures preserves row count and schema through mapPartitions") {
+    val out = Multimodal.extractFeatures(spark, Multimodal.mediaTable(spark, "/root/testdata/sf0.001"))
+    assert(out.count() == 500)
+    assert(out.columns.toSeq == Seq("doc_id", "media_type", "byte_len", "byte_sum", "first_byte", "n_frames", "format"))
+  }
+}
