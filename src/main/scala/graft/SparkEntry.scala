@@ -27,7 +27,10 @@ object SparkEntry {
     (domain.Classify.queries, domain.Classify.oracles),
     (domain.MentionScoring.queries, domain.MentionScoring.oracles),
     (domain.MentionDedup.queries, domain.MentionDedup.oracles),
-    (domain.Spatial.queries, domain.Spatial.oracles))
+    (domain.Spatial.queries, domain.Spatial.oracles),
+    (domain.Ingest.queries, domain.Ingest.oracles),
+    (domain.Collections.queries, domain.Collections.oracles),
+    (sinks.SinkQueries.queries, sinks.SinkQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,144 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion stage projections/filters P1–P5 + the novelty gate (SURVEY §2.2,
+  * §3.2; reference: google_places_ingester.py:76-109,297-422,
+  * h3_scheduler.py:313-321).
+  *
+  * One declarative select per search-result batch — the reference's
+  * row-at-a-time to_poi_row becomes a filter+project pipeline Catalyst can
+  * push into the scan. The category/subcategory maps are literal broadcast
+  * maps (config.json:208-240 shape).
+  */
+object Ingest {
+
+  /** category_map (config.json:208-240 shape, trimmed to the 4 categories). */
+  val categoryMap: Seq[(String, String)] = Seq(
+    "restaurant" -> "restaurant", "food" -> "restaurant",
+    "bar" -> "bar", "night_club" -> "bar",
+    "cafe" -> "cafe", "coffee_shop" -> "cafe",
+    "bakery" -> "bakery")
+
+  val subcategoryMap: Seq[(String, String)] = Seq(
+    "french_restaurant" -> "french", "italian_restaurant" -> "italian",
+    "wine_bar" -> "wine", "coffee_shop" -> "specialty_coffee")
+
+  /** (result_id, place_id, name, types, formatted_address, lat, lng, rating,
+    * user_ratings_total, price_level, city_slug) — fixture covering: allowed /
+    * disallowed types, missing place_id / coords, quality-gate pass & fail,
+    * country from address vs city_slug fallback vs drop, long-name truncation. */
+  val placesResults: Seq[(String, Option[String], Option[String], Seq[String], String, Option[Double], Option[Double], Option[Double], Option[Int], Option[Int], String)] = Seq(
+    ("r1", Some("pl1"), Some("Chez Panisse"), Seq("restaurant", "food"),
+      "12 Rue de la Paix, 75002 Paris, France", Some(48.869), Some(2.331), Some(4.6), Some(220), Some(2), "paris"),
+    ("r2", Some("pl2"), Some("Zzz Club"), Seq("night_club"),
+      "3 Rue Oberkampf, Paris", Some(48.864), Some(2.370), Some(4.4), Some(80), Some(3), "paris"),
+    ("r3", Some("pl3"), Some("Mediocre Diner"), Seq("restaurant"),
+      "9 Rue X, 75010 Paris, France", Some(48.876), Some(2.358), Some(3.9), Some(400), Some(1), "paris"),
+    ("r4", Some("pl4"), Some("Gift Shop"), Seq("store", "souvenir_shop"),
+      "1 Rue Y, 75001 Paris, France", Some(48.861), Some(2.336), Some(4.8), Some(500), None, "paris"),
+    ("r5", None, Some("No Place Id"), Seq("cafe"),
+      "2 Rue Z, 75001 Paris, France", Some(48.860), Some(2.340), Some(4.5), Some(100), None, "paris"),
+    ("r6", Some("pl6"), Some("No Coords Cafe"), Seq("cafe"),
+      "4 Rue W, 75001 Paris, France", None, None, Some(4.5), Some(100), None, "paris"),
+    ("r7", Some("pl7"), Some("Wine & Co " + ("x" * 250)), Seq("bar", "wine_bar"),
+      "8 Quai V, Lyon", Some(45.762), Some(4.835), Some(4.7), Some(60), Some(2), "lyon"),
+    ("r8", Some("pl8"), Some("Nouveau Bistro 2025"), Seq("restaurant", "french_restaurant"),
+      "5 Rue N, 75011 Paris, France", Some(48.858), Some(2.380), Some(4.1), Some(12), None, "paris"))
+
+  def placesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    placesResults.toDF("result_id", "place_id", "name", "types", "formatted_address",
+      "lat", "lng", "rating", "user_ratings_total", "price_level", "city_slug")
+  }
+
+  def placesValues: String = placesResults.map {
+    case (rid, pid, n, ts, addr, lat, lng, r, urt, pl, slug) =>
+      def so(v: Option[String]) = v.map(x => s"'${x.replace("'", "''")}'").getOrElse("CAST(NULL AS VARCHAR)")
+      def d(v: Option[Double]) = v.map(x => s"CAST($x AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
+      def i(v: Option[Int]) = v.map(_.toString).getOrElse("CAST(NULL AS INTEGER)")
+      val tl = ts.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"('$rid', ${so(pid)}, ${so(n)}, $tl, '${addr.replace("'", "''")}', ${d(lat)}, ${d(lng)}, ${d(r)}, ${i(urt)}, ${i(pl)}, '$slug')"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS pr(result_id, place_id, name, types, formatted_address, lat, lng, rating, user_ratings_total, price_level, city_slug)"
+
+  /** First-match map lookup rendered as a CASE over the type list (the
+    * reference iterates the type list in order, google_places_ingester.py:87-93). */
+  private def mapCase(v: String, m: Seq[(String, String)]): String =
+    m.map { case (k, x) => s"WHEN $v = '$k' THEN '$x'" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+
+  /** P1–P5 in one pipeline: drop rows missing place_id/name/coords, type
+    * allowlist (P2), first-match category (P3), quality gate exposed as a
+    * column (P4 — the FSM gates on `novelty OR quality`, h3_scheduler.py:313),
+    * country extraction with fallback-else-drop (P5), truncating casts. */
+  def toPoiRows(results: DataFrame): DataFrame = {
+    val allowed = categoryMap.map(_._1)
+    val category = expr(s"filter(transform(types, t -> ${mapCase("t", categoryMap)}), x -> x IS NOT NULL)[0]")
+    val subcats = expr(s"array_distinct(filter(transform(types, t -> ${mapCase("t", subcategoryMap)}), x -> x IS NOT NULL))")
+    val lastField = trim(element_at(split(col("formatted_address"), ", "), -1))
+    val countryFromAddr = when(length(lastField) > 2, lastField)
+    val country = coalesce(countryFromAddr,
+      when(col("city_slug") === "paris", "France"))
+    results
+      .filter(col("place_id").isNotNull && col("name").isNotNull &&
+        col("lat").isNotNull && col("lng").isNotNull)
+      .filter(arrays_overlap(col("types"), array(allowed.map(lit): _*)))
+      .withColumn("category", category)
+      .filter(col("category").isNotNull)
+      .withColumn("country", country)
+      .filter(col("country").isNotNull)
+      .select(
+        col("result_id"),
+        col("place_id").as("google_place_id"),
+        substring(col("name"), 1, 200).as("name"),
+        col("category"),
+        subcats.as("subcategories"),
+        col("city_slug"),
+        initcap(regexp_replace(col("city_slug"), "_", " ")).as("city"),
+        col("country"),
+        col("lat"), col("lng"),
+        substring(col("formatted_address"), 1, 255).as("address_street"),
+        col("price_level").cast("string").as("price_level"),
+        (coalesce(col("rating"), lit(0.0)) >= 4.3 &&
+          coalesce(col("user_ratings_total"), lit(0)) >= 50).as("passes_quality_gate"))
+  }
+
+  def qIngestPoiRows(spark: SparkSession, dir: String): DataFrame =
+    toPoiRows(placesDf(spark))
+      .withColumn("subcategories", concat_ws("|", col("subcategories")))
+      .withColumn("name_len", length(col("name")).cast("long"))
+      .drop("name") // 250-char name hashes fine but keep output narrow
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_ingest_poi_rows" -> (qIngestPoiRows _))
+
+  val oracles: Map[String, String] = Map(
+    "p1_ingest_poi_rows" ->
+      s"""WITH projected AS (
+         |  SELECT result_id, place_id AS google_place_id,
+         |    substring(name, 1, 200) AS name,
+         |    list_filter(list_transform(types, t -> ${mapCase("t", categoryMap)}), x -> x IS NOT NULL)[1] AS category,
+         |    coalesce(array_to_string(list_distinct(list_filter(list_transform(types, t -> ${mapCase("t", subcategoryMap)}), x -> x IS NOT NULL)), '|'), '') AS subcategories,
+         |    city_slug,
+         |    -- initcap equivalent for single-word slugs
+         |    upper(substring(replace(city_slug, '_', ' '), 1, 1)) || substring(replace(city_slug, '_', ' '), 2) AS city,
+         |    CASE WHEN length(trim(string_split(formatted_address, ', ')[-1])) > 2
+         |         THEN trim(string_split(formatted_address, ', ')[-1])
+         |         WHEN city_slug = 'paris' THEN 'France' END AS country,
+         |    lat, lng,
+         |    substring(formatted_address, 1, 255) AS address_street,
+         |    CAST(price_level AS VARCHAR) AS price_level,
+         |    (coalesce(rating, 0.0) >= 4.3 AND coalesce(user_ratings_total, 0) >= 50) AS passes_quality_gate,
+         |    CAST(length(substring(name, 1, 200)) AS BIGINT) AS name_len
+         |  FROM $placesValues
+         |  WHERE place_id IS NOT NULL AND name IS NOT NULL
+         |    AND lat IS NOT NULL AND lng IS NOT NULL
+         |    AND len(list_intersect(types, [${categoryMap.map(c => s"'${c._1}'").mkString(", ")}])) > 0)
+         |SELECT result_id, google_place_id, category, subcategories, city_slug,
+         |  city, country, lat, lng, address_street, price_level,
+         |  passes_quality_gate, name_len
+         |FROM projected
+         |WHERE category IS NOT NULL AND country IS NOT NULL""".stripMargin)
+}
