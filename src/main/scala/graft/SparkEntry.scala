@@ -30,7 +30,9 @@ object SparkEntry {
     (domain.Spatial.queries, domain.Spatial.oracles),
     (domain.Ingest.queries, domain.Ingest.oracles),
     (domain.Collections.queries, domain.Collections.oracles),
-    (sinks.SinkQueries.queries, sinks.SinkQueries.oracles))
+    (sinks.SinkQueries.queries, sinks.SinkQueries.oracles),
+    (streaming.FsmQueries.queries, streaming.FsmQueries.oracles),
+    (streaming.Streams.queries, streaming.Streams.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

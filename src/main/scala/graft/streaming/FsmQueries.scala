@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked batch queries for the cell FSM (P8 + the §2.9 transition). */
+object FsmQueries {
+
+  /** (h3, res, status, saturated, next_due_at, results_last, attempts). */
+  val cells: Seq[(String, Int, String, Boolean, Option[String], Option[Int], Int)] = Seq(
+    ("c9:100:200", 9, "pending", false, None, None, 0),
+    ("c9:101:200", 9, "pending", false, None, None, 0),
+    ("c9:102:200", 9, "scanned", false, Some("2025-05-20 00:00:00"), Some(12), 1),
+    ("c11:400:800", 11, "scanned", false, Some("2025-05-25 00:00:00"), Some(40), 2),
+    ("c9:103:200", 9, "split", true, None, Some(80), 3))
+
+  /** (h3, total_results, max_category_count, as_of): saturating scan on a
+    * res-9 cell (split), normal scan, saturating scan at max res (no split). */
+  val scans: Seq[(String, Int, Int, String)] = Seq(
+    ("c9:100:200", 70, 25, "2025-06-01 00:00:00"),
+    ("c9:101:200", 30, 10, "2025-06-01 00:00:00"),
+    ("c11:400:800", 80, 30, "2025-06-01 00:00:00"))
+
+  def cellsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    cells.toDF("h3", "res", "status", "saturated", "next_due_at", "results_last", "attempts")
+      .withColumn("next_due_at", to_timestamp(col("next_due_at")))
+      .withColumn("last_scanned_at", lit(null).cast("timestamp"))
+  }
+
+  def scansDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    scans.toDF("h3", "total_results", "max_category_count", "as_of")
+  }
+
+  def qFsmStep(spark: SparkSession, dir: String): DataFrame =
+    CellFsm.step(cellsDf(spark), scansDf(spark))
+      .select(col("h3"), col("res").cast("long").as("res"), col("status"),
+        col("saturated"),
+        date_format(col("next_due_at"), "yyyy-MM-dd").as("next_due_date"),
+        col("results_last").cast("long").as("results_last"),
+        col("attempts").cast("long").as("attempts"))
+
+  def qDueCells(spark: SparkSession, dir: String): DataFrame =
+    CellFsm.selectDueCells(cellsDf(spark), "2025-06-01 00:00:00", 3)
+      .select(col("h3"), col("res").cast("long").as("res"), col("status"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fsm_cell_step" -> (qFsmStep _),
+    "p8_due_cells" -> (qDueCells _))
+
+  private def cellValues: String = cells.map { case (h, r, st, sat, nd, rl, at) =>
+    val nds = nd.map(v => s"TIMESTAMP '$v'").getOrElse("CAST(NULL AS TIMESTAMP)")
+    val rls = rl.map(_.toString).getOrElse("CAST(NULL AS INTEGER)")
+    s"('$h', $r, '$st', $sat, $nds, $rls, $at)"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS c(h3, res, status, saturated, next_due_at, results_last, attempts)"
+
+  private def scanValues: String = scans.map { case (h, t, m, a) =>
+    s"('$h', $t, $m, TIMESTAMP '$a')"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS s(h3, total_results, max_category_count, as_of)"
+
+  val oracles: Map[String, String] = Map(
+    "fsm_cell_step" ->
+      s"""WITH j AS (
+         |  SELECT c.*, s.total_results, s.max_category_count, s.as_of,
+         |    (s.total_results IS NOT NULL AND
+         |     (s.total_results >= 60 OR s.max_category_count >= 20)) AS sat,
+         |    (s.total_results IS NOT NULL AND
+         |     (s.total_results >= 60 OR s.max_category_count >= 20) AND c.res < 11) AS splits
+         |  FROM $cellValues LEFT JOIN $scanValues ON c.h3 = s.h3),
+         |updated AS (
+         |  SELECT h3, CAST(res AS BIGINT) AS res,
+         |    CASE WHEN total_results IS NULL THEN status
+         |         WHEN splits THEN 'split'
+         |         WHEN sat THEN 'saturated' ELSE 'scanned' END AS status,
+         |    CASE WHEN total_results IS NULL THEN saturated ELSE sat END AS saturated,
+         |    CASE WHEN total_results IS NULL THEN strftime(next_due_at, '%Y-%m-%d')
+         |         WHEN splits OR sat THEN strftime(next_due_at, '%Y-%m-%d')
+         |         ELSE strftime(as_of + INTERVAL 7 DAY, '%Y-%m-%d') END AS next_due_date,
+         |    CAST(CASE WHEN total_results IS NULL THEN results_last
+         |         ELSE total_results END AS BIGINT) AS results_last,
+         |    CAST(CASE WHEN total_results IS NULL THEN attempts
+         |         ELSE attempts + 1 END AS BIGINT) AS attempts
+         |  FROM j),
+         |children AS (
+         |  SELECT 'c' || (res + 1) || ':' ||
+         |      (CAST(string_split(h3, ':')[2] AS BIGINT) * 2 + dx) || ':' ||
+         |      (CAST(string_split(h3, ':')[3] AS BIGINT) * 2 + dy) AS h3,
+         |    CAST(res + 1 AS BIGINT) AS res, 'pending' AS status, false AS saturated,
+         |    CAST(NULL AS VARCHAR) AS next_due_date,
+         |    CAST(NULL AS BIGINT) AS results_last, CAST(0 AS BIGINT) AS attempts
+         |  FROM j, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS d(dx, dy)
+         |  WHERE splits)
+         |SELECT * FROM updated UNION ALL SELECT * FROM children""".stripMargin,
+    "p8_due_cells" ->
+      s"""SELECT h3, CAST(res AS BIGINT) AS res, status FROM $cellValues
+         |WHERE status != 'split'
+         |  AND (next_due_at IS NULL OR next_due_at <= TIMESTAMP '2025-06-01 00:00:00')
+         |ORDER BY res ASC, next_due_at ASC NULLS FIRST, h3 ASC LIMIT 3""".stripMargin)
+}

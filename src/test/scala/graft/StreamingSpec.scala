@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{CellFsm, Streams}
+
+/** Structured Streaming behavior: the FSM over the state store across
+  * micro-batches, watermarked dedup, and streaming-vs-batch window parity. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(4)
+
+  test("streaming FSM: saturation splits, children scan in later batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CellFsm.ScanResult]
+    val q = CellFsm.streamingFsm(spark, input.toDS())
+      .writeStream.format("memory").queryName("fsm_out").outputMode("append").start()
+    try {
+      // batch 1: res-9 cell saturates → split + 4 pending children
+      input.addData(CellFsm.ScanResult("c9:100:200", 70, 25, "2025-06-01 00:00:00"))
+      q.processAllAvailable()
+      val b1 = spark.sql("select * from fsm_out").as[CellFsm.CellState].collect()
+      assert(b1.exists(s => s.h3 == "c9:100:200" && s.status == "split" && s.attempts == 1))
+      val children = b1.filter(_.status == "pending")
+      assert(children.length == 4 && children.forall(_.res == 10))
+
+      // batch 2: same cell scanned again → state persisted, attempts increments
+      input.addData(CellFsm.ScanResult("c9:100:200", 10, 3, "2025-06-08 00:00:00"))
+      q.processAllAvailable()
+      val b2 = spark.sql("select * from fsm_out").as[CellFsm.CellState].collect()
+      assert(b2.exists(s => s.h3 == "c9:100:200" && s.status == "scanned" && s.attempts == 2),
+        "state store must carry attempts across micro-batches")
+
+      // batch 3: a child cell gets scanned normally
+      input.addData(CellFsm.ScanResult("c10:200:400", 5, 2, "2025-06-09 00:00:00"))
+      q.processAllAvailable()
+      val b3 = spark.sql("select * from fsm_out").as[CellFsm.CellState].collect()
+      assert(b3.exists(s => s.h3 == "c10:200:400" && s.status == "scanned"
+        && s.nextDueAt.exists(_.startsWith("2025-06-16"))))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup drops duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2025-06-01 10:00:00")
+      input.addData((1L, t0, 1.0), (1L, t0, 1.0), (2L, t0, 2.0))
+      q.processAllAvailable()
+      input.addData((2L, t0, 2.0), (3L, t0, 3.0)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.sql("select event_id from dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming sliding window matches batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "2025-06-01 10:05:00", "a", 1.0),
+      (2L, "2025-06-01 10:20:00", "a", 2.0),
+      (3L, "2025-06-01 10:40:00", "b", 3.0),
+      (4L, "2025-06-01 11:10:00", "a", 4.0))
+      .map { case (i, t, e, v) => (i, java.sql.Timestamp.valueOf(t), e, v) }
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val sdf = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.slidingAgg(sdf).writeStream
+      .format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      // advance watermark far enough to close all windows
+      input.addData((99L, java.sql.Timestamp.valueOf("2025-06-01 20:00:00"), "z", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "select window.start as ws, event_type, n, sum_value from win_out where event_type != 'z'")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batchDf = rows.toDF("event_id", "ts", "event_type", "value")
+      val batch = batchDf
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+}
