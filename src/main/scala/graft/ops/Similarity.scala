@@ -81,6 +81,10 @@ object Similarity {
     val queriesBase = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("v"))
 
+    // one projection per table: a single fused projection with all 4 tables'
+    // plane sums (~1500 inlined terms) exceeds JIT/codegen method limits and
+    // falls back to interpreted eval (measured 4× slower) — keep each table's
+    // signature in its own codegen'd stage and union
     def signed(df: DataFrame, idCol: String, asVec: String): DataFrame =
       (0 until NumTables).map { t =>
         df.withColumn("sig", signatureExpr(t, dim))

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc plan/skew probe: `sbt "runMain graft.tools.Probe <what> <sfDir>"`.
+  * Dev tool — not part of the driver contract. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("minhash_buckets")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = graft.Sessions.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    what match {
+      case "minhash_buckets" =>
+        import graft.ops.TextDedup
+        // rebuild the banded relation and show bucket-size distribution
+        val df = TextDedup.ddMinhashLsh(spark, dir)
+        println("pairs=" + df.count())
+      case "minhash_dist" =>
+        // bucket-size distribution of the banded LSH relation
+        val p = 2147483647L
+        val docsSh = graft.Tables.documents(spark, dir)
+          .withColumn("words", split(trim(col("text")), "\\s+"))
+          .withColumn("sh", expr("CASE WHEN size(words) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE array_distinct(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) END"))
+          .filter(size(col("sh")) > 0)
+        val sigAggs = (0 until 32).map { i =>
+          val a = 1103515245L * (i + 1) % p
+          val b = (12345L + 2654435761L * i) % p
+          min(expr(s"($a * h + $b) % $p")).as(s"sig_$i")
+        }
+        val sigs = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
+          .withColumn("h", expr(s"abs(cast(hash(s) as bigint)) % $p"))
+          .groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+        val bandKeys = (0 until 8).map { bnd =>
+          concat_ws(":", lit(bnd) +: (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*)
+        }
+        val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+        banded.groupBy("band_key").count().orderBy(col("count").desc).show(10, false)
+        banded.groupBy("band_key").count()
+          .agg(sum(col("count") * col("count")).as("sum_sq"), count(lit(1)).as("n_buckets")).show()
+      case "explain" =>
+        val name = args(1)
+        val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+        graft.SparkEntry.queries(name)(spark, sf).explain("formatted")
+      case _ => println(s"unknown probe: $what")
+    }
+    spark.stop()
+  }
+}
