@@ -32,7 +32,9 @@ object SparkEntry {
     (domain.Collections.queries, domain.Collections.oracles),
     (sinks.SinkQueries.queries, sinks.SinkQueries.oracles),
     (streaming.FsmQueries.queries, streaming.FsmQueries.oracles),
-    (streaming.Streams.queries, streaming.Streams.oracles))
+    (streaming.Streams.queries, streaming.Streams.oracles),
+    (domain.Trending.queries, domain.Trending.oracles),
+    (ops.SerpCache.queries, ops.SerpCache.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,101 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trending-discovery stage (SURVEY §2 TRENDING + §2.10 generator surface;
+  * reference: scanner.py:473-730 — templated trend queries → POI-name
+  * extraction from SERP text → stopword cleanup → distinct → discovery log
+  * with novelty-boosted validation feeding the ingest stage).
+  *
+  * The extraction is a generator (UDTF-shape): one candidate row explodes into
+  * 0..n extracted names via `regexp_extract_all` + `explode` — fully codegen'd,
+  * no Python-style row loop.
+  */
+object Trending {
+
+  /** (cand_id, query_text, title, snippet): quoted-name hits, capitalized
+    * Restaurant/Bar/Café patterns, blocklisted words, too-short/too-long. */
+  val trendCandidates: Seq[(String, String, String, String)] = Seq(
+    ("tc1", "nouveau restaurant paris 2025",
+      "On adore le \"restaurant Mimosa\" dans le Marais",
+      "le \"bistrot Chez Louise\" aussi"),
+    ("tc2", "trending bars paris",
+      "Bar Central opened last week", "everyone talks about Le Mary Celeste Bar"),
+    ("tc3", "best guide paris",
+      "\"Top Paris restaurant guide\"", "the best list of places"),
+    ("tc4", "cafe trends",
+      "Café Oberkampf is packed", "a tiny \"cafe A\" too"))
+
+  def trendCandidatesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    trendCandidates.toDF("cand_id", "query_text", "title", "snippet")
+  }
+
+  def trendCandidateValues: String = trendCandidates.map { case (c, q, t, s) =>
+    def esc(x: String) = x.replace("'", "''")
+    s"('${esc(c)}', '${esc(q)}', '${esc(t)}', '${esc(s)}')"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS tc(cand_id, query_text, title, snippet)"
+
+  /** Quoted-name pattern (scanner.py:570): venue word inside double quotes. */
+  val quotedPattern = "\"([^\"]*(?:restaurant|bar|café|cafe|bistrot|brasserie)[^\"]*)\""
+
+  /** Extraction: quoted names (case-insensitive venue word), length gate
+    * (4..49 after trim), blocklist cleanup, distinct per query
+    * (scanner.py:557-599 — pattern 1; capitalization patterns share the same
+    * explode shape). */
+  def extractPoiNames(cands: DataFrame): DataFrame = {
+    val combined = concat_ws(" ", col("title"), col("snippet"))
+    val blocked = Seq("paris", "france", "guide", "list", "top", "best")
+    val blockedPred = blocked.map(w => lower(col("poi_name")).contains(w)).reduce(_ || _)
+    cands
+      .select(col("cand_id"), col("query_text"),
+        explode(expr(s"regexp_extract_all($q, '(?i)$quotedPattern', 1)")).as("raw_name"))
+      .withColumn("poi_name", trim(col("raw_name")))
+      .filter(length(col("poi_name")) > 3 && length(col("poi_name")) < 50)
+      .filter(!blockedPred)
+      .select(col("query_text"), col("poi_name"))
+      .distinct()
+  }
+
+  private val q = "concat_ws(' ', title, snippet)"
+
+  /** Trend-discovery log aggregate (scanner.py:601-613): per query, the
+    * extracted-name list (sorted for determinism) + count. */
+  def discoveryLog(extracted: DataFrame): DataFrame =
+    extracted.groupBy(col("query_text"))
+      .agg(
+        concat_ws("|", array_sort(collect_list(col("poi_name")))).as("poi_names_extracted"),
+        count(lit(1)).as("results_count"))
+
+  def qTrendExtraction(spark: SparkSession, dir: String): DataFrame =
+    extractPoiNames(trendCandidatesDf(spark))
+
+  def qTrendLog(spark: SparkSession, dir: String): DataFrame =
+    discoveryLog(extractPoiNames(trendCandidatesDf(spark)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tr_poi_extraction" -> (qTrendExtraction _),
+    "tr_discovery_log" -> (qTrendLog _))
+
+  val oracles: Map[String, String] = {
+    val blocked = Seq("paris", "france", "guide", "list", "top", "best")
+      .map(w => s"NOT contains(lower(poi_name), '$w')").mkString(" AND ")
+    val extract =
+      s"""SELECT DISTINCT query_text, poi_name FROM (
+         |  SELECT query_text, trim(raw_name) AS poi_name FROM (
+         |    SELECT query_text,
+         |      unnest(regexp_extract_all(concat_ws(' ', title, snippet),
+         |        '(?i)$quotedPattern', 1)) AS raw_name
+         |    FROM $trendCandidateValues))
+         |WHERE length(poi_name) > 3 AND length(poi_name) < 50 AND $blocked""".stripMargin
+    Map(
+      "tr_poi_extraction" -> extract,
+      "tr_discovery_log" ->
+        s"""SELECT query_text,
+           |  array_to_string(list_sort(list(poi_name)), '|') AS poi_names_extracted,
+           |  count(*) AS results_count
+           |FROM ($extract) GROUP BY query_text""".stripMargin)
+  }
+}

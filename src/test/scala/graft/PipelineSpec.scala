@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+
+/** End-to-end orchestrated run over fixtures: every stage produces sane,
+  * connected output within one SparkSession (SURVEY §3.1). */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(4)
+
+  test("full pipeline run: all stages produce connected output") {
+    val r = Pipeline.run(spark)
+    val ingested = r.ingested.collect()
+    assert(ingested.length == 5) // r1,r2,r3,r7,r8 pass P1-P5; r4/r5/r6 dropped
+    assert(ingested.count(_.getAs[Boolean]("passes_quality_gate")) == 3)
+
+    val spatial = r.spatial.collect()
+    assert(spatial.length == ingested.length, "spatial preserves poi count")
+    // paris ingested pois fall inside the fixture arrondissement rectangles
+    assert(spatial.exists(row => row.getAs[String]("district_name") != null))
+
+    val mentions = r.mentions.collect()
+    assert(mentions.nonEmpty && mentions.forall(m =>
+      Seq("ACCEPT", "REVIEW").contains(m.getAs[String]("decision"))))
+
+    val scored = r.scored.collect()
+    assert(scored.length == 8)
+    assert(scored.forall { row =>
+      val g = row.getAs[Double]("gatto_score")
+      g >= 0.0 && g <= 100.0
+    })
+
+    assert(r.collections.collect().nonEmpty)
+    val log = r.trendLog.collect()
+    assert(log.nonEmpty && log.forall(_.getAs[Long]("results_count") > 0))
+  }
+
+  test("A12 run counters via observe()") {
+    import org.apache.spark.sql.Observation
+    // observe() metrics need named Observation handles for programmatic reads;
+    // re-run the ingest stage with one to pin the counter semantics
+    val obs = Observation("ingest_obs")
+    val df = graft.domain.Ingest.toPoiRows(graft.domain.Ingest.placesDf(spark))
+      .observe(obs, count(lit(1)).as("n_poi_rows"),
+        count(when(col("passes_quality_gate"), 1)).as("n_quality_pass"))
+    df.collect()
+    val m = obs.get
+    assert(m("n_poi_rows") == 5L && m("n_quality_pass") == 3L)
+  }
+}
