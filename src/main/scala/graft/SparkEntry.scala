@@ -34,6 +34,7 @@ object SparkEntry {
     (streaming.FsmQueries.queries, streaming.FsmQueries.oracles),
     (streaming.Streams.queries, streaming.Streams.oracles),
     (domain.Trending.queries, domain.Trending.oracles),
+    (domain.Monitoring.queries, domain.Monitoring.oracles),
     (ops.SerpCache.queries, ops.SerpCache.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -178,7 +178,7 @@ object Classify {
     "classify_transitions" -> (qClassifyTransitions _))
 
   /** Oracle: same dataflow in SQL over the same VALUES fixtures. */
-  private def scoredSql: String = {
+  private[domain] def scoredSql: String = {
     val asOf = s"TIMESTAMP '${Fixtures.asOf}'"
     s"""WITH mf AS (
        |  SELECT poi_id,
