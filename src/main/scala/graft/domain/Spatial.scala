@@ -93,8 +93,23 @@ object Spatial {
   def qSpatialAssign(spark: SparkSession, dir: String): DataFrame =
     assign(spatialPoisDf(spark), areasDf(spark), spark)
 
+  /** J7 — radius join (`get_pois_within_radius` RPC, utils/database.py:224-237):
+    * POIs within r meters of a point, ordered by distance, limit n. The
+    * haversine is identical column math on both engines. */
+  def qRadiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (centerLat, centerLng) = (48.8600, 2.3400)
+    val dist = graft.expr.functions.haversine_meters(
+      col("lat"), col("lng"), lit(centerLat), lit(centerLng))
+    spatialPoisDf(spark)
+      .withColumn("distance_m", round(dist, 4))
+      .filter(col("distance_m") <= 5000.0)
+      .orderBy(col("distance_m").asc, col("poi_id").asc)
+      .limit(3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j1_spatial_assign" -> (qSpatialAssign _))
+    "j1_spatial_assign" -> (qSpatialAssign _),
+    "j7_radius_join" -> (qRadiusJoin _))
 
   private def rectValues: String = urbanRects.map { case (id, n, l, x0, y0, x1, y1) =>
     s"('$id', '${n.replace("'", "''")}', $l, CAST($x0 AS DOUBLE), CAST($y0 AS DOUBLE), CAST($x1 AS DOUBLE), CAST($y1 AS DOUBLE))"
@@ -106,6 +121,19 @@ object Spatial {
   }.mkString("(VALUES ", ", ", ")") + " AS p(poi_id, lat, lng)"
 
   val oracles: Map[String, String] = Map(
+    "j7_radius_join" ->
+      s"""SELECT poi_id, lat, lng, distance_m FROM (
+         |  SELECT poi_id, lat, lng,
+         |    CAST(round(6371000.0 * 2.0 * atan2(
+         |      sqrt(pow(sin(radians(48.86 - lat) / 2), 2)
+         |        + cos(radians(lat)) * cos(radians(48.86))
+         |        * pow(sin(radians(2.34 - lng) / 2), 2)),
+         |      sqrt(1.0 - (pow(sin(radians(48.86 - lat) / 2), 2)
+         |        + cos(radians(lat)) * cos(radians(48.86))
+         |        * pow(sin(radians(2.34 - lng) / 2), 2)))), 4) AS DOUBLE) AS distance_m
+         |  FROM $poiValues)
+         |WHERE distance_m <= 5000.0
+         |ORDER BY distance_m ASC, poi_id ASC LIMIT 3""".stripMargin,
     "j1_spatial_assign" ->
       s"""WITH contained AS (
          |  SELECT p.poi_id, p.lat, p.lng, a.area_name, a.admin_level,
