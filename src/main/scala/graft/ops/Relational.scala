@@ -112,8 +112,27 @@ object Relational {
           .as("authority_score"))
   }
 
+  /** Same aggregation through the SQL surface (temp views + spark.sql +
+    * registered custom expressions), demonstrating the `spark.sql(...)` API
+    * path of SURVEY §1 intro; the oracle is shared with q1. */
+  def q1Sql(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.functions.registerAll(spark)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(1) AS count_order
+        |FROM lineitem_v WHERE l_shipdate <= DATE '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary"   -> (q1PricingSummary _),
+    "q1_sql_api"           -> (q1Sql _),
     "q3_revenue_by_region" -> (q3RevenueByRegion _),
     "j_semi_customers_with_orders"  -> (jSemiCustomersWithOrders _),
     "j_anti_customers_without_orders" -> (jAntiCustomersWithoutOrders _),
@@ -121,7 +140,19 @@ object Relational {
     "a7_percentiles" -> (a7Percentiles _),
     "a1_decay_sum"   -> (a1DecaySum _))
 
+  private val q1OracleSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q1_sql_api" -> q1OracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

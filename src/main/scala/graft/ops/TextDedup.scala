@@ -107,20 +107,32 @@ object TextDedup {
     * lambdas (transform/aggregate) are interpreted in Spark and measured ~10×
     * slower on this path. */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val p = 2147483647L
-    val docsSh = Tables.documents(spark, dir)
-      .withColumn("words", split(trim(col("text")), "\\s+"))
-      .withColumn("sh", array_distinct(shingles))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"))
 
+    // shingles as ROWS, not arrays: posexplode words → window lead(1)/lead(2)
+    // → distinct (doc_id, shingle). Fully codegen'd — the array/HOF
+    // formulation spends ~9 s interpreted on this step alone at sf0.1.
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+      .withColumnRenamed("col", "w")
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingleRows = words
+      .withColumn("w1", lead(col("w"), 1).over(wWin))
+      .withColumn("w2", lead(col("w"), 2).over(wWin))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .dropDuplicates("doc_id", "s")
+
+    val nSh = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+    // 32 codegen'd min-aggregates over the exploded shingle hashes
     val sigAggs = (0 until NumHashes).map { i =>
       val a = 1103515245L * (i + 1) % p
       val b = (12345L + 2654435761L * i) % p
       min(expr(s"($a * h + $b) % $p")).as(s"sig_$i")
     }
-    val sigs = docsSh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigs = shingleRows
       .withColumn("h", expr(s"abs(cast(hash(s) as bigint)) % $p"))
       .groupBy(col("doc_id"))
       .agg(sigAggs.head, sigAggs.tail: _*)
@@ -129,25 +141,38 @@ object TextDedup {
     val bandKeys = (0 until Bands).map { bnd =>
       concat_ws(":", lit(bnd) +: (0 until rowsPerBand).map(r => col(s"sig_${bnd * rowsPerBand + r}")): _*)
     }
-    // slim banded relation: only (doc_id, band_key) flows through the
-    // self-join; shingle arrays re-attach AFTER pair dedup so they never
-    // shuffle through the exploded bands (8 rows/doc)
+    // slim banded relation: only (doc_id, band_key) flows through the self-join
     val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
-    val docs = docsSh
-
     val a = banded.select(col("doc_id").as("id_a"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_key"))
     val pairIds = a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val cands = pairIds.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
 
-    cands.withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    // exact verification without arrays: |A∩B| counted by joining the two
+    // sides' shingle rows on equality (shingles first semi-joined down to
+    // candidate docs), |A∪B| = n_a + n_b − |A∩B|
+    val candDocsA = pairIds.select(col("id_a").as("doc_id")).distinct()
+    val candDocsB = pairIds.select(col("id_b").as("doc_id")).distinct()
+    val shA = shingleRows.join(candDocsA, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_a"), col("s"))
+    val shB = shingleRows.join(candDocsB, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_b"), col("s"))
+    val inter = pairIds
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val nA = nSh.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+    val nB = nSh.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+
+    pairIds
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(nA, Seq("id_a")).join(nB, Seq("id_b"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jac") >= 0.2)
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }

@@ -17,6 +17,27 @@ object Probe {
         // rebuild the banded relation and show bucket-size distribution
         val df = TextDedup.ddMinhashLsh(spark, dir)
         println("pairs=" + df.count())
+      case "minhash_stages" =>
+        val p = 2147483647L
+        def t[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val docsSh = graft.Tables.documents(spark, dir)
+          .withColumn("words", split(trim(col("text")), "\\s+"))
+          .withColumn("sh", expr("CASE WHEN size(words) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE array_distinct(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) END"))
+          .filter(size(col("sh")) > 0).select(col("doc_id"), col("sh"))
+        t("docsSh count")(docsSh.count())
+        val sigAggs = (0 until 32).map { i =>
+          val a = 1103515245L * (i + 1) % p
+          val b = (12345L + 2654435761L * i) % p
+          min(expr(s"($a * h + $b) % $p")).as(s"sig_$i")
+        }
+        val sigs = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
+          .withColumn("h", expr(s"abs(cast(hash(s) as bigint)) % $p"))
+          .groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+        t("sigs count")(sigs.count())
+        t("full pairs")(graft.ops.TextDedup.ddMinhashLsh(spark, dir).count())
       case "minhash_dist" =>
         // bucket-size distribution of the banded LSH relation
         val p = 2147483647L
