@@ -107,9 +107,53 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_r").as("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  // ------------------------------------------------------------- IVF variant
+
+  val NumCells = 16
+  val NProbe = 3
+
+  /** IVF-flat ANN: the corpus is partitioned into inverted lists by
+    * nearest-centroid assignment; queries probe only the `NProbe` closest
+    * lists. Centroids here are a deterministic corpus sample (the first
+    * NumCells vectors) — in production they come from an offline k-means;
+    * the operator's dataflow (assign → invert → probe → rank) is identical.
+    * At 100 TB the cell id is the bucketing/partition key and each query
+    * touches NProbe partitions instead of the corpus. */
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = Tables.embeddings(spark, dir)
+    val centroids = broadcast(e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
+
+    // assignment: nearest centroid(s) by cosine (broadcast cross join + window)
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(centroids).withColumn("c_sim", cosine)
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("cell_id").asc)
+      scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
+        .select(col(idCol), col("va"), col("cell_id"))
+    }
+
+    val invertedLists = assign(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("va")), "n_id", 1)
+      .withColumnRenamed("va", "vb")
+    val queryProbes = assign(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("va")), "q_id", NProbe)
+
+    val cands = broadcast(queryProbes).join(invertedLists, Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos_r", round(cosine, 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), col("cos_r").as("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
-    "sim_lsh_topk" -> (simLshTopk _))
+    "sim_lsh_topk" -> (simLshTopk _),
+    "sim_ivf_topk" -> (simIvfTopk _))
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" ->

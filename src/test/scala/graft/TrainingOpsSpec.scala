@@ -57,6 +57,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q < Similarity.NumQueries && n != q })
   }
 
+  test("IVF ANN recall vs brute force on real embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val bf = Similarity.simBruteforceTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.simIvfTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF nprobe=3 recall@5 too low: $recall")
+  }
+
   test("stub decoder features are deterministic and correct") {
     val f = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"), "image/stub")
     assert(f.byteLen == 3 && f.byteSum == 97 + 98 + 99 && f.firstByte == 97)
