@@ -90,6 +90,51 @@ object Spatial {
         col("district_name"), col("neighbourhood_name"))
   }
 
+  /** The 100 TB path (SURVEY §4 custom-work item 2, §7.5): pre-bucket both
+    * sides by grid cell and turn the containment join into an EQUI-join.
+    * Each polygon is covered ONCE by the cells its bbox touches (cheap,
+    * per-polygon); pois compute their cell id (pure index math); the join is
+    * `poi.cell = cover.cell` — shuffled/broadcast hash join, partitionable —
+    * and only then does the exact ray-cast run, on bbox-colocated pairs
+    * instead of the cross product. Identical results to [[assign]]
+    * (SpatialParitySpec asserts it). */
+  def assignViaCells(pois: DataFrame, areas: DataFrame, spark: SparkSession,
+      res: Int = 11): DataFrame = {
+    import spark.implicits._
+    val coverUdf = udf { (ring: Seq[Seq[Double]]) =>
+      // bbox cover (not center-containment): every cell whose box intersects
+      // the polygon bbox, so boundary-crossing points still meet their polygon
+      val lngs = ring.map(_(0)); val lats = ring.map(_(1))
+      val s = graft.expr.CellGrid.stepDeg(res)
+      val x0 = math.floor((lngs.min + 180.0) / s).toLong
+      val x1 = math.floor((lngs.max + 180.0) / s).toLong
+      val y0 = math.floor((lats.min + 90.0) / s).toLong
+      val y1 = math.floor((lats.max + 90.0) / s).toLong
+      (for (x <- x0 to x1; y <- y0 to y1) yield s"c$res:$x:$y").toArray
+    }
+    val cellUdf = udf { (lat: Double, lng: Double) =>
+      graft.expr.CellGrid.latLngToCell(lat, lng, res)
+    }
+    val pip = udf { (lng: Double, lat: Double, ring: Seq[Seq[Double]]) =>
+      TextAlgo.pointInRing(lng, lat, ring.map(_.toArray).toArray)
+    }
+    val cover = areas.withColumn("cell", explode(coverUdf(col("ring"))))
+    val keyed = pois.withColumn("cell", cellUdf(col("lat"), col("lng")))
+    val contained = keyed.join(cover, Seq("cell")) // EQUI join on cell id
+      .filter(pip(col("lng"), col("lat"), col("ring")))
+    val w = Window.partitionBy(col("poi_id"), col("admin_level"))
+      .orderBy(col("area").asc, col("area_id").asc)
+    val best = contained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val districts = best.filter(col("admin_level") === 9)
+      .select(col("poi_id").as("d_poi"), col("area_name").as("district_name"))
+    val quartiers = best.filter(col("admin_level") === 10)
+      .select(col("poi_id").as("q_poi"), col("area_name").as("neighbourhood_name"))
+    pois.join(districts, col("poi_id") === col("d_poi"), "left")
+      .join(quartiers, col("poi_id") === col("q_poi"), "left")
+      .select(col("poi_id"), col("lat"), col("lng"),
+        col("district_name"), col("neighbourhood_name"))
+  }
+
   def qSpatialAssign(spark: SparkSession, dir: String): DataFrame =
     assign(spatialPoisDf(spark), areasDf(spark), spark)
 

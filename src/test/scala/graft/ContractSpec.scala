@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: catches silent Map-merge collisions and
+  * orphaned oracles when modules are added in later rounds. */
+class ContractSpec extends AnyFunSuite {
+
+  test("query keys are unique across modules (no silent overwrite)") {
+    // SparkEntry.queries merges module maps with ++ — a duplicate key would
+    // silently drop one implementation; compare against the per-module sum
+    val merged = SparkEntry.queries.size
+    val fields = Seq(
+      ops.Relational.queries.size, ops.Windows.queries.size,
+      ops.SetOps.queries.size, ops.Joins.queries.size, ops.Scalars.queries.size,
+      ops.TextDedup.queries.size, ops.TextAnalysis.queries.size,
+      ops.Similarity.queries.size, ops.Multimodal.queries.size,
+      domain.Classify.queries.size, domain.MentionScoring.queries.size,
+      domain.MentionDedup.queries.size, domain.Spatial.queries.size,
+      domain.Ingest.queries.size, domain.Collections.queries.size,
+      sinks.SinkQueries.queries.size, streaming.FsmQueries.queries.size,
+      streaming.Streams.queries.size, domain.Trending.queries.size,
+      domain.Monitoring.queries.size, ops.SerpCache.queries.size)
+    assert(merged == fields.sum,
+      s"duplicate query keys: merged=$merged, sum of modules=${fields.sum}")
+  }
+
+  test("every oracle key has a query implementation") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("oracle SQL strings are non-empty and reference no Spark-only syntax") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, s"$k empty")
+      assert(!sql.contains("array_contains"), s"$k uses Spark-only array_contains")
+      assert(!sql.toLowerCase.contains("percentile("), s"$k uses Spark-only percentile()")
+    }
+  }
+}
