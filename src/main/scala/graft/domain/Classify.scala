@@ -172,7 +172,27 @@ object Classify {
   def qClassifyTransitions(spark: SparkSession, dir: String): DataFrame =
     transitions(qClassifyScores(spark, dir))
 
+  /** A3's city p95 normalizer computed FOR REAL (the reference stubs it at
+    * 5.0, intelligent_classifier.py:211-218; SURVEY A3 mandates the real
+    * implementation): per-city exact p95 of the per-POI 14-day review deltas,
+    * with the 5.0 floor as fallback for degenerate cities. `scores()` keeps
+    * the executed-code constant for formula parity; this feeds it at scale. */
+  def cityP95Normalizer(poi: DataFrame, snapshots: DataFrame, asOf: String): DataFrame = {
+    val sf = snapshotFeatures(snapshots, asOf)
+    val delta = when(col("n_snapshots_14d") >= 2,
+      greatest(col("newest_reviews") - col("oldest_reviews"), lit(0))).otherwise(lit(0))
+    poi.join(sf, poi("id") === sf("poi_id"), "left")
+      .select(col("city"), coalesce(delta, lit(0)).cast("double").as("delta14"))
+      .groupBy(col("city"))
+      .agg(round(greatest(expr("percentile(delta14, 0.95)"), lit(5.0)), 6).as("p95_normalizer"),
+        count(lit(1)).as("n_pois"))
+  }
+
+  def qCityP95(spark: SparkSession, dir: String): DataFrame =
+    cityP95Normalizer(Fixtures.poiDf(spark), Fixtures.snapshotsDf(spark), Fixtures.asOf)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a3_city_p95_normalizer" -> (qCityP95 _),
     "classify_scores" -> (qClassifyScores _),
     "classify_city_stats" -> (qClassifyCityStats _),
     "classify_transitions" -> (qClassifyTransitions _))
@@ -280,6 +300,27 @@ object Classify {
   }
 
   val oracles: Map[String, String] = Map(
+    "a3_city_p95_normalizer" -> {
+      val asOf = s"TIMESTAMP '${Fixtures.asOf}'"
+      s"""SELECT city,
+         |  CAST(round(greatest(quantile_cont(delta14, 0.95), 5.0), 6) AS DOUBLE) AS p95_normalizer,
+         |  count(*) AS n_pois
+         |FROM (
+         |  SELECT poi.city, CAST(coalesce(
+         |    CASE WHEN sf.n14 >= 2 THEN greatest(sf.newest - sf.oldest, 0) ELSE 0 END,
+         |    0) AS DOUBLE) AS delta14
+         |  FROM ${Fixtures.poiValues}
+         |  LEFT JOIN (
+         |    SELECT poi_id,
+         |      count(CASE WHEN captured_at >= $asOf - INTERVAL 14 DAY THEN 1 END) AS n14,
+         |      arg_max(reviews_count, captured_at)
+         |        FILTER (WHERE captured_at >= $asOf - INTERVAL 14 DAY) AS newest,
+         |      arg_min(reviews_count, captured_at)
+         |        FILTER (WHERE captured_at >= $asOf - INTERVAL 14 DAY) AS oldest
+         |    FROM ${Fixtures.snapshotValues} GROUP BY poi_id) sf
+         |  ON sf.poi_id = poi.id)
+         |GROUP BY city""".stripMargin
+    },
     "classify_scores" -> scoredSql,
     "classify_city_stats" ->
       s"""SELECT city, count(*) AS n_pois,

@@ -213,7 +213,46 @@ object Scalars {
         col("n_items"),
         (col("raw_total") >= 150.0 || col("raw_max") >= 49.0).as("saturated"))
 
+  /** W7 — photo ranking (photo_manager.py:96-98,276): top-5 by pixel count
+    * desc with deterministic tie-break, plus a quality ordering. */
+  private val photoFixture: Seq[(String, String, Int, Int, Double)] = Seq(
+    ("ph1", "poiA", 4000, 3000, 0.81), ("ph2", "poiA", 1920, 1080, 0.92),
+    ("ph3", "poiA", 800, 600, 0.55), ("ph4", "poiA", 3000, 2000, 0.77),
+    ("ph5", "poiA", 1024, 768, 0.60), ("ph6", "poiA", 640, 480, 0.99),
+    ("ph7", "poiB", 2048, 1536, 0.70), ("ph8", "poiB", 100, 100, 0.10))
+
+  def w7PhotoRanking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val photos = photoFixture.toDF("photo_id", "poi_id", "width", "height", "quality")
+    val w = Window.partitionBy(col("poi_id"))
+      .orderBy((col("width") * col("height")).desc, col("photo_id").asc)
+    photos.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("poi_id"), col("photo_id"),
+        (col("width") * col("height")).cast("long").as("pixels"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Date validity window (date_enricher.py:416-430): 1990-01-01 ≤ d ≤
+    * asOf+24h; appended to the parse cascade. */
+  def sDateValidation(spark: SparkSession, dir: String): DataFrame = {
+    val base = fixtureDf(spark, dateFixture :+ (7 -> "1989-06-01") :+ (8 -> "2031-01-01"),
+      "row_id", "raw")
+    val parsed = coalesce(
+      try_to_timestamp(col("raw"), lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      try_to_timestamp(col("raw"), lit("yyyy-MM-dd")))
+    val asOfPlus = to_timestamp(lit("2025-06-02 00:00:00"))
+    base.select(col("row_id"),
+      date_format(parsed, "yyyy-MM-dd").as("parsed_date"),
+      (parsed.isNotNull &&
+        parsed >= to_timestamp(lit("1990-01-01 00:00:00")) &&
+        parsed <= asOfPlus).as("is_valid"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "w7_photo_ranking" -> (w7PhotoRanking _),
+    "s_date_validation" -> (sDateValidation _),
     "p5_last_field" -> (p5LastField _),
     "p11_url_normalize" -> (p11UrlNormalize _),
     "p14_domain_extract" -> (p14DomainExtract _),
@@ -230,7 +269,27 @@ object Scalars {
   private val urlValues  = valuesSql(urlFixture, "url_id, url")
   private val dateValues = valuesSql(dateFixture, "row_id, raw")
 
+  private val photoValues = photoFixture.map { case (id, p, w, h, q) =>
+    s"('$id', '$p', $w, $h, CAST($q AS DOUBLE))"
+  }.mkString("(VALUES ", ", ", ")") + " AS ph(photo_id, poi_id, width, height, quality)"
+
+  private val dateValidValues = valuesSql(
+    dateFixture :+ (7 -> "1989-06-01") :+ (8 -> "2031-01-01"), "row_id, raw")
+
   val oracles: Map[String, String] = Map(
+    "w7_photo_ranking" ->
+      s"""SELECT poi_id, photo_id, CAST(width * height AS BIGINT) AS pixels, rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY poi_id
+         |        ORDER BY width * height DESC, photo_id ASC) AS rnk
+         |      FROM $photoValues) WHERE rnk <= 5""".stripMargin,
+    "s_date_validation" -> s"""
+      |SELECT row_id, strftime(p, '%Y-%m-%d') AS parsed_date,
+      |  (p IS NOT NULL AND p >= TIMESTAMP '1990-01-01 00:00:00'
+      |   AND p <= TIMESTAMP '2025-06-02 00:00:00') AS is_valid
+      |FROM (SELECT row_id, coalesce(
+      |        try_strptime(raw, '%Y-%m-%dT%H:%M:%SZ'),
+      |        try_strptime(raw, '%Y-%m-%d')) AS p
+      |      FROM $dateValidValues)""".stripMargin,
     "p5_last_field" ->
       """SELECT string_split(o_orderpriority, '-')[-1] AS priority_label, count(*) AS n
         |FROM orders GROUP BY priority_label""".stripMargin,
