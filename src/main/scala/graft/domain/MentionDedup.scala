@@ -59,8 +59,14 @@ object MentionDedup {
   }
 
   /** W4 — first-seen wins if BOTH (domain, norm_url) and (domain, norm_title)
-    * are unseen; implemented as two ranked windows (either-key duplicate →
-    * drop), matching scanner.py:747-765 exactly for distinct-key batches. */
+    * are unseen, and only KEPT rows register their keys (scanner.py:747-765:
+    * a row dropped by one key does NOT claim its other key). Because both
+    * seen-sets are keyed by domain, the global sequential scan decomposes
+    * exactly into independent per-domain scans — implemented as
+    * `flatMapGroups` per domain over ord-sorted rows (bounded group size:
+    * ≤ max-candidates-per-poi per batch), which distributes while preserving
+    * the reference's sequential semantics bit-for-bit.
+    * W4DedupModelSpec property-checks this against a direct model. */
   def inBatchDedup(cands: DataFrame): DataFrame = {
     val normUrl = {
       val noFrag = regexp_replace(col("url"), "#.*$", "")
@@ -69,14 +75,31 @@ object MentionDedup {
       regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "/+$", "")
     }
     val normTitle = lower(trim(col("title")))
-    val byUrl = Window.partitionBy(col("domain"), col("norm_url")).orderBy(col("ord").asc)
-    val byTitle = Window.partitionBy(col("domain"), col("norm_title")).orderBy(col("ord").asc)
-    cands.withColumn("norm_url", normUrl)
-      .withColumn("norm_title", normTitle)
-      .withColumn("rn_url", row_number().over(byUrl))
-      .withColumn("rn_title", row_number().over(byTitle))
-      .filter(col("rn_url") === 1 && col("rn_title") === 1)
-      .drop("rn_url", "rn_title")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val prepared = cands.withColumn("norm_url", normUrl).withColumn("norm_title", normTitle)
+    val cols = prepared.columns
+    val ordIdx = cols.indexOf("ord")
+    val urlIdx = cols.indexOf("norm_url")
+    val titleIdx = cols.indexOf("norm_title")
+    val domIdx = cols.indexOf("domain")
+    implicit val enc = org.apache.spark.sql.Encoders.row(prepared.schema)
+    prepared.groupByKey(_.getString(domIdx))
+      .flatMapGroups { (_, rows) =>
+        val sorted = rows.toSeq.sortBy(r => r.getAs[Any](ordIdx) match {
+          case i: Int => i.toLong
+          case l: Long => l
+        })
+        val seenUrls = scala.collection.mutable.Set[String]()
+        val seenTitles = scala.collection.mutable.Set[String]()
+        sorted.iterator.filter { r =>
+          val u = r.getString(urlIdx)
+          val t = r.getString(titleIdx)
+          val keep = !seenUrls.contains(u) && !seenTitles.contains(t)
+          if (keep) { seenUrls += u; seenTitles += t }
+          keep
+        }
+      }
   }
 
   def qW3Dedup(spark: SparkSession, dir: String): DataFrame =
