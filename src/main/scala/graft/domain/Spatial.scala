@@ -90,6 +90,23 @@ object Spatial {
         col("district_name"), col("neighbourhood_name"))
   }
 
+  /** ETL of the reference's shipped city geometry (S5/S6 one-time job;
+    * neighbourhoods/neighbourhoods_paris.jsonl — 98 single-ring polygons:
+    * 20 arrondissements at admin_level 9, 78 quartiers at 10; ingest chain
+    * semantics per ingest_geometries.py:87-96 minus PostGIS). Produces the
+    * same shape as [[areasDf]], so both assignment paths work unchanged on
+    * the real city. */
+  def loadUrbanAreasJsonl(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    raw.select(
+      col("name").as("area_id"),
+      col("name").as("area_name"),
+      col("properties.admin_level").cast("int").as("admin_level"),
+      col("geometry.coordinates").getItem(0).as("ring"))
+      .withColumn("area", udf((ring: Seq[Seq[Double]]) =>
+        ringArea(ring.map(_.toArray).toArray)).apply(col("ring")))
+  }
+
   /** The 100 TB path (SURVEY §4 custom-work item 2, §7.5): pre-bucket both
     * sides by grid cell and turn the containment join into an EQUI-join.
     * Each polygon is covered ONCE by the cells its bbox touches (cheap,
