@@ -169,8 +169,24 @@ object Spatial {
       .limit(3)
   }
 
+  /** J1 over the REAL Paris geometry (98 zones) — polygons aren't expressible
+    * in the DuckDB oracle, so this is a rows-only driver check; exact answers
+    * are pinned by ParisGeometrySpec landmarks. */
+  def qParisAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val landmarks = Seq(
+      ("louvre", 48.8606, 2.3376), ("eiffel", 48.8584, 2.2945),
+      ("sacre_coeur", 48.8867, 2.3431), ("notre_dame", 48.8530, 2.3499),
+      ("pere_lachaise", 48.8610, 2.3933), ("la_defense", 48.8920, 2.2358))
+      .toDF("poi_id", "lat", "lng")
+    val areas = loadUrbanAreasJsonl(spark,
+      "/root/reference/neighbourhoods/neighbourhoods_paris.jsonl")
+    assignViaCells(landmarks, areas, spark)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_spatial_assign" -> (qSpatialAssign _),
+    "j1_paris_real" -> (qParisAssign _),
     "j7_radius_join" -> (qRadiusJoin _))
 
   private def rectValues: String = urbanRects.map { case (id, n, l, x0, y0, x1, y1) =>
