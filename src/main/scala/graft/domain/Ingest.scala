@@ -111,10 +111,56 @@ object Ingest {
       .withColumn("name_len", length(col("name")).cast("long"))
       .drop("name") // 250-char name hashes fine but keep output narrow
 
+  /** opening_hours JSON fixture: well-formed, empty periods, malformed, null
+    * (google_places_ingester.py:406-408 keeps only `periods`). */
+  val openingHours: Seq[(Int, Option[String])] = Seq(
+    (1, Some("""{"periods": [{"open": {"day": 1, "hour": 9, "minute": 0}, "close": {"day": 1, "hour": 18, "minute": 30}}, {"open": {"day": 2, "hour": 9, "minute": 0}, "close": {"day": 2, "hour": 18, "minute": 0}}], "open_now": true}""")),
+    (2, Some("""{"periods": [], "open_now": false}""")),
+    (3, Some("""not json""")),
+    (4, None))
+
+  /** Nested-struct data model (SURVEY §1.3): parse the opening_hours JSON
+    * into struct<periods: array<struct<open/close: struct<day,hour,minute>>>>,
+    * dropping open_now — then flatten back out for the oracle (which counts
+    * structure via regex on the raw string: different mechanism, same value). */
+  def qOpeningHours(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val point = StructType(Seq(StructField("day", IntegerType),
+      StructField("hour", IntegerType), StructField("minute", IntegerType)))
+    val schema = StructType(Seq(StructField("periods", ArrayType(
+      StructType(Seq(StructField("open", point), StructField("close", point)))))))
+    openingHours.toDF("poi_ref", "opening_hours_raw")
+      .withColumn("oh", from_json(col("opening_hours_raw"), schema))
+      .select(
+        col("poi_ref"),
+        coalesce(size(col("oh.periods")), lit(-1)).cast("long").as("n_periods"),
+        // get() (not [0]): ANSI mode throws on out-of-bounds for empty periods
+        expr("get(oh.periods, 0).open.day").cast("long").as("first_open_day"),
+        expr("get(oh.periods, 0).close.hour").cast("long").as("first_close_hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p1_ingest_poi_rows" -> (qIngestPoiRows _))
+    "p1_ingest_poi_rows" -> (qIngestPoiRows _),
+    "p1_opening_hours" -> (qOpeningHours _))
+
+  private def openingHoursValues: String = openingHours.map { case (i, s) =>
+    val v = s.map(x => "'" + x.replace("'", "''") + "'").getOrElse("CAST(NULL AS VARCHAR)")
+    s"($i, $v)"
+  }.mkString("(VALUES ", ", ", ")") + " AS oh(poi_ref, opening_hours_raw)"
 
   val oracles: Map[String, String] = Map(
+    "p1_opening_hours" ->
+      s"""SELECT poi_ref,
+         |  CASE WHEN opening_hours_raw IS NULL
+         |         OR NOT contains(opening_hours_raw, '"periods"')
+         |       THEN -1
+         |       ELSE len(regexp_extract_all(opening_hours_raw, '"open": \\{')) END AS n_periods,
+         |  TRY_CAST(regexp_extract(opening_hours_raw,
+         |    '"open": \\{"day": ([0-9]+)', 1) AS BIGINT) AS first_open_day,
+         |  TRY_CAST(regexp_extract(opening_hours_raw,
+         |    '"close": \\{"day": [0-9]+, "hour": ([0-9]+)', 1) AS BIGINT) AS first_close_hour
+         |FROM $openingHoursValues""".stripMargin,
     "p1_ingest_poi_rows" ->
       s"""WITH projected AS (
          |  SELECT result_id, place_id AS google_place_id,

@@ -39,10 +39,59 @@ object Streams {
   def qTumblingWindows(spark: SparkSession, dir: String): DataFrame =
     tumblingAggBatch(graft.Tables.events(spark, dir), 360)
 
+  /** Session windows (FIXTURES.md §A): per-user sessions with a 30-minute
+    * inactivity gap — batch formulation via gaps-and-islands (lag + cumulative
+    * session starts) so the DuckDB oracle replays it exactly. The streaming
+    * equivalent is `session_window(ts, '30 minutes')` (sessionWindowStream,
+    * exercised in StreamingSpec). */
+  def qSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = 1800
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    graft.Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(prevTs.isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(prevTs) > gapSec, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .cast("long").as("duration_sec"))
+      .withColumn("session_id", col("session_id").cast("long"))
+  }
+
+  /** Streaming session windows via the native session_window function. */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("session_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_tumbling_windows" -> (qTumblingWindows _))
+    "st_tumbling_windows" -> (qTumblingWindows _),
+    "st_session_windows" -> (qSessionWindows _))
 
   val oracles: Map[String, String] = Map(
+    "st_session_windows" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value,
+        |  max(ts_sec) - min(ts_sec) AS duration_sec
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "st_tumbling_windows" ->
       """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_start_epoch,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value

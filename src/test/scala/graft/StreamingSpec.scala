@@ -60,6 +60,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from dedup state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.dedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      input.addData((1L, java.sql.Timestamp.valueOf("2025-06-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // advance the watermark well past 10:00
+      input.addData((2L, java.sql.Timestamp.valueOf("2025-06-01 12:00:00"), 2.0))
+      q.processAllAvailable()
+      // a late duplicate of id 1 AND a late new id arrive hours behind the
+      // watermark: both are dropped (late beyond watermark), state for id 1
+      // having been evicted does NOT resurrect the duplicate
+      input.addData((1L, java.sql.Timestamp.valueOf("2025-06-01 09:00:00"), 1.0),
+        (3L, java.sql.Timestamp.valueOf("2025-06-01 09:30:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("select event_id from late_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L), s"late rows must be dropped, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = Streams.sessionWindowStream(df)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (1L, ts("2025-06-01 10:00:00"), 7L, 1.0),
+        (2L, ts("2025-06-01 10:20:00"), 7L, 2.0),  // same session (gap 20m < 30m)
+        (3L, ts("2025-06-01 11:30:00"), 7L, 3.0))  // new session
+      input.addData((9L, ts("2025-06-01 20:00:00"), 99L, 0.0)) // close windows
+      q.processAllAvailable()
+      val sessions = spark.sql(
+        "select user_id, n_events, session_value from sess_out where user_id = 7")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(sessions == Set((2L, 3.0), (1L, 3.0)),
+        s"expected one 2-event and one 1-event session, got $sessions")
+    } finally q.stop()
+  }
+
   test("streaming sliding window matches batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

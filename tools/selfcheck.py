@@ -41,6 +41,11 @@ def main():
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     results = {}
     spark_dirs = [d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))]
+    # a query that FAILED in Verify leaves no output dir — surface it instead
+    # of silently shrinking the denominator
+    for name in oracles:
+        if name not in spark_dirs:
+            results[name] = "NO_SPARK_OUTPUT (query failed in Verify?)"
     for name in sorted(spark_dirs):
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
