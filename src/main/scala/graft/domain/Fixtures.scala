@@ -94,34 +94,34 @@ object Fixtures {
     * the decision table (scoring.py:138-179): confirmed-domain auto-accept,
     * score_high accept, country-mismatch hard reject, mid-conditional review,
     * mid-conditions-failed reject, score-too-low reject, excluded domain. */
-  val serpCandidates: Seq[(String, String, String, Double, Double, String, String, String, String, Double)] = Seq(
+  val serpCandidates: Seq[(String, String, String, Double, Double, String, String, String, String, Double, Option[String])] = Seq(
     ("c1", "p1", "New Trendy Cafe", 48.8566, 2.3522,
       "New Trendy Cafe Paris review", "the best new cafe in paris 75001",
-      "https://www.lefooding.com/paris/new-trendy-cafe", "lefooding.com", 0.90),
+      "https://www.lefooding.com/paris/new-trendy-cafe", "lefooding.com", 0.90, Some("2025-05-01")),
     ("c2", "p2", "Classic Bistro", 48.8600, 2.3400,
       "Classic Bistro guide", "michelin selection bistro",
-      "https://guide.michelin.com/fr/paris/classic-bistro", "guide.michelin.com", 0.60),
+      "https://guide.michelin.com/fr/paris/classic-bistro", "guide.michelin.com", 0.60, None),
     ("c3", "p1", "New Trendy Cafe", 48.8566, 2.3522,
       "New Trendy Cafe", "the best bistro in germany",
-      "https://bistro-blog.de/new-trendy-cafe", "bistro-blog.de", 0.80),
+      "https://bistro-blog.de/new-trendy-cafe", "bistro-blog.de", 0.80, Some("2025-04-10")),
     ("c4", "p4", "Secret Wine Bar", 48.8700, 2.3600,
       "wine bars we love downtown", "a quiet spot",
-      "https://unknown-blog.net/wine-bars", "unknown-blog.net", 0.35),
+      "https://unknown-blog.net/wine-bars", "unknown-blog.net", 0.35, Some("2025-05-20")),
     ("c5", "p3", "Struggling Bar", 48.8400, 2.3300,
       "ten random drinks", "nothing relevant here",
-      "https://random-site.org/drinks", "random-site.org", 0.08),
+      "https://random-site.org/drinks", "random-site.org", 0.08, None),
     ("c6", "p2", "Classic Bistro", 48.6000, 2.1000,
       "classic bistro memories", "a story about food",
-      "https://deadblog.fr/story", "deadblog.fr", 0.45),
+      "https://deadblog.fr/story", "deadblog.fr", 0.45, Some("2024-01-01")),
     ("c7", "p5", "Boulangerie Moderne", 48.8570, 2.3530,
       "boulangerie moderne bakery", "croissants to die for",
-      "https://parisbouge.com/boulangerie-moderne", "parisbouge.com", 0.50),
+      "https://parisbouge.com/boulangerie-moderne", "parisbouge.com", 0.50, Some("2024-11-13")),
     ("c9", "p1", "New Trendy Cafe", 48.8566, 2.3522,
       "trendy cafes 2025", "our selection",
-      "https://www.sortiraparis.com/paris-cafes/75010-guide", "sortiraparis.com", 0.55),
+      "https://www.sortiraparis.com/paris-cafes/75010-guide", "sortiraparis.com", 0.55, Some("2025-05-25")),
     ("c10", "p1", "New Trendy Cafe", 48.8566, 2.3522,
       "New Trendy Cafe instagram", "photos and reels paris",
-      "https://www.instagram.com/newtrendycafe", "instagram.com", 0.95))
+      "https://www.instagram.com/newtrendycafe", "instagram.com", 0.95, Some("2025-05-30")))
 
   /** Excluded domains (P6; config.json:114-139 subset). */
   val excludedDomains: Seq[String] = Seq(
@@ -171,7 +171,7 @@ object Fixtures {
   def serpCandidatesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     serpCandidates.toDF("cand_id", "poi_id", "poi_name", "poi_lat", "poi_lng",
-      "title", "snippet", "url", "domain", "name_match")
+      "title", "snippet", "url", "domain", "name_match", "published_at")
   }
 
   // -------------------------------------------------------- VALUES SQL
@@ -209,10 +209,11 @@ object Fixtures {
     " AS c(source_id, base_url, type, authority_weight, is_active)"
 
   def serpCandidateValues: String = serpCandidates.map {
-    case (cid, pid, pn, lat, lng, ti, sn, url, dom, nm) =>
-      s"(${sqlStr(cid)}, ${sqlStr(pid)}, ${sqlStr(pn)}, ${sqlDbl(lat)}, ${sqlDbl(lng)}, ${sqlStr(ti)}, ${sqlStr(sn)}, ${sqlStr(url)}, ${sqlStr(dom)}, ${sqlDbl(nm)})"
+    case (cid, pid, pn, lat, lng, ti, sn, url, dom, nm, pub) =>
+      val pubSql = pub.map(v => s"DATE '" + v + "'").getOrElse("CAST(NULL AS DATE)")
+      s"(${sqlStr(cid)}, ${sqlStr(pid)}, ${sqlStr(pn)}, ${sqlDbl(lat)}, ${sqlDbl(lng)}, ${sqlStr(ti)}, ${sqlStr(sn)}, ${sqlStr(url)}, ${sqlStr(dom)}, ${sqlDbl(nm)}, $pubSql)"
   }.mkString("(VALUES ", ", ", ")") +
-    " AS cand(cand_id, poi_id, poi_name, poi_lat, poi_lng, title, snippet, url, domain, name_match)"
+    " AS cand(cand_id, poi_id, poi_name, poi_lat, poi_lng, title, snippet, url, domain, name_match, published_at)"
 
   def excludedDomainValues: String =
     excludedDomains.map(d => s"(${sqlStr(d)})").mkString("(VALUES ", ", ", ")") + " AS x(domain)"

@@ -122,8 +122,13 @@ object MentionScoring {
 
   // ------------------------------------------------------------- full tree
 
-  /** P6 exclusion + §2.8 score + decision over a candidate DataFrame. */
-  def scoreAndDecide(cands: DataFrame, spark: SparkSession): DataFrame = {
+  /** P6 exclusion + §2.8 score + decision over a candidate DataFrame.
+    * `timeDecay=true` enables the optional exponential decay on published_at
+    * (scoring.py:348-387: exp(-age/90), 0 past 365 days, no-op when the date
+    * is absent; disabled by default per config_resolver.py:145-149 — the
+    * engine follows the executed default but ships the real path). */
+  def scoreAndDecide(cands: DataFrame, spark: SparkSession,
+      timeDecay: Boolean = false, asOf: String = Fixtures.asOf): DataFrame = {
     val excluded = Fixtures.excludedDomains
     val filtered = cands.filter(!lower(col("domain")).isin(excluded: _*))
     val withAuth = resolveAuthority(filtered, spark)
@@ -131,7 +136,15 @@ object MentionScoring {
     val geo = geoScore(col("title"), col("snippet"), col("url"), col("poi_lat"), col("poi_lng"))
     val pen = when(countryMismatch(col("title"), col("snippet"), col("url")), 1.0).otherwise(0.0)
     val base = lit(0.60) * col("name_match") + lit(0.25) * col("g") + lit(0.15) * col("authority")
-    val fin = least(greatest(base - col("penalty"), lit(0.0)), lit(1.0))
+    val decayMult =
+      if (!timeDecay) lit(1.0)
+      else {
+        val age = datediff(to_date(to_timestamp(lit(asOf))), to_date(col("published_at"))).cast("double")
+        when(col("published_at").isNull, 1.0)
+          .when(age > 365.0, 0.0)
+          .otherwise(least(greatest(exp(age / -90.0), lit(0.0)), lit(1.0)))
+      }
+    val fin = least(greatest(base - col("penalty"), lit(0.0)), lit(1.0)) * decayMult
 
     val scored = withAuth
       .withColumn("g", geo)
@@ -181,8 +194,12 @@ object MentionScoring {
       F.apex_domain(col("domain")).as("apex"))
   }
 
+  def qMentionScoreDecayed(spark: SparkSession, dir: String): DataFrame =
+    scoreAndDecide(Fixtures.serpCandidatesDf(spark), spark, timeDecay = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mention_score_decision" -> (qMentionScoreDecision _),
+    "mention_score_decayed" -> (qMentionScoreDecayed _),
     "mention_name_scores" -> (qMentionNameScores _))
 
   private def geoSqlExpr: String = {
@@ -216,7 +233,9 @@ object MentionScoring {
        | + CASE WHEN ($dist) < 3.0 THEN 0.3 WHEN ($dist) < 15.0 THEN 0.15 ELSE 0.0 END)""".stripMargin
   }
 
-  private def oracleSqlDecision: String = {
+  private def oracleSqlDecision: String = oracleSqlDecisionImpl(false)
+
+  private def oracleSqlDecisionImpl(decay: Boolean): String = {
     val mismatch = ParisProfile.countryMismatchPatterns
       .map(p => s"regexp_matches(lower(concat_ws(' ', title, snippet, url)), '$p')")
       .mkString("(", " OR ", ")")
@@ -254,7 +273,8 @@ object MentionScoring {
        |fin AS (
        |  SELECT *,
        |    0.60 * name_match + 0.25 * g + 0.15 * authority AS base_score,
-       |    least(greatest(0.60 * name_match + 0.25 * g + 0.15 * authority - penalty, 0.0), 1.0) AS final_score
+       |    least(greatest(0.60 * name_match + 0.25 * g + 0.15 * authority - penalty, 0.0), 1.0)
+       |      * ${if (decay) decaySql else "1.0"} AS final_score
        |  FROM scored)
        |SELECT cand_id, poi_id, resolved_source_id,
        |  CAST(round(name_match, 6) AS DOUBLE) AS name_match,
@@ -276,6 +296,15 @@ object MentionScoring {
        |FROM fin""".stripMargin
   }
 
+  private def decaySql: String = {
+    val asOfDate = s"CAST(TIMESTAMP '${Fixtures.asOf}' AS DATE)"
+    s"""(CASE WHEN published_at IS NULL THEN 1.0
+       |      WHEN date_diff('day', published_at, $asOfDate) > 365 THEN 0.0
+       |      ELSE least(greatest(exp(date_diff('day', published_at, $asOfDate) / -90.0), 0.0), 1.0)
+       | END)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "mention_score_decision" -> oracleSqlDecision)
+    "mention_score_decision" -> oracleSqlDecision,
+    "mention_score_decayed" -> oracleSqlDecisionImpl(true))
 }

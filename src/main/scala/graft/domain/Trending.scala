@@ -69,6 +69,28 @@ object Trending {
         concat_ws("|", array_sort(collect_list(col("poi_name")))).as("poi_names_extracted"),
         count(lit(1)).as("results_count"))
 
+  /** Validation + feedback (scanner.py:615-730 SYNERGIE): each discovered
+    * name is looked up against the poi table (J3 containment: poi name
+    * contains the discovered name, first match by id), and names absent from
+    * the db get the novelty boost routed to ingest
+    * (absent-in-db novelty feature, h3_scheduler.py:649-660). */
+  def validateDiscovered(extracted: DataFrame, pois: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = extracted.join(
+      broadcast(pois.select(col("id").as("matched_poi_id"), col("name").as("poi_table_name"))),
+      lower(col("poi_table_name")).contains(lower(col("poi_name"))), "left")
+    val w = Window.partitionBy(col("query_text"), col("poi_name"))
+      .orderBy(coalesce(col("matched_poi_id"), lit("zzzz")).asc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_text"), col("poi_name"),
+        col("matched_poi_id"),
+        col("matched_poi_id").isNotNull.as("exists_in_db"),
+        when(col("matched_poi_id").isNull, 0.3).otherwise(0.0).as("novelty_boost"))
+  }
+
+  def qTrendValidation(spark: SparkSession, dir: String): DataFrame =
+    validateDiscovered(extractPoiNames(trendCandidatesDf(spark)), Fixtures.poiDf(spark))
+
   def qTrendExtraction(spark: SparkSession, dir: String): DataFrame =
     extractPoiNames(trendCandidatesDf(spark))
 
@@ -77,7 +99,8 @@ object Trending {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tr_poi_extraction" -> (qTrendExtraction _),
-    "tr_discovery_log" -> (qTrendLog _))
+    "tr_discovery_log" -> (qTrendLog _),
+    "tr_validation" -> (qTrendValidation _))
 
   val oracles: Map[String, String] = {
     val blocked = Seq("paris", "france", "guide", "list", "top", "best")
@@ -91,6 +114,18 @@ object Trending {
          |    FROM $trendCandidateValues))
          |WHERE length(poi_name) > 3 AND length(poi_name) < 50 AND $blocked""".stripMargin
     Map(
+      "tr_validation" ->
+        s"""SELECT query_text, poi_name, matched_poi_id,
+           |  matched_poi_id IS NOT NULL AS exists_in_db,
+           |  CAST(CASE WHEN matched_poi_id IS NULL THEN 0.3 ELSE 0.0 END AS DOUBLE) AS novelty_boost
+           |FROM (
+           |  SELECT e.query_text, e.poi_name, poi.id AS matched_poi_id,
+           |    row_number() OVER (PARTITION BY e.query_text, e.poi_name
+           |      ORDER BY coalesce(poi.id, 'zzzz') ASC) AS rn
+           |  FROM ($extract) e
+           |  LEFT JOIN ${Fixtures.poiValues}
+           |    ON contains(lower(poi.name), lower(e.poi_name)))
+           |WHERE rn = 1""".stripMargin,
       "tr_poi_extraction" -> extract,
       "tr_discovery_log" ->
         s"""SELECT query_text,

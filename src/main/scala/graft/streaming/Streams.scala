@@ -25,6 +25,38 @@ object Streams {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** S10 as a STATEFUL stream (SURVEY §2.9 row 3): per (poi, source) the
+    * state store keeps the last accepted capture time; a snapshot is emitted
+    * only if none accepted yet or ≥ minIntervalDays later
+    * (google_places_ingester.py:516-555 semantics, keyed state instead of a
+    * table lookup). */
+  case class Snapshot(poi_id: String, source_id: String, rating_value: Double,
+    reviews_count: Int, captured_at: java.sql.Timestamp)
+
+  def snapshotSuppressionStream(spark: SparkSession,
+      snaps: org.apache.spark.sql.Dataset[Snapshot],
+      minIntervalDays: Int = 7): org.apache.spark.sql.Dataset[Snapshot] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    snaps.groupByKey(s => (s.poi_id, s.source_id))
+      .flatMapGroupsWithState[Long, Snapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, events: Iterator[Snapshot], state: GroupState[Long]) =>
+          val out = scala.collection.mutable.ArrayBuffer[Snapshot]()
+          var lastAccepted = state.getOption.getOrElse(Long.MinValue)
+          events.toSeq.sortBy(_.captured_at.getTime).foreach { s =>
+            val t = s.captured_at.getTime
+            if (lastAccepted == Long.MinValue ||
+              t - lastAccepted >= minIntervalDays * 86400000L) {
+              out += s
+              lastAccepted = t
+            }
+          }
+          if (lastAccepted != Long.MinValue) state.update(lastAccepted)
+          out.iterator
+      }
+  }
+
   /** Batch equivalent of slidingAgg for cross-checking (and the driver's
     * oracle: tumbling window via epoch-bucket arithmetic). */
   def tumblingAggBatch(events: DataFrame, minutes: Int): DataFrame =

@@ -107,6 +107,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful snapshot suppression across micro-batches (S10 stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Snapshot]
+    val q = Streams.snapshotSuppressionStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("snap_out").outputMode("append").start()
+    try {
+      def snap(d: String, rc: Int) = Streams.Snapshot("p1", "google", 4.5, rc,
+        java.sql.Timestamp.valueOf(d))
+      input.addData(snap("2025-06-01 00:00:00", 10), snap("2025-06-03 00:00:00", 12))
+      q.processAllAvailable() // first accepted, +2d suppressed
+      input.addData(snap("2025-06-05 00:00:00", 14)) // +4d vs state → suppressed
+      q.processAllAvailable()
+      input.addData(snap("2025-06-09 00:00:00", 20)) // +8d vs state → accepted
+      q.processAllAvailable()
+      val kept = spark.sql("select reviews_count from snap_out")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(kept == Seq(10, 20),
+        s"state must persist the last accepted capture across batches, got $kept")
+    } finally q.stop()
+  }
+
   test("streaming sliding window matches batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
