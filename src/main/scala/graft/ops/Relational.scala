@@ -130,9 +130,24 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Correlated-subquery shape (Catalyst freebie per SURVEY §2.3 note):
+    * customers above their nation's average balance — expressed as a window
+    * average (the scalable decorrelated form); the oracle uses the literal
+    * correlated subquery, proving the two formulations agree. */
+  def qCorrelatedAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(spark, dir)
+      .withColumn("nation_avg", avg(col("c_acctbal")).over(w))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 4).as("c_acctbal"),
+        round(col("nation_avg"), 6).as("nation_avg"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q1_sql_api"           -> (q1Sql _),
+    "q_correlated_above_avg" -> (qCorrelatedAboveAvg _),
     "q3_revenue_by_region" -> (q3RevenueByRegion _),
     "j_semi_customers_with_orders"  -> (jSemiCustomersWithOrders _),
     "j_anti_customers_without_orders" -> (jAntiCustomersWithoutOrders _),
@@ -153,6 +168,13 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q1_sql_api" -> q1OracleSql,
+    "q_correlated_above_avg" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS c_acctbal,
+        |  round((SELECT avg(c2.c_acctbal) FROM customer c2
+        |         WHERE c2.c_nationkey = c1.c_nationkey), 6) AS nation_avg
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
