@@ -3,7 +3,8 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions (SURVEY.md §2.10): null-safe, codegen-capable
@@ -90,6 +91,31 @@ object Expressions {
         s"UTF8String.fromString($algo.apexDomain($c.toString()))")
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
+
+  private val vec = "graft.expr.VecAlgo"
+
+  /** Codegen'd cosine similarity over float-array columns — replaces the
+    * interpreted zip_with/aggregate HOF chain (same sequential-in-double
+    * accumulation, bit-identical results). */
+  case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VecAlgo.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) => s"$vec.cosine($l, $r)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** All 4 LSH hyperplane-table signatures of a float vector in one pass
+    * (array<int> of length VecAlgo.NumTables). */
+  case class LshSignatures(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VecAlgo.lshSignatures(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$vec.lshSignatures($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
 }
 
 /** Column-level API + SQL registration for the custom expressions. */
@@ -106,6 +132,8 @@ object functions {
   def dedupe_key(c: Column): Column = asCol(DedupeKey(expr(c)))
   def domain_of(c: Column): Column = asCol(DomainOf(expr(c)))
   def apex_domain(c: Column): Column = asCol(ApexDomain(expr(c)))
+  def cosine_similarity(a: Column, b: Column): Column = asCol(CosineSimilarity(expr(a), expr(b)))
+  def lsh_signatures(c: Column): Column = asCol(LshSignatures(expr(c)))
 
   /** Haversine meters composed from built-in trig (codegen'd end-to-end;
     * matching.py:102-115 semantics, R=6371000). */
@@ -130,5 +158,7 @@ object functions {
     reg.createOrReplaceTempFunction("dedupe_key", es => DedupeKey(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("domain_of", es => DomainOf(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("apex_domain", es => ApexDomain(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_signatures", es => LshSignatures(es.head), "scala_udf")
   }
 }

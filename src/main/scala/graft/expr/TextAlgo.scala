@@ -11,6 +11,15 @@ import java.text.Normalizer
   */
 object TextAlgo {
 
+  // Precompiled patterns: String.replaceAll/split recompile their regex on
+  // every call, which dominates per-row cost in the hot join paths (J5).
+  private val punctRe = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}_\\s]")
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+  private val extRe = java.util.regex.Pattern.compile("\\.[^/]*$")
+  private val suffixRe = java.util.regex.Pattern.compile("-(part\\d+|update|v\\d+|\\d+)$")
+  private val ccLangRe = java.util.regex.Pattern.compile("^/(?:us|uk|ca|au|br|de|it|es|fr)/(?:en|fr|de|it|es|pt_BR|pt)/")
+  private val langRe = java.util.regex.Pattern.compile("^/(?:en|fr|de|it|es|pt)/")
+
   // ------------------------------------------------------------- normalize
 
   /** Text normalization (reference: mention_scanner/matching.py:19-72).
@@ -30,8 +39,8 @@ object TextAlgo {
       i += 1
     }
     var t = handleVariations(sb.toString)
-    t = t.replaceAll("[^\\p{L}\\p{N}_\\s]", " ")
-    t = t.replaceAll("\\s+", " ")
+    t = punctRe.matcher(t).replaceAll(" ")
+    t = wsRe.matcher(t).replaceAll(" ")
     t.toLowerCase.trim
   }
 
@@ -140,12 +149,14 @@ object TextAlgo {
 
   // ------------------------------------------------------------- stopwords
 
+  private val stopwordsKiss = Set("le", "la", "les", "du", "de", "des", "un",
+    "une", "et", "ou", "restaurant", "cafe", "bar", "chez", "aux", "au", "paris")
+
   /** KISS stopword removal (scoring.py:270-279): FR/venue stopwords, drop
     * tokens ≤2 chars, rejoin with single spaces. */
   def removeStopwords(text: String): String = {
-    val stop = Set("le", "la", "les", "du", "de", "des", "un", "une", "et", "ou",
-      "restaurant", "cafe", "bar", "chez", "aux", "au", "paris")
-    text.toLowerCase.split("\\s+").iterator
+    val stop = stopwordsKiss
+    wsRe.split(text.toLowerCase).iterator
       .filter(w => w.nonEmpty && !stop.contains(w) && w.length > 2)
       .mkString(" ")
   }
@@ -218,10 +229,10 @@ object TextAlgo {
       val netloc = netlocOf(url)
       var path = pathOf(url)
       while (path.endsWith("/")) path = path.substring(0, path.length - 1)
-      path = path.replaceAll("\\.[^/]*$", "")
-      path = path.replaceAll("-(part\\d+|update|v\\d+|\\d+)$", "")
-      path = path.replaceAll("^/(?:us|uk|ca|au|br|de|it|es|fr)/(?:en|fr|de|it|es|pt_BR|pt)/", "/")
-      path = path.replaceAll("^/(?:en|fr|de|it|es|pt)/", "/")
+      path = extRe.matcher(path).replaceAll("")
+      path = suffixRe.matcher(path).replaceAll("")
+      path = ccLangRe.matcher(path).replaceAll("/")
+      path = langRe.matcher(path).replaceAll("/")
       netloc + path
     } catch { case _: Exception => url }
   }

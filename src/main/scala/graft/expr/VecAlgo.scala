@@ -1,0 +1,86 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Pure float-vector kernels, callable as static methods from whole-stage
+  * codegen (same pattern as [[TextAlgo]]). These replace the higher-order
+  * function (`zip_with`/`aggregate`) formulations, which Spark evaluates
+  * INTERPRETED — measured 10–100× slower on the ANN/dedup hot paths at sf0.1.
+  *
+  * Numeric contract: accumulation is sequential in element order, in double,
+  * exactly like the left-to-right `aggregate()` fold it replaces — results are
+  * bit-identical, so the DuckDB oracle parity (6-dp rounding vs
+  * `list_cosine_similarity`) is unchanged.
+  */
+object VecAlgo {
+
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * Mirrors aggregate(zip_with(...)) semantics: pairs beyond the shorter
+    * length contribute nothing to the dot product, each norm runs over its
+    * own full vector. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    var sa = 0.0
+    i = 0
+    while (i < na) { val v = a.getFloat(i).toDouble; sa += v * v; i += 1 }
+    var sb = 0.0
+    i = 0
+    while (i < nb) { val v = b.getFloat(i).toDouble; sb += v * v; i += 1 }
+    dot / (math.sqrt(sa) * math.sqrt(sb))
+  }
+
+  // ---------------------------------------------------------------- LSH
+
+  /** LSH geometry — must stay in sync with the recall spec in
+    * SimilaritySpec / TrainingOpsSpec. */
+  val NumTables = 4
+  val NumPlanes = 6
+  val MaxDim = 64
+
+  /** Deterministic pseudo-random hyperplane component (identical formula to
+    * round-1's SQL-inlined `Similarity.planeComponent` — signatures are
+    * bit-for-bit unchanged, so bucket assignments and the recall spec hold). */
+  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+    val h = (t * 7919 + p * 1000003 + d * 8191) * 2654435761L
+    ((h >>> 16) % 2001L - 1000L) / 1000.0
+  }
+
+  /** planes(t)(p)(d), precomputed once per JVM. */
+  private val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(NumTables, NumPlanes, MaxDim)(planeComponent)
+
+  /** All `NumTables` sign-bit signatures of one vector in a single pass —
+    * replaces 4 separate ~384-term inlined projections (one corpus re-scan
+    * per hash table) with one codegen'd static call. */
+  def lshSignatures(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), MaxDim)
+    val vd = new Array[Double](n)
+    var i = 0
+    while (i < n) { vd(i) = v.getFloat(i).toDouble; i += 1 }
+    val sigs = new Array[Int](NumTables)
+    var t = 0
+    while (t < NumTables) {
+      var sig = 0
+      var p = 0
+      while (p < NumPlanes) {
+        val plane = planes(t)(p)
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += vd(d) * plane(d); d += 1 }
+        if (s >= 0) sig |= 1 << p
+        p += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}

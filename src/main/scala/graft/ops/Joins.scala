@@ -58,18 +58,23 @@ object Joins {
     import spark.implicits._
     import graft.expr.{functions => F}
     import org.apache.spark.sql.expressions.Window
+    // normalize ONCE per side before the join (round 1 re-normalized the part
+    // name per probe and the probe per part row), and defer the expensive
+    // name_score (Ratcliff-Obershelp ×3) until after the per-probe top-1
+    // filter — it then runs on 3 rows, not |part|×|probes|
     val probes = Seq("cold widgett", "larg bolt", "standart gadget").toDF("probe")
-    val sim = F.trigram_similarity(
-      F.normalize_text(col("p_name")), F.normalize_text(col("probe")))
-    val scored = Tables.part(spark, dir)
+      .withColumn("probe_norm", F.normalize_text(col("probe")))
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), F.normalize_text(col("p_name")).as("p_norm"))
+    val scored = parts
       .join(broadcast(probes))
-      .withColumn("tri_sim", round(sim, 6))
-      .withColumn("nscore", round(F.name_score(col("probe"), col("p_name")), 6))
+      .withColumn("tri_sim", round(F.trigram_similarity(col("p_norm"), col("probe_norm")), 6))
       .filter(col("tri_sim") >= 0.3)
     val w = Window.partitionBy(col("probe"))
       .orderBy(col("tri_sim").desc, col("p_partkey").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
+      .withColumn("nscore", round(F.name_score(col("probe"), col("p_name")), 6))
       .select(col("probe"), col("p_partkey"), col("p_name"), col("tri_sim"), col("nscore"))
   }
 

@@ -17,14 +17,13 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Cosine over float arrays va/vb, computed in double (column names are
-    * positional contracts of this module's internal selects). */
-  private def cosine: Column = {
-    val dot = expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    val na = expr("sqrt(aggregate(va, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    val nb = expr("sqrt(aggregate(vb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    dot / (na * nb)
-  }
+  /** Cosine over float arrays va/vb — codegen'd custom Expression (the
+    * zip_with/aggregate HOF chain it replaces is interpreted in Spark and
+    * was the shared root cause of all round-1 perf-weak queries; results are
+    * bit-identical). Column names are positional contracts of this module's
+    * internal selects. */
+  private def cosine: Column =
+    graft.expr.functions.cosine_similarity(col("va"), col("vb"))
 
   val K = 5
   val NumQueries = 5
@@ -50,46 +49,28 @@ object Similarity {
   val NumTables = 4
   val NumPlanes = 6 // per table
 
-  /** Deterministic pseudo-random hyperplanes: component d of plane p in table
-    * t is a fixed integer-hash formula — reproducible across executors with no
-    * RNG state, which is what makes the bucket ids stable partition keys. */
-  private def planeComponent(t: Int, p: Int, d: Int): Double = {
-    val h = (t * 7919 + p * 1000003 + d * 8191) * 2654435761L
-    ((h >>> 16) % 2001L - 1000L) / 1000.0
-  }
-
-  /** Sign-bit signature of vector column `v` for one hash table. */
-  def signatureExpr(table: Int, dim: Int): Column = {
-    val bits = (0 until NumPlanes).map { pl =>
-      val terms = (0 until dim).map(d => s"CAST(v[$d] AS DOUBLE) * ${planeComponent(table, pl, d)}")
-        .mkString(" + ")
-      s"CASE WHEN ($terms) >= 0 THEN ${1 << pl} ELSE 0 END"
-    }
-    expr(bits.mkString("(", " + ", ")"))
-  }
-
   /** LSH ANN, multi-table + multi-probe: 4 independent hyperplane tables of 6
     * bits; candidates = union over tables of (own bucket + all 1-bit-flipped
     * buckets). At 100 TB: the corpus is signed/bucketed ONCE per table (the
     * persistable bucketing key), and each query probes ~7 buckets per table —
     * an equi-join on (table, sig), never a scan of the corpus per query.
-    * Recall vs brute force is asserted in TrainingOpsSpec. */
+    * Recall vs brute force is asserted in TrainingOpsSpec.
+    *
+    * All 4 signatures come from ONE codegen'd pass over each vector
+    * ([[graft.expr.VecAlgo.lshSignatures]]) — round 1 re-scanned the corpus
+    * once per table through ~384-term inlined sign-bit projections, which was
+    * the bulk of its 66 s runtime; the hyperplane formula (and thus every
+    * bucket id) is unchanged. */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val dim = 64
+    import graft.expr.{functions => F}
     val e = Tables.embeddings(spark, dir)
     val corpusBase = e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
     val queriesBase = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("v"))
 
-    // one projection per table: a single fused projection with all 4 tables'
-    // plane sums (~1500 inlined terms) exceeds JIT/codegen method limits and
-    // falls back to interpreted eval (measured 4× slower) — keep each table's
-    // signature in its own codegen'd stage and union
     def signed(df: DataFrame, idCol: String, asVec: String): DataFrame =
-      (0 until NumTables).map { t =>
-        df.withColumn("sig", signatureExpr(t, dim))
-          .select(col(idCol), col("v").as(asVec), lit(t).as("tbl"), col("sig"))
-      }.reduce(_ unionByName _)
+      df.select(col(idCol), col("v").as(asVec),
+        posexplode(F.lsh_signatures(col("v"))).as(Seq("tbl", "sig")))
 
     val corpus = signed(corpusBase, "n_id", "vb")
     val probes = signed(queriesBase, "q_id", "va")

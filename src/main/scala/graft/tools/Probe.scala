@@ -60,6 +60,16 @@ object Probe {
         banded.groupBy("band_key").count().orderBy(col("count").desc).show(10, false)
         banded.groupBy("band_key").count()
           .agg(sum(col("count") * col("count")).as("sum_sq"), count(lit(1)).as("n_buckets")).show()
+      case "time" =>
+        // time one named SparkEntry query n times: time <name> <sfDir> <n>
+        val name = args(1)
+        val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        val n = if (args.length > 3) args(3).toInt else 3
+        (1 to n).foreach { i =>
+          val t0 = System.nanoTime()
+          val rows = graft.SparkEntry.queries(name)(spark, sf).count()
+          println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+        }
       case "explain" =>
         val name = args(1)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
