@@ -25,6 +25,7 @@ object SparkEntry {
     (ops.Similarity.queries, ops.Similarity.oracles),
     (ops.Multimodal.queries, ops.Multimodal.oracles),
     (domain.Classify.queries, domain.Classify.oracles),
+    (domain.VolumeFixtures.queries, domain.VolumeFixtures.oracles),
     (domain.MentionScoring.queries, domain.MentionScoring.oracles),
     (domain.MentionDedup.queries, domain.MentionDedup.oracles),
     (domain.Spatial.queries, domain.Spatial.oracles),

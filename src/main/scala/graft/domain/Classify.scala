@@ -198,8 +198,16 @@ object Classify {
     "classify_transitions" -> (qClassifyTransitions _))
 
   /** Oracle: same dataflow in SQL over the same VALUES fixtures. */
-  private[domain] def scoredSql: String = {
-    val asOf = s"TIMESTAMP '${Fixtures.asOf}'"
+  private[domain] def scoredSql: String =
+    scoredSqlFrom(Fixtures.poiValues, Fixtures.mentionValues, Fixtures.snapshotValues, Fixtures.asOf)
+
+  /** Same oracle dataflow, parameterized over its three relation sources
+    * (each a SQL relation aliased poi/m/s with the fixture column names) and
+    * the as-of instant — lets the sf-scale volume variants reuse the exact
+    * CTE text the 8-row fixture check proved. */
+  private[domain] def scoredSqlFrom(poiSrc: String, mentionSrc: String,
+      snapshotSrc: String, asOfStr: String): String = {
+    val asOf = s"TIMESTAMP '$asOfStr'"
     s"""WITH mf AS (
        |  SELECT poi_id,
        |    sum(
@@ -219,7 +227,7 @@ object Classify {
        |               AND coalesce(w_time, 0.0) > 0.6 THEN 1 END) AS n_recent_quality06,
        |    count(CASE WHEN lower(source_type) IN ('press','local') THEN 1 END) AS n_press_local,
        |    count(CASE WHEN lower(source_type) = 'local' THEN 1 END) AS n_local
-       |  FROM ${Fixtures.mentionValues}
+       |  FROM $mentionSrc
        |  GROUP BY poi_id),
        |sf AS (
        |  SELECT poi_id,
@@ -229,7 +237,7 @@ object Classify {
        |      FILTER (WHERE captured_at >= $asOf - INTERVAL 14 DAY) AS newest_reviews,
        |    arg_min(reviews_count, captured_at)
        |      FILTER (WHERE captured_at >= $asOf - INTERVAL 14 DAY) AS oldest_reviews
-       |  FROM ${Fixtures.snapshotValues}
+       |  FROM $snapshotSrc
        |  GROUP BY poi_id),
        |wide AS (
        |  SELECT poi.*, mf.* EXCLUDE (poi_id), sf.* EXCLUDE (poi_id),
@@ -247,7 +255,7 @@ object Classify {
        |    END AS review_pre,
        |    CASE WHEN coalesce(sf.n_snapshots_14d, 0) >= 2
        |         THEN greatest(sf.newest_reviews - sf.oldest_reviews, 0) ELSE 0 END AS delta14
-       |  FROM ${Fixtures.poiValues}
+       |  FROM $poiSrc
        |  LEFT JOIN mf ON mf.poi_id = poi.id
        |  LEFT JOIN sf ON sf.poi_id = poi.id),
        |scored AS (

@@ -235,7 +235,11 @@ object MentionScoring {
 
   private def oracleSqlDecision: String = oracleSqlDecisionImpl(false)
 
-  private def oracleSqlDecisionImpl(decay: Boolean): String = {
+  /** Oracle decision tree, parameterized over the candidate relation (must be
+    * aliased `cand` with the fixture column names) so the sf-scale volume
+    * variant reuses the proven SQL. */
+  private[domain] def oracleSqlDecisionImpl(decay: Boolean,
+      candSrc: String = Fixtures.serpCandidateValues): String = {
     val mismatch = ParisProfile.countryMismatchPatterns
       .map(p => s"regexp_matches(lower(concat_ws(' ', title, snippet, url)), '$p')")
       .mkString("(", " OR ", ")")
@@ -268,7 +272,7 @@ object MentionScoring {
        |      0.5) AS authority,
        |    $geoSqlExpr AS g,
        |    CASE WHEN $mismatch THEN 1.0 ELSE 0.0 END AS penalty
-       |  FROM ${Fixtures.serpCandidateValues}
+       |  FROM $candSrc
        |  WHERE lower(domain) NOT IN ($excl)),
        |fin AS (
        |  SELECT *,
