@@ -119,15 +119,10 @@ object Spatial {
       res: Int = 11): DataFrame = {
     import spark.implicits._
     val coverUdf = udf { (ring: Seq[Seq[Double]]) =>
-      // bbox cover (not center-containment): every cell whose box intersects
-      // the polygon bbox, so boundary-crossing points still meet their polygon
+      // bbox cover (not center-containment): every cell intersecting the
+      // polygon bbox, so boundary-crossing points still meet their polygon
       val lngs = ring.map(_(0)); val lats = ring.map(_(1))
-      val s = graft.expr.CellGrid.stepDeg(res)
-      val x0 = math.floor((lngs.min + 180.0) / s).toLong
-      val x1 = math.floor((lngs.max + 180.0) / s).toLong
-      val y0 = math.floor((lats.min + 90.0) / s).toLong
-      val y1 = math.floor((lats.max + 90.0) / s).toLong
-      (for (x <- x0 to x1; y <- y0 to y1) yield s"c$res:$x:$y").toArray
+      graft.expr.CellGrid.bboxCover(lats.min, lats.max, lngs.min, lngs.max, res)
     }
     val cellUdf = udf { (lat: Double, lng: Double) =>
       graft.expr.CellGrid.latLngToCell(lat, lng, res)

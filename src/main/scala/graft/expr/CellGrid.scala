@@ -1,50 +1,140 @@
 package graft.expr
 
-/** Hierarchical spatial cell grid, standing in for H3 (reference:
+/** Hierarchical HEXAGONAL cell grid (reference:
   * scripts/h3_scheduler.py:30-43,60-78,104-158,419-493).
   *
-  * The offline build cannot vendor h3-java (SURVEY §7.5), so the engine keeps
-  * the reference's *contract* — resolutions 9..11, a radius table, latlng→cell,
-  * cell→center, cell→children, polygon→cells — on a deterministic quad-tree
-  * lat/lng grid instead of true hexagons:
+  * The offline build cannot vendor h3-java (SURVEY §7.5), so the engine
+  * implements the same index math H3 itself uses on each icosahedron face —
+  * an aperture-7 hexagonal lattice with hex cube-rounding — on an azimuthal
+  * equidistant plane about the city origin, instead of hallucinating H3's
+  * 122-entry base-cell tables:
   *
-  *   - res 9 cell edge ≈ 2×420 m (the reference's res-9 scan radius,
-  *     h3_scheduler.py:68-72); each child halves the edge, so effective radii
-  *     are 420/210/105 m vs the reference's 420/220/110 — within 5%, and the
-  *     adaptive-subdivision semantics (saturation → split into children) are
-  *     preserved exactly.
-  *   - ids are strings "c{res}:{x}:{y}" — index math only, no geometry state,
-  *     so cell ids are stable partition/bucket keys at any scale.
+  *   - cells ARE hexagons; each resolution's lattice is the previous one
+  *     scaled by 1/√7 and rotated by atan(√3/5) ≈ 19.1° (H3's Class II/III
+  *     skew), with exactly 7 children per cell and an exact
+  *     `cellToParent(child) == parent` round-trip for all 7.
+  *   - scan radii follow the reference contract verbatim
+  *     (h3_scheduler.py:68-72): res 9 → 420 m, 10 → 220 m, 11 → 110 m. The
+  *     hex circumradius at each res (420, 420/√7 ≈ 158.7, 60 m) is ≤ the scan
+  *     radius, so a scan at the contract radius always covers its whole cell.
+  *   - ids are strings "h{res}:{q}:{r}" (axial lattice coords) — pure index
+  *     math, no geometry state, so cell ids are stable partition/bucket keys
+  *     at any scale.
   *
   * All functions are pure and total; callable from codegen via static
   * forwarders like TextAlgo.
   */
 object CellGrid {
 
-  /** Degrees per cell edge at res 9: 840 m on a meridian (1° lat ≈ 111320 m). */
-  private val res9StepDeg: Double = 2.0 * 420.0 / 111320.0
-
   val MinRes = 9
   val MaxRes = 11
 
-  /** Scan radius in meters per resolution (reference table, halved per split). */
+  /** Scan radius in meters per resolution — the reference's table verbatim
+    * (h3_scheduler.py:68-72). */
   def radiusMeters(res: Int): Double = res match {
     case 9  => 420.0
-    case 10 => 210.0
-    case 11 => 105.0
+    case 10 => 220.0
+    case 11 => 110.0
     case _  => 420.0 * math.pow(2.0, 9 - res)
   }
 
-  def stepDeg(res: Int): Double = res9StepDeg / math.pow(2.0, res - 9)
+  /** Hex circumradius (center→vertex) in meters at `res`: aperture 7 shrinks
+    * it by √7 per level from 420 m at res 9. */
+  def circumradiusMeters(res: Int): Double =
+    BaseSize / math.pow(math.sqrt(7.0), (res - MinRes).toDouble)
 
-  def latLngToCell(lat: Double, lng: Double, res: Int): String = {
-    val s = stepDeg(res)
-    val x = math.floor((lng + 180.0) / s).toLong
-    val y = math.floor((lat + 90.0) / s).toLong
-    s"c$res:$x:$y"
+  // ------------------------------------------------- projection (AEQD)
+
+  private val EarthR = 6371000.0
+  /** Projection origin: Paris centroid (city_profiles.py:42-43) — the
+    * reference schedules per city; the plane is exact at the origin and
+    * city-scale accurate (<0.01% at 20 km). */
+  private val OriginLat = 48.8566
+  private val OriginLng = 2.3522
+  private val phi0 = math.toRadians(OriginLat)
+  private val lam0 = math.toRadians(OriginLng)
+  private val sinPhi0 = math.sin(phi0)
+  private val cosPhi0 = math.cos(phi0)
+
+  /** Azimuthal equidistant forward: (lat, lng) degrees → (x, y) meters. */
+  def project(lat: Double, lng: Double): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val dl = math.toRadians(lng) - lam0
+    val cosC = math.min(1.0, math.max(-1.0,
+      sinPhi0 * math.sin(phi) + cosPhi0 * math.cos(phi) * math.cos(dl)))
+    val c = math.acos(cosC)
+    val k = if (c < 1e-12) 1.0 else c / math.sin(c)
+    val x = EarthR * k * math.cos(phi) * math.sin(dl)
+    val y = EarthR * k * (cosPhi0 * math.sin(phi) - sinPhi0 * math.cos(phi) * math.cos(dl))
+    (x, y)
   }
 
-  /** Parse "c{res}:{x}:{y}"; throws on malformed ids (contract: ids are only
+  /** Azimuthal equidistant inverse: (x, y) meters → (lat, lng) degrees. */
+  def unproject(x: Double, y: Double): (Double, Double) = {
+    val rho = math.hypot(x, y)
+    if (rho < 1e-9) return (OriginLat, OriginLng)
+    val c = rho / EarthR
+    val sinC = math.sin(c)
+    val cosC = math.cos(c)
+    val phi = math.asin(math.min(1.0, math.max(-1.0,
+      cosC * sinPhi0 + y * sinC * cosPhi0 / rho)))
+    val lam = lam0 + math.atan2(x * sinC, rho * cosPhi0 * cosC - y * sinPhi0 * sinC)
+    (math.toDegrees(phi), math.toDegrees(lam))
+  }
+
+  // ------------------------------------------------- hex lattice math
+
+  private val BaseSize = 420.0 // res-9 circumradius, meters
+  private val Sqrt3 = math.sqrt(3.0)
+
+  /** Aperture-7 child transform in axial coords: a_{res+1} = M · a_res.
+    * det M = 7; its inverse (/7) maps child coords into parent space. */
+  // M = [[3, 1], [-1, 2]]
+  private def applyM(q: Double, r: Double): (Double, Double) = (3.0 * q + r, -q + 2.0 * r)
+  private def applyMInv(q: Double, r: Double): (Double, Double) =
+    ((2.0 * q - r) / 7.0, (q + 3.0 * r) / 7.0)
+
+  /** Real-valued axial coords of projected point at `res` (pointy-top at the
+    * base resolution; finer levels pick up the aperture-7 rotation via M). */
+  private def axialAt(x: Double, y: Double, res: Int): (Double, Double) = {
+    var q = (Sqrt3 / 3.0 * x - y / 3.0) / BaseSize
+    var r = (2.0 / 3.0 * y) / BaseSize
+    var i = MinRes
+    while (i < res) { val t = applyM(q, r); q = t._1; r = t._2; i += 1 }
+    (q, r)
+  }
+
+  /** Projected center of axial (q, r) at `res`. */
+  private def centerXY(q: Long, r: Long, res: Int): (Double, Double) = {
+    var qd = q.toDouble
+    var rd = r.toDouble
+    var i = res
+    while (i > MinRes) { val t = applyMInv(qd, rd); qd = t._1; rd = t._2; i -= 1 }
+    (BaseSize * (Sqrt3 * qd + Sqrt3 / 2.0 * rd), BaseSize * 1.5 * rd)
+  }
+
+  /** Cube-round real axial coords to the containing hex (standard hex
+    * rounding — the same operation H3's _hex2dToCoordIJK performs). */
+  private def hexRound(q: Double, r: Double): (Long, Long) = {
+    val x = q; val z = r; val y = -x - z
+    var rx = math.round(x); var ry = math.round(y); var rz = math.round(z)
+    val dx = math.abs(rx - x); val dy = math.abs(ry - y); val dz = math.abs(rz - z)
+    if (dx > dy && dx > dz) rx = -ry - rz
+    else if (dy > dz) ry = -rx - rz
+    else rz = -rx - ry
+    (rx, rz)
+  }
+
+  // ---------------------------------------------------------- public API
+
+  def latLngToCell(lat: Double, lng: Double, res: Int): String = {
+    val (x, y) = project(lat, lng)
+    val (qf, rf) = axialAt(x, y, res)
+    val (q, r) = hexRound(qf, rf)
+    s"h$res:$q:$r"
+  }
+
+  /** Parse "h{res}:{q}:{r}"; throws on malformed ids (contract: ids are only
     * produced by this object). */
   def parse(cell: String): (Int, Long, Long) = {
     val body = cell.substring(1)
@@ -56,54 +146,100 @@ object CellGrid {
 
   /** Cell center (reference: h3.cell_to_latlng, h3_scheduler.py:232). */
   def cellToLatLng(cell: String): (Double, Double) = {
-    val (res, x, y) = parse(cell)
-    val s = stepDeg(res)
-    val lat = (y + 0.5) * s - 90.0
-    val lng = (x + 0.5) * s - 180.0
-    (lat, lng)
+    val (res, q, r) = parse(cell)
+    val (x, y) = centerXY(q, r, res)
+    unproject(x, y)
   }
 
-  /** Exact 4 children at res+1 (reference: h3.cell_to_children res+1,
-    * h3_scheduler.py:419-493; H3 has 7, the quad grid has 4 — the FSM only
-    * requires "children cover the parent"). */
+  /** The 7 aperture-7 children at res+1 (reference: h3.cell_to_children
+    * res+1, h3_scheduler.py:419-493): the center child M·(q,r) plus its 6
+    * neighbors — exactly the finer cells whose hexRound parent is this cell. */
   def cellToChildren(cell: String): Array[String] = {
-    val (res, x, y) = parse(cell)
-    val r = res + 1
+    val (res, q, r) = parse(cell)
+    val rr = res + 1
+    val cq = 3 * q + r
+    val cr = -q + 2 * r
     Array(
-      s"c$r:${2 * x}:${2 * y}",
-      s"c$r:${2 * x + 1}:${2 * y}",
-      s"c$r:${2 * x}:${2 * y + 1}",
-      s"c$r:${2 * x + 1}:${2 * y + 1}")
+      s"h$rr:$cq:$cr",
+      s"h$rr:${cq + 1}:$cr",
+      s"h$rr:$cq:${cr + 1}",
+      s"h$rr:${cq - 1}:$cr",
+      s"h$rr:$cq:${cr - 1}",
+      s"h$rr:${cq + 1}:${cr - 1}",
+      s"h$rr:${cq - 1}:${cr + 1}")
   }
 
   def cellToParent(cell: String): String = {
-    val (res, x, y) = parse(cell)
-    s"c${res - 1}:${x / 2}:${y / 2}"
+    val (res, q, r) = parse(cell)
+    val (pq, pr) = hexRound((2.0 * q - r) / 7.0, (q + 3.0 * r) / 7.0)
+    s"h${res - 1}:$pq:$pr"
   }
 
-  /** Cells at `res` whose center lies inside the polygon (outer ring of
+  /** The 6 same-res neighbors (h3.grid_disk k=1 minus center). */
+  def neighbors(cell: String): Array[String] = {
+    val (res, q, r) = parse(cell)
+    Array(
+      s"h$res:${q + 1}:$r", s"h$res:$q:${r + 1}", s"h$res:${q - 1}:$r",
+      s"h$res:$q:${r - 1}", s"h$res:${q + 1}:${r - 1}", s"h$res:${q - 1}:${r + 1}")
+  }
+
+  /** Axial bounding range of a set of projected points at `res`, padded by
+    * `margin` cells (the AEQD plane is near-affine at city scale; the margin
+    * absorbs hex rounding + residual curvature). */
+  private def axialBounds(pts: Iterator[(Double, Double)], res: Int,
+      margin: Long): (Long, Long, Long, Long) = {
+    var qMin = Double.MaxValue; var qMax = Double.MinValue
+    var rMin = Double.MaxValue; var rMax = Double.MinValue
+    pts.foreach { case (x, y) =>
+      val (q, r) = axialAt(x, y, res)
+      if (q < qMin) qMin = q; if (q > qMax) qMax = q
+      if (r < rMin) rMin = r; if (r > rMax) rMax = r
+    }
+    (math.floor(qMin).toLong - margin, math.ceil(qMax).toLong + margin,
+      math.floor(rMin).toLong - margin, math.ceil(rMax).toLong + margin)
+  }
+
+  /** Cells at `res` whose CENTER lies inside the polygon (outer ring of
     * (lng,lat) pairs) — h3.polygon_to_cells center-containment semantics
-    * (h3_scheduler.py:104-158). Bounded scan over the polygon bbox. */
+    * (h3_scheduler.py:104-158). Bounded scan over the ring's axial bbox. */
   def polygonToCells(ring: Array[Array[Double]], res: Int): Array[String] = {
     if (ring.isEmpty) return Array.empty
-    val s = stepDeg(res)
-    val lngs = ring.map(_(0))
-    val lats = ring.map(_(1))
-    val x0 = math.floor((lngs.min + 180.0) / s).toLong
-    val x1 = math.floor((lngs.max + 180.0) / s).toLong
-    val y0 = math.floor((lats.min + 90.0) / s).toLong
-    val y1 = math.floor((lats.max + 90.0) / s).toLong
+    val (q0, q1, r0, r1) = axialBounds(
+      ring.iterator.map(p => project(p(1), p(0))), res, margin = 2L)
     val out = Array.newBuilder[String]
-    var x = x0
-    while (x <= x1) {
-      var y = y0
-      while (y <= y1) {
-        val lat = (y + 0.5) * s - 90.0
-        val lng = (x + 0.5) * s - 180.0
-        if (TextAlgo.pointInRing(lng, lat, ring)) out += s"c$res:$x:$y"
-        y += 1
+    var q = q0
+    while (q <= q1) {
+      var r = r0
+      while (r <= r1) {
+        val (x, y) = centerXY(q, r, res)
+        val (lat, lng) = unproject(x, y)
+        if (TextAlgo.pointInRing(lng, lat, ring)) out += s"h$res:$q:$r"
+        r += 1
       }
-      x += 1
+      q += 1
+    }
+    out.result()
+  }
+
+  /** SUPERSET of the cells at `res` that intersect the lat/lng bbox — the
+    * spatial-join prefilter cover (every point in the bbox maps to a cell in
+    * this set). Enumerates the axial range of the bbox corners + edge
+    * midpoints with a 2-cell margin. */
+  def bboxCover(latMin: Double, latMax: Double, lngMin: Double, lngMax: Double,
+      res: Int): Array[String] = {
+    val latMid = (latMin + latMax) / 2.0
+    val lngMid = (lngMin + lngMax) / 2.0
+    val pts = Iterator(
+      (latMin, lngMin), (latMin, lngMax), (latMax, lngMin), (latMax, lngMax),
+      (latMid, lngMin), (latMid, lngMax), (latMin, lngMid), (latMax, lngMid))
+      .map { case (la, lo) => project(la, lo) }
+    val (q0, q1, r0, r1) = axialBounds(pts, res, margin = 2L)
+    val out = Array.newBuilder[String]
+    var q = q0
+    while (q <= q1) {
+      var r = r0
+      while (r <= r1) { out += s"h$res:$q:$r"; r += 1 }
+      q += 1
     }
     out.result()
   }

@@ -8,18 +8,18 @@ object FsmQueries {
 
   /** (h3, res, status, saturated, next_due_at, results_last, attempts). */
   val cells: Seq[(String, Int, String, Boolean, Option[String], Option[Int], Int)] = Seq(
-    ("c9:100:200", 9, "pending", false, None, None, 0),
-    ("c9:101:200", 9, "pending", false, None, None, 0),
-    ("c9:102:200", 9, "scanned", false, Some("2025-05-20 00:00:00"), Some(12), 1),
-    ("c11:400:800", 11, "scanned", false, Some("2025-05-25 00:00:00"), Some(40), 2),
-    ("c9:103:200", 9, "split", true, None, Some(80), 3))
+    ("h9:100:200", 9, "pending", false, None, None, 0),
+    ("h9:101:200", 9, "pending", false, None, None, 0),
+    ("h9:102:200", 9, "scanned", false, Some("2025-05-20 00:00:00"), Some(12), 1),
+    ("h11:400:800", 11, "scanned", false, Some("2025-05-25 00:00:00"), Some(40), 2),
+    ("h9:103:200", 9, "split", true, None, Some(80), 3))
 
   /** (h3, total_results, max_category_count, as_of): saturating scan on a
     * res-9 cell (split), normal scan, saturating scan at max res (no split). */
   val scans: Seq[(String, Int, Int, String)] = Seq(
-    ("c9:100:200", 70, 25, "2025-06-01 00:00:00"),
-    ("c9:101:200", 30, 10, "2025-06-01 00:00:00"),
-    ("c11:400:800", 80, 30, "2025-06-01 00:00:00"))
+    ("h9:100:200", 70, 25, "2025-06-01 00:00:00"),
+    ("h9:101:200", 30, 10, "2025-06-01 00:00:00"),
+    ("h11:400:800", 80, 30, "2025-06-01 00:00:00"))
 
   def cellsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -85,13 +85,17 @@ object FsmQueries {
          |         ELSE attempts + 1 END AS BIGINT) AS attempts
          |  FROM j),
          |children AS (
-         |  SELECT 'c' || (res + 1) || ':' ||
-         |      (CAST(string_split(h3, ':')[2] AS BIGINT) * 2 + dx) || ':' ||
-         |      (CAST(string_split(h3, ':')[3] AS BIGINT) * 2 + dy) AS h3,
+         |  -- aperture-7 hex children: center child M.(q,r) with M=[[3,1],[-1,2]]
+         |  -- plus its 6 axial neighbors (CellGrid.cellToChildren)
+         |  SELECT 'h' || (res + 1) || ':' ||
+         |      (3 * CAST(string_split(h3, ':')[2] AS BIGINT)
+         |         + CAST(string_split(h3, ':')[3] AS BIGINT) + dq) || ':' ||
+         |      (-CAST(string_split(h3, ':')[2] AS BIGINT)
+         |         + 2 * CAST(string_split(h3, ':')[3] AS BIGINT) + dr) AS h3,
          |    CAST(res + 1 AS BIGINT) AS res, 'pending' AS status, false AS saturated,
          |    CAST(NULL AS VARCHAR) AS next_due_date,
          |    CAST(NULL AS BIGINT) AS results_last, CAST(0 AS BIGINT) AS attempts
-         |  FROM j, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS d(dx, dy)
+         |  FROM j, (VALUES (0, 0), (1, 0), (0, 1), (-1, 0), (0, -1), (1, -1), (-1, 1)) AS d(dq, dr)
          |  WHERE splits)
          |SELECT * FROM updated UNION ALL SELECT * FROM children""".stripMargin,
     "p8_due_cells" ->

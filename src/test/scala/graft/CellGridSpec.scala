@@ -3,31 +3,80 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.expr.{CellGrid, TextAlgo}
 
+/** Hexagonal-grid invariants (aperture-7, h3_scheduler.py contract). */
 class CellGridSpec extends AnyFunSuite {
 
   private val parisLat = 48.8566
   private val parisLng = 2.3522
 
-  test("roundtrip: cell center is within cell radius of original point") {
+  test("radii follow the reference contract 420/220/110 and cover the hex") {
+    assert(CellGrid.radiusMeters(9) == 420.0)
+    assert(CellGrid.radiusMeters(10) == 220.0)
+    assert(CellGrid.radiusMeters(11) == 110.0)
+    // a scan at the contract radius always covers its whole cell
+    for (res <- 9 to 11)
+      assert(CellGrid.circumradiusMeters(res) <= CellGrid.radiusMeters(res))
+  }
+
+  test("roundtrip: cell center is within circumradius of original point") {
     for (res <- 9 to 11) {
       val cell = CellGrid.latLngToCell(parisLat, parisLng, res)
       val (clat, clng) = CellGrid.cellToLatLng(cell)
       val d = TextAlgo.haversineMeters(parisLat, parisLng, clat, clng)
-      // center of the containing cell is at most edge·√2/2 away; edge = 2·radius
-      assert(d <= CellGrid.radiusMeters(res) * 2 * math.sqrt(2) / 2 + 1)
+      assert(d <= CellGrid.circumradiusMeters(res) + 1)
       assert(CellGrid.cellRes(cell) == res)
+      // the center maps back to its own cell
+      assert(CellGrid.latLngToCell(clat, clng, res) == cell)
     }
   }
 
-  test("children: exactly 4, all inside parent, parent roundtrip") {
+  test("children: exactly 7 (aperture 7), distinct, exact parent roundtrip") {
+    for (res <- 9 to 10; dLat <- Seq(0.0, 0.02, -0.03); dLng <- Seq(0.0, 0.04)) {
+      val cell = CellGrid.latLngToCell(parisLat + dLat, parisLng + dLng, res)
+      val kids = CellGrid.cellToChildren(cell)
+      assert(kids.length == 7)
+      assert(kids.distinct.length == 7)
+      kids.foreach { k =>
+        assert(CellGrid.cellRes(k) == res + 1)
+        assert(CellGrid.cellToParent(k) == cell)
+      }
+      // center child sits at the parent's center
+      val (plat, plng) = CellGrid.cellToLatLng(cell)
+      assert(CellGrid.latLngToCell(plat, plng, res + 1) == kids.head)
+      // children centers lie within the parent's circumradius + child's
+      kids.foreach { k =>
+        val (klat, klng) = CellGrid.cellToLatLng(k)
+        val d = TextAlgo.haversineMeters(plat, plng, klat, klng)
+        assert(d <= CellGrid.circumradiusMeters(res) + CellGrid.circumradiusMeters(res + 1))
+      }
+    }
+  }
+
+  test("neighbors: 6 distinct cells at same res, all adjacent (~edge*sqrt(3))") {
     val cell = CellGrid.latLngToCell(parisLat, parisLng, 9)
-    val kids = CellGrid.cellToChildren(cell)
-    assert(kids.length == 4)
-    kids.foreach { k =>
-      assert(CellGrid.cellRes(k) == 10)
-      assert(CellGrid.cellToParent(k) == cell)
-      val (klat, klng) = CellGrid.cellToLatLng(k)
-      assert(CellGrid.latLngToCell(klat, klng, 9) == cell)
+    val ns = CellGrid.neighbors(cell)
+    assert(ns.length == 6 && ns.distinct.length == 6 && !ns.contains(cell))
+    val (clat, clng) = CellGrid.cellToLatLng(cell)
+    // hex center spacing = circumradius * sqrt(3)
+    val spacing = CellGrid.circumradiusMeters(9) * math.sqrt(3.0)
+    ns.foreach { n =>
+      assert(CellGrid.cellRes(n) == 9)
+      val (nlat, nlng) = CellGrid.cellToLatLng(n)
+      val d = TextAlgo.haversineMeters(clat, clng, nlat, nlng)
+      assert(math.abs(d - spacing) < spacing * 0.02, s"$n at $d vs $spacing")
+    }
+  }
+
+  test("hex partition: nearby points map to exactly one cell; no gaps") {
+    // sample a dense lattice of points; each maps to a cell whose center is
+    // within the circumradius (containment), proving gap-free tiling
+    for (res <- 9 to 11; i <- -10 to 10; j <- -10 to 10) {
+      val lat = parisLat + i * 0.0013
+      val lng = parisLng + j * 0.0019
+      val cell = CellGrid.latLngToCell(lat, lng, res)
+      val (clat, clng) = CellGrid.cellToLatLng(cell)
+      val d = TextAlgo.haversineMeters(lat, lng, clat, clng)
+      assert(d <= CellGrid.circumradiusMeters(res) + 1, s"res=$res ($lat,$lng) d=$d")
     }
   }
 
@@ -36,22 +85,36 @@ class CellGridSpec extends AnyFunSuite {
       == CellGrid.latLngToCell(parisLat, parisLng, 9))
   }
 
-  test("polygonToCells covers a city-bbox-sized polygon") {
-    // ~Paris bbox as a ring of (lng, lat)
+  test("polygonToCells covers a city-bbox-sized polygon with hexes") {
+    // ~Paris bbox as a ring of (lng, lat): ~18 km x ~9.7 km ≈ 175 km²
     val ring = Array(
       Array(2.224, 48.815), Array(2.470, 48.815),
       Array(2.470, 48.902), Array(2.224, 48.902), Array(2.224, 48.815))
     val cells = CellGrid.polygonToCells(ring, 9)
-    // ~18km x ~9.7km area with 840m cells → expect on the order of 20x11 cells
-    assert(cells.nonEmpty && cells.length > 100 && cells.length < 600)
+    // hex area at res 9 = 3√3/2 · 420² ≈ 0.458 km² → ~382 interior cells
+    assert(cells.nonEmpty && cells.length > 250 && cells.length < 520,
+      s"got ${cells.length}")
     assert(cells.distinct.length == cells.length)
     // every returned cell center is inside the ring
     cells.foreach { c =>
       val (lat, lng) = CellGrid.cellToLatLng(c)
       assert(TextAlgo.pointInRing(lng, lat, ring))
     }
-    // res 10 refines: roughly 4x the cells
+    // aperture 7 refines: ~7x the cells
     val cells10 = CellGrid.polygonToCells(ring, 10)
-    assert(cells10.length > 3 * cells.length && cells10.length < 5 * cells.length)
+    assert(cells10.length > 6 * cells.length && cells10.length < 8 * cells.length,
+      s"res10=${cells10.length} vs res9=${cells.length}")
+  }
+
+  test("bboxCover is a superset of the cells of points inside the bbox") {
+    val (latMin, latMax, lngMin, lngMax) = (48.84, 48.87, 2.33, 2.37)
+    for (res <- 9 to 11) {
+      val cover = CellGrid.bboxCover(latMin, latMax, lngMin, lngMax, res).toSet
+      for (i <- 0 to 12; j <- 0 to 12) {
+        val lat = latMin + (latMax - latMin) * i / 12.0
+        val lng = lngMin + (lngMax - lngMin) * j / 12.0
+        assert(cover.contains(CellGrid.latLngToCell(lat, lng, res)))
+      }
+    }
   }
 }

@@ -18,26 +18,26 @@ class StreamingSpec extends AnyFunSuite {
     val q = CellFsm.streamingFsm(spark, input.toDS())
       .writeStream.format("memory").queryName("fsm_out").outputMode("append").start()
     try {
-      // batch 1: res-9 cell saturates → split + 4 pending children
-      input.addData(CellFsm.ScanResult("c9:100:200", 70, 25, "2025-06-01 00:00:00"))
+      // batch 1: res-9 cell saturates → split + 7 pending children (aperture 7)
+      input.addData(CellFsm.ScanResult("h9:100:200", 70, 25, "2025-06-01 00:00:00"))
       q.processAllAvailable()
       val b1 = spark.sql("select * from fsm_out").as[CellFsm.CellState].collect()
-      assert(b1.exists(s => s.h3 == "c9:100:200" && s.status == "split" && s.attempts == 1))
+      assert(b1.exists(s => s.h3 == "h9:100:200" && s.status == "split" && s.attempts == 1))
       val children = b1.filter(_.status == "pending")
-      assert(children.length == 4 && children.forall(_.res == 10))
+      assert(children.length == 7 && children.forall(_.res == 10))
 
       // batch 2: same cell scanned again → state persisted, attempts increments
-      input.addData(CellFsm.ScanResult("c9:100:200", 10, 3, "2025-06-08 00:00:00"))
+      input.addData(CellFsm.ScanResult("h9:100:200", 10, 3, "2025-06-08 00:00:00"))
       q.processAllAvailable()
       val b2 = spark.sql("select * from fsm_out").as[CellFsm.CellState].collect()
-      assert(b2.exists(s => s.h3 == "c9:100:200" && s.status == "scanned" && s.attempts == 2),
+      assert(b2.exists(s => s.h3 == "h9:100:200" && s.status == "scanned" && s.attempts == 2),
         "state store must carry attempts across micro-batches")
 
       // batch 3: a child cell gets scanned normally
-      input.addData(CellFsm.ScanResult("c10:200:400", 5, 2, "2025-06-09 00:00:00"))
+      input.addData(CellFsm.ScanResult("h10:200:400", 5, 2, "2025-06-09 00:00:00"))
       q.processAllAvailable()
       val b3 = spark.sql("select * from fsm_out").as[CellFsm.CellState].collect()
-      assert(b3.exists(s => s.h3 == "c10:200:400" && s.status == "scanned"
+      assert(b3.exists(s => s.h3 == "h10:200:400" && s.status == "scanned"
         && s.nextDueAt.exists(_.startsWith("2025-06-16"))))
     } finally q.stop()
   }
