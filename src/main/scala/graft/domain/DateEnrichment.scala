@@ -1,0 +1,305 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S8 date-enrichment precedence + S7/J6 RSS feed join (SURVEY §2.1 S7/S8;
+  * reference: mention_scanner/date_enricher.py:42-77 strategy order,
+  * :79-102 SERP patterns, :104-131 RSS link match, :177-263 schema.org/
+  * OpenGraph/meta, :265-297 URL inference, :299-327 Last-Modified,
+  * :400-415 validation window).
+  *
+  * The network fetches (HTML GET, RSS GET, HEAD) are out of relational scope;
+  * their PARSED ARTIFACTS arrive as columns (`page_meta`, `rss_entries`) and
+  * the engine owns what the reference's enrich() does with them: the
+  * source-precedence coalesce serp → rss → JSON-LD → OpenGraph → meta →
+  * URL pattern → Last-Modified → unknown, each gated by the 1990..asOf+24h
+  * validation window, with the reference's confidence/method labels.
+  *
+  * Everything is one broadcast-joined select of codegen'd column expressions —
+  * per-URL work is embarrassingly parallel at 100 TB.
+  */
+object DateEnrichment {
+
+  /** Validation window upper bound: asOf + 24 h clock-skew tolerance
+    * (date_enricher.py:400-408). */
+  private val validFrom = "1990-01-01"
+  private val validTo = "2025-06-02" // Fixtures.asOf + 24h
+
+  // ------------------------------------------------------------- fixtures
+
+  /** (mention_id, source_id, url, snippet). */
+  val mentions: Seq[(String, Option[String], String, String)] = Seq(
+    ("m01", Some("lefooding"), "https://www.lefooding.com/a/jsonld-page",
+      "published 15 mar 2024 in our city guide"), // serp wins over jsonld
+    ("m02", Some("lefooding"), "https://www.lefooding.com/a/rss-covered",
+      "no date in this snippet"), // rss wins over og
+    ("m03", Some("timeout"), "https://www.timeout.fr/a/schema",
+      "list of places"), // jsonld beats og
+    ("m04", Some("timeout"), "https://www.timeout.fr/a/og-only",
+      "more places"), // opengraph
+    ("m05", None, "https://blog.example.net/meta-only",
+      "even more places"), // meta_article
+    ("m06", None, "https://blog.example.net/2024/03/15/story",
+      "a story"), // url_inference (year-first)
+    ("m07", None, "https://blog.example.net/archive?id=7",
+      "an archive"), // http_last_modified
+    ("m08", None, "https://blog.example.net/undated",
+      "nothing here"), // unknown
+    ("m09", Some("timeout"), "https://www.timeout.fr/a/future",
+      "opening 10 jan 2030 maybe"), // serp future-invalid + meta future → last_modified
+    ("m10", None, "https://blog.example.net/iso",
+      "updated 2024-07-03 with new spots"), // serp ISO pattern
+    ("m11", None, "https://blog.example.net/d/15-03-2023",
+      "day first")) // url_inference (day-first)
+
+  /** Parsed single-GET/HEAD artifacts: (mention_id, jsonld_date, og_date,
+    * meta_date, last_modified) — absent artifact = null. */
+  val pageMeta: Seq[(String, Option[String], Option[String], Option[String], Option[String])] = Seq(
+    ("m01", Some("2024-02-01"), None, None, None),
+    ("m02", None, Some("2024-04-01"), None, None),
+    ("m03", Some("2024-05-01"), Some("2024-04-01"), None, None),
+    ("m04", None, Some("2024-04-11"), Some("2024-04-12"), None),
+    ("m05", None, None, Some("2024-01-20"), Some("2024-01-25")),
+    ("m07", None, None, None, Some("2023-11-05")),
+    ("m09", None, None, Some("2031-01-01"), Some("2023-01-10")))
+
+  /** RSS feed entries per source: (source_id, link, published). */
+  val rssEntries: Seq[(String, String, String)] = Seq(
+    ("lefooding", "https://www.lefooding.com/a/rss-covered", "2024-03-20"),
+    ("lefooding", "https://www.lefooding.com/a/other-article", "2024-03-21"),
+    ("timeout", "https://www.timeout.fr/a/unrelated", "2024-02-02"))
+
+  def mentionsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    mentions.toDF("mention_id", "source_id", "url", "snippet")
+  }
+
+  def pageMetaDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pageMeta.toDF("mention_id", "jsonld_date", "og_date", "meta_date", "last_modified")
+      .select(col("mention_id"), col("jsonld_date").cast("date"),
+        col("og_date").cast("date"), col("meta_date").cast("date"),
+        col("last_modified").cast("date"))
+  }
+
+  def rssDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rssEntries.toDF("source_id", "link", "published")
+      .select(col("source_id"), col("link"), col("published").cast("date"))
+  }
+
+  // ------------------------------------------------------------ expressions
+
+  /** null unless inside the reference validation window. */
+  private def valid(d: Column): Column =
+    when(d >= lit(validFrom).cast("date") && d <= lit(validTo).cast("date"), d)
+
+  private def monthNum(m: Column): Column =
+    when(m === "jan", 1).when(m === "feb", 2).when(m === "mar", 3)
+      .when(m === "apr", 4).when(m === "may", 5).when(m === "jun", 6)
+      .when(m === "jul", 7).when(m === "aug", 8).when(m === "sep", 9)
+      .when(m === "oct", 10).when(m === "nov", 11).otherwise(12)
+
+  /** SERP snippet patterns in the reference's order (date_enricher.py:83-87). */
+  private def serpDate(snippet: Column): Column = {
+    val s = lower(snippet)
+    val pA = "(\\d{1,2})\\s+(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)\\s+(20\\d{2})"
+    val a = when(regexp_extract(s, pA, 3) =!= "",
+      make_date(regexp_extract(s, pA, 3).cast("int"),
+        monthNum(regexp_extract(s, pA, 2)), regexp_extract(s, pA, 1).cast("int")))
+    val pB = "(20\\d{2})-(\\d{2})-(\\d{2})"
+    val b = when(regexp_extract(s, pB, 1) =!= "",
+      make_date(regexp_extract(s, pB, 1).cast("int"),
+        regexp_extract(s, pB, 2).cast("int"), regexp_extract(s, pB, 3).cast("int")))
+    val pC = "(\\d{1,2})/(\\d{1,2})/(20\\d{2})"
+    val c = when(regexp_extract(s, pC, 3) =!= "",
+      make_date(regexp_extract(s, pC, 3).cast("int"),
+        regexp_extract(s, pC, 2).cast("int"), regexp_extract(s, pC, 1).cast("int")))
+    coalesce(valid(a), valid(b), valid(c))
+  }
+
+  /** URL patterns in the reference's order (date_enricher.py:270-275). */
+  private def urlDate(url: Column): Column = {
+    val p1 = "/(20\\d{2})/(\\d{1,2})/(\\d{1,2})/"
+    val d1 = when(regexp_extract(url, p1, 1) =!= "",
+      make_date(regexp_extract(url, p1, 1).cast("int"),
+        regexp_extract(url, p1, 2).cast("int"), regexp_extract(url, p1, 3).cast("int")))
+    val p2 = "/(20\\d{2})-(\\d{2})-(\\d{2})"
+    val d2 = when(regexp_extract(url, p2, 1) =!= "",
+      make_date(regexp_extract(url, p2, 1).cast("int"),
+        regexp_extract(url, p2, 2).cast("int"), regexp_extract(url, p2, 3).cast("int")))
+    val p3 = "/(\\d{1,2})-(\\d{1,2})-(20\\d{2})"
+    val d3 = when(regexp_extract(url, p3, 3) =!= "",
+      make_date(regexp_extract(url, p3, 3).cast("int"),
+        regexp_extract(url, p3, 2).cast("int"), regexp_extract(url, p3, 1).cast("int")))
+    val p4 = "[?&]date=(20\\d{2})-(\\d{2})-(\\d{2})"
+    val d4 = when(regexp_extract(url, p4, 1) =!= "",
+      make_date(regexp_extract(url, p4, 1).cast("int"),
+        regexp_extract(url, p4, 2).cast("int"), regexp_extract(url, p4, 3).cast("int")))
+    coalesce(valid(d1), valid(d2), valid(d3), valid(d4))
+  }
+
+  /** Full S8 cascade over mentions ⋈ page_meta ⋈ rss. */
+  def enrich(mentions: DataFrame, pageMeta: DataFrame, rss: DataFrame): DataFrame = {
+    val joined = mentions
+      .join(broadcast(pageMeta), Seq("mention_id"), "left")
+      .join(broadcast(rss),
+        mentions("source_id") === rss("source_id") && mentions("url") === rss("link"), "left")
+      .drop(rss("source_id"))
+    val serp = serpDate(col("snippet"))
+    val rssD = valid(col("published"))
+    val jsonld = valid(col("jsonld_date"))
+    val og = valid(col("og_date"))
+    val meta = valid(col("meta_date"))
+    val urlD = urlDate(col("url"))
+    val lastMod = valid(col("last_modified"))
+    val method = when(serp.isNotNull, "serp")
+      .when(rssD.isNotNull, "rss")
+      .when(jsonld.isNotNull, "schema_org")
+      .when(og.isNotNull, "opengraph")
+      .when(meta.isNotNull, "meta_article")
+      .when(urlD.isNotNull, "url_inference")
+      .when(lastMod.isNotNull, "http_last_modified")
+      .otherwise("unknown")
+    val confidence = when(serp.isNotNull, "low")
+      .when(rssD.isNotNull, "high")
+      .when(jsonld.isNotNull, "high")
+      .when(og.isNotNull, "medium")
+      .when(meta.isNotNull, "medium")
+      .when(urlD.isNotNull, "low")
+      .when(lastMod.isNotNull, "low")
+    joined.select(col("mention_id"),
+      date_format(coalesce(serp, rssD, jsonld, og, meta, urlD, lastMod), "yyyy-MM-dd")
+        .as("published_date"),
+      confidence.as("confidence"),
+      method.as("method"))
+  }
+
+  // ------------------------------------------------------- declared queries
+
+  def qDatePrecedence(spark: SparkSession, dir: String): DataFrame =
+    enrich(mentionsDf(spark), pageMetaDf(spark), rssDf(spark))
+
+  /** J6 — mention ⋈ RSS feed entries on (source catalog feed, exact link)
+    * (date_enricher.py:117-126). */
+  def qRssJoin(spark: SparkSession, dir: String): DataFrame = {
+    val mn = mentionsDf(spark)
+    val rss = rssDf(spark)
+    mn.join(broadcast(rss),
+        mn("source_id") === rss("source_id") && mn("url") === rss("link"))
+      .select(col("mention_id"), col("link"),
+        date_format(col("published"), "yyyy-MM-dd").as("rss_published"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_date_precedence" -> (qDatePrecedence _),
+    "j6_rss_feed_join" -> (qRssJoin _))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+  private def opt(s: Option[String], asDate: Boolean = false): String =
+    s.map(v => if (asDate) s"DATE '$v'" else sqlStr(v))
+      .getOrElse(if (asDate) "CAST(NULL AS DATE)" else "CAST(NULL AS VARCHAR)")
+
+  private def mentionValues: String = mentions.map { case (id, sid, url, sn) =>
+    s"(${sqlStr(id)}, ${opt(sid)}, ${sqlStr(url)}, ${sqlStr(sn)})"
+  }.mkString("(VALUES ", ", ", ")") + " AS mn(mention_id, source_id, url, snippet)"
+
+  private def pageMetaValues: String = pageMeta.map { case (id, j, o, m, lm) =>
+    s"(${sqlStr(id)}, ${opt(j, asDate = true)}, ${opt(o, asDate = true)}, ${opt(m, asDate = true)}, ${opt(lm, asDate = true)})"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS pm(mention_id, jsonld_date, og_date, meta_date, last_modified)"
+
+  private def rssValues: String = rssEntries.map { case (sid, link, p) =>
+    s"(${sqlStr(sid)}, ${sqlStr(link)}, DATE '$p')"
+  }.mkString("(VALUES ", ", ", ")") + " AS rss(source_id, link, published)"
+
+  private def vSql(e: String) =
+    s"CASE WHEN $e >= DATE '$validFrom' AND $e <= DATE '$validTo' THEN $e END"
+
+  private val monthSql =
+    "CASE ? WHEN 'jan' THEN 1 WHEN 'feb' THEN 2 WHEN 'mar' THEN 3 WHEN 'apr' THEN 4" +
+      " WHEN 'may' THEN 5 WHEN 'jun' THEN 6 WHEN 'jul' THEN 7 WHEN 'aug' THEN 8" +
+      " WHEN 'sep' THEN 9 WHEN 'oct' THEN 10 WHEN 'nov' THEN 11 ELSE 12 END"
+
+  private def serpSql: String = {
+    val pA = "(\\d{1,2})\\s+(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)\\s+(20\\d{2})"
+    val pB = "(20\\d{2})-(\\d{2})-(\\d{2})"
+    val pC = "(\\d{1,2})/(\\d{1,2})/(20\\d{2})"
+    val mA = monthSql.replace("?", s"regexp_extract(lower(snippet), '$pA', 2)")
+    val a = s"CASE WHEN regexp_extract(lower(snippet), '$pA', 3) != '' THEN " +
+      s"make_date(CAST(regexp_extract(lower(snippet), '$pA', 3) AS INTEGER), $mA, " +
+      s"CAST(regexp_extract(lower(snippet), '$pA', 1) AS INTEGER)) END"
+    val b = s"CASE WHEN regexp_extract(lower(snippet), '$pB', 1) != '' THEN " +
+      s"make_date(CAST(regexp_extract(lower(snippet), '$pB', 1) AS INTEGER), " +
+      s"CAST(regexp_extract(lower(snippet), '$pB', 2) AS INTEGER), " +
+      s"CAST(regexp_extract(lower(snippet), '$pB', 3) AS INTEGER)) END"
+    val c = s"CASE WHEN regexp_extract(lower(snippet), '$pC', 3) != '' THEN " +
+      s"make_date(CAST(regexp_extract(lower(snippet), '$pC', 3) AS INTEGER), " +
+      s"CAST(regexp_extract(lower(snippet), '$pC', 2) AS INTEGER), " +
+      s"CAST(regexp_extract(lower(snippet), '$pC', 1) AS INTEGER)) END"
+    s"coalesce(${vSql(s"($a)")}, ${vSql(s"($b)")}, ${vSql(s"($c)")})"
+  }
+
+  private def urlSql: String = {
+    val p1 = "/(20\\d{2})/(\\d{1,2})/(\\d{1,2})/"
+    val p2 = "/(20\\d{2})-(\\d{2})-(\\d{2})"
+    val p3 = "/(\\d{1,2})-(\\d{1,2})-(20\\d{2})"
+    val p4 = "[?&]date=(20\\d{2})-(\\d{2})-(\\d{2})"
+    def yearFirst(p: String) =
+      s"CASE WHEN regexp_extract(url, '$p', 1) != '' THEN " +
+        s"make_date(CAST(regexp_extract(url, '$p', 1) AS INTEGER), " +
+        s"CAST(regexp_extract(url, '$p', 2) AS INTEGER), " +
+        s"CAST(regexp_extract(url, '$p', 3) AS INTEGER)) END"
+    val d3 = s"CASE WHEN regexp_extract(url, '$p3', 3) != '' THEN " +
+      s"make_date(CAST(regexp_extract(url, '$p3', 3) AS INTEGER), " +
+      s"CAST(regexp_extract(url, '$p3', 2) AS INTEGER), " +
+      s"CAST(regexp_extract(url, '$p3', 1) AS INTEGER)) END"
+    s"coalesce(${vSql(s"(${yearFirst(p1)})")}, ${vSql(s"(${yearFirst(p2)})")}, " +
+      s"${vSql(s"($d3)")}, ${vSql(s"(${yearFirst(p4)})")})"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "s8_date_precedence" ->
+      s"""WITH j AS (
+         |  SELECT mn.*, pm.jsonld_date, pm.og_date, pm.meta_date, pm.last_modified,
+         |    rss.published
+         |  FROM $mentionValues
+         |  LEFT JOIN $pageMetaValues ON pm.mention_id = mn.mention_id
+         |  LEFT JOIN $rssValues ON rss.source_id = mn.source_id AND rss.link = mn.url),
+         |cascaded AS (
+         |  SELECT mention_id,
+         |    $serpSql AS serp_d,
+         |    ${vSql("published")} AS rss_d,
+         |    ${vSql("jsonld_date")} AS jsonld_d,
+         |    ${vSql("og_date")} AS og_d,
+         |    ${vSql("meta_date")} AS meta_d,
+         |    $urlSql AS url_d,
+         |    ${vSql("last_modified")} AS lm_d
+         |  FROM j)
+         |SELECT mention_id,
+         |  strftime(coalesce(serp_d, rss_d, jsonld_d, og_d, meta_d, url_d, lm_d),
+         |    '%Y-%m-%d') AS published_date,
+         |  CASE WHEN serp_d IS NOT NULL THEN 'low'
+         |       WHEN rss_d IS NOT NULL THEN 'high'
+         |       WHEN jsonld_d IS NOT NULL THEN 'high'
+         |       WHEN og_d IS NOT NULL THEN 'medium'
+         |       WHEN meta_d IS NOT NULL THEN 'medium'
+         |       WHEN url_d IS NOT NULL THEN 'low'
+         |       WHEN lm_d IS NOT NULL THEN 'low' END AS confidence,
+         |  CASE WHEN serp_d IS NOT NULL THEN 'serp'
+         |       WHEN rss_d IS NOT NULL THEN 'rss'
+         |       WHEN jsonld_d IS NOT NULL THEN 'schema_org'
+         |       WHEN og_d IS NOT NULL THEN 'opengraph'
+         |       WHEN meta_d IS NOT NULL THEN 'meta_article'
+         |       WHEN url_d IS NOT NULL THEN 'url_inference'
+         |       WHEN lm_d IS NOT NULL THEN 'http_last_modified'
+         |       ELSE 'unknown' END AS method
+         |FROM cascaded""".stripMargin,
+    "j6_rss_feed_join" ->
+      s"""SELECT mention_id, link, strftime(published, '%Y-%m-%d') AS rss_published
+         |FROM $mentionValues
+         |JOIN $rssValues ON rss.source_id = mn.source_id AND rss.link = mn.url""".stripMargin)
+}

@@ -140,14 +140,94 @@ object Ingest {
         expr("get(oh.periods, 0).close.hour").cast("long").as("first_close_hour"))
   }
 
+  // --------------------------------------------------- S2 text search query
+
+  /** Text-search responses, one row per (query, rank): raw new-API JSON
+    * (google_places_ingester.py:239-295). Covers >5 results (truncated),
+    * missing rating, nested displayName/location. */
+  val textSearchResults: Seq[(String, String, String, Int, String)] = Seq(
+    ("t1", "Chez Panisse", "paris", 1, """{"id":"pl1","displayName":{"text":"Chez Panisse"},"location":{"latitude":48.857,"longitude":2.352},"types":["restaurant","food"],"formattedAddress":"1 Rue A, 75001 Paris, France","rating":4.7,"userRatingCount":210}"""),
+    ("t1", "Chez Panisse", "paris", 2, """{"id":"pl9","displayName":{"text":"Chez Panisse II"},"location":{"latitude":48.861,"longitude":2.349},"types":["restaurant"],"formattedAddress":"2 Rue B, 75002 Paris, France","rating":4.1,"userRatingCount":80}"""),
+    ("t1", "Chez Panisse", "paris", 3, """{"id":"pl10","displayName":{"text":"Panisse Corner"},"location":{"latitude":48.852,"longitude":2.360},"types":["restaurant","cafe"],"formattedAddress":"3 Rue C, 75003 Paris, France"}"""),
+    ("t1", "Chez Panisse", "paris", 4, """{"id":"pl11","displayName":{"text":"Maison Panisse"},"location":{"latitude":48.850,"longitude":2.340},"types":["restaurant"],"formattedAddress":"4 Rue D, 75004 Paris, France","rating":3.9,"userRatingCount":12}"""),
+    ("t1", "Chez Panisse", "paris", 5, """{"id":"pl12","displayName":{"text":"Panisse Express"},"location":{"latitude":48.845,"longitude":2.330},"types":["restaurant"],"formattedAddress":"5 Rue E, 75005 Paris, France","rating":4.0,"userRatingCount":33}"""),
+    ("t1", "Chez Panisse", "paris", 6, """{"id":"pl13","displayName":{"text":"Sixth Result"},"location":{"latitude":48.840,"longitude":2.320},"types":["restaurant"],"formattedAddress":"6 Rue F, 75006 Paris, France","rating":4.9,"userRatingCount":999}"""),
+    ("t2", "Secret Wine Bar", "paris", 1, """{"id":"pl4","displayName":{"text":"Secret Wine Bar"},"location":{"latitude":48.870,"longitude":2.360},"types":["bar","wine_bar"],"formattedAddress":"7 Rue G, 75007 Paris, France","rating":4.7,"userRatingCount":120}"""))
+
+  /** S2 — text-search projection (google_places_ingester.py:239-295): query
+    * string "{poi_name} {city}", first 5 results (maxResultCount), new→legacy
+    * field conversion from the nested JSON. */
+  def qTextSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    textSearchResults.toDF("query_id", "poi_name", "city", "rnk", "result_json")
+      .filter(col("rnk") <= 5) // maxResultCount: 5
+      .select(
+        col("query_id"),
+        concat(col("poi_name"), lit(" "), col("city")).as("search_query"),
+        col("rnk").cast("long").as("rnk"),
+        get_json_object(col("result_json"), "$.id").as("place_id"),
+        get_json_object(col("result_json"), "$.displayName.text").as("name"),
+        get_json_object(col("result_json"), "$.location.latitude").cast("double").as("lat"),
+        get_json_object(col("result_json"), "$.location.longitude").cast("double").as("lng"),
+        get_json_object(col("result_json"), "$.rating").cast("double").as("rating"),
+        get_json_object(col("result_json"), "$.userRatingCount").cast("long").as("user_ratings_total"),
+        get_json_object(col("result_json"), "$.formattedAddress").as("formatted_address"))
+  }
+
+  // ------------------------------------------------ S3 details lookup query
+
+  /** Place-details responses keyed by place_id: raw new-API JSON
+    * (google_places_ingester.py:115-162). */
+  val placeDetails: Seq[(String, String)] = Seq(
+    ("pl1", """{"formattedAddress":"1 Rue A, 75001 Paris, France","internationalPhoneNumber":"+33 1 11 11 11 11","websiteUri":"https://chezpanisse.fr","rating":4.7,"userRatingCount":210,"priceLevel":"PRICE_LEVEL_EXPENSIVE","currentOpeningHours":{"periods":[{"open":{"day":1,"hour":9},"close":{"day":1,"hour":18}},{"open":{"day":2,"hour":9},"close":{"day":2,"hour":18}}]},"photos":[{"name":"places/pl1/photos/a"},{"name":"places/pl1/photos/b"}]}"""),
+    ("pl2", """{"formattedAddress":"9 Rue Z, 75009 Paris, France","rating":4.2,"userRatingCount":55,"photos":[{"name":"places/pl2/photos/a"}]}"""),
+    ("pl3", """{"formattedAddress":"3 Rue C, 75003 Paris, France","websiteUri":"https://mediocre.example","rating":3.1,"userRatingCount":900,"priceLevel":"PRICE_LEVEL_MODERATE","currentOpeningHours":{"periods":[{"open":{"day":5,"hour":12},"close":{"day":5,"hour":23}}]}}"""),
+    ("pl7", """{"formattedAddress":"7 Rue W, 75011 Paris, France","internationalPhoneNumber":"+33 1 77 77 77 77","rating":4.8,"userRatingCount":310,"currentOpeningHours":{"periods":[]}}"""))
+
+  /** S3 — details broadcast-lookup enrichment (google_places_ingester.py:
+    * 115-162): accepted pois ⋈ details on place_id; new→legacy conversion
+    * (websiteUri→website, phone used for both legacy fields, photos→refs). */
+  def qDetailsLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val details = placeDetails.toDF("place_id", "details_json")
+    val pois = placesDf(spark)
+      .filter(col("place_id").isNotNull)
+      .select(col("result_id"), col("place_id"))
+    pois.join(broadcast(details), Seq("place_id"), "left")
+      .select(
+        col("result_id"), col("place_id"),
+        get_json_object(col("details_json"), "$.formattedAddress").as("formatted_address"),
+        get_json_object(col("details_json"), "$.websiteUri").as("website"),
+        get_json_object(col("details_json"), "$.internationalPhoneNumber").as("international_phone_number"),
+        get_json_object(col("details_json"), "$.internationalPhoneNumber").as("formatted_phone_number"),
+        get_json_object(col("details_json"), "$.rating").cast("double").as("rating"),
+        get_json_object(col("details_json"), "$.userRatingCount").cast("long").as("user_ratings_total"),
+        get_json_object(col("details_json"), "$.priceLevel").as("price_level"),
+        json_array_length(get_json_object(col("details_json"), "$.currentOpeningHours.periods")).cast("long").as("n_periods"),
+        json_array_length(get_json_object(col("details_json"), "$.photos")).cast("long").as("n_photos"),
+        get_json_object(col("details_json"), "$.photos[0].name").as("first_photo_ref"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_ingest_poi_rows" -> (qIngestPoiRows _),
-    "p1_opening_hours" -> (qOpeningHours _))
+    "p1_opening_hours" -> (qOpeningHours _),
+    "s2_text_search" -> (qTextSearch _),
+    "s3_details_lookup" -> (qDetailsLookup _))
 
   private def openingHoursValues: String = openingHours.map { case (i, s) =>
     val v = s.map(x => "'" + x.replace("'", "''") + "'").getOrElse("CAST(NULL AS VARCHAR)")
     s"($i, $v)"
   }.mkString("(VALUES ", ", ", ")") + " AS oh(poi_ref, opening_hours_raw)"
+
+  private def textSearchValues: String = textSearchResults.map {
+    case (qid, pn, city, rnk, js) =>
+      s"('$qid', '${pn.replace("'", "''")}', '$city', $rnk, '${js.replace("'", "''")}')"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS ts(query_id, poi_name, city, rnk, result_json)"
+
+  private def detailsValues: String = placeDetails.map { case (pid, js) =>
+    s"('$pid', '${js.replace("'", "''")}')"
+  }.mkString("(VALUES ", ", ", ")") + " AS pd(place_id, details_json)"
 
   val oracles: Map[String, String] = Map(
     "p1_opening_hours" ->
@@ -186,5 +266,32 @@ object Ingest {
          |  city, country, lat, lng, address_street, price_level,
          |  passes_quality_gate, name_len
          |FROM projected
-         |WHERE category IS NOT NULL AND country IS NOT NULL""".stripMargin)
+         |WHERE category IS NOT NULL AND country IS NOT NULL""".stripMargin,
+    "s2_text_search" ->
+      s"""SELECT query_id, poi_name || ' ' || city AS search_query,
+         |  CAST(rnk AS BIGINT) AS rnk,
+         |  json_extract_string(result_json, '$$.id') AS place_id,
+         |  json_extract_string(result_json, '$$.displayName.text') AS name,
+         |  CAST(json_extract_string(result_json, '$$.location.latitude') AS DOUBLE) AS lat,
+         |  CAST(json_extract_string(result_json, '$$.location.longitude') AS DOUBLE) AS lng,
+         |  CAST(json_extract_string(result_json, '$$.rating') AS DOUBLE) AS rating,
+         |  CAST(json_extract_string(result_json, '$$.userRatingCount') AS BIGINT) AS user_ratings_total,
+         |  json_extract_string(result_json, '$$.formattedAddress') AS formatted_address
+         |FROM $textSearchValues
+         |WHERE rnk <= 5""".stripMargin,
+    "s3_details_lookup" ->
+      s"""SELECT result_id, p.place_id,
+         |  json_extract_string(details_json, '$$.formattedAddress') AS formatted_address,
+         |  json_extract_string(details_json, '$$.websiteUri') AS website,
+         |  json_extract_string(details_json, '$$.internationalPhoneNumber') AS international_phone_number,
+         |  json_extract_string(details_json, '$$.internationalPhoneNumber') AS formatted_phone_number,
+         |  CAST(json_extract_string(details_json, '$$.rating') AS DOUBLE) AS rating,
+         |  CAST(json_extract_string(details_json, '$$.userRatingCount') AS BIGINT) AS user_ratings_total,
+         |  json_extract_string(details_json, '$$.priceLevel') AS price_level,
+         |  CAST(json_array_length(details_json, '$$.currentOpeningHours.periods') AS BIGINT) AS n_periods,
+         |  CAST(json_array_length(details_json, '$$.photos') AS BIGINT) AS n_photos,
+         |  json_extract_string(details_json, '$$.photos[0].name') AS first_photo_ref
+         |FROM (SELECT result_id, place_id FROM $placesValues
+         |      WHERE place_id IS NOT NULL) p
+         |LEFT JOIN $detailsValues ON pd.place_id = p.place_id""".stripMargin)
 }
