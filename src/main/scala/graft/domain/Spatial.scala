@@ -107,6 +107,33 @@ object Spatial {
         ringArea(ring.map(_.toArray).toArray)).apply(col("ring")))
   }
 
+  /** S5 — OSM relation → ring assembly as a distributed ETL step
+    * (extract_neighbourhoods.py:163-296 via [[RingAssembly]]): input is one
+    * row per relation MEMBER (relation id/name/admin_level, member sequence,
+    * role, way geometry); members group-shuffle on relation_id (each relation
+    * is small — the parallelism unit is the relation, so 10⁶ relations scale
+    * linearly), assembly runs per group, unassemblable relations drop out
+    * (reference returns None). Output schema matches [[loadUrbanAreasJsonl]]
+    * so both spatial-join paths run unchanged on assembled geometry. */
+  def assembleRelations(members: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val assemble = udf { (roles: Seq[String], geoms: Seq[Seq[Seq[Double]]]) =>
+      val ms = roles.zip(geoms).map { case (role, g) =>
+        RingAssembly.Member(role, g.map(_.toArray).toArray)
+      }
+      RingAssembly.relationToRing(ms).map(_.map(_.toSeq).toSeq)
+    }
+    members
+      .groupBy(col("area_id"), col("area_name"), col("admin_level"))
+      .agg(sort_array(collect_list(struct(col("seq"), col("role"), col("geometry"))))
+        .as("ms"))
+      .withColumn("ring", assemble(col("ms.role"), col("ms.geometry")))
+      .filter(col("ring").isNotNull)
+      .select(col("area_id"), col("area_name"), col("admin_level"), col("ring"))
+      .withColumn("area", udf((ring: Seq[Seq[Double]]) =>
+        ringArea(ring.map(_.toArray).toArray)).apply(col("ring")))
+  }
+
   /** The 100 TB path (SURVEY §4 custom-work item 2, §7.5): pre-bucket both
     * sides by grid cell and turn the containment join into an EQUI-join.
     * Each polygon is covered ONCE by the cells its bbox touches (cheap,

@@ -78,8 +78,156 @@ object Multimodal {
     extractFeatures(spark, mediaTable(spark, dir))
       .select(col("doc_id"), col("media_type"), col("byte_len"), col("n_frames"), col("format"))
 
+  // ------------------------------------------------ A14 real photo metrics
+
+  /** Raw uncompressed RGB container: [w:int32 BE][h:int32 BE][h rows of
+    * w (r,g,b) byte triplets]. A REAL decode path (no codecs needed), so the
+    * reference's pixel metrics (photo_manager.py:135-238) run on real pixel
+    * data instead of the byte-stat stub. */
+  object RawRgb {
+    def encode(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val out = new Array[Byte](8 + w * h * 3)
+      out(0) = (w >> 24).toByte; out(1) = (w >> 16).toByte
+      out(2) = (w >> 8).toByte; out(3) = w.toByte
+      out(4) = (h >> 24).toByte; out(5) = (h >> 16).toByte
+      out(6) = (h >> 8).toByte; out(7) = h.toByte
+      var i = 8
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pixel(x, y)
+          out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** One pass over the pixels: integer channel sums/sum-of-squares (exact
+      * in Long) + the HSV-S per-pixel sum, combined exactly like PIL's
+      * ImageStat (photo_manager.py:164-196): brightness = mean of channel
+      * means, contrast = mean of channel population stddevs, saturation =
+      * mean S where S = (max-min)*255/max. */
+    def decode(payload: Array[Byte]): PhotoStats = {
+      def i32(o: Int) = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+      val w = i32(0); val h = i32(4)
+      val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var qr = 0L; var qg = 0L; var qb = 0L
+      var ss = 0.0
+      var i = 8
+      var p = 0L
+      while (p < n) {
+        val r = payload(i) & 0xff; val g = payload(i + 1) & 0xff; val b = payload(i + 2) & 0xff
+        sr += r; sg += g; sb += b
+        qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+        val mx = math.max(r, math.max(g, b))
+        val mn = math.min(r, math.min(g, b))
+        if (mx > 0) ss += (mx - mn) * 255.0 / mx
+        i += 3
+        p += 1
+      }
+      val nd = n.toDouble
+      val mr = sr.toDouble / nd; val mg = sg.toDouble / nd; val mb = sb.toDouble / nd
+      def std(q: Long, m: Double) = math.sqrt(q.toDouble / nd - m * m)
+      PhotoStats(w, h,
+        (mr + mg + mb) / 3.0,
+        (std(qr, mr) + std(qg, mg) + std(qb, mb)) / 3.0,
+        ss / nd,
+        payload.length.toLong)
+    }
+  }
+
+  case class PhotoStats(width: Int, height: Int, brightness: Double,
+    contrast: Double, saturation: Double, file_size: Long)
+  case class PhotoRow(photo_id: String, payload: Array[Byte])
+  case class PhotoDecoded(photo_id: String, width: Int, height: Int,
+    brightness: Double, contrast: Double, saturation: Double, file_size: Long)
+
+  /** Synthetic raw-RGB fixtures: horizontal two-band images (rows < split are
+    * color1, rest color2; split = h → solid). Band saturations are multiples
+    * of 0.25 so per-pixel summation is float-exact and the oracle's
+    * closed-form integer statistics agree bit-for-bit. */
+  val photoFixture: Seq[(String, Int, Int, Int, (Int, Int, Int), (Int, Int, Int))] = Seq(
+    ("p1", 800, 600, 600, (120, 90, 60), (0, 0, 0)),   // solid; oversize file
+    ("p2", 400, 300, 150, (200, 200, 200), (40, 40, 40)), // grey bands: S=0
+    ("p3", 160, 90, 90, (255, 0, 0), (0, 0, 0)),       // saturated 16:9, small
+    ("p4", 400, 400, 100, (60, 120, 180), (10, 20, 30))) // square, dark
+
+  /** A14 — photo-quality scoring on decoded pixels (photo_manager.py:135-238):
+    * decode via mapPartitions, then the reference's 6 banded metrics and
+    * weighted total as codegen'd columns. */
+  def mmPhotoQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = photoFixture.map { case (id, w, h, split, c1, c2) =>
+      PhotoRow(id, RawRgb.encode(w, h, (_, y) => if (y < split) c1 else c2))
+    }
+    val decoded = rows.toDS().mapPartitions { it =>
+      it.map { r =>
+        val s = RawRgb.decode(r.payload)
+        PhotoDecoded(r.photo_id, s.width, s.height, s.brightness, s.contrast,
+          s.saturation, s.file_size)
+      }
+    }.toDF()
+
+    val b = col("brightness"); val c = col("contrast"); val s = col("saturation")
+    val pc = (col("width") * col("height")).cast("double")
+    val resScore = when(pc >= 480000.0, least(lit(1.0), pc / 960000.0))
+      .otherwise(pc / 480000.0)
+    val brightScore = when(b >= 80.0 && b <= 180.0, 1.0)
+      .when(b < 80.0, b / 80.0)
+      .otherwise(greatest(lit(0.1), lit(1.0) - (b - 180.0) / 75.0))
+    val contrastScore = when(c >= 20.0 && c <= 60.0, 1.0)
+      .when(c < 20.0, c / 20.0)
+      .otherwise(greatest(lit(0.1), lit(1.0) - (c - 60.0) / 40.0))
+    val satScore = when(s >= 60.0 && s <= 200.0, 1.0)
+      .when(s < 60.0, s / 60.0)
+      .otherwise(greatest(lit(0.3), lit(1.0) - (s - 200.0) / 55.0))
+    val aspect = col("width").cast("double") / col("height").cast("double")
+    val ratios = Seq(16.0 / 9.0, 4.0 / 3.0, 3.0 / 2.0, 1.0)
+    val close = ratios.map(r => abs(aspect - r) < 0.2).reduce(_ || _)
+    val near = ratios.map(r => abs(aspect - r) < 0.5).reduce(_ || _)
+    val compScore = when(close, 1.0).when(near, 0.8).otherwise(0.5)
+    val fs = col("file_size").cast("double")
+    val sizeScore = when(fs >= 50000.0 && fs <= 500000.0, 1.0)
+      .when(fs < 50000.0, fs / 50000.0)
+      .otherwise(greatest(lit(0.3), lit(1.0) - (fs - 500000.0) / 1000000.0))
+    val total = lit(0.25) * resScore + lit(0.20) * brightScore +
+      lit(0.20) * contrastScore + lit(0.15) * satScore +
+      lit(0.10) * compScore + lit(0.10) * sizeScore
+
+    decoded.select(col("photo_id"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      col("file_size"),
+      round(b, 6).as("brightness"),
+      round(c, 6).as("contrast"),
+      round(s, 6).as("saturation"),
+      round(resScore, 6).as("score_resolution"),
+      round(brightScore, 6).as("score_brightness"),
+      round(contrastScore, 6).as("score_contrast"),
+      round(satScore, 6).as("score_saturation"),
+      round(compScore, 6).as("score_composition"),
+      round(sizeScore, 6).as("score_file_size"),
+      round(total, 6).as("total_score"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_photo_quality" -> (mmPhotoQuality _))
+
+  /** Oracle: the same statistics in closed form from the band parameters —
+    * integer channel sums (exact), the identical variance/sqrt expression
+    * shape, and the identical banding/weights. */
+  private def photoValues: String = photoFixture.map {
+    case (id, w, h, split, (r1, g1, b1), (r2, g2, b2)) =>
+      s"('$id', $w, $h, $split, $r1, $g1, $b1, $r2, $g2, $b2)"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS ph(photo_id, w, h, split, r1, g1, b1, r2, g2, b2)"
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -87,5 +235,74 @@ object Multimodal {
         |  CAST(strlen(text) AS BIGINT) AS byte_len,
         |  greatest(CAST(strlen(text) // 1000 AS BIGINT), 1) AS n_frames,
         |  'stub/raw' AS format
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "mm_photo_quality" ->
+      s"""WITH stats AS (
+         |  SELECT photo_id, w, h,
+         |    CAST(8 + w * h * 3 AS BIGINT) AS file_size,
+         |    CAST(w AS DOUBLE) * CAST(h AS DOUBLE) AS n,
+         |    CAST(split AS BIGINT) * w AS n1, CAST(h - split AS BIGINT) * w AS n2,
+         |    r1, g1, b1, r2, g2, b2,
+         |    CASE WHEN greatest(r1, g1, b1) = 0 THEN 0.0
+         |         ELSE (greatest(r1, g1, b1) - least(r1, g1, b1)) * 255.0
+         |              / greatest(r1, g1, b1) END AS s1,
+         |    CASE WHEN greatest(r2, g2, b2) = 0 THEN 0.0
+         |         ELSE (greatest(r2, g2, b2) - least(r2, g2, b2)) * 255.0
+         |              / greatest(r2, g2, b2) END AS s2
+         |  FROM $photoValues),
+         |agg AS (
+         |  SELECT photo_id, w, h, file_size, n,
+         |    CAST(n1 * r1 + n2 * r2 AS DOUBLE) / n AS mr,
+         |    CAST(n1 * g1 + n2 * g2 AS DOUBLE) / n AS mg,
+         |    CAST(n1 * b1 + n2 * b2 AS DOUBLE) / n AS mb,
+         |    CAST(n1 * r1 * r1 + n2 * r2 * r2 AS DOUBLE) / n AS qr,
+         |    CAST(n1 * g1 * g1 + n2 * g2 * g2 AS DOUBLE) / n AS qg,
+         |    CAST(n1 * b1 * b1 + n2 * b2 * b2 AS DOUBLE) / n AS qb,
+         |    (CAST(n1 AS DOUBLE) * s1 + CAST(n2 AS DOUBLE) * s2) / n AS sat
+         |  FROM stats),
+         |m AS (
+         |  SELECT photo_id, w, h, file_size,
+         |    (mr + mg + mb) / 3.0 AS brightness,
+         |    (sqrt(qr - mr * mr) + sqrt(qg - mg * mg) + sqrt(qb - mb * mb)) / 3.0 AS contrast,
+         |    sat AS saturation,
+         |    CAST(w AS DOUBLE) * CAST(h AS DOUBLE) AS pc,
+         |    CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS aspect
+         |  FROM agg),
+         |scored AS (
+         |  SELECT *,
+         |    CASE WHEN pc >= 480000.0 THEN least(1.0, pc / 960000.0)
+         |         ELSE pc / 480000.0 END AS score_resolution,
+         |    CASE WHEN brightness >= 80.0 AND brightness <= 180.0 THEN 1.0
+         |         WHEN brightness < 80.0 THEN brightness / 80.0
+         |         ELSE greatest(0.1, 1.0 - (brightness - 180.0) / 75.0) END AS score_brightness,
+         |    CASE WHEN contrast >= 20.0 AND contrast <= 60.0 THEN 1.0
+         |         WHEN contrast < 20.0 THEN contrast / 20.0
+         |         ELSE greatest(0.1, 1.0 - (contrast - 60.0) / 40.0) END AS score_contrast,
+         |    CASE WHEN saturation >= 60.0 AND saturation <= 200.0 THEN 1.0
+         |         WHEN saturation < 60.0 THEN saturation / 60.0
+         |         ELSE greatest(0.3, 1.0 - (saturation - 200.0) / 55.0) END AS score_saturation,
+         |    CASE WHEN abs(aspect - 16.0/9.0) < 0.2 OR abs(aspect - 4.0/3.0) < 0.2
+         |           OR abs(aspect - 3.0/2.0) < 0.2 OR abs(aspect - 1.0) < 0.2 THEN 1.0
+         |         WHEN abs(aspect - 16.0/9.0) < 0.5 OR abs(aspect - 4.0/3.0) < 0.5
+         |           OR abs(aspect - 3.0/2.0) < 0.5 OR abs(aspect - 1.0) < 0.5 THEN 0.8
+         |         ELSE 0.5 END AS score_composition,
+         |    CASE WHEN file_size >= 50000.0 AND file_size <= 500000.0 THEN 1.0
+         |         WHEN file_size < 50000.0 THEN file_size / 50000.0
+         |         ELSE greatest(0.3, 1.0 - (file_size - 500000.0) / 1000000.0) END AS score_file_size
+         |  FROM m)
+         |SELECT photo_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  file_size,
+         |  CAST(round(brightness, 6) AS DOUBLE) AS brightness,
+         |  CAST(round(contrast, 6) AS DOUBLE) AS contrast,
+         |  CAST(round(saturation, 6) AS DOUBLE) AS saturation,
+         |  CAST(round(score_resolution, 6) AS DOUBLE) AS score_resolution,
+         |  CAST(round(score_brightness, 6) AS DOUBLE) AS score_brightness,
+         |  CAST(round(score_contrast, 6) AS DOUBLE) AS score_contrast,
+         |  CAST(round(score_saturation, 6) AS DOUBLE) AS score_saturation,
+         |  CAST(round(score_composition, 6) AS DOUBLE) AS score_composition,
+         |  CAST(round(score_file_size, 6) AS DOUBLE) AS score_file_size,
+         |  CAST(round(0.25 * score_resolution + 0.20 * score_brightness
+         |    + 0.20 * score_contrast + 0.15 * score_saturation
+         |    + 0.10 * score_composition + 0.10 * score_file_size, 6) AS DOUBLE) AS total_score
+         |FROM scored""".stripMargin)
 }
