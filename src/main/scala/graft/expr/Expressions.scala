@@ -106,6 +106,17 @@ object Expressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Distinct word 3-gram shingles of a text column in one codegen'd pass
+    * (the MinHash/Jaccard shingle set). */
+  case class WordShingles(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VecAlgo.wordShingleData(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$vec.wordShingleData($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** All 4 LSH hyperplane-table signatures of a float vector in one pass
     * (array<int> of length VecAlgo.NumTables). */
   case class LshSignatures(child: Expression) extends UnaryExpression {
@@ -134,6 +145,7 @@ object functions {
   def apex_domain(c: Column): Column = asCol(ApexDomain(expr(c)))
   def cosine_similarity(a: Column, b: Column): Column = asCol(CosineSimilarity(expr(a), expr(b)))
   def lsh_signatures(c: Column): Column = asCol(LshSignatures(expr(c)))
+  def word_shingles(c: Column): Column = asCol(WordShingles(expr(c)))
 
   /** Haversine meters composed from built-in trig (codegen'd end-to-end;
     * matching.py:102-115 semantics, R=6371000). */

@@ -147,6 +147,27 @@ object TextAlgo {
     recurse(0, a.length, 0, b.length)
   }
 
+  /** Distinct word 3-grams of whitespace-tokenized text (the MinHash/Jaccard
+    * shingle set; empty below 3 tokens). Single pass — replaces the
+    * posexplode + window-lead formulation, which forced a shuffle+sort per
+    * document. */
+  def wordShingles(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val t = text.trim
+    if (t.isEmpty) return Array.empty
+    val words = wsRe.split(t)
+    if (words.length < 3) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < words.length) {
+      seen.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
   // ------------------------------------------------------------- stopwords
 
   private val stopwordsKiss = Set("le", "la", "les", "du", "de", "des", "un",

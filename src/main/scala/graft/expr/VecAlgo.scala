@@ -14,6 +14,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object VecAlgo {
 
+  /** ArrayData bridge for [[TextAlgo.wordShingles]] (codegen calls this). */
+  def wordShingleData(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val sh = TextAlgo.wordShingles(if (text == null) null else text.toString)
+    new GenericArrayData(sh.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)))
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double.
     * Mirrors aggregate(zip_with(...)) semantics: pairs beyond the shorter
     * length contribute nothing to the dot product, each norm runs over its

@@ -68,26 +68,37 @@ object TextDedup {
 
   // ------------------------------------------------------ word-3-gram Jaccard
 
-  /** Word 3-grams of the `words` column (empty when fewer than 3 tokens —
-    * sequence(0,-1) would count DOWN in Spark, so guard explicitly). */
-  private def shingles: Column =
-    expr("CASE WHEN size(words) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
-      "ELSE transform(sequence(0, size(words) - 3), i -> concat_ws(' ', words[i], words[i+1], words[i+2])) END")
+  /** Distinct shingle ROWS per doc via the codegen'd WordShingles expression
+    * — one pass per document, no shuffle (replaces both the interpreted-HOF
+    * array form and the posexplode + window-lead form). */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(graft.expr.functions.word_shingles(col("text"))).as("s"))
 
   /** Word-3-gram (shingle) Jaccard pairs within (lang, source) blocks with
-    * threshold — the classical near-dup measure MinHash approximates. */
+    * threshold — the classical near-dup measure MinHash approximates.
+    *
+    * Pairs come from an EQUI-JOIN on the shingle itself: |A∩B| is a count of
+    * matching shingle rows, |A∪B| = n_a + n_b − |A∩B|. Pairs sharing no
+    * shingle (jac = 0 < threshold) never materialize — unlike the former
+    * all-pairs array_intersect, which evaluated every same-block pair. At
+    * 100 TB the shuffle key is (lang, source, shingle): sparse, skew-safe
+    * after the distinct, and linear in matching rows. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("words", split(trim(col("text")), "\\s+"))
-      .withColumn("sh", array_distinct(shingles))
-      .select(col("doc_id"), col("lang"), col("source"), col("sh"))
-    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
+    val sh = shingleRows(spark, dir)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("s"))
+    val b = sh.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("s"))
+    val inter = a.join(b, Seq("lang", "source", "s"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .groupBy(col("lang"), col("source"), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(n.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(n.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jac") >= 0.2)
       .select(col("lang"), col("source"), col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }
@@ -107,24 +118,15 @@ object TextDedup {
     * lambdas (transform/aggregate) are interpreted in Spark and measured ~10×
     * slower on this path. */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = 2147483647L
 
-    // shingles as ROWS, not arrays: posexplode words → window lead(1)/lead(2)
-    // → distinct (doc_id, shingle). Fully codegen'd — the array/HOF
-    // formulation spends ~9 s interpreted on this step alone at sf0.1.
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
-      .withColumnRenamed("col", "w")
-    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shingleRows = words
-      .withColumn("w1", lead(col("w"), 1).over(wWin))
-      .withColumn("w2", lead(col("w"), 2).over(wWin))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
-      .dropDuplicates("doc_id", "s")
+    // shingles as ROWS from the codegen'd WordShingles expression (already
+    // distinct per doc) — one pass per document, no shuffle; the previous
+    // posexplode + window-lead form paid a shuffle+sort per doc, and the
+    // array/HOF form before it ~9 s of interpreted eval at sf0.1
+    val shingles = shingleRows(spark, dir).select(col("doc_id"), col("s"))
 
-    val nSh = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val nSh = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     // 32 codegen'd min-aggregates over the exploded shingle hashes
     val sigAggs = (0 until NumHashes).map { i =>
@@ -132,7 +134,7 @@ object TextDedup {
       val b = (12345L + 2654435761L * i) % p
       min(expr(s"($a * h + $b) % $p")).as(s"sig_$i")
     }
-    val sigs = shingleRows
+    val sigs = shingles
       .withColumn("h", expr(s"abs(cast(hash(s) as bigint)) % $p"))
       .groupBy(col("doc_id"))
       .agg(sigAggs.head, sigAggs.tail: _*)
@@ -155,9 +157,9 @@ object TextDedup {
     // candidate docs), |A∪B| = n_a + n_b − |A∩B|
     val candDocsA = pairIds.select(col("id_a").as("doc_id")).distinct()
     val candDocsB = pairIds.select(col("id_b").as("doc_id")).distinct()
-    val shA = shingleRows.join(candDocsA, Seq("doc_id"), "left_semi")
+    val shA = shingles.join(candDocsA, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("id_a"), col("s"))
-    val shB = shingleRows.join(candDocsB, Seq("doc_id"), "left_semi")
+    val shB = shingles.join(candDocsB, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("id_b"), col("s"))
     val inter = pairIds
       .join(shA, Seq("id_a"))
