@@ -191,8 +191,48 @@ object Classify {
   def qCityP95(spark: SparkSession, dir: String): DataFrame =
     cityP95Normalizer(Fixtures.poiDf(spark), Fixtures.snapshotsDf(spark), Fixtures.asOf)
 
+  // ---------------------------------------------------- P9 rescoring filter
+
+  /** (id, city, updated_at, last_scored_at) — covers: never scored (nulls
+    * first), scored <24h ago (skip), stale update + scored (excluded by the
+    * disjunctive filter), stale update + never scored (kept). */
+  val rescoringPois: Seq[(String, String, String, Option[String])] = Seq(
+    ("r1", "paris", "2025-05-30 00:00:00", None),
+    ("r2", "paris", "2025-05-29 00:00:00", Some("2025-05-31 12:00:00")),
+    ("r3", "paris", "2025-05-28 00:00:00", Some("2025-05-20 00:00:00")),
+    ("r4", "paris", "2025-04-01 00:00:00", Some("2025-05-10 00:00:00")),
+    ("r5", "paris", "2025-04-01 00:00:00", None),
+    ("r6", "paris", "2025-05-31 00:00:00", Some("2025-05-25 06:00:00")))
+
+  /** P9 — rescoring candidate selection (intelligent_classifier.py:465-476
+    * disjunctive filter + ordering, :376-387 24 h skip): updated ≤7 d OR never
+    * scored, minus rows scored within 24 h; ordered last_scored_at ASC NULLS
+    * FIRST then updated_at DESC, with the rank in the output so the ordering
+    * is part of the hash check. */
+  def qRescoringFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val asOfTs = to_timestamp(lit(Fixtures.asOf))
+    val pois = rescoringPois.toDF("id", "city", "updated_at", "last_scored_at")
+      .withColumn("updated_at", to_timestamp(col("updated_at")))
+      .withColumn("last_scored_at", to_timestamp(col("last_scored_at")))
+    val w = Window.orderBy(col("last_scored_at").asc_nulls_first,
+      col("updated_at").desc, col("id").asc)
+    pois
+      .filter(col("updated_at") >= asOfTs - expr("INTERVAL 7 DAYS") ||
+        col("last_scored_at").isNull)
+      .filter(col("last_scored_at").isNull ||
+        col("last_scored_at") < asOfTs - expr("INTERVAL 24 HOURS"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("id"), col("city"),
+        date_format(col("updated_at"), "yyyy-MM-dd").as("updated_date"),
+        date_format(col("last_scored_at"), "yyyy-MM-dd").as("last_scored_date"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a3_city_p95_normalizer" -> (qCityP95 _),
+    "p9_rescoring_filter" -> (qRescoringFilter _),
     "classify_scores" -> (qClassifyScores _),
     "classify_city_stats" -> (qClassifyCityStats _),
     "classify_transitions" -> (qClassifyTransitions _))
@@ -307,7 +347,25 @@ object Classify {
        |FROM final""".stripMargin
   }
 
+  private def rescoringValues: String = rescoringPois.map { case (id, city, up, ls) =>
+    val lss = ls.map(v => s"TIMESTAMP '$v'").getOrElse("CAST(NULL AS TIMESTAMP)")
+    s"('$id', '$city', TIMESTAMP '$up', $lss)"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS rp(id, city, updated_at, last_scored_at)"
+
   val oracles: Map[String, String] = Map(
+    "p9_rescoring_filter" -> {
+      val asOf = s"TIMESTAMP '${Fixtures.asOf}'"
+      s"""SELECT CAST(row_number() OVER (ORDER BY last_scored_at ASC NULLS FIRST,
+         |    updated_at DESC, id ASC) AS BIGINT) AS rnk,
+         |  id, city,
+         |  strftime(updated_at, '%Y-%m-%d') AS updated_date,
+         |  strftime(last_scored_at, '%Y-%m-%d') AS last_scored_date
+         |FROM $rescoringValues
+         |WHERE (updated_at >= $asOf - INTERVAL 7 DAY OR last_scored_at IS NULL)
+         |  AND (last_scored_at IS NULL OR last_scored_at < $asOf - INTERVAL 24 HOUR)
+         |ORDER BY rnk LIMIT 10""".stripMargin
+    },
     "a3_city_p95_normalizer" -> {
       val asOf = s"TIMESTAMP '${Fixtures.asOf}'"
       s"""SELECT city,

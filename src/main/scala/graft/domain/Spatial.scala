@@ -70,13 +70,11 @@ object Spatial {
     spatialPois.toDF("poi_id", "lat", "lng")
   }
 
-  /** General polygon containment: broadcast areas with ring arrays, ray-cast
-    * UDF filter, smallest-area-first window per admin level. */
+  /** General polygon containment: broadcast areas with ring arrays, codegen'd
+    * ray-cast filter, smallest-area-first window per admin level. */
   def assign(pois: DataFrame, areas: DataFrame, spark: SparkSession): DataFrame = {
-    val pip = udf { (lng: Double, lat: Double, ring: Seq[Seq[Double]]) =>
-      TextAlgo.pointInRing(lng, lat, ring.map(_.toArray).toArray)
-    }
-    val contained = pois.join(broadcast(areas), pip(col("lng"), col("lat"), col("ring")))
+    val contained = pois.join(broadcast(areas),
+      graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring")))
     val w = Window.partitionBy(col("poi_id"), col("admin_level"))
       .orderBy(col("area").asc, col("area_id").asc)
     val best = contained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -151,16 +149,11 @@ object Spatial {
       val lngs = ring.map(_(0)); val lats = ring.map(_(1))
       graft.expr.CellGrid.bboxCover(lats.min, lats.max, lngs.min, lngs.max, res)
     }
-    val cellUdf = udf { (lat: Double, lng: Double) =>
-      graft.expr.CellGrid.latLngToCell(lat, lng, res)
-    }
-    val pip = udf { (lng: Double, lat: Double, ring: Seq[Seq[Double]]) =>
-      TextAlgo.pointInRing(lng, lat, ring.map(_.toArray).toArray)
-    }
     val cover = areas.withColumn("cell", explode(coverUdf(col("ring"))))
-    val keyed = pois.withColumn("cell", cellUdf(col("lat"), col("lng")))
+    val keyed = pois.withColumn("cell",
+      graft.expr.functions.cell_of(col("lat"), col("lng"), lit(res)))
     val contained = keyed.join(cover, Seq("cell")) // EQUI join on cell id
-      .filter(pip(col("lng"), col("lat"), col("ring")))
+      .filter(graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring")))
     val w = Window.partitionBy(col("poi_id"), col("admin_level"))
       .orderBy(col("area").asc, col("area_id").asc)
     val best = contained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

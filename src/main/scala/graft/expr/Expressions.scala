@@ -1,10 +1,10 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions (SURVEY.md §2.10): null-safe, codegen-capable
@@ -106,6 +106,43 @@ object Expressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Ray-cast containment of (lng, lat) in a ring column (J1 hot filter;
+    * replaces the boxing Scala-closure UDF). */
+  case class PointInRing(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(lng: Any, lat: Any, ring: Any): Any =
+      VecAlgo.pointInRing(lng.asInstanceOf[Double], lat.asInstanceOf[Double],
+        ring.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"$vec.pointInRing($a, $b, $c)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+      copy(a, b, c)
+  }
+
+  /** Hex cell id of (lat, lng) at a fixed resolution (spatial bucketing key). */
+  case class CellOf(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(lat: Any, lng: Any, res: Any): Any =
+      VecAlgo.latLngCell(lat.asInstanceOf[Double], lng.asInstanceOf[Double],
+        res.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"$vec.latLngCell($a, $b, $c)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+      copy(a, b, c)
+  }
+
+  /** The 7 aperture-7 children of a hex cell id. */
+  case class CellChildren(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VecAlgo.cellChildrenData(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$vec.cellChildrenData($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** Distinct word 3-gram shingles of a text column in one codegen'd pass
     * (the MinHash/Jaccard shingle set). */
   case class WordShingles(child: Expression) extends UnaryExpression {
@@ -146,6 +183,11 @@ object functions {
   def cosine_similarity(a: Column, b: Column): Column = asCol(CosineSimilarity(expr(a), expr(b)))
   def lsh_signatures(c: Column): Column = asCol(LshSignatures(expr(c)))
   def word_shingles(c: Column): Column = asCol(WordShingles(expr(c)))
+  def point_in_ring(lng: Column, lat: Column, ring: Column): Column =
+    asCol(PointInRing(expr(lng), expr(lat), expr(ring)))
+  def cell_of(lat: Column, lng: Column, res: Column): Column =
+    asCol(CellOf(expr(lat), expr(lng), expr(res)))
+  def cell_children(c: Column): Column = asCol(CellChildren(expr(c)))
 
   /** Haversine meters composed from built-in trig (codegen'd end-to-end;
     * matching.py:102-115 semantics, R=6371000). */

@@ -14,6 +14,34 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object VecAlgo {
 
+  /** Ray-cast point-in-ring directly over Catalyst ArrayData (same algorithm
+    * as [[TextAlgo.pointInRing]] without materializing Scala arrays). */
+  def pointInRing(lng: Double, lat: Double, ring: ArrayData): Boolean = {
+    val n = ring.numElements()
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val pi = ring.getArray(i)
+      val pj = ring.getArray(j)
+      val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+      val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+      if (((yi > lat) != (yj > lat)) &&
+          (lng < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** UTF8String bridges for the hex grid (codegen calls these). */
+  def latLngCell(lat: Double, lng: Double, res: Int): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(CellGrid.latLngToCell(lat, lng, res))
+
+  def cellChildrenData(cell: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    new GenericArrayData(CellGrid.cellToChildren(cell.toString)
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString(_)))
+
   /** ArrayData bridge for [[TextAlgo.wordShingles]] (codegen calls this). */
   def wordShingleData(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val sh = TextAlgo.wordShingles(if (text == null) null else text.toString)

@@ -84,10 +84,10 @@ object CellFsm {
         .otherwise(col("total_results")).as("results_last"),
       when(col("total_results").isNull, col("attempts"))
         .otherwise(col("attempts") + 1).as("attempts"))
-    // children of split cells: pure index math via the grid UDF
-    val childrenUdf = udf((h3: String) => CellGrid.cellToChildren(h3))
+    // children of split cells: pure index math via the codegen'd expression
     val children = joined.filter(splits)
-      .select(explode(childrenUdf(col("h3"))).as("h3"), (col("res") + 1).as("res"))
+      .select(explode(graft.expr.functions.cell_children(col("h3"))).as("h3"),
+        (col("res") + 1).as("res"))
       .select(col("h3"), col("res"), lit("pending").as("status"), lit(false).as("saturated"),
         lit(null).cast("timestamp").as("last_scanned_at"),
         lit(null).cast("timestamp").as("next_due_at"),
