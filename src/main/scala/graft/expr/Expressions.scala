@@ -214,5 +214,9 @@ object functions {
     reg.createOrReplaceTempFunction("apex_domain", es => ApexDomain(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_signatures", es => LshSignatures(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("cell_of", es => CellOf(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("cell_children", es => CellChildren(es.head), "scala_udf")
   }
 }
