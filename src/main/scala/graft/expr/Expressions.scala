@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions (SURVEY.md §2.10): null-safe, codegen-capable
@@ -143,6 +143,17 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** 64-bit SimHash of a text column in one codegen'd pass (xxhash64 token
+    * hashes; bit-identical to the explode + 64-vote-agg form it replaces). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      VecAlgo.simHash64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$vec.simHash64($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** Distinct word 3-gram shingles of a text column in one codegen'd pass
     * (the MinHash/Jaccard shingle set). */
   case class WordShingles(child: Expression) extends UnaryExpression {
@@ -183,6 +194,7 @@ object functions {
   def cosine_similarity(a: Column, b: Column): Column = asCol(CosineSimilarity(expr(a), expr(b)))
   def lsh_signatures(c: Column): Column = asCol(LshSignatures(expr(c)))
   def word_shingles(c: Column): Column = asCol(WordShingles(expr(c)))
+  def simhash64(c: Column): Column = asCol(SimHash64(expr(c)))
   def point_in_ring(lng: Column, lat: Column, ring: Column): Column =
     asCol(PointInRing(expr(lng), expr(lat), expr(ring)))
   def cell_of(lat: Column, lng: Column, res: Column): Column =
@@ -215,6 +227,7 @@ object functions {
     reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_signatures", es => LshSignatures(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("cell_of", es => CellOf(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("cell_children", es => CellChildren(es.head), "scala_udf")

@@ -147,6 +147,11 @@ object TextAlgo {
     recurse(0, a.length, 0, b.length)
   }
 
+  /** Whitespace tokens with Spark `split(trim(text), '\s+')` semantics:
+    * empty/blank input yields one empty token (String.split behavior). */
+  def simHashTokens(text: String): Array[String] =
+    wsRe.split(if (text == null) "" else text.trim)
+
   /** Distinct word 3-grams of whitespace-tokenized text (the MinHash/Jaccard
     * shingle set; empty below 3 tokens). Single pass — replaces the
     * posexplode + window-lead formulation, which forced a shuffle+sort per

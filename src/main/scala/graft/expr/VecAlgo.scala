@@ -42,6 +42,34 @@ object VecAlgo {
     new GenericArrayData(CellGrid.cellToChildren(cell.toString)
       .map(org.apache.spark.unsafe.types.UTF8String.fromString(_)))
 
+  /** 64-bit SimHash of whitespace-tokenized text in ONE pass — replaces the
+    * explode + 64-conditional-sum aggregation (a full shuffle per corpus).
+    * Token hash is Spark's own xxhash64 (XXH64, seed 42), and `"".split`
+    * yields a single empty token exactly like `split(trim(text), '\\s+')` —
+    * results are bit-identical to the aggregated form (VecAlgoSpec). */
+  def simHash64(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val words = TextAlgo.simHashTokens(text.toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(words(i)), 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sim |= 1L << bit
+      bit += 1
+    }
+    sim
+  }
+
   /** ArrayData bridge for [[TextAlgo.wordShingles]] (codegen calls this). */
   def wordShingleData(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val sh = TextAlgo.wordShingles(if (text == null) null else text.toString)

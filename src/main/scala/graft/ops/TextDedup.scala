@@ -182,22 +182,14 @@ object TextDedup {
   // ----------------------------------------------------------------- SimHash
 
   /** SimHash near-dup candidates: 4×16-bit band buckets → hamming ≤ 3 verify.
-    * Same explode-and-aggregate shape as MinHash: 64 codegen'd conditional
-    * sums over exploded token hashes, then the sign bits assemble the hash. */
+    * The 64-bit hash is ONE codegen'd expression pass per document
+    * ([[graft.expr.VecAlgo.simHash64]], Spark's own xxhash64 per token) —
+    * bit-identical to the explode + 64-conditional-sum aggregation it
+    * replaces, without that form's full-corpus shuffle. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val voteAggs = (0 until 64).map { bit =>
-      sum(expr(s"CASE WHEN shiftright(h, $bit) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v_$bit")
-    }
-    val assemble = (0 until 64).map { bit =>
-      expr(s"CASE WHEN v_$bit > 0 THEN shiftleft(CAST(1 AS BIGINT), $bit) ELSE CAST(0 AS BIGINT) END")
-    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .withColumn("h", expr("xxhash64(w)"))
-      .groupBy(col("doc_id"))
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .withColumn("sim", assemble)
-      .select(col("doc_id"), col("sim"))
+      .select(col("doc_id"), graft.expr.functions.simhash64(col("text")).as("sim"))
+      .filter(col("sim").isNotNull)
     val banded = docs.select(col("doc_id"), col("sim"),
       explode(expr("transform(sequence(0, 3), b -> concat_ws(':', b, shiftright(sim, b * 16) & 65535))"))
         .as("band_key"))

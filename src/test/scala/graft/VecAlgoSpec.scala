@@ -62,6 +62,35 @@ class VecAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("simHash64 is bit-identical to the explode + 64-vote-agg formulation") {
+    val spark = Sessions.local(2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with other words entirely"),
+      (4L, "single"),
+      (5L, ""),
+      (6L, "   "))
+    val df = texts.toDF("doc_id", "text")
+    val voteAggs = (0 until 64).map { bit =>
+      sum(expr(s"CASE WHEN shiftright(h, $bit) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v_$bit")
+    }
+    val assemble = (0 until 64).map { bit =>
+      expr(s"CASE WHEN v_$bit > 0 THEN shiftleft(CAST(1 AS BIGINT), $bit) ELSE CAST(0 AS BIGINT) END")
+    }.reduce(_ bitwiseOR _)
+    val old = df.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .withColumn("h", expr("xxhash64(w)"))
+      .groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+      .withColumn("sim", assemble)
+      .select(col("doc_id"), col("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val neu = df.select(col("doc_id"), graft.expr.functions.simhash64(col("text")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(neu == old)
+  }
+
   test("wordShingles: distinct 3-grams, empty below 3 tokens") {
     assert(TextAlgo.wordShingles("a b c d").toSeq == Seq("a b c", "b c d"))
     assert(TextAlgo.wordShingles("x y x y x y").toSeq == Seq("x y x", "y x y"))
