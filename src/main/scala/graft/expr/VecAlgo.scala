@@ -42,6 +42,24 @@ object VecAlgo {
     new GenericArrayData(CellGrid.cellToChildren(cell.toString)
       .map(org.apache.spark.unsafe.types.UTF8String.fromString(_)))
 
+  /** ASCII character-set bitmasks (codepoints 0–63 → [0], 64–127 → [1]) in
+    * one pass — replaces the interpreted aggregate/transform HOF chain.
+    * Same semantics as OR-ing `ascii(c)` over split characters: codepoints
+    * ≥128 are ignored. */
+  def asciiMasks(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    var lo = 0L
+    var hi = 0L
+    val s = text.toString
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 64) lo |= 1L << cp
+      else if (cp < 128) hi |= 1L << (cp - 64)
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
+
   /** 64-bit SimHash of whitespace-tokenized text in ONE pass — replaces the
     * explode + 64-conditional-sum aggregation (a full shuffle per corpus).
     * Token hash is Spark's own xxhash64 (XXH64, seed 42), and `"".split`

@@ -46,13 +46,10 @@ object TextDedup {
     * intersects shuffling through the pair join. ~25× faster than the
     * array_intersect formulation at sf0.1. */
   def ddJaccardChars(spark: SparkSession, dir: String): DataFrame = {
-    val maskLo = expr("aggregate(transform(array_distinct(split(text, '')), c -> ascii(c)), " +
-      "CAST(0 AS BIGINT), (acc, a) -> CASE WHEN a < 64 THEN acc | shiftleft(CAST(1 AS BIGINT), a) ELSE acc END)")
-    val maskHi = expr("aggregate(transform(array_distinct(split(text, '')), c -> ascii(c)), " +
-      "CAST(0 AS BIGINT), (acc, a) -> CASE WHEN a >= 64 AND a < 128 THEN acc | shiftleft(CAST(1 AS BIGINT), a - 64) ELSE acc END)")
     val docs = Tables.documents(spark, dir)
+      .withColumn("masks", graft.expr.functions.ascii_masks(col("text")))
       .select(col("doc_id"), col("lang"), col("source"),
-        maskLo.as("m_lo"), maskHi.as("m_hi"))
+        col("masks").getItem(0).as("m_lo"), col("masks").getItem(1).as("m_hi"))
     val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("source"),
       col("m_lo").as("a_lo"), col("m_hi").as("a_hi"))
     val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("source"),
