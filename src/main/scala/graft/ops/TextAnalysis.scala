@@ -97,11 +97,64 @@ object TextAnalysis {
         md5(col("text").cast("binary")).as("exact_fp"),
         md5(concat_ws(" ", array_sort(array_distinct(col("words")))).cast("binary")).as("bag_fp"))
 
+  /** Composed corpus-cleaning pipeline (the C4-style filter chain of a
+    * pretraining pipeline): exact-dup survivor selection → length gates →
+    * quality gate → language gate, with a first-match drop reason per doc.
+    * ONE scan: every signal (fingerprint window, token count, quality
+    * composite, lang argmax) is a column over the same pass, and the only
+    * shuffle is the dup-survivor window keyed by content hash. */
+  def tcCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "of", "and")
+      .map(w => s"'$w'").mkString("array(", ", ", ")")
+    val langs = markers.keys.toSeq.sorted
+    val base = Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_chars_actual", length(trim(col("text"))).cast("long"))
+      .withColumn("mean_word_len",
+        round((col("n_chars_actual") - (col("n_words") - 1)).cast("double") / col("n_words"), 6))
+      .withColumn("stopword_ratio",
+        round(expr(s"size(filter(words, w -> array_contains($stop, w)))").cast("double")
+          / col("n_words"), 6))
+      .withColumn("quality_score",
+        round(least(
+          when(col("n_words") >= 10, 0.4).otherwise(col("n_words").cast("double") * 0.04)
+            + when(col("mean_word_len").between(3.0, 8.0), 0.3).otherwise(0.0)
+            + when(col("stopword_ratio").between(0.05, 0.5), 0.3).otherwise(0.0),
+          lit(1.0)), 6))
+      .withColumn("exact_fp", md5(col("text").cast("binary")))
+    val withScores = langs.foldLeft(base) { (df, l) =>
+      df.withColumn(s"score_$l", markerCount(col("words"), l).cast("long"))
+    }
+    val best = langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"score_$l").as("s"), lit(langs.size - i).as("inv"), lit(l).as("l"))
+    }
+    val winner = greatest(best: _*)
+    val w = Window.partitionBy(col("exact_fp")).orderBy(col("doc_id").asc)
+    val decided = withScores
+      .withColumn("predicted_lang",
+        when(winner.getField("s") > 0, winner.getField("l")).otherwise("und"))
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("drop_reason",
+        when(col("dup_rank") > 1, "exact_dup")
+          .when(col("n_words") < 25, "too_short")
+          .when(col("n_words") > 90, "too_long")
+          .when(col("quality_score") < 0.7, "low_quality")
+          .when(col("predicted_lang") === "und", "unknown_lang")
+          .otherwise(""))
+    decided.select(col("doc_id"),
+      (col("drop_reason") === "").as("keep"),
+      col("drop_reason"),
+      col("n_words"), col("quality_score"), col("predicted_lang"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "ta_lang_id" -> (taLangId _),
     "ta_quality_score" -> (taQualityScore _),
     "ta_token_count" -> (taTokenCount _),
-    "ta_fingerprint" -> (taFingerprint _))
+    "ta_fingerprint" -> (taFingerprint _),
+    "tc_clean_corpus" -> (tcCleanCorpus _))
 
   private def markerSql(lang: String): String =
     markers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -147,6 +200,44 @@ object TextAnalysis {
       "ta_fingerprint" ->
         """SELECT doc_id, md5(text) AS exact_fp,
           |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS bag_fp
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+      "tc_clean_corpus" ->
+        s"""WITH sig AS (
+           |  SELECT doc_id,
+           |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+           |    length(trim(text)) AS n_chars_actual,
+           |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop,
+           |    md5(text) AS exact_fp,
+           |    $scoreCols
+           |  FROM documents),
+           |q AS (
+           |  SELECT *,
+           |    CAST(round(least(
+           |      (CASE WHEN n_words >= 10 THEN 0.4 ELSE n_words * 0.04 END)
+           |      + (CASE WHEN round((n_chars_actual - (n_words - 1)) * 1.0 / n_words, 6)
+           |              BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+           |      + (CASE WHEN round(n_stop * 1.0 / n_words, 6)
+           |              BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END),
+           |      1.0), 6) AS DOUBLE) AS quality_score,
+           |    greatest(${langs.map(l => s"score_$l").mkString(", ")}) AS best,
+           |    row_number() OVER (PARTITION BY exact_fp ORDER BY doc_id ASC) AS dup_rank
+           |  FROM sig),
+           |decided AS (
+           |  SELECT *,
+           |    CASE WHEN best > 0 THEN (CASE $caseArg END) ELSE 'und' END AS predicted_lang
+           |  FROM q),
+           |reasons AS (
+           |  SELECT *,
+           |    CASE WHEN dup_rank > 1 THEN 'exact_dup'
+           |         WHEN n_words < 25 THEN 'too_short'
+           |         WHEN n_words > 90 THEN 'too_long'
+           |         WHEN quality_score < 0.7 THEN 'low_quality'
+           |         WHEN predicted_lang = 'und' THEN 'unknown_lang'
+           |         ELSE '' END AS drop_reason
+           |  FROM decided)
+           |SELECT doc_id, drop_reason = '' AS keep, drop_reason,
+           |  CAST(n_words AS BIGINT) AS n_words, quality_score, predicted_lang
+           |FROM reasons""".stripMargin)
   }
 }
