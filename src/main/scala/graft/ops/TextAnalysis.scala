@@ -149,12 +149,36 @@ object TextAnalysis {
       col("n_words"), col("quality_score"), col("predicted_lang"))
   }
 
+  /** Per-language sampling rates (percent) for the corpus mix — the
+    * downsample-high-resource shape of a pretraining data mix. */
+  val mixRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "fr" -> 80, "de" -> 80, "es" -> 80, "zh" -> 100)
+
+  /** Deterministic corpus mixing (training-data mandate): each document gets
+    * a reproducible 0–99 coin from its content-independent id hash (md5 —
+    * engine-portable), and is kept iff coin < its language's rate. Hash-based
+    * coins decorrelate the sample from id ordering and survive repartitioning
+    * — the property that makes a 100 TB mix reproducible run-to-run. */
+  def tcSampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val rate = mixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    val hex = md5(col("doc_id").cast("string").cast("binary"))
+    val coin = (ascii(substring(hex, 1, 1)) * 256 + ascii(substring(hex, 2, 1))) % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        coin.cast("long").as("coin"),
+        rate.cast("long").as("rate"),
+        (coin < rate).as("sampled"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "ta_lang_id" -> (taLangId _),
     "ta_quality_score" -> (taQualityScore _),
     "ta_token_count" -> (taTokenCount _),
     "ta_fingerprint" -> (taFingerprint _),
-    "tc_clean_corpus" -> (tcCleanCorpus _))
+    "tc_clean_corpus" -> (tcCleanCorpus _),
+    "tc_sample_mix" -> (tcSampleMix _))
 
   private def markerSql(lang: String): String =
     markers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -238,6 +262,18 @@ object TextAnalysis {
            |  FROM decided)
            |SELECT doc_id, drop_reason = '' AS keep, drop_reason,
            |  CAST(n_words AS BIGINT) AS n_words, quality_score, predicted_lang
-           |FROM reasons""".stripMargin)
+           |FROM reasons""".stripMargin,
+      "tc_sample_mix" -> {
+        val rateSql = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"""SELECT doc_id, lang,
+           |  CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+           |    + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS BIGINT) AS coin,
+           |  CAST(($rateSql) AS BIGINT) AS rate,
+           |  (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+           |    + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+           |    < ($rateSql) AS sampled
+           |FROM documents""".stripMargin
+      })
   }
 }
