@@ -154,6 +154,17 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** All 32 MinHash signature values of a text column in one codegen'd pass
+    * (array<bigint>; empty when the doc has no shingles). */
+  case class MinHashSigs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VecAlgo.minHashSigs(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$vec.minHashSigs($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** 64-bit SimHash of a text column in one codegen'd pass (xxhash64 token
     * hashes; bit-identical to the explode + 64-vote-agg form it replaces). */
   case class SimHash64(child: Expression) extends UnaryExpression {
@@ -207,6 +218,7 @@ object functions {
   def word_shingles(c: Column): Column = asCol(WordShingles(expr(c)))
   def simhash64(c: Column): Column = asCol(SimHash64(expr(c)))
   def ascii_masks(c: Column): Column = asCol(AsciiMasks(expr(c)))
+  def minhash_sigs(c: Column): Column = asCol(MinHashSigs(expr(c)))
   def point_in_ring(lng: Column, lat: Column, ring: Column): Column =
     asCol(PointInRing(expr(lng), expr(lat), expr(ring)))
   def cell_of(lat: Column, lng: Column, res: Column): Column =

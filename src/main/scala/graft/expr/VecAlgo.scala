@@ -60,6 +60,39 @@ object VecAlgo {
     new GenericArrayData(Array(lo, hi))
   }
 
+  /** MinHash parameters — must stay in sync with TextDedup (8 bands × 4). */
+  val MinHashP = 2147483647L
+  val NumMinHashes = 32
+  private val mhA = Array.tabulate(NumMinHashes)(i => 1103515245L * (i + 1) % MinHashP)
+  private val mhB = Array.tabulate(NumMinHashes)(i => (12345L + 2654435761L * i) % MinHashP)
+
+  /** All 32 MinHash signature values of a document in ONE pass over its
+    * shingle set — replaces the explode + 32-min-aggregate shuffle. The
+    * shingle hash replicates `abs(cast(hash(s) as bigint)) % p` exactly
+    * (Spark's Murmur3, seed 42); EMPTY array when the document has no
+    * shingles (mirrors the aggregated form, where such docs produce no row —
+    * callers filter on size; an empty array keeps codegen null-free). */
+  def minHashSigs(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val shingles = TextAlgo.wordShingles(text.toString)
+    if (shingles.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val mins = Array.fill(NumMinHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(shingles(i))
+      val h32 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes(), 42)
+      val h = math.abs(h32.toLong) % MinHashP
+      var k = 0
+      while (k < NumMinHashes) {
+        val v = (mhA(k) * h + mhB(k)) % MinHashP
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** 64-bit SimHash of whitespace-tokenized text in ONE pass — replaces the
     * explode + 64-conditional-sum aggregation (a full shuffle per corpus).
     * Token hash is Spark's own xxhash64 (XXH64, seed 42), and `"".split`

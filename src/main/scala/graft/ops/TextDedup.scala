@@ -115,30 +115,23 @@ object TextDedup {
     * lambdas (transform/aggregate) are interpreted in Spark and measured ~10×
     * slower on this path. */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val p = 2147483647L
-
-    // shingles as ROWS from the codegen'd WordShingles expression (already
-    // distinct per doc) — one pass per document, no shuffle; the previous
-    // posexplode + window-lead form paid a shuffle+sort per doc, and the
-    // array/HOF form before it ~9 s of interpreted eval at sf0.1
+    // shingles as ROWS (codegen'd WordShingles) feed the exact verification;
+    // the 32-wide signature comes from ONE codegen'd pass per document
+    // (MinHashSigs) — no signature shuffle at all. Round 1 aggregated 32
+    // mins over exploded shingle hashes (a full-corpus shuffle), and the
+    // array/HOF form before that spent ~9 s interpreted at sf0.1.
     val shingles = shingleRows(spark, dir).select(col("doc_id"), col("s"))
 
     val nSh = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
-    // 32 codegen'd min-aggregates over the exploded shingle hashes
-    val sigAggs = (0 until NumHashes).map { i =>
-      val a = 1103515245L * (i + 1) % p
-      val b = (12345L + 2654435761L * i) % p
-      min(expr(s"($a * h + $b) % $p")).as(s"sig_$i")
-    }
-    val sigs = shingles
-      .withColumn("h", expr(s"abs(cast(hash(s) as bigint)) % $p"))
-      .groupBy(col("doc_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.expr.functions.minhash_sigs(col("text")).as("sigs"))
+      .filter(size(col("sigs")) > 0)
 
     val rowsPerBand = NumHashes / Bands
     val bandKeys = (0 until Bands).map { bnd =>
-      concat_ws(":", lit(bnd) +: (0 until rowsPerBand).map(r => col(s"sig_${bnd * rowsPerBand + r}")): _*)
+      concat_ws(":", lit(bnd) +:
+        (0 until rowsPerBand).map(r => col("sigs").getItem(bnd * rowsPerBand + r)): _*)
     }
     // slim banded relation: only (doc_id, band_key) flows through the self-join
     val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))

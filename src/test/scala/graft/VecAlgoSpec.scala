@@ -91,6 +91,35 @@ class VecAlgoSpec extends AnyFunSuite {
     assert(neu == old)
   }
 
+  test("minHashSigs is identical to the explode + 32-min-agg formulation") {
+    val spark = Sessions.local(2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = 2147483647L
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma alpha beta gamma alpha beta"),
+      (4L, "too short"))
+    val df = texts.toDF("doc_id", "text")
+    val sigAggs = (0 until 32).map { i =>
+      val a = 1103515245L * (i + 1) % p
+      val b = (12345L + 2654435761L * i) % p
+      min(expr(s"($a * h + $b) % $p")).as(s"sig_$i")
+    }
+    val old = df
+      .select(col("doc_id"), explode(graft.expr.functions.word_shingles(col("text"))).as("s"))
+      .withColumn("h", expr(s"abs(cast(hash(s) as bigint)) % $p"))
+      .groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(i => r.getLong(i)).toSeq).toMap
+    val neu = df
+      .select(col("doc_id"), graft.expr.functions.minhash_sigs(col("text")).as("sigs"))
+      .filter(size(col("sigs")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(neu == old) // doc 4 (no shingles) absent from both
+    assert(!neu.contains(4L))
+  }
+
   test("wordShingles: distinct 3-grams, empty below 3 tokens") {
     assert(TextAlgo.wordShingles("a b c d").toSeq == Seq("a b c", "b c d"))
     assert(TextAlgo.wordShingles("x y x y x y").toSeq == Seq("x y x", "y x y"))
