@@ -106,6 +106,21 @@ object Multimodal {
       out
     }
 
+    /** Nearest-neighbor resize (the standard thumbnailing step of a photo
+      * pipeline): out(x, y) = in(x·w/w', y·h/h') with integer division —
+      * a REAL pixel operation, deterministic, no codec needed. */
+    def resize(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      def i32(o: Int) = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+      val w = i32(0); val h = i32(4)
+      encode(outW, outH, (x, y) => {
+        val sx = x * w / outW
+        val sy = y * h / outH
+        val o = 8 + (sy * w + sx) * 3
+        (payload(o) & 0xff, payload(o + 1) & 0xff, payload(o + 2) & 0xff)
+      })
+    }
+
     /** One pass over the pixels: integer channel sums/sum-of-squares (exact
       * in Long) + the HSV-S per-pixel sum, combined exactly like PIL's
       * ImageStat (photo_manager.py:164-196): brightness = mean of channel
@@ -216,9 +231,124 @@ object Multimodal {
       round(total, 6).as("total_score"))
   }
 
+  /** A14/driver-mandate — thumbnail resize stage: decode → nearest-neighbor
+    * resize to 160×120 → pixel stats of the RESIZED image, all inside one
+    * mapPartitions batch (where a real pipeline amortizes codec state). The
+    * oracle recomputes the resized band geometry in closed form. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (outW, outH) = (160, 120)
+    val rows = photoFixture.map { case (id, w, h, split, c1, c2) =>
+      PhotoRow(id, RawRgb.encode(w, h, (_, y) => if (y < split) c1 else c2))
+    }
+    rows.toDS().mapPartitions { it =>
+      it.map { r =>
+        val s = RawRgb.decode(RawRgb.resize(r.payload, outW, outH))
+        PhotoDecoded(r.photo_id, s.width, s.height, s.brightness, s.contrast,
+          s.saturation, s.file_size)
+      }
+    }.toDF()
+      .select(col("photo_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("file_size"),
+        round(col("brightness"), 6).as("brightness"),
+        round(col("contrast"), 6).as("contrast"),
+        round(col("saturation"), 6).as("saturation"))
+  }
+
+  /** Multi-frame raw container (video stand-in): [nframes][w][h] int32
+    * header, then nframes w×h×3 RGB frames. */
+  object RawVideo {
+    def encode(nframes: Int, w: Int, h: Int,
+        framePixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val frameBytes = w * h * 3
+      val out = new Array[Byte](12 + nframes * frameBytes)
+      def put(o: Int, v: Int): Unit = {
+        out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+        out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+      }
+      put(0, nframes); put(4, w); put(8, h)
+      var f = 0
+      while (f < nframes) {
+        var i = 12 + f * frameBytes
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = framePixel(f, x, y)
+            out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      out
+    }
+
+    /** Stats of one frame without copying it out of the container. */
+    def frameStats(payload: Array[Byte], frame: Int): PhotoStats = {
+      def i32(o: Int) = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+      val w = i32(4); val h = i32(8)
+      val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 12 + frame * w * h * 3
+      var p = 0L
+      while (p < n) {
+        sr += payload(i) & 0xff; sg += payload(i + 1) & 0xff; sb += payload(i + 2) & 0xff
+        i += 3
+        p += 1
+      }
+      val nd = n.toDouble
+      PhotoStats(w, h, (sr / nd + sg / nd + sb / nd) / 3.0, 0.0, 0.0, n * 3)
+    }
+  }
+
+  case class FrameRow(vid_id: String, frame_idx: Int, width: Int, height: Int,
+    brightness: Double)
+
+  /** (vid_id, nframes, w, h, baseR, baseG, baseB, step): frame f is solid
+    * ((base + f·step) mod 256, …) — per-frame stats are closed-form. */
+  val videoFixture: Seq[(String, Int, Int, Int, Int, Int, Int, Int)] = Seq(
+    ("v1", 10, 32, 24, 10, 20, 30, 7),
+    ("v2", 7, 16, 16, 200, 100, 50, 31),
+    ("v3", 1, 8, 8, 0, 0, 0, 0))
+
+  val FrameSampleEvery = 3
+
+  /** Driver-mandate frame sampling: every k-th frame of each "video", stats
+    * per sampled frame — one input row fans out to many output rows inside
+    * a mapPartitions batch (the mapInPandas shape for a real codec). */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = videoFixture.map { case (id, nf, w, h, br, bg, bb, step) =>
+      PhotoRow(id, RawVideo.encode(nf, w, h, (f, _, _) =>
+        ((br + f * step) % 256, (bg + f * step) % 256, (bb + f * step) % 256)))
+    }
+    rows.toDS().mapPartitions { it =>
+      it.flatMap { r =>
+        val nframes = ((r.payload(0) & 0xff) << 24) | ((r.payload(1) & 0xff) << 16) |
+          ((r.payload(2) & 0xff) << 8) | (r.payload(3) & 0xff)
+        (0 until nframes).filter(_ % FrameSampleEvery == 0).map { f =>
+          val s = RawVideo.frameStats(r.payload, f)
+          FrameRow(r.photo_id, f, s.width, s.height, s.brightness)
+        }
+      }
+    }.toDF()
+      .select(col("vid_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("brightness"), 6).as("brightness"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "mm_features" -> (mmFeatures _),
-    "mm_photo_quality" -> (mmPhotoQuality _))
+    "mm_photo_quality" -> (mmPhotoQuality _),
+    "mm_resize" -> (mmResize _),
+    "mm_frame_sample" -> (mmFrameSample _))
 
   /** Oracle: the same statistics in closed form from the band parameters —
     * integer channel sums (exact), the identical variance/sqrt expression
@@ -304,5 +434,56 @@ object Multimodal {
          |  CAST(round(0.25 * score_resolution + 0.20 * score_brightness
          |    + 0.20 * score_contrast + 0.15 * score_saturation
          |    + 0.10 * score_composition + 0.10 * score_file_size, 6) AS DOUBLE) AS total_score
-         |FROM scored""".stripMargin)
+         |FROM scored""".stripMargin,
+    "mm_resize" ->
+      s"""WITH geo AS (
+         |  -- nearest-neighbor row mapping: resized row y samples source row
+         |  -- (y*h)//120; band-1 rows in the 120-row output counted exactly
+         |  SELECT photo_id,
+         |    (SELECT count(*) FROM range(120) t(y) WHERE (y * h) // 120 < split) AS rows1,
+         |    r1, g1, b1, r2, g2, b2,
+         |    CASE WHEN greatest(r1, g1, b1) = 0 THEN 0.0
+         |         ELSE (greatest(r1, g1, b1) - least(r1, g1, b1)) * 255.0
+         |              / greatest(r1, g1, b1) END AS s1,
+         |    CASE WHEN greatest(r2, g2, b2) = 0 THEN 0.0
+         |         ELSE (greatest(r2, g2, b2) - least(r2, g2, b2)) * 255.0
+         |              / greatest(r2, g2, b2) END AS s2
+         |  FROM $photoValues),
+         |agg AS (
+         |  SELECT photo_id,
+         |    rows1 * 160 AS n1, (120 - rows1) * 160 AS n2,
+         |    CAST(160 * 120 AS DOUBLE) AS n,
+         |    r1, g1, b1, r2, g2, b2, s1, s2
+         |  FROM geo),
+         |m AS (
+         |  SELECT photo_id,
+         |    CAST(n1 * r1 + n2 * r2 AS DOUBLE) / n AS mr,
+         |    CAST(n1 * g1 + n2 * g2 AS DOUBLE) / n AS mg,
+         |    CAST(n1 * b1 + n2 * b2 AS DOUBLE) / n AS mb,
+         |    CAST(n1 * r1 * r1 + n2 * r2 * r2 AS DOUBLE) / n AS qr,
+         |    CAST(n1 * g1 * g1 + n2 * g2 * g2 AS DOUBLE) / n AS qg,
+         |    CAST(n1 * b1 * b1 + n2 * b2 * b2 AS DOUBLE) / n AS qb,
+         |    (CAST(n1 AS DOUBLE) * s1 + CAST(n2 AS DOUBLE) * s2) / n AS sat
+         |  FROM agg)
+         |SELECT photo_id,
+         |  CAST(160 AS BIGINT) AS width, CAST(120 AS BIGINT) AS height,
+         |  CAST(8 + 160 * 120 * 3 AS BIGINT) AS file_size,
+         |  CAST(round((mr + mg + mb) / 3.0, 6) AS DOUBLE) AS brightness,
+         |  CAST(round((sqrt(qr - mr * mr) + sqrt(qg - mg * mg)
+         |    + sqrt(qb - mb * mb)) / 3.0, 6) AS DOUBLE) AS contrast,
+         |  CAST(round(sat, 6) AS DOUBLE) AS saturation
+         |FROM m""".stripMargin,
+    "mm_frame_sample" -> {
+      val videoValues = videoFixture.map { case (id, nf, w, h, br, bg, bb, step) =>
+        s"('$id', $nf, $w, $h, $br, $bg, $bb, $step)"
+      }.mkString("(VALUES ", ", ", ")") +
+        " AS v(vid_id, nframes, w, h, br, bg, bb, step)"
+      val maxFrames = videoFixture.map(_._2).max
+      s"""SELECT vid_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(round((((br + f * step) % 256) + ((bg + f * step) % 256)
+         |    + ((bb + f * step) % 256)) / 3.0, 6) AS DOUBLE) AS brightness
+         |FROM $videoValues, range($maxFrames) t(f)
+         |WHERE f < nframes AND f % $FrameSampleEvery = 0""".stripMargin
+    })
 }
