@@ -194,6 +194,7 @@ object DateEnrichment {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_date_precedence" -> (qDatePrecedence _),
+    "s8_date_precedence_vol" -> (qDatePrecedenceVol _),
     "j6_rss_feed_join" -> (qRssJoin _))
 
   // ------------------------------------------------------------ oracle SQL
@@ -261,14 +262,16 @@ object DateEnrichment {
       s"${vSql(s"($d3)")}, ${vSql(s"(${yearFirst(p4)})")})"
   }
 
-  val oracles: Map[String, String] = Map(
-    "s8_date_precedence" ->
-      s"""WITH j AS (
-         |  SELECT mn.*, pm.jsonld_date, pm.og_date, pm.meta_date, pm.last_modified,
-         |    rss.published
-         |  FROM $mentionValues
-         |  LEFT JOIN $pageMetaValues ON pm.mention_id = mn.mention_id
-         |  LEFT JOIN $rssValues ON rss.source_id = mn.source_id AND rss.link = mn.url),
+  /** The s8 oracle body, parameterized over the three relation sources (must
+    * be aliased mn/pm/rss with the fixture column names) so the sf-scale
+    * volume variant reuses the proven cascade SQL. */
+  private def precedenceSqlFrom(mnSrc: String, pmSrc: String, rssSrc: String): String =
+    s"""WITH j AS (
+       |  SELECT mn.*, pm.jsonld_date, pm.og_date, pm.meta_date, pm.last_modified,
+       |    rss.published
+       |  FROM $mnSrc
+       |  LEFT JOIN $pmSrc ON pm.mention_id = mn.mention_id
+       |  LEFT JOIN $rssSrc ON rss.source_id = mn.source_id AND rss.link = mn.url),
          |cascaded AS (
          |  SELECT mention_id,
          |    $serpSql AS serp_d,
@@ -297,7 +300,106 @@ object DateEnrichment {
          |       WHEN url_d IS NOT NULL THEN 'url_inference'
          |       WHEN lm_d IS NOT NULL THEN 'http_last_modified'
          |       ELSE 'unknown' END AS method
-         |FROM cascaded""".stripMargin,
+         |FROM cascaded""".stripMargin
+
+  // ------------------------------------------------- sf-scale volume variant
+
+  /** Derivation formulas shared (textually) by both engines: urls/snippets/
+    * artifact dates synthesized from o_orderkey with identical integer
+    * arithmetic and concatenation, so the cascade runs on 15k+ mentions with
+    * a full DuckDB oracle. */
+  private object Vol {
+    import org.apache.spark.sql.functions._
+
+    val urlSql = "'https://site' || CAST(o_orderkey % 5 AS VARCHAR) || '.com' || " +
+      "CASE WHEN o_orderkey % 9 = 0 THEN '/2024/03/' || CAST(o_orderkey % 28 + 1 AS VARCHAR) || '/' " +
+      "ELSE '/p/' || CAST(o_orderkey AS VARCHAR) END"
+    def urlCol: Column = concat(lit("https://site"), (col("o_orderkey") % 5).cast("string"),
+      lit(".com"),
+      when(col("o_orderkey") % 9 === 0,
+        concat(lit("/2024/03/"), (col("o_orderkey") % 28 + 1).cast("string"), lit("/")))
+        .otherwise(concat(lit("/p/"), col("o_orderkey").cast("string"))))
+
+    val sourceSql = "CASE WHEN o_orderkey % 4 = 0 THEN 'lefooding' " +
+      "WHEN o_orderkey % 4 = 1 THEN 'timeout' WHEN o_orderkey % 4 = 3 THEN 'michelin' END"
+    def sourceCol: Column = when(col("o_orderkey") % 4 === 0, "lefooding")
+      .when(col("o_orderkey") % 4 === 1, "timeout")
+      .when(col("o_orderkey") % 4 === 3, "michelin")
+
+    val snippetSql = "CASE WHEN o_orderkey % 7 = 0 THEN 'published ' || " +
+      "CAST(o_orderkey % 28 + 1 AS VARCHAR) || ' mar 2024' " +
+      "WHEN o_orderkey % 7 = 1 THEN 'updated 2024-0' || CAST(o_orderkey % 9 + 1 AS VARCHAR) || '-15 today' " +
+      "ELSE 'no date in this snippet' END"
+    def snippetCol: Column = when(col("o_orderkey") % 7 === 0,
+        concat(lit("published "), (col("o_orderkey") % 28 + 1).cast("string"), lit(" mar 2024")))
+      .when(col("o_orderkey") % 7 === 1,
+        concat(lit("updated 2024-0"), (col("o_orderkey") % 9 + 1).cast("string"), lit("-15 today")))
+      .otherwise("no date in this snippet")
+  }
+
+  def mentionsVol(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("string").as("mention_id"),
+      Vol.sourceCol.as("source_id"),
+      Vol.urlCol.as("url"),
+      Vol.snippetCol.as("snippet"))
+
+  def pageMetaVol(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        col("o_orderkey").cast("string").as("mention_id"),
+        when(col("o_orderkey") % 11 === 0, lit("2031-01-01").cast("date"))
+          .when(col("o_orderkey") % 2 === 0,
+            date_add(lit("2024-01-01").cast("date"), (col("o_orderkey") % 400).cast("int")))
+          .as("jsonld_date"),
+        when(col("o_orderkey") % 5 === 0,
+          date_add(lit("2024-02-01").cast("date"), (col("o_orderkey") % 100).cast("int")))
+          .as("og_date"),
+        when(col("o_orderkey") % 4 === 0,
+          date_add(lit("2023-06-01").cast("date"), (col("o_orderkey") % 200).cast("int")))
+          .as("meta_date"),
+        when(col("o_orderkey") % 2 === 1,
+          date_add(lit("2022-01-01").cast("date"), (col("o_orderkey") % 300).cast("int")))
+          .as("last_modified"))
+
+  def rssVol(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 6 === 0)
+      .select(Vol.sourceCol.as("source_id"), Vol.urlCol.as("link"),
+        to_date(col("o_orderdate")).as("published"))
+      .filter(col("source_id").isNotNull)
+
+  def qDatePrecedenceVol(spark: SparkSession, dir: String): DataFrame =
+    enrich(mentionsVol(spark, dir), pageMetaVol(spark, dir), rssVol(spark, dir))
+
+  private val mentionVolSql =
+    s"""(SELECT CAST(o_orderkey AS VARCHAR) AS mention_id,
+       |   ${Vol.sourceSql} AS source_id,
+       |   ${Vol.urlSql} AS url,
+       |   ${Vol.snippetSql} AS snippet
+       | FROM orders) AS mn""".stripMargin
+
+  private val pageMetaVolSql =
+    """(SELECT CAST(o_orderkey AS VARCHAR) AS mention_id,
+      |   CASE WHEN o_orderkey % 11 = 0 THEN DATE '2031-01-01'
+      |        WHEN o_orderkey % 2 = 0 THEN DATE '2024-01-01' + CAST(o_orderkey % 400 AS INTEGER) END AS jsonld_date,
+      |   CASE WHEN o_orderkey % 5 = 0 THEN DATE '2024-02-01' + CAST(o_orderkey % 100 AS INTEGER) END AS og_date,
+      |   CASE WHEN o_orderkey % 4 = 0 THEN DATE '2023-06-01' + CAST(o_orderkey % 200 AS INTEGER) END AS meta_date,
+      |   CASE WHEN o_orderkey % 2 = 1 THEN DATE '2022-01-01' + CAST(o_orderkey % 300 AS INTEGER) END AS last_modified
+      | FROM orders WHERE o_orderkey % 3 = 0) AS pm""".stripMargin
+
+  private val rssVolSql =
+    s"""(SELECT * FROM (SELECT ${Vol.sourceSql} AS source_id,
+       |   ${Vol.urlSql} AS link,
+       |   CAST(o_orderdate AS DATE) AS published
+       | FROM orders WHERE o_orderkey % 6 = 0) WHERE source_id IS NOT NULL) AS rss""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "s8_date_precedence" ->
+      precedenceSqlFrom(mentionValues, pageMetaValues, rssValues),
+    "s8_date_precedence_vol" ->
+      precedenceSqlFrom(mentionVolSql, pageMetaVolSql, rssVolSql),
     "j6_rss_feed_join" ->
       s"""SELECT mention_id, link, strftime(published, '%Y-%m-%d') AS rss_published
          |FROM $mentionValues

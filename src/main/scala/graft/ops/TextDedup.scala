@@ -100,6 +100,35 @@ object TextDedup {
       .select(col("lang"), col("source"), col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }
 
+  val DfCap = 10
+
+  /** Document-frequency-capped variant of [[ddNgramJaccard]] — the standard
+    * skew defense at corpus scale: shingles appearing in more than `DfCap`
+    * documents are removed from the VOCABULARY (both pair counting and
+    * per-doc sizes), so no single hot shingle can explode the equi-join.
+    * Jaccard is then exact over the reduced vocabulary. */
+  def ddNgramJaccardDfcap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir)
+    // shingle rows are distinct per doc, so count(*) = document frequency
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("s"))
+    val kept = sh.join(rare, Seq("s"), "left_semi")
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = kept.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("s"))
+    val b = kept.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("s"))
+    val inter = a.join(b, Seq("lang", "source", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("lang"), col("source"), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(n.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(n.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jac") >= 0.2)
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+  }
+
   // ------------------------------------------------------------ MinHash + LSH
 
   val NumHashes = 32
@@ -221,7 +250,8 @@ object TextDedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
-    "dd_embed_cosine" -> (ddEmbedCosine _))
+    "dd_embed_cosine" -> (ddEmbedCosine _),
+    "dd_ngram_jaccard_dfcap" -> (ddNgramJaccardDfcap _))
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -258,5 +288,32 @@ object TextDedup {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin)
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+    "dd_ngram_jaccard_dfcap" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(list_transform(
+         |      range(len(string_split_regex(trim(text), '\\s+')) - 2),
+         |      i -> concat_ws(' ',
+         |        string_split_regex(trim(text), '\\s+')[i + 1],
+         |        string_split_regex(trim(text), '\\s+')[i + 2],
+         |        string_split_regex(trim(text), '\\s+')[i + 3]))) AS grams
+         |  FROM documents),
+         |rows_ AS (SELECT doc_id, lang, source, unnest(grams) AS s FROM sh),
+         |rare AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) <= $DfCap),
+         |kept AS (SELECT * FROM rows_ WHERE s IN (SELECT s FROM rare)),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS n_inter
+         |  FROM kept a JOIN kept b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT lang, source, id_a, id_b,
+         |  CAST(round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 6) AS DOUBLE) AS jac
+         |FROM inter
+         |JOIN n na ON na.doc_id = id_a
+         |JOIN n nb ON nb.doc_id = id_b
+         |WHERE n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter) >= 0.2""".stripMargin)
 }
