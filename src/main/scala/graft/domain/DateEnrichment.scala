@@ -365,7 +365,10 @@ object DateEnrichment {
 
   def rssVol(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.orders(spark, dir)
-      .filter(col("o_orderkey") % 6 === 0)
+      // %9 != 0 keeps only the '/p/<orderkey>' urls, which are UNIQUE — the
+      // date-pattern urls collide across orderkeys and would fan one mention
+      // out to many feed entries (enrich() is one row per mention)
+      .filter(col("o_orderkey") % 6 === 0 && col("o_orderkey") % 9 =!= 0)
       .select(Vol.sourceCol.as("source_id"), Vol.urlCol.as("link"),
         to_date(col("o_orderdate")).as("published"))
       .filter(col("source_id").isNotNull)
@@ -393,7 +396,8 @@ object DateEnrichment {
     s"""(SELECT * FROM (SELECT ${Vol.sourceSql} AS source_id,
        |   ${Vol.urlSql} AS link,
        |   CAST(o_orderdate AS DATE) AS published
-       | FROM orders WHERE o_orderkey % 6 = 0) WHERE source_id IS NOT NULL) AS rss""".stripMargin
+       | FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 9 != 0)
+       | WHERE source_id IS NOT NULL) AS rss""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s8_date_precedence" ->
