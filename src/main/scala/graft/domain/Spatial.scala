@@ -214,6 +214,36 @@ object Spatial {
   }.mkString("(VALUES ", ", ", ")") + " AS p(poi_id, lat, lng)"
 
   val oracles: Map[String, String] = Map(
+    "j1_paris_real" ->
+      // the same ray-cast over the same 98 real rings, as DuckDB list
+      // lambdas (edge pairs (i+1, i+2) = the Scala loop's (current, prev);
+      // the closed ring's wrap edge is degenerate and contributes nothing)
+      """WITH areas AS (
+        |  SELECT name AS area_name,
+        |    CAST(properties.admin_level AS INTEGER) AS admin_level,
+        |    geometry.coordinates[1] AS ring
+        |  FROM read_json_auto('/root/reference/neighbourhoods/neighbourhoods_paris.jsonl',
+        |                      format='newline_delimited')),
+        |lm(poi_id, lat, lng) AS (VALUES
+        |  ('louvre', CAST(48.8606 AS DOUBLE), CAST(2.3376 AS DOUBLE)),
+        |  ('eiffel', CAST(48.8584 AS DOUBLE), CAST(2.2945 AS DOUBLE)),
+        |  ('sacre_coeur', CAST(48.8867 AS DOUBLE), CAST(2.3431 AS DOUBLE)),
+        |  ('notre_dame', CAST(48.8530 AS DOUBLE), CAST(2.3499 AS DOUBLE)),
+        |  ('pere_lachaise', CAST(48.8610 AS DOUBLE), CAST(2.3933 AS DOUBLE)),
+        |  ('la_defense', CAST(48.8920 AS DOUBLE), CAST(2.2358 AS DOUBLE))),
+        |contained AS (
+        |  SELECT lm.poi_id, a.area_name, a.admin_level
+        |  FROM lm, areas a
+        |  WHERE len(list_filter(range(len(a.ring) - 1), i ->
+        |      ((a.ring[i+2][2] > lm.lat) != (a.ring[i+1][2] > lm.lat))
+        |      AND lm.lng < (a.ring[i+1][1] - a.ring[i+2][1]) * (lm.lat - a.ring[i+2][2])
+        |                   / (a.ring[i+1][2] - a.ring[i+2][2]) + a.ring[i+2][1])) % 2 = 1),
+        |d AS (SELECT poi_id, min(area_name) AS district_name
+        |      FROM contained WHERE admin_level = 9 GROUP BY poi_id),
+        |q AS (SELECT poi_id, min(area_name) AS neighbourhood_name
+        |      FROM contained WHERE admin_level = 10 GROUP BY poi_id)
+        |SELECT lm.poi_id, lm.lat, lm.lng, d.district_name, q.neighbourhood_name
+        |FROM lm LEFT JOIN d USING (poi_id) LEFT JOIN q USING (poi_id)""".stripMargin,
     "j7_radius_join" ->
       s"""SELECT poi_id, lat, lng, distance_m FROM (
          |  SELECT poi_id, lat, lng,
