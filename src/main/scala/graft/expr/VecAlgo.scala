@@ -160,8 +160,9 @@ object VecAlgo {
 
   /** Deterministic pseudo-random hyperplane component (identical formula to
     * round-1's SQL-inlined `Similarity.planeComponent` — signatures are
-    * bit-for-bit unchanged, so bucket assignments and the recall spec hold). */
-  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+    * bit-for-bit unchanged, so bucket assignments and the recall spec hold).
+    * Public so the DuckDB oracle can inline the same constants. */
+  def planeComponent(t: Int, p: Int, d: Int): Double = {
     val h = (t * 7919 + p * 1000003 + d * 8191) * 2654435761L
     ((h >>> 16) % 2001L - 1000L) / 1000.0
   }

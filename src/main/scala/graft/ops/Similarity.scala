@@ -106,9 +106,12 @@ object Similarity {
     val centroids = broadcast(e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
 
-    // assignment: nearest centroid(s) by cosine (broadcast cross join + window)
+    // assignment: nearest centroid(s) by cosine (broadcast cross join +
+    // window). Ordering on the 6-dp ROUNDED cosine with cell_id tie-break is
+    // fully deterministic across engines, making the whole query
+    // oracle-checkable (raw-double ordering could differ in the last bit).
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(centroids).withColumn("c_sim", cosine)
+      val scored = df.crossJoin(centroids).withColumn("c_sim", round(cosine, 6))
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("cell_id").asc)
       scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
         .select(col(idCol), col("va"), col("cell_id"))
@@ -136,6 +139,31 @@ object Similarity {
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _))
 
+  /** DuckDB sign-bit signature for one hash table: the SAME inlined
+    * hyperplane constants as VecAlgo.lshSignatures, summed in the same
+    * element order — bit-identical buckets. */
+  private def sigSqlExpr(t: Int): String = {
+    val dim = 64
+    (0 until NumPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${graft.expr.VecAlgo.planeComponent(t, p, d)}")
+        .mkString(" + ")
+      s"CASE WHEN ($terms) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
+
+  private def topkSql: String =
+    s"""scored AS (
+       |  SELECT q_id, n_id,
+       |    CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(n.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |        CAST(n.embedding AS DOUBLE[])), 6) DESC, n_id ASC) AS rnk
+       |  FROM cands JOIN embeddings q ON q.vec_id = q_id
+       |             JOIN embeddings n ON n.vec_id = n_id)
+       |SELECT q_id, n_id, cos, rnk FROM scored WHERE rnk <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
       s"""SELECT q_id, n_id, cos, rnk FROM (
@@ -146,5 +174,37 @@ object Similarity {
          |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
          |        CAST(n.embedding AS DOUBLE[])), 6) DESC, n.vec_id ASC) AS rnk
          |  FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
-         |  WHERE q.vec_id < $NumQueries) WHERE rnk <= $K""".stripMargin)
+         |  WHERE q.vec_id < $NumQueries) WHERE rnk <= $K""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH sigs AS (
+         |  SELECT vec_id, ${(0 until NumTables).map(t => s"${sigSqlExpr(t)} AS s$t").mkString(", ")}
+         |  FROM embeddings),
+         |tbl_sigs AS (
+         |  SELECT vec_id, t.tbl,
+         |    CASE t.tbl ${(0 until NumTables).map(t => s"WHEN $t THEN s$t").mkString(" ")} END AS sig
+         |  FROM sigs, (VALUES ${(0 until NumTables).map(t => s"($t)").mkString(", ")}) t(tbl)),
+         |probes AS (
+         |  SELECT DISTINCT vec_id AS q_id, tbl,
+         |    CASE WHEN b.b = -1 THEN sig ELSE xor(sig, (1 << b.b)) END AS sig
+         |  FROM tbl_sigs, (VALUES (-1), ${(0 until NumPlanes).map(b => s"($b)").mkString(", ")}) b(b)
+         |  WHERE vec_id < $NumQueries),
+         |cands AS (
+         |  SELECT DISTINCT p.q_id, c.vec_id AS n_id
+         |  FROM probes p JOIN tbl_sigs c ON p.tbl = c.tbl AND p.sig = c.sig
+         |  WHERE p.q_id != c.vec_id),
+         |$topkSql""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH assign AS (
+         |  SELECT e.vec_id, c.vec_id AS cell_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS crnk
+         |  FROM embeddings e, embeddings c WHERE c.vec_id < $NumCells),
+         |inv AS (SELECT vec_id AS n_id, cell_id FROM assign WHERE crnk = 1),
+         |qp AS (SELECT vec_id AS q_id, cell_id FROM assign
+         |       WHERE crnk <= $NProbe AND vec_id < $NumQueries),
+         |cands AS (
+         |  SELECT DISTINCT q_id, n_id FROM qp JOIN inv USING (cell_id)
+         |  WHERE q_id != n_id),
+         |$topkSql""".stripMargin)
 }
