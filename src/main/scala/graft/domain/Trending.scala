@@ -99,21 +99,55 @@ object Trending {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tr_poi_extraction" -> (qTrendExtraction _),
+    "tr_poi_extraction_vol" -> (qTrendExtractionVol _),
     "tr_discovery_log" -> (qTrendLog _),
     "tr_validation" -> (qTrendValidation _))
+
+  /** SERP-shaped candidates derived from `orders` (identical formulas both
+    * engines) — runs the extraction GENERATOR at data volume: tens of
+    * thousands of rows explode through the same regex/blocklist/distinct. */
+  def trendCandsVol(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("string").as("cand_id"),
+      concat(lit("trend q"), (col("o_custkey") % 20).cast("string")).as("query_text"),
+      when(col("o_orderkey") % 3 === 0,
+        concat(lit("on adore le \"restaurant "), col("o_custkey").cast("string"), lit("\" ici")))
+        .when(col("o_orderkey") % 3 === 1, "nothing quoted here")
+        .otherwise(concat(lit("le \"bar "), (col("o_orderkey") % 1000).cast("string"), lit("\" est top")))
+        .as("title"),
+      when(col("o_orderkey") % 5 === 0,
+        concat(lit("aussi le \"bistrot "), (col("o_custkey") % 97).cast("string"), lit("\"")))
+        .otherwise("rien de plus").as("snippet"))
+
+  def qTrendExtractionVol(spark: SparkSession, dir: String): DataFrame =
+    extractPoiNames(trendCandsVol(spark, dir))
+
+  private val trendCandsVolSql =
+    """(SELECT CAST(o_orderkey AS VARCHAR) AS cand_id,
+      |   'trend q' || CAST(o_custkey % 20 AS VARCHAR) AS query_text,
+      |   CASE WHEN o_orderkey % 3 = 0
+      |          THEN 'on adore le "restaurant ' || CAST(o_custkey AS VARCHAR) || '" ici'
+      |        WHEN o_orderkey % 3 = 1 THEN 'nothing quoted here'
+      |        ELSE 'le "bar ' || CAST(o_orderkey % 1000 AS VARCHAR) || '" est top' END AS title,
+      |   CASE WHEN o_orderkey % 5 = 0
+      |          THEN 'aussi le "bistrot ' || CAST(o_custkey % 97 AS VARCHAR) || '"'
+      |        ELSE 'rien de plus' END AS snippet
+      | FROM orders) AS tc""".stripMargin
 
   val oracles: Map[String, String] = {
     val blocked = Seq("paris", "france", "guide", "list", "top", "best")
       .map(w => s"NOT contains(lower(poi_name), '$w')").mkString(" AND ")
-    val extract =
+    def extractFrom(src: String) =
       s"""SELECT DISTINCT query_text, poi_name FROM (
          |  SELECT query_text, trim(raw_name) AS poi_name FROM (
          |    SELECT query_text,
          |      unnest(regexp_extract_all(concat_ws(' ', title, snippet),
          |        '(?i)$quotedPattern', 1)) AS raw_name
-         |    FROM $trendCandidateValues))
+         |    FROM $src))
          |WHERE length(poi_name) > 3 AND length(poi_name) < 50 AND $blocked""".stripMargin
+    val extract = extractFrom(trendCandidateValues)
     Map(
+      "tr_poi_extraction_vol" -> extractFrom(trendCandsVolSql),
       "tr_validation" ->
         s"""SELECT query_text, poi_name, matched_poi_id,
            |  matched_poi_id IS NOT NULL AS exists_in_db,
