@@ -92,8 +92,25 @@ object Collections {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p7_collections" -> (qCollections _),
+    "p7_collections_vol" -> (qCollectionsVol _),
     "a10_tag_usage" -> (qTagUsage _),
     "a11_trend_keywords" -> (qTrendKeywords _))
+
+  /** Tagged POIs derived from `customer` (identical modulus-confidence
+    * formulas both engines) — the tag-criteria/top-k dataflow at volume. */
+  def taggedPoisVol(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(spark, dir).select(
+      col("c_custkey").cast("string").as("poi_id"),
+      expr("""filter(array(
+        named_struct('tag', 'romantic', 'confidence', CAST(c_custkey % 100 AS DOUBLE) / 100.0),
+        named_struct('tag', 'wine', 'confidence', CAST(c_custkey % 89 AS DOUBLE) / 89.0),
+        named_struct('tag', 'terrace', 'confidence', CAST(c_custkey % 53 AS DOUBLE) / 53.0),
+        named_struct('tag', 'brunch', 'confidence', CAST(c_custkey % 31 AS DOUBLE) / 31.0),
+        named_struct('tag', 'noisy', 'confidence', CAST(c_custkey % 7 AS DOUBLE) / 7.0)),
+        t -> t.confidence > 0.3)""").as("tags"))
+
+  def qCollectionsVol(spark: SparkSession, dir: String): DataFrame =
+    generate(taggedPoisVol(spark, dir), templatesDf(spark))
 
   private def tagsSql(tags: Seq[(String, Double)]): String =
     tags.map { case (t, c) => s"{'tag': '$t', 'confidence': CAST($c AS DOUBLE)}" }
@@ -110,25 +127,40 @@ object Collections {
   }.mkString("(VALUES ", ", ", ")") +
     " AS tm(collection_id, required_tags, excluded_tags, min_confidence)"
 
+  private val poisVolSql =
+    """(SELECT CAST(c_custkey AS VARCHAR) AS poi_id,
+      |   list_filter([
+      |     {'tag': 'romantic', 'confidence': CAST(c_custkey % 100 AS DOUBLE) / 100.0},
+      |     {'tag': 'wine', 'confidence': CAST(c_custkey % 89 AS DOUBLE) / 89.0},
+      |     {'tag': 'terrace', 'confidence': CAST(c_custkey % 53 AS DOUBLE) / 53.0},
+      |     {'tag': 'brunch', 'confidence': CAST(c_custkey % 31 AS DOUBLE) / 31.0},
+      |     {'tag': 'noisy', 'confidence': CAST(c_custkey % 7 AS DOUBLE) / 7.0}],
+      |     t -> t.confidence > 0.3) AS tags
+      | FROM customer) AS tp""".stripMargin
+
+  private def collectionsSqlFrom(poisSrc: String): String =
+    s"""WITH matched AS (
+       |  SELECT collection_id, poi_id,
+       |    CAST(round(coalesce(list_sum(list_transform(
+       |      list_filter(tags, t -> list_contains(required_tags, t.tag) AND t.confidence >= min_confidence),
+       |      t -> t.confidence)), 0.0), 6) AS DOUBLE) AS match_score
+       |  FROM $poisSrc CROSS JOIN $templValues
+       |  WHERE len(list_filter(tags, t -> list_contains(required_tags, t.tag) AND t.confidence >= min_confidence)) >= 1
+       |    AND len(list_filter(tags, t -> list_contains(excluded_tags, t.tag) AND t.confidence >= min_confidence)) = 0),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY collection_id
+       |    ORDER BY match_score DESC, poi_id ASC) AS rnk
+       |  FROM matched),
+       |kept AS (SELECT * FROM ranked WHERE rnk <= 8),
+       |sizes AS (SELECT collection_id, count(*) AS n_members FROM kept
+       |          GROUP BY collection_id HAVING count(*) >= 2)
+       |SELECT k.collection_id, k.poi_id, k.match_score, CAST(k.rnk AS BIGINT) AS rnk,
+       |  s.n_members
+       |FROM kept k JOIN sizes s USING (collection_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "p7_collections" ->
-      s"""WITH matched AS (
-         |  SELECT collection_id, poi_id,
-         |    CAST(round(coalesce(list_sum(list_transform(
-         |      list_filter(tags, t -> list_contains(required_tags, t.tag) AND t.confidence >= min_confidence),
-         |      t -> t.confidence)), 0.0), 6) AS DOUBLE) AS match_score
-         |  FROM $poisValues CROSS JOIN $templValues
-         |  WHERE len(list_filter(tags, t -> list_contains(required_tags, t.tag) AND t.confidence >= min_confidence)) >= 1
-         |    AND len(list_filter(tags, t -> list_contains(excluded_tags, t.tag) AND t.confidence >= min_confidence)) = 0),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY collection_id
-         |    ORDER BY match_score DESC, poi_id ASC) AS rnk
-         |  FROM matched),
-         |kept AS (SELECT * FROM ranked WHERE rnk <= 8),
-         |sizes AS (SELECT collection_id, count(*) AS n_members FROM kept
-         |          GROUP BY collection_id HAVING count(*) >= 2)
-         |SELECT k.collection_id, k.poi_id, k.match_score, k.rnk, s.n_members
-         |FROM kept k JOIN sizes s USING (collection_id)""".stripMargin,
+    "p7_collections" -> collectionsSqlFrom(poisValues),
+    "p7_collections_vol" -> collectionsSqlFrom(poisVolSql),
     "a10_tag_usage" ->
       s"""SELECT t.tag AS tag, count(*) AS n_pois,
          |  CAST(round(avg(t.confidence), 6) AS DOUBLE) AS avg_confidence
