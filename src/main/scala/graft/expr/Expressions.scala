@@ -106,6 +106,17 @@ object Expressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Cosine similarity of a float-array column against a double-array column
+    * (embedding vs k-means centroid) — codegen'd like [[CosineSimilarity]]. */
+  case class CosineSimilarityFD(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VecAlgo.cosineFD(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) => s"$vec.cosineFD($l, $r)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   /** Ray-cast containment of (lng, lat) in a ring column (J1 hot filter;
     * replaces the boxing Scala-closure UDF). */
   case class PointInRing(first: Expression, second: Expression, third: Expression)
@@ -214,6 +225,7 @@ object functions {
   def domain_of(c: Column): Column = asCol(DomainOf(expr(c)))
   def apex_domain(c: Column): Column = asCol(ApexDomain(expr(c)))
   def cosine_similarity(a: Column, b: Column): Column = asCol(CosineSimilarity(expr(a), expr(b)))
+  def cosine_similarity_fd(a: Column, b: Column): Column = asCol(CosineSimilarityFD(expr(a), expr(b)))
   def lsh_signatures(c: Column): Column = asCol(LshSignatures(expr(c)))
   def word_shingles(c: Column): Column = asCol(WordShingles(expr(c)))
   def simhash64(c: Column): Column = asCol(SimHash64(expr(c)))

@@ -150,6 +150,28 @@ object VecAlgo {
     dot / (math.sqrt(sa) * math.sqrt(sb))
   }
 
+  /** Cosine similarity of a float vector (embedding) against a double vector
+    * (k-means centroids are exact-quantized means, carried in double) — same
+    * sequential-in-double accumulation contract as [[cosine]]. */
+  def cosineFD(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    var sa = 0.0
+    i = 0
+    while (i < na) { val v = a.getFloat(i).toDouble; sa += v * v; i += 1 }
+    var sb = 0.0
+    i = 0
+    while (i < nb) { val v = b.getDouble(i); sb += v * v; i += 1 }
+    dot / (math.sqrt(sa) * math.sqrt(sb))
+  }
+
   // ---------------------------------------------------------------- LSH
 
   /** LSH geometry — must stay in sync with the recall spec in

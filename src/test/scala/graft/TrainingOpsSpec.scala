@@ -67,6 +67,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF nprobe=3 recall@5 too low: $recall")
   }
 
+  test("k-means IVF recall >= stand-in IVF recall (both vs brute force)") {
+    // 50 queries, not the declared 5: recall@5 over 5 queries is 25 pairs,
+    // where one flipped neighbor moves recall by 4 points — pure noise.
+    val dir = "/root/testdata/sf0.01"
+    val nq = 50
+    val bf = Similarity.bruteforceTopkN(spark, dir, nq).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopkN(spark, dir, nq).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val km = Similarity.ivfKmeansTopkN(spark, dir, nq).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvf = bf.intersect(ivf).size.toDouble / bf.size
+    val rKm = bf.intersect(km).size.toDouble / bf.size
+    assert(rKm >= rIvf, s"trained-centroid IVF recall $rKm < stand-in IVF recall $rIvf")
+    assert(rKm >= 0.6, s"trained-centroid IVF recall@5 too low: $rKm")
+  }
+
+  test("k-means centroids are invariant to input partitioning") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def dump(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      Similarity.kmeansCentroids(df).collect()
+        .map(r => r.getLong(0) -> r.getAs[collection.Seq[Double]](1).toSeq).toMap
+    val a = dump(e.coalesce(1))
+    val b = dump(e.repartition(13))
+    assert(a == b, "quantized-integer means must be bit-identical across partitionings")
+  }
+
   test("stub decoder features are deterministic and correct") {
     val f = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"), "image/stub")
     assert(f.byteLen == 3 && f.byteSum == 97 + 98 + 99 && f.firstByte == 97)
