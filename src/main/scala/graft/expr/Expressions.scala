@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -115,6 +115,30 @@ object Expressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (l, r) => s"$vec.cosineFD($l, $r)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** P7 tag-criteria predicate + match-score fused into one codegen'd pass
+    * over the tag array: Σ confidences of matching required tags, or NULL
+    * when ineligible (no required match / any excluded match at min
+    * confidence). Replaces three interpreted HOF lambdas per (poi × template)
+    * row — the multiplier that bites with real collection catalogs. */
+  case class TagMatchScore(first: Expression, second: Expression, third: Expression,
+      fourth: Expression) extends QuaternaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(tags: Any, req: Any, exc: Any, minConf: Any): Any =
+      VecAlgo.tagMatchScore(tags.asInstanceOf[ArrayData], req.asInstanceOf[ArrayData],
+        exc.asInstanceOf[ArrayData], minConf.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, r, x, m) => {
+        val box = ctx.freshName("tagScore")
+        s"""java.lang.Double $box = $vec.tagMatchScore($t, $r, $x, $m);
+           |if ($box == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $box.doubleValue(); }
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression, d: Expression): Expression = copy(a, b, c, d)
   }
 
   /** Ray-cast containment of (lng, lat) in a ring column (J1 hot filter;
@@ -231,6 +255,8 @@ object functions {
   def simhash64(c: Column): Column = asCol(SimHash64(expr(c)))
   def ascii_masks(c: Column): Column = asCol(AsciiMasks(expr(c)))
   def minhash_sigs(c: Column): Column = asCol(MinHashSigs(expr(c)))
+  def tag_match_score(tags: Column, req: Column, exc: Column, minConf: Column): Column =
+    asCol(TagMatchScore(expr(tags), expr(req), expr(exc), expr(minConf)))
   def point_in_ring(lng: Column, lat: Column, ring: Column): Column =
     asCol(PointInRing(expr(lng), expr(lat), expr(ring)))
   def cell_of(lat: Column, lng: Column, res: Column): Column =

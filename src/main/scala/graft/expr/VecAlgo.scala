@@ -150,6 +150,42 @@ object VecAlgo {
     dot / (math.sqrt(sa) * math.sqrt(sb))
   }
 
+  private def containsUtf8(arr: ArrayData, s: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (s.equals(arr.getUTF8String(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** P7 tag-criteria predicate + match-score in ONE pass over the tag array
+    * (replaces three interpreted HOF lambdas per (poi × template) row —
+    * `exists`×2 + `aggregate(filter(...))`). Returns the sum of matching
+    * required-tag confidences, or null when the row is ineligible (no
+    * required match at `minConf`, or any excluded match at `minConf`).
+    * Accumulation is in tag-array order, like the left-to-right `aggregate`
+    * fold it replaces — bit-identical scores. */
+  def tagMatchScore(tags: ArrayData, req: ArrayData, exc: ArrayData,
+      minConf: Double): java.lang.Double = {
+    var score = 0.0
+    var matched = false
+    val n = tags.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tags.getStruct(i, 2)
+      val conf = t.getDouble(1)
+      if (conf >= minConf) {
+        val tag = t.getUTF8String(0)
+        if (containsUtf8(exc, tag)) return null
+        if (containsUtf8(req, tag)) { matched = true; score += conf }
+      }
+      i += 1
+    }
+    if (matched) java.lang.Double.valueOf(score) else null
+  }
+
   /** Cosine similarity of a float vector (embedding) against a double vector
     * (k-means centroids are exact-quantized means, carried in double) — same
     * sequential-in-double accumulation contract as [[cosine]]. */

@@ -70,6 +70,22 @@ object Probe {
           val rows = graft.SparkEntry.queries(name)(spark, sf).count()
           println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
         }
+      case "p7_stages" =>
+        import graft.domain.Collections
+        def t[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val pois = Collections.taggedPoisVol(spark, dir)
+        t("pois")(pois.count())
+        val tmpl = Collections.templates24Df(spark)
+        val matched = pois.join(broadcast(tmpl))
+          .withColumn("match_score", round(graft.expr.functions.tag_match_score(
+            col("tags"), col("required_tags"), col("excluded_tags"), col("min_confidence")), 6))
+          .filter(col("match_score").isNotNull)
+        t("matched")(matched.count())
+        t("full")(Collections.qCollectionsVol24(spark, dir).count())
+        t("full2")(Collections.qCollectionsVol24(spark, dir).count())
       case "explain" =>
         val name = args(1)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"

@@ -51,6 +51,24 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("tag_match_score: eligibility + score in one pass") {
+    val df = Seq(
+      ("eligible", Seq(("romantic", 0.9), ("wine", 0.8), ("noisy", 0.2))),
+      ("excluded", Seq(("romantic", 0.9), ("noisy", 0.9))),
+      ("below_min", Seq(("romantic", 0.4))),
+      ("no_required", Seq(("brunch", 0.9))))
+      .toDF("id", "raw")
+      .select(col("id"), expr(
+        "transform(raw, p -> named_struct('tag', p._1, 'confidence', p._2))").as("tags"))
+    val scored = df.select(col("id"), F.tag_match_score(
+      col("tags"), array(lit("romantic"), lit("wine")), array(lit("noisy")), lit(0.5)).as("s"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(scored("eligible").contains(0.9 + 0.8), "sums matching required confidences")
+    assert(scored("excluded").isEmpty, "excluded tag at >= min kills the row")
+    assert(scored("below_min").isEmpty, "required below min confidence is no match")
+    assert(scored("no_required").isEmpty)
+  }
+
   test("haversine column matches scalar implementation") {
     val df = Seq((48.8566, 2.3522, 45.7640, 4.8357)).toDF("lat1", "lng1", "lat2", "lng2")
     val d = df.select(F.haversine_meters(col("lat1"), col("lng1"), col("lat2"), col("lng2"))).collect()(0).getDouble(0)
