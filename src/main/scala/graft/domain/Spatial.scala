@@ -144,10 +144,11 @@ object Spatial {
       res: Int = 11): DataFrame = {
     import spark.implicits._
     val coverUdf = udf { (ring: Seq[Seq[Double]]) =>
-      // bbox cover (not center-containment): every cell intersecting the
-      // polygon bbox, so boundary-crossing points still meet their polygon
-      val lngs = ring.map(_(0)); val lats = ring.map(_(1))
-      graft.expr.CellGrid.bboxCover(lats.min, lats.max, lngs.min, lngs.max, res)
+      // true polygon cover (center-contained cells + boundary band): a tight
+      // superset of the cells intersecting the polygon, so boundary-crossing
+      // points still meet their polygon but far fewer off-polygon candidate
+      // pairs survive to the exact ray-cast than with a bbox cover
+      graft.expr.CellGrid.polygonCover(ring.map(_.toArray).toArray, res)
     }
     val cover = areas.withColumn("cell", explode(coverUdf(col("ring"))))
     val keyed = pois.withColumn("cell",

@@ -221,6 +221,41 @@ object CellGrid {
     out.result()
   }
 
+  /** TRUE polygon cover: center-contained cells + a boundary band — still a
+    * SUPERSET of every cell intersecting the polygon (any point inside the
+    * polygon maps to a cell in this set), but far tighter than [[bboxCover]]
+    * for elongated/diagonal zones, so the spatial-join prefilter admits fewer
+    * candidate pairs.
+    *
+    * Correctness: a cell intersecting the polygon is either entirely inside
+    * (center inside → in [[polygonToCells]]) or crossed by the boundary. The
+    * boundary is sampled at ≤ half the circumradius, well under the hex
+    * inradius (√3/2 · circumradius), so every boundary-crossed cell is the
+    * cell of some sample or one of its 6 neighbors — both included. */
+  def polygonCover(ring: Array[Array[Double]], res: Int): Array[String] = {
+    if (ring.isEmpty) return Array.empty
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    polygonToCells(ring, res).foreach(seen += _)
+    val step = circumradiusMeters(res) * 0.5
+    var i = 0
+    while (i < ring.length - 1) {
+      val (x0, y0) = project(ring(i)(1), ring(i)(0))
+      val (x1, y1) = project(ring(i + 1)(1), ring(i + 1)(0))
+      val n = math.max(1L, math.ceil(math.hypot(x1 - x0, y1 - y0) / step).toLong)
+      var k = 0L
+      while (k <= n) {
+        val t = k.toDouble / n
+        val (lat, lng) = unproject(x0 + (x1 - x0) * t, y0 + (y1 - y0) * t)
+        val c = latLngToCell(lat, lng, res)
+        seen += c
+        neighbors(c).foreach(seen += _)
+        k += 1
+      }
+      i += 1
+    }
+    seen.toArray
+  }
+
   /** SUPERSET of the cells at `res` that intersect the lat/lng bbox — the
     * spatial-join prefilter cover (every point in the bbox maps to a cell in
     * this set). Enumerates the axial range of the bbox corners + edge

@@ -70,6 +70,30 @@ object Probe {
           val rows = graft.SparkEntry.queries(name)(spark, sf).count()
           println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
         }
+      case "spatial_cover" =>
+        // candidate-pair fan-out of the cell prefilter over the 98 real Paris
+        // zones: true polygon cover vs the old bbox cover
+        import spark.implicits._
+        val areas = graft.domain.Spatial.loadUrbanAreasJsonl(spark,
+          "/root/reference/neighbourhoods/neighbourhoods_paris.jsonl")
+        val rings = areas.select("area_id", "ring").collect()
+          .map(r => (r.getString(0), r.getSeq[scala.collection.Seq[Double]](1)
+            .map(_.toArray).toArray))
+        val res = 11
+        val polyCover = rings.flatMap { case (id, ring) =>
+          graft.expr.CellGrid.polygonCover(ring, res).map((id, _)) }
+        val bboxCover = rings.flatMap { case (id, ring) =>
+          val lngs = ring.map(_(0)); val lats = ring.map(_(1))
+          graft.expr.CellGrid.bboxCover(lats.min, lats.max, lngs.min, lngs.max, res)
+            .map((id, _)) }
+        println(s"cover rows: poly=${polyCover.length} bbox=${bboxCover.length}")
+        // candidate pairs against a dense lattice of probe points over Paris
+        val pts = (for { i <- 0 until 200; j <- 0 until 100 } yield
+          (s"p$i-$j", 48.815 + i * 0.00044, 2.224 + j * 0.00246)).toDF("poi_id", "lat", "lng")
+          .withColumn("cell", graft.expr.functions.cell_of(col("lat"), col("lng"), lit(res)))
+        def pairs(c: Array[(String, String)]): Long =
+          pts.join(c.toSeq.toDF("area_id", "cell"), Seq("cell")).count()
+        println(s"candidate pairs: poly=${pairs(polyCover)} bbox=${pairs(bboxCover)}")
       case "p7_stages" =>
         import graft.domain.Collections
         def t[A](label: String)(f: => A): A = {

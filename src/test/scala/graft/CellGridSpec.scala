@@ -106,6 +106,30 @@ class CellGridSpec extends AnyFunSuite {
       s"res10=${cells10.length} vs res9=${cells.length}")
   }
 
+  test("polygonCover: superset of interior-point cells, tighter than bbox") {
+    // a long DIAGONAL sliver — the worst case for a bbox prefilter
+    val ring = Array(
+      Array(2.250, 48.820), Array(2.262, 48.824),
+      Array(2.450, 48.894), Array(2.438, 48.890), Array(2.250, 48.820))
+    for (res <- 9 to 11) {
+      val cover = CellGrid.polygonCover(ring, res).toSet
+      // every interior sample point's cell is in the cover
+      for (t <- 0 to 60; s <- 1 to 3) {
+        val f = t / 60.0
+        val base = (2.250 + (2.450 - 2.250) * f, 48.820 + (48.894 - 48.820) * f)
+        val off = ((2.262 - 2.250) * s / 4.0, (48.824 - 48.820) * s / 4.0)
+        val (lng, lat) = (base._1 + off._1, base._2 + off._2)
+        if (TextAlgo.pointInRing(lng, lat, ring))
+          assert(cover.contains(CellGrid.latLngToCell(lat, lng, res)),
+            s"res=$res point ($lat,$lng) not covered")
+      }
+      val lngs = ring.map(_(0)); val lats = ring.map(_(1))
+      val bbox = CellGrid.bboxCover(lats.min, lats.max, lngs.min, lngs.max, res)
+      assert(cover.size < bbox.length / 2,
+        s"res=$res polygon cover ${cover.size} not tighter than bbox ${bbox.length}")
+    }
+  }
+
   test("bboxCover is a superset of the cells of points inside the bbox") {
     val (latMin, latMax, lngMin, lngMax) = (48.84, 48.87, 2.33, 2.37)
     for (res <- 9 to 11) {
