@@ -17,12 +17,22 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      name -> ((times(times.length / 2), times.head))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n}""")
+    def obj(f: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }.mkString("{", ",", "}")
+    val qs = obj(_._2._1)
+    val qsMin = obj(_._2._2)
+    // median > 3x min on the same query in the same run = the box was busy
+    // during some runs — the min is the trustworthy number for those
+    val contended = results.collect {
+      case (k, (med, min)) if min > 0.05 && med > 3 * min => s"\"$k\""
+    }.mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalMin = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"total_min":$totalMin,"contended":$contended,""" +
+      s""""sf":"$sfDir","n":$n}""")
     spark.stop()
   }
 }
