@@ -67,9 +67,114 @@ object SinkQueries {
       .select(col("poi_id"), col("source_id"), col("rating_value"), col("reviews_count"),
         date_format(col("captured_at"), "yyyy-MM-dd").as("captured_date"))
 
+  // ------------------------------------------- multi-batch incremental run
+
+  /** Two daily pipeline runs as ONE dataflow (run_pipeline.py:549-581 daily
+    * cadence): day-1 batch upserts + snapshot-appends into the base state,
+    * day-2 batch runs against the POST-day-1 state (its snapshot suppression
+    * must see day 1's accepted snapshots), then P9 selects the rescoring
+    * candidates from the final state. Proves the merge → suppress → rescore
+    * cycle end to end rather than each sink in isolation. */
+  val Day1 = "2025-06-06 00:00:00"
+  val Day2 = "2025-06-07 00:00:00"
+
+  /** (google_place_id, name, rating, reviews_count, first_ingested_at,
+    * updated_at, last_scored_at). g1 old+scored-long-ago, g2 scored within
+    * 24 h of day 2, g3 stale (excluded), g4 never scored. */
+  val pipeState0: Seq[(String, String, Double, Int, String, String, Option[String])] = Seq(
+    ("g1", "Chez Panisse", 4.5, 200, "2024-01-01 00:00:00", "2025-05-01 00:00:00", Some("2025-05-02 00:00:00")),
+    ("g2", "Old Bar", 4.0, 150, "2024-02-01 00:00:00", "2025-05-20 00:00:00", Some("2025-06-06 23:00:00")),
+    ("g3", "Quiet Cafe", 3.9, 30, "2024-03-01 00:00:00", "2025-04-01 00:00:00", Some("2025-04-02 00:00:00")),
+    ("g4", "Forgotten Spot", 4.2, 77, "2024-04-01 00:00:00", "2025-04-15 00:00:00", None))
+
+  /** Day-1 batch: g1 update + g5 insert; day-2 batch: g2 update + g6 insert. */
+  val pipeBatch1: Seq[(String, String, Option[Double], Option[Int])] = Seq(
+    ("g1", "Chez Panisse", Some(4.6), Some(230)),
+    ("g5", "Fresh Opening", Some(4.9), Some(12)))
+  val pipeBatch2: Seq[(String, String, Option[Double], Option[Int])] = Seq(
+    ("g2", "Old Bar Renamed", None, Some(160)),
+    ("g6", "Second Opening", Some(4.4), Some(5)))
+
+  /** Snapshot base state + per-day snapshot batches (poi_id, source_id,
+    * rating_value, reviews_count, captured_at). Day-2 snapshots for g1/g5
+    * land 1 day after their day-1 accepted snapshots — they must be
+    * SUPPRESSED, which only happens if day 2 runs against day 1's output. */
+  val pipeSnap0: Seq[(String, String, Double, Int, String)] = Seq(
+    ("g1", "google", 4.5, 200, "2025-05-25 00:00:00"))
+  val pipeSnapB1: Seq[(String, String, Double, Int, String)] = Seq(
+    ("g1", "google", 4.6, 230, Day1),
+    ("g5", "google", 4.9, 12, Day1))
+  val pipeSnapB2: Seq[(String, String, Double, Int, String)] = Seq(
+    ("g1", "google", 4.6, 231, Day2),
+    ("g5", "google", 4.9, 13, Day2),
+    ("g6", "google", 4.4, 5, Day2))
+
+  private val pipeCols = Seq("google_place_id", "name", "rating", "reviews_count",
+    "first_ingested_at", "updated_at", "last_scored_at")
+  private val pipeUpdateCols = Seq("name", "rating", "reviews_count", "updated_at")
+
+  private def pipeState0Df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pipeState0.toDF(pipeCols: _*)
+      .withColumn("first_ingested_at", to_timestamp(col("first_ingested_at")))
+      .withColumn("updated_at", to_timestamp(col("updated_at")))
+      .withColumn("last_scored_at", to_timestamp(col("last_scored_at")))
+  }
+
+  private def pipeBatchDf(spark: SparkSession,
+      batch: Seq[(String, String, Option[Double], Option[Int])], day: String): DataFrame = {
+    import spark.implicits._
+    batch.toDF("google_place_id", "name", "rating", "reviews_count")
+      .withColumn("first_ingested_at", lit(null).cast("timestamp"))
+      .withColumn("updated_at", to_timestamp(lit(day)))
+      .withColumn("last_scored_at", lit(null).cast("timestamp"))
+  }
+
+  private def pipeSnapDf(spark: SparkSession,
+      rows: Seq[(String, String, Double, Int, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("poi_id", "source_id", "rating_value", "reviews_count", "captured_at")
+      .withColumn("captured_at", to_timestamp(col("captured_at")))
+  }
+
+  def qIncrementalPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // day 1: upsert batch + append allowed snapshots
+    val state1 = MergeSink.upsert(pipeState0Df(spark), pipeBatchDf(spark, pipeBatch1, Day1),
+      "google_place_id", pipeUpdateCols, asOf = Day1)
+    val snap1 = pipeSnapDf(spark, pipeSnap0)
+      .unionByName(MergeSink.conditionalAppend(
+        pipeSnapDf(spark, pipeSnap0), pipeSnapDf(spark, pipeSnapB1)))
+    // day 2 runs against day 1's OUTPUT state
+    val state2 = MergeSink.upsert(state1, pipeBatchDf(spark, pipeBatch2, Day2),
+      "google_place_id", pipeUpdateCols, asOf = Day2)
+    val snap2 = snap1.unionByName(
+      MergeSink.conditionalAppend(snap1, pipeSnapDf(spark, pipeSnapB2)))
+    // P9 rescoring selection over the final state, as of day 2
+    val asOfTs = to_timestamp(lit(Day2))
+    val counts = snap2.groupBy(col("poi_id").as("google_place_id"))
+      .agg(count(lit(1)).as("n_snapshots"))
+    val w = Window.orderBy(col("last_scored_at").asc_nulls_first,
+      col("updated_at").desc, col("google_place_id").asc)
+    state2
+      .filter(col("updated_at") >= asOfTs - expr("INTERVAL 7 DAYS") ||
+        col("last_scored_at").isNull)
+      .filter(col("last_scored_at").isNull ||
+        col("last_scored_at") < asOfTs - expr("INTERVAL 24 HOURS"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .join(counts, Seq("google_place_id"), "left")
+      .select(col("rnk"), col("google_place_id"), col("name"), col("rating"),
+        col("reviews_count"),
+        date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"),
+        date_format(col("updated_at"), "yyyy-MM-dd").as("updated_date"),
+        date_format(col("last_scored_at"), "yyyy-MM-dd").as("last_scored_date"),
+        coalesce(col("n_snapshots"), lit(0L)).as("n_snapshots"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_upsert_poi" -> (qS9Upsert _),
-    "s10_conditional_append" -> (qS10ConditionalAppend _))
+    "s10_conditional_append" -> (qS10ConditionalAppend _),
+    "pipe_incremental" -> (qIncrementalPipeline _))
 
   private def existingValues: String = existingPoi.map { case (g, n, r, rc, fi) =>
     val rs = r.map(v => s"CAST($v AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
@@ -85,7 +190,86 @@ object SinkQueries {
   }.mkString("(VALUES ", ", ", ")") +
     " AS i(google_place_id, name, rating, reviews_count)"
 
+  private def pipeState0Values: String = pipeState0.map { case (g, n, r, rc, fi, ua, ls) =>
+    val lss = ls.map(v => s"TIMESTAMP '$v'").getOrElse("CAST(NULL AS TIMESTAMP)")
+    s"('$g', '$n', CAST($r AS DOUBLE), $rc, TIMESTAMP '$fi', TIMESTAMP '$ua', $lss)"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS t(google_place_id, name, rating, reviews_count, first_ingested_at, updated_at, last_scored_at)"
+
+  private def pipeBatchValues(batch: Seq[(String, String, Option[Double], Option[Int])],
+      day: String): String = batch.map { case (g, n, r, rc) =>
+    val rs = r.map(v => s"CAST($v AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
+    val rcs = rc.map(_.toString).getOrElse("CAST(NULL AS INTEGER)")
+    s"('$g', '$n', $rs, $rcs, TIMESTAMP '$day')"
+  }.mkString("(VALUES ", ", ", ")") +
+    " AS t(google_place_id, name, rating, reviews_count, updated_at)"
+
+  private def pipeSnapValues(rows: Seq[(String, String, Double, Int, String)]): String =
+    rows.map { case (pid, sid, rv, rc, ca) =>
+      s"('$pid', '$sid', CAST($rv AS DOUBLE), $rc, TIMESTAMP '$ca')"
+    }.mkString("(VALUES ", ", ", ")") +
+      " AS t(poi_id, source_id, rating_value, reviews_count, captured_at)"
+
+  /** One MERGE day in SQL: full-outer + coalesce, same contract as
+    * [[MergeSink.upsert]] with updateCols = name/rating/reviews_count/
+    * updated_at and insert-stamped first_ingested_at. */
+  private def pipeMergeSql(existing: String, batch: String, day: String): String =
+    s"""SELECT coalesce(e.google_place_id, i.google_place_id) AS google_place_id,
+       |    coalesce(i.name, e.name) AS name,
+       |    coalesce(i.rating, e.rating) AS rating,
+       |    coalesce(i.reviews_count, e.reviews_count) AS reviews_count,
+       |    CASE WHEN e.google_place_id IS NULL THEN TIMESTAMP '$day'
+       |         ELSE e.first_ingested_at END AS first_ingested_at,
+       |    coalesce(i.updated_at, e.updated_at) AS updated_at,
+       |    e.last_scored_at
+       |  FROM $existing e FULL OUTER JOIN $batch i
+       |    ON e.google_place_id = i.google_place_id""".stripMargin
+
+  /** One conditional-append day in SQL (same contract as
+    * [[MergeSink.conditionalAppend]]). */
+  private def pipeAppendSql(existing: String, batch: String): String =
+    s"""SELECT * FROM $existing
+       |  UNION ALL
+       |  SELECT inc.poi_id, inc.source_id, inc.rating_value, inc.reviews_count,
+       |    inc.captured_at
+       |  FROM $batch inc
+       |  LEFT JOIN (SELECT poi_id, source_id, max(captured_at) AS latest_at
+       |             FROM $existing GROUP BY poi_id, source_id) lat
+       |    ON inc.poi_id = lat.poi_id AND inc.source_id = lat.source_id
+       |  WHERE lat.latest_at IS NULL
+       |     OR date_diff('day', CAST(lat.latest_at AS DATE), CAST(inc.captured_at AS DATE)) >= 7""".stripMargin
+
+  private def pipeIncrementalSql: String =
+    s"""WITH s0 AS (SELECT * FROM $pipeState0Values),
+       |b1 AS (SELECT * FROM ${pipeBatchValues(pipeBatch1, Day1)}),
+       |b2 AS (SELECT * FROM ${pipeBatchValues(pipeBatch2, Day2)}),
+       |sn0 AS (SELECT * FROM ${pipeSnapValues(pipeSnap0)}),
+       |sb1 AS (SELECT * FROM ${pipeSnapValues(pipeSnapB1)}),
+       |sb2 AS (SELECT * FROM ${pipeSnapValues(pipeSnapB2)}),
+       |state1 AS (${pipeMergeSql("s0", "b1", Day1)}),
+       |state2 AS (${pipeMergeSql("state1", "b2", Day2)}),
+       |snap1 AS (${pipeAppendSql("sn0", "sb1")}),
+       |snap2 AS (${pipeAppendSql("snap1", "sb2")}),
+       |counts AS (SELECT poi_id AS google_place_id, count(*) AS n_snapshots
+       |           FROM snap2 GROUP BY poi_id),
+       |cand AS (
+       |  SELECT *, row_number() OVER (ORDER BY last_scored_at ASC NULLS FIRST,
+       |    updated_at DESC, google_place_id ASC) AS rnk
+       |  FROM state2
+       |  WHERE (updated_at >= TIMESTAMP '$Day2' - INTERVAL 7 DAY
+       |         OR last_scored_at IS NULL)
+       |    AND (last_scored_at IS NULL
+       |         OR last_scored_at < TIMESTAMP '$Day2' - INTERVAL 24 HOUR))
+       |SELECT CAST(c.rnk AS BIGINT) AS rnk, c.google_place_id, c.name, c.rating,
+       |  c.reviews_count,
+       |  strftime(c.first_ingested_at, '%Y-%m-%d') AS first_ingested_date,
+       |  strftime(c.updated_at, '%Y-%m-%d') AS updated_date,
+       |  strftime(c.last_scored_at, '%Y-%m-%d') AS last_scored_date,
+       |  coalesce(ct.n_snapshots, 0) AS n_snapshots
+       |FROM cand c LEFT JOIN counts ct USING (google_place_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipe_incremental" -> pipeIncrementalSql,
     "s9_upsert_poi" ->
       s"""SELECT coalesce(e.google_place_id, i.google_place_id) AS google_place_id,
          |  coalesce(i.name, e.name) AS name,

@@ -30,6 +30,25 @@ class SinkSpec extends AnyFunSuite {
     // ("p1","2025-06-01") at 2 days is suppressed
   }
 
+  test("incremental pipeline: day-2 suppression sees day-1 accepted snapshots") {
+    val rows = SinkQueries.qIncrementalPipeline(spark, "").collect()
+      .map(r => r.getString(1) -> r).toMap
+    // candidates: never-scored (g4, g5, g6) nulls-first by updated_at desc,
+    // then g1 (scored long ago); g2 skipped (scored within 24 h of day 2),
+    // g3 excluded (stale update, previously scored)
+    assert(rows.keySet == Set("g1", "g4", "g5", "g6"))
+    assert(rows("g6").getLong(0) == 1L && rows("g5").getLong(0) == 2L &&
+      rows("g4").getLong(0) == 3L && rows("g1").getLong(0) == 4L)
+    // g1's day-2 snapshot landed 1 day after its ACCEPTED day-1 snapshot →
+    // suppressed, so g1 keeps 2 snapshots (base + day 1), g5 keeps 1
+    assert(rows("g1").getAs[Long]("n_snapshots") == 2L)
+    assert(rows("g5").getAs[Long]("n_snapshots") == 1L)
+    assert(rows("g6").getAs[Long]("n_snapshots") == 1L)
+    assert(rows("g4").getAs[Long]("n_snapshots") == 0L)
+    // day-1 insert g5 carries its stamped first_ingested date into day 2
+    assert(rows("g5").getAs[String]("first_ingested_date") == "2025-06-06")
+  }
+
   test("S4 cache: HIT within TTL, STALE past TTL, MISS when absent") {
     val st = SerpCache.qCacheLookup(spark, "").collect()
       .map(r => r.getString(0) -> (r.getString(4), Option(r.getString(2)))).toMap
