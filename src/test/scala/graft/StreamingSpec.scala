@@ -129,6 +129,137 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ------------------------------------------------------- volume parity
+
+  test("volume: streaming FSM == two sequential batch steps over 3200 cells") {
+    import spark.implicits._
+    import graft.expr.CellGrid
+    implicit val sqlCtx = spark.sqlContext
+    val day1 = "2025-06-01 00:00:00"
+    val day2 = "2025-06-09 00:00:00"
+    val cells = for { q <- 0 until 80; r <- 0 until 40 } yield (s"h9:$q:$r", q, r)
+    // ~1/4 saturate and split on day 1, the rest scan clean
+    val scans1 = cells.map { case (h3, q, r) =>
+      CellFsm.ScanResult(h3, if ((q + r) % 4 == 0) 70 else 10,
+        if (r % 7 == 0) 25 else 3, day1)
+    }
+    val splitParents = cells.collect {
+      case (h3, q, r) if (q + r) % 4 == 0 || r % 7 == 0 => h3 }
+    // day 2: rescan a third of the clean cells + scan some emitted children
+    // (every other child saturates at res 10 → splits again to res 11)
+    val scans2 = cells.collect {
+      case (h3, q, r) if q % 3 == 0 && (q + r) % 4 != 0 && r % 7 != 0 =>
+        CellFsm.ScanResult(h3, 30, 2, day2)
+    } ++ splitParents.flatMap(p => CellGrid.cellToChildren(p).zipWithIndex.collect {
+      case (c, i) if i % 2 == 0 => CellFsm.ScanResult(c, if (i % 4 == 0) 65 else 5, 2, day2)
+    })
+
+    def scansDf(s: Seq[CellFsm.ScanResult]) =
+      s.toDF("h3", "totalResults", "maxCategoryCount", "asOf")
+        .select(col("h3"), col("totalResults").as("total_results"),
+          col("maxCategoryCount").as("max_category_count"), col("asOf").as("as_of"))
+    val cellsDf = cells.map(c => (c._1, 9)).toDF("h3", "res").select(
+      col("h3"), col("res"), lit("pending").as("status"), lit(false).as("saturated"),
+      lit(null).cast("timestamp").as("last_scanned_at"),
+      lit(null).cast("timestamp").as("next_due_at"),
+      lit(null).cast("int").as("results_last"), lit(0).as("attempts"))
+    val batchFinal = CellFsm.step(CellFsm.step(cellsDf, scansDf(scans1)), scansDf(scans2))
+    def key(h3: String, res: Int, st: String, sat: Boolean, rl: Option[Int], at: Int,
+        lsd: Option[String], ndd: Option[String]) =
+      (h3, res, st, sat, rl, at, lsd.map(_.take(10)), ndd.map(_.take(10)))
+    val batchSet = batchFinal.collect().map { r =>
+      key(r.getString(0), r.getInt(1), r.getString(2), r.getBoolean(3),
+        if (r.isNullAt(6)) None else Some(r.getInt(6)), r.getInt(7),
+        Option(r.getTimestamp(4)).map(_.toString), Option(r.getTimestamp(5)).map(_.toString))
+    }.toSet
+
+    val input = MemoryStream[CellFsm.ScanResult]
+    val q = CellFsm.streamingFsm(spark, input.toDS())
+      .writeStream.format("memory").queryName("fsm_vol_out").outputMode("append").start()
+    try {
+      input.addData(scans1); q.processAllAvailable()
+      input.addData(scans2); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.sql("select * from fsm_vol_out").as[CellFsm.CellState].collect()
+    // final state per cell = its highest-attempts emission (children emitted
+    // pending at 0, each scan increments); cells never emitted aren't touched
+    val streamFinal = emitted.groupBy(_.h3).map { case (_, rows) =>
+      val s = rows.maxBy(_.attempts)
+      key(s.h3, s.res, s.status, s.saturated, s.resultsLast, s.attempts,
+        s.lastScannedAt, s.nextDueAt)
+    }.toSet
+    // batch state also carries never-scanned rows; restrict to touched cells
+    val touched = streamFinal.map(_._1)
+    val batchTouched = batchSet.filter(t => touched.contains(t._1))
+    assert(streamFinal == batchTouched,
+      s"diff=${(streamFinal diff batchTouched).take(3)} | ${(batchTouched diff streamFinal).take(3)}")
+    assert(streamFinal.size > 3500, s"expected parents+children, got ${streamFinal.size}")
+  }
+
+  test("volume: watermarked dedup == batch distinct over the 10k-event table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(_._2.getTime)
+    // re-inject every 5th event as a duplicate within its arrival batch
+    val batches = rows.grouped((rows.length + 2) / 3).map { b =>
+      b ++ b.zipWithIndex.collect { case (e, i) if i % 5 == 0 => e }
+    }.toSeq
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.dedupStream(df, "30 days")
+      .writeStream.format("memory").queryName("dedup_vol_out").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.sql("select event_id from dedup_vol_out")
+      .collect().map(_.getLong(0)).sorted
+    val distinctIds = rows.map(_._1).distinct.sorted
+    assert(streamed.length == distinctIds.length && streamed.toSeq == distinctIds.toSeq,
+      s"stream=${streamed.length} batch=${distinctIds.length}")
+  }
+
+  test("volume: stateful suppression == greedy per-key fold over 15k snapshots") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sf-scale snapshots; reviews_count re-derived from capture time so rows
+    // colliding on (key, time) are identical and set-compare is well-defined
+    val snaps = graft.domain.VolumeFixtures.snapshotsVol(spark, "/root/testdata/sf0.01")
+      .collect().map { r =>
+        val t = r.getAs[Any](4) match {
+          case ts: java.sql.Timestamp => ts
+          case ldt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(ldt)
+        }
+        Streams.Snapshot(r.getString(0), r.getString(1), 3.0,
+          (t.getTime / 1000 % 1000).toInt, t)
+      }.distinct
+    assert(snaps.length > 10000)
+    val cut = snaps.map(_.captured_at.getTime).sorted.apply(snaps.length / 2)
+    val (b1, b2) = snaps.partition(_.captured_at.getTime < cut)
+    val input = MemoryStream[Streams.Snapshot]
+    val q = Streams.snapshotSuppressionStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("snap_vol_out").outputMode("append").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("select * from snap_vol_out").as[Streams.Snapshot]
+      .collect().map(s => (s.poi_id, s.captured_at.getTime, s.reviews_count)).toSet
+    // reference: greedy accept-if->=7d-after-last-accepted per key, in time order
+    val expected = snaps.groupBy(s => (s.poi_id, s.source_id)).flatMap { case (_, ss) =>
+      var last = Long.MinValue
+      ss.toSeq.sortBy(_.captured_at.getTime).flatMap { s =>
+        val t = s.captured_at.getTime
+        if (last == Long.MinValue || t - last >= 7L * 86400000L) { last = t; Some(s) }
+        else None
+      }
+    }.map(s => (s.poi_id, s.captured_at.getTime, s.reviews_count)).toSet
+    assert(streamed == expected,
+      s"stream=${streamed.size} expected=${expected.size}")
+  }
+
   test("streaming sliding window matches batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
