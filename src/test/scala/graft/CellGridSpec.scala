@@ -130,6 +130,40 @@ class CellGridSpec extends AnyFunSuite {
     }
   }
 
+  test("CellInterop: H3-keyed rows re-key to engine cells and equi-join") {
+    val spark = Sessions.local(2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // external table keyed by (opaque) H3 ids, carrying the cell/entity point
+    // — the shape an `ingestion_cell_h3` export with h3.cell_to_latlng gives
+    val external = Seq(
+      ("8b1fb46622dcfff", 48.8606, 2.3376, 11, 42),
+      ("8b1fb46622d8fff", 48.8607, 2.3377, 11, 7),   // same neighborhood point
+      ("8b1fb4662a31fff", 48.8867, 2.3431, 11, 99))
+      .toDF("h3", "lat", "lng", "res", "payload")
+    val rekeyed = graft.ops.CellInterop.rekeyFromPoint(
+      external, col("lat"), col("lng"), col("res"))
+    val keys = rekeyed.select("h3", "cell").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // engine key is re-derived index math: same as cell_of on the raw point
+    keys.foreach { case (_, cell) => assert(cell.startsWith("h11:")) }
+    assert(keys("8b1fb46622dcfff") ==
+      CellGrid.latLngToCell(48.8606, 2.3376, 11))
+    // re-keyed external data equi-joins engine-keyed data on the cell id
+    val engineSide = Seq(("louvre", 48.8606, 2.3376)).toDF("poi_id", "lat", "lng")
+      .withColumn("cell", graft.expr.functions.cell_of(col("lat"), col("lng"), lit(11)))
+    val joined = rekeyed.join(engineSide, Seq("cell")).select("poi_id", "payload").collect()
+    // both external rows 10 m apart share the louvre's 110 m res-11 cell;
+    // the distant sacre-coeur row must not join
+    assert(joined.map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("louvre", 42), ("louvre", 7)))
+    // coarser target res groups nearby points into one bucket
+    val coarse = graft.ops.CellInterop.rekeyToRes(external, col("lat"), col("lng"), 9)
+      .select("cell").collect().map(_.getString(0))
+    assert(coarse.forall(_.startsWith("h9:")))
+    assert(coarse(0) == coarse(1), "near-identical points share the res-9 bucket")
+  }
+
   test("bboxCover is a superset of the cells of points inside the bbox") {
     val (latMin, latMax, lngMin, lngMax) = (48.84, 48.87, 2.33, 2.37)
     for (res <- 9 to 11) {
