@@ -216,11 +216,31 @@ object Similarity {
     ivfTopkWith(e, broadcast(kmeansCentroids(e)), cosineFD, nq)
   }
 
+  /** K-means cluster assignments as a first-class training-data operator
+    * (cluster-aware mixing/dedup blocks, not just IVF lists): per vector its
+    * trained cluster, the 6-dp cosine to the centroid, and the cluster size
+    * — the per-cluster stats a curation pipeline samples against. */
+  def simKmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = broadcast(kmeansCentroids(e))
+    val corpus = e.select(col("vec_id"), col("embedding").as("va"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("cell_id").asc)
+    val assigned = corpus.crossJoin(centroids)
+      .withColumn("c_sim", round(cosineFD, 6))
+      .withColumn("crnk", row_number().over(w)).filter(col("crnk") === 1)
+      .select(col("vec_id"), col("cell_id"), col("c_sim"))
+    val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"), col("c_sim").as("centroid_cos"),
+        col("cluster_size"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
-    "sim_ivf_kmeans" -> (simIvfKmeansTopk _))
+    "sim_ivf_kmeans" -> (simIvfKmeansTopk _),
+    "sim_kmeans_clusters" -> (simKmeansClusters _))
 
   /** DuckDB sign-bit signature for one hash table: the SAME inlined
     * hyperplane constants as VecAlgo.lshSignatures, summed in the same
@@ -267,7 +287,10 @@ object Similarity {
        |  FROM $prev p LEFT JOIN m$i m ON p.cell_id = m.cell_id AND p.dim = m.dim)""".stripMargin
   }
 
-  private def ivfKmeansSql: String =
+  /** Shared oracle prefix: quantized per-dim corpus, seed centroids, the
+    * unrolled Lloyd's iterations, and the final per-vector assignment
+    * ranking (`af`). */
+  private def kmeansPrefixSql: String =
     s"""WITH ev AS (
        |  SELECT vec_id, g AS dim, CAST(embedding[g] AS DOUBLE) AS v,
        |    CAST(round(CAST(embedding[g] AS DOUBLE) * 1000000) AS BIGINT) AS qv
@@ -278,18 +301,31 @@ object Similarity {
       s"""sf AS (SELECT e.vec_id, c.cell_id,
          |    round(sum(e.v * c.cv) / (sqrt(sum(e.v * e.v)) * sqrt(sum(c.cv * c.cv))), 6) AS sim
          |  FROM ev e JOIN c$KMeansIters c ON e.dim = c.dim GROUP BY 1, 2),
-         |af AS (SELECT vec_id, cell_id,
+         |af AS (SELECT vec_id, cell_id, sim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS crnk
          |  FROM sf),
-         |inv AS (SELECT vec_id AS n_id, cell_id FROM af WHERE crnk = 1),
+         |""".stripMargin
+
+  private def ivfKmeansSql: String =
+    kmeansPrefixSql +
+      s"""inv AS (SELECT vec_id AS n_id, cell_id FROM af WHERE crnk = 1),
          |qp AS (SELECT vec_id AS q_id, cell_id FROM af
          |  WHERE crnk <= $NProbe AND vec_id < $NumQueries),
          |cands AS (SELECT DISTINCT q_id, n_id FROM qp JOIN inv USING (cell_id)
          |  WHERE q_id != n_id),
          |""".stripMargin + topkSql
 
+  private def kmeansClustersSql: String =
+    kmeansPrefixSql +
+      """asg AS (SELECT vec_id, cell_id, CAST(sim AS DOUBLE) AS centroid_cos
+        |  FROM af WHERE crnk = 1),
+        |sz AS (SELECT cell_id, count(*) AS cluster_size FROM asg GROUP BY cell_id)
+        |SELECT a.vec_id, a.cell_id, a.centroid_cos, s.cluster_size
+        |FROM asg a JOIN sz s USING (cell_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_ivf_kmeans" -> ivfKmeansSql,
+    "sim_kmeans_clusters" -> kmeansClustersSql,
     "sim_bruteforce_topk" ->
       s"""SELECT q_id, n_id, cos, rnk FROM (
          |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
