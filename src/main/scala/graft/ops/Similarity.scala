@@ -127,13 +127,17 @@ object Similarity {
     * oracle-checkable (raw-double ordering could differ in the last bit). */
   private def ivfTopkWith(e: DataFrame, centroids: DataFrame, centroidCos: Column,
       nq: Int): DataFrame = {
+    // Two separate assignments beat one shared ranked assignment here
+    // (measured): the corpus side keeps only crnk=1 (1× rows through its
+    // window) and the query side's keep-NProbe window runs on the tiny
+    // query subset — a shared crnk<=NProbe corpus window would emit 3× the
+    // rows and make the query branch pay the full-corpus window too.
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val scored = df.crossJoin(centroids).withColumn("c_sim", round(centroidCos, 6))
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("cell_id").asc)
       scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
         .select(col(idCol), col("va"), col("cell_id"))
     }
-
     val invertedLists = assign(
         e.select(col("vec_id").as("n_id"), col("embedding").as("va")), "n_id", 1)
       .withColumnRenamed("va", "vb")
