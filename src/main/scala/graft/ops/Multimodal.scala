@@ -344,11 +344,101 @@ object Multimodal {
         round(col("brightness"), 6).as("brightness"))
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Raw 16-bit PCM mono container (audio stand-in, same role as RawRgb /
+    * RawVideo): [sample_rate int32][n_samples int32] header, then int16 BE
+    * samples. The fixture waveform is a square wave with a piecewise-constant
+    * amplitude (first `split` samples at a1, rest at a2), so windowed energy
+    * statistics have exact closed forms the oracle recomputes. */
+  object RawPcm {
+    def encode(rate: Int, total: Int, split: Int, a1: Int, a2: Int): Array[Byte] = {
+      val out = new Array[Byte](8 + total * 2)
+      def put(o: Int, v: Int): Unit = {
+        out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+        out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+      }
+      put(0, rate); put(4, total)
+      var i = 0
+      while (i < total) {
+        val a = if (i < split) a1 else a2
+        val s = if (i % 2 == 0) a else -a
+        out(8 + i * 2) = (s >> 8).toByte
+        out(8 + i * 2 + 1) = s.toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Per-1-second-window accumulators over the payload: (window_idx,
+      * n, sum of squares, silent-sample count, peak |amplitude|). */
+    def windowStats(payload: Array[Byte], silenceThr: Int): Seq[(Int, Int, Long, Int, Int)] = {
+      def i32(o: Int) = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+      val rate = i32(0); val total = i32(4)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Int, Int)]()
+      var w = 0
+      while (w * rate < total) {
+        val end = math.min((w + 1) * rate, total)
+        var i = w * rate
+        var sumSq = 0L; var silent = 0; var peak = 0
+        while (i < end) {
+          val s = ((payload(8 + i * 2) << 8) | (payload(8 + i * 2 + 1) & 0xff)).toShort.toInt
+          val a = math.abs(s)
+          sumSq += a.toLong * a
+          if (a < silenceThr) silent += 1
+          if (a > peak) peak = a
+          i += 1
+        }
+        out += ((w, end - w * rate, sumSq, silent, peak))
+        w += 1
+      }
+      out.toSeq
+    }
+  }
+
+  case class AudioWindowRow(clip_id: String, window_idx: Int, n_samples: Int,
+    rms: Double, silence_ratio: Double, peak: Int)
+
+  /** (clip_id, rate, total, split, a1, a2): split is deliberately NOT
+    * window-aligned for a1/a3, so boundary windows mix both amplitudes. */
+  val audioFixture: Seq[(String, Int, Int, Int, Int, Int)] = Seq(
+    ("a1", 800, 3200, 2000, 1000, 0),
+    ("a2", 1000, 3000, 1000, 8000, 300),
+    ("a3", 500, 1500, 700, 50, 4000))
+
+  val SilenceThreshold = 100
+
+  /** Driver-mandate audio feature extraction: decode → windowed RMS energy /
+    * silence ratio / peak per 1-second window, 1→N fan-out inside one
+    * mapPartitions batch (the mapInPandas shape for a real audio codec). */
+  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = audioFixture.map { case (id, rate, total, split, a1, a2) =>
+      PhotoRow(id, RawPcm.encode(rate, total, split, a1, a2))
+    }
+    rows.toDS().mapPartitions { it =>
+      it.flatMap { r =>
+        RawPcm.windowStats(r.payload, SilenceThreshold).map {
+          case (w, n, sumSq, silent, peak) =>
+            AudioWindowRow(r.photo_id, w, n,
+              math.sqrt(sumSq.toDouble / n), silent.toDouble / n, peak)
+        }
+      }
+    }.toDF()
+      .select(col("clip_id"), col("window_idx").cast("long").as("window_idx"),
+        col("n_samples").cast("long").as("n_samples"),
+        round(col("rms"), 6).as("rms"),
+        round(col("silence_ratio"), 6).as("silence_ratio"),
+        col("peak").cast("long").as("peak"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_photo_quality" -> (mmPhotoQuality _),
     "mm_resize" -> (mmResize _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_energy" -> (mmAudioEnergy _))
 
   /** Oracle: the same statistics in closed form from the band parameters —
     * integer channel sums (exact), the identical variance/sqrt expression
@@ -473,6 +563,31 @@ object Multimodal {
          |    + sqrt(qb - mb * mb)) / 3.0, 6) AS DOUBLE) AS contrast,
          |  CAST(round(sat, 6) AS DOUBLE) AS saturation
          |FROM m""".stripMargin,
+    "mm_audio_energy" -> {
+      val audioValues = audioFixture.map { case (id, rate, total, split, a1, a2) =>
+        s"('$id', $rate, $total, $split, $a1, $a2)"
+      }.mkString("(VALUES ", ", ", ")") +
+        " AS a(clip_id, rate, total, split, a1, a2)"
+      val maxWin = audioFixture.map(f => f._3 / f._2).max
+      // per window: n1 = samples still in the first amplitude segment —
+      // exact integer band split, same closed-form style as the photo oracle
+      s"""WITH win AS (
+         |  SELECT clip_id, rate, a1, a2, k,
+         |    greatest(0, least(rate, split - k * rate)) AS n1
+         |  FROM $audioValues, range($maxWin) t(k)
+         |  WHERE k < total // rate),
+         |w2 AS (SELECT *, rate - n1 AS n2 FROM win)
+         |SELECT clip_id, CAST(k AS BIGINT) AS window_idx,
+         |  CAST(rate AS BIGINT) AS n_samples,
+         |  CAST(round(sqrt(CAST(n1 * a1 * a1 + n2 * a2 * a2 AS DOUBLE) / rate), 6)
+         |    AS DOUBLE) AS rms,
+         |  CAST(round(CAST((CASE WHEN a1 < $SilenceThreshold THEN n1 ELSE 0 END
+         |    + CASE WHEN a2 < $SilenceThreshold THEN n2 ELSE 0 END) AS DOUBLE)
+         |    / rate, 6) AS DOUBLE) AS silence_ratio,
+         |  CAST(greatest(CASE WHEN n1 > 0 THEN a1 ELSE 0 END,
+         |    CASE WHEN n2 > 0 THEN a2 ELSE 0 END) AS BIGINT) AS peak
+         |FROM w2""".stripMargin
+    },
     "mm_frame_sample" -> {
       val videoValues = videoFixture.map { case (id, nf, w, h, br, bg, bb, step) =>
         s"('$id', $nf, $w, $h, $br, $bg, $bb, $step)"

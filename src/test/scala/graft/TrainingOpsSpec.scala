@@ -94,6 +94,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a == b, "quantized-integer means must be bit-identical across partitionings")
   }
 
+  test("RawPcm windowed energy: boundary windows mix segment amplitudes") {
+    val p = Multimodal.RawPcm.encode(800, 3200, 2000, 1000, 0)
+    val ws = Multimodal.RawPcm.windowStats(p, 100)
+    assert(ws.length == 4)
+    // window 2 straddles the amplitude split at sample 2000: 400 loud + 400 silent
+    assert(ws(2) == ((2, 800, 400L * 1000 * 1000, 400, 1000)))
+    // fully-silent tail window
+    assert(ws(3) == ((3, 800, 0L, 800, 0)))
+    // negative half-wave samples round-trip through the int16 encoding
+    val loud = Multimodal.RawPcm.windowStats(
+      Multimodal.RawPcm.encode(4, 4, 4, 32767, 0), 100)
+    assert(loud == Seq((0, 4, 4L * 32767 * 32767, 0, 32767)))
+  }
+
   test("stub decoder features are deterministic and correct") {
     val f = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"), "image/stub")
     assert(f.byteLen == 3 && f.byteSum == 97 + 98 + 99 && f.firstByte == 97)
