@@ -19,7 +19,8 @@ class ContractSpec extends AnyFunSuite {
       domain.DateEnrichment.queries.size, domain.MentionScoring.queries.size,
       domain.MentionDedup.queries.size, domain.Spatial.queries.size,
       domain.Ingest.queries.size, domain.Collections.queries.size,
-      sinks.SinkQueries.queries.size, streaming.FsmQueries.queries.size,
+      sinks.SinkQueries.queries.size, sinks.ScriptSinks.queries.size,
+      streaming.FsmQueries.queries.size,
       streaming.Streams.queries.size, domain.Trending.queries.size,
       domain.Monitoring.queries.size, ops.SerpCache.queries.size)
     assert(merged == fields.sum,

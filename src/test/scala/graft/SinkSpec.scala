@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sinks.SinkQueries
+import graft.sinks.{ScriptSinks, SinkQueries}
 import graft.ops.SerpCache
 
 /** Sink and cache invariants beyond the oracle hash checks. */
@@ -47,6 +47,44 @@ class SinkSpec extends AnyFunSuite {
     assert(rows("g4").getAs[Long]("n_snapshots") == 0L)
     // day-1 insert g5 carries its stamped first_ingested date into day 2
     assert(rows("g5").getAs[String]("first_ingested_date") == "2025-06-06")
+  }
+
+  test("S14 sql-codegen sink: escaped upsert script assembles in order") {
+    val stmts = ScriptSinks.qS14SqlCodegen(spark, "")
+    val rows = stmts.collect()
+    assert(rows.length == 98)
+    // the real data exercises the quote-escaping path
+    val aux = rows.map(_.getString(2)).find(_.contains("Auxerrois"))
+    assert(aux.exists(_.contains("l''Auxerrois")), "apostrophes must be doubled")
+    assert(rows.forall(_.getString(2).endsWith("created_at = NOW();")))
+    val out = java.nio.file.Files.createTempDirectory("graftsql").resolve("geom.sql")
+    ScriptSinks.writeSqlScript(stmts, out.toString)
+    val script = java.nio.file.Files.readString(out)
+    assert(script.startsWith("-- Geometry upsert script"))
+    assert(script.contains("BEGIN;") && script.trim.endsWith("COMMIT;"))
+    assert("INSERT INTO urban_areas".r.findAllIn(script).length == 98)
+  }
+
+  test("S15 blob sink: written files match the manifest paths and sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val photos = Seq(
+      ("p1", "hello world", 0.87), ("p1", "other bytes", 0.29), ("p2", "x", 0.999))
+      .toDF("poi_id", "text", "quality")
+      .select(col("poi_id"), col("text").cast("binary").as("payload"), col("quality"))
+    val root = java.nio.file.Files.createTempDirectory("graftblobs").toString
+    ScriptSinks.writeBlobs(photos, root)
+    val manifest = ScriptSinks.blobManifest(photos).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(manifest.length == 3)
+    // truncation semantics: int(0.29 * 100) = 28, not 29
+    assert(manifest.exists(_._1.startsWith("p1/28_")))
+    assert(manifest.exists(_._1.startsWith("p2/99_")))
+    manifest.foreach { case (rel, len) =>
+      val p = java.nio.file.Paths.get(root, rel)
+      assert(java.nio.file.Files.exists(p), s"missing $rel")
+      assert(java.nio.file.Files.size(p) == len)
+    }
   }
 
   test("S4 cache: HIT within TTL, STALE past TTL, MISS when absent") {
