@@ -47,7 +47,11 @@ object Relational {
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        // per-item revenue rounded to 6dp then summed as DECIMAL: the sum is
+        // exact and partition-order-independent (a raw double sum lands on a
+        // different 4th decimal than DuckDB's at sf0.1 row counts)
+        round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(28,6)")), 4).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -187,7 +191,8 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_revenue_by_region" ->
       """SELECT r_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |    AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey

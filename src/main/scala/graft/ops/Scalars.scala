@@ -139,19 +139,22 @@ object Scalars {
       .filter(col("l_quantity") > 45)
       .select(col("l_partkey")).distinct()
     val joined = p.join(heavyUse, p("p_partkey") === heavyUse("l_partkey"), "left")
-    val score = least(
-      when(col("p_size") <= 10, 0.4).otherwise(0.0)
-        + when(col("l_partkey").isNull, 0.3).otherwise(0.0)
-        + when(col("p_name").rlike("widget|gadget"), 0.15).otherwise(0.0)
-        + when(col("p_type") === "PROMO", 0.1).otherwise(0.0)
-        + when(col("p_brand").rlike("#1[0-9]$"), 0.05).otherwise(0.0),
-      lit(1.0))
+    // integer centi-points, not a double sum: 0.3+0.15+0.1+0.05 in binary
+    // lands at 0.5999999…, putting the class threshold on the wrong side of
+    // DuckDB's exact DECIMAL 0.6 for boundary rows (surfaced at sf0.1)
+    val pts = least(
+      when(col("p_size") <= 10, 40).otherwise(0)
+        + when(col("l_partkey").isNull, 30).otherwise(0)
+        + when(col("p_name").rlike("widget|gadget"), 15).otherwise(0)
+        + when(col("p_type") === "PROMO", 10).otherwise(0)
+        + when(col("p_brand").rlike("#1[0-9]$"), 5).otherwise(0),
+      lit(100))
     joined.select(
       col("p_partkey"),
-      round(score, 6).as("novelty_score"),
-      when(score >= 0.8, "highly_likely_new")
-        .when(score >= 0.6, "likely_new")
-        .when(score >= 0.4, "potentially_new")
+      round(pts / 100.0, 6).as("novelty_score"),
+      when(pts >= 80, "highly_likely_new")
+        .when(pts >= 60, "likely_new")
+        .when(pts >= 40, "potentially_new")
         .otherwise("established").as("novelty_classification"))
   }
 
