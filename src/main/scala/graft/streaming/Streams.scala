@@ -57,6 +57,18 @@ object Streams {
       }
   }
 
+  /** J6 as a STREAM-STREAM interval join: mention events join feed entries
+    * on the feed domain, with the entry published in the 3 days up to the
+    * mention's capture time. Both sides are watermarked so Spark bounds the
+    * join state: a feed entry can be dropped from state once no future
+    * mention's 3-day lookback can reach it. The batch equivalent is the
+    * oracle-checked `j6_rss_feed_join` (DateEnrichment.scala). */
+  def mentionFeedJoinStream(mentions: DataFrame, entries: DataFrame): DataFrame =
+    mentions.withWatermark("m_ts", "1 hour")
+      .join(entries.withWatermark("e_ts", "1 hour"),
+        expr("m_domain = e_domain AND " +
+          "e_ts >= m_ts - INTERVAL 3 DAYS AND e_ts <= m_ts"))
+
   /** Batch equivalent of slidingAgg for cross-checking (and the driver's
     * oracle: tumbling window via epoch-bucket arithmetic). */
   def tumblingAggBatch(events: DataFrame, minutes: Int): DataFrame =

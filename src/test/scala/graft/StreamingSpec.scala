@@ -129,6 +129,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mentionRows = Seq(
+      (1L, "lefooding.com", ts("2025-06-10 12:00:00")),
+      (2L, "lefooding.com", ts("2025-06-14 12:00:00")),
+      (3L, "other.net", ts("2025-06-10 12:00:00")))
+    val entryRows = Seq(
+      (10L, "lefooding.com", ts("2025-06-09 00:00:00")), // 1.5d before m1 -> joins m1; 5.5d before m2 -> not m2
+      (11L, "lefooding.com", ts("2025-06-13 00:00:00")), // joins m2 only (after m1)
+      (12L, "unrelated.org", ts("2025-06-10 00:00:00")))
+    val mIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val eIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val joined = Streams.mentionFeedJoinStream(
+      mIn.toDF().toDF("m_id", "m_domain", "m_ts"),
+      eIn.toDF().toDF("e_id", "e_domain", "e_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // feed the two sides in separate batches — the join must buffer state
+      eIn.addData(entryRows.take(2)); q.processAllAvailable()
+      mIn.addData(mentionRows: _*); q.processAllAvailable()
+      eIn.addData(entryRows.drop(2)); q.processAllAvailable()
+      val streamed = spark.sql("select m_id, e_id from ssj_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = mentionRows.toDF("m_id", "m_domain", "m_ts")
+        .join(entryRows.toDF("e_id", "e_domain", "e_ts"),
+          expr("m_domain = e_domain AND e_ts >= m_ts - INTERVAL 3 DAYS AND e_ts <= m_ts"))
+        .select("m_id", "e_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Set((1L, 10L), (2L, 11L)))
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------- volume parity
 
   test("volume: streaming FSM == two sequential batch steps over 3200 cells") {
