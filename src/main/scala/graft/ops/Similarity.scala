@@ -294,7 +294,7 @@ object Similarity {
   /** Shared oracle prefix: quantized per-dim corpus, seed centroids, the
     * unrolled Lloyd's iterations, and the final per-vector assignment
     * ranking (`af`). */
-  private def kmeansPrefixSql: String =
+  private[graft] def kmeansPrefixSql: String =
     s"""WITH ev AS (
        |  SELECT vec_id, g AS dim, CAST(embedding[g] AS DOUBLE) AS v,
        |    CAST(round(CAST(embedding[g] AS DOUBLE) * 1000000) AS BIGINT) AS qv

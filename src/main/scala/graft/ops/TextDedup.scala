@@ -243,8 +243,41 @@ object TextDedup {
       .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding near-dup pairs blocked by the TRAINED k-means cluster — the
+    * production form of [[ddEmbedCosine]]'s label block (labels don't exist
+    * on a raw 100 TB corpus; cluster ids do, and we train them ourselves via
+    * [[Similarity.kmeansCentroids]]). Each vector is blocked into its top-2
+    * clusters (multi-probe blocking: a near-dup pair straddling one cluster
+    * boundary still shares the runner-up cluster), pairs form per cluster via
+    * a SLIM (vec_id, cell_id) self-join — the 64-float vectors are joined
+    * back only for surviving candidate pairs — then exact cosine + threshold.
+    * At 100 TB the cluster id is the shuffle/partition key you'd persist, and
+    * candidate pairs are bounded per cluster instead of all-pairs. */
+  def ddEmbedKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val centroids = broadcast(Similarity.kmeansCentroids(e))
+    val corpus = e.select(col("vec_id"), col("embedding").as("va"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("cell_id").asc)
+    val blocks = corpus.crossJoin(centroids)
+      .withColumn("c_sim", round(graft.expr.functions.cosine_similarity_fd(col("va"), col("vb")), 6))
+      .withColumn("crnk", row_number().over(w)).filter(col("crnk") <= 2)
+      .select(col("vec_id"), col("cell_id"))
+    val pairs = blocks.select(col("cell_id"), col("vec_id").as("id_a"))
+      .join(blocks.select(col("cell_id"), col("vec_id").as("id_b")), Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dd_exact" -> (ddExact _),
+    "dd_embed_kmeans" -> (ddEmbedKmeans _),
     "dd_jaccard_chars" -> (ddJaccardChars _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -252,7 +285,25 @@ object TextDedup {
     "dd_embed_cosine" -> (ddEmbedCosine _),
     "dd_ngram_jaccard_dfcap" -> (ddNgramJaccardDfcap _))
 
+  /** Replays the deterministic k-means training (same unrolled-iteration SQL
+    * as the sim_ivf_kmeans oracle), blocks by top-2 cluster, then scores the
+    * distinct candidate pairs exactly like dd_embed_cosine's oracle. */
+  private def embedKmeansSql: String =
+    Similarity.kmeansPrefixSql +
+      """blk AS (SELECT vec_id, cell_id FROM af WHERE crnk <= 2),
+        |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM blk a JOIN blk b USING (cell_id) WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  CAST(round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |    CAST(y.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos
+        |FROM pairs
+        |JOIN embeddings x ON x.vec_id = id_a
+        |JOIN embeddings y ON y.vec_id = id_b
+        |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |    CAST(y.embedding AS DOUBLE[])) >= 0.35""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dd_embed_kmeans" -> embedKmeansSql,
     "dd_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_docs

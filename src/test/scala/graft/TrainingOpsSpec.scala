@@ -84,6 +84,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rKm >= 0.6, s"trained-centroid IVF recall@5 too low: $rKm")
   }
 
+  test("cluster-blocked embedding near-dup: found pairs exact, recall vs all-pairs") {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    // ground truth: ALL pairs with cosine >= 0.35, no blocking at all
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("x"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("y"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", graft.expr.functions.cosine_similarity(col("x"), col("y")))
+      .filter(col("cos") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val found = TextDedup.ddEmbedKmeans(spark, dir)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // no false positives, and every reported cosine is the exact brute-force one
+    found.foreach { case (pair, cos) =>
+      assert(truth.get(pair).contains(cos), s"pair $pair cos mismatch or not a true near-dup")
+    }
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.5, s"top-2-cluster blocking recall too low: $recall (${found.size}/${truth.size})")
+  }
+
   test("k-means centroids are invariant to input partitioning") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def dump(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
