@@ -141,6 +141,28 @@ object Expressions {
         c: Expression, d: Expression): Expression = copy(a, b, c, d)
   }
 
+  /** Top-k nearest-centroid assignment of a float vector against a LITERAL
+    * flattened centroid matrix (the 2 KB k-means model, shipped with the
+    * plan like MLlib ships centers) — one codegen'd pass per row instead of
+    * a 16-way crossJoin + window shuffle. Ranking contract matches the
+    * dataflow it replaces: 6-dp-rounded [[CosineSimilarityFD]] DESC, cell
+    * ASC. Returns array<struct<cell_id, sim>> of length k. */
+  case class NearestCells(first: Expression, second: Expression, third: Expression,
+      fourth: Expression) extends QuaternaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sim", DoubleType, nullable = false))),
+        containsNull = false)
+    override protected def nullSafeEval(v: Any, flat: Any, nc: Any, k: Any): Any =
+      VecAlgo.nearestCells(v.asInstanceOf[ArrayData], flat.asInstanceOf[ArrayData],
+        nc.asInstanceOf[Int], k.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, f, n, k) => s"$vec.nearestCells($v, $f, $n, $k)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression, d: Expression): Expression = copy(a, b, c, d)
+  }
+
   /** Ray-cast containment of (lng, lat) in a ring column (J1 hot filter;
     * replaces the boxing Scala-closure UDF). */
   case class PointInRing(first: Expression, second: Expression, third: Expression)
@@ -255,6 +277,15 @@ object functions {
   def simhash64(c: Column): Column = asCol(SimHash64(expr(c)))
   def ascii_masks(c: Column): Column = asCol(AsciiMasks(expr(c)))
   def minhash_sigs(c: Column): Column = asCol(MinHashSigs(expr(c)))
+  /** Top-k (cell_id, sim) of a float-vector column vs a driver-side centroid
+    * model — the matrix is flattened into a plan literal. */
+  def nearest_cells(vec: Column, centroids: Array[Array[Double]], k: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType => AT, DoubleType => DT, IntegerType => IT}
+    val flat = Literal.create(centroids.flatten, AT(DT, containsNull = false))
+    asCol(NearestCells(expr(vec), flat, Literal(centroids.length, IT), Literal(k, IT)))
+  }
+
   def tag_match_score(tags: Column, req: Column, exc: Column, minConf: Column): Column =
     asCol(TagMatchScore(expr(tags), expr(req), expr(exc), expr(minConf)))
   def point_in_ring(lng: Column, lat: Column, ring: Column): Column =

@@ -208,6 +208,62 @@ object VecAlgo {
     dot / (math.sqrt(sa) * math.sqrt(sb))
   }
 
+  /** Spark's `round(col, 6)` semantics for doubles (BigDecimal HALF_UP) —
+    * [[nearestCells]] must rank by the SAME rounded similarity as the
+    * `round(cosineFD, 6)` dataflow it replaces, or oracle parity breaks. */
+  def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Top-k nearest centroids of one float vector against a flattened
+    * `numCells × dim` double centroid matrix, in ONE codegen'd pass — the
+    * k-means/IVF assignment step without a crossJoin or a window: ranked by
+    * (6-dp-rounded cosine DESC, cell ASC), exactly the ordering the
+    * crossJoin + row_number dataflow produced. Per-element math is
+    * [[cosineFD]]'s sequential-in-double accumulation, so similarities are
+    * bit-identical. Returns array<struct<cell_id: long, sim: double>>. */
+  def nearestCells(v: ArrayData, flat: ArrayData, numCells: Int, k: Int): ArrayData = {
+    val dim = flat.numElements() / numCells
+    val nv = v.numElements()
+    val vd = new Array[Double](nv)
+    var i = 0
+    while (i < nv) { vd(i) = v.getFloat(i).toDouble; i += 1 }
+    var sa = 0.0
+    i = 0
+    while (i < nv) { sa += vd(i) * vd(i); i += 1 }
+    val sims = new Array[Double](numCells)
+    var c = 0
+    while (c < numCells) {
+      val off = c * dim
+      val n = math.min(nv, dim)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += vd(j) * flat.getDouble(off + j); j += 1 }
+      var sb = 0.0
+      j = 0
+      while (j < dim) { val x = flat.getDouble(off + j); sb += x * x; j += 1 }
+      sims(c) = round6(dot / (math.sqrt(sa) * math.sqrt(sb)))
+      c += 1
+    }
+    val kk = math.min(k, numCells)
+    val out = new Array[Any](kk)
+    val used = new Array[Boolean](numCells)
+    var r = 0
+    while (r < kk) {
+      var best = -1
+      var c2 = 0
+      while (c2 < numCells) {
+        if (!used(c2) && (best == -1 || sims(c2) > sims(best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](best.toLong, sims(best)))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---------------------------------------------------------------- LSH
 
   /** LSH geometry — must stay in sync with the recall spec in

@@ -176,65 +176,92 @@ object Similarity {
     *     regardless of how Spark partitions the corpus (a raw double sum
     *     would depend on reduction order);
     *   - a cell that loses all members keeps its previous centroid.
-    * At 100 TB this is the standard distributed Lloyd's shape: per iteration,
-    * one broadcast of the tiny centroid set + one map-side-combinable
-    * groupBy(cell, dim) integer sum — no collect, no driver loop over data;
-    * the corpus is scanned `KMeansIters` times plus once for quantization. */
-  def kmeansCentroids(e: DataFrame): DataFrame = {
-    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("va"))
-    // (n_id, dim, quantized component) — codegen'd, integer-exact
-    val evq = corpus.select(col("n_id"), posexplode(col("va")).as(Seq("dim", "x")))
-      .select(col("n_id"), col("dim"),
-        round(col("x").cast("double") * QuantScale).cast("long").as("qv"))
-    var cent = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("vb"))
+    * Executed MLlib-style: the 2 KB model lives on the DRIVER between
+    * iterations (this is a collect of the MODEL — NumCells rows / 1024
+    * aggregates — never of the data). Per iteration the corpus is assigned
+    * by the codegen'd [[graft.expr.Expressions.NearestCells]] projection (no
+    * crossJoin, no window — the corpus never shuffles) and reduced by ONE
+    * map-side-combinable groupBy(cell, dim) integer sum, ≤ NumCells×dim rows
+    * per partition on the wire. The previous crossJoin + row_number + two
+    * groupBys + rebuild-join dataflow ran ~4 shuffles per iteration; results
+    * are bit-identical (same rounded sims, same exact integer means). */
+  private[graft] def kmeansCentroidArrays(e: DataFrame): Array[Array[Double]] = {
+    var cent: Array[Array[Double]] = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getAs[collection.Seq[Float]](1).iterator.map(_.toDouble).toArray)
     for (_ <- 1 to KMeansIters) {
-      val w = Window.partitionBy(col("n_id")).orderBy(col("c_sim").desc, col("cell_id").asc)
-      val members = corpus.crossJoin(broadcast(cent))
-        .withColumn("c_sim", round(cosineFD, 6))
-        .withColumn("crnk", row_number().over(w)).filter(col("crnk") === 1)
-        .select("n_id", "cell_id")
-      // exact integer mean per (cell, dim), then rebuild the centroid arrays
-      // (16 rows — the interpreted transform here is off the hot path)
-      val means = members.join(evq, "n_id")
+      val assigned = e.select(
+        graft.expr.functions.nearest_cells(col("embedding"), cent, 1)
+          .getItem(0).getField("cell_id").as("cell_id"),
+        col("embedding"))
+      val sums = assigned
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cell_id", "dim")
-        .agg((sum("qv").cast("double") / (count(lit(1)) * QuantScale)).as("cv"))
-        .groupBy("cell_id")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), p -> p.cv)").as("nvb"))
-      cent = cent.join(means, Seq("cell_id"), "left")
-        .select(col("cell_id"), coalesce(col("nvb"), col("vb")).as("vb"))
+        .agg(sum(round(col("x").cast("double") * QuantScale).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .collect()
+      val next = cent.map(_.clone())
+      sums.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3) * QuantScale)
+      }
+      cent = next
     }
     cent
+  }
+
+  /** [[kmeansCentroidArrays]] as a DataFrame (cell_id, vb) — the persistable
+    * model artifact. */
+  def kmeansCentroids(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    kmeansCentroidArrays(e).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("cell_id", "vb")
   }
 
   /** IVF-flat ANN over TRAINED centroids — closes the documented stand-in in
     * [[simIvfTopk]]: identical dataflow (assign → invert → probe → rank), but
     * the inverted lists are keyed by Lloyd's centroids, which is what decides
-    * real recall at scale. */
+    * real recall at scale. Assignment is the codegen'd [[graft.expr.functions
+    * .nearest_cells]] projection against the driver-side model — the corpus
+    * reaches the probe join without a single shuffle. */
   def simIvfKmeansTopk(spark: SparkSession, dir: String): DataFrame =
     ivfKmeansTopkN(spark, dir, NumQueries)
 
   private[graft] def ivfKmeansTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
+    import graft.expr.{functions => F}
     val e = Tables.embeddings(spark, dir)
-    ivfTopkWith(e, broadcast(kmeansCentroids(e)), cosineFD, nq)
+    val cent = kmeansCentroidArrays(e)
+    val invertedLists = e.select(col("vec_id").as("n_id"), col("embedding").as("vb"),
+      F.nearest_cells(col("embedding"), cent, 1).getItem(0).getField("cell_id").as("cell_id"))
+    val queryProbes = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("va"),
+        explode(F.nearest_cells(col("embedding"), cent, NProbe)).as("nc"))
+      .select(col("q_id"), col("va"), col("nc.cell_id").as("cell_id"))
+    val cands = broadcast(queryProbes).join(invertedLists, Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos_r", round(cosine, 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), col("cos_r").as("cos"), col("rnk").cast("long").as("rnk"))
   }
 
   /** K-means cluster assignments as a first-class training-data operator
     * (cluster-aware mixing/dedup blocks, not just IVF lists): per vector its
     * trained cluster, the 6-dp cosine to the centroid, and the cluster size
-    * — the per-cluster stats a curation pipeline samples against. */
+    * — the per-cluster stats a curation pipeline samples against. One
+    * codegen'd assignment projection + one 16-row size aggregate. */
   def simKmeansClusters(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val centroids = broadcast(kmeansCentroids(e))
-    val corpus = e.select(col("vec_id"), col("embedding").as("va"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("cell_id").asc)
-    val assigned = corpus.crossJoin(centroids)
-      .withColumn("c_sim", round(cosineFD, 6))
-      .withColumn("crnk", row_number().over(w)).filter(col("crnk") === 1)
-      .select(col("vec_id"), col("cell_id"), col("c_sim"))
+    val cent = kmeansCentroidArrays(e)
+    val assigned = e.select(col("vec_id"),
+        graft.expr.functions.nearest_cells(col("embedding"), cent, 1).getItem(0).as("nc"))
+      .select(col("vec_id"), col("nc.cell_id").as("cell_id"), col("nc.sim").as("c_sim"))
     val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("cluster_size"))
-    assigned.join(sizes, Seq("cell_id"))
+    assigned.join(broadcast(sizes), Seq("cell_id"))
       .select(col("vec_id"), col("cell_id"), col("c_sim").as("centroid_cos"),
         col("cluster_size"))
   }

@@ -254,15 +254,11 @@ object TextDedup {
     * At 100 TB the cluster id is the shuffle/partition key you'd persist, and
     * candidate pairs are bounded per cluster instead of all-pairs. */
   def ddEmbedKmeans(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
-    val centroids = broadcast(Similarity.kmeansCentroids(e))
-    val corpus = e.select(col("vec_id"), col("embedding").as("va"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("cell_id").asc)
-    val blocks = corpus.crossJoin(centroids)
-      .withColumn("c_sim", round(graft.expr.functions.cosine_similarity_fd(col("va"), col("vb")), 6))
-      .withColumn("crnk", row_number().over(w)).filter(col("crnk") <= 2)
-      .select(col("vec_id"), col("cell_id"))
+    val cent = Similarity.kmeansCentroidArrays(e)
+    val blocks = e.select(col("vec_id"),
+        explode(graft.expr.functions.nearest_cells(col("embedding"), cent, 2)).as("nc"))
+      .select(col("vec_id"), col("nc.cell_id").as("cell_id"))
     val pairs = blocks.select(col("cell_id"), col("vec_id").as("id_a"))
       .join(blocks.select(col("cell_id"), col("vec_id").as("id_b")), Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
