@@ -149,6 +149,33 @@ object TextAnalysis {
       col("n_words"), col("quality_score"), col("predicted_lang"))
   }
 
+  /** Full corpus construction: the cleaning chain, then NEAR-dup removal
+    * over its survivors — the canonical two-stage dedup of a pretraining
+    * pipeline (exact first, fuzzy second, fuzzy only over what survived).
+    * A survivor is dropped as `near_dup` iff it word-3-gram-Jaccard-pairs
+    * (≥ 0.2, same (lang, source) block) with a LOWER-id survivor: the
+    * first-occurrence-wins rule, one anti-join over the pair list with no
+    * transitive-closure pass (a doc whose only lower-id neighbor was itself
+    * near-dup-dropped is still removed — the standard scale approximation;
+    * at 100 TB a connected-components pass would replace it only if cluster
+    * canonicalization mattered). Shuffles stay those of the two parts: the
+    * survivor semi-join is hash-keyed on doc_id, the pair join on the
+    * shingle. */
+  def tcCorpusNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = tcCleanCorpus(spark, dir).select("doc_id", "keep", "drop_reason")
+    val survivors = Tables.documents(spark, dir)
+      .join(cleaned.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val nearDup = TextDedup.ngramJaccardPairsOf(TextDedup.shingleRowsOf(survivors))
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+    cleaned.join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("keep") && col("nd").isNull).as("final_keep"),
+        when(col("drop_reason") =!= "", col("drop_reason"))
+          .when(col("nd").isNotNull, "near_dup")
+          .otherwise("").as("drop_reason"))
+  }
+
   /** Per-language sampling rates (percent) for the corpus mix — the
     * downsample-high-resource shape of a pretraining data mix. */
   val mixRates: Seq[(String, Int)] =
@@ -178,6 +205,7 @@ object TextAnalysis {
     "ta_token_count" -> (taTokenCount _),
     "ta_fingerprint" -> (taFingerprint _),
     "tc_clean_corpus" -> (tcCleanCorpus _),
+    "tc_corpus_neardup" -> (tcCorpusNeardup _),
     "tc_sample_mix" -> (tcSampleMix _))
 
   private def markerSql(lang: String): String =
@@ -191,6 +219,43 @@ object TextAnalysis {
     // argmax with lexicographic tie-break: pick first lang of the max score
     val caseArg = langs.map(l =>
       s"WHEN score_$l = best THEN '$l'").mkString(" ")
+    // the cleaning-chain CTEs, shared by tc_clean_corpus and the composed
+    // tc_corpus_neardup (which runs near-dup removal over its survivors)
+    val cleanCte =
+      s"""sig AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |    length(trim(text)) AS n_chars_actual,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop,
+         |    md5(text) AS exact_fp,
+         |    $scoreCols
+         |  FROM documents),
+         |q AS (
+         |  SELECT *,
+         |    CAST(round(least(
+         |      (CASE WHEN n_words >= 10 THEN 0.4 ELSE n_words * 0.04 END)
+         |      + (CASE WHEN round((n_chars_actual - (n_words - 1)) * 1.0 / n_words, 6)
+         |              BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+         |      + (CASE WHEN round(n_stop * 1.0 / n_words, 6)
+         |              BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END),
+         |      1.0), 6) AS DOUBLE) AS quality_score,
+         |    greatest(${langs.map(l => s"score_$l").mkString(", ")}) AS best,
+         |    row_number() OVER (PARTITION BY exact_fp ORDER BY doc_id ASC) AS dup_rank
+         |  FROM sig),
+         |decided AS (
+         |  SELECT *,
+         |    CASE WHEN best > 0 THEN (CASE $caseArg END) ELSE 'und' END AS predicted_lang
+         |  FROM q),
+         |reasons AS (
+         |  SELECT *,
+         |    CASE WHEN dup_rank > 1 THEN 'exact_dup'
+         |         WHEN n_words < 25 THEN 'too_short'
+         |         WHEN n_words > 90 THEN 'too_long'
+         |         WHEN quality_score < 0.7 THEN 'low_quality'
+         |         WHEN predicted_lang = 'und' THEN 'unknown_lang'
+         |         ELSE '' END AS drop_reason
+         |  FROM decided)""".stripMargin
     Map(
       "ta_lang_id" ->
         s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
@@ -226,43 +291,38 @@ object TextAnalysis {
           |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS bag_fp
           |FROM documents""".stripMargin,
       "tc_clean_corpus" ->
-        s"""WITH sig AS (
-           |  SELECT doc_id,
-           |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
-           |    length(trim(text)) AS n_chars_actual,
-           |    len(list_filter(string_split_regex(trim(text), '\\s+'),
-           |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop,
-           |    md5(text) AS exact_fp,
-           |    $scoreCols
-           |  FROM documents),
-           |q AS (
-           |  SELECT *,
-           |    CAST(round(least(
-           |      (CASE WHEN n_words >= 10 THEN 0.4 ELSE n_words * 0.04 END)
-           |      + (CASE WHEN round((n_chars_actual - (n_words - 1)) * 1.0 / n_words, 6)
-           |              BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
-           |      + (CASE WHEN round(n_stop * 1.0 / n_words, 6)
-           |              BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END),
-           |      1.0), 6) AS DOUBLE) AS quality_score,
-           |    greatest(${langs.map(l => s"score_$l").mkString(", ")}) AS best,
-           |    row_number() OVER (PARTITION BY exact_fp ORDER BY doc_id ASC) AS dup_rank
-           |  FROM sig),
-           |decided AS (
-           |  SELECT *,
-           |    CASE WHEN best > 0 THEN (CASE $caseArg END) ELSE 'und' END AS predicted_lang
-           |  FROM q),
-           |reasons AS (
-           |  SELECT *,
-           |    CASE WHEN dup_rank > 1 THEN 'exact_dup'
-           |         WHEN n_words < 25 THEN 'too_short'
-           |         WHEN n_words > 90 THEN 'too_long'
-           |         WHEN quality_score < 0.7 THEN 'low_quality'
-           |         WHEN predicted_lang = 'und' THEN 'unknown_lang'
-           |         ELSE '' END AS drop_reason
-           |  FROM decided)
+        s"""WITH $cleanCte
            |SELECT doc_id, drop_reason = '' AS keep, drop_reason,
            |  CAST(n_words AS BIGINT) AS n_words, quality_score, predicted_lang
            |FROM reasons""".stripMargin,
+      // same shingle/pair SQL as dd_ngram_jaccard, restricted to survivors
+      "tc_corpus_neardup" ->
+        s"""WITH $cleanCte,
+           |surv AS (
+           |  SELECT d.doc_id, d.lang, d.source, d.text
+           |  FROM documents d JOIN reasons r USING (doc_id)
+           |  WHERE r.drop_reason = ''),
+           |sh AS (
+           |  SELECT doc_id, lang, source,
+           |    list_distinct(list_transform(
+           |      range(len(string_split_regex(trim(text), '\\s+')) - 2),
+           |      i -> concat_ws(' ',
+           |        string_split_regex(trim(text), '\\s+')[i + 1],
+           |        string_split_regex(trim(text), '\\s+')[i + 2],
+           |        string_split_regex(trim(text), '\\s+')[i + 3]))) AS grams
+           |  FROM surv),
+           |nd AS (
+           |  SELECT DISTINCT b.doc_id
+           |  FROM sh a JOIN sh b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+           |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2)
+           |SELECT r.doc_id,
+           |  (r.drop_reason = '' AND nd.doc_id IS NULL) AS final_keep,
+           |  CASE WHEN r.drop_reason <> '' THEN r.drop_reason
+           |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+           |       ELSE '' END AS drop_reason
+           |FROM reasons r LEFT JOIN nd ON nd.doc_id = r.doc_id""".stripMargin,
       "tc_sample_mix" -> {
         val rateSql = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
           .mkString("CASE ", " ", " ELSE 0 END")

@@ -67,10 +67,12 @@ object TextDedup {
   /** Distinct shingle ROWS per doc via the codegen'd WordShingles expression
     * — one pass per document, no shuffle (replaces both the interpreted-HOF
     * array form and the posexplode + window-lead form). */
+  private[ops] def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      explode(graft.expr.functions.word_shingles(col("text"))).as("s"))
+
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(graft.expr.functions.word_shingles(col("text"))).as("s"))
+    shingleRowsOf(Tables.documents(spark, dir))
 
   /** Word-3-gram (shingle) Jaccard pairs within (lang, source) blocks with
     * threshold — the classical near-dup measure MinHash approximates.
@@ -81,8 +83,13 @@ object TextDedup {
     * all-pairs array_intersect, which evaluated every same-block pair. At
     * 100 TB the shuffle key is (lang, source, shingle): sparse, skew-safe
     * after the distinct, and linear in matching rows. */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOf(shingleRows(spark, dir))
+
+  /** The pair dataflow of [[ddNgramJaccard]] over an arbitrary shingle-row
+    * relation — reused by the composed corpus-construction pipeline, which
+    * runs it over the cleaning chain's survivors only. */
+  private[ops] def ngramJaccardPairsOf(sh: DataFrame): DataFrame = {
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("s"))
     val b = sh.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("s"))
