@@ -120,6 +120,48 @@ class VecAlgoSpec extends AnyFunSuite {
     assert(!neu.contains(4L))
   }
 
+  test("nearestCells equals round(cosineFD, 6) + (sim DESC, cell ASC) ranking") {
+    val spark = Sessions.local(2)
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val dim = 7
+    val cents: Array[Array[Double]] =
+      Array.fill(5)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // include a vector equal to a centroid (sim exactly 1.0) and ties-by-
+    // construction (duplicate centroid rows force the cell_id tie-break)
+    val tied = cents :+ cents(2).clone()
+    val vecs = (0 until 50).map(i =>
+      i.toLong -> Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)) :+
+      (99L -> cents(3).map(_.toFloat))
+    val rows = vecs.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    // reference: per (vec, cell) rounded cosineFD, ranked (sim DESC, cell ASC)
+    val expect = vecs.map { case (id, v) =>
+      val va = new GenericArrayData(v)
+      val sims = tied.indices.map { c =>
+        c.toLong -> VecAlgo.round6(VecAlgo.cosineFD(va, new GenericArrayData(tied(c))))
+      }
+      id -> sims.sortBy { case (c, s) => (-s, c) }.take(2)
+    }.toMap
+    val got = df.select(col("vec_id"),
+        graft.expr.functions.nearest_cells(col("embedding"), tied, 2).as("nc"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1))))
+      .toMap
+    vecs.foreach { case (id, _) =>
+      assert(got(id) == expect(id), s"vec $id: ${got(id)} vs ${expect(id)}")
+    }
+    // the duplicate centroid pair must rank lower cell first on the tie
+    val dupRanks = got(99L).map(_._1)
+    assert(!(dupRanks.contains(5L) && !dupRanks.contains(2L)),
+      "tie between duplicate centroids must prefer the lower cell id")
+  }
+
   test("wordShingles: distinct 3-grams, empty below 3 tokens") {
     assert(TextAlgo.wordShingles("a b c d").toSeq == Seq("a b c", "b c d"))
     assert(TextAlgo.wordShingles("x y x y x y").toSeq == Seq("x y x", "y x y"))
