@@ -266,12 +266,39 @@ object Similarity {
         col("cluster_size"))
   }
 
+  val SamplePerCluster = 20
+
+  /** Cluster-BALANCED deterministic sampling — the diversity-sampling move
+    * of embedding-aware curation (big clusters are downsampled toward
+    * `SamplePerCluster` kept vectors, small ones kept whole), composed from
+    * the trained assignment + the engine's reproducible md5 coin (same coin
+    * contract as tc_sample_mix: content-independent, survives
+    * repartitioning). All inputs to the keep decision are in the output, so
+    * the oracle replays the whole policy. */
+  def simClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.{functions => F}
+    val e = Tables.embeddings(spark, dir)
+    val cent = kmeansCentroidArrays(e)
+    val assigned = e.select(col("vec_id"),
+      F.nearest_cells(col("embedding"), cent, 1).getItem(0).getField("cell_id").as("cell_id"))
+    val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("cluster_size"))
+    val hex = md5(col("vec_id").cast("string").cast("binary"))
+    val coin = (ascii(substring(hex, 1, 1)) * 256 + ascii(substring(hex, 2, 1))) % 100
+    assigned.join(broadcast(sizes), Seq("cell_id"))
+      .withColumn("rate",
+        least(lit(100L), ceil(lit(SamplePerCluster * 100.0) / col("cluster_size"))))
+      .withColumn("coin", coin.cast("long"))
+      .select(col("vec_id"), col("cell_id"), col("cluster_size"), col("rate"),
+        col("coin"), (col("coin") < col("rate")).as("sampled"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_kmeans" -> (simIvfKmeansTopk _),
-    "sim_kmeans_clusters" -> (simKmeansClusters _))
+    "sim_kmeans_clusters" -> (simKmeansClusters _),
+    "sim_cluster_sample" -> (simClusterSample _))
 
   /** DuckDB sign-bit signature for one hash table: the SAME inlined
     * hyperplane constants as VecAlgo.lshSignatures, summed in the same
@@ -354,7 +381,22 @@ object Similarity {
         |SELECT a.vec_id, a.cell_id, a.centroid_cos, s.cluster_size
         |FROM asg a JOIN sz s USING (cell_id)""".stripMargin
 
+  private def clusterSampleSql: String = {
+    val coin = """(ascii(substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)) * 256
+      + ascii(substring(md5(CAST(a.vec_id AS VARCHAR)), 2, 1))) % 100"""
+    val rate = s"least(100, ceil(${SamplePerCluster * 100}.0 / s.cluster_size))"
+    kmeansPrefixSql +
+      s"""asg AS (SELECT vec_id, cell_id FROM af WHERE crnk = 1),
+         |sz AS (SELECT cell_id, count(*) AS cluster_size FROM asg GROUP BY cell_id)
+         |SELECT a.vec_id, a.cell_id, s.cluster_size,
+         |  CAST($rate AS BIGINT) AS rate,
+         |  CAST($coin AS BIGINT) AS coin,
+         |  $coin < $rate AS sampled
+         |FROM asg a JOIN sz s USING (cell_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_cluster_sample" -> clusterSampleSql,
     "sim_ivf_kmeans" -> ivfKmeansSql,
     "sim_kmeans_clusters" -> kmeansClustersSql,
     "sim_bruteforce_topk" ->
