@@ -233,6 +233,18 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Gopher-style repetition counters of a text column in one codegen'd pass
+    * (array<bigint>: n_words, n_distinct_words, top_word_count, n_bigrams,
+    * n_distinct_bigrams). */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VecAlgo.repetitionCountsData(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$vec.repetitionCountsData($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** Distinct word 3-gram shingles of a text column in one codegen'd pass
     * (the MinHash/Jaccard shingle set). */
   case class WordShingles(child: Expression) extends UnaryExpression {
@@ -277,6 +289,7 @@ object functions {
   def simhash64(c: Column): Column = asCol(SimHash64(expr(c)))
   def ascii_masks(c: Column): Column = asCol(AsciiMasks(expr(c)))
   def minhash_sigs(c: Column): Column = asCol(MinHashSigs(expr(c)))
+  def repetition_stats(c: Column): Column = asCol(RepetitionStats(expr(c)))
   /** Top-k (cell_id, sim) of a float-vector column vs a driver-side centroid
     * model — the matrix is flattened into a plan literal. */
   def nearest_cells(vec: Column, centroids: Array[Array[Double]], k: Int): Column = {

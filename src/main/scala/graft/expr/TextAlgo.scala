@@ -152,6 +152,32 @@ object TextAlgo {
   def simHashTokens(text: String): Array[String] =
     wsRe.split(if (text == null) "" else text.trim)
 
+  /** Gopher/MassiveText-style repetition counters of whitespace-tokenized
+    * text in ONE pass: [n_words, n_distinct_words, top_word_count,
+    * n_bigrams, n_distinct_bigrams]. Tokenization is [[simHashTokens]]
+    * (Spark `split(trim(text), '\s+')` semantics), bigrams are adjacent
+    * token pairs joined by one space — both replayable in DuckDB with
+    * string_split_regex + list_transform/range. */
+  def repetitionCounts(text: String): Array[Long] = {
+    val words = simHashTokens(text)
+    val wc = new java.util.HashMap[String, Long]()
+    var top = 0L
+    var i = 0
+    while (i < words.length) {
+      val c = wc.merge(words(i), 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val nBigrams = math.max(words.length - 1, 0)
+    val bg = new java.util.HashSet[String]()
+    i = 0
+    while (i + 1 < words.length) {
+      bg.add(words(i) + " " + words(i + 1))
+      i += 1
+    }
+    Array(words.length.toLong, wc.size.toLong, top, nBigrams.toLong, bg.size.toLong)
+  }
+
   /** Distinct word 3-grams of whitespace-tokenized text (the MinHash/Jaccard
     * shingle set; empty below 3 tokens). Single pass — replaces the
     * posexplode + window-lead formulation, which forced a shuffle+sort per

@@ -121,6 +121,10 @@ object VecAlgo {
     sim
   }
 
+  /** ArrayData bridge for [[TextAlgo.repetitionCounts]] (codegen calls this). */
+  def repetitionCountsData(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    new GenericArrayData(TextAlgo.repetitionCounts(text.toString))
+
   /** ArrayData bridge for [[TextAlgo.wordShingles]] (codegen calls this). */
   def wordShingleData(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val sh = TextAlgo.wordShingles(if (text == null) null else text.toString)

@@ -149,6 +149,32 @@ object TextAnalysis {
       col("n_words"), col("quality_score"), col("predicted_lang"))
   }
 
+  /** Gopher/MassiveText-style repetition filters: duplicate-word and
+    * duplicate-bigram fractions plus the top-word fraction, each from ONE
+    * codegen'd pass over the text ([[graft.expr.Expressions.RepetitionStats]])
+    * — a pure projection, no shuffle at any scale. The `repetitive` flag
+    * compares in exact INTEGER arithmetic (top_word_count×10 > n_words ⇔
+    * frac > 0.1; dup_bigrams×5 > n_bigrams×2 ⇔ frac > 0.4), so the
+    * threshold has no float-boundary risk against the oracle. */
+  def taRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.expr.functions.repetition_stats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_words"),
+        col("st").getItem(1).as("n_distinct_words"),
+        col("st").getItem(2).as("top_word_count"),
+        col("st").getItem(3).as("n_bigrams"),
+        col("st").getItem(4).as("n_distinct_bigrams"))
+      .withColumn("top_word_frac",
+        round(col("top_word_count").cast("double") / col("n_words"), 6))
+      .withColumn("dup_bigram_frac",
+        round(when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+          .otherwise(0.0), 6))
+      .withColumn("repetitive",
+        col("top_word_count") * 10 > col("n_words") ||
+          (col("n_bigrams") - col("n_distinct_bigrams")) * 5 > col("n_bigrams") * 2)
+
   /** Full corpus construction: the cleaning chain, then NEAR-dup removal
     * over its survivors — the canonical two-stage dedup of a pretraining
     * pipeline (exact first, fuzzy second, fuzzy only over what survived).
@@ -204,6 +230,7 @@ object TextAnalysis {
     "ta_quality_score" -> (taQualityScore _),
     "ta_token_count" -> (taTokenCount _),
     "ta_fingerprint" -> (taFingerprint _),
+    "ta_repetition" -> (taRepetition _),
     "tc_clean_corpus" -> (tcCleanCorpus _),
     "tc_corpus_neardup" -> (tcCorpusNeardup _),
     "tc_sample_mix" -> (tcSampleMix _))
@@ -290,6 +317,34 @@ object TextAnalysis {
         """SELECT doc_id, md5(text) AS exact_fp,
           |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS bag_fp
           |FROM documents""".stripMargin,
+      "ta_repetition" ->
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+          |wc AS (
+          |  SELECT doc_id, max(c) AS top_word_count
+          |  FROM (SELECT doc_id, count(*) AS c
+          |        FROM (SELECT doc_id, unnest(words) AS wd FROM w) GROUP BY doc_id, wd)
+          |  GROUP BY doc_id),
+          |base AS (
+          |  SELECT doc_id, len(words) AS n_words,
+          |    len(list_distinct(words)) AS n_distinct_words,
+          |    list_transform(range(len(words) - 1),
+          |      i -> words[i + 1] || ' ' || words[i + 2]) AS bigrams
+          |  FROM w)
+          |SELECT b.doc_id,
+          |  CAST(b.n_words AS BIGINT) AS n_words,
+          |  CAST(b.n_distinct_words AS BIGINT) AS n_distinct_words,
+          |  CAST(wc.top_word_count AS BIGINT) AS top_word_count,
+          |  CAST(len(b.bigrams) AS BIGINT) AS n_bigrams,
+          |  CAST(len(list_distinct(b.bigrams)) AS BIGINT) AS n_distinct_bigrams,
+          |  CAST(round(wc.top_word_count * 1.0 / b.n_words, 6) AS DOUBLE) AS top_word_frac,
+          |  CAST(round(CASE WHEN len(b.bigrams) > 0
+          |    THEN (len(b.bigrams) - len(list_distinct(b.bigrams))) * 1.0 / len(b.bigrams)
+          |    ELSE 0.0 END, 6) AS DOUBLE) AS dup_bigram_frac,
+          |  (wc.top_word_count * 10 > b.n_words
+          |    OR (len(b.bigrams) - len(list_distinct(b.bigrams))) * 5 > len(b.bigrams) * 2)
+          |    AS repetitive
+          |FROM base b JOIN wc USING (doc_id)""".stripMargin,
       "tc_clean_corpus" ->
         s"""WITH $cleanCte
            |SELECT doc_id, drop_reason = '' AS keep, drop_reason,
