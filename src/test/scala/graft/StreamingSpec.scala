@@ -167,6 +167,52 @@ class StreamingSpec extends AnyFunSuite {
 
   // ------------------------------------------------------- volume parity
 
+  test("volume: stream-stream interval join == batch join over 5k x 2k events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2025-06-${1 + day}%02d $hour%02d:00:00")
+    // 5k mentions over 40 domains x 10 days; 2k entries over 50 domains
+    // (domains 40-49 never match) x 12 days — plenty of cross-batch pairs
+    // reaching back through the 3-day join window
+    val mentionDay = (i: Int) => i % 10
+    val entryDay = (j: Int) => j % 12
+    val mentionRows = (0 until 5000).map { i =>
+      (i.toLong, s"d${i % 40}.com", ts(mentionDay(i), 6 + i % 12))
+    }
+    val entryRows = (0 until 2000).map { j =>
+      (j.toLong, s"d${j % 50}.com", ts(entryDay(j), j % 24))
+    }
+    val mIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val eIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val joined = Streams.mentionFeedJoinStream(
+      mIn.toDF().toDF("m_id", "m_domain", "m_ts"),
+      eIn.toDF().toDF("e_id", "e_domain", "e_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_vol_out")
+      .outputMode("append").start()
+    try {
+      // one micro-batch per day per side, in event-time order (the 1-hour
+      // watermark bounds LATENESS, not state reach: a day-d mention still
+      // joins day-(d-3) entries from state, which is what this exercises —
+      // feeding days out of order would correctly drop them as late)
+      for (d <- 0 until 12) {
+        val es = entryRows.zipWithIndex.collect { case (r, j) if entryDay(j) == d => r }
+        if (es.nonEmpty) { eIn.addData(es: _*); q.processAllAvailable() }
+        val ms = mentionRows.zipWithIndex.collect { case (r, i) if mentionDay(i) == d => r }
+        if (ms.nonEmpty) { mIn.addData(ms: _*); q.processAllAvailable() }
+      }
+      val streamed = spark.sql("select m_id, e_id from ssj_vol_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = mentionRows.toDF("m_id", "m_domain", "m_ts")
+        .join(entryRows.toDF("e_id", "e_domain", "e_ts"),
+          expr("m_domain = e_domain AND e_ts >= m_ts - INTERVAL 3 DAYS AND e_ts <= m_ts"))
+        .select("m_id", "e_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("volume: streaming FSM == two sequential batch steps over 3200 cells") {
     import spark.implicits._
     import graft.expr.CellGrid
