@@ -233,6 +233,17 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Per-vector affine int8 quantization summary of a float-array column in
+    * one codegen'd pass (array<double>: min, max, sum_codes, max_abs_err). */
+  case class Int8QuantStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VecAlgo.int8QuantStats(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$vec.int8QuantStats($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** Gopher-style repetition counters of a text column in one codegen'd pass
     * (array<bigint>: n_words, n_distinct_words, top_word_count, n_bigrams,
     * n_distinct_bigrams). */
@@ -290,6 +301,7 @@ object functions {
   def ascii_masks(c: Column): Column = asCol(AsciiMasks(expr(c)))
   def minhash_sigs(c: Column): Column = asCol(MinHashSigs(expr(c)))
   def repetition_stats(c: Column): Column = asCol(RepetitionStats(expr(c)))
+  def int8_quant_stats(c: Column): Column = asCol(Int8QuantStats(expr(c)))
   /** Top-k (cell_id, sim) of a float-vector column vs a driver-side centroid
     * model — the matrix is flattened into a plan literal. */
   def nearest_cells(vec: Column, centroids: Array[Array[Double]], k: Int): Column = {

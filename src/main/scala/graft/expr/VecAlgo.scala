@@ -268,6 +268,40 @@ object VecAlgo {
     new GenericArrayData(out)
   }
 
+  /** Per-vector affine int8 quantization summary in ONE pass:
+    * [min, max, sum_of_codes, max_abs_reconstruction_error]. Codes are
+    * floor((x-min)/scale + 0.5) with scale = (max-min)/255 — floor(+0.5)
+    * instead of round() so both engines share one unambiguous halfway rule.
+    * Every output is order-independent (min/max/max-err, and the code sum
+    * is a sum of exact small integers in doubles), so the DuckDB replay is
+    * bit-exact regardless of evaluation order. */
+  def int8QuantStats(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    if (n == 0) return new GenericArrayData(Array(0.0, 0.0, 0.0, 0.0))
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = if (mx > mn) (mx - mn) / 255.0 else 0.0
+    var sum = 0.0
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      val code = if (scale > 0) math.floor((x - mn) / scale + 0.5) else 0.0
+      sum += code
+      val err = math.abs(x - (mn + code * scale))
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    new GenericArrayData(Array(mn, mx, sum, maxErr))
+  }
+
   // ---------------------------------------------------------------- LSH
 
   /** LSH geometry — must stay in sync with the recall spec in
