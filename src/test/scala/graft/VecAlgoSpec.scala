@@ -162,6 +162,30 @@ class VecAlgoSpec extends AnyFunSuite {
       "tie between duplicate centroids must prefer the lower cell id")
   }
 
+  test("repetitionCounts: word-soup, single word, empty text") {
+    // "a b a b a": 5 words, 2 distinct, top=3; bigrams [a b, b a, a b, b a]
+    // = 4 total, 2 distinct
+    assert(TextAlgo.repetitionCounts("a b a b a").toSeq == Seq(5L, 2L, 3L, 4L, 2L))
+    // single word: one 1-count word, no bigrams
+    assert(TextAlgo.repetitionCounts("solo").toSeq == Seq(1L, 1L, 1L, 0L, 0L))
+    // empty/blank: split(trim) yields one empty token (Spark split semantics)
+    assert(TextAlgo.repetitionCounts("").toSeq == Seq(1L, 1L, 1L, 0L, 0L))
+    assert(TextAlgo.repetitionCounts("   ").toSeq == Seq(1L, 1L, 1L, 0L, 0L))
+  }
+
+  test("int8QuantStats: exact codes, constant vector, reconstruction bound") {
+    def stats(xs: Float*) = VecAlgo.int8QuantStats(arr(xs: _*)).toDoubleArray().toSeq
+    // [0, 1]: scale = 1/255; codes 0 and 255; errors exactly 0
+    assert(stats(0f, 1f) == Seq(0.0, 1.0, 255.0, 0.0))
+    // constant vector: scale 0, all codes 0, perfect reconstruction
+    assert(stats(0.5f, 0.5f, 0.5f) == Seq(0.5, 0.5, 0.0, 0.0))
+    // random-ish values: max error bounded by scale/2
+    val xs = Array(-0.37f, 0.82f, 0.11f, -0.92f, 0.44f)
+    val Seq(mn, mx, _, err) = stats(xs.toIndexedSeq: _*)
+    assert(mn == -0.92f.toDouble && mx == 0.82f.toDouble)
+    assert(err <= (mx - mn) / 255.0 / 2 + 1e-12, s"err $err exceeds scale/2")
+  }
+
   test("wordShingles: distinct 3-grams, empty below 3 tokens") {
     assert(TextAlgo.wordShingles("a b c d").toSeq == Seq("a b c", "b c d"))
     assert(TextAlgo.wordShingles("x y x y x y").toSeq == Seq("x y x", "y x y"))
