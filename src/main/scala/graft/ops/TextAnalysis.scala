@@ -225,6 +225,24 @@ object TextAnalysis {
         (coin < rate).as("sampled"))
   }
 
+  /** Per-language training-token budget of the MIXED corpus — the planning
+    * aggregate a curation run ends with: join the mix decision with per-doc
+    * token counts, keep sampled docs, and aggregate docs/tokens per language
+    * plus each language's share of the total budget. One map-side-combinable
+    * groupBy(lang) — the only shuffle — over two pure projections. */
+  def tcMixBudget(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = taTokenCount(spark, dir).select(col("doc_id"), col("bpeish_tokens"))
+    val sampled = tcSampleMix(spark, dir).filter(col("sampled"))
+      .select(col("doc_id"), col("lang"))
+    val perLang = sampled.join(tokens, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpeish_tokens")).as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("total_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6).as("token_share"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "ta_lang_id" -> (taLangId _),
     "ta_quality_score" -> (taQualityScore _),
@@ -233,7 +251,8 @@ object TextAnalysis {
     "ta_repetition" -> (taRepetition _),
     "tc_clean_corpus" -> (tcCleanCorpus _),
     "tc_corpus_neardup" -> (tcCorpusNeardup _),
-    "tc_sample_mix" -> (tcSampleMix _))
+    "tc_sample_mix" -> (tcSampleMix _),
+    "tc_mix_budget" -> (tcMixBudget _))
 
   private def markerSql(lang: String): String =
     markers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -378,6 +397,25 @@ object TextAnalysis {
            |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
            |       ELSE '' END AS drop_reason
            |FROM reasons r LEFT JOIN nd ON nd.doc_id = r.doc_id""".stripMargin,
+      "tc_mix_budget" -> {
+        val rateSql = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"""WITH sampled AS (
+           |  SELECT doc_id, lang FROM documents
+           |  WHERE (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+           |    + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < ($rateSql)),
+           |tok AS (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpeish_tokens
+           |  FROM documents),
+           |per_lang AS (
+           |  SELECT lang, count(*) AS n_docs, sum(bpeish_tokens) AS n_tokens
+           |  FROM sampled JOIN tok USING (doc_id) GROUP BY lang)
+           |SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM per_lang), 6) AS DOUBLE)
+           |    AS token_share
+           |FROM per_lang""".stripMargin
+      },
       "tc_sample_mix" -> {
         val rateSql = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
           .mkString("CASE ", " ", " ELSE 0 END")
