@@ -106,6 +106,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"top-2-cluster blocking recall too low: $recall (${found.size}/${truth.size})")
   }
 
+  test("int8-quantized vectors preserve brute-force ANN recall") {
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    // quantize + reconstruct with the operator's exact affine contract
+    def roundtrip(v: Array[Double]): Array[Double] = {
+      val mn = v.min; val mx = v.max
+      val scale = if (mx > mn) (mx - mn) / 255.0 else 0.0
+      v.map(x => mn + (if (scale > 0) math.floor((x - mn) / scale + 0.5) else 0.0) * scale)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def topk(corpus: Map[Long, Array[Double]], q: Long): Seq[Long] =
+      corpus.toSeq.filter(_._1 != q)
+        .map { case (id, v) => id -> cos(corpus(q), v) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    val full = vecs.toMap
+    val recon = vecs.map { case (id, v) => id -> roundtrip(v) }.toMap
+    val queries = vecs.take(50).map(_._1)
+    val overlap = queries.map { q =>
+      topk(full, q).toSet.intersect(topk(recon, q).toSet).size
+    }.sum.toDouble / (queries.length * 5)
+    assert(overlap >= 0.8, s"int8 roundtrip degraded top-5 recall to $overlap")
+  }
+
   test("k-means centroids are invariant to input partitioning") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def dump(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
