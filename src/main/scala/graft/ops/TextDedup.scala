@@ -278,8 +278,54 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Duplicate-CLUSTER canonicalization: connected components over the
+    * near-dup pair graph (word-3-gram Jaccard ≥ 0.2 edges), so every member
+    * of a transitive duplicate group maps to one canonical doc — the step
+    * that fixes the pairwise rule's blind spot (A~B, B~C, A≁C). Iterative
+    * min-label propagation: each round every node takes the min component id
+    * among itself and its neighbors, until a fixpoint (component = min
+    * doc_id reachable, a unique result independent of iteration order —
+    * which is what makes it oracle-checkable against DuckDB's recursive
+    * closure). Rounds = graph diameter (near-dup components are shallow);
+    * each round is one edge-join + map-combinable min-agg, persisted so
+    * lineage stays flat. At extreme scale the same converged output comes
+    * from the large-star/small-star variant; the declared shape keeps the
+    * simple propagation loop. The driver loop reads only the CHANGED-count
+    * aggregate, never data. */
+  def ddDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ddNgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst").persist()
+    var cached = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"), col("id").as("prev")).persist()
+    var labels = cached.select("id", "comp")
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nc")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev")).persist()
+      changed = next.filter(col("comp") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "comp")
+    }
+    // the converged labels stay persisted: the caller materializes `out`
+    // right after, and both sides of the size join read that one tiny cache
+    val out = labels
+      .join(labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"), col("cluster_size"))
+    edges.unpersist()
+    out
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dd_exact" -> (ddExact _),
+    "dd_dup_clusters" -> (ddDupClusters _),
     "dd_embed_kmeans" -> (ddEmbedKmeans _),
     "dd_jaccard_chars" -> (ddJaccardChars _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -306,6 +352,35 @@ object TextDedup {
         |    CAST(y.embedding AS DOUBLE[])) >= 0.35""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // closure over the same pair graph as dd_ngram_jaccard: reach = nodes
+    // reachable through undirected edges, canonical = min reachable id
+    "dd_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      range(len(string_split_regex(trim(text), '\s+')) - 2),
+        |      i -> concat_ws(' ',
+        |        string_split_regex(trim(text), '\s+')[i + 1],
+        |        string_split_regex(trim(text), '\s+')[i + 2],
+        |        string_split_regex(trim(text), '\s+')[i + 3]))) AS grams
+        |  FROM documents),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |       UNION ALL SELECT id_b, id_a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.dst, re.r FROM reach re JOIN ed e ON e.src = re.id),
+        |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        |sz AS (SELECT canonical_id, count(*) AS cluster_size
+        |       FROM comp GROUP BY canonical_id)
+        |SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
+        |FROM comp c JOIN sz s USING (canonical_id)""".stripMargin,
     "dd_embed_kmeans" -> embedKmeansSql,
     "dd_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,

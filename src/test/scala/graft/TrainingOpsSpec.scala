@@ -33,6 +33,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("dup clusters: transitive chain A~B~C with A!~C becomes ONE cluster") {
+    val a = (1 to 12).map(i => s"alpha$i").mkString(" ")           // A1..A12
+    val b = (1 to 6).map(i => s"alpha$i").mkString(" ") + " " +
+      (7 to 12).map(i => s"beta$i").mkString(" ")                  // A1..A6 B7..B12
+    val c = (1 to 6).map(i => s"gamma$i").mkString(" ") + " " +
+      (7 to 12).map(i => s"beta$i").mkString(" ")                  // C1..C6 B7..B12
+    val dir = writeDocs(Seq(
+      (1L, a, "en", "s1", 10L),
+      (2L, b, "en", "s1", 10L),   // jac(1,2) = 4/16 = 0.25
+      (3L, c, "en", "s1", 10L),   // jac(2,3) = 0.25, jac(1,3) = 0
+      (4L, "unrelated words entirely different from the others here", "en", "s1", 10L)))
+    val rows = TextDedup.ddDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)),
+      s"expected one 3-cluster with canonical 1, got $rows")
+  }
+
   test("SimHash: identical texts collide at hamming 0; near texts are close") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val dir = writeDocs(Seq(
