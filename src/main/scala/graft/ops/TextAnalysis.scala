@@ -188,6 +188,11 @@ object TextAnalysis {
     * survivor semi-join is hash-keyed on doc_id, the pair join on the
     * shingle. */
   def tcCorpusNeardup(spark: SparkSession, dir: String): DataFrame = {
+    // the chain verdicts and the survivor shingles each feed multiple
+    // consumers and are recomputed per branch here; measured at sf0.1 the
+    // recompute is free (persisting them changed nothing warm) — at 100 TB
+    // a real curation run would WRITE the survivor corpus between stages
+    // (the natural checkpoint), not cache it
     val cleaned = tcCleanCorpus(spark, dir).select("doc_id", "keep", "drop_reason")
     val survivors = Tables.documents(spark, dir)
       .join(cleaned.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
