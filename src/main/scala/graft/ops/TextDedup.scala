@@ -297,8 +297,11 @@ object TextDedup {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst").persist()
-    var cached = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"), col("id").as("prev")).persist()
+    // seed = min(self, direct neighbors): exactly round one's output, fused
+    // into the node-set aggregation so the loop starts a round ahead
+    var cached = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("id"), col("comp")).persist()
     var labels = cached.select("id", "comp")
     var changed = 1L
     while (changed > 0) {
