@@ -267,6 +267,17 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Distinct word n-grams of a text column (generalized WordShingles; n is
+    * a literal) in one codegen'd pass. */
+  case class WordNgrams(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(t: Any, n: Any): Any =
+      VecAlgo.wordNgramData(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, n) => s"$vec.wordNgramData($t, $n)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   /** All 4 LSH hyperplane-table signatures of a float vector in one pass
     * (array<int> of length VecAlgo.NumTables). */
   case class LshSignatures(child: Expression) extends UnaryExpression {
@@ -302,6 +313,7 @@ object functions {
   def minhash_sigs(c: Column): Column = asCol(MinHashSigs(expr(c)))
   def repetition_stats(c: Column): Column = asCol(RepetitionStats(expr(c)))
   def int8_quant_stats(c: Column): Column = asCol(Int8QuantStats(expr(c)))
+  def word_ngrams(c: Column, n: Column): Column = asCol(WordNgrams(expr(c), expr(n)))
   /** Top-k (cell_id, sim) of a float-vector column vs a driver-side centroid
     * model — the matrix is flattened into a plan literal. */
   def nearest_cells(vec: Column, centroids: Array[Array[Double]], k: Int): Column = {

@@ -152,6 +152,30 @@ object TextAlgo {
   def simHashTokens(text: String): Array[String] =
     wsRe.split(if (text == null) "" else text.trim)
 
+  /** Distinct word n-grams of whitespace-tokenized text (generalized
+    * [[wordShingles]]; the 8-gram form drives benchmark decontamination).
+    * Empty below n tokens; grams joined by one space — replayable in DuckDB
+    * as list_transform over range(len(words) - n + 1). */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val t = text.trim
+    if (t.isEmpty) return Array.empty
+    val words = wsRe.split(t)
+    if (words.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n - 1 < words.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
   /** Gopher/MassiveText-style repetition counters of whitespace-tokenized
     * text in ONE pass: [n_words, n_distinct_words, top_word_count,
     * n_bigrams, n_distinct_bigrams]. Tokenization is [[simHashTokens]]

@@ -125,6 +125,11 @@ object VecAlgo {
   def repetitionCountsData(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
     new GenericArrayData(TextAlgo.repetitionCounts(text.toString))
 
+  /** ArrayData bridge for [[TextAlgo.wordNgrams]] (codegen calls this). */
+  def wordNgramData(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData =
+    new GenericArrayData(TextAlgo.wordNgrams(if (text == null) null else text.toString, n)
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString(_)))
+
   /** ArrayData bridge for [[TextAlgo.wordShingles]] (codegen calls this). */
   def wordShingleData(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val sh = TextAlgo.wordShingles(if (text == null) null else text.toString)

@@ -230,6 +230,39 @@ object TextAnalysis {
         (coin < rate).as("sampled"))
   }
 
+  /** Decontamination n-gram width and the deterministic pseudo-benchmark
+    * membership rule (doc_id % EvalMod == 0 stands in for an external eval
+    * set — at production the eval side is a real benchmark table). */
+  val DecontamN = 8
+  val EvalMod = 97
+
+  /** Benchmark DECONTAMINATION — the train/test-overlap removal step of a
+    * pretraining pipeline: a corpus doc is contaminated iff it shares at
+    * least one word-`DecontamN`-gram with any eval-set doc. Both sides
+    * n-gram through the one-pass codegen'd WordNgrams expression; the eval
+    * gram set is tiny by nature (benchmarks are small) so it BROADCASTS and
+    * the corpus side streams through a map-side hash join — no shuffle of
+    * corpus grams. Per-doc output carries the evidence (distinct grams hit,
+    * distinct eval docs hit), not just the flag. */
+  def tcDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(graft.expr.functions.word_ngrams(col("text"), lit(DecontamN))).as("g"))
+    val evalG = grams(docs.filter(col("doc_id") % EvalMod === 0))
+      .withColumnRenamed("doc_id", "eval_id")
+    val corpusG = grams(docs.filter(col("doc_id") % EvalMod =!= 0))
+    val hits = corpusG.join(broadcast(evalG), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    docs.filter(col("doc_id") % EvalMod =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Per-language training-token budget of the MIXED corpus — the planning
     * aggregate a curation run ends with: join the mix decision with per-doc
     * token counts, keep sampled docs, and aggregate docs/tokens per language
@@ -257,7 +290,8 @@ object TextAnalysis {
     "tc_clean_corpus" -> (tcCleanCorpus _),
     "tc_corpus_neardup" -> (tcCorpusNeardup _),
     "tc_sample_mix" -> (tcSampleMix _),
-    "tc_mix_budget" -> (tcMixBudget _))
+    "tc_mix_budget" -> (tcMixBudget _),
+    "tc_decontaminate" -> (tcDecontaminate _))
 
   private def markerSql(lang: String): String =
     markers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -402,6 +436,26 @@ object TextAnalysis {
            |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
            |       ELSE '' END AS drop_reason
            |FROM reasons r LEFT JOIN nd ON nd.doc_id = r.doc_id""".stripMargin,
+      "tc_decontaminate" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+           |g8 AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(len(words) - ${DecontamN - 1}),
+           |    i -> concat_ws(' ', ${(1 to DecontamN).map(k => s"words[i + $k]").mkString(", ")})))) AS g
+           |  FROM w),
+           |ev AS (SELECT doc_id AS eval_id, g FROM g8 WHERE doc_id % $EvalMod = 0),
+           |co AS (SELECT doc_id, g FROM g8 WHERE doc_id % $EvalMod != 0),
+           |hits AS (
+           |  SELECT doc_id, count(DISTINCT g) AS n_hit_grams,
+           |    count(DISTINCT eval_id) AS n_eval_docs
+           |  FROM co JOIN ev USING (g) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           |  CAST(coalesce(h.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+           |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+           |FROM documents d LEFT JOIN hits h USING (doc_id)
+           |WHERE d.doc_id % $EvalMod != 0""".stripMargin,
       "tc_mix_budget" -> {
         val rateSql = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
           .mkString("CASE ", " ", " ELSE 0 END")
