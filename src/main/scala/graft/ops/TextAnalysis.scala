@@ -255,8 +255,11 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_hit_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
+    // hits holds only contaminated docs — rare by construction — so the
+    // report join is a broadcast, keeping the whole query shuffle-free on
+    // the corpus side except the hit aggregation itself
     docs.filter(col("doc_id") % EvalMod =!= 0).select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(broadcast(hits), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
         coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
