@@ -157,7 +157,14 @@ object TextDedup {
     // array/HOF form before that spent ~9 s interpreted at sf0.1.
     val shingles = shingleRows(spark, dir).select(col("doc_id"), col("s"))
 
-    val nSh = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // |A| per doc as a PROJECTION (WordShingles returns the distinct set, so
+    // its size == the shingle-row count) — replaces a full-corpus
+    // explode + groupBy shuffle; docs with zero shingles get n_sh = 0
+    // instead of no row, indistinguishable downstream because only docs in
+    // candidate pairs (≥ 1 shared shingle) are ever looked up
+    val nSh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.expr.functions.word_shingles(col("text"))).cast("long").as("n_sh"))
 
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), graft.expr.functions.minhash_sigs(col("text")).as("sigs"))
