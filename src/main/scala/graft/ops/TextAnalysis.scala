@@ -230,6 +230,36 @@ object TextAnalysis {
         (coin < rate).as("sampled"))
   }
 
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Overlapping fixed-window CHUNKING — the sequence-prep step between
+    * curation and tokenization: each doc explodes into word windows of
+    * `ChunkSize` advancing by `ChunkStride` (8-word overlap carries context
+    * across boundaries). A window starts only if the previous one did not
+    * already reach the end of the doc, so short docs yield exactly one
+    * chunk and no chunk is a suffix of its predecessor:
+    * extra = ceil((n − size)/stride) when n > size else 0. Pure
+    * generate + projection over built-in slice/md5 (all codegen'd) — the
+    * chunk content hash is the join key downstream packing/dedup would
+    * use. */
+  def tcChunk(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = expr(s"slice(words, chunk_idx * $ChunkStride + 1, $ChunkSize)")
+    Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("extra",
+        when(col("n_words") > ChunkSize,
+          floor((col("n_words") - lit(ChunkSize - ChunkStride + 1)) / lit(ChunkStride.toDouble))
+            .cast("int"))
+          .otherwise(0))
+      .select(col("doc_id"), col("words"),
+        explode(expr("sequence(0, extra)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(chunk).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", chunk).cast("binary")).as("chunk_hash"))
+  }
+
   /** Decontamination n-gram width and the deterministic pseudo-benchmark
     * membership rule (doc_id % EvalMod == 0 stands in for an external eval
     * set — at production the eval side is a real benchmark table). */
@@ -294,7 +324,8 @@ object TextAnalysis {
     "tc_corpus_neardup" -> (tcCorpusNeardup _),
     "tc_sample_mix" -> (tcSampleMix _),
     "tc_mix_budget" -> (tcMixBudget _),
-    "tc_decontaminate" -> (tcDecontaminate _))
+    "tc_decontaminate" -> (tcDecontaminate _),
+    "tc_chunk" -> (tcChunk _))
 
   private def markerSql(lang: String): String =
     markers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -439,6 +470,23 @@ object TextAnalysis {
            |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
            |       ELSE '' END AS drop_reason
            |FROM reasons r LEFT JOIN nd ON nd.doc_id = r.doc_id""".stripMargin,
+      "tc_chunk" -> {
+        val lo = s"chunk_idx * $ChunkStride + 1"
+        val hi = s"chunk_idx * $ChunkStride + $ChunkSize"
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+           |b AS (
+           |  SELECT doc_id, words,
+           |    CASE WHEN len(words) > $ChunkSize
+           |      THEN CAST(floor((len(words) - ${ChunkSize - ChunkStride + 1}) / $ChunkStride.0) AS INT)
+           |      ELSE 0 END AS extra
+           |  FROM w),
+           |c AS (SELECT doc_id, words, unnest(generate_series(0, extra)) AS chunk_idx FROM b)
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |  CAST(len(words[$lo : $hi]) AS BIGINT) AS n_tokens,
+           |  md5(array_to_string(words[$lo : $hi], ' ')) AS chunk_hash
+           |FROM c""".stripMargin
+      },
       "tc_decontaminate" ->
         s"""WITH w AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
