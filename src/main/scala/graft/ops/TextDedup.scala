@@ -266,7 +266,10 @@ object TextDedup {
     * a SLIM (vec_id, cell_id) self-join — the 64-float vectors are joined
     * back only for surviving candidate pairs — then exact cosine + threshold.
     * At 100 TB the cluster id is the shuffle/partition key you'd persist, and
-    * candidate pairs are bounded per cluster instead of all-pairs. */
+    * candidate pairs are bounded per cluster instead of all-pairs — with
+    * `NumCells` grown with the corpus (k ≈ N / target cluster size, the
+    * standard SemDeDup-style setting) so per-cluster membership, and hence
+    * the within-cluster quadratic step, stays constant-bounded as N grows. */
   def ddEmbedKmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cent = Similarity.kmeansCentroidArrays(e)
