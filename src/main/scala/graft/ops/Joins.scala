@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -78,10 +78,39 @@ object Joins {
       .select(col("probe"), col("p_partkey"), col("p_name"), col("tri_sim"), col("nscore"))
   }
 
+  /** AS-OF (backward) join — each purchase event matched to the user's most
+    * recent error at-or-before it (the "state as of event time" lookup of
+    * event pipelines). Spark has no ASOF operator; a range join explodes
+    * |left|×|window|, so this uses the UNION-MERGE form instead: tag both
+    * sides, sort per user by (ts, side) — right side first on ties, giving
+    * the inclusive <= convention — and carry the last right-side row forward
+    * with `last(..., ignoreNulls)` over a running rows-frame. ONE shuffle on
+    * the join key, one linear pass per partition, no candidate blow-up:
+    * exactly the merge-join an as-of wants at 100 TB, and the partition key
+    * (user_id) is high-cardinality so the exchange spreads. */
+  def jAsofEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    def side(tpe: String, s: Int): DataFrame = e.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), lit(s).as("side"))
+    val u = side("error", 0).unionByName(side("purchase", 1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carried(c: Column): Column = last(when(col("side") === 0, c), ignoreNulls = true).over(w)
+    u.withColumn("err_id", carried(col("event_id")))
+      .withColumn("err_ts", carried(col("ts")))
+      .filter(col("side") === 1 && col("err_id").isNotNull)
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value_r"),
+        col("err_id"),
+        (unix_micros(col("ts")) - unix_micros(col("err_ts"))).as("lag_us"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "j_theta_price_vs_acctbal" -> (jThetaPriceVsAcctbal _),
     "j_range_quantity_size" -> (jRangeQuantitySize _),
     "j_contains_tokens" -> (jContainsTokens _),
+    "j_asof_events" -> (jAsofEvents _),
     "j5_similarity_join" -> (j5SimilarityJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -101,5 +130,24 @@ object Joins {
       """SELECT token, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
         |FROM part JOIN (VALUES ('widget'), ('bolt'), ('gear')) AS t(token)
         |  ON contains(p_name, token)
-        |GROUP BY token""".stripMargin)
+        |GROUP BY token""".stripMargin,
+    // same union-merge form (DuckDB's native ASOF JOIN would also work; the
+    // union spelling keeps the tie convention explicit and engine-portable)
+    "j_asof_events" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value, 0 AS side FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, value, 1 AS side FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, event_id, value, side,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER w AS err_id,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER w AS err_ts
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, event_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, round(value, 2) AS value_r, err_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(err_ts AS TIMESTAMP)) AS lag_us
+        |FROM c WHERE side = 1 AND err_id IS NOT NULL""".stripMargin)
 }

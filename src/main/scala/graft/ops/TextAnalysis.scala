@@ -314,8 +314,91 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") / col("total_tokens"), 6).as("token_share"))
   }
 
+  // ------------------------------------------------------------------- PII
+
+  /** Detection regexes — identical RE2/Java-regex subset on both engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII-laced text: the corpus is PII-free word soup, so deterministic
+    * synthetic contact strings derived from doc_id are appended (mod-cycled
+    * so docs carry 0–3 PII spans) — the operator under test is the
+    * detect/redact pass, and the oracle replays the same synthesis. */
+  private def piiText: Column = concat(col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail-"), (col("doc_id") % 7).cast("string"), lit(".example.com")))
+      .otherwise(""),
+    when(col("doc_id") % 4 === 1,
+      concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(""),
+    when(col("doc_id") % 5 === 2,
+      concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit("."), ((col("doc_id") * 13) % 256).cast("string")))
+      .otherwise(""))
+
+  /** PII detection + redaction — the scrub step a pretraining pipeline runs
+    * before anything ships: count emails/phones/IPv4s by regex and mask them
+    * with typed placeholders. Pure projection (codegen'd regexp kernels), no
+    * shuffle at any scale; the redacted-text md5 pins the exact masked
+    * output, span-for-span. */
+  def taPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("pii", piiText)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("pii"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("pii"),
+          lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")),
+          lit(IpRe), lit("<IP>")).cast("binary")).as("redacted_hash"))
+      .withColumn("has_pii", col("n_emails") + col("n_phones") + col("n_ips") > 0)
+
+  // ------------------------------------------------- sequence packing scan
+
+  val PackBlock = 100 // docs per scan block (at scale: one block per file/split)
+  val SeqLen = 64     // tokens per packed training sequence
+
+  /** Sequence PACKING offsets — concatenate the corpus in doc_id order and
+    * cut fixed-`SeqLen` training sequences: each doc gets its global token
+    * start offset and the sequence ids it lands in. The global running sum
+    * is a DISTRIBUTED TWO-LEVEL SCAN, not a single-partition window: a
+    * block-local cumsum (shuffle keyed by block), then a prefix over the
+    * ~|docs|/`PackBlock` block TOTALS (the only serial window, block-count
+    * rows — at 100 TB blocks map to files/splits so this stays thousands of
+    * rows, driver-trivial), broadcast back. A naive `Window.orderBy(doc_id)`
+    * with no partition key would funnel the corpus through ONE task. */
+  def tcPackOffsets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("blk", expr(s"doc_id div $PackBlock"))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    val wBlk = Window.orderBy(col("blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = docs.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tot"))
+      .withColumn("blk_prefix", coalesce(sum(col("blk_tot")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("blk_prefix"))
+    local.join(broadcast(prefixes), Seq("blk"))
+      .withColumn("start_off", col("blk_prefix") + col("local_cum") - col("n_tokens"))
+      .withColumn("first_seq", floor(col("start_off") / SeqLen))
+      .withColumn("last_seq", floor((col("start_off") + col("n_tokens") - 1) / SeqLen))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs"),
+        (col("last_seq") > col("first_seq")).as("crosses_boundary"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "ta_lang_id" -> (taLangId _),
+    "ta_pii" -> (taPii _),
+    "tc_pack_offsets" -> (tcPackOffsets _),
     "ta_quality_score" -> (taQualityScore _),
     "ta_token_count" -> (taTokenCount _),
     "ta_fingerprint" -> (taFingerprint _),
@@ -384,6 +467,47 @@ object TextAnalysis {
            |      FROM (SELECT doc_id, lang,
            |        $scoreCols
            |      FROM documents))""".stripMargin,
+      "ta_pii" ->
+        s"""WITH p AS (
+           |  SELECT doc_id, text
+           |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+           |        || '@mail-' || (doc_id % 7) || '.example.com' ELSE '' END
+           |    || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-'
+           |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 2 THEN ' host 10.' || (doc_id % 256)
+           |        || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) ELSE '' END
+           |    AS pii
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(pii, '$EmailRe')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(pii, '$PhoneRe')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(pii, '$IpRe')) AS BIGINT) AS n_ips,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(pii,
+           |    '$EmailRe', '<EMAIL>', 'g'),
+           |    '$PhoneRe', '<PHONE>', 'g'),
+           |    '$IpRe', '<IP>', 'g')) AS redacted_hash,
+           |  (len(regexp_extract_all(pii, '$EmailRe'))
+           |    + len(regexp_extract_all(pii, '$PhoneRe'))
+           |    + len(regexp_extract_all(pii, '$IpRe'))) > 0 AS has_pii
+           |FROM p""".stripMargin,
+      "tc_pack_offsets" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |    sum(n_tokens) OVER (ORDER BY doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(cum - n_tokens AS BIGINT) AS start_off,
+           |  CAST(floor((cum - n_tokens) / $SeqLen.0) AS BIGINT) AS first_seq,
+           |  CAST(floor((cum - 1) / $SeqLen.0) AS BIGINT) AS last_seq,
+           |  CAST(floor((cum - 1) / $SeqLen.0) - floor((cum - n_tokens) / $SeqLen.0) + 1
+           |    AS BIGINT) AS n_seqs,
+           |  floor((cum - 1) / $SeqLen.0) > floor((cum - n_tokens) / $SeqLen.0)
+           |    AS crosses_boundary
+           |FROM c""".stripMargin,
       "ta_quality_score" ->
         """SELECT doc_id, n_words, n_chars_actual,
           |  CAST(round((n_chars_actual - (n_words - 1)) * 1.0 / n_words, 6) AS DOUBLE) AS mean_word_len,

@@ -336,7 +336,54 @@ object TextDedup {
     out
   }
 
+  val BoilerBlock = 8  // words per block ("line" analog of this corpus)
+  val BoilerMinDocs = 2 // blocks in >= this many docs are boilerplate
+
+  /** Cross-document BOILERPLATE removal — the CCNet/Falcon line-dedup pass,
+    * reshaped to this corpus's "lines" (non-overlapping `BoilerBlock`-word
+    * blocks, since the word-soup documents carry no newlines): a block whose
+    * hash appears in ≥ `BoilerMinDocs` DISTINCT documents is dropped from
+    * every document, and each doc reports its kept-block count/words plus the
+    * md5 of its reconstructed (block-order) text. Dataflow at 100 TB: explode
+    * to blocks, ONE shuffle keyed by the block hash for the document
+    * frequency, an anti-join back on the same key, and ONE groupBy(doc_id)
+    * to reassemble — never any doc×doc pairing, and the block hash is the
+    * sparse high-cardinality key you'd bucket by. */
+  def ddBlockBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("n_words", size(col("words")))
+    val blocks = base
+      .select(col("doc_id"), col("words"),
+        explode(expr(s"sequence(0, cast(floor((n_words - 1) / $BoilerBlock.0) as int))")).as("bi"))
+      .withColumn("barr", expr(s"slice(words, bi * $BoilerBlock + 1, $BoilerBlock)"))
+      .select(col("doc_id"), col("bi"),
+        size(col("barr")).cast("long").as("bw"),
+        concat_ws(" ", col("barr")).as("btext"))
+      .withColumn("bh", md5(col("btext").cast("binary")))
+    val boiler = blocks.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerMinDocs)
+      .select(col("bh"))
+    val kept = blocks.join(boiler, Seq("bh"), "left_anti")
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("bw")).as("n_kept_words"),
+        md5(concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(bi, btext))), x -> x.btext)"))
+          .cast("binary")).as("kept_hash"))
+    base.select(col("doc_id"),
+        (floor((col("n_words") - 1) / BoilerBlock) + 1).as("n_blocks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"),
+        coalesce(col("kept_hash"), md5(lit("").cast("binary"))).as("kept_hash"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "dd_block_boilerplate" -> (ddBlockBoilerplate _),
     "dd_exact" -> (ddExact _),
     "dd_dup_clusters" -> (ddDupClusters _),
     "dd_embed_kmeans" -> (ddEmbedKmeans _),
@@ -365,6 +412,35 @@ object TextDedup {
         |    CAST(y.embedding AS DOUBLE[])) >= 0.35""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dd_block_boilerplate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |b AS (
+         |  SELECT doc_id, words,
+         |    unnest(generate_series(0,
+         |      CAST(floor((len(words) - 1) / $BoilerBlock.0) AS INT))) AS bi
+         |  FROM w),
+         |h AS (
+         |  SELECT doc_id, bi,
+         |    len(words[bi * $BoilerBlock + 1 : bi * $BoilerBlock + $BoilerBlock]) AS bw,
+         |    array_to_string(words[bi * $BoilerBlock + 1 : bi * $BoilerBlock + $BoilerBlock], ' ') AS btext,
+         |    md5(array_to_string(words[bi * $BoilerBlock + 1 : bi * $BoilerBlock + $BoilerBlock], ' ')) AS bh
+         |  FROM b),
+         |f AS (SELECT bh FROM h GROUP BY bh HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+         |kept AS (SELECT * FROM h WHERE bh NOT IN (SELECT bh FROM f)),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_kept, sum(bw) AS n_kept_words,
+         |    md5(string_agg(btext, ' ' ORDER BY bi)) AS kept_hash
+         |  FROM kept GROUP BY doc_id),
+         |nb AS (
+         |  SELECT doc_id, CAST(floor((len(words) - 1) / $BoilerBlock.0) AS BIGINT) + 1 AS n_blocks
+         |  FROM w)
+         |SELECT nb.doc_id, nb.n_blocks,
+         |  CAST(coalesce(per.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(nb.n_blocks - coalesce(per.n_kept, 0) AS BIGINT) AS n_removed,
+         |  CAST(coalesce(per.n_kept_words, 0) AS BIGINT) AS n_kept_words,
+         |  coalesce(per.kept_hash, md5('')) AS kept_hash
+         |FROM nb LEFT JOIN per USING (doc_id)""".stripMargin,
     // closure over the same pair graph as dd_ngram_jaccard: reach = nodes
     // reachable through undirected edges, canonical = min reachable id
     "dd_dup_clusters" ->
