@@ -222,14 +222,14 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
-  /** 64-bit SimHash of a text column in one codegen'd pass (xxhash64 token
-    * hashes; bit-identical to the explode + 64-vote-agg form it replaces). */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  /** 62-bit SimHash of a text column in one codegen'd pass (two polynomial
+    * token hashes, bases 31/131 — oracle-replayable in DuckDB). */
+  case class SimHash62(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
-      VecAlgo.simHash64(v.asInstanceOf[UTF8String])
+      VecAlgo.simHash62(v.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"$vec.simHash64($c)")
+      defineCodeGen(ctx, ev, c => s"$vec.simHash62($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
@@ -308,7 +308,7 @@ object functions {
   def cosine_similarity_fd(a: Column, b: Column): Column = asCol(CosineSimilarityFD(expr(a), expr(b)))
   def lsh_signatures(c: Column): Column = asCol(LshSignatures(expr(c)))
   def word_shingles(c: Column): Column = asCol(WordShingles(expr(c)))
-  def simhash64(c: Column): Column = asCol(SimHash64(expr(c)))
+  def simhash62(c: Column): Column = asCol(SimHash62(expr(c)))
   def ascii_masks(c: Column): Column = asCol(AsciiMasks(expr(c)))
   def minhash_sigs(c: Column): Column = asCol(MinHashSigs(expr(c)))
   def repetition_stats(c: Column): Column = asCol(RepetitionStats(expr(c)))
@@ -357,7 +357,7 @@ object functions {
     reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_signatures", es => LshSignatures(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash62", es => SimHash62(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("cell_of", es => CellOf(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("cell_children", es => CellChildren(es.head), "scala_udf")

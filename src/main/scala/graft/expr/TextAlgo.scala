@@ -152,6 +152,28 @@ object TextAlgo {
   def simHashTokens(text: String): Array[String] =
     wsRe.split(if (text == null) "" else text.trim)
 
+  /** Modulus shared by every oracle-replayable string hash (2^31 − 1). */
+  val PolyP = 2147483647L
+
+  /** Polynomial rolling hash over codepoints mod [[PolyP]] — the engine's
+    * oracle-replayable string hash: DuckDB computes the identical value as
+    * `list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1,
+    * length(s)+1), i -> CAST(unicode(s[i]) AS BIGINT))), (acc,cp) ->
+    * (acc*base+cp) % 2147483647)`. All intermediates stay below 2^42, so
+    * both engines evaluate in exact 64-bit integer arithmetic — which is
+    * what lets MinHash/SimHash queries carry full hash oracles instead of
+    * rows-only checks. Empty string hashes to 0. */
+  def polyHash(s: String, base: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * base + cp) % PolyP
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** Distinct word n-grams of whitespace-tokenized text (generalized
     * [[wordShingles]]; the 8-gram form drives benchmark decontamination).
     * Empty below n tokens; grams joined by one space — replayable in DuckDB

@@ -63,25 +63,27 @@ object VecAlgo {
   /** MinHash parameters — must stay in sync with TextDedup (8 bands × 4). */
   val MinHashP = 2147483647L
   val NumMinHashes = 32
-  private val mhA = Array.tabulate(NumMinHashes)(i => 1103515245L * (i + 1) % MinHashP)
-  private val mhB = Array.tabulate(NumMinHashes)(i => (12345L + 2654435761L * i) % MinHashP)
+  /** Permutation constants — public so the DuckDB oracle inlines the same
+    * values ([[graft.ops.TextDedup]] minhashLshSql). */
+  val mhA: Array[Long] = Array.tabulate(NumMinHashes)(i => 1103515245L * (i + 1) % MinHashP)
+  val mhB: Array[Long] = Array.tabulate(NumMinHashes)(i => (12345L + 2654435761L * i) % MinHashP)
 
   /** All 32 MinHash signature values of a document in ONE pass over its
     * shingle set — replaces the explode + 32-min-aggregate shuffle. The
-    * shingle hash replicates `abs(cast(hash(s) as bigint)) % p` exactly
-    * (Spark's Murmur3, seed 42); EMPTY array when the document has no
-    * shingles (mirrors the aggregated form, where such docs produce no row —
-    * callers filter on size; an empty array keeps codegen null-free). */
+    * shingle base hash is the oracle-replayable polynomial hash
+    * ([[TextAlgo.polyHash]] base 31), so DuckDB can replay the ENTIRE
+    * signature → band → candidate-pair pipeline (graduating dd_minhash_lsh
+    * from a rows-only check to a full hash oracle); EMPTY array when the
+    * document has no shingles (mirrors the aggregated form, where such docs
+    * produce no row — callers filter on size; an empty array keeps codegen
+    * null-free). */
   def minHashSigs(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val shingles = TextAlgo.wordShingles(text.toString)
     if (shingles.isEmpty) return new GenericArrayData(Array.empty[Long])
     val mins = Array.fill(NumMinHashes)(Long.MaxValue)
     var i = 0
     while (i < shingles.length) {
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(shingles(i))
-      val h32 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        u.getBaseObject, u.getBaseOffset, u.numBytes(), 42)
-      val h = math.abs(h32.toLong) % MinHashP
+      val h = TextAlgo.polyHash(shingles(i), 31L)
       var k = 0
       while (k < NumMinHashes) {
         val v = (mhA(k) * h + mhB(k)) % MinHashP
@@ -93,28 +95,33 @@ object VecAlgo {
     new GenericArrayData(mins)
   }
 
-  /** 64-bit SimHash of whitespace-tokenized text in ONE pass — replaces the
-    * explode + 64-conditional-sum aggregation (a full shuffle per corpus).
-    * Token hash is Spark's own xxhash64 (XXH64, seed 42), and `"".split`
-    * yields a single empty token exactly like `split(trim(text), '\\s+')` —
-    * results are bit-identical to the aggregated form (VecAlgoSpec). */
-  def simHash64(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+  /** 62-bit SimHash of whitespace-tokenized text in ONE pass — replaces the
+    * explode + per-bit conditional-sum aggregation (a full shuffle per
+    * corpus). Each token is hashed by TWO oracle-replayable polynomial
+    * hashes ([[TextAlgo.polyHash]] bases 31 and 131, 31 bits each): bits
+    * 0–30 of the simhash vote on h1's bits, bits 31–61 on h2's — which is
+    * what lets DuckDB replay the full simhash → band → hamming pipeline as a
+    * hash oracle (formerly xxhash64-based and rows-only). `"".split` yields
+    * a single empty token exactly like `split(trim(text), '\\s+')`
+    * (VecAlgoSpec pins the definition against an independent fold). */
+  def simHash62(text: org.apache.spark.unsafe.types.UTF8String): Long = {
     val words = TextAlgo.simHashTokens(text.toString)
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](62)
     var i = 0
     while (i < words.length) {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-        org.apache.spark.unsafe.types.UTF8String.fromString(words(i)), 42L)
+      val h1 = TextAlgo.polyHash(words(i), 31L)
+      val h2 = TextAlgo.polyHash(words(i), 131L)
       var bit = 0
-      while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+      while (bit < 31) {
+        if (((h1 >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        if (((h2 >>> bit) & 1L) == 1L) votes(bit + 31) += 1 else votes(bit + 31) -= 1
         bit += 1
       }
       i += 1
     }
     var sim = 0L
     var bit = 0
-    while (bit < 64) {
+    while (bit < 62) {
       if (votes(bit) > 0) sim |= 1L << bit
       bit += 1
     }

@@ -214,13 +214,14 @@ object TextDedup {
   // ----------------------------------------------------------------- SimHash
 
   /** SimHash near-dup candidates: 4×16-bit band buckets → hamming ≤ 3 verify.
-    * The 64-bit hash is ONE codegen'd expression pass per document
-    * ([[graft.expr.VecAlgo.simHash64]], Spark's own xxhash64 per token) —
-    * bit-identical to the explode + 64-conditional-sum aggregation it
-    * replaces, without that form's full-corpus shuffle. */
+    * The 62-bit hash is ONE codegen'd expression pass per document
+    * ([[graft.expr.VecAlgo.simHash62]], two oracle-replayable polynomial
+    * token hashes) — DuckDB replays the full simhash → band → hamming
+    * pipeline, so this query carries a complete hash oracle (formerly
+    * xxhash64-based and rows-only). */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.expr.functions.simhash64(col("text")).as("sim"))
+      .select(col("doc_id"), graft.expr.functions.simhash62(col("text")).as("sim"))
       .filter(col("sim").isNotNull)
     val banded = docs.select(col("doc_id"), col("sim"),
       explode(expr("transform(sequence(0, 3), b -> concat_ws(':', b, shiftright(sim, b * 16) & 65535))"))
@@ -394,6 +395,80 @@ object TextDedup {
     "dd_embed_cosine" -> (ddEmbedCosine _),
     "dd_ngram_jaccard_dfcap" -> (ddNgramJaccardDfcap _))
 
+  /** DuckDB replay of [[graft.expr.TextAlgo.polyHash]] over a string column
+    * `c` — the oracle-side half of the engine's replayable hash contract. */
+  private def polyHashSql(c: String, base: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length($c)+1), i -> CAST(unicode($c[i]) AS BIGINT))),
+       |      (acc,cp) -> (acc*$base+cp) % ${graft.expr.TextAlgo.PolyP})""".stripMargin
+
+  /** Full replay of [[ddMinhashLsh]]: per-shingle poly-31 hash → 32
+    * vectorized min-aggregates (the signature) → 8 band keys → band-bucket
+    * self-join → exact shingle-Jaccard verification — the same dataflow the
+    * Spark side runs, expressed over DuckDB lists. */
+  private def minhashLshSql: String = {
+    val P = graft.expr.VecAlgo.MinHashP
+    val mins = (0 until NumHashes).map { i =>
+      s"min((${graft.expr.VecAlgo.mhA(i)}*h+${graft.expr.VecAlgo.mhB(i)})%$P) AS s$i"
+    }.mkString(",\n    ")
+    val rowsPerBand = NumHashes / Bands
+    val bands = (0 until Bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"s${b * rowsPerBand + r}").mkString(", ")
+      s"concat_ws(':', $b, $cols)"
+    }.mkString(",\n      ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(len(string_split_regex(trim(text), '\\s+')) - 2),
+       |      i -> concat_ws(' ',
+       |        string_split_regex(trim(text), '\\s+')[i + 1],
+       |        string_split_regex(trim(text), '\\s+')[i + 2],
+       |        string_split_regex(trim(text), '\\s+')[i + 3]))) AS grams
+       |  FROM documents),
+       |gr AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+       |hr AS (SELECT doc_id, ${polyHashSql("g", 31)} AS h FROM gr),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hr GROUP BY doc_id),
+       |banded AS (SELECT doc_id, unnest([
+       |      $bands]) AS band_key FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band_key) WHERE a.doc_id < b.doc_id),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(x.grams, y.grams)) * 1.0
+       |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) AS j
+       |  FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+       |SELECT id_a, id_b, CAST(round(j, 6) AS DOUBLE) AS jac FROM jac WHERE j >= 0.2""".stripMargin
+  }
+
+  /** Full replay of [[ddSimhash]]: per-token poly-31/poly-131 hashes → 62
+    * per-bit vote aggregates → 4×16-bit band keys → band-bucket self-join →
+    * hamming ≤ 3 (`bit_count(xor(...))`). */
+  private def simhashSql: String = {
+    val terms = ((0 until 31).map { j =>
+      s"CASE WHEN sum(CASE WHEN (h1 >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END"
+    } ++ (31 until 62).map { j =>
+      s"CASE WHEN sum(CASE WHEN (h2 >> ${j - 31}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END"
+    }).mkString("\n    + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS wd FROM documents),
+       |hr AS (SELECT doc_id,
+       |    ${polyHashSql("wd", 31)} AS h1,
+       |    ${polyHashSql("wd", 131)} AS h2
+       |  FROM w),
+       |sim AS (SELECT doc_id,
+       |    $terms AS sim
+       |  FROM hr GROUP BY doc_id),
+       |banded AS (SELECT doc_id, sim, unnest(list_transform(range(4), b ->
+       |    concat_ws(':', b, (sim >> (b*16)) & 65535))) AS band_key FROM sim),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    min(bit_count(xor(a.sim, b.sim))) AS hamming
+       |  FROM banded a JOIN banded b USING (band_key) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
   /** Replays the deterministic k-means training (same unrolled-iteration SQL
     * as the sim_ivf_kmeans oracle), blocks by top-2 cluster, then scores the
     * distinct candidate pairs exactly like dd_embed_cosine's oracle. */
@@ -412,6 +487,8 @@ object TextDedup {
         |    CAST(y.embedding AS DOUBLE[])) >= 0.35""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dd_minhash_lsh" -> minhashLshSql,
+    "dd_simhash" -> simhashSql,
     "dd_block_boilerplate" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
