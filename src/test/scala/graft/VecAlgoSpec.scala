@@ -62,7 +62,19 @@ class VecAlgoSpec extends AnyFunSuite {
     }
   }
 
-  test("simHash64 is bit-identical to the explode + 64-vote-agg formulation") {
+  // Independent re-statement of the oracle-replayable polynomial hash: a
+  // plain foldLeft over codepoints, NOT TextAlgo.polyHash (the kernel under
+  // test must never compute its own expected value).
+  private val PolyP = 2147483647L
+  private def polyRef(s: String, base: Long): Long =
+    s.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * base + cp) % PolyP)
+
+  // Independent tokenization with split(trim(text), '\\s+') semantics:
+  // empty/blank input yields one empty token (String.split behavior).
+  private def tokensRef(text: String): Array[String] =
+    (if (text == null) "" else text.trim).split("\\s+")
+
+  test("simhash62 is bit-identical to an independent dual-polyHash vote fold") {
     val spark = Sessions.local(2)
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -73,51 +85,65 @@ class VecAlgoSpec extends AnyFunSuite {
       (4L, "single"),
       (5L, ""),
       (6L, "   "))
-    val df = texts.toDF("doc_id", "text")
-    val voteAggs = (0 until 64).map { bit =>
-      sum(expr(s"CASE WHEN shiftright(h, $bit) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v_$bit")
+    def simhashRef(text: String): Long = {
+      val votes = new Array[Int](62)
+      for (w <- tokensRef(text)) {
+        val h1 = polyRef(w, 31L)
+        val h2 = polyRef(w, 131L)
+        for (bit <- 0 until 31) {
+          if (((h1 >> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          if (((h2 >> bit) & 1L) == 1L) votes(bit + 31) += 1 else votes(bit + 31) -= 1
+        }
+      }
+      (0 until 62).foldLeft(0L)((acc, bit) => if (votes(bit) > 0) acc | (1L << bit) else acc)
     }
-    val assemble = (0 until 64).map { bit =>
-      expr(s"CASE WHEN v_$bit > 0 THEN shiftleft(CAST(1 AS BIGINT), $bit) ELSE CAST(0 AS BIGINT) END")
-    }.reduce(_ bitwiseOR _)
-    val old = df.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .withColumn("h", expr("xxhash64(w)"))
-      .groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-      .withColumn("sim", assemble)
-      .select(col("doc_id"), col("sim"))
+    val expected = texts.map { case (id, t) => id -> simhashRef(t) }.toMap
+    val df = texts.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), graft.expr.functions.simhash62(col("text")).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val neu = df.select(col("doc_id"), graft.expr.functions.simhash64(col("text")).as("sim"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(neu == old)
+    assert(got == expected)
+    // 62-bit range: top two bits of the Long must be clear
+    got.values.foreach(s => assert((s >>> 62) == 0L))
+    // near-identical texts (1 vs 2) must land closer than unrelated (1 vs 3)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(got(1L), got(2L)) < hamming(got(1L), got(3L)))
   }
 
-  test("minHashSigs is identical to the explode + 32-min-agg formulation") {
+  test("minhash_sigs is identical to an independent polyHash min-fold over shingles") {
     val spark = Sessions.local(2)
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val p = 2147483647L
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "one two three four five six seven"),
       (3L, "alpha beta gamma alpha beta gamma alpha beta"),
       (4L, "too short"))
-    val df = texts.toDF("doc_id", "text")
-    val sigAggs = (0 until 32).map { i =>
-      val a = 1103515245L * (i + 1) % p
-      val b = (12345L + 2654435761L * i) % p
-      min(expr(s"($a * h + $b) % $p")).as(s"sig_$i")
+    // independent shingling: distinct word 3-grams in first-seen order
+    def shinglesRef(text: String): Seq[String] = {
+      val toks = tokensRef(text).filter(_.nonEmpty)
+      if (toks.length < 3) Seq.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
     }
-    val old = df
-      .select(col("doc_id"), explode(graft.expr.functions.word_shingles(col("text"))).as("s"))
-      .withColumn("h", expr(s"abs(cast(hash(s) as bigint)) % $p"))
-      .groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-      .collect().map(r => r.getLong(0) -> (1 to 32).map(i => r.getLong(i)).toSeq).toMap
-    val neu = df
+    def minhashRef(text: String): Seq[Long] = {
+      val sh = shinglesRef(text)
+      if (sh.isEmpty) return Seq.empty
+      (0 until 32).map { k =>
+        val a = 1103515245L * (k + 1) % PolyP
+        val b = (12345L + 2654435761L * k) % PolyP
+        sh.map(s => (a * polyRef(s, 31L) + b) % PolyP).min
+      }
+    }
+    val expected =
+      texts.flatMap { case (id, t) =>
+        val sig = minhashRef(t); if (sig.isEmpty) None else Some(id -> sig)
+      }.toMap
+    val df = texts.toDF("doc_id", "text")
+    val got = df
       .select(col("doc_id"), graft.expr.functions.minhash_sigs(col("text")).as("sigs"))
       .filter(size(col("sigs")) > 0)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-    assert(neu == old) // doc 4 (no shingles) absent from both
-    assert(!neu.contains(4L))
+    assert(got == expected) // doc 4 (no shingles) absent from both
+    assert(!got.contains(4L))
   }
 
   test("nearestCells equals round(cosineFD, 6) + (sim DESC, cell ASC) ranking") {
