@@ -33,6 +33,14 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"total_min":$totalMin,"contended":$contended,""" +
       s""""sf":"$sfDir","n":$n}""")
+    // second, SHORT summary line: the full per-query line above can exceed
+    // the driver's tail capture (BENCH artifacts ended up parsed:null), so
+    // emit a self-contained parseable recap last — slowest-5 by median
+    val slowest5 = results.toSeq.sortBy(-_._2._1).take(5)
+      .map { case (k, (med, _)) => s"\"$k\":$med" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec",""" +
+      s""""total_min":$totalMin,"contended":$contended,"slowest5":$slowest5,""" +
+      s""""sf":"$sfDir","n":$n,"num_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -174,6 +174,26 @@ object TextAlgo {
     acc
   }
 
+  /** Both simhash bases (31 and 131) of [[polyHash]] in ONE codepoint walk,
+    * packed as `h31 | (h131 << 31)` — each hash is < 2^31 so the pack is
+    * lossless and fits 62 bits. The packed layout is exactly the simhash62
+    * vote layout (bits 0–30 vote on h31, bits 31–61 on h131), so the hot
+    * kernel votes directly on this value with no unpacking. Bit-identical
+    * to `polyHash(s, 31) | (polyHash(s, 131) << 31)` (TextAlgoSpec pins
+    * this). */
+  def polyHash2(s: String): Long = {
+    var a = 0L
+    var b = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      a = (a * 31L + cp) % PolyP
+      b = (b * 131L + cp) % PolyP
+      i += Character.charCount(cp)
+    }
+    a | (b << 31)
+  }
+
   /** Distinct word n-grams of whitespace-tokenized text (generalized
     * [[wordShingles]]; the 8-gram form drives benchmark decontamination).
     * Empty below n tokens; grams joined by one space — replayable in DuckDB

@@ -109,12 +109,12 @@ object VecAlgo {
     val votes = new Array[Int](62)
     var i = 0
     while (i < words.length) {
-      val h1 = TextAlgo.polyHash(words(i), 31L)
-      val h2 = TextAlgo.polyHash(words(i), 131L)
+      // packed h31 | (h131 << 31): ONE codepoint walk per token, and the
+      // packed bit layout IS the vote layout (bits 0-30 h31, 31-61 h131)
+      val h = TextAlgo.polyHash2(words(i))
       var bit = 0
-      while (bit < 31) {
-        if (((h1 >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
-        if (((h2 >>> bit) & 1L) == 1L) votes(bit + 31) += 1 else votes(bit + 31) -= 1
+      while (bit < 62) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
         bit += 1
       }
       i += 1

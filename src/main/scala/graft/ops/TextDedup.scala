@@ -230,9 +230,11 @@ object TextDedup {
     val b = banded.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("band_key"))
     a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming BEFORE the distinct: the filter commutes with dedup and
+      // shrinks the dropDuplicates shuffle to only the near-dup pairs
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= 3)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 

@@ -27,6 +27,41 @@ class TextAlgoSpec extends AnyFunSuite {
   private def forAll[A, B](genA: Gen[A], genB: Gen[B])(f: (A, B) => Unit): Unit =
     forAll(Gen.zip(genA, genB))(t => f(t._1, t._2))
 
+  // ---- polyHash golden vectors (CPython `for ch in s` codepoint fold —
+  // pins the CODEPOINT-iteration contract the DuckDB `unicode(s[i])` replay
+  // depends on: the fox emoji is ONE codepoint 0x1F98A = 129418, two UTF-16
+  // chars; a char-iterating fold would hash its surrogates instead)
+  test("polyHash golden vectors incl. supplementary plane") {
+    val golden = Seq(
+      ("", 0L, 0L),
+      ("a", 97L, 97L),
+      ("abc", 96354L, 1677554L),
+      ("the", 114801L, 2004401L),
+      ("hello world", 1835087470L, 1031902938L),
+      ("🦊", 129418L, 129418L), // 🦊 U+1F98A, supplementary plane
+      ("a🦊b", 4105273L, 18618473L),
+      ("café", 3045921L, 224239221L))
+    for ((s, h31, h131) <- golden) {
+      assert(TextAlgo.polyHash(s, 31L) == h31, s"polyHash($s, 31)")
+      assert(TextAlgo.polyHash(s, 131L) == h131, s"polyHash($s, 131)")
+    }
+    // blank strings: whitespace codepoints fold like any other
+    assert(TextAlgo.polyHash(" ", 31L) == 32L)
+  }
+
+  test("polyHash2 packs both bases of polyHash in one walk (incl. astral chars)") {
+    val strs = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', 'é', '中'),
+      1 -> Gen.const('\uD83E'), // lone high surrogate: charCount path
+      1 -> Gen.const("🦊"))).map(_.mkString)
+    forAll(strs) { s =>
+      val packed = TextAlgo.polyHash2(s)
+      assert(packed == (TextAlgo.polyHash(s, 31L) | (TextAlgo.polyHash(s, 131L) << 31)))
+      assert((packed >>> 62) == 0L) // both hashes < 2^31: 62-bit pack
+    }
+  }
+
   // ---- normalize golden vectors
   test("normalize matches reference") {
     assert(TextAlgo.normalize("L'Ambroisie") == "lambroisie")

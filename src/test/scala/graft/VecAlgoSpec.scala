@@ -188,6 +188,61 @@ class VecAlgoSpec extends AnyFunSuite {
       "tie between duplicate centroids must prefer the lower cell id")
   }
 
+  // ---- ScalaCheck properties for the dedup kernels: these survive future
+  // hash swaps (they pin SEMANTICS, not constants — the golden folds above
+  // pin the constants).
+  private def forAllP[A](gen: org.scalacheck.Gen[A], n: Int = 150)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(7L)
+    var i = 0
+    while (i < n) {
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+  private val tokGen = org.scalacheck.Gen.nonEmptyListOf(org.scalacheck.Gen.alphaLowerChar).map(_.mkString)
+  private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  test("property: identical texts hash identically; ranges hold") {
+    forAllP(org.scalacheck.Gen.listOf(tokGen)) { toks =>
+      val text = toks.mkString(" ")
+      val s1 = VecAlgo.simHash62(utf8(text))
+      assert(s1 == VecAlgo.simHash62(utf8(text)), "simhash deterministic")
+      assert((s1 >>> 62) == 0L, "simhash stays within 62 bits")
+      val m1 = VecAlgo.minHashSigs(utf8(text)).toLongArray()
+      assert(m1.sameElements(VecAlgo.minHashSigs(utf8(text)).toLongArray()))
+      assert(m1.length == 0 || m1.length == VecAlgo.NumMinHashes, "0 or exactly 32 sigs")
+      m1.foreach(v => assert(v >= 0L && v < VecAlgo.MinHashP, "sig in [0, p)"))
+      assert(m1.isEmpty == (toks.length < 3), "empty iff fewer than 3 tokens")
+    }
+  }
+
+  test("property: simhash is token-order invariant (commutative vote sum), multiset-sensitive") {
+    forAllP(org.scalacheck.Gen.zip(org.scalacheck.Gen.nonEmptyListOf(tokGen), org.scalacheck.Gen.long)) {
+      case (toks, seed) =>
+        val shuffled = new scala.util.Random(seed).shuffle(toks)
+        assert(VecAlgo.simHash62(utf8(toks.mkString(" "))) ==
+               VecAlgo.simHash62(utf8(shuffled.mkString(" "))))
+    }
+    // but NOT repetition-invariant: an outvoted token flips bits — with one
+    // "alpha" the two tokens tie everywhere (ties vote 0 -> bit clear), with
+    // three "alpha"s alpha wins outright, so the hashes must differ
+    val once = VecAlgo.simHash62(utf8("alpha beta"))
+    val thrice = VecAlgo.simHash62(utf8("alpha alpha alpha beta"))
+    assert(once != thrice, "repetition must shift the vote")
+  }
+
+  test("property: minhash has shingle-SET semantics (duplicate shingles don't matter)") {
+    // "x y x y x" and "x y x y x y x" have different shingle MULTISETS but
+    // the same distinct-shingle SET {"x y x", "y x y"} -> identical sigs
+    forAllP(org.scalacheck.Gen.zip(tokGen, tokGen), 80) { case (x, y) =>
+      val short = s"$x $y $x $y $x"
+      val long = s"$x $y $x $y $x $y $x"
+      assert(VecAlgo.minHashSigs(utf8(short)).toLongArray()
+        .sameElements(VecAlgo.minHashSigs(utf8(long)).toLongArray()))
+    }
+  }
+
   test("repetitionCounts: word-soup, single word, empty text") {
     // "a b a b a": 5 words, 2 distinct, top=3; bigrams [a b, b a, a b, b a]
     // = 4 total, 2 distinct
