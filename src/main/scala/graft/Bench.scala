@@ -19,28 +19,38 @@ object Bench {
       }.sorted
       name -> ((times(times.length / 2), times.head))
     }
+    // minimal JSON writers: escape string keys, guard non-finite doubles —
+    // a query name with a quote/backslash or a NaN timing must not emit
+    // invalid JSON (the driver parses these lines)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def jnum(d: Double): String = if (java.lang.Double.isFinite(d)) d.toString else "null"
     def obj(f: ((String, (Double, Double))) => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }.mkString("{", ",", "}")
+      results.map { case (k, v) => jstr(k) + ":" + jnum(f((k, v))) }.mkString("{", ",", "}")
     val qs = obj(_._2._1)
     val qsMin = obj(_._2._2)
     // median > 3x min on the same query in the same run = the box was busy
     // during some runs — the min is the trustworthy number for those
     val contended = results.collect {
-      case (k, (med, min)) if min > 0.05 && med > 3 * min => s"\"$k\""
+      case (k, (med, min)) if min > 0.05 && med > 3 * min => jstr(k)
     }.mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalMin = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"total_min":$totalMin,"contended":$contended,""" +
-      s""""sf":"$sfDir","n":$n}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"total_min":${jnum(totalMin)},"contended":$contended,""" +
+      s""""sf":${jstr(sfDir)},"n":$n}""")
     // second, SHORT summary line: the full per-query line above can exceed
     // the driver's tail capture (BENCH artifacts ended up parsed:null), so
     // emit a self-contained parseable recap last — slowest-5 by median
     val slowest5 = results.toSeq.sortBy(-_._2._1).take(5)
-      .map { case (k, (med, _)) => s"\"$k\":$med" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec",""" +
-      s""""total_min":$totalMin,"contended":$contended,"slowest5":$slowest5,""" +
-      s""""sf":"$sfDir","n":$n,"num_queries":${results.size}}""")
+      .map { case (k, (med, _)) => jstr(k) + ":" + jnum(med) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_summary","value":${jnum(total)},"unit":"sec",""" +
+      s""""total_min":${jnum(totalMin)},"contended":$contended,"slowest5":$slowest5,""" +
+      s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -2,7 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.expr.TextAlgo
 
 /** Golden-vector parity with the reference's Python utilities (values computed
@@ -13,19 +12,10 @@ import graft.expr.TextAlgo
   */
 class TextAlgoSpec extends AnyFunSuite {
 
-  /** Deterministic property sampling (scalatestplus isn't in the offline
-    * cache, so drive ScalaCheck generators directly). */
-  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
-    var seed = Seed(42L)
-    var i = 0
-    while (i < n) {
-      gen.apply(Gen.Parameters.default, seed).foreach(f)
-      seed = seed.next
-      i += 1
-    }
-  }
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    PropDrive.forAll(gen, n)(f)
   private def forAll[A, B](genA: Gen[A], genB: Gen[B])(f: (A, B) => Unit): Unit =
-    forAll(Gen.zip(genA, genB))(t => f(t._1, t._2))
+    PropDrive.forAll(genA, genB)(f)
 
   // ---- polyHash golden vectors (CPython `for ch in s` codepoint fold —
   // pins the CODEPOINT-iteration contract the DuckDB `unicode(s[i])` replay

@@ -191,15 +191,8 @@ class VecAlgoSpec extends AnyFunSuite {
   // ---- ScalaCheck properties for the dedup kernels: these survive future
   // hash swaps (they pin SEMANTICS, not constants — the golden folds above
   // pin the constants).
-  private def forAllP[A](gen: org.scalacheck.Gen[A], n: Int = 150)(f: A => Unit): Unit = {
-    var seed = org.scalacheck.rng.Seed(7L)
-    var i = 0
-    while (i < n) {
-      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
-      seed = seed.next
-      i += 1
-    }
-  }
+  private def forAllP[A](gen: org.scalacheck.Gen[A], n: Int = 150)(f: A => Unit): Unit =
+    PropDrive.forAll(gen, n, seed0 = 7L)(f)
   private val tokGen = org.scalacheck.Gen.nonEmptyListOf(org.scalacheck.Gen.alphaLowerChar).map(_.mkString)
   private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
 
