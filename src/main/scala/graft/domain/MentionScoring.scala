@@ -197,10 +197,25 @@ object MentionScoring {
   def qMentionScoreDecayed(spark: SparkSession, dir: String): DataFrame =
     scoreAndDecide(Fixtures.serpCandidatesDf(spark), spark, timeDecay = true)
 
+  /** The hash-pinnable subset of [[qMentionNameScores]]: normalization,
+    * trigram similarity, and apex extraction all replay in DuckDB (via the
+    * TextAlgo oracle-SQL generators), so only the genuinely
+    * non-SQL-expressible fuzzy (Ratcliff-Obershelp) component stays in the
+    * rows-only query. */
+  def qMentionTrigramScores(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.{functions => F}
+    Fixtures.serpCandidatesDf(spark).select(
+      col("cand_id"),
+      F.normalize_text(col("poi_name")).as("poi_norm"),
+      round(F.trigram_similarity(col("poi_name"), concat_ws(" ", col("title"), col("snippet"))), 6).as("trigram"),
+      F.apex_domain(col("domain")).as("apex"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mention_score_decision" -> (qMentionScoreDecision _),
     "mention_score_decayed" -> (qMentionScoreDecayed _),
-    "mention_name_scores" -> (qMentionNameScores _))
+    "mention_name_scores" -> (qMentionNameScores _),
+    "mention_trigram_scores" -> (qMentionTrigramScores _))
 
   private def geoSqlExpr: String = {
     def containsAny(col: String, vals: Seq[String]) =
@@ -308,7 +323,43 @@ object MentionScoring {
        | END)""".stripMargin
   }
 
+  /** DuckDB replay of [[qMentionTrigramScores]]: the trigram runs over the
+    * RAW poi_name vs title+snippet (trigrams lowercase internally but do not
+    * normalize — scoring.py:255), poi_norm replays the full normalize chain,
+    * and apex replays apexDomain's executed path (leading-www strip + last
+    * two labels; the http→netloc branch is dead for bare domains). */
+  private def oracleSqlTrigramScores: String = {
+    import graft.expr.TextAlgo
+    s"""WITH base AS (
+       |  SELECT cand_id, poi_name, concat_ws(' ', title, snippet) AS txt, domain
+       |  FROM ${Fixtures.serpCandidateValues}),
+       |padded AS (
+       |  SELECT cand_id, poi_name, domain,
+       |    ${TextAlgo.trigramPadSql("poi_name")} AS pa,
+       |    ${TextAlgo.trigramPadSql("txt")} AS pb
+       |  FROM base),
+       |tri AS (
+       |  SELECT cand_id, poi_name, domain,
+       |    ${TextAlgo.trigramSetSql("pa")} AS ta,
+       |    ${TextAlgo.trigramSetSql("pb")} AS tb
+       |  FROM padded),
+       |apx AS (
+       |  SELECT cand_id, poi_name, ta, tb,
+       |    CASE WHEN lower(domain) LIKE 'www.%' THEN substr(lower(domain), 5)
+       |         ELSE lower(domain) END AS d2
+       |  FROM tri)
+       |SELECT cand_id,
+       |  ${TextAlgo.normalizeSql("poi_name")} AS poi_norm,
+       |  CAST(round(${TextAlgo.trigramJaccardSql("ta", "tb")}, 6) AS DOUBLE) AS trigram,
+       |  CASE WHEN len(string_split(d2, '.')) >= 2
+       |       THEN array_to_string(list_slice(string_split(d2, '.'),
+       |              len(string_split(d2, '.')) - 1, len(string_split(d2, '.'))), '.')
+       |       ELSE d2 END AS apex
+       |FROM apx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "mention_score_decision" -> oracleSqlDecision,
-    "mention_score_decayed" -> oracleSqlDecisionImpl(true))
+    "mention_score_decayed" -> oracleSqlDecisionImpl(true),
+    "mention_trigram_scores" -> oracleSqlTrigramScores)
 }

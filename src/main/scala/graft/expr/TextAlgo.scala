@@ -393,6 +393,51 @@ object TextAlgo {
     R * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
   }
 
+  // ------------------------------------------- DuckDB oracle replays (SQL)
+  // Generators for the oracle-side half of the replayable-kernel contract
+  // (cf. TextDedup's polyHash replay): each emits DuckDB SQL that recomputes
+  // the corresponding kernel above, so the driver can hash-compare instead
+  // of settling for a rows-only check.
+
+  /** DuckDB replay of [[normalize]] over a string SQL expression `c`.
+    * `strip_accents` ≙ NFD + drop-Mn for the composed accents the reference
+    * handles; the variation chain and the punctuation/whitespace passes
+    * mirror matching.py:19-72 in the same order. (The http→netloc branch of
+    * the URL helpers is not needed here — inputs are names, not URLs.) */
+  def normalizeSql(c: String): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val variations = Seq(
+      "\u2019" -> "'", // typographic apostrophe → ASCII
+      "'" -> "",        // then remove apostrophes entirely
+      "`" -> "",
+      "caf\u00e9" -> "cafe",
+      "caf\u00e9s" -> "cafes",
+      "\u0153" -> "oe",
+      "\u00e6" -> "ae",
+      " & " -> " and ",
+      "&" -> "and",
+      " st " -> " saint ",
+      " ste " -> " sainte ")
+    val replaced = variations.foldLeft(s"lower(strip_accents($c))") {
+      case (acc, (from, to)) => s"replace($acc, ${lit(from)}, ${lit(to)})"
+    }
+    s"trim(regexp_replace(regexp_replace($replaced, '[^\\p{L}\\p{N}_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  }
+
+  /** Two-space padding of [[trigrams]] over expression `c` (scoring.py:255). */
+  def trigramPadSql(c: String): String = s"concat('  ', lower($c), '  ')"
+
+  /** DuckDB replay of [[trigrams]] over a PRE-PADDED string column `p`
+    * (build `p` with [[trigramPadSql]] in an earlier CTE so the padded
+    * value is computed once, not once per window). */
+  def trigramSetSql(p: String): String =
+    s"list_distinct(list_transform(range(1, length($p) - 1), i -> substr($p, i, 3)))"
+
+  /** Jaccard over two trigram-set list columns, with the null/empty-input
+    * guard of [[trigramSimilarity]] applied by the caller's WHERE/CASE. */
+  def trigramJaccardSql(ta: String, tb: String): String =
+    s"len(list_intersect($ta, $tb)) * 1.0 / (len($ta) + len($tb) - len(list_intersect($ta, $tb)))"
+
   /** Ray-casting point-in-polygon over a single ring of (lng,lat) pairs
     * (shapely usage at h3_scheduler.py:441-446 re-expressed; no PostGIS). */
   def pointInRing(lng: Double, lat: Double, ring: Array[Array[Double]]): Boolean = {

@@ -49,11 +49,15 @@ object Joins {
         round(avg(col("p_retailprice")), 6).as("avg_price"))
   }
 
+  /** Probe names shared by the two J5 variants and the trigram oracle. */
+  private[ops] val j5Probes = Seq("cold widgett", "larg bolt", "standart gadget")
+
   /** J5 — similarity join (matching.py:74-201): trigram over normalized names
     * on a broadcast probe side, best match per probe via deterministic window.
     * Uses the custom codegen'd expressions (normalize_text, trigram_similarity,
     * name_score) — not SQL-expressible, so the driver records a rows-only check;
-    * exact semantics are pinned by TextAlgoSpec golden vectors. */
+    * exact semantics are pinned by TextAlgoSpec golden vectors, and the whole
+    * join DATAFLOW is hash-pinned by [[j5TrigramTopk]] below. */
   def j5SimilarityJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.expr.{functions => F}
@@ -62,7 +66,7 @@ object Joins {
     // name per probe and the probe per part row), and defer the expensive
     // name_score (Ratcliff-Obershelp ×3) until after the per-probe top-1
     // filter — it then runs on 3 rows, not |part|×|probes|
-    val probes = Seq("cold widgett", "larg bolt", "standart gadget").toDF("probe")
+    val probes = j5Probes.toDF("probe")
       .withColumn("probe_norm", F.normalize_text(col("probe")))
     val parts = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"), F.normalize_text(col("p_name")).as("p_norm"))
@@ -76,6 +80,33 @@ object Joins {
       .filter(col("rnk") === 1)
       .withColumn("nscore", round(F.name_score(col("probe"), col("p_name")), 6))
       .select(col("probe"), col("p_partkey"), col("p_name"), col("tri_sim"), col("nscore"))
+  }
+
+  /** J5 dataflow with a trigram-only score — the hash-pinnable variant of
+    * [[j5SimilarityJoin]]. The difflib fuzzy max-term (scoring.py:219-228) is
+    * the single non-SQL-expressible component of `name_score`; dropping it
+    * lets the ENTIRE join dataflow — per-side normalization, broadcast probe
+    * side, similarity threshold, deterministic top-1 window — replay in
+    * DuckDB as padded 3-gram `list_intersect` Jaccard (matching.py:74-160
+    * minus the fuzzy term), turning J5's driver check from rows-only into a
+    * full hash compare. */
+  def j5TrigramTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.expr.{functions => F}
+    import org.apache.spark.sql.expressions.Window
+    val probes = j5Probes.toDF("probe")
+      .withColumn("probe_norm", F.normalize_text(col("probe")))
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), F.normalize_text(col("p_name")).as("p_norm"))
+    val scored = parts
+      .join(broadcast(probes))
+      .withColumn("tri_sim", round(F.trigram_similarity(col("p_norm"), col("probe_norm")), 6))
+      .filter(col("tri_sim") >= 0.3)
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("tri_sim").desc, col("p_partkey").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("probe"), col("p_partkey"), col("p_name"), col("tri_sim"))
   }
 
   /** AS-OF (backward) join — each purchase event matched to the user's most
@@ -111,7 +142,8 @@ object Joins {
     "j_range_quantity_size" -> (jRangeQuantitySize _),
     "j_contains_tokens" -> (jContainsTokens _),
     "j_asof_events" -> (jAsofEvents _),
-    "j5_similarity_join" -> (j5SimilarityJoin _))
+    "j5_similarity_join" -> (j5SimilarityJoin _),
+    "j5_trigram_topk" -> (j5TrigramTopk _))
 
   val oracles: Map[String, String] = Map(
     "j_theta_price_vs_acctbal" ->
@@ -149,5 +181,38 @@ object Joins {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, round(value, 2) AS value_r, err_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(err_ts AS TIMESTAMP)) AS lag_us
-        |FROM c WHERE side = 1 AND err_id IS NOT NULL""".stripMargin)
+        |FROM c WHERE side = 1 AND err_id IS NOT NULL""".stripMargin,
+    "j5_trigram_topk" -> j5TrigramOracle)
+
+  /** DuckDB replay of [[j5TrigramTopk]]: probe normalization is precomputed
+    * Scala-side (same [[graft.expr.TextAlgo.normalize]] the Catalyst
+    * expression calls), the part side replays the full normalize chain in
+    * SQL, and the trigram Jaccard + top-1 window mirror the Spark plan. */
+  private def j5TrigramOracle: String = {
+    import graft.expr.TextAlgo
+    val probeVals = j5Probes.map { p =>
+      s"('${p.replace("'", "''")}', '${TextAlgo.normalize(p).replace("'", "''")}')"
+    }.mkString(", ")
+    s"""WITH probes(probe, probe_norm) AS (VALUES $probeVals),
+       |parts AS (
+       |  SELECT p_partkey, p_name, ${TextAlgo.normalizeSql("p_name")} AS p_norm FROM part),
+       |padded AS (
+       |  SELECT p_partkey, p_name, probe,
+       |    ${TextAlgo.trigramPadSql("p_norm")} AS pa,
+       |    ${TextAlgo.trigramPadSql("probe_norm")} AS pb
+       |  FROM parts CROSS JOIN probes),
+       |tri AS (
+       |  SELECT p_partkey, p_name, probe,
+       |    ${TextAlgo.trigramSetSql("pa")} AS ta,
+       |    ${TextAlgo.trigramSetSql("pb")} AS tb
+       |  FROM padded),
+       |sim AS (
+       |  SELECT p_partkey, p_name, probe,
+       |    CAST(round(${TextAlgo.trigramJaccardSql("ta", "tb")}, 6) AS DOUBLE) AS tri_sim
+       |  FROM tri),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe ORDER BY tri_sim DESC, p_partkey ASC) AS rnk
+       |  FROM sim WHERE tri_sim >= 0.3)
+       |SELECT probe, p_partkey, p_name, tri_sim FROM ranked WHERE rnk = 1""".stripMargin
+  }
 }
