@@ -113,8 +113,30 @@ object TextDedup {
     * documents are removed from the VOCABULARY (both pair counting and
     * per-doc sizes), so no single hot shingle can explode the equi-join.
     * Jaccard is then exact over the reduced vocabulary. */
-  def ddNgramJaccardDfcap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
+  def ddNgramJaccardDfcap(spark: SparkSession, dir: String): DataFrame =
+    dfcapPairsOf(shingleRows(spark, dir))
+
+  /** 10× near-dup replication of a documents relation — the volume-stress
+    * fixture: each doc becomes 10 replicas (doc_id·10+r) whose text differs
+    * by ONE appended replica-unique token, so replicas are ~0.96-Jaccard
+    * near-dups of each other and every shingle's document frequency is
+    * multiplied by 10. Any shingle shared by ≥2 ORIGINAL docs therefore
+    * exceeds [[DfCap]] and must be trimmed — the skew path provably engages
+    * (DedupVolumeSpec pins this). */
+  private[ops] def replicateNearDup(docs: DataFrame, k: Int = 10): DataFrame =
+    docs.withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+      .select((col("doc_id") * k + col("r")).as("doc_id"), col("lang"), col("source"),
+        concat(col("text"), lit(" zz"), col("r"), lit("q")).as("text"))
+
+  /** [[ddNgramJaccardDfcap]] under 10× near-dup volume: hot shingles (orig
+    * df ≥ 2 → df ≥ 20) are trimmed by the cap, so the equi-join stays
+    * bounded while the 45 replica pairs per original doc all survive with
+    * their exact reduced-vocabulary Jaccard. */
+  def ddNgramJaccardDfcapVol(spark: SparkSession, dir: String): DataFrame =
+    dfcapPairsOf(shingleRowsOf(replicateNearDup(Tables.documents(spark, dir))))
+
+  /** The DF-cap pair dataflow over an arbitrary shingle-row relation. */
+  private[ops] def dfcapPairsOf(sh: DataFrame): DataFrame = {
     // shingle rows are distinct per doc, so count(*) = document frequency
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("s"))
@@ -395,7 +417,8 @@ object TextDedup {
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_embed_cosine" -> (ddEmbedCosine _),
-    "dd_ngram_jaccard_dfcap" -> (ddNgramJaccardDfcap _))
+    "dd_ngram_jaccard_dfcap" -> (ddNgramJaccardDfcap _),
+    "dd_ngram_jaccard_dfcap_vol" -> (ddNgramJaccardDfcapVol _))
 
   /** DuckDB replay of [[graft.expr.TextAlgo.polyHash]] over a string column
     * `c` — the oracle-side half of the engine's replayable hash contract. */
@@ -585,7 +608,17 @@ object TextDedup {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
-    "dd_ngram_jaccard_dfcap" ->
+    "dd_ngram_jaccard_dfcap" -> dfcapOracle("documents"),
+    "dd_ngram_jaccard_dfcap_vol" -> dfcapOracle(
+      // DuckDB replay of replicateNearDup: 10 replicas per doc, one
+      // replica-unique appended token each
+      """(SELECT doc_id * 10 + r AS doc_id, lang, source,
+        |   concat(text, ' zz', CAST(r AS VARCHAR), 'q') AS text
+        | FROM documents CROSS JOIN (SELECT unnest(range(10)) AS r) reps)""".stripMargin))
+
+  /** The dd_ngram_jaccard_dfcap oracle over a parameterized documents
+    * relation — shared by the base and the 10×-volume variant. */
+  private def dfcapOracle(docsSrc: String): String =
       s"""WITH sh AS (
          |  SELECT doc_id, lang, source,
          |    list_distinct(list_transform(
@@ -594,7 +627,7 @@ object TextDedup {
          |        string_split_regex(trim(text), '\\s+')[i + 1],
          |        string_split_regex(trim(text), '\\s+')[i + 2],
          |        string_split_regex(trim(text), '\\s+')[i + 3]))) AS grams
-         |  FROM documents),
+         |  FROM $docsSrc),
          |rows_ AS (SELECT doc_id, lang, source, unnest(grams) AS s FROM sh),
          |rare AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) <= $DfCap),
          |kept AS (SELECT * FROM rows_ WHERE s IN (SELECT s FROM rare)),
@@ -611,5 +644,5 @@ object TextDedup {
          |FROM inter
          |JOIN n na ON na.doc_id = id_a
          |JOIN n nb ON nb.doc_id = id_b
-         |WHERE n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter) >= 0.2""".stripMargin)
+         |WHERE n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter) >= 0.2""".stripMargin
 }
