@@ -46,6 +46,20 @@ object Scalars {
     rows.toDF(idCol, valCol)
   }
 
+  /** Adversarial normalization vectors — accents, ligatures, typographic
+    * apostrophes, symbol chars, `st`/`ste` expansion, whitespace runs, em
+    * dash. Hash-pins the `TextAlgo.normalize` ⇄ `TextAlgo.normalizeSql`
+    * replay contract on the non-ASCII paths the other fixtures never hit
+    * (NFD-vs-strip_accents, ligature substitution, apostrophe elision). */
+  private val normFixture: Seq[(Int, String)] = Seq(
+    1 -> "Caf\u00e9 de l\u2019\u0152uvre",
+    2 -> "Le Bistro & Caf\u00e9 \u2014 Saint-Honor\u00e9  \u21165",
+    3 -> " st malo & ste anne ",
+    4 -> "l'\u00c9p\u00e9e  d`Or!!",
+    5 -> "\u00c6on  caf\u00e9s \u0153uf",
+    6 -> "A&B   c  ",
+    7 -> "No\u00ebl \u00e0 P\u00e4ris_42")
+
   // ---------------------------------------------------------------- queries
 
   /** P5 — last-delimited-field extraction (country from address,
@@ -95,6 +109,16 @@ object Scalars {
       col("p_partkey"),
       regexp_replace(lower(concat_ws(" ", col("p_name"), col("p_type"))),
         "[^a-z0-9]+", "-").as("slug"))
+
+  /** P12 normalization golden vectors as a DECLARED query: the Catalyst
+    * `normalize_text` expression over [[normFixture]], hash-compared against
+    * a DuckDB oracle that recomputes the entire normalize chain via
+    * [[graft.expr.TextAlgo.normalizeSql]] — so the replay contract the
+    * `j5_trigram_topk` / `mention_trigram_scores` oracles depend on is
+    * itself driver-checked on adversarial non-ASCII input every round. */
+  def sNormalizeVectors(spark: SparkSession, dir: String): DataFrame =
+    fixtureDf(spark, normFixture, "row_id", "raw")
+      .select(col("row_id"), graft.expr.functions.normalize_text(col("raw")).as("norm"))
 
   /** Calendar aggregation — orders per year/month (monitoring cadence §2.9). */
   def sMonthAgg(spark: SparkSession, dir: String): DataFrame =
@@ -261,6 +285,7 @@ object Scalars {
     "p14_domain_extract" -> (p14DomainExtract _),
     "s_date_parse_cascade" -> (sDateParseCascade _),
     "s_slugify" -> (sSlugify _),
+    "s_normalize_vectors" -> (sNormalizeVectors _),
     "s_month_agg" -> (sMonthAgg _),
     "s_json_extract" -> (sJsonExtract _),
     "a2_review_score" -> (a2ReviewScore _),
@@ -280,6 +305,9 @@ object Scalars {
     dateFixture :+ (7 -> "1989-06-01") :+ (8 -> "2031-01-01"), "row_id, raw")
 
   val oracles: Map[String, String] = Map(
+    "s_normalize_vectors" ->
+      s"""SELECT row_id, ${graft.expr.TextAlgo.normalizeSql("raw")} AS norm
+         |FROM ${valuesSql(normFixture, "row_id, raw")}""".stripMargin,
     "w7_photo_ranking" ->
       s"""SELECT poi_id, photo_id, CAST(width * height AS BIGINT) AS pixels, rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY poi_id
