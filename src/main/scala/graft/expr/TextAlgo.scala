@@ -66,10 +66,19 @@ object TextAlgo {
 
   // -------------------------------------------------------------- trigram
 
-  /** Padded character trigram set (scoring.py:255-257: two-space padding). */
+  /** Padded character trigram set (scoring.py:255-257: two-space padding).
+    * Windows are CODEPOINTS, as in CPython slicing (and DuckDB `substr`, so
+    * the oracle replay agrees on astral input) — a supplementary-plane char
+    * like U+1F98A is one trigram element, not a surrogate pair. The all-BMP
+    * common case keeps the allocation-free substring walk. */
   def trigrams(s: String): Set[String] = {
     val padded = "  " + s.toLowerCase + "  "
-    (0 until padded.length - 2).map(i => padded.substring(i, i + 3)).toSet
+    if (padded.length == padded.codePointCount(0, padded.length))
+      (0 until padded.length - 2).map(i => padded.substring(i, i + 3)).toSet
+    else {
+      val cps = padded.codePoints().toArray
+      (0 until cps.length - 2).map(i => new String(cps, i, 3)).toSet
+    }
   }
 
   /** Trigram Jaccard similarity (scoring.py:250-267 / matching.py:81-100). */
@@ -95,16 +104,21 @@ object TextAlgo {
     if (a == null || b == null) return 0.0
     if (a.isEmpty && b.isEmpty) return 1.0
     if (a.isEmpty || b.isEmpty) return 0.0
-    val matched = matchingBlocksTotal(a, b)
-    2.0 * matched / (a.length + b.length)
+    // CPython sequences are CODEPOINTS: an astral char is one element, and
+    // ratio()'s T = len(a)+len(b) counts codepoints (TextAlgoSpec pins the
+    // fox-emoji vectors against difflib)
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val matched = matchingBlocksTotal(ca, cb)
+    2.0 * matched / (ca.length + cb.length)
   }
 
-  private def matchingBlocksTotal(a: String, b: String): Int = {
-    // b-index positions per char, as CPython's b2j
-    val b2j = new java.util.HashMap[Char, java.util.ArrayList[Integer]]()
+  private def matchingBlocksTotal(a: Array[Int], b: Array[Int]): Int = {
+    // b-index positions per element, as CPython's b2j
+    val b2j = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
     var i = 0
     while (i < b.length) {
-      val c = b.charAt(i)
+      val c = b(i)
       var l = b2j.get(c)
       if (l == null) { l = new java.util.ArrayList[Integer](); b2j.put(c, l) }
       l.add(i)
@@ -118,7 +132,7 @@ object TextAlgo {
       var ia = alo
       while (ia < ahi) {
         val newj2len = new java.util.HashMap[Integer, Integer]()
-        val positions = b2j.get(a.charAt(ia))
+        val positions = b2j.get(a(ia))
         if (positions != null) {
           val it = positions.iterator()
           while (it.hasNext) {

@@ -106,6 +106,26 @@ class TextAlgoSpec extends AnyFunSuite {
     assert(approx(f("Septime", "Septime - the hottest table in town"), 0.3333333333, 1e-9))
   }
 
+  test("trigram + fuzzy codepoint contract (supplementary plane, CPython parity)") {
+    // U+1F98A fox, U+1F355 pizza — each ONE codepoint (two UTF-16 chars).
+    // Values computed with CPython: a char-windowing implementation slices
+    // surrogates and gets e.g. 0.909090… instead of 0.9 on the first fuzzy.
+    val fox = "\uD83E\uDD8A"
+    val pizza = "\uD83C\uDF55"
+    assert(approx(TextAlgo.trigramSimilarity(s"caf\u00e9 $fox bar", s"cafe $fox bar"), 0.6, 1e-12))
+    assert(TextAlgo.trigramSimilarity(s"$fox$pizza", s"$fox$pizza") == 1.0)
+    assert(approx(TextAlgo.trigramSimilarity(s"fox $fox den", "fox den"), 2.0 / 3.0, 1e-12))
+    assert(approx(TextAlgo.trigramSimilarity(s"$fox abc", s"$fox abd"), 0.4, 1e-12))
+    assert(approx(TextAlgo.fuzzyRatio(s"caf\u00e9 $fox bar", s"cafe $fox bar"), 0.9, 1e-12))
+    assert(approx(TextAlgo.fuzzyRatio(s"fox $fox den", "fox den"), 0.875, 1e-12))
+    assert(approx(TextAlgo.fuzzyRatio(s"$fox abc", s"$fox abd"), 0.8, 1e-12))
+    // BMP behavior is UNCHANGED by the codepoint walk (fast path)
+    assert(approx(TextAlgo.trigramSimilarity("classic bistro", "classic bistro paris"),
+      0.6521739130434783, 1e-12))
+    assert(approx(TextAlgo.fuzzyRatio("new trendy cafe", "new trendy cafe paris review"),
+      0.6976744186046512, 1e-12))
+  }
+
   test("fuzzy ratio bounded and 1.0 on equal strings") {
     forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
       val r = TextAlgo.fuzzyRatio(a, b)
