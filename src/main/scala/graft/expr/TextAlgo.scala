@@ -288,8 +288,10 @@ object TextAlgo {
     * tokens ≤2 chars, rejoin with single spaces. */
   def removeStopwords(text: String): String = {
     val stop = stopwordsKiss
+    // CPython len() counts codepoints: an astral-only word like a double
+    // emoji has len 2 and is dropped, even though it spans 4 UTF-16 chars
     wsRe.split(text.toLowerCase).iterator
-      .filter(w => w.nonEmpty && !stop.contains(w) && w.length > 2)
+      .filter(w => w.nonEmpty && !stop.contains(w) && w.codePointCount(0, w.length) > 2)
       .mkString(" ")
   }
 
@@ -298,7 +300,8 @@ object TextAlgo {
     * the reference checks post-normalization tokens against it verbatim). */
   def discriminantTokens(text: String): Set[String] = {
     val stop = Set("restaurant", "caf\u00e9", "bar", "brasserie", "bistro", "the", "une", "des", "les")
-    normalize(text).split(" ").iterator.filter(w => w.length > 3 && !stop.contains(w)).toSet
+    normalize(text).split(" ").iterator
+      .filter(w => w.codePointCount(0, w.length) > 3 && !stop.contains(w)).toSet
   }
 
   /** Combined name score (scoring.py:209-230): max of raw fuzzy, trigram, and

@@ -140,6 +140,12 @@ class TextAlgoSpec extends AnyFunSuite {
   test("stopword removal matches reference") {
     assert(TextAlgo.removeStopwords("Le restaurant de la Tour") == "tour")
     assert(TextAlgo.removeStopwords("chez paris au bar et ou un une") == "")
+    // token length is CODEPOINTS (CPython len): a double emoji is len 2 ->
+    // dropped, even though it spans 4 UTF-16 chars
+    val fox2 = "\uD83E\uDD8A" * 2
+    val fox3 = "\uD83E\uDD8A" * 3
+    assert(TextAlgo.removeStopwords(fox2 + " tour") == "tour")
+    assert(TextAlgo.removeStopwords(fox3 + " tour") == fox3 + " tour")
   }
 
   test("discriminant tokens") {
