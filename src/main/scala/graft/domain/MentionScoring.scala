@@ -334,23 +334,23 @@ object MentionScoring {
        |  SELECT cand_id, poi_name, concat_ws(' ', title, snippet) AS txt, domain
        |  FROM ${Fixtures.serpCandidateValues}),
        |padded AS (
-       |  SELECT cand_id, poi_name, domain,
+       |  SELECT cand_id, poi_name, txt, domain,
        |    ${TextAlgo.trigramPadSql("poi_name")} AS pa,
        |    ${TextAlgo.trigramPadSql("txt")} AS pb
        |  FROM base),
        |tri AS (
-       |  SELECT cand_id, poi_name, domain,
+       |  SELECT cand_id, poi_name, txt, domain,
        |    ${TextAlgo.trigramSetSql("pa")} AS ta,
        |    ${TextAlgo.trigramSetSql("pb")} AS tb
        |  FROM padded),
        |apx AS (
-       |  SELECT cand_id, poi_name, ta, tb,
+       |  SELECT cand_id, poi_name, txt, ta, tb,
        |    CASE WHEN lower(domain) LIKE 'www.%' THEN substr(lower(domain), 5)
        |         ELSE lower(domain) END AS d2
        |  FROM tri)
        |SELECT cand_id,
        |  ${TextAlgo.normalizeSql("poi_name")} AS poi_norm,
-       |  CAST(round(${TextAlgo.trigramJaccardSql("ta", "tb")}, 6) AS DOUBLE) AS trigram,
+       |  CAST(round(${TextAlgo.trigramJaccardGuardedSql("poi_name", "txt", "ta", "tb")}, 6) AS DOUBLE) AS trigram,
        |  CASE WHEN len(string_split(d2, '.')) >= 2
        |       THEN array_to_string(list_slice(string_split(d2, '.'),
        |              len(string_split(d2, '.')) - 1, len(string_split(d2, '.'))), '.')

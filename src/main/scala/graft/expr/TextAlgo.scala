@@ -451,9 +451,19 @@ object TextAlgo {
     s"list_distinct(list_transform(range(1, length($p) - 1), i -> substr($p, i, 3)))"
 
   /** Jaccard over two trigram-set list columns, with the null/empty-input
-    * guard of [[trigramSimilarity]] applied by the caller's WHERE/CASE. */
+    * guard of [[trigramSimilarity]] applied by the caller's WHERE/CASE —
+    * prefer [[trigramJaccardGuardedSql]], which applies it structurally. */
   def trigramJaccardSql(ta: String, tb: String): String =
     s"len(list_intersect($ta, $tb)) * 1.0 / (len($ta) + len($tb) - len(list_intersect($ta, $tb)))"
+
+  /** [[trigramJaccardSql]] with [[trigramSimilarity]]'s null/empty-input
+    * guard built in: `rawA`/`rawB` are the UNPADDED input expressions the
+    * trigram sets were built from. Without this, DuckDB's concat silently
+    * swallows a NULL pad argument and two empty inputs would score 1.0 over
+    * the degenerate {"   "} sets, where Spark returns 0.0. */
+  def trigramJaccardGuardedSql(rawA: String, rawB: String, ta: String, tb: String): String =
+    s"CASE WHEN coalesce($rawA, '') = '' OR coalesce($rawB, '') = '' THEN 0.0 " +
+      s"ELSE ${trigramJaccardSql(ta, tb)} END"
 
   /** Ray-casting point-in-polygon over a single ring of (lng,lat) pairs
     * (shapely usage at h3_scheduler.py:441-446 re-expressed; no PostGIS). */

@@ -197,18 +197,18 @@ object Joins {
        |parts AS (
        |  SELECT p_partkey, p_name, ${TextAlgo.normalizeSql("p_name")} AS p_norm FROM part),
        |padded AS (
-       |  SELECT p_partkey, p_name, probe,
+       |  SELECT p_partkey, p_name, probe, p_norm, probe_norm,
        |    ${TextAlgo.trigramPadSql("p_norm")} AS pa,
        |    ${TextAlgo.trigramPadSql("probe_norm")} AS pb
        |  FROM parts CROSS JOIN probes),
        |tri AS (
-       |  SELECT p_partkey, p_name, probe,
+       |  SELECT p_partkey, p_name, probe, p_norm, probe_norm,
        |    ${TextAlgo.trigramSetSql("pa")} AS ta,
        |    ${TextAlgo.trigramSetSql("pb")} AS tb
        |  FROM padded),
        |sim AS (
        |  SELECT p_partkey, p_name, probe,
-       |    CAST(round(${TextAlgo.trigramJaccardSql("ta", "tb")}, 6) AS DOUBLE) AS tri_sim
+       |    CAST(round(${TextAlgo.trigramJaccardGuardedSql("p_norm", "probe_norm", "ta", "tb")}, 6) AS DOUBLE) AS tri_sim
        |  FROM tri),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY probe ORDER BY tri_sim DESC, p_partkey ASC) AS rnk

@@ -27,6 +27,21 @@ class ContractSpec extends AnyFunSuite {
       s"duplicate query keys: merged=$merged, sum of modules=${fields.sum}")
   }
 
+  test("serp fixture domains stay on apexDomain's replayable path") {
+    // the mention_trigram_scores oracle replays ONLY the executed branch of
+    // TextAlgo.apexDomain (leading-www strip + last two labels); a domain
+    // starting with 'http' (netloc routing) or ending with '.' (trailing
+    // empty label: Scala split drops it, DuckDB string_split keeps it) would
+    // silently diverge — fail loudly on a fixture edit instead
+    domain.Fixtures.serpCandidates.foreach { c =>
+      val dom = c._9
+      assert(!dom.toLowerCase.startsWith("http"),
+        s"fixture domain '$dom' would take apexDomain's netloc branch, which the oracle does not replay")
+      assert(!dom.endsWith("."),
+        s"fixture domain '$dom' has a trailing dot — split semantics diverge between engines")
+    }
+  }
+
   test("every oracle key has a query implementation") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")

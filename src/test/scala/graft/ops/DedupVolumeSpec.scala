@@ -35,13 +35,33 @@ class DedupVolumeSpec extends AnyFunSuite {
       .filter(col("df") > TextDedup.DfCap).count()
     assert(trimmed >= hotBase, s"cap must trim the hot shingles (trimmed=$trimmed)")
 
+    // STRUCTURAL boundedness (machine-load-independent): the candidate
+    // equi-join emits exactly sum over surviving shingles of C(df,2) pairs.
+    // With the cap that mass must be a small fraction of the uncapped
+    // sum — the hot-shingle blow-up the cap exists to prevent.
+    val dfAgg = repSh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(
+        sum((col("df") * (col("df") - 1) / 2).cast("long")).as("uncapped"),
+        sum(when(col("df") <= TextDedup.DfCap,
+          (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)).as("capped"))
+      .first()
+    val (uncapped, capped) = (dfAgg.getLong(0), dfAgg.getLong(1))
+    // ~19 shingles/doc × C(DfCap,2)=45 within-replica pairs ≈ 85/doc here;
+    // 200/doc leaves headroom while still failing on any quadratic blow-up
+    val nDocs = rep.count()
+    assert(capped < 200L * nDocs,
+      s"capped candidate mass $capped not O(docs) for $nDocs docs")
+    assert(uncapped >= 5L * capped,
+      s"cap removed too little: uncapped=$uncapped capped=$capped")
+
     val t0 = System.nanoTime()
     val pairs = TextDedup.dfcapPairsOf(repSh)
       .select(col("id_a"), col("id_b")).collect()
     val secs = (System.nanoTime() - t0) / 1e9
-    // 5,000 docs; every surviving candidate comes from a df<=10 shingle, so
-    // the equi-join is bounded even though every original shingle went hot
-    assert(secs < 60.0, s"10x dfcap run took $secs s — join no longer bounded")
+    // wall-clock check only on a known-idle box (bench protocol): correctness
+    // CI boxes can be contended, which this assert would misread as a defect
+    if (sys.env.contains("GRAFT_TIMING_ASSERTS"))
+      assert(secs < 60.0, s"10x dfcap run took $secs s — join no longer bounded")
 
     // with the cap in force, cross-doc shingles (orig df>=2 -> df>=20) are
     // all trimmed: every surviving pair must be within one replica group
