@@ -45,8 +45,72 @@ object FsmQueries {
     CellFsm.selectDueCells(cellsDf(spark), "2025-06-01 00:00:00", 3)
       .select(col("h3"), col("res").cast("long").as("res"), col("status"))
 
+  // ---------------------------------------------- multi-step convergence
+
+  /** Deterministic "now" for the convergence run; round k scans at base+k
+    * days, so each cell's next_due_at pins the round it was scanned in. */
+  val ConvergeBase = "2025-06-01 00:00:00"
+
+  /** Convergence seeds (axial coords at res 9): two saturate and split under
+    * [[convergeScans]]' predicate, one is a quiet leaf. */
+  val convergeSeeds: Seq[(Long, Long)] = Seq((0L, 0L), (5L, -3L), (-2L, 7L))
+
+  def convergeSeedsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    convergeSeeds.map { case (q, r) => (s"h9:$q:$r", 9) }
+      .toDF("h3", "res")
+      .withColumn("status", lit("pending"))
+      .withColumn("saturated", lit(false))
+      .withColumn("last_scanned_at", lit(null).cast("timestamp"))
+      .withColumn("next_due_at", lit(null).cast("timestamp"))
+      .withColumn("results_last", lit(null).cast("int"))
+      .withColumn("attempts", lit(0))
+  }
+
+  /** Deterministic scan results for the PENDING cells: saturation is a pure
+    * function of the cell's axial coords — ((5q+3r) mod 7) < 3 — so the
+    * DuckDB recursive CTE can replay the whole cascade; scan time advances
+    * one day per resolution level. */
+  def convergeScans(cells: DataFrame): DataFrame = {
+    val parts = split(col("h3"), ":")
+    val q = element_at(parts, 2).cast("long")
+    val r = element_at(parts, 3).cast("long")
+    val sat = ((q * 5 + r * 3) % 7 + 7) % 7 < 3
+    cells.filter(col("status") === "pending")
+      .select(col("h3"),
+        when(sat, 70).otherwise(30).as("total_results"),
+        lit(5).as("max_category_count"),
+        date_format(expr(s"timestampadd(DAY, CAST(res - 9 AS INT), TIMESTAMP '$ConvergeBase')"),
+          "yyyy-MM-dd HH:mm:ss").as("as_of"))
+  }
+
+  /** The reference's adaptive-partitioning LOOP (h3_scheduler.py:419-493,
+    * google_places_ingester.py:741-749) run to its FIXPOINT: iterate
+    * [[CellFsm.step]] from saturated res-9 seeds until no cell is pending —
+    * saturated cells split down to the res-11 cap, where they park as
+    * 'saturated'. Each iteration is one distributed batch; the driver loop
+    * runs at most MaxRes-MinRes+1 times (resolution is strictly increasing),
+    * which is the same O(log) round count a 1000-executor run would do.
+    * localCheckpoint truncates the growing lineage between rounds. */
+  def qFsmConverge(spark: SparkSession, dir: String): DataFrame = {
+    var cells = convergeSeedsDf(spark)
+    var pending = 1L
+    var guard = 0
+    while (pending > 0 && guard <= graft.expr.CellGrid.MaxRes - 9) {
+      cells = CellFsm.step(cells, convergeScans(cells)).localCheckpoint()
+      pending = cells.filter(col("status") === "pending").count()
+      guard += 1
+    }
+    cells.select(col("h3"), col("res").cast("long").as("res"), col("status"),
+      col("saturated"),
+      date_format(col("next_due_at"), "yyyy-MM-dd").as("next_due_date"),
+      col("results_last").cast("long").as("results_last"),
+      col("attempts").cast("long").as("attempts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fsm_cell_step" -> (qFsmStep _),
+    "fsm_cell_converge" -> (qFsmConverge _),
     "p8_due_cells" -> (qDueCells _))
 
   private def cellValues: String = cells.map { case (h, r, st, sat, nd, rl, at) =>
@@ -98,6 +162,31 @@ object FsmQueries {
          |  FROM j, (VALUES (0, 0), (1, 0), (0, 1), (-1, 0), (0, -1), (1, -1), (-1, 1)) AS d(dq, dr)
          |  WHERE splits)
          |SELECT * FROM updated UNION ALL SELECT * FROM children""".stripMargin,
+    "fsm_cell_converge" ->
+      // the full cascade as a recursive CTE: child generation replays the
+      // aperture-7 math (center M.(q,r) + 6 axial neighbors, as pinned by
+      // fsm_cell_step) and the saturation predicate is the same pure
+      // function of (q, r) both engines compute; every cell is scanned in
+      // round (res - 9), so attempts = 1 and next_due = scan day + 7
+      s"""WITH RECURSIVE tree(res, q, r) AS (
+         |  SELECT 9, q, r FROM (VALUES ${convergeSeeds.map { case (q, r) => s"($q, $r)" }.mkString(", ")}) AS s(q, r)
+         |  UNION ALL
+         |  SELECT t.res + 1, 3 * t.q + t.r + d.dq, -t.q + 2 * t.r + d.dr
+         |  FROM tree t, (VALUES (0, 0), (1, 0), (0, 1), (-1, 0), (0, -1), (1, -1), (-1, 1)) AS d(dq, dr)
+         |  WHERE ((t.q * 5 + t.r * 3) % 7 + 7) % 7 < 3 AND t.res < 11),
+         |scanned AS (
+         |  SELECT res, q, r, ((q * 5 + r * 3) % 7 + 7) % 7 < 3 AS sat FROM tree)
+         |SELECT 'h' || res || ':' || q || ':' || r AS h3,
+         |  CAST(res AS BIGINT) AS res,
+         |  CASE WHEN sat AND res < 11 THEN 'split'
+         |       WHEN sat THEN 'saturated' ELSE 'scanned' END AS status,
+         |  sat AS saturated,
+         |  CASE WHEN sat THEN NULL
+         |       ELSE strftime(TIMESTAMP '$ConvergeBase' + INTERVAL ((res - 9) + 7) DAY, '%Y-%m-%d')
+         |       END AS next_due_date,
+         |  CAST(CASE WHEN sat THEN 70 ELSE 30 END AS BIGINT) AS results_last,
+         |  CAST(1 AS BIGINT) AS attempts
+         |FROM scanned""".stripMargin,
     "p8_due_cells" ->
       s"""SELECT h3, CAST(res AS BIGINT) AS res, status FROM $cellValues
          |WHERE status != 'split'
