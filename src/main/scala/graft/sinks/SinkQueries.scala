@@ -171,10 +171,120 @@ object SinkQueries {
         coalesce(col("n_snapshots"), lit(0L)).as("n_snapshots"))
   }
 
+  // --------------------------- incremental pipeline at sf-scale VOLUME
+
+  /** TPC-H-anchored run days for the volume variant (day after the last
+    * order date, so every derived timestamp is in the past). */
+  val Day1V = "1998-08-03 00:00:00"
+  val Day2V = "1998-08-04 00:00:00"
+  val RescoreLimit = 500
+
+  /** Base state derived from `customer` (VolumeFixtures conventions: integer
+    * modulus → CAST AS DOUBLE → division so both engines agree bit-for-bit);
+    * custkey%4==0 rows are absent so the day batches also INSERT. */
+  private def pipeStateVol(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 4 =!= 0)
+      .select(
+        concat(lit("g"), col("c_custkey")).as("google_place_id"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 23 === 0, lit(null).cast("double"))
+          .otherwise((col("c_custkey") % 20).cast("double") / 10.0 + 3.0).as("rating"),
+        (col("c_custkey") % 2000).as("reviews_count"),
+        date_sub(lit("1998-08-02").cast("date"), (col("c_custkey") % 500).cast("int"))
+          .cast("timestamp").as("first_ingested_at"),
+        date_sub(lit("1998-08-02").cast("date"), (col("c_custkey") % 90).cast("int"))
+          .cast("timestamp").as("updated_at"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("timestamp"))
+          .otherwise(date_sub(lit("1998-08-02").cast("date"), (col("c_custkey") % 40).cast("int"))
+            .cast("timestamp")).as("last_scored_at"))
+
+  /** Day batch: the custkey%mod==0 slice with updated values; null ratings
+    * (custkey%11==0) must keep the existing value through the merge. */
+  private def pipeBatchVol(spark: SparkSession, dir: String, mod: Int, day: String): DataFrame =
+    graft.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % mod === 0)
+      .select(
+        concat(lit("g"), col("c_custkey")).as("google_place_id"),
+        concat(col("c_name"), lit(s" v$mod")).as("name"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise((col("c_custkey") % 17).cast("double") / 10.0 + 3.1).as("rating"),
+        (col("c_custkey") % 3000 + mod).as("reviews_count"),
+        lit(null).cast("timestamp").as("first_ingested_at"),
+        to_timestamp(lit(day)).as("updated_at"),
+        lit(null).cast("timestamp").as("last_scored_at"))
+
+  /** Pre-existing snapshots 1–10 days old, so each day's conditional append
+    * suppresses a deterministic subset (min interval 7 days). */
+  private def pipeSnapVol0(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 5 === 0)
+      .select(
+        concat(lit("g"), col("c_custkey")).as("poi_id"),
+        lit("google").as("source_id"),
+        ((col("c_custkey") % 21).cast("double") / 10.0 + 2.9).as("rating_value"),
+        (col("c_custkey") % 1000).as("reviews_count"),
+        date_sub(lit("1998-08-03").cast("date"), (col("c_custkey") % 10 + 1).cast("int"))
+          .cast("timestamp").as("captured_at"))
+
+  private def pipeSnapVolB(spark: SparkSession, dir: String, mod: Int, day: String): DataFrame =
+    graft.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % mod === 0)
+      .select(
+        concat(lit("g"), col("c_custkey")).as("poi_id"),
+        lit("google").as("source_id"),
+        ((col("c_custkey") % 19).cast("double") / 10.0 + 3.0).as("rating_value"),
+        (col("c_custkey") % 900 + mod).as("reviews_count"),
+        to_timestamp(lit(day)).as("captured_at"))
+
+  /** [[qIncrementalPipeline]] at data volume (VERDICT r9 items 4 + 6):
+    * thousands of customer-derived places through the same two-day
+    * merge → suppress → rescore cycle. The rescoring queue uses the
+    * VOLUME-SAFE top-k shape: a global `orderBy().limit(k)` plans as
+    * TakeOrderedAndProject (per-partition top-k + driver merge of k-row
+    * heaps — no single-partition sort of the full table), and only the k
+    * surviving rows get their rank from a window. PipelineSpec asserts the
+    * plan shape. */
+  def qIncrementalPipelineVol(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val updateCols = Seq("name", "rating", "reviews_count", "updated_at")
+    val state1 = MergeSink.upsert(pipeStateVol(spark, dir),
+      pipeBatchVol(spark, dir, 2, Day1V), "google_place_id", updateCols, asOf = Day1V)
+    val snap0 = pipeSnapVol0(spark, dir)
+    val snap1 = snap0.unionByName(
+      MergeSink.conditionalAppend(snap0, pipeSnapVolB(spark, dir, 2, Day1V)))
+    val state2 = MergeSink.upsert(state1,
+      pipeBatchVol(spark, dir, 3, Day2V), "google_place_id", updateCols, asOf = Day2V)
+    val snap2 = snap1.unionByName(
+      MergeSink.conditionalAppend(snap1, pipeSnapVolB(spark, dir, 3, Day2V)))
+    val asOfTs = to_timestamp(lit(Day2V))
+    val counts = snap2.groupBy(col("poi_id").as("google_place_id"))
+      .agg(count(lit(1)).as("n_snapshots"))
+    val queueOrder = Seq(col("last_scored_at").asc_nulls_first,
+      col("updated_at").desc, col("google_place_id").asc)
+    val selected = state2
+      .filter(col("updated_at") >= asOfTs - expr("INTERVAL 7 DAYS") ||
+        col("last_scored_at").isNull)
+      .filter(col("last_scored_at").isNull ||
+        col("last_scored_at") < asOfTs - expr("INTERVAL 24 HOURS"))
+      .orderBy(queueOrder: _*)
+      .limit(RescoreLimit)
+    selected
+      .withColumn("rnk", row_number().over(Window.orderBy(queueOrder: _*)).cast("long"))
+      .join(counts, Seq("google_place_id"), "left")
+      .select(col("rnk"), col("google_place_id"), col("name"), col("rating"),
+        col("reviews_count"),
+        date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"),
+        date_format(col("updated_at"), "yyyy-MM-dd").as("updated_date"),
+        date_format(col("last_scored_at"), "yyyy-MM-dd").as("last_scored_date"),
+        coalesce(col("n_snapshots"), lit(0L)).as("n_snapshots"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_upsert_poi" -> (qS9Upsert _),
     "s10_conditional_append" -> (qS10ConditionalAppend _),
-    "pipe_incremental" -> (qIncrementalPipeline _))
+    "pipe_incremental" -> (qIncrementalPipeline _),
+    "pipe_incremental_vol" -> (qIncrementalPipelineVol _))
 
   private def existingValues: String = existingPoi.map { case (g, n, r, rc, fi) =>
     val rs = r.map(v => s"CAST($v AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
@@ -268,8 +378,97 @@ object SinkQueries {
        |  coalesce(ct.n_snapshots, 0) AS n_snapshots
        |FROM cand c LEFT JOIN counts ct USING (google_place_id)""".stripMargin
 
+  /** DuckDB replay of [[qIncrementalPipelineVol]]: the same customer-derived
+    * state/batch/snapshot generation (identical modulus arithmetic), two
+    * full-outer-join merges, two suppression rounds, and the ORDER BY +
+    * LIMIT queue — the unique google_place_id tiebreak makes the k-boundary
+    * deterministic on both engines. */
+  private def pipeIncrementalVolSql: String = {
+    def batch(mod: Int, day: String) =
+      s"""SELECT 'g' || c_custkey AS google_place_id, c_name || ' v$mod' AS name,
+         |    CASE WHEN c_custkey % 11 = 0 THEN NULL
+         |         ELSE CAST(c_custkey % 17 AS DOUBLE) / 10.0 + 3.1 END AS rating,
+         |    c_custkey % 3000 + $mod AS reviews_count,
+         |    CAST(NULL AS TIMESTAMP) AS first_ingested_at,
+         |    TIMESTAMP '$day' AS updated_at,
+         |    CAST(NULL AS TIMESTAMP) AS last_scored_at
+         |  FROM customer WHERE c_custkey % $mod = 0""".stripMargin
+    def snapB(mod: Int, day: String) =
+      s"""SELECT 'g' || c_custkey AS poi_id, 'google' AS source_id,
+         |    CAST(c_custkey % 19 AS DOUBLE) / 10.0 + 3.0 AS rating_value,
+         |    c_custkey % 900 + $mod AS reviews_count,
+         |    TIMESTAMP '$day' AS captured_at
+         |  FROM customer WHERE c_custkey % $mod = 0""".stripMargin
+    def merge(e: String, i: String, asOf: String) =
+      s"""SELECT coalesce(e.google_place_id, i.google_place_id) AS google_place_id,
+         |    coalesce(i.name, e.name) AS name,
+         |    coalesce(i.rating, e.rating) AS rating,
+         |    coalesce(i.reviews_count, e.reviews_count) AS reviews_count,
+         |    CASE WHEN e.google_place_id IS NULL THEN TIMESTAMP '$asOf'
+         |         ELSE e.first_ingested_at END AS first_ingested_at,
+         |    coalesce(i.updated_at, e.updated_at) AS updated_at,
+         |    e.last_scored_at AS last_scored_at
+         |  FROM $e e FULL OUTER JOIN $i i ON e.google_place_id = i.google_place_id""".stripMargin
+    def accept(inc: String, existing: String) =
+      s"""SELECT i.* FROM $inc i LEFT JOIN (
+         |    SELECT poi_id, source_id, max(captured_at) AS latest_at
+         |    FROM $existing GROUP BY poi_id, source_id) l
+         |    ON i.poi_id = l.poi_id AND i.source_id = l.source_id
+         |  WHERE l.latest_at IS NULL
+         |     OR date_diff('day', CAST(l.latest_at AS DATE), CAST(i.captured_at AS DATE)) >= 7""".stripMargin
+    val queueOrder = "last_scored_at ASC NULLS FIRST, updated_at DESC, google_place_id ASC"
+    s"""WITH state0 AS (
+       |  SELECT 'g' || c_custkey AS google_place_id, c_name AS name,
+       |    CASE WHEN c_custkey % 23 = 0 THEN NULL
+       |         ELSE CAST(c_custkey % 20 AS DOUBLE) / 10.0 + 3.0 END AS rating,
+       |    c_custkey % 2000 AS reviews_count,
+       |    CAST(DATE '1998-08-02' - CAST(c_custkey % 500 AS INT) AS TIMESTAMP) AS first_ingested_at,
+       |    CAST(DATE '1998-08-02' - CAST(c_custkey % 90 AS INT) AS TIMESTAMP) AS updated_at,
+       |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+       |         ELSE CAST(DATE '1998-08-02' - CAST(c_custkey % 40 AS INT) AS TIMESTAMP)
+       |         END AS last_scored_at
+       |  FROM customer WHERE c_custkey % 4 != 0),
+       |b1 AS (${batch(2, Day1V)}),
+       |b2 AS (${batch(3, Day2V)}),
+       |s1 AS (${merge("state0", "b1", Day1V)}),
+       |s2 AS (${merge("s1", "b2", Day2V)}),
+       |snap0 AS (
+       |  SELECT 'g' || c_custkey AS poi_id, 'google' AS source_id,
+       |    CAST(c_custkey % 21 AS DOUBLE) / 10.0 + 2.9 AS rating_value,
+       |    c_custkey % 1000 AS reviews_count,
+       |    CAST(DATE '1998-08-03' - CAST(c_custkey % 10 + 1 AS INT) AS TIMESTAMP) AS captured_at
+       |  FROM customer WHERE c_custkey % 5 = 0),
+       |sb1 AS (${snapB(2, Day1V)}),
+       |sb2 AS (${snapB(3, Day2V)}),
+       |acc1 AS (${accept("sb1", "snap0")}),
+       |snap1 AS (SELECT * FROM snap0 UNION ALL SELECT * FROM acc1),
+       |acc2 AS (${accept("sb2", "snap1")}),
+       |snap2 AS (SELECT * FROM snap1 UNION ALL SELECT * FROM acc2),
+       |counts AS (
+       |  SELECT poi_id AS google_place_id, count(*) AS n_snapshots
+       |  FROM snap2 GROUP BY poi_id),
+       |sel AS (
+       |  SELECT * FROM s2
+       |  WHERE (updated_at >= TIMESTAMP '$Day2V' - INTERVAL 7 DAY
+       |         OR last_scored_at IS NULL)
+       |    AND (last_scored_at IS NULL
+       |         OR last_scored_at < TIMESTAMP '$Day2V' - INTERVAL 24 HOUR)
+       |  ORDER BY $queueOrder
+       |  LIMIT $RescoreLimit),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY $queueOrder) AS rnk FROM sel)
+       |SELECT CAST(r.rnk AS BIGINT) AS rnk, r.google_place_id, r.name, r.rating,
+       |  r.reviews_count,
+       |  strftime(r.first_ingested_at, '%Y-%m-%d') AS first_ingested_date,
+       |  strftime(r.updated_at, '%Y-%m-%d') AS updated_date,
+       |  strftime(r.last_scored_at, '%Y-%m-%d') AS last_scored_date,
+       |  coalesce(ct.n_snapshots, 0) AS n_snapshots
+       |FROM ranked r LEFT JOIN counts ct USING (google_place_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "pipe_incremental" -> pipeIncrementalSql,
+    "pipe_incremental_vol" -> pipeIncrementalVolSql,
     "s9_upsert_poi" ->
       s"""SELECT coalesce(e.google_place_id, i.google_place_id) AS google_place_id,
          |  coalesce(i.name, e.name) AS name,

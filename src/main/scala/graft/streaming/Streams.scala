@@ -88,12 +88,17 @@ object Streams {
     * session starts) so the DuckDB oracle replays it exactly. The streaming
     * equivalent is `session_window(ts, '30 minutes')` (sessionWindowStream,
     * exercised in StreamingSpec). */
-  def qSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+  def qSessionWindows(spark: SparkSession, dir: String): DataFrame =
+    sessionize(graft.Tables.events(spark, dir))
+
+  /** Gaps-and-islands sessionization over any (user_id, event_id, ts, value)
+    * relation — shared by the base and `_vol` declared queries. */
+  def sessionize(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapSec = 1800
     val prevTs = lag(col("ts"), 1).over(byUser)
-    graft.Tables.events(spark, dir)
+    events
       .withColumn("new_session",
         when(prevTs.isNull ||
           unix_timestamp(col("ts")) - unix_timestamp(prevTs) > gapSec, 1).otherwise(0))
@@ -107,6 +112,18 @@ object Streams {
       .withColumn("session_id", col("session_id").cast("long"))
   }
 
+  /** [[qSessionWindows]] at 10× volume (VERDICT r9 item 4): each user is
+    * replicated into 10 distinct users (user_id·10+k) with identical event
+    * times, so watermark/session semantics are pinned at ~100k events and the
+    * query's bench cost is dominated by real sessionization work instead of
+    * fixed overhead. The shuffle key (user_id) cardinality grows 10×, which
+    * is exactly how the partition-by-user plan scales on a cluster. */
+  def qSessionWindowsVol(spark: SparkSession, dir: String): DataFrame =
+    sessionize(graft.Tables.events(spark, dir)
+      .withColumn("k", explode(sequence(lit(0), lit(9))))
+      .withColumn("user_id", col("user_id") * 10 + col("k"))
+      .drop("k"))
+
   /** Streaming session windows via the native session_window function. */
   def sessionWindowStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
@@ -115,9 +132,31 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tumbling_windows" -> (qTumblingWindows _),
-    "st_session_windows" -> (qSessionWindows _))
+    "st_session_windows" -> (qSessionWindows _),
+    "st_session_windows_vol" -> (qSessionWindowsVol _))
 
   val oracles: Map[String, String] = Map(
+    "st_session_windows_vol" ->
+      """WITH ev AS (
+        |  SELECT user_id * 10 + k AS user_id, event_id, value, ts
+        |  FROM events CROSS JOIN range(10) AS r(k)),
+        |marked AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value,
+        |  max(ts_sec) - min(ts_sec) AS duration_sec
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "st_session_windows" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, value, ts,

@@ -49,4 +49,14 @@ class PipelineSpec extends AnyFunSuite {
     val m = obs.get
     assert(m("n_poi_rows") == 5L && m("n_quality_pass") == 3L)
   }
+
+  test("pipe_incremental_vol queue plans as TakeOrderedAndProject, not a global window sort") {
+    // VERDICT r8 item 6: at volume the rescoring queue must be a distributed
+    // top-k (per-partition heap + merge of k rows), never a single-partition
+    // sort of the full state table with row_number over it
+    val plan = sinks.SinkQueries.qIncrementalPipelineVol(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rescoring queue did not plan as a distributed top-k:\n$plan")
+  }
 }
