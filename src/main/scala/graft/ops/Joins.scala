@@ -64,8 +64,10 @@ object Joins {
     import org.apache.spark.sql.expressions.Window
     // normalize ONCE per side before the join (round 1 re-normalized the part
     // name per probe and the probe per part row), and defer the expensive
-    // name_score (Ratcliff-Obershelp ×3) until after the per-probe top-1
-    // filter — it then runs on 3 rows, not |part|×|probes|
+    // name_score (Ratcliff-Obershelp ×3, O(|a|·|b|) per pair) until after the
+    // per-probe top-1 filter — it then runs on 3 rows, not |part|×|probes|.
+    // ContractSpec pins this deferred-evaluation contract in the optimized
+    // plan (NameScore projections must sit above the rnk=1 filter).
     val probes = j5Probes.toDF("probe")
       .withColumn("probe_norm", F.normalize_text(col("probe")))
     val parts = Tables.part(spark, dir)

@@ -58,7 +58,16 @@ object Scalars {
     4 -> "l'\u00c9p\u00e9e  d`Or!!",
     5 -> "\u00c6on  caf\u00e9s \u0153uf",
     6 -> "A&B   c  ",
-    7 -> "No\u00ebl \u00e0 P\u00e4ris_42")
+    7 -> "No\u00ebl \u00e0 P\u00e4ris_42",
+    // boundary cases of the strip_accents \u2259 NFD+drop-Mn equivalence
+    // (VERDICT r8 stretch): DECOMPOSED source text (combining marks already
+    // present \u2014 NFD is a no-op, the mark-drop must still fire) \u2026
+    8 -> "Cafe\u0301 De\u0301compose\u0301 A\u030a",
+    // \u2026 and the Turkish dotted/dotless i family: \u0130 (U+0130) NFD-decomposes
+    // to I + combining dot which drops to plain 'i'; dotless \u0131 (U+0131) has
+    // no decomposition and must survive untouched in both engines
+    9 -> "\u0130stanbul Caf\u00e9",
+    10 -> "k\u0131rm\u0131z\u0131 b\u0131y\u0131k")
 
   // ---------------------------------------------------------------- queries
 

@@ -42,6 +42,30 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("J5 defers name_score until after the per-probe top-1 filter") {
+    // fuzzyRatio is O(|a|·|b|) with per-row allocation — fine on the 3
+    // post-top-1 rows, catastrophic if a plan change ever slid it below the
+    // window filter onto |part|×|probes| rows. Pin the deferred-evaluation
+    // contract structurally: every Project computing NameScore must sit
+    // ABOVE the rnk = 1 filter in the optimized plan.
+    val spark = Sessions.local(4)
+    val plan = ops.Joins.j5SimilarityJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    val nsProjects = plan.collect {
+      case p: Project if p.projectList.exists(
+        _.exists(_.isInstanceOf[expr.Expressions.NameScore])) => p
+    }
+    assert(nsProjects.nonEmpty, "no NameScore projection found in the J5 plan")
+    nsProjects.foreach { p =>
+      val topkBelow = p.child.collect {
+        case f: Filter if f.condition.references.exists(_.name == "rnk") => f
+      }
+      assert(topkBelow.nonEmpty,
+        s"name_score is computed below the rnk=1 filter — fuzzy would run per candidate pair:\n$plan")
+    }
+  }
+
   test("every oracle key has a query implementation") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
