@@ -19,11 +19,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    SparkEntry.queries.foreach { case (_, fn) => once(fn) } // warmup, discarded
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to n).map(_ => once(fn)).sorted
+    val named = SparkEntry.queries.toSeq
+    named.foreach { case (_, fn) => once(fn) } // warmup pass, discarded
+    // INTERLEAVED rounds (all queries once per round, n rounds): a transient
+    // busy patch on the box inflates one sample of many queries instead of
+    // every sample of one query — so per-query min recovers the clean time,
+    // where back-to-back reps would leave no uncontaminated sample
+    val samples = Array.fill(named.size)(Vector.newBuilder[Double])
+    for (_ <- 1 to n; ((_, fn), idx) <- named.zipWithIndex)
+      samples(idx) += once(fn)
+    val results = named.zipWithIndex.map { case ((name, _), idx) =>
+      val times = samples(idx).result().sorted
       name -> ((times(times.length / 2), times.head))
-    }
+    }.toMap
     // minimal JSON writers: escape string keys, guard non-finite doubles —
     // a query name with a quote/backslash or a NaN timing must not emit
     // invalid JSON (the driver parses these lines)

@@ -16,6 +16,11 @@ object Sessions {
     .config("spark.sql.adaptive.enabled", "true")
     // testdata events.ts is TIMESTAMP(NANOS); read as Long, converted in Tables
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the generated-class cache (STATIC conf) defaults to 100 entries; the
+    // declared query surface is >125 plans, so Verify and the interleaved
+    // Bench rounds would otherwise thrash it and re-Janino-compile every
+    // query each pass (~40% uniform inflation measured at sf0.1)
+    .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   /** Session for ScalaTest suites. */
   def local(cores: Int = 4): SparkSession =
