@@ -75,15 +75,23 @@ object Spatial {
   def assign(pois: DataFrame, areas: DataFrame, spark: SparkSession): DataFrame = {
     val contained = pois.join(broadcast(areas),
       graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring")))
+    bestPerLevel(pois, contained)
+  }
+
+  /** Smallest-area winner per (poi, admin_level), then BOTH level columns in
+    * ONE aggregation pass (`max(when(level=…))` — at most one row per level
+    * survives rn=1, so max picks that value or null). Consuming the
+    * containment relation once matters: the earlier two-branch form
+    * (filter level 9 / filter level 10 → two joins) made Spark execute the
+    * whole containment join + window TWICE. */
+  private def bestPerLevel(pois: DataFrame, contained: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("poi_id"), col("admin_level"))
       .orderBy(col("area").asc, col("area_id").asc)
     val best = contained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    val districts = best.filter(col("admin_level") === 9)
-      .select(col("poi_id").as("d_poi"), col("area_name").as("district_name"))
-    val quartiers = best.filter(col("admin_level") === 10)
-      .select(col("poi_id").as("q_poi"), col("area_name").as("neighbourhood_name"))
-    pois.join(districts, col("poi_id") === col("d_poi"), "left")
-      .join(quartiers, col("poi_id") === col("q_poi"), "left")
+      .groupBy(col("poi_id"))
+      .agg(max(when(col("admin_level") === 9, col("area_name"))).as("district_name"),
+        max(when(col("admin_level") === 10, col("area_name"))).as("neighbourhood_name"))
+    pois.join(best, Seq("poi_id"), "left")
       .select(col("poi_id"), col("lat"), col("lng"),
         col("district_name"), col("neighbourhood_name"))
   }
@@ -163,17 +171,7 @@ object Spatial {
       res: Int = 11): DataFrame = {
     val contained = cellCandidates(pois, areas, res)
       .filter(graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring")))
-    val w = Window.partitionBy(col("poi_id"), col("admin_level"))
-      .orderBy(col("area").asc, col("area_id").asc)
-    val best = contained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    val districts = best.filter(col("admin_level") === 9)
-      .select(col("poi_id").as("d_poi"), col("area_name").as("district_name"))
-    val quartiers = best.filter(col("admin_level") === 10)
-      .select(col("poi_id").as("q_poi"), col("area_name").as("neighbourhood_name"))
-    pois.join(districts, col("poi_id") === col("d_poi"), "left")
-      .join(quartiers, col("poi_id") === col("q_poi"), "left")
-      .select(col("poi_id"), col("lat"), col("lng"),
-        col("district_name"), col("neighbourhood_name"))
+    bestPerLevel(pois, contained)
   }
 
   def qSpatialAssign(spark: SparkSession, dir: String): DataFrame =
