@@ -14,9 +14,15 @@ object Bench {
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink, not count(): under count() Catalyst prunes every column and
+    // can ELIMINATE whole subtrees — e.g. a left join whose build side is an
+    // aggregate (provably-unique keys) drops the join AND the aggregate, so
+    // j1_paris_vol "ran" in 0.1 s while doing none of its 60k-point work.
+    // The noop write materializes every output column through the full plan.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     val named = SparkEntry.queries.toSeq
