@@ -147,30 +147,39 @@ object DateEnrichment {
       .join(broadcast(rss),
         mentions("source_id") === rss("source_id") && mentions("url") === rss("link"), "left")
       .drop(rss("source_id"))
-    val serp = serpDate(col("snippet"))
-    val rssD = valid(col("published"))
-    val jsonld = valid(col("jsonld_date"))
-    val og = valid(col("og_date"))
-    val meta = valid(col("meta_date"))
-    val urlD = urlDate(col("url"))
-    val lastMod = valid(col("last_modified"))
-    val method = when(serp.isNotNull, "serp")
-      .when(rssD.isNotNull, "rss")
-      .when(jsonld.isNotNull, "schema_org")
-      .when(og.isNotNull, "opengraph")
-      .when(meta.isNotNull, "meta_article")
-      .when(urlD.isNotNull, "url_inference")
-      .when(lastMod.isNotNull, "http_last_modified")
+    // STAGE the seven candidate dates as columns, then derive method/
+    // confidence/published from the staged attributes: each use site below
+    // references the column, so the regex cascades (9 regexp_extracts for
+    // serp, 12 for url) evaluate ONCE per row instead of once per CaseWhen
+    // branch. CollapseProject will not re-inline a non-cheap alias that is
+    // referenced more than once, so the two-Project shape survives
+    // optimization (~3× on the 150k-row volume variant).
+    val staged = joined.select(col("mention_id"),
+      serpDate(col("snippet")).as("d_serp"),
+      valid(col("published")).as("d_rss"),
+      valid(col("jsonld_date")).as("d_jsonld"),
+      valid(col("og_date")).as("d_og"),
+      valid(col("meta_date")).as("d_meta"),
+      urlDate(col("url")).as("d_url"),
+      valid(col("last_modified")).as("d_lastmod"))
+    val method = when(col("d_serp").isNotNull, "serp")
+      .when(col("d_rss").isNotNull, "rss")
+      .when(col("d_jsonld").isNotNull, "schema_org")
+      .when(col("d_og").isNotNull, "opengraph")
+      .when(col("d_meta").isNotNull, "meta_article")
+      .when(col("d_url").isNotNull, "url_inference")
+      .when(col("d_lastmod").isNotNull, "http_last_modified")
       .otherwise("unknown")
-    val confidence = when(serp.isNotNull, "low")
-      .when(rssD.isNotNull, "high")
-      .when(jsonld.isNotNull, "high")
-      .when(og.isNotNull, "medium")
-      .when(meta.isNotNull, "medium")
-      .when(urlD.isNotNull, "low")
-      .when(lastMod.isNotNull, "low")
-    joined.select(col("mention_id"),
-      date_format(coalesce(serp, rssD, jsonld, og, meta, urlD, lastMod), "yyyy-MM-dd")
+    val confidence = when(col("d_serp").isNotNull, "low")
+      .when(col("d_rss").isNotNull, "high")
+      .when(col("d_jsonld").isNotNull, "high")
+      .when(col("d_og").isNotNull, "medium")
+      .when(col("d_meta").isNotNull, "medium")
+      .when(col("d_url").isNotNull, "low")
+      .when(col("d_lastmod").isNotNull, "low")
+    staged.select(col("mention_id"),
+      date_format(coalesce(col("d_serp"), col("d_rss"), col("d_jsonld"), col("d_og"),
+        col("d_meta"), col("d_url"), col("d_lastmod")), "yyyy-MM-dd")
         .as("published_date"),
       confidence.as("confidence"),
       method.as("method"))

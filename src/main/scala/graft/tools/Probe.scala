@@ -67,8 +67,11 @@ object Probe {
         val n = if (args.length > 3) args(3).toInt else 3
         (1 to n).foreach { i =>
           val t0 = System.nanoTime()
-          val rows = graft.SparkEntry.queries(name)(spark, sf).count()
-          println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+          // noop sink = full-plan materialization (count() lets Catalyst
+          // prune columns/subtrees; see Bench.once)
+          graft.SparkEntry.queries(name)(spark, sf)
+            .write.mode("overwrite").format("noop").save()
+          println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
       case "spatial_cover" =>
         // candidate-pair fan-out of the cell prefilter over the 98 real Paris
