@@ -140,7 +140,13 @@ object TextDedup {
     // shingle rows are distinct per doc, so count(*) = document frequency
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("s"))
-    val kept = sh.join(rare, Seq("s"), "left_semi")
+    // materialize the capped relation ONCE: three consumers (a-side, b-side,
+    // per-doc sizes) would otherwise each re-run the shingle explosion + semi
+    // join (exchange reuse only dedups the identically-partitioned a/b pair).
+    // At cluster scale this is the same "stage the reduced relation" step —
+    // kept is the post-cap slice, orders of magnitude smaller than the
+    // exploded input
+    val kept = sh.join(rare, Seq("s"), "left_semi").localCheckpoint()
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("s"))
     val b = kept.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("s"))
