@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.expr.TextAlgo
@@ -78,19 +78,21 @@ object Spatial {
     bestPerLevel(pois, contained)
   }
 
-  /** Smallest-area winner per (poi, admin_level), then BOTH level columns in
-    * ONE aggregation pass (`max(when(level=…))` — at most one row per level
-    * survives rn=1, so max picks that value or null). Consuming the
-    * containment relation once matters: the earlier two-branch form
-    * (filter level 9 / filter level 10 → two joins) made Spark execute the
-    * whole containment join + window TWICE. */
+  /** Smallest-area winner per (poi, admin_level), both level columns in ONE
+    * aggregation: `min(struct(area, area_id, area_name))` orders structs
+    * field-by-field — smallest area first, area_id tie-break — which is
+    * exactly the previous window's `ORDER BY area ASC, area_id ASC` rn=1,
+    * but as a hash aggregate with MAP-SIDE partial min instead of a full
+    * sort-window over the candidate relation (and one consumption of the
+    * containment join instead of two — the original per-level-branch form
+    * executed it twice). */
   private def bestPerLevel(pois: DataFrame, contained: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("poi_id"), col("admin_level"))
-      .orderBy(col("area").asc, col("area_id").asc)
-    val best = contained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("poi_id"))
-      .agg(max(when(col("admin_level") === 9, col("area_name"))).as("district_name"),
-        max(when(col("admin_level") === 10, col("area_name"))).as("neighbourhood_name"))
+    def winner(level: Int): Column =
+      min(when(col("admin_level") === level,
+        struct(col("area"), col("area_id"), col("area_name"))))
+        .getField("area_name")
+    val best = contained.groupBy(col("poi_id"))
+      .agg(winner(9).as("district_name"), winner(10).as("neighbourhood_name"))
     pois.join(best, Seq("poi_id"), "left")
       .select(col("poi_id"), col("lat"), col("lng"),
         col("district_name"), col("neighbourhood_name"))
