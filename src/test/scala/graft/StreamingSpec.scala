@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{CellFsm, Streams}
+import graft.streaming.{CellFsm, FsmQueries, Streams}
 
 /** Structured Streaming behavior: the FSM over the state store across
   * micro-batches, watermarked dedup, and streaming-vs-batch window parity. */
@@ -371,5 +371,24 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
       assert(streamed == batch, s"streamed=$streamed batch=$batch")
     } finally q.stop()
+  }
+
+  test("FSM convergence invariants: fixpoint reached, children unique, res monotone") {
+    // the hash oracle pins the exact converged table; these invariants pin
+    // the LOOP properties a fixture edit could silently break — termination
+    // (no pending rows left), aperture-7 child uniqueness (duplicate cell
+    // ids would corrupt the state table keyed by h3), and the res 9..11 cap
+    val out = FsmQueries.qFsmConverge(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getString(2) == "pending"), "fixpoint not reached")
+    val ids = out.map(_.getString(0))
+    assert(ids.distinct.length == ids.length, "duplicate cell ids in converged table")
+    val byRes = out.groupBy(_.getLong(1))
+    assert(byRes.keySet.subsetOf(Set(9L, 10L, 11L)), s"res outside cap: ${byRes.keySet}")
+    // every non-seed cell's parent must be a split cell one res up
+    assert(byRes(10L).length % 7 == 0 && byRes.get(11L).forall(_.length % 7 == 0),
+      "children must arrive in complete aperture-7 sets")
+    assert(!out.exists(r => r.getLong(1) == 11L && r.getString(2) == "split"),
+      "res-11 cells must park as saturated/scanned, never split")
   }
 }
