@@ -166,7 +166,12 @@ object Expressions {
   /** Ray-cast containment of (lng, lat) in a ring column (J1 hot filter;
     * replaces the boxing Scala-closure UDF). */
   case class PointInRing(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression {
+      extends TernaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    // declared input types let SQL callers pass decimal/int literals — the
+    // analyzer inserts the cast; exact-typed Scala callers are unchanged
+    override def inputTypes: Seq[DataType] =
+      Seq(DoubleType, DoubleType, ArrayType(ArrayType(DoubleType)))
     override def dataType: DataType = BooleanType
     override def nullSafeEval(lng: Any, lat: Any, ring: Any): Any =
       VecAlgo.pointInRing(lng.asInstanceOf[Double], lat.asInstanceOf[Double],
@@ -179,7 +184,10 @@ object Expressions {
 
   /** Hex cell id of (lat, lng) at a fixed resolution (spatial bucketing key). */
   case class CellOf(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression {
+      extends TernaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(DoubleType, DoubleType, IntegerType)
     override def dataType: DataType = StringType
     override def nullSafeEval(lat: Any, lng: Any, res: Any): Any =
       VecAlgo.latLngCell(lat.asInstanceOf[Double], lng.asInstanceOf[Double],
@@ -344,22 +352,30 @@ object functions {
     r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
   }
 
-  /** Register all custom expressions for SQL use. */
+  /** (name → builder) pairs for SQL registration — one list shared by the
+    * session-scoped [[registerAll]] and the build-time
+    * [[graft.GraftExtensions]] injection, so the two surfaces can't drift. */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "normalize_text" -> (es => NormalizeText(es.head)),
+    "trigram_similarity" -> (es => TrigramSimilarity(es(0), es(1))),
+    "fuzzy_ratio" -> (es => FuzzyRatio(es(0), es(1))),
+    "name_score" -> (es => NameScore(es(0), es(1))),
+    "dedupe_key" -> (es => DedupeKey(es.head)),
+    "domain_of" -> (es => DomainOf(es.head)),
+    "apex_domain" -> (es => ApexDomain(es.head)),
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "lsh_signatures" -> (es => LshSignatures(es.head)),
+    "word_shingles" -> (es => WordShingles(es.head)),
+    "simhash62" -> (es => SimHash62(es.head)),
+    "point_in_ring" -> (es => PointInRing(es(0), es(1), es(2))),
+    "cell_of" -> (es => CellOf(es(0), es(1), es(2))),
+    "cell_children" -> (es => CellChildren(es.head)))
+
+  /** Register all custom expressions for SQL use in an EXISTING session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("normalize_text", es => NormalizeText(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("trigram_similarity", es => TrigramSimilarity(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("fuzzy_ratio", es => FuzzyRatio(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("name_score", es => NameScore(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("dedupe_key", es => DedupeKey(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("domain_of", es => DomainOf(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("apex_domain", es => ApexDomain(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("lsh_signatures", es => LshSignatures(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash62", es => SimHash62(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction("cell_of", es => CellOf(es(0), es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction("cell_children", es => CellChildren(es.head), "scala_udf")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -51,6 +51,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("GraftExtensions injects the SQL functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions = the same GraftExtensions.apply the conf path runs;
+    // the `spark.sql.extensions` STRING is resolved from the SparkContext's
+    // static conf at context creation, which a shared-JVM test can't rebuild
+    val injected = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions().apply(_)).getOrCreate()
+    try {
+      // no registerAll call — the functions must come from the extension
+      // decimal literals — ImplicitCastInputTypes must coerce them
+      val r = injected.sql(
+        "SELECT normalize_text('Café & Co') AS n, cell_of(48.86, 2.35, 9) AS c," +
+          " apex_domain('www.guide.michelin.com') AS a").collect()(0)
+      assert(r.getString(0) == "cafe and co")
+      assert(r.getString(1).startsWith("h9:"))
+      assert(r.getString(2) == "michelin.com")
+      // injection survives newSession() — the property temp functions lack
+      val r2 = injected.newSession().sql("SELECT trigram_similarity('abc', 'abc') AS t").collect()(0)
+      assert(r2.getDouble(0) == 1.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("tag_match_score: eligibility + score in one pass") {
     val df = Seq(
       ("eligible", Seq(("romantic", 0.9), ("wine", 0.8), ("noisy", 0.2))),
