@@ -25,15 +25,31 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // fixed CPU-bound calibration probe, once per round: an ABSOLUTE box-load
+    // canary. The per-query contended flag (med > 3×min) catches transient
+    // patches, but a busy co-tenant lasting the whole session inflates every
+    // sample consistently and stays invisible to relative statistics —
+    // calibration drift across rounds (and across SESSIONS, since the probe
+    // is data-independent) exposes it
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val named = SparkEntry.queries.toSeq
+    calibrate() // JIT the probe itself before the recorded samples
     named.foreach { case (_, fn) => once(fn) } // warmup pass, discarded
     // INTERLEAVED rounds (all queries once per round, n rounds): a transient
     // busy patch on the box inflates one sample of many queries instead of
     // every sample of one query — so per-query min recovers the clean time,
     // where back-to-back reps would leave no uncontaminated sample
     val samples = Array.fill(named.size)(Vector.newBuilder[Double])
-    for (_ <- 1 to n; ((_, fn), idx) <- named.zipWithIndex)
-      samples(idx) += once(fn)
+    val calibs = Vector.newBuilder[Double]
+    for (_ <- 1 to n) {
+      calibs += calibrate()
+      named.zipWithIndex.foreach { case ((_, fn), idx) => samples(idx) += once(fn) }
+    }
+    val calibTimes = calibs.result()
     val results = named.zipWithIndex.map { case ((name, _), idx) =>
       val times = samples(idx).result().sorted
       name -> ((times(times.length / 2), times.head))
@@ -72,9 +88,15 @@ object Bench {
     val spreads = results.values.collect { case (med, min) if min > 0 => med / min }.toSeq.sorted
     val spreadP95 = if (spreads.isEmpty) 1.0 else spreads((spreads.length - 1) * 95 / 100)
     val spreadMax = if (spreads.isEmpty) 1.0 else spreads.last
+    val calibArr = calibTimes.map(jnum).mkString("[", ",", "]")
+    // box considered loaded if the fixed probe drifted >2x within the session;
+    // cross-SESSION comparisons should also compare calib_min (the probe is
+    // data-independent, so it transfers between rounds and machines)
+    val boxLoaded = calibTimes.nonEmpty && calibTimes.max > 2 * calibTimes.min
     println(s"""{"metric":"total_summary","value":${jnum(total)},"unit":"sec",""" +
       s""""total_min":${jnum(totalMin)},"contended":$contended,"slowest5":$slowest5,""" +
       s""""spread_p95":${jnum(spreadP95)},"spread_max":${jnum(spreadMax)},""" +
+      s""""calib":$calibArr,"box_loaded":$boxLoaded,""" +
       s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}""")
     spark.stop()
   }
