@@ -89,10 +89,15 @@ object Bench {
     val spreadP95 = if (spreads.isEmpty) 1.0 else spreads((spreads.length - 1) * 95 / 100)
     val spreadMax = if (spreads.isEmpty) 1.0 else spreads.last
     val calibArr = calibTimes.map(jnum).mkString("[", ",", "]")
-    // box considered loaded if the fixed probe drifted >2x within the session;
-    // cross-SESSION comparisons should also compare calib_min (the probe is
-    // data-independent, so it transfers between rounds and machines)
-    val boxLoaded = calibTimes.nonEmpty && calibTimes.max > 2 * calibTimes.min
+    // box considered loaded only for SUSTAINED drift (median probe > 2x the
+    // best probe): a single transient spike is already absorbed by the
+    // interleaved per-query min, so it shouldn't condemn the session. For
+    // cross-SESSION comparisons use calib directly — the probe is
+    // data-independent, so it transfers between rounds and machines
+    val boxLoaded = calibTimes.nonEmpty && {
+      val sortedCal = calibTimes.sorted
+      sortedCal(sortedCal.length / 2) > 2 * sortedCal.head
+    }
     println(s"""{"metric":"total_summary","value":${jnum(total)},"unit":"sec",""" +
       s""""total_min":${jnum(totalMin)},"contended":$contended,"slowest5":$slowest5,""" +
       s""""spread_p95":${jnum(spreadP95)},"spread_max":${jnum(spreadMax)},""" +
