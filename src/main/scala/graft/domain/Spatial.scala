@@ -236,11 +236,27 @@ object Spatial {
     assignViaCells(volPoints(spark, ParisVolN), areas, spark)
   }
 
+  /** J7 at VOLUME: nearest 1000 of 60k deterministic points within 3 km of
+    * the center — same haversine column math as [[qRadiusJoin]] (hash-proven
+    * there), with the ordered-limit planning as a distributed top-k
+    * (TakeOrderedAndProject), which is the RPC's `ORDER BY distance LIMIT n`
+    * at any scale. */
+  def qRadiusJoinVol(spark: SparkSession, dir: String): DataFrame = {
+    val dist = graft.expr.functions.haversine_meters(
+      col("lat"), col("lng"), lit(48.8600), lit(2.3400))
+    volPoints(spark, ParisVolN)
+      .withColumn("distance_m", round(dist, 4))
+      .filter(col("distance_m") <= 3000.0)
+      .orderBy(col("distance_m").asc, col("poi_id").asc)
+      .limit(1000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_spatial_assign" -> (qSpatialAssign _),
     "j1_paris_real" -> (qParisAssign _),
     "j1_paris_vol" -> (qParisAssignVol _),
-    "j7_radius_join" -> (qRadiusJoin _))
+    "j7_radius_join" -> (qRadiusJoin _),
+    "j7_radius_vol" -> (qRadiusJoinVol _))
 
   private def rectValues: String = urbanRects.map { case (id, n, l, x0, y0, x1, y1) =>
     s"('$id', '${n.replace("'", "''")}', $l, CAST($x0 AS DOUBLE), CAST($y0 AS DOUBLE), CAST($x1 AS DOUBLE), CAST($y1 AS DOUBLE))"
@@ -338,6 +354,26 @@ object Spatial {
          |      WHERE admin_level = 10 AND rn = 1)
          |SELECT p.poi_id, p.lat, p.lng, d.district_name, q.neighbourhood_name
          |FROM pts p LEFT JOIN d USING (poi_id) LEFT JOIN q USING (poi_id)""".stripMargin,
+    "j7_radius_vol" ->
+      // identical point generation and haversine replay as j7_radius_join,
+      // at 60k points with the deterministic (distance, poi_id) top-1000
+      s"""WITH pts AS (
+         |  SELECT i AS poi_id,
+         |    48.815 + (((i * 1500450271 + 123456789) % 4294967296) / 4294967296.0) * 0.087 AS lat,
+         |    2.25 + (((i * 2654435761 + 987654321) % 4294967296) / 4294967296.0) * 0.17 AS lng
+         |  FROM range($ParisVolN) t(i))
+         |SELECT poi_id, lat, lng, distance_m FROM (
+         |  SELECT poi_id, lat, lng,
+         |    CAST(round(6371000.0 * 2.0 * atan2(
+         |      sqrt(pow(sin(radians(48.86 - lat) / 2), 2)
+         |        + cos(radians(lat)) * cos(radians(48.86))
+         |        * pow(sin(radians(2.34 - lng) / 2), 2)),
+         |      sqrt(1.0 - (pow(sin(radians(48.86 - lat) / 2), 2)
+         |        + cos(radians(lat)) * cos(radians(48.86))
+         |        * pow(sin(radians(2.34 - lng) / 2), 2)))), 4) AS DOUBLE) AS distance_m
+         |  FROM pts)
+         |WHERE distance_m <= 3000.0
+         |ORDER BY distance_m ASC, poi_id ASC LIMIT 1000""".stripMargin,
     "j7_radius_join" ->
       s"""SELECT poi_id, lat, lng, distance_m FROM (
          |  SELECT poi_id, lat, lng,
