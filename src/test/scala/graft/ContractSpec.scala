@@ -66,6 +66,21 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("volume variants are always hash-oracled") {
+    // a _vol query exists to pin a dataflow at data scale; a rows-only _vol
+    // would claim volume coverage without the hash compare that makes it real
+    val volNoOracle = SparkEntry.queries.keySet.filter(_.endsWith("_vol")) --
+      SparkEntry.oracleSql.keySet
+    assert(volNoOracle.isEmpty, s"rows-only volume variants: $volNoOracle")
+  }
+
+  test("query names are file- and JSON-safe") {
+    // Verify uses names as output directory names and Bench embeds them in
+    // JSON — keep them to the safe alphabet
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"unsafe query names: $bad")
+  }
+
   test("every oracle key has a query implementation") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
