@@ -107,12 +107,58 @@ object MentionDedup {
       .select(col("mid"), col("source_id"), col("dedup_key"),
         col("rnk").cast("long").as("rnk"))
 
+  // ------------------------------------------------------- W3 at sf volume
+
+  /** Orders-derived mention candidates for the W3 dedup at VOLUME (VERDICT
+    * r9 item 2): 4 replicas per order (~60k rows at sf0.01) sharing ~4000
+    * (source, dedupe-key) groups of ~15 members each. The dedupe key on the
+    * ENGINE side comes from the real codegen'd `dedupe_key` kernel over a
+    * constructed URL whose '-v{r}' suffix exercises the version-strip branch
+    * (dedup.py:15-16 RE_PATH_SUFFIXES); the oracle regenerates the SAME key
+    * by arithmetic, exact by construction for this URL shape. `created_at`
+    * spreads over 30 days behind [[VolumeFixtures.asOfVol]] so the 21-day
+    * recency window (config.json:75 window_days) prunes a deterministic
+    * ~27% before the ranked dedup. */
+  def mentionsW3VolDf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.{functions => F}
+    val g = col("k") % 4000
+    graft.Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+      .withColumn("r", explode(sequence(lit(0L), lit(3L))))
+      .select(
+        (col("k") * 10 + col("r")).as("mid"),
+        concat(lit("src_"), (g % 7).cast("string")).as("source_id"),
+        concat(lit("https://site"), (g % 7).cast("string"),
+          lit(".example/guide/place-"), g.cast("string"),
+          lit("-v"), col("r").cast("string")).as("url"),
+        (((col("k") + col("r") * 3) % 97).cast("double") / 100.0)
+          .as("authority_weight_snapshot"),
+        (((col("k") * 7 + col("r")) % 89).cast("double") / 100.0).as("w_time"),
+        date_sub(lit("1998-08-02").cast("date"),
+          ((col("k") * 4 + col("r")) % 30).cast("int")).cast("timestamp")
+          .as("created_at"),
+        (col("k") * 10 + col("r")).as("ord"))
+      .withColumn("dedup_key", F.dedupe_key(col("url")))
+  }
+
+  /** W3 at volume: 21-day window filter → ranked dedup per (source_id,
+    * dedupe_key), keep ≤2. The rank window is partitioned on the group key —
+    * never a global window — which ContractSpec's plan pin asserts. */
+  def qW3DedupVol(spark: SparkSession, dir: String): DataFrame = {
+    val recent = mentionsW3VolDf(spark, dir)
+      .filter(col("created_at") >=
+        to_timestamp(lit(VolumeFixtures.asOfVol)) - expr("INTERVAL 21 DAYS"))
+    windowDedup(recent)
+      .select(col("mid"), col("source_id"), col("dedup_key"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   def qW4InBatch(spark: SparkSession, dir: String): DataFrame =
     inBatchDedup(dedupCandidatesDf(spark))
       .select(col("mid"), col("domain"), col("norm_url"), col("norm_title"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w3_mention_dedup" -> (qW3Dedup _),
+    "w3_mention_dedup_vol" -> (qW3DedupVol _),
     "w4_inbatch_dedup" -> (qW4InBatch _))
 
   val oracles: Map[String, String] = Map(
@@ -122,6 +168,27 @@ object MentionDedup {
          |    PARTITION BY source_id, dedup_key
          |    ORDER BY authority_weight_snapshot * w_time DESC, ord ASC) AS rnk
          |  FROM $dedupCandidateValues) WHERE rnk <= 2""".stripMargin,
+    // the dedupe key is regenerated ARITHMETICALLY (the engine derives it
+    // from the URL through the real kernel; for this URL shape the two are
+    // equal by construction — netloc + path minus the '-v{r}' suffix)
+    "w3_mention_dedup_vol" ->
+      """WITH m AS (
+        |  SELECT o_orderkey * 10 + r AS mid,
+        |    'src_' || CAST((o_orderkey % 4000) % 7 AS VARCHAR) AS source_id,
+        |    'site' || CAST((o_orderkey % 4000) % 7 AS VARCHAR)
+        |      || '.example/guide/place-' || CAST(o_orderkey % 4000 AS VARCHAR) AS dedup_key,
+        |    CAST((o_orderkey + r * 3) % 97 AS DOUBLE) / 100.0 AS aw,
+        |    CAST((o_orderkey * 7 + r) % 89 AS DOUBLE) / 100.0 AS wt,
+        |    CAST(DATE '1998-08-02' - CAST((o_orderkey * 4 + r) % 30 AS INTEGER) AS TIMESTAMP) AS created_at,
+        |    o_orderkey * 10 + r AS ord
+        |  FROM orders CROSS JOIN (SELECT unnest(range(4)) AS r) reps)
+        |SELECT mid, source_id, dedup_key, rnk FROM (
+        |  SELECT mid, source_id, dedup_key, row_number() OVER (
+        |    PARTITION BY source_id, dedup_key
+        |    ORDER BY aw * wt DESC, ord ASC) AS rnk
+        |  FROM m
+        |  WHERE created_at >= TIMESTAMP '1998-08-02 00:00:00' - INTERVAL 21 DAY)
+        |WHERE rnk <= 2""".stripMargin,
     "w4_inbatch_dedup" ->
       s"""WITH n AS (
          |  SELECT mid, domain, ord,

@@ -372,7 +372,7 @@ object TextDedup {
     * diameter — static-edge label propagation (the round-8 shape) is
     * Θ(diameter) rounds on a chain no matter how labels are compressed,
     * which is exactly what the planted 59-diameter chains in
-    * [[plantedClusterEdges]] expose (DedupClusterVolSpec pins the bound: 6
+    * [[plantedClusterEdges]] expose (DedupClusterVolSpec pins the bound: 7
     * rounds where propagation needs ~52). Per-round work stays O(edges):
     * two edge-mass gathers + joins, no quadratic star expansion. The driver
     * loop reads only the symmetric-difference COUNT, never data. */

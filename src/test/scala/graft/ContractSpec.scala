@@ -66,6 +66,23 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("W3 volume dedup ranks inside (source_id, dedup_key) partitions") {
+    // the hot mention path's dedup must never plan a GLOBAL window — at
+    // corpus scale that is all mentions through one partition. Pin the
+    // partitioning structurally on the volume variant's optimized plan.
+    val spark = Sessions.local(4)
+    val plan = domain.MentionDedup.qW3DedupVol(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val windows = plan.collect { case w: Window => w }
+    assert(windows.nonEmpty, "no Window node in the W3 volume plan")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(parts == Set("source_id", "dedup_key"),
+        s"rank window must partition by (source_id, dedup_key), got $parts")
+    }
+  }
+
   test("volume variants are always hash-oracled") {
     // a _vol query exists to pin a dataflow at data scale; a rows-only _vol
     // would claim volume coverage without the hash compare that makes it real

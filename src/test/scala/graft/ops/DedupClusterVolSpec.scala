@@ -41,6 +41,7 @@ class DedupClusterVolSpec extends AnyFunSuite {
     // (Deterministic graph — the measured count is stable; the bound leaves
     // headroom, not noise.)
     assert(rounds >= 2 && rounds <= 10, s"rounds=$rounds (diameter 59)")
+    info(s"star-contraction rounds: $rounds (diameter 59, ⌈log₂⌉ = 6)")
 
     // exact canonicalization: every chain node → its chain's offset-0 id,
     // every star node → its hub
