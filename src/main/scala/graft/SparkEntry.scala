@@ -26,6 +26,7 @@ object SparkEntry {
     (ops.Multimodal.queries, ops.Multimodal.oracles),
     (domain.Classify.queries, domain.Classify.oracles),
     (domain.VolumeFixtures.queries, domain.VolumeFixtures.oracles),
+    (domain.PipelineVol.queries, domain.PipelineVol.oracles),
     (domain.DateEnrichment.queries, domain.DateEnrichment.oracles),
     (domain.MentionScoring.queries, domain.MentionScoring.oracles),
     (domain.MentionDedup.queries, domain.MentionDedup.oracles),

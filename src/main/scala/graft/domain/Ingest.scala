@@ -229,6 +229,36 @@ object Ingest {
     s"('$pid', '${js.replace("'", "''")}')"
   }.mkString("(VALUES ", ", ", ")") + " AS pd(place_id, details_json)"
 
+  /** The P1–P5 ingest replay over a parameterized search-result relation
+    * (fixture VALUES for the base check; the customer-derived volume places
+    * in the composed e2e pipeline). Same text, one proof. */
+  private[domain] def p1PoiRowsSqlFrom(src: String): String =
+    s"""WITH projected AS (
+       |  SELECT result_id, place_id AS google_place_id,
+       |    substring(name, 1, 200) AS name,
+       |    list_filter(list_transform(types, t -> ${mapCase("t", categoryMap)}), x -> x IS NOT NULL)[1] AS category,
+       |    coalesce(array_to_string(list_distinct(list_filter(list_transform(types, t -> ${mapCase("t", subcategoryMap)}), x -> x IS NOT NULL)), '|'), '') AS subcategories,
+       |    city_slug,
+       |    -- initcap equivalent for single-word slugs
+       |    upper(substring(replace(city_slug, '_', ' '), 1, 1)) || substring(replace(city_slug, '_', ' '), 2) AS city,
+       |    CASE WHEN length(trim(string_split(formatted_address, ', ')[-1])) > 2
+       |         THEN trim(string_split(formatted_address, ', ')[-1])
+       |         WHEN city_slug = 'paris' THEN 'France' END AS country,
+       |    lat, lng,
+       |    substring(formatted_address, 1, 255) AS address_street,
+       |    CAST(price_level AS VARCHAR) AS price_level,
+       |    (coalesce(rating, 0.0) >= 4.3 AND coalesce(user_ratings_total, 0) >= 50) AS passes_quality_gate,
+       |    CAST(length(substring(name, 1, 200)) AS BIGINT) AS name_len
+       |  FROM $src
+       |  WHERE place_id IS NOT NULL AND name IS NOT NULL
+       |    AND lat IS NOT NULL AND lng IS NOT NULL
+       |    AND len(list_intersect(types, [${categoryMap.map(c => s"'${c._1}'").mkString(", ")}])) > 0)
+       |SELECT result_id, google_place_id, category, subcategories, city_slug,
+       |  city, country, lat, lng, address_street, price_level,
+       |  passes_quality_gate, name_len
+       |FROM projected
+       |WHERE category IS NOT NULL AND country IS NOT NULL""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p1_opening_hours" ->
       s"""SELECT poi_ref,
@@ -241,32 +271,7 @@ object Ingest {
          |  TRY_CAST(regexp_extract(opening_hours_raw,
          |    '"close": \\{"day": [0-9]+, "hour": ([0-9]+)', 1) AS BIGINT) AS first_close_hour
          |FROM $openingHoursValues""".stripMargin,
-    "p1_ingest_poi_rows" ->
-      s"""WITH projected AS (
-         |  SELECT result_id, place_id AS google_place_id,
-         |    substring(name, 1, 200) AS name,
-         |    list_filter(list_transform(types, t -> ${mapCase("t", categoryMap)}), x -> x IS NOT NULL)[1] AS category,
-         |    coalesce(array_to_string(list_distinct(list_filter(list_transform(types, t -> ${mapCase("t", subcategoryMap)}), x -> x IS NOT NULL)), '|'), '') AS subcategories,
-         |    city_slug,
-         |    -- initcap equivalent for single-word slugs
-         |    upper(substring(replace(city_slug, '_', ' '), 1, 1)) || substring(replace(city_slug, '_', ' '), 2) AS city,
-         |    CASE WHEN length(trim(string_split(formatted_address, ', ')[-1])) > 2
-         |         THEN trim(string_split(formatted_address, ', ')[-1])
-         |         WHEN city_slug = 'paris' THEN 'France' END AS country,
-         |    lat, lng,
-         |    substring(formatted_address, 1, 255) AS address_street,
-         |    CAST(price_level AS VARCHAR) AS price_level,
-         |    (coalesce(rating, 0.0) >= 4.3 AND coalesce(user_ratings_total, 0) >= 50) AS passes_quality_gate,
-         |    CAST(length(substring(name, 1, 200)) AS BIGINT) AS name_len
-         |  FROM $placesValues
-         |  WHERE place_id IS NOT NULL AND name IS NOT NULL
-         |    AND lat IS NOT NULL AND lng IS NOT NULL
-         |    AND len(list_intersect(types, [${categoryMap.map(c => s"'${c._1}'").mkString(", ")}])) > 0)
-         |SELECT result_id, google_place_id, category, subcategories, city_slug,
-         |  city, country, lat, lng, address_street, price_level,
-         |  passes_quality_gate, name_len
-         |FROM projected
-         |WHERE category IS NOT NULL AND country IS NOT NULL""".stripMargin,
+    "p1_ingest_poi_rows" -> p1PoiRowsSqlFrom(placesValues),
     "s2_text_search" ->
       s"""SELECT query_id, poi_name || ' ' || city AS search_query,
          |  CAST(rnk AS BIGINT) AS rnk,

@@ -1,0 +1,341 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The END-TO-END pipeline at sf volume (VERDICT r9 item 3; reference:
+  * run_pipeline.py:549-581's stage chain): ingest → spatial → W4 dedup →
+  * mention scoring/decision → classify, COMPOSED — each stage consumes the
+  * previous stage's output, so the hash pins the wiring, not just the
+  * individually-proven stages:
+  *
+  *  - ingest (P1–P5) projects ~1.5k customer-derived search results; its
+  *    drops (missing ids/coords, type allowlist, country fallback) decide
+  *    which POIs exist downstream;
+  *  - spatial (J1, cell-prefilter path over the 98 REAL Paris rings)
+  *    assigns districts that become the classify `city` column;
+  *  - mention candidates (orders-derived, ~15k) flow through the W4
+  *    in-batch dedup and the full §2.8 scoring/decision tree; only
+  *    ACCEPT/REVIEW survivors become classify mentions, carrying their
+  *    DECIDED authority and final_score as the mention weights;
+  *  - classify (A1–A6) scores every ingested POI from those mentions plus
+  *    orders-derived snapshots; collections (P7) and trending (A11) run at
+  *    volume and ride along as count columns so the one query executes the
+  *    whole chain.
+  *
+  * Stage outputs are staged once (`localCheckpoint` on the dual-consumer
+  * ingest output); nothing is recomputed per stage. The DuckDB oracle is the
+  * same composition of the already-proven parameterized replays
+  * ([[Ingest.p1PoiRowsSqlFrom]], [[Spatial.parisAssignCtes]],
+  * [[MentionScoring.oracleSqlDecisionImpl]], [[Classify.scoredSqlFrom]],
+  * plus the collections/trending volume oracles as scalar counts).
+  */
+object PipelineVol {
+
+  // ------------------------------------------------------------ Spark side
+
+  /** Customer-derived search results (the S1 fixture shape at volume):
+    * deterministic arithmetic covers every ingest drop path — null place_id
+    * (k%41), null coords (k%29 / k%31), disallowed types (k%8 ∈ {3,7}),
+    * 2-char address country with non-paris slug (k%17 ∧ k%13). Coordinates
+    * reuse [[Spatial.volPoints]]' int64-hash arithmetic so the spatial
+    * stage replays bit-for-bit. */
+  private[graft] def placesVol(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val t = k % 8
+    Tables.customer(spark, dir).select(
+      concat(lit("r"), k.cast("string")).as("result_id"),
+      when(k % 41 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("pl"), k.cast("string"))).as("place_id"),
+      col("c_name").as("name"),
+      when(t === 0, array(lit("restaurant"), lit("food")))
+        .when(t === 1, array(lit("night_club")))
+        .when(t === 2, array(lit("cafe"), lit("coffee_shop")))
+        .when(t === 3, array(lit("store"), lit("souvenir_shop")))
+        .when(t === 4, array(lit("bar"), lit("wine_bar")))
+        .when(t === 5, array(lit("restaurant"), lit("french_restaurant")))
+        .when(t === 6, array(lit("bakery")))
+        .otherwise(array(lit("museum"))).as("types"),
+      concat(k.cast("string"), lit(" Rue des Ecoles, 750"),
+        (k % 20).cast("string"), lit(" Paris, "),
+        when(k % 17 === 0, "FR").otherwise("France")).as("formatted_address"),
+      when(k % 29 === 0, lit(null).cast("double"))
+        .otherwise(lit(48.815) +
+          ((k * 1500450271L + 123456789L) % 4294967296L).cast("double")
+            / 4294967296.0 * 0.087).as("lat"),
+      when(k % 31 === 0, lit(null).cast("double"))
+        .otherwise(lit(2.25) +
+          ((k * 2654435761L + 987654321L) % 4294967296L).cast("double")
+            / 4294967296.0 * 0.17).as("lng"),
+      when(k % 23 === 0, lit(null).cast("double"))
+        .otherwise((k % 20).cast("double") / 10.0 + 3.0).as("rating"),
+      (k % 600).cast("int").as("user_ratings_total"),
+      when(k % 7 === 0, lit(null).cast("int"))
+        .otherwise((k % 4 + 1).cast("int")).as("price_level"),
+      when(k % 13 === 0, "lyon").otherwise("paris").as("city_slug"))
+  }
+
+  /** POI attributes classify needs that the ingest projection does not carry
+    * (rating/review volume/first-seen/eligibility) — derived from the same
+    * customer key arithmetic, joined back on the place id. */
+  private def poiExtra(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    Tables.customer(spark, dir).select(
+      concat(lit("pl"), k.cast("string")).as("google_place_id"),
+      when(k % 23 === 0, lit(null).cast("double"))
+        .otherwise((k % 20).cast("double") / 10.0 + 3.0).as("rating"),
+      (k % 600).as("reviews_count"),
+      when(k % 37 === 0, lit(null).cast("timestamp"))
+        .otherwise(date_sub(lit("1998-08-02").cast("date"), (k % 500).cast("int"))
+          .cast("timestamp")).as("first_seen_at"),
+      when(k % 3 === 0, "hold").when(k % 3 === 1, "eligible")
+        .otherwise("approved").as("eligibility_status"))
+  }
+
+  /** Orders-derived mention candidates for the dedup+scoring chain — the
+    * candsVol shape with three e2e changes: poi_id targets the INGESTED
+    * place ids ('pl'+custkey), an explicit deterministic `ord` drives the
+    * W4 first-seen order, and titles carry a k%997 tag so the in-batch
+    * title dedup drops a small deterministic set instead of collapsing the
+    * batch. URLs stay globally unique, which is what makes the sequential
+    * W4 semantics coincide with the oracle's rank-1 replay. */
+  private[domain] def candsE2e(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val dom = when(k % 6 === 0, "lefooding.com")
+      .when(k % 6 === 1, "unknown-blog.net")
+      .when(k % 6 === 2, "guide.michelin.com")
+      .when(k % 6 === 3, "instagram.com")
+      .when(k % 6 === 4, "parisbouge.com")
+      .otherwise("random-site.org")
+    Tables.orders(spark, dir).select(
+      k.cast("string").as("cand_id"),
+      concat(lit("pl"), col("o_custkey").cast("string")).as("poi_id"),
+      (lit(48.0) + (k % 200).cast("double") / 100.0).as("poi_lat"),
+      (lit(2.0) + (k % 70).cast("double") / 100.0).as("poi_lng"),
+      concat(lit("review "), lower(col("o_orderpriority")), lit(" "),
+        (k % 997).cast("string"),
+        when(k % 7 === 0, lit(" paris")).otherwise(lit(""))).as("title"),
+      when(k % 11 === 0, "the best spot in france 75001")
+        .when(k % 11 === 5, "a long story about germany")
+        .otherwise("nothing special here").as("snippet"),
+      dom.as("domain"),
+      concat(lit("https://"), dom,
+        when(k % 9 === 0, lit("/paris/")).otherwise(lit("/x/")),
+        k.cast("string")).as("url"),
+      ((k % 101).cast("double") / 100.0).as("name_match"),
+      k.as("ord"))
+  }
+
+  /** Orders-derived snapshots keyed to the ingested place ids. */
+  private def snapshotsE2e(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      concat(lit("pl"), col("o_custkey").cast("string")).as("poi_id"),
+      lit("google").as("source_id"),
+      ((col("o_orderkey") % 21).cast("double") / 10.0 + 2.9).as("rating_value"),
+      ((col("o_orderkey") % 86400) % 1000).as("reviews_count"),
+      expr("timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT), o_orderdate)")
+        .as("captured_at"))
+
+  def qPipeE2eVol(spark: SparkSession, dir: String): DataFrame = {
+    // INGEST — staged once: both the spatial stage and the classify poi
+    // build consume it
+    val ingested = Ingest.toPoiRows(placesVol(spark, dir)).localCheckpoint()
+
+    // SPATIAL — the cell-prefilter path over the real Paris rings
+    val areas = Spatial.loadUrbanAreasJsonl(spark,
+      "/root/reference/neighbourhoods/neighbourhoods_paris.jsonl")
+    val sp = Spatial.assignViaCells(
+      ingested.select(col("google_place_id").as("poi_id"), col("lat"), col("lng")),
+      areas, spark)
+
+    // classify poi table: ingested identity/category + spatial district as
+    // the city + key-derived attributes
+    val poi = ingested
+      .join(poiExtra(spark, dir), Seq("google_place_id"))
+      .join(sp.select(col("poi_id").as("google_place_id"), col("district_name")),
+        Seq("google_place_id"), "left")
+      .select(col("google_place_id").as("id"), col("name"), col("category"),
+        coalesce(col("district_name"), col("city")).as("city"),
+        col("rating"), col("reviews_count"), col("first_seen_at"),
+        col("eligibility_status"))
+
+    // MENTIONS — W4 in-batch dedup, then the full scoring/decision tree;
+    // ACCEPT/REVIEW survivors become classify mentions carrying their
+    // decided authority and final score
+    val deduped = MentionDedup.inBatchDedup(candsE2e(spark, dir))
+      .drop("norm_url", "norm_title", "ord")
+    val decisions = MentionScoring.scoreAndDecide(deduped, spark)
+    val ki = col("cand_id").cast("long")
+    val mentions = decisions
+      .filter(col("decision").isin("ACCEPT", "REVIEW"))
+      .select(
+        col("poi_id"),
+        when(ki % 5 === 0, "guide").when(ki % 5 === 1, "press")
+          .when(ki % 5 === 2, "local").when(ki % 5 === 3, "blog")
+          .otherwise("tv").as("source_type"),
+        col("authority").as("authority_weight"),
+        col("final_score").as("match_score"),
+        when(ki % 3 === 0, lit(null).cast("double"))
+          .otherwise((ki % 100).cast("double") / 100.0).as("w_time"),
+        when(ki % 19 === 0, lit(null).cast("timestamp"))
+          .otherwise(date_sub(lit("1998-08-02").cast("date"), (ki % 500).cast("int"))
+            .cast("timestamp")).as("created_at"))
+
+    // CLASSIFY over the composed inputs
+    val scored = Classify.scores(poi, mentions, snapshotsE2e(spark, dir),
+      VolumeFixtures.asOfVol).drop("name")
+
+    // COLLECTIONS + TRENDING at volume ride along as count columns so the
+    // single declared query executes the full stage chain
+    val nColl = Collections.queries("p7_collections_vol")(spark, dir)
+      .agg(count(lit(1)).as("n_collections"))
+    val nTrend = Trending.queries("tr_poi_extraction_vol")(spark, dir)
+      .agg(count(lit(1)).as("n_trend_rows"))
+    scored.crossJoin(broadcast(nColl)).crossJoin(broadcast(nTrend))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_e2e_vol" -> (qPipeE2eVol _))
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private val placesVolSql =
+    """pl AS (
+      |  SELECT 'r' || CAST(c_custkey AS VARCHAR) AS result_id,
+      |    CASE WHEN c_custkey % 41 = 0 THEN NULL
+      |         ELSE 'pl' || CAST(c_custkey AS VARCHAR) END AS place_id,
+      |    c_name AS name,
+      |    CASE c_custkey % 8 WHEN 0 THEN ['restaurant', 'food']
+      |      WHEN 1 THEN ['night_club'] WHEN 2 THEN ['cafe', 'coffee_shop']
+      |      WHEN 3 THEN ['store', 'souvenir_shop'] WHEN 4 THEN ['bar', 'wine_bar']
+      |      WHEN 5 THEN ['restaurant', 'french_restaurant'] WHEN 6 THEN ['bakery']
+      |      ELSE ['museum'] END AS types,
+      |    CAST(c_custkey AS VARCHAR) || ' Rue des Ecoles, 750' || CAST(c_custkey % 20 AS VARCHAR)
+      |      || ' Paris, ' || CASE WHEN c_custkey % 17 = 0 THEN 'FR' ELSE 'France' END AS formatted_address,
+      |    CASE WHEN c_custkey % 29 = 0 THEN NULL
+      |      ELSE 48.815 + (((c_custkey * 1500450271 + 123456789) % 4294967296) / 4294967296.0) * 0.087 END AS lat,
+      |    CASE WHEN c_custkey % 31 = 0 THEN NULL
+      |      ELSE 2.25 + (((c_custkey * 2654435761 + 987654321) % 4294967296) / 4294967296.0) * 0.17 END AS lng,
+      |    CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |      ELSE CAST(c_custkey % 20 AS DOUBLE) / 10.0 + 3.0 END AS rating,
+      |    CAST(c_custkey % 600 AS INTEGER) AS user_ratings_total,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |      ELSE CAST(c_custkey % 4 + 1 AS INTEGER) END AS price_level,
+      |    CASE WHEN c_custkey % 13 = 0 THEN 'lyon' ELSE 'paris' END AS city_slug
+      |  FROM customer)""".stripMargin
+
+  private val extSql =
+    """ext AS (
+      |  SELECT 'pl' || CAST(c_custkey AS VARCHAR) AS pid,
+      |    CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |      ELSE CAST(c_custkey % 20 AS DOUBLE) / 10.0 + 3.0 END AS rating,
+      |    c_custkey % 600 AS reviews_count,
+      |    CASE WHEN c_custkey % 37 = 0 THEN NULL
+      |      ELSE CAST(DATE '1998-08-02' - CAST(c_custkey % 500 AS INTEGER) AS TIMESTAMP) END AS first_seen_at,
+      |    CASE c_custkey % 3 WHEN 0 THEN 'hold' WHEN 1 THEN 'eligible'
+      |      ELSE 'approved' END AS eligibility_status
+      |  FROM customer)""".stripMargin
+
+  private val candE2eSql = {
+    val domCase =
+      """CASE o_orderkey % 6 WHEN 0 THEN 'lefooding.com' WHEN 1 THEN 'unknown-blog.net'
+        |      WHEN 2 THEN 'guide.michelin.com' WHEN 3 THEN 'instagram.com'
+        |      WHEN 4 THEN 'parisbouge.com' ELSE 'random-site.org' END""".stripMargin
+    s"""cand0 AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS cand_id,
+       |    'pl' || CAST(o_custkey AS VARCHAR) AS poi_id,
+       |    48.0 + CAST(o_orderkey % 200 AS DOUBLE) / 100.0 AS poi_lat,
+       |    2.0 + CAST(o_orderkey % 70 AS DOUBLE) / 100.0 AS poi_lng,
+       |    'review ' || lower(o_orderpriority) || ' ' || CAST(o_orderkey % 997 AS VARCHAR)
+       |      || CASE WHEN o_orderkey % 7 = 0 THEN ' paris' ELSE '' END AS title,
+       |    CASE WHEN o_orderkey % 11 = 0 THEN 'the best spot in france 75001'
+       |      WHEN o_orderkey % 11 = 5 THEN 'a long story about germany'
+       |      ELSE 'nothing special here' END AS snippet,
+       |    $domCase AS domain,
+       |    'https://' || $domCase
+       |      || CASE WHEN o_orderkey % 9 = 0 THEN '/paris/' ELSE '/x/' END
+       |      || CAST(o_orderkey AS VARCHAR) AS url,
+       |    CAST(o_orderkey % 101 AS DOUBLE) / 100.0 AS name_match,
+       |    o_orderkey AS ord
+       |  FROM orders)""".stripMargin
+  }
+
+  /** W4 replay (same shape the w4_inbatch_dedup oracle proved): rank-1 per
+    * (domain, norm_url) and (domain, norm_title) — equivalent to the
+    * engine's sequential semantics here because urls are unique. */
+  private val w4Sql = {
+    val normUrl = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(url, " +
+      "'#.*$', ''), '[?&](utm_source|utm_medium|utm_campaign|utm_content|utm_term)=[^&]*', '', 'g'), " +
+      "'\\?&', '?'), '/+$', '')"
+    s"""w4 AS (
+       |  SELECT cand_id, poi_id, poi_lat, poi_lng, title, snippet, domain, url, name_match
+       |  FROM (
+       |    SELECT *,
+       |      row_number() OVER (PARTITION BY domain, norm_url ORDER BY ord) AS ru,
+       |      row_number() OVER (PARTITION BY domain, norm_title ORDER BY ord) AS rt
+       |    FROM (SELECT *, $normUrl AS norm_url, lower(trim(title)) AS norm_title
+       |          FROM cand0) n0) n1
+       |  WHERE ru = 1 AND rt = 1)""".stripMargin
+  }
+
+  /** ACCEPT/REVIEW decisions → classify mention rows, the decided authority
+    * and final_score becoming the mention weights. */
+  private def menSql: String =
+    s"""men AS (
+       |  SELECT poi_id,
+       |    CASE CAST(cand_id AS BIGINT) % 5 WHEN 0 THEN 'guide' WHEN 1 THEN 'press'
+       |      WHEN 2 THEN 'local' WHEN 3 THEN 'blog' ELSE 'tv' END AS source_type,
+       |    authority AS authority_weight,
+       |    final_score AS match_score,
+       |    CASE WHEN CAST(cand_id AS BIGINT) % 3 = 0 THEN NULL
+       |      ELSE CAST(CAST(cand_id AS BIGINT) % 100 AS DOUBLE) / 100.0 END AS w_time,
+       |    CASE WHEN CAST(cand_id AS BIGINT) % 19 = 0 THEN NULL
+       |      ELSE CAST(DATE '1998-08-02' - CAST(CAST(cand_id AS BIGINT) % 500 AS INTEGER) AS TIMESTAMP) END AS created_at
+       |  FROM (
+       |${MentionScoring.oracleSqlDecisionImpl(false, "w4 AS cand")}
+       |  ) dec
+       |  WHERE decision IN ('ACCEPT', 'REVIEW'))""".stripMargin
+
+  private val snapSql =
+    """snap AS (
+      |  SELECT 'pl' || CAST(o_custkey AS VARCHAR) AS poi_id,
+      |    'google' AS source_id,
+      |    CAST(o_orderkey % 21 AS DOUBLE) / 10.0 + 2.9 AS rating_value,
+      |    (o_orderkey % 86400) % 1000 AS reviews_count,
+      |    o_orderdate + (o_orderkey % 86400) * INTERVAL 1 SECOND AS captured_at
+      |  FROM orders)""".stripMargin
+
+  private def e2eSql: String = {
+    val ctes = Seq(
+      placesVolSql,
+      s"proj AS (\n${Ingest.p1PoiRowsSqlFrom("pl")})",
+      Spatial.parisAssignCtes("SELECT google_place_id AS poi_id, lat, lng FROM proj"),
+      extSql,
+      """poi_e2e AS (
+        |  SELECT proj.google_place_id AS id, proj.category,
+        |    coalesce(d.district_name, proj.city) AS city,
+        |    ext.rating, ext.reviews_count, ext.first_seen_at, ext.eligibility_status
+        |  FROM proj
+        |  JOIN ext ON ext.pid = proj.google_place_id
+        |  LEFT JOIN d ON d.poi_id = proj.google_place_id)""".stripMargin,
+      candE2eSql,
+      w4Sql,
+      menSql,
+      snapSql).mkString(",\n")
+    val inner = "WITH " + ctes + ",\n" +
+      Classify.scoredSqlFrom("poi_e2e AS poi", "men AS m", "snap AS s",
+        VolumeFixtures.asOfVol).stripPrefix("WITH ")
+    // plain concatenation — no stripMargin AFTER interpolation, which would
+    // re-strip '||' continuation lines inside the embedded oracle texts
+    "SELECT sc.*,\n" +
+      "  (SELECT count(*) FROM (\n" + Collections.oracles("p7_collections_vol") +
+      "\n  ) cx) AS n_collections,\n" +
+      "  (SELECT count(*) FROM (\n" + Trending.oracles("tr_poi_extraction_vol") +
+      "\n  ) tx) AS n_trend_rows\n" +
+      "FROM (\n" + inner + "\n) sc"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "pipe_e2e_vol" -> e2eSql)
+}

@@ -85,7 +85,10 @@ object Spatial {
     * but as a hash aggregate with MAP-SIDE partial min instead of a full
     * sort-window over the candidate relation (and one consumption of the
     * containment join instead of two — the original per-level-branch form
-    * executed it twice). */
+    * executed it twice). Tie-break coupling with the oracle: the struct
+    * orders (area, area_id, area_name) while [[parisAssignCtes]] orders
+    * (area, area_name) — equivalent because loadUrbanAreasJsonl sets
+    * area_id = name; keep both in sync if area_id ever diverges. */
   private def bestPerLevel(pois: DataFrame, contained: DataFrame): DataFrame = {
     def winner(level: Int): Column =
       min(when(col("admin_level") === level,
@@ -267,6 +270,65 @@ object Spatial {
     s"('$id', CAST($lat AS DOUBLE), CAST($lng AS DOUBLE))"
   }.mkString("(VALUES ", ", ", ")") + " AS p(poi_id, lat, lng)"
 
+  /** The Paris-assignment replay as a parameterized CTE list over an
+    * arbitrary point relation (`ptsSelect` must yield poi_id, lat, lng):
+    * point generation → the SAME pinned ray-cast formula as j1_paris_real,
+    * but with the ring exploded into an edges relation and the parity test
+    * expressed as an equi-join + count(*) % 2 GROUP BY, which DuckDB
+    * vectorizes (~1.3 s at 60k points vs ~97 s for the per-pair list-lambda
+    * form). The bbox prefilter is INCLUSIVE (>=/<=) so it is a true superset
+    * of containment even for points exactly on a bbox edge. The
+    * smallest-area window replays assignViaCells' tie-break — NOTE the
+    * coupling: bestPerLevel breaks area ties by struct(area, area_id,
+    * area_name) while this window orders by (area, area_name); they agree
+    * because [[loadUrbanAreasJsonl]] sets area_id = name. If area_id ever
+    * becomes a distinct OSM id, add it to this ORDER BY. Shared by
+    * j1_paris_vol and the composed e2e pipeline oracle. */
+  private[domain] def parisAssignCtes(ptsSelect: String): String =
+    s"""areas0 AS (
+       |  SELECT name AS area_name,
+       |    CAST(properties.admin_level AS INTEGER) AS admin_level,
+       |    geometry.coordinates[1] AS ring
+       |  FROM read_json_auto('/root/reference/neighbourhoods/neighbourhoods_paris.jsonl',
+       |                      format='newline_delimited')),
+       |areas AS (
+       |  SELECT area_name, admin_level, ring,
+       |    list_aggregate(list_transform(ring, p -> p[1]), 'min') AS min_lng,
+       |    list_aggregate(list_transform(ring, p -> p[1]), 'max') AS max_lng,
+       |    list_aggregate(list_transform(ring, p -> p[2]), 'min') AS min_lat,
+       |    list_aggregate(list_transform(ring, p -> p[2]), 'max') AS max_lat,
+       |    abs(list_sum(list_transform(range(len(ring) - 1),
+       |      i -> ring[i+1][1] * ring[i+2][2] - ring[i+2][1] * ring[i+1][2]))) / 2.0 AS area
+       |  FROM areas0),
+       |edges AS (
+       |  SELECT area_name, admin_level,
+       |    ring[i+1][1] AS x1, ring[i+1][2] AS y1,
+       |    ring[i+2][1] AS x2, ring[i+2][2] AS y2
+       |  FROM areas, UNNEST(range(len(ring) - 1)) AS u(i)),
+       |pts AS (
+       |  $ptsSelect),
+       |cand AS (
+       |  SELECT p.poi_id, p.lat, p.lng, a.area_name, a.admin_level, a.area
+       |  FROM pts p JOIN areas a
+       |    ON p.lng >= a.min_lng AND p.lng <= a.max_lng
+       |   AND p.lat >= a.min_lat AND p.lat <= a.max_lat),
+       |contained AS (
+       |  SELECT c.poi_id, c.area_name, c.admin_level, c.area
+       |  FROM cand c JOIN edges e
+       |    ON c.area_name = e.area_name AND c.admin_level = e.admin_level
+       |  WHERE ((e.y1 > c.lat) != (e.y2 > c.lat))
+       |    AND c.lng < (e.x1 - e.x2) * (c.lat - e.y2) / (e.y1 - e.y2) + e.x2
+       |  GROUP BY c.poi_id, c.area_name, c.admin_level, c.area
+       |  HAVING count(*) % 2 = 1),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY poi_id, admin_level
+       |            ORDER BY area ASC, area_name ASC) AS rn
+       |  FROM contained),
+       |d AS (SELECT poi_id, area_name AS district_name FROM best
+       |      WHERE admin_level = 9 AND rn = 1),
+       |q AS (SELECT poi_id, area_name AS neighbourhood_name FROM best
+       |      WHERE admin_level = 10 AND rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "j1_paris_real" ->
       // the same ray-cast over the same 98 real rings, as DuckDB list
@@ -299,59 +361,10 @@ object Spatial {
         |SELECT lm.poi_id, lm.lat, lm.lng, d.district_name, q.neighbourhood_name
         |FROM lm LEFT JOIN d USING (poi_id) LEFT JOIN q USING (poi_id)""".stripMargin,
     "j1_paris_vol" ->
-      // identical point generation (int64 hash → double), then the SAME
-      // pinned ray-cast formula as j1_paris_real — but with the ring
-      // exploded into an edges relation and the parity test expressed as an
-      // equi-join + count(*) % 2 GROUP BY, which DuckDB vectorizes (~1.3 s
-      // at 60k points vs ~97 s for the per-pair list-lambda form). The bbox
-      // prefilter is semantics-preserving (containment ⇒ bbox membership)
-      // and the smallest-area window replays assignViaCells' tie-break.
-      s"""WITH areas0 AS (
-         |  SELECT name AS area_name,
-         |    CAST(properties.admin_level AS INTEGER) AS admin_level,
-         |    geometry.coordinates[1] AS ring
-         |  FROM read_json_auto('/root/reference/neighbourhoods/neighbourhoods_paris.jsonl',
-         |                      format='newline_delimited')),
-         |areas AS (
-         |  SELECT area_name, admin_level, ring,
-         |    list_aggregate(list_transform(ring, p -> p[1]), 'min') AS min_lng,
-         |    list_aggregate(list_transform(ring, p -> p[1]), 'max') AS max_lng,
-         |    list_aggregate(list_transform(ring, p -> p[2]), 'min') AS min_lat,
-         |    list_aggregate(list_transform(ring, p -> p[2]), 'max') AS max_lat,
-         |    abs(list_sum(list_transform(range(len(ring) - 1),
-         |      i -> ring[i+1][1] * ring[i+2][2] - ring[i+2][1] * ring[i+1][2]))) / 2.0 AS area
-         |  FROM areas0),
-         |edges AS (
-         |  SELECT area_name, admin_level,
-         |    ring[i+1][1] AS x1, ring[i+1][2] AS y1,
-         |    ring[i+2][1] AS x2, ring[i+2][2] AS y2
-         |  FROM areas, UNNEST(range(len(ring) - 1)) AS u(i)),
-         |pts AS (
-         |  SELECT i AS poi_id,
+      s"""WITH ${parisAssignCtes(s"""SELECT i AS poi_id,
          |    48.815 + (((i * 1500450271 + 123456789) % 4294967296) / 4294967296.0) * 0.087 AS lat,
          |    2.25 + (((i * 2654435761 + 987654321) % 4294967296) / 4294967296.0) * 0.17 AS lng
-         |  FROM range($ParisVolN) t(i)),
-         |cand AS (
-         |  SELECT p.poi_id, p.lat, p.lng, a.area_name, a.admin_level, a.area
-         |  FROM pts p JOIN areas a
-         |    ON p.lng > a.min_lng AND p.lng < a.max_lng
-         |   AND p.lat > a.min_lat AND p.lat < a.max_lat),
-         |contained AS (
-         |  SELECT c.poi_id, c.area_name, c.admin_level, c.area
-         |  FROM cand c JOIN edges e
-         |    ON c.area_name = e.area_name AND c.admin_level = e.admin_level
-         |  WHERE ((e.y1 > c.lat) != (e.y2 > c.lat))
-         |    AND c.lng < (e.x1 - e.x2) * (c.lat - e.y2) / (e.y1 - e.y2) + e.x2
-         |  GROUP BY c.poi_id, c.area_name, c.admin_level, c.area
-         |  HAVING count(*) % 2 = 1),
-         |best AS (
-         |  SELECT *, row_number() OVER (PARTITION BY poi_id, admin_level
-         |            ORDER BY area ASC, area_name ASC) AS rn
-         |  FROM contained),
-         |d AS (SELECT poi_id, area_name AS district_name FROM best
-         |      WHERE admin_level = 9 AND rn = 1),
-         |q AS (SELECT poi_id, area_name AS neighbourhood_name FROM best
-         |      WHERE admin_level = 10 AND rn = 1)
+         |  FROM range($ParisVolN) t(i)""".stripMargin)}
          |SELECT p.poi_id, p.lat, p.lng, d.district_name, q.neighbourhood_name
          |FROM pts p LEFT JOIN d USING (poi_id) LEFT JOIN q USING (poi_id)""".stripMargin,
     "j7_radius_vol" ->

@@ -16,6 +16,7 @@ class ContractSpec extends AnyFunSuite {
       ops.TextDedup.queries.size, ops.TextAnalysis.queries.size,
       ops.Similarity.queries.size, ops.Multimodal.queries.size,
       domain.Classify.queries.size, domain.VolumeFixtures.queries.size,
+      domain.PipelineVol.queries.size,
       domain.DateEnrichment.queries.size, domain.MentionScoring.queries.size,
       domain.MentionDedup.queries.size, domain.Spatial.queries.size,
       domain.Ingest.queries.size, domain.Collections.queries.size,

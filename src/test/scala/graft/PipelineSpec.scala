@@ -37,6 +37,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(log.nonEmpty && log.forall(_.getAs[Long]("results_count") > 0))
   }
 
+  test("e2e volume pipeline composes: drops, districts and decisions reach the scored table") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.domain.PipelineVol.qPipeE2eVol(spark, dir).collect()
+    val nIngested = graft.domain.Ingest.toPoiRows(
+      graft.domain.PipelineVol.placesVol(spark, dir)).count()
+    // classify emits exactly one row per INGESTED poi — the ingest drops
+    // (missing ids/coords, type allowlist, country rules) flow through
+    assert(out.length == nIngested && out.nonEmpty,
+      s"scored=${out.length} ingested=$nIngested")
+    // the spatial stage's districts became classify cities: real Paris
+    // arrondissement names must appear (not just the slug fallback)
+    assert(out.exists(_.getAs[String]("city").contains("Arrondissement")),
+      "no spatial district reached the scored table")
+    // the mention stage's accepted decisions became mention features: at
+    // least one POI must have non-zero authority
+    assert(out.exists(_.getAs[Double]("authority_score") > 0.0),
+      "no accepted mention contributed authority")
+    // the ride-along stages ran
+    val head = out.head
+    assert(head.getAs[Long]("n_collections") > 0L)
+    assert(head.getAs[Long]("n_trend_rows") > 0L)
+  }
+
   test("A12 run counters via observe()") {
     import org.apache.spark.sql.Observation
     // observe() metrics need named Observation handles for programmatic reads;
