@@ -23,10 +23,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Both surfaces share one builder list, so they can't drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.expr.functions.sqlFunctions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[expr.Expressions.type].getName, name),
         builder))
     }
+    // the scale-safe spatial plan, automatically (SURVEY §4 item 2): a
+    // non-tiny point_in_ring join is rewritten to the cell-cover equi-join
+    ext.injectOptimizerRule(_ => graft.plans.CellJoinRewrite)
+  }
 }

@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    // same injection as spark.sql.extensions=graft.GraftExtensions at
+    // cluster startup: SQL functions + the spatial cell-join rewrite —
+    // applied here so Verify, Bench and every test session run through the
+    // exact extension set a deployed cluster would
+    .withExtensions(new GraftExtensions())
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

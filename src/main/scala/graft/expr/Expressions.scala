@@ -198,6 +198,28 @@ object Expressions {
       copy(a, b, c)
   }
 
+  /** The cell cover of a polygon ring at a resolution — [[CellGrid
+    * .polygonCover]] as a Catalyst expression so the spatial-join rewrite
+    * rule can build the cover inside the plan (one eval per POLYGON row, a
+    * cold path — interpreted eval is fine). */
+  case class PolygonCoverCells(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(ringRaw: Any, resRaw: Any): Any = {
+      val ad = ringRaw.asInstanceOf[ArrayData]
+      val ring = Array.tabulate(ad.numElements()) { i =>
+        val p = ad.getArray(i)
+        Array(p.getDouble(0), p.getDouble(1))
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        CellGrid.polygonCover(ring, resRaw.asInstanceOf[Int])
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    }
+    override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+      copy(a, b)
+  }
+
   /** The 7 aperture-7 children of a hex cell id. */
   case class CellChildren(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -369,7 +391,8 @@ object functions {
     "simhash62" -> (es => SimHash62(es.head)),
     "point_in_ring" -> (es => PointInRing(es(0), es(1), es(2))),
     "cell_of" -> (es => CellOf(es(0), es(1), es(2))),
-    "cell_children" -> (es => CellChildren(es.head)))
+    "cell_children" -> (es => CellChildren(es.head)),
+    "polygon_cover_cells" -> (es => PolygonCoverCells(es(0), es(1))))
 
   /** Register all custom expressions for SQL use in an EXISTING session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

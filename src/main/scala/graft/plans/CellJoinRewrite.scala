@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StringType
+import graft.expr.Expressions.{CellOf, PointInRing, PolygonCoverCells}
+
+/** Makes the scale-safe spatial plan AUTOMATIC (SURVEY §4 custom-work item 2;
+  * VERDICT r9 item 4): a join whose condition is the natural predicate
+  *
+  * {{{ points JOIN areas ON point_in_ring(lng, lat, ring) }}}
+  *
+  * plans as an O(|points|·|areas|) nested loop — every point ray-casts every
+  * polygon. [[graft.domain.Spatial.assignViaCells]] is the manual escape
+  * hatch; this rule rewrites the plan so SQL-surface users (and any caller
+  * of `Spatial.assign`) get the same shape without asking:
+  *
+  *  - the areas side gains `explode(polygon_cover_cells(ring, res))` — each
+  *    polygon covered once by the cells it touches;
+  *  - the points side gains `cell_of(lat, lng, res)` — pure index math;
+  *  - the join becomes `points.cell = cover.cell AND point_in_ring(...)` —
+  *    an EQUI-join the planner can hash/broadcast, with the exact ray-cast
+  *    running only on bbox-colocated pairs.
+  *
+  * Correctness: the cover is a superset of every cell intersecting the
+  * polygon (CellGrid.polygonCover) and its cells are DISTINCT, so the
+  * equi-join admits each containing pair exactly once and the conjoined
+  * exact test restores precise semantics — same multiset as the nested
+  * loop (CellJoinRewriteSpec asserts result parity both ways).
+  *
+  * The rewrite only fires when the POINT side isn't tiny
+  * (`spark.graft.spatial.cellRewriteMinBytes`, default 256 KiB): for a
+  * handful of landmarks the nested loop is already optimal and the cover
+  * machinery is overhead. Injected via [[graft.GraftExtensions]] into the
+  * operator-optimization batch; the rewritten condition no longer matches
+  * the pattern, so the rule is fixed-point safe.
+  */
+object CellJoinRewrite extends Rule[LogicalPlan] {
+
+  /** Grid resolution of the injected cover — matches assignViaCells'
+    * default (res 11 ≈ street-block cells over city polygons). */
+  val Res = 11
+
+  val MinBytesKey = "spark.graft.spatial.cellRewriteMinBytes"
+  val MinBytesDefault: Long = 256L * 1024
+
+  private def minBytes: BigInt =
+    BigInt(SQLConf.get.getConfString(MinBytesKey, MinBytesDefault.toString).toLong)
+
+  private def onlyFrom(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(pir @ PointInRing(lngE, latE, ringE)), hint)
+        if onlyFrom(ringE, right) && onlyFrom(lngE, left) && onlyFrom(latE, left) &&
+          left.stats.sizeInBytes >= minBytes =>
+      rewrite(j, points = left, areas = right, lngE, latE, ringE, pir,
+        pointsOnLeft = true, hint)
+    case j @ Join(left, right, Inner, Some(pir @ PointInRing(lngE, latE, ringE)), hint)
+        if onlyFrom(ringE, left) && onlyFrom(lngE, right) && onlyFrom(latE, right) &&
+          right.stats.sizeInBytes >= minBytes =>
+      rewrite(j, points = right, areas = left, lngE, latE, ringE, pir,
+        pointsOnLeft = false, hint)
+  }
+
+  private def rewrite(j: Join, points: LogicalPlan, areas: LogicalPlan,
+      lngE: Expression, latE: Expression, ringE: Expression, pir: Expression,
+      pointsOnLeft: Boolean, hint: JoinHint): LogicalPlan = {
+    val res = Literal(Res)
+    val pCell = Alias(CellOf(latE, lngE, res), "__graft_pcell")()
+    val newPoints = Project(points.output :+ pCell, points)
+    val coverCell = AttributeReference("__graft_cover_cell", StringType, nullable = false)()
+    val cover = Generate(Explode(PolygonCoverCells(ringE, res)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(coverCell), child = areas)
+    val cond = And(EqualTo(pCell.toAttribute, coverCell), pir)
+    val joined =
+      if (pointsOnLeft) Join(newPoints, cover, Inner, Some(cond), hint)
+      else Join(cover, newPoints, Inner, Some(cond), hint)
+    // restore the original output (hide the helper cell columns)
+    Project(j.output, joined)
+  }
+}

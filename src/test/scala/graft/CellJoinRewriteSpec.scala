@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Explode}
+import graft.domain.Spatial
+import graft.expr.Expressions.{PointInRing, PolygonCoverCells}
+import graft.plans.CellJoinRewrite
+
+/** The automatic spatial plan rewrite (SURVEY §4 item 2 / VERDICT r9 item 4):
+  * callers writing the NATURAL predicate join — `assign`, or plain SQL
+  * `ON point_in_ring(lng, lat, ring)` — must get the cell-prefilter
+  * equi-join shape when the point side is non-tiny, with results identical
+  * to both the nested loop and the manual assignViaCells path. */
+class CellJoinRewriteSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(4)
+
+  private lazy val parisAreas = Spatial.loadUrbanAreasJsonl(spark,
+    "/root/reference/neighbourhoods/neighbourhoods_paris.jsonl")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan
+
+  test("non-tiny point_in_ring join rewrites to the cell-cover equi-join shape") {
+    val pts = Spatial.volPoints(spark, Spatial.ParisVolN)
+    val plan = planOf(Spatial.assign(pts, parisAreas, spark))
+    // the manual assignViaCells shape: a cover explode on the areas side...
+    val gens = plan.collect {
+      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+    }
+    assert(gens.nonEmpty, s"no polygon-cover Generate in the rewritten plan:\n$plan")
+    // ...and every point_in_ring join now carries a cell equi-condition, so
+    // the planner sees a hash-joinable key instead of a pure theta join
+    val joins = plan.collect { case jn: Join => jn }
+    assert(joins.nonEmpty)
+    joins.foreach { jn =>
+      val cond = jn.condition.get
+      val hasPir = cond.exists(_.isInstanceOf[PointInRing])
+      val hasEq = cond.exists(_.isInstanceOf[EqualTo])
+      assert(!hasPir || hasEq,
+        s"point_in_ring join left as a pure nested loop:\n$plan")
+    }
+  }
+
+  test("tiny point side keeps the broadcast nested loop (no cover overhead)") {
+    val plan = planOf(Spatial.assign(Spatial.spatialPoisDf(spark),
+      Spatial.areasDf(spark), spark))
+    assert(plan.collect { case g: Generate => g }.isEmpty,
+      s"4-row fixture should not pay the cover machinery:\n$plan")
+  }
+
+  test("rewritten assign == manual assignViaCells == un-rewritten nested loop") {
+    val n = 4000
+    val pts = Spatial.volPoints(spark, n)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+
+    // force the rewrite on this sub-threshold sample, then compare all three
+    spark.conf.set(CellJoinRewrite.MinBytesKey, "1")
+    val rewritten = try collect(Spatial.assign(pts, parisAreas, spark))
+    finally spark.conf.unset(CellJoinRewrite.MinBytesKey)
+
+    val manual = collect(Spatial.assignViaCells(pts, parisAreas, spark))
+
+    // disable the rewrite entirely: the true O(n·areas) nested loop
+    spark.conf.set(CellJoinRewrite.MinBytesKey, Long.MaxValue.toString)
+    val nestedLoop = try collect(Spatial.assign(pts, parisAreas, spark))
+    finally spark.conf.unset(CellJoinRewrite.MinBytesKey)
+
+    assert(rewritten == manual, "rewrite diverges from assignViaCells")
+    assert(rewritten == nestedLoop, "rewrite diverges from the nested loop")
+    assert(rewritten.exists(_._2.isDefined), "sample hit no district at all")
+  }
+}
