@@ -19,11 +19,18 @@ object Bench {
     // aggregate (provably-unique keys) drops the join AND the aggregate, so
     // j1_paris_vol "ran" in 0.1 s while doing none of its 60k-point work.
     // The noop write materializes every output column through the full plan.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a FAILED run must not record its short abort time as a legitimate
+    // sample (with count() gone there is no rows signal to catch it) — the
+    // ok flag routes failures to an error counter instead of the stats
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // fixed CPU-bound calibration probe, once per round: an ABSOLUTE box-load
     // canary. The per-query contended flag (med > 3×min) catches transient
@@ -44,16 +51,48 @@ object Bench {
     // every sample of one query — so per-query min recovers the clean time,
     // where back-to-back reps would leave no uncontaminated sample
     val samples = Array.fill(named.size)(Vector.newBuilder[Double])
+    val errCounts = Array.fill(named.size)(0)
     val calibs = Vector.newBuilder[Double]
+    calibs += calibrate() // pre-round probe: n+2 total calib samples
     for (_ <- 1 to n) {
+      named.zipWithIndex.foreach { case ((_, fn), idx) =>
+        val (t, ok) = once(fn)
+        if (ok) samples(idx) += t else errCounts(idx) += 1
+      }
       calibs += calibrate()
-      named.zipWithIndex.foreach { case ((_, fn), idx) => samples(idx) += once(fn) }
     }
+    calibs += calibrate() // trailing probe after the final round
     val calibTimes = calibs.result()
-    val results = named.zipWithIndex.map { case ((name, _), idx) =>
+    // a query with zero successful samples reports null timings + an errors
+    // entry instead of masquerading as fast
+    var results = named.zipWithIndex.map { case ((name, _), idx) =>
       val times = samples(idx).result().sorted
-      name -> ((times(times.length / 2), times.head))
+      if (times.isEmpty) name -> ((Double.NaN, Double.NaN))
+      else name -> ((times(times.length / 2), times.head))
     }.toMap
+    // SELF-HEALING pass (VERDICT r9 item 5): a med > 3×min query means the
+    // box was busy during some rounds — before shipping the artifact with a
+    // contended flag, re-run just those queries once, back-to-back. If the
+    // retry lands near the min, the min is confirmed reproducible and the
+    // flag moves to contended_resolved (the spliced min is reported); only
+    // a retry that is ITSELF slow leaves the query flagged.
+    val firstPassContended = results.collect {
+      case (k, (med, min)) if min > 0.05 && med > 3 * min => k
+    }.toSet
+    val resolvedB = Set.newBuilder[String]
+    firstPassContended.foreach { k =>
+      named.find(_._1 == k).foreach { case (_, fn) =>
+        val (t, ok) = once(fn)
+        if (ok) {
+          val (med, min) = results(k)
+          val newMin = math.min(min, t)
+          results = results.updated(k, (med, newMin))
+          if (t <= 1.5 * newMin) resolvedB += k
+        }
+      }
+    }
+    val resolvedSet = resolvedB.result()
+    val unresolvedContended = firstPassContended -- resolvedSet
     // minimal JSON writers: escape string keys, guard non-finite doubles —
     // a query name with a quote/backslash or a NaN timing must not emit
     // invalid JSON (the driver parses these lines)
@@ -68,20 +107,25 @@ object Bench {
       results.map { case (k, v) => jstr(k) + ":" + jnum(f((k, v))) }.mkString("{", ",", "}")
     val qs = obj(_._2._1)
     val qsMin = obj(_._2._2)
-    // median > 3x min on the same query in the same run = the box was busy
-    // during some runs — the min is the trustworthy number for those
-    val contended = results.collect {
-      case (k, (med, min)) if min > 0.05 && med > 3 * min => jstr(k)
-    }.mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val totalMin = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    // median > 3x min = the box was busy during some rounds; after the
+    // self-healing retry only queries whose retry was ALSO slow stay here
+    val contended = unresolvedContended.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val contendedResolved = resolvedSet.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val errors = named.zipWithIndex.collect {
+      case ((name, _), idx) if errCounts(idx) > 0 => jstr(name) + ":" + errCounts(idx)
+    }.mkString("{", ",", "}")
+    val finite = results.values.filter(v => java.lang.Double.isFinite(v._1)).toSeq
+    val total = finite.map(_._1).sum
+    val totalMin = finite.map(_._2).sum
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"total_min":${jnum(totalMin)},"contended":$contended,""" +
+      s""""contended_resolved":$contendedResolved,"errors":$errors,""" +
       s""""sf":${jstr(sfDir)},"n":$n}""")
     // second, SHORT summary line: the full per-query line above can exceed
     // the driver's tail capture (BENCH artifacts ended up parsed:null), so
     // emit a self-contained parseable recap last — slowest-5 by median
-    val slowest5 = results.toSeq.sortBy(-_._2._1).take(5)
+    val slowest5 = results.toSeq.filter(r => java.lang.Double.isFinite(r._2._1))
+      .sortBy(-_._2._1).take(5)
       .map { case (k, (med, _)) => jstr(k) + ":" + jnum(med) }.mkString("{", ",", "}")
     // noise envelope: median/min ratio per query, summarized — a cross-round
     // per-query regression is only meaningful when it exceeds this spread
@@ -99,9 +143,10 @@ object Bench {
       sortedCal(sortedCal.length / 2) > 2 * sortedCal.head
     }
     println(s"""{"metric":"total_summary","value":${jnum(total)},"unit":"sec",""" +
-      s""""total_min":${jnum(totalMin)},"contended":$contended,"slowest5":$slowest5,""" +
+      s""""total_min":${jnum(totalMin)},"contended":$contended,""" +
+      s""""contended_resolved":$contendedResolved,"slowest5":$slowest5,""" +
       s""""spread_p95":${jnum(spreadP95)},"spread_max":${jnum(spreadMax)},""" +
-      s""""calib":$calibArr,"box_loaded":$boxLoaded,""" +
+      s""""calib":$calibArr,"box_loaded":$boxLoaded,"num_errors":${errCounts.sum},""" +
       s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}""")
     spark.stop()
   }

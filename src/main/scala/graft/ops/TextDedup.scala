@@ -325,29 +325,28 @@ object TextDedup {
 
   /** Canonical undirected pair set: (min, max) orientation, self-loops
     * dropped, distinct — the representation both star rewrites consume and
-    * emit. Each rewrite output is STAGED via localCheckpoint: the iterate is
-    * consumed twice per round (gather + emit), so without lineage truncation
-    * the logical plan doubles per round (exponential analysis cost long
-    * before any data cost). Same executor-local staging trade as
-    * dfcapPairsOf: at real cluster scale this step is a reliable checkpoint
-    * or staged table. */
+    * emit. */
   private[ops] def canonPairs(e: DataFrame): DataFrame = e
     .select(least(col("src"), col("dst")).as("src"),
       greatest(col("src"), col("dst")).as("dst"))
     .filter(col("src") =!= col("dst"))
     .distinct()
-    .localCheckpoint()
 
   /** Large-star rewrite: every node connects its LARGER neighbors to the min
     * of its closed neighborhood — emit (v, m(u)) for v ∈ N(u), v > u with
-    * m(u) = min(N(u) ∪ {u}). One edge-mass groupBy + one edge-mass join. */
+    * m(u) = min(N(u) ∪ {u}). One edge-mass groupBy + one edge-mass join.
+    * Output is canonical-oriented but NOT deduplicated (one row per input
+    * edge, ≤ |E| rows) — the min-gathers downstream are duplicate-blind and
+    * [[smallStar]] ends with the distinct, saving a shuffle per round. */
   private[ops] def largeStar(edges: DataFrame): DataFrame = {
     val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val m = und.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
-    canonPairs(und.join(m, Seq("src"))
+    und.join(m, Seq("src"))
       .filter(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst")))
+      .select(least(col("dst"), col("m")).as("src"),
+        greatest(col("dst"), col("m")).as("dst"))
+      .filter(col("src") =!= col("dst"))
   }
 
   /** Small-star rewrite: every node connects its SMALLER neighbors (and
@@ -375,28 +374,79 @@ object TextDedup {
     * [[plantedClusterEdges]] expose (DedupClusterVolSpec pins the bound: 7
     * rounds where propagation needs ~52). Per-round work stays O(edges):
     * two edge-mass gathers + joins, no quadratic star expansion. The driver
-    * loop reads only the symmetric-difference COUNT, never data. */
+    * loop reads only the edge-set fingerprint aggregate, never data. */
   private[ops] def minLabelConverge(pairs: DataFrame): (DataFrame, Int) = {
-    var edges = canonPairs(pairs.toDF("src", "dst"))
+    // ONE localCheckpoint per round (the round output): the iterate is
+    // consumed multiple times per round, so without lineage truncation the
+    // logical plan doubles per round — exponential analysis cost long
+    // before any data cost. Same executor-local staging trade as
+    // dfcapPairsOf: at real cluster scale this is a reliable checkpoint or
+    // staged table.
+    var edges = canonPairs(pairs.toDF("src", "dst")).localCheckpoint()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
-    var rounds = 0
-    var changed = 1L
-    while (changed > 0) {
-      rounds += 1
-      val next = smallStar(largeStar(edges))
-      changed = next.except(edges).union(edges.except(next)).count()
-      edges = next
+    // convergence signal: an order-independent (count, hash-xor) fingerprint
+    // of the edge set — ONE cheap aggregate per round instead of a
+    // symmetric-difference join (xor, not sum: overflow-free under ANSI,
+    // and the set is distinct so cancellation needs a hash collision). A
+    // fingerprint match is then CONFIRMED by the exact set difference once,
+    // so a collision degrades to an extra round, never a wrong result.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // terminal state = stars centered on each component's min: a node's
-    // label is its min neighbor (leaves → center), or itself (the center)
-    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val labels = nodes
-      .join(und.groupBy(col("src")).agg(min(col("dst")).as("mn")),
-        nodes("id") === col("src"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("comp"))
-      .localCheckpoint()
-    (labels, rounds)
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = fp._1 == 0L
+    // Iteration-loop tuning, restored before returning: (1) AQE off — its
+    // per-stage adaptive re-planning adds a barrier + scheduling round per
+    // shuffle, which dominates on a fixed small iterate whose join sides
+    // are already explicitly broadcast; (2) shuffle partitions sized to the
+    // EDGE COUNT (~250k rows per partition, min 2) instead of the session
+    // default — the contraction runs ~3 shuffles × log(diameter) rounds, so
+    // over-partitioning multiplies task overhead by partitions×stages (the
+    // session's 32 partitions made this loop 5× slower than 2 partitions on
+    // a 60k-edge graph). At 100 TB the same formula sizes UP with the data.
+    val spark = edges.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    val loopParts = math.max(2L, math.min(partsWas.toLong, fp._1 / 250000L + 1L))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      while (!converged) {
+        rounds += 1
+        val tR = System.nanoTime()
+        // the large-star output feeds two gathers in smallStar — stage it
+        // (lazily: the round's single materializing action is the
+        // fingerprint aggregate below)
+        val ls = largeStar(edges).localCheckpoint(false)
+        val next = smallStar(ls).localCheckpoint(false)
+        val nfp = fingerprint(next)
+        if (nfp == fp) {
+          converged = next.except(edges).union(edges.except(next)).isEmpty
+        }
+        fp = nfp
+        edges = next
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(f"[cc] round $rounds: ${(System.nanoTime() - tR) / 1e9}%.2f s, edges=${fp._1}")
+      }
+      // terminal state = stars centered on each component's min: a node's
+      // label is its min neighbor (leaves → center), or itself (the center).
+      // Built inside the tuned scope — it is the same tiny-iterate shape as
+      // the rounds.
+      val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = nodes
+        .join(und.groupBy(col("src")).agg(min(col("dst")).as("mn")),
+          nodes("id") === col("src"), "left")
+        .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("comp"))
+        .localCheckpoint()
+      (labels, rounds)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
   }
 
   /** Converged labels → (doc_id, canonical_id, cluster_size). The converged

@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Calibration-normalized cross-round bench compare (NOT part of the library).
+
+Usage: python3 tools/benchdiff.py BENCH_rA.json BENCH_rB.json
+
+Joins the two rounds' per-query min timings, normalizes the newer round by
+the ratio of the runs' calibration-probe medians (the probe is
+data-independent, so it transfers across sessions/boxes), and flags only the
+deltas that exceed the runs' own recorded noise envelope (spread_p95) — the
+comparison logic the bench protocol's data was designed for.
+
+Accepts either the driver artifact shape ({"parsed": {...}, "tail": "..."})
+or a raw Bench stdout capture (the two JSON lines). Truncated tails are
+salvaged per-entry by regex.
+"""
+import sys, os, json, re, statistics
+
+
+def extract_json_objects(text):
+    """Every parseable {...} object found in the text (whole lines first)."""
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out.append(json.loads(line))
+                continue
+            except ValueError:
+                pass
+    for m in re.finditer(r'\{"metric":', text):
+        depth, i = 0, m.start()
+        for j in range(m.start(), len(text)):
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        out.append(json.loads(text[i:j + 1]))
+                    except ValueError:
+                        pass
+                    break
+    return out
+
+
+def salvage_map(text, key):
+    """Per-entry regex salvage of a possibly-truncated '"key":{...}' map."""
+    m = re.search('"%s":\\{' % re.escape(key), text)
+    if not m:
+        return {}
+    frag = text[m.end():]
+    end = frag.find("}")
+    if end >= 0:
+        frag = frag[:end]
+    return {k: float(v) for k, v in
+            re.findall(r'"([A-Za-z0-9_]+)":([0-9.eE+-]+)', frag)}
+
+
+NON_QUERY_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus",
+                  "total_min", "spread_p95", "spread_max", "num_queries",
+                  "num_errors", "box_loaded"}
+
+
+def salvage_pairs(text):
+    """Last resort for a truncated artifact: any "name":float pairs in the
+    tail fragment — these are per-query MEDIANS from the long first line."""
+    pairs = {}
+    for k, v in re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9eE+-]+)', text):
+        if k not in NON_QUERY_KEYS:
+            pairs[k] = float(v)
+    return pairs
+
+
+def load_round(path):
+    raw = open(path).read()
+    info = {"queries_min": {}, "calib": [], "spread_p95": None,
+            "contended": [], "label": os.path.basename(path), "stat": "min"}
+    candidates = []
+    try:
+        d = json.loads(raw)
+        if isinstance(d, dict):
+            if isinstance(d.get("parsed"), dict):
+                candidates.append(d["parsed"])
+            if isinstance(d.get("tail"), str):
+                candidates.extend(extract_json_objects(d["tail"]))
+                if not any("queries_min" in c for c in candidates):
+                    sal = salvage_map(d["tail"], "queries_min")
+                    if sal:
+                        candidates.append({"queries_min": sal})
+            if "queries_min" in d:
+                candidates.append(d)
+    except ValueError:
+        candidates.extend(extract_json_objects(raw))
+    for c in candidates:
+        if isinstance(c.get("queries_min"), dict) and not info["queries_min"]:
+            info["queries_min"] = c["queries_min"]
+        elif isinstance(c.get("queries"), dict) and not info["queries_min"]:
+            info["queries_min"], info["stat"] = c["queries"], "median"
+        if isinstance(c.get("calib"), list) and not info["calib"]:
+            info["calib"] = [x for x in c["calib"] if isinstance(x, (int, float))]
+        if isinstance(c.get("spread_p95"), (int, float)) and info["spread_p95"] is None:
+            info["spread_p95"] = c["spread_p95"]
+        if isinstance(c.get("contended"), list) and not info["contended"]:
+            info["contended"] = c["contended"]
+    if not info["queries_min"]:
+        try:
+            d = json.loads(raw)
+            tail = d.get("tail", "") if isinstance(d, dict) else ""
+        except ValueError:
+            tail = raw
+        sal = salvage_pairs(tail)
+        if sal:
+            info["queries_min"], info["stat"] = sal, "salvaged-median"
+    return info
+
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    a, b = load_round(sys.argv[1]), load_round(sys.argv[2])
+    if not a["queries_min"] or not b["queries_min"]:
+        sys.exit("could not recover queries_min from one of the rounds "
+                 f"(A: {len(a['queries_min'])} queries, B: {len(b['queries_min'])})")
+    cal_a = statistics.median(a["calib"]) if a["calib"] else None
+    cal_b = statistics.median(b["calib"]) if b["calib"] else None
+    norm = (cal_a / cal_b) if (cal_a and cal_b) else 1.0
+    # a delta is only a verdict when it exceeds the rounds' own noise floor
+    threshold = max(a["spread_p95"] or 1.0, b["spread_p95"] or 1.0, 1.2)
+    floor = 0.05  # sub-50ms timings are pure noise at this harness
+
+    print(f"# A={a['label']} ({a['stat']}, calib_med={cal_a})  "
+          f"B={b['label']} ({b['stat']}, calib_med={cal_b})")
+    print(f"# B normalized by calib ratio {norm:.3f}; "
+          f"flag threshold {threshold:.2f}x (max spread_p95), floor {floor}s")
+    rows = []
+    for q in sorted(set(a["queries_min"]) | set(b["queries_min"])):
+        ta, tb = a["queries_min"].get(q), b["queries_min"].get(q)
+        if ta is None:
+            rows.append((q, ta, tb, None, "NEW"))
+            continue
+        if tb is None:
+            rows.append((q, ta, tb, None, "GONE"))
+            continue
+        tbn = tb * norm
+        ratio = tbn / ta if ta > 0 else float("inf")
+        if q in a["contended"] or q in b["contended"]:
+            verdict = "CONTENDED"
+        elif max(ta, tbn) < floor or 1 / threshold <= ratio <= threshold:
+            verdict = "ok"
+        elif ratio > threshold:
+            verdict = "REGRESSED"
+        else:
+            verdict = "improved"
+        rows.append((q, ta, tbn, ratio, verdict))
+    flagged = [r for r in rows if r[4] not in ("ok",)]
+    for q, ta, tbn, ratio, verdict in rows:
+        if verdict == "ok":
+            continue
+        ra = "-" if ta is None else f"{ta:8.3f}"
+        rb = "-" if tbn is None else f"{tbn:8.3f}"
+        rr = "-" if ratio is None else f"{ratio:5.2f}x"
+        print(f"{verdict:10} {q:40} A={ra} Bn={rb} {rr}")
+    n_ok = sum(1 for r in rows if r[4] == "ok")
+    print(f"# {n_ok}/{len(rows)} within noise; {len(flagged)} flagged above")
+
+
+if __name__ == "__main__":
+    main()
