@@ -68,14 +68,16 @@ object FsmQueries {
   }
 
   /** Deterministic scan results for the PENDING cells: saturation is a pure
-    * function of the cell's axial coords — ((5q+3r) mod 7) < 3 — so the
-    * DuckDB recursive CTE can replay the whole cascade; scan time advances
-    * one day per resolution level. */
-  def convergeScans(cells: DataFrame): DataFrame = {
+    * function of the cell's axial coords — ((5q+3r) mod 7) < satMod (default
+    * 3) — so the DuckDB recursive CTE can replay the whole cascade; scan
+    * time advances one day per resolution level. StreamingSpec's
+    * state-store volume test reuses the same generator with satMod = 1 to
+    * bound the 10k-seed fan-out. */
+  def convergeScans(cells: DataFrame, satMod: Int = 3): DataFrame = {
     val parts = split(col("h3"), ":")
     val q = element_at(parts, 2).cast("long")
     val r = element_at(parts, 3).cast("long")
-    val sat = ((q * 5 + r * 3) % 7 + 7) % 7 < 3
+    val sat = ((q * 5 + r * 3) % 7 + 7) % 7 < satMod
     cells.filter(col("status") === "pending")
       .select(col("h3"),
         when(sat, 70).otherwise(30).as("total_results"),
@@ -93,19 +95,27 @@ object FsmQueries {
     * which is the same O(log) round count a 1000-executor run would do.
     * localCheckpoint truncates the growing lineage between rounds. */
   def qFsmConverge(spark: SparkSession, dir: String): DataFrame = {
-    var cells = convergeSeedsDf(spark)
-    var pending = 1L
-    var guard = 0
-    while (pending > 0 && guard <= graft.expr.CellGrid.MaxRes - 9) {
-      cells = CellFsm.step(cells, convergeScans(cells)).localCheckpoint()
-      pending = cells.filter(col("status") === "pending").count()
-      guard += 1
-    }
+    val cells = convergeFixpoint(convergeSeedsDf(spark))
     cells.select(col("h3"), col("res").cast("long").as("res"), col("status"),
       col("saturated"),
       date_format(col("next_due_at"), "yyyy-MM-dd").as("next_due_date"),
       col("results_last").cast("long").as("results_last"),
       col("attempts").cast("long").as("attempts"))
+  }
+
+  /** The fixpoint loop over an arbitrary seed table — shared by the declared
+    * query (3 seeds, full oracle) and StreamingSpec's 10k-seed state-store
+    * parity test. */
+  private[graft] def convergeFixpoint(seeds: DataFrame, satMod: Int = 3): DataFrame = {
+    var cells = seeds
+    var pending = 1L
+    var guard = 0
+    while (pending > 0 && guard <= graft.expr.CellGrid.MaxRes - 9) {
+      cells = CellFsm.step(cells, convergeScans(cells, satMod)).localCheckpoint()
+      pending = cells.filter(col("status") === "pending").count()
+      guard += 1
+    }
+    cells
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

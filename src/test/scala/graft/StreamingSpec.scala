@@ -278,6 +278,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamFinal.size > 3500, s"expected parents+children, got ${streamFinal.size}")
   }
 
+  test("state-store volume: streaming FSM fixpoint == batch fixpoint over 10k seeds") {
+    // VERDICT r9 item 6: the production shape for continuous ingest is the
+    // flatMapGroupsWithState FSM — drive it through the SPLIT FAN-OUT to the
+    // fixpoint over ~10k seeded cells (res 9 → 10 → 11 across 3
+    // micro-batches, children surfacing as state-store keys mid-stream) and
+    // assert the final state equals the batch fixpoint loop's, cell for cell.
+    import spark.implicits._
+    import graft.streaming.{CellFsm, FsmQueries}
+    implicit val sqlCtx = spark.sqlContext
+    val satMod = 1 // ((5q+3r) mod 7) < 1 saturates: ~1/7 fan-out per level
+    val seeds = for { q <- 0 until 100; r <- 0 until 100 } yield s"h9:$q:$r"
+    val seedsDf = seeds.map((_, 9)).toDF("h3", "res").select(
+      col("h3"), col("res"), lit("pending").as("status"), lit(false).as("saturated"),
+      lit(null).cast("timestamp").as("last_scanned_at"),
+      lit(null).cast("timestamp").as("next_due_at"),
+      lit(null).cast("int").as("results_last"), lit(0).as("attempts"))
+
+    def cellKey(h3: String, res: Int, st: String, sat: Boolean, rl: Option[Int],
+        at: Int, lsd: Option[String], ndd: Option[String]) =
+      (h3, res, st, sat, rl, at, lsd.map(_.take(10)), ndd.map(_.take(10)))
+
+    val batchSet = FsmQueries.convergeFixpoint(seedsDf, satMod).collect().map { r =>
+      cellKey(r.getString(0), r.getInt(1), r.getString(2), r.getBoolean(3),
+        if (r.isNullAt(6)) None else Some(r.getInt(6)), r.getInt(7),
+        Option(r.getTimestamp(4)).map(_.toString), Option(r.getTimestamp(5)).map(_.toString))
+    }.toSet
+    assert(batchSet.size > 20000, s"fan-out too small: ${batchSet.size} cells")
+    assert(batchSet.exists(_._2 == 11), "fixpoint never reached res 11")
+
+    // the deterministic scan generator, driver-side (same arithmetic as
+    // FsmQueries.convergeScans): scan every not-yet-scanned pending cell
+    def scanOf(h3: String): CellFsm.ScanResult = {
+      val p = h3.split(":")
+      val res = p(0).drop(1).toInt
+      val sat = (((p(1).toLong * 5 + p(2).toLong * 3) % 7) + 7) % 7 < satMod
+      val asOf = java.time.LocalDateTime.parse("2025-06-01T00:00:00")
+        .plusDays(res - 9).format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      CellFsm.ScanResult(h3, if (sat) 70 else 30, 5, asOf)
+    }
+
+    val input = MemoryStream[CellFsm.ScanResult]
+    val q = CellFsm.streamingFsm(spark, input.toDS())
+      .writeStream.format("memory").queryName("fsm_fixpoint_out")
+      .outputMode("append").start()
+    var batches = 0
+    try {
+      val scanned = scala.collection.mutable.Set[String]()
+      var pending: Seq[String] = seeds
+      while (pending.nonEmpty) {
+        batches += 1
+        scanned ++= pending
+        input.addData(pending.map(scanOf))
+        q.processAllAvailable()
+        // children emitted this batch become the next micro-batch's scans
+        pending = spark.sql(
+          "select h3 from fsm_fixpoint_out where status = 'pending'")
+          .as[String].collect().toSeq.distinct.filterNot(scanned)
+      }
+    } finally q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+
+    val emitted = spark.sql("select * from fsm_fixpoint_out")
+      .as[CellFsm.CellState].collect()
+    // final state per cell = its highest-attempts emission (children surface
+    // as pending/0 first, each scan increments attempts)
+    val streamSet = emitted.groupBy(_.h3).map { case (_, rows) =>
+      val s = rows.maxBy(_.attempts)
+      cellKey(s.h3, s.res, s.status, s.saturated, s.resultsLast, s.attempts,
+        s.lastScannedAt, s.nextDueAt)
+    }.toSet
+    assert(streamSet.size == batchSet.size,
+      s"stream=${streamSet.size} batch=${batchSet.size}")
+    assert(streamSet == batchSet,
+      s"diff=${(streamSet diff batchSet).take(3)} | ${(batchSet diff streamSet).take(3)}")
+  }
+
   test("volume: watermarked dedup == batch distinct over the 10k-event table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
