@@ -51,6 +51,36 @@ class CellJoinRewriteSpec extends AnyFunSuite {
       s"4-row fixture should not pay the cover machinery:\n$plan")
   }
 
+  test("pure-SQL point_in_ring join is rewritten too (the SQL-surface path)") {
+    // the rule's stated beneficiary: spark.sql users writing the natural
+    // predicate, with the function coming from the GraftExtensions
+    // injection — no Scala API, no manual assignViaCells
+    Spatial.volPoints(spark, Spatial.ParisVolN).createOrReplaceTempView("pts_sql")
+    parisAreas.createOrReplaceTempView("areas_sql")
+    try {
+      val df = spark.sql(
+        """SELECT p.poi_id, a.area_name
+          |FROM pts_sql p JOIN areas_sql a
+          |  ON point_in_ring(p.lng, p.lat, a.ring)""".stripMargin)
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect {
+        case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+      }.nonEmpty, s"SQL-surface join not rewritten:\n$plan")
+    } finally {
+      spark.catalog.dropTempView("pts_sql")
+      spark.catalog.dropTempView("areas_sql")
+    }
+  }
+
+  test("mirrored orientation (areas on the left) is rewritten symmetrically") {
+    val pts = Spatial.volPoints(spark, Spatial.ParisVolN)
+    val plan = planOf(parisAreas.join(pts,
+      graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring"))))
+    assert(plan.collect {
+      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+    }.nonEmpty, s"mirrored join not rewritten:\n$plan")
+  }
+
   test("rewritten assign == manual assignViaCells == un-rewritten nested loop") {
     val n = 4000
     val pts = Spatial.volPoints(spark, n)
