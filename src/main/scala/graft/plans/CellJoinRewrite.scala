@@ -13,7 +13,8 @@ import graft.expr.Expressions.{CellOf, PointInRing, PolygonCoverCells}
   *
   * {{{ points JOIN areas ON point_in_ring(lng, lat, ring) }}}
   *
-  * plans as an O(|points|·|areas|) nested loop — every point ray-casts every
+  * (bare, or as one conjunct of a larger ON clause) plans as an
+  * O(|points|·|areas|) nested loop — every point ray-casts every
   * polygon. [[graft.domain.Spatial.assignViaCells]] is the manual escape
   * hatch; this rule rewrites the plan so SQL-surface users (and any caller
   * of `Spatial.assign`) get the same shape without asking:
@@ -53,30 +54,76 @@ object CellJoinRewrite extends Rule[LogicalPlan] {
   private def onlyFrom(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
 
+  private val PCell = "__graft_pcell"
+  private val CoverCell = "__graft_cover_cell"
+
+  /** The first point_in_ring conjunct whose point/ring sides line up —
+    * a bare predicate or one conjunct among several (e.g. `AND
+    * a.admin_level = 9`). */
+  private def pirConjunct(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(PointInRing, Boolean)] =
+    splitConjunctivePredicates(cond).collectFirst {
+      case pir @ PointInRing(lngE, latE, ringE)
+          if onlyFrom(ringE, right) && onlyFrom(lngE, left) && onlyFrom(latE, left) =>
+        (pir, true)
+      case pir @ PointInRing(lngE, latE, ringE)
+          if onlyFrom(ringE, left) && onlyFrom(lngE, right) && onlyFrom(latE, right) =>
+        (pir, false)
+    }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
+    case other => Seq(other)
+  }
+
+  /** Does any conjunct already give the join an equi-key (references from
+    * both sides on opposite ends of an equality)? Such a join is already
+    * hash-joinable — including assignViaCells' own `cell = cell` join with
+    * the exact ray-cast pushed into its condition, and our own rewrite
+    * output — and must NOT gain a second cover (stacked explodes blow up
+    * the candidate space). The rewrite targets pure theta joins only. */
+  private def hasEquiKey(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(a, b) =>
+        (onlyFrom(a, left) && onlyFrom(b, right)) ||
+          (onlyFrom(a, right) && onlyFrom(b, left))
+      case EqualNullSafe(a, b) =>
+        (onlyFrom(a, left) && onlyFrom(b, right)) ||
+          (onlyFrom(a, right) && onlyFrom(b, left))
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(pir @ PointInRing(lngE, latE, ringE)), hint)
-        if onlyFrom(ringE, right) && onlyFrom(lngE, left) && onlyFrom(latE, left) &&
-          left.stats.sizeInBytes >= minBytes =>
-      rewrite(j, points = left, areas = right, lngE, latE, ringE, pir,
-        pointsOnLeft = true, hint)
-    case j @ Join(left, right, Inner, Some(pir @ PointInRing(lngE, latE, ringE)), hint)
-        if onlyFrom(ringE, left) && onlyFrom(lngE, right) && onlyFrom(latE, right) &&
-          right.stats.sizeInBytes >= minBytes =>
-      rewrite(j, points = right, areas = left, lngE, latE, ringE, pir,
-        pointsOnLeft = false, hint)
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        // fixed-point guard: a join we already rewrote carries the helper
+        // cell columns in its children
+        if !j.children.exists(_.output.exists(a =>
+          a.name == PCell || a.name == CoverCell)) &&
+          !hasEquiKey(cond, left, right) =>
+      pirConjunct(cond, left, right) match {
+        case Some((pir @ PointInRing(lngE, latE, ringE), pointsOnLeft))
+            if (if (pointsOnLeft) left else right).stats.sizeInBytes >= minBytes =>
+          rewrite(j, points = if (pointsOnLeft) left else right,
+            areas = if (pointsOnLeft) right else left,
+            lngE, latE, ringE, cond, pointsOnLeft, hint)
+        case _ => j
+      }
   }
 
   private def rewrite(j: Join, points: LogicalPlan, areas: LogicalPlan,
-      lngE: Expression, latE: Expression, ringE: Expression, pir: Expression,
-      pointsOnLeft: Boolean, hint: JoinHint): LogicalPlan = {
+      lngE: Expression, latE: Expression, ringE: Expression,
+      origCond: Expression, pointsOnLeft: Boolean, hint: JoinHint): LogicalPlan = {
     val res = Literal(Res)
-    val pCell = Alias(CellOf(latE, lngE, res), "__graft_pcell")()
+    val pCell = Alias(CellOf(latE, lngE, res), PCell)()
     val newPoints = Project(points.output :+ pCell, points)
-    val coverCell = AttributeReference("__graft_cover_cell", StringType, nullable = false)()
+    val coverCell = AttributeReference(CoverCell, StringType, nullable = false)()
     val cover = Generate(Explode(PolygonCoverCells(ringE, res)),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(coverCell), child = areas)
-    val cond = And(EqualTo(pCell.toAttribute, coverCell), pir)
+    // the cell equality is ADDED to the original condition (which keeps its
+    // point_in_ring conjunct and any other predicates intact)
+    val cond = And(EqualTo(pCell.toAttribute, coverCell), origCond)
     val joined =
       if (pointsOnLeft) Join(newPoints, cover, Inner, Some(cond), hint)
       else Join(cover, newPoints, Inner, Some(cond), hint)

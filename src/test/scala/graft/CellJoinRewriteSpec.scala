@@ -72,6 +72,27 @@ class CellJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("point_in_ring as one conjunct of a larger ON clause still rewrites, same results") {
+    val pts = Spatial.volPoints(spark, 4000)
+    def joined = pts.join(parisAreas,
+      graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring")) &&
+        col("admin_level") === 9)
+      .select(col("poi_id"), col("area_name"))
+    // forced on (sub-threshold sample): the conjunction must rewrite...
+    spark.conf.set(CellJoinRewrite.MinBytesKey, "1")
+    val (rewrittenPlan, rewrittenRows) =
+      try (planOf(joined), joined.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+      finally spark.conf.unset(CellJoinRewrite.MinBytesKey)
+    assert(rewrittenPlan.collect {
+      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+    }.nonEmpty, s"conjunctive ON clause not rewritten:\n$rewrittenPlan")
+    // ...and agree with the un-rewritten nested loop
+    spark.conf.set(CellJoinRewrite.MinBytesKey, Long.MaxValue.toString)
+    val nested = try joined.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    finally spark.conf.unset(CellJoinRewrite.MinBytesKey)
+    assert(rewrittenRows == nested && rewrittenRows.nonEmpty)
+  }
+
   test("mirrored orientation (areas on the left) is rewritten symmetrically") {
     val pts = Spatial.volPoints(spark, Spatial.ParisVolN)
     val plan = planOf(parisAreas.join(pts,
@@ -79,6 +100,23 @@ class CellJoinRewriteSpec extends AnyFunSuite {
     assert(plan.collect {
       case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
     }.nonEmpty, s"mirrored join not rewritten:\n$plan")
+  }
+
+  test("already-equi-keyed joins never gain a second cover (assignViaCells untouched)") {
+    // regression: assignViaCells plans as `cell = cell AND point_in_ring`
+    // after filter pushdown — the conjunction matcher must NOT stack another
+    // cover explode on it (stacked covers square the candidate space; this
+    // OOMed the 60k-point query when the rule briefly matched it)
+    val pts = Spatial.volPoints(spark, Spatial.ParisVolN)
+    val manual = planOf(Spatial.assignViaCells(pts, parisAreas, spark))
+    val manualCovers = manual.collect { case g: Generate => g }
+    assert(manualCovers.size <= 1, s"stacked covers in assignViaCells:\n$manual")
+    // and the auto-rewritten natural join gets exactly ONE cover
+    val auto = planOf(Spatial.assign(pts, parisAreas, spark))
+    val autoCovers = auto.collect {
+      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+    }
+    assert(autoCovers.size == 1, s"expected exactly one cover, got ${autoCovers.size}")
   }
 
   test("rewritten assign == manual assignViaCells == un-rewritten nested loop") {
