@@ -48,8 +48,12 @@ object CellJoinRewrite extends Rule[LogicalPlan] {
   val MinBytesKey = "spark.graft.spatial.cellRewriteMinBytes"
   val MinBytesDefault: Long = 256L * 1024
 
-  private def minBytes: BigInt =
-    BigInt(SQLConf.get.getConfString(MinBytesKey, MinBytesDefault.toString).toLong)
+  private def minBytes: BigInt = {
+    // a malformed conf value must degrade to the default, not throw inside
+    // the optimizer (which would fail every query in the session)
+    val raw = SQLConf.get.getConfString(MinBytesKey, MinBytesDefault.toString)
+    BigInt(try raw.toLong catch { case _: NumberFormatException => MinBytesDefault })
+  }
 
   private def onlyFrom(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)

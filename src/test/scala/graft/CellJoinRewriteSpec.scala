@@ -102,6 +102,16 @@ class CellJoinRewriteSpec extends AnyFunSuite {
     }.nonEmpty, s"mirrored join not rewritten:\n$plan")
   }
 
+  test("malformed threshold conf degrades to the default instead of failing the optimizer") {
+    spark.conf.set(CellJoinRewrite.MinBytesKey, "not-a-number")
+    try {
+      // any plan through the optimizer would throw if the conf parse did
+      val n = Spatial.assign(Spatial.spatialPoisDf(spark),
+        Spatial.areasDf(spark), spark).count()
+      assert(n == 4)
+    } finally spark.conf.unset(CellJoinRewrite.MinBytesKey)
+  }
+
   test("already-equi-keyed joins never gain a second cover (assignViaCells untouched)") {
     // regression: assignViaCells plans as `cell = cell AND point_in_ring`
     // after filter pushdown — the conjunction matcher must NOT stack another
