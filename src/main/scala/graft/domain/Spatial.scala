@@ -254,10 +254,22 @@ object Spatial {
       .limit(1000)
   }
 
+  /** The AUTO path of j1_paris_vol: the NATURAL broadcast predicate join —
+    * which [[graft.plans.CellJoinRewrite]] rewrites into the cell-cover
+    * equi-join — under the driver's hash gate, so the optimizer rule itself
+    * is correctness-gated per round, not only spec-tested. Same oracle as
+    * the manual variant (identical semantics by construction). */
+  def qParisAssignVolAuto(spark: SparkSession, dir: String): DataFrame = {
+    val areas = loadUrbanAreasJsonl(spark,
+      "/root/reference/neighbourhoods/neighbourhoods_paris.jsonl")
+    assign(volPoints(spark, ParisVolN), areas, spark)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_spatial_assign" -> (qSpatialAssign _),
     "j1_paris_real" -> (qParisAssign _),
     "j1_paris_vol" -> (qParisAssignVol _),
+    "j1_paris_vol_auto" -> (qParisAssignVolAuto _),
     "j7_radius_join" -> (qRadiusJoin _),
     "j7_radius_vol" -> (qRadiusJoinVol _))
 
@@ -329,6 +341,16 @@ object Spatial {
        |q AS (SELECT poi_id, area_name AS neighbourhood_name FROM best
        |      WHERE admin_level = 10 AND rn = 1)""".stripMargin
 
+  /** One oracle text for both j1_paris_vol variants (manual assignViaCells
+    * and the CellJoinRewrite auto path) — identical semantics. */
+  private lazy val parisVolOracle: String =
+    s"""WITH ${parisAssignCtes(s"""SELECT i AS poi_id,
+       |    48.815 + (((i * 1500450271 + 123456789) % 4294967296) / 4294967296.0) * 0.087 AS lat,
+       |    2.25 + (((i * 2654435761 + 987654321) % 4294967296) / 4294967296.0) * 0.17 AS lng
+       |  FROM range($ParisVolN) t(i)""".stripMargin)}
+       |SELECT p.poi_id, p.lat, p.lng, d.district_name, q.neighbourhood_name
+       |FROM pts p LEFT JOIN d USING (poi_id) LEFT JOIN q USING (poi_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "j1_paris_real" ->
       // the same ray-cast over the same 98 real rings, as DuckDB list
@@ -360,13 +382,8 @@ object Spatial {
         |      FROM contained WHERE admin_level = 10 GROUP BY poi_id)
         |SELECT lm.poi_id, lm.lat, lm.lng, d.district_name, q.neighbourhood_name
         |FROM lm LEFT JOIN d USING (poi_id) LEFT JOIN q USING (poi_id)""".stripMargin,
-    "j1_paris_vol" ->
-      s"""WITH ${parisAssignCtes(s"""SELECT i AS poi_id,
-         |    48.815 + (((i * 1500450271 + 123456789) % 4294967296) / 4294967296.0) * 0.087 AS lat,
-         |    2.25 + (((i * 2654435761 + 987654321) % 4294967296) / 4294967296.0) * 0.17 AS lng
-         |  FROM range($ParisVolN) t(i)""".stripMargin)}
-         |SELECT p.poi_id, p.lat, p.lng, d.district_name, q.neighbourhood_name
-         |FROM pts p LEFT JOIN d USING (poi_id) LEFT JOIN q USING (poi_id)""".stripMargin,
+    "j1_paris_vol_auto" -> parisVolOracle,
+    "j1_paris_vol" -> parisVolOracle,
     "j7_radius_vol" ->
       // identical point generation and haversine replay as j7_radius_join,
       // at 60k points with the deterministic (distance, poi_id) top-1000
