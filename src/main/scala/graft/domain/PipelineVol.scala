@@ -99,7 +99,15 @@ object PipelineVol {
     * W4 first-seen order, and titles carry a k%997 tag so the in-batch
     * title dedup drops a small deterministic set instead of collapsing the
     * batch. URLs stay globally unique, which is what makes the sequential
-    * W4 semantics coincide with the oracle's rank-1 replay. */
+    * W4 semantics coincide with the oracle's rank-1 replay.
+    *
+    * Scale note on the W4 group key: the reference dedups within one SCAN
+    * BATCH (scanner.py processes a bounded candidate list per POI), so a
+    * per-domain group is bounded by the batch size — at 100 TB the group
+    * key is (domain, batch_id), never the bare domain over the whole
+    * corpus. This fixture's 6-domain grouping (~2.5k rows/group at sf0.01)
+    * stands in for one large batch and stays far inside the in-memory
+    * bound the sequential semantics require. */
   private[domain] def candsE2e(spark: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
     val dom = when(k % 6 === 0, "lefooding.com")
