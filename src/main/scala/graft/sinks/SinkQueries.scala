@@ -280,8 +280,47 @@ object SinkQueries {
         coalesce(col("n_snapshots"), lit(0L)).as("n_snapshots"))
   }
 
+  // ------------------------------------------------------- S9 at sf volume
+
+  /** S9 upsert at VOLUME: the full customer table as the existing POI store,
+    * one orders-derived batch (latest order per customer) as the incoming
+    * update set. All three merge paths run at data scale and land in the
+    * hash: UPDATE (incoming non-null columns win; null name/rating fall back
+    * to existing), INSERT (ck%11 keys are new → first_ingested_at = asOf),
+    * and UNTOUCHED (customers without orders pass through). On Delta this
+    * exact dataflow is one MERGE INTO. */
+  def qS9UpsertVol(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val existing = graft.Tables.customer(spark, dir).select(
+      concat(lit("pl"), k.cast("string")).as("google_place_id"),
+      col("c_name").as("name"),
+      when(k % 23 === 0, lit(null).cast("double"))
+        .otherwise((k % 20).cast("double") / 10.0 + 3.0).as("rating"),
+      (k % 600).as("reviews_count"),
+      date_add(lit("1998-01-01").cast("date"), (k % 200).cast("int"))
+        .cast("timestamp").as("first_ingested_at"))
+    // one row per customer: the LATEST order carries the update payload
+    val incoming = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck")).agg(max(col("o_orderkey")).as("mk"))
+      .select(
+        concat(when(col("ck") % 11 === 0, "plx").otherwise("pl"),
+          col("ck").cast("string")).as("google_place_id"),
+        when(col("ck") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("Updated #"), col("ck").cast("string"))).as("name"),
+        when(col("ck") % 13 === 0, lit(null).cast("double"))
+          .otherwise((col("mk") % 25).cast("double") / 10.0 + 2.5).as("rating"),
+        (col("mk") % 1000).as("reviews_count"))
+    MergeSink.upsert(existing, incoming, "google_place_id",
+      updateCols = Seq("name", "rating", "reviews_count"),
+      asOf = graft.domain.VolumeFixtures.asOfVol)
+      .select(col("google_place_id"), col("name"), col("rating"),
+        col("reviews_count"),
+        date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_upsert_poi" -> (qS9Upsert _),
+    "s9_upsert_poi_vol" -> (qS9UpsertVol _),
     "s10_conditional_append" -> (qS10ConditionalAppend _),
     "pipe_incremental" -> (qIncrementalPipeline _),
     "pipe_incremental_vol" -> (qIncrementalPipelineVol _))
@@ -479,6 +518,33 @@ object SinkQueries {
          |    '%Y-%m-%d') AS first_ingested_date
          |FROM $existingValues
          |FULL OUTER JOIN $incomingValues
+         |  ON e.google_place_id = i.google_place_id""".stripMargin,
+    "s9_upsert_poi_vol" ->
+      s"""WITH e AS (
+         |  SELECT 'pl' || CAST(c_custkey AS VARCHAR) AS google_place_id,
+         |    c_name AS name,
+         |    CASE WHEN c_custkey % 23 = 0 THEN NULL
+         |      ELSE CAST(c_custkey % 20 AS DOUBLE) / 10.0 + 3.0 END AS rating,
+         |    c_custkey % 600 AS reviews_count,
+         |    CAST(DATE '1998-01-01' + CAST(c_custkey % 200 AS INTEGER) AS TIMESTAMP) AS first_ingested_at
+         |  FROM customer),
+         |i AS (
+         |  SELECT (CASE WHEN ck % 11 = 0 THEN 'plx' ELSE 'pl' END) || CAST(ck AS VARCHAR) AS google_place_id,
+         |    CASE WHEN ck % 3 = 0 THEN NULL
+         |      ELSE 'Updated #' || CAST(ck AS VARCHAR) END AS name,
+         |    CASE WHEN ck % 13 = 0 THEN NULL
+         |      ELSE CAST(mk % 25 AS DOUBLE) / 10.0 + 2.5 END AS rating,
+         |    mk % 1000 AS reviews_count
+         |  FROM (SELECT o_custkey AS ck, max(o_orderkey) AS mk
+         |        FROM orders GROUP BY o_custkey) b)
+         |SELECT coalesce(e.google_place_id, i.google_place_id) AS google_place_id,
+         |  coalesce(i.name, e.name) AS name,
+         |  coalesce(i.rating, e.rating) AS rating,
+         |  coalesce(i.reviews_count, e.reviews_count) AS reviews_count,
+         |  strftime(CASE WHEN e.google_place_id IS NULL
+         |    THEN TIMESTAMP '${graft.domain.VolumeFixtures.asOfVol}' ELSE e.first_ingested_at END,
+         |    '%Y-%m-%d') AS first_ingested_date
+         |FROM e FULL OUTER JOIN i
          |  ON e.google_place_id = i.google_place_id""".stripMargin,
     "s10_conditional_append" ->
       s"""SELECT inc.poi_id, inc.source_id, inc.rating_value, inc.reviews_count,
