@@ -111,6 +111,35 @@ object Joins {
       .select(col("probe"), col("p_partkey"), col("p_name"), col("tri_sim"))
   }
 
+  /** J5 at VOLUME: 100 probes DERIVED from the part table (each part name
+    * plus a per-part digit suffix — near-matches of real rows, not fixture
+    * strings) against every part, through the same normalize-once →
+    * broadcast → threshold → deterministic top-1 dataflow. At sf0.01 that
+    * is 200k scored pairs feeding the hash-checked winners; the probe
+    * derivation is pure string arithmetic, so the DuckDB replay regenerates
+    * it exactly. */
+  def j5TrigramTopkVol(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.{functions => F}
+    import org.apache.spark.sql.expressions.Window
+    val probes = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 19 === 0)
+      .orderBy(col("p_partkey")).limit(100)
+      .select(concat(col("p_name"), lit(" "),
+        (col("p_partkey") % 7).cast("string")).as("probe"))
+      .withColumn("probe_norm", F.normalize_text(col("probe")))
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), F.normalize_text(col("p_name")).as("p_norm"))
+    val scored = parts
+      .join(broadcast(probes))
+      .withColumn("tri_sim", round(F.trigram_similarity(col("p_norm"), col("probe_norm")), 6))
+      .filter(col("tri_sim") >= 0.3)
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("tri_sim").desc, col("p_partkey").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("probe"), col("p_partkey"), col("p_name"), col("tri_sim"))
+  }
+
   /** AS-OF (backward) join — each purchase event matched to the user's most
     * recent error at-or-before it (the "state as of event time" lookup of
     * event pipelines). Spark has no ASOF operator; a range join explodes
@@ -145,7 +174,8 @@ object Joins {
     "j_contains_tokens" -> (jContainsTokens _),
     "j_asof_events" -> (jAsofEvents _),
     "j5_similarity_join" -> (j5SimilarityJoin _),
-    "j5_trigram_topk" -> (j5TrigramTopk _))
+    "j5_trigram_topk" -> (j5TrigramTopk _),
+    "j5_trigram_topk_vol" -> (j5TrigramTopkVol _))
 
   val oracles: Map[String, String] = Map(
     "j_theta_price_vs_acctbal" ->
@@ -184,7 +214,13 @@ object Joins {
         |SELECT event_id, user_id, round(value, 2) AS value_r, err_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(err_ts AS TIMESTAMP)) AS lag_us
         |FROM c WHERE side = 1 AND err_id IS NOT NULL""".stripMargin,
-    "j5_trigram_topk" -> j5TrigramOracle)
+    "j5_trigram_topk" -> j5TrigramOracle,
+    "j5_trigram_topk_vol" -> j5TrigramOracleFrom(
+      s"""probes AS (
+         |  SELECT probe, ${graft.expr.TextAlgo.normalizeSql("probe")} AS probe_norm
+         |  FROM (SELECT p_name || ' ' || CAST(p_partkey % 7 AS VARCHAR) AS probe
+         |        FROM part WHERE p_partkey % 19 = 0
+         |        ORDER BY p_partkey LIMIT 100) pr)""".stripMargin))
 
   /** DuckDB replay of [[j5TrigramTopk]]: probe normalization is precomputed
     * Scala-side (same [[graft.expr.TextAlgo.normalize]] the Catalyst
@@ -195,7 +231,14 @@ object Joins {
     val probeVals = j5Probes.map { p =>
       s"('${p.replace("'", "''")}', '${TextAlgo.normalize(p).replace("'", "''")}')"
     }.mkString(", ")
-    s"""WITH probes(probe, probe_norm) AS (VALUES $probeVals),
+    j5TrigramOracleFrom(s"probes(probe, probe_norm) AS (VALUES $probeVals)")
+  }
+
+  /** The J5 trigram replay over a parameterized probes CTE (must yield
+    * probe, probe_norm) — shared by the fixture and volume variants. */
+  private def j5TrigramOracleFrom(probesCte: String): String = {
+    import graft.expr.TextAlgo
+    s"""WITH $probesCte,
        |parts AS (
        |  SELECT p_partkey, p_name, ${TextAlgo.normalizeSql("p_name")} AS p_norm FROM part),
        |padded AS (
