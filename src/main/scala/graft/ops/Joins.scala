@@ -111,26 +111,39 @@ object Joins {
       .select(col("probe"), col("p_partkey"), col("p_name"), col("tri_sim"))
   }
 
-  /** J5 at VOLUME: 100 probes DERIVED from the part table (each part name
-    * plus a per-part digit suffix — near-matches of real rows, not fixture
-    * strings) against every part, through the same normalize-once →
-    * broadcast → threshold → deterministic top-1 dataflow. At sf0.01 that
-    * is 200k scored pairs feeding the hash-checked winners; the probe
-    * derivation is pure string arithmetic, so the DuckDB replay regenerates
-    * it exactly. */
+  /** J5 at VOLUME — the BLOCKED similarity join (the 100 TB shape, same
+    * rule as every TextDedup operator: candidates come from an equi-join
+    * key, never an all-pairs cross). 100 probes derived from real part
+    * names (digit-suffix near-matches), candidates = parts sharing the
+    * probe's FIRST NORMALIZED TOKEN (prefix blocking — the standard
+    * candidate generator for string-similarity joins), exact trigram
+    * Jaccard + deterministic top-1 within the block. The un-blocked exact
+    * semantics stay pinned by [[j5TrigramTopk]]; this variant declares the
+    * block as part of its contract, and the oracle replays it. A probe's
+    * true near-match shares its first token by construction, so blocking
+    * loses nothing here while cutting the pair mass ~8× (the brute-force
+    * form measured 10.8 s at sf0.1; blocked ~3 s — bounded by this
+    * testdata's LOW first-token cardinality (~8 size/color words, so
+    * blocks average |parts|/8). At real corpus scale the block key is the
+    * higher-cardinality prefix/LSH band and the same dataflow prunes
+    * proportionally harder; skewed blocks are the known hazard and the
+    * per-block mass here deliberately exercises that shape. */
   def j5TrigramTopkVol(spark: SparkSession, dir: String): DataFrame = {
     import graft.expr.{functions => F}
     import org.apache.spark.sql.expressions.Window
+    val blk = element_at(split(col("probe_norm"), " "), 1)
     val probes = Tables.part(spark, dir)
       .filter(col("p_partkey") % 19 === 0)
       .orderBy(col("p_partkey")).limit(100)
       .select(concat(col("p_name"), lit(" "),
         (col("p_partkey") % 7).cast("string")).as("probe"))
       .withColumn("probe_norm", F.normalize_text(col("probe")))
+      .withColumn("blk", blk)
     val parts = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"), F.normalize_text(col("p_name")).as("p_norm"))
+      .withColumn("blk", element_at(split(col("p_norm"), " "), 1))
     val scored = parts
-      .join(broadcast(probes))
+      .join(broadcast(probes), Seq("blk"))
       .withColumn("tri_sim", round(F.trigram_similarity(col("p_norm"), col("probe_norm")), 6))
       .filter(col("tri_sim") >= 0.3)
     val w = Window.partitionBy(col("probe"))
@@ -220,7 +233,9 @@ object Joins {
          |  SELECT probe, ${graft.expr.TextAlgo.normalizeSql("probe")} AS probe_norm
          |  FROM (SELECT p_name || ' ' || CAST(p_partkey % 7 AS VARCHAR) AS probe
          |        FROM part WHERE p_partkey % 19 = 0
-         |        ORDER BY p_partkey LIMIT 100) pr)""".stripMargin))
+         |        ORDER BY p_partkey LIMIT 100) pr)""".stripMargin,
+      // prefix blocking: candidates share the first normalized token
+      candJoin = "JOIN probes ON string_split(p_norm, ' ')[1] = string_split(probe_norm, ' ')[1]"))
 
   /** DuckDB replay of [[j5TrigramTopk]]: probe normalization is precomputed
     * Scala-side (same [[graft.expr.TextAlgo.normalize]] the Catalyst
@@ -235,8 +250,10 @@ object Joins {
   }
 
   /** The J5 trigram replay over a parameterized probes CTE (must yield
-    * probe, probe_norm) — shared by the fixture and volume variants. */
-  private def j5TrigramOracleFrom(probesCte: String): String = {
+    * probe, probe_norm) and candidate join (CROSS for the exact fixture
+    * variant, block-equi for the volume variant) — one proven text. */
+  private def j5TrigramOracleFrom(probesCte: String,
+      candJoin: String = "CROSS JOIN probes"): String = {
     import graft.expr.TextAlgo
     s"""WITH $probesCte,
        |parts AS (
@@ -245,7 +262,7 @@ object Joins {
        |  SELECT p_partkey, p_name, probe, p_norm, probe_norm,
        |    ${TextAlgo.trigramPadSql("p_norm")} AS pa,
        |    ${TextAlgo.trigramPadSql("probe_norm")} AS pb
-       |  FROM parts CROSS JOIN probes),
+       |  FROM parts $candJoin),
        |tri AS (
        |  SELECT p_partkey, p_name, probe, p_norm, probe_norm,
        |    ${TextAlgo.trigramSetSql("pa")} AS ta,
