@@ -358,8 +358,23 @@ object MentionScoring {
        |FROM apx""".stripMargin
   }
 
+  /** Full name-scores oracle: the SQL-expressible columns come from the same
+    * replay as [[oracleSqlTrigramScores]]; the difflib terms (fuzzy,
+    * name_score) and dedupe_key join in from [[OraclePins.serpPinValues]]
+    * (CPython-difflib-computed — see OraclePins for the trust chain). Built
+    * by concatenation, not stripMargin, because the inner SQL is already
+    * assembled. */
+  private def oracleSqlNameScores: String =
+    "SELECT c.cand_id, c.poi_norm, c.trigram," +
+      " CAST(round(pin.fuzzy_raw, 6) AS DOUBLE) AS fuzzy," +
+      " CAST(round(pin.name_score_raw, 6) AS DOUBLE) AS name_score," +
+      " pin.dedupe_key, c.apex" +
+      s" FROM (\n$oracleSqlTrigramScores\n) c" +
+      s" JOIN ${OraclePins.serpPinValues} ON c.cand_id = pin.cand_id"
+
   val oracles: Map[String, String] = Map(
     "mention_score_decision" -> oracleSqlDecision,
     "mention_score_decayed" -> oracleSqlDecisionImpl(true),
+    "mention_name_scores" -> oracleSqlNameScores,
     "mention_trigram_scores" -> oracleSqlTrigramScores)
 }

@@ -228,6 +228,7 @@ object Joins {
         |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(err_ts AS TIMESTAMP)) AS lag_us
         |FROM c WHERE side = 1 AND err_id IS NOT NULL""".stripMargin,
     "j5_trigram_topk" -> j5TrigramOracle,
+    "j5_similarity_join" -> j5SimilarityOracle,
     "j5_trigram_topk_vol" -> j5TrigramOracleFrom(
       s"""probes AS (
          |  SELECT probe, ${graft.expr.TextAlgo.normalizeSql("probe")} AS probe_norm
@@ -236,6 +237,20 @@ object Joins {
          |        ORDER BY p_partkey LIMIT 100) pr)""".stripMargin,
       // prefix blocking: candidates share the first normalized token
       candJoin = "JOIN probes ON string_split(p_norm, ' ')[1] = string_split(probe_norm, ' ')[1]"))
+
+  /** Full [[j5SimilarityJoin]] oracle: winner selection replays entirely in
+    * DuckDB (same CTE chain as [[j5TrigramOracle]]); only the difflib
+    * `nscore` joins in from [[graft.domain.OraclePins.j5PinValues]]
+    * (CPython-difflib-computed, keyed by the `part` row count so one pin set
+    * serves every testdata sf — see OraclePins for the trust chain). Built by
+    * concatenation, not stripMargin, around the already-assembled inner SQL. */
+  private def j5SimilarityOracle: String =
+    "SELECT t.probe, t.p_partkey, t.p_name, t.tri_sim," +
+      " CAST(round(pin.nscore_raw, 6) AS DOUBLE) AS nscore" +
+      s" FROM (\n$j5TrigramOracle\n) t" +
+      s" JOIN ${graft.domain.OraclePins.j5PinValues}" +
+      " ON pin.probe = t.probe AND pin.p_partkey = t.p_partkey" +
+      " WHERE pin.part_rows = (SELECT count(*) FROM part)"
 
   /** DuckDB replay of [[j5TrigramTopk]]: probe normalization is precomputed
     * Scala-side (same [[graft.expr.TextAlgo.normalize]] the Catalyst
