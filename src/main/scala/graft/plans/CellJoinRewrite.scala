@@ -55,6 +55,17 @@ object CellJoinRewrite extends Rule[LogicalPlan] {
     BigInt(try raw.toLong catch { case _: NumberFormatException => MinBytesDefault })
   }
 
+  /** Skip the rewrite only when the point side is KNOWN to be tiny.
+    * `stats.sizeInBytes == spark.sql.defaultSizeInBytes` is the stat-less
+    * sentinel (Long.MaxValue unless overridden), and an unknown size MUST
+    * take the rewrite branch: the asymmetry is a handful of wasted polygon
+    * covers on a tiny stat-less input versus an O(|points|·|areas|) nested
+    * loop on a 100 TB stat-less scan. Deliberate, not an oversight. */
+  private def knownTiny(points: LogicalPlan): Boolean = {
+    val sz = points.stats.sizeInBytes
+    sz != BigInt(SQLConf.get.defaultSizeInBytes) && sz < minBytes
+  }
+
   private def onlyFrom(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
 
@@ -67,11 +78,17 @@ object CellJoinRewrite extends Rule[LogicalPlan] {
   private def pirConjunct(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[(PointInRing, Boolean)] =
     splitConjunctivePredicates(cond).collectFirst {
+      // the rewrite re-evaluates lat/lng (in the injected cell Project) and
+      // ring (in the cover Generate) while the originals stay in the join
+      // condition — sound only for deterministic children, so a
+      // non-deterministic arg keeps the nested loop
       case pir @ PointInRing(lngE, latE, ringE)
-          if onlyFrom(ringE, right) && onlyFrom(lngE, left) && onlyFrom(latE, left) =>
+          if pir.deterministic &&
+            onlyFrom(ringE, right) && onlyFrom(lngE, left) && onlyFrom(latE, left) =>
         (pir, true)
       case pir @ PointInRing(lngE, latE, ringE)
-          if onlyFrom(ringE, left) && onlyFrom(lngE, right) && onlyFrom(latE, right) =>
+          if pir.deterministic &&
+            onlyFrom(ringE, left) && onlyFrom(lngE, right) && onlyFrom(latE, right) =>
         (pir, false)
     }
 
@@ -107,7 +124,7 @@ object CellJoinRewrite extends Rule[LogicalPlan] {
           !hasEquiKey(cond, left, right) =>
       pirConjunct(cond, left, right) match {
         case Some((pir @ PointInRing(lngE, latE, ringE), pointsOnLeft))
-            if (if (pointsOnLeft) left else right).stats.sizeInBytes >= minBytes =>
+            if !knownTiny(if (pointsOnLeft) left else right) =>
           rewrite(j, points = if (pointsOnLeft) left else right,
             areas = if (pointsOnLeft) right else left,
             lngE, latE, ringE, cond, pointsOnLeft, hint)

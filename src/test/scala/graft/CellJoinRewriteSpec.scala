@@ -102,6 +102,31 @@ class CellJoinRewriteSpec extends AnyFunSuite {
     }.nonEmpty, s"mirrored join not rewritten:\n$plan")
   }
 
+  test("non-deterministic point args keep the nested loop (no double evaluation)") {
+    // the rewrite would evaluate lat/lng once in the injected cell Project
+    // and again in the retained join condition — divergent draws for a
+    // non-deterministic arg, silently dropping/duplicating rows
+    // the analyzer rejects non-deterministic join conditions outright
+    // (INVALID_NON_DETERMINISTIC_EXPRESSIONS), so the guard is unreachable
+    // through the DataFrame/SQL surface — exercise the rule directly on a
+    // hand-built Join node (the shape a custom plan builder could feed it)
+    import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Rand, Literal}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+    val ptsPlan = Spatial.volPoints(spark, Spatial.ParisVolN).queryExecution.analyzed
+    val areasPlan = parisAreas.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val cond = graft.expr.Expressions.PointInRing(
+      Add(a(ptsPlan, "lng"), Multiply(Rand(Literal(7L)), Literal(1e-9))),
+      a(ptsPlan, "lat"), a(areasPlan, "ring"))
+    val join = LJoin(ptsPlan, areasPlan, Inner, Some(cond), JoinHint.NONE)
+    val out = CellJoinRewrite(join)
+    assert(out.collect {
+      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+    }.isEmpty, s"non-deterministic join was rewritten:\n$out")
+  }
+
   test("malformed threshold conf degrades to the default instead of failing the optimizer") {
     spark.conf.set(CellJoinRewrite.MinBytesKey, "not-a-number")
     try {
