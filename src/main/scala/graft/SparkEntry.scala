@@ -34,6 +34,7 @@ object SparkEntry {
     (domain.Ingest.queries, domain.Ingest.oracles),
     (domain.Collections.queries, domain.Collections.oracles),
     (sinks.SinkQueries.queries, sinks.SinkQueries.oracles),
+    (sinks.PartitionedTable.queries, sinks.PartitionedTable.oracles),
     (sinks.ScriptSinks.queries, sinks.ScriptSinks.oracles),
     (streaming.FsmQueries.queries, streaming.FsmQueries.oracles),
     (streaming.Streams.queries, streaming.Streams.oracles),
