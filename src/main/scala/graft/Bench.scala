@@ -82,12 +82,17 @@ object Bench {
     val resolvedB = Set.newBuilder[String]
     firstPassContended.foreach { k =>
       named.find(_._1 == k).foreach { case (_, fn) =>
-        val (t, ok) = once(fn)
-        if (ok) {
+        // TWO retry samples (advisor r11): with one, a retry that beat the
+        // old min satisfied `t <= 1.5*newMin` trivially — "reproducible"
+        // resting on a single possibly-contaminated sample. Resolution now
+        // needs a SECOND independent sample (retry or prior min) within
+        // 1.5× of the new min, so the spliced min is always corroborated.
+        val retries = Seq(once(fn), once(fn)).collect { case (t, true) => t }
+        if (retries.nonEmpty) {
           val (med, min) = results(k)
-          val newMin = math.min(min, t)
-          results = results.updated(k, (med, newMin))
-          if (t <= 1.5 * newMin) resolvedB += k
+          val support = (min +: retries).sorted
+          results = results.updated(k, (med, support.head))
+          if (support(1) <= 1.5 * support.head) resolvedB += k
         }
       }
     }

@@ -382,7 +382,16 @@ object TextDedup {
     // before any data cost. Same executor-local staging trade as
     // dfcapPairsOf: at real cluster scale this is a reliable checkpoint or
     // staged table.
-    var edges = canonPairs(pairs.toDF("src", "dst")).localCheckpoint()
+    val staged = canonPairs(pairs.toDF("src", "dst")).localCheckpoint()
+    // The whole loop runs on a CHILD session (shared SparkContext, private
+    // SQLConf): the iteration tuning below must never leak into a query
+    // running concurrently on the caller's session (advisor r11 — the old
+    // set/restore dance left the shared session at 2 shuffle partitions for
+    // the loop's duration). RDDs are context-scoped, so re-rooting the
+    // checkpointed edge set in the child costs one row-conversion pass over
+    // the (already edge-mass, not data-mass) pair list.
+    val loop = staged.sparkSession.newSession()
+    var edges = loop.createDataFrame(staged.rdd, staged.schema).localCheckpoint()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
     // convergence signal: an order-independent (count, hash-xor) fingerprint
@@ -399,23 +408,21 @@ object TextDedup {
     var fp = fingerprint(edges)
     var rounds = 0
     var converged = fp._1 == 0L
-    // Iteration-loop tuning, restored before returning: (1) AQE off — its
+    // Iteration-loop tuning, scoped to the child session: (1) AQE off — its
     // per-stage adaptive re-planning adds a barrier + scheduling round per
     // shuffle, which dominates on a fixed small iterate whose join sides
     // are already explicitly broadcast; (2) shuffle partitions sized to the
-    // EDGE COUNT (~250k rows per partition, min 2) instead of the session
-    // default — the contraction runs ~3 shuffles × log(diameter) rounds, so
-    // over-partitioning multiplies task overhead by partitions×stages (the
-    // session's 32 partitions made this loop 5× slower than 2 partitions on
-    // a 60k-edge graph). At 100 TB the same formula sizes UP with the data.
-    val spark = edges.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    // EDGE COUNT (~250k rows per partition, min 2, capped at the caller's
+    // setting) — the contraction runs ~3 shuffles × log(diameter) rounds,
+    // so over-partitioning multiplies task overhead by partitions×stages
+    // (the session's 32 partitions made this loop 5× slower than 2
+    // partitions on a 60k-edge graph). At 100 TB the same formula sizes UP
+    // with the data. No restore needed: the confs die with the child.
+    val partsWas = staged.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     val loopParts = math.max(2L, math.min(partsWas.toLong, fp._1 / 250000L + 1L))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
-      while (!converged) {
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    while (!converged) {
         rounds += 1
         val tR = System.nanoTime()
         // the large-star output feeds two gathers in smallStar — stage it
@@ -431,22 +438,21 @@ object TextDedup {
         edges = next
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(f"[cc] round $rounds: ${(System.nanoTime() - tR) / 1e9}%.2f s, edges=${fp._1}")
-      }
-      // terminal state = stars centered on each component's min: a node's
-      // label is its min neighbor (leaves → center), or itself (the center).
-      // Built inside the tuned scope — it is the same tiny-iterate shape as
-      // the rounds.
-      val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val labels = nodes
-        .join(und.groupBy(col("src")).agg(min(col("dst")).as("mn")),
-          nodes("id") === col("src"), "left")
-        .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("comp"))
-        .localCheckpoint()
-      (labels, rounds)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
+    // terminal state = stars centered on each component's min: a node's
+    // label is its min neighbor (leaves → center), or itself (the center).
+    // Built inside the tuned scope — it is the same tiny-iterate shape as
+    // the rounds.
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = nodes
+      .join(und.groupBy(col("src")).agg(min(col("dst")).as("mn")),
+        nodes("id") === col("src"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("comp"))
+      .localCheckpoint()
+    // re-root the result in the CALLER's session — Datasets from different
+    // sessions must not mix in downstream joins
+    (staged.sparkSession.createDataFrame(labels.rdd, labels.schema).localCheckpoint(),
+      rounds)
   }
 
   /** Converged labels → (doc_id, canonical_id, cluster_size). The converged
