@@ -14,7 +14,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  private def modules = Seq(
+  /** Every module's (queries, oracles) pair. Public so ContractSpec can derive
+    * its per-module sums from the same list the merge uses — a new module
+    * registered here is automatically covered by the uniqueness check. */
+  def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (ops.Relational.queries, ops.Relational.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
     (ops.SetOps.queries, ops.SetOps.oracles),

@@ -16,17 +16,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * [[graft.Sessions]]) it arrives as a nanosecond Long; convert to a
-    * microsecond TimestampType with integer division (double division would
-    * lose precision past 2^53). */
+  /** `events.ts` has shipped under three physical parquet encodings across
+    * testdata regenerations; normalize all of them to `TimestampType` so every
+    * downstream operator sees one stable type:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[graft.Sessions]])
+    *    it arrives as a nanosecond Long — convert with integer division
+    *    (double division would lose precision past 2^53).
+    *  - TIMESTAMP_MICROS `isAdjustedToUTC=0`: Spark 4 infers TIMESTAMP_NTZ —
+    *    cast to TimestampType (a no-op instant shift under the UTC session).
+    *  - TIMESTAMP_MICROS `isAdjustedToUTC=1`: already TimestampType.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

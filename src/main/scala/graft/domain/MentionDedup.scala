@@ -152,6 +152,66 @@ object MentionDedup {
         col("rnk").cast("long").as("rnk"))
   }
 
+  // ------------------------------------------------- W3 under planted skew
+
+  /** Skewed mention candidates (VERDICT r10 item 4 / r11 item 3): ~40% of the
+    * ~60k rows land on ONE viral (source_id, dedupe_key) — the reference's
+    * one-domain-goes-viral reality (dedup.py:47-96) — with the rest spread
+    * over ~4000 keys as in [[mentionsW3VolDf]]. The skew is arithmetic
+    * (`o_orderkey % 10 < 4` → key 0) so the DuckDB oracle replays it exactly. */
+  def mentionsW3SkewDf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.{functions => F}
+    val k = col("k")
+    graft.Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+      .withColumn("r", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("g", when(k % 10 < 4, lit(0L)).otherwise(k % 4000))
+      .select(
+        (k * 10 + col("r")).as("mid"),
+        concat(lit("src_"), (col("g") % 7).cast("string")).as("source_id"),
+        concat(lit("https://site"), (col("g") % 7).cast("string"),
+          lit(".example/guide/place-"), col("g").cast("string"),
+          lit("-v"), col("r").cast("string")).as("url"),
+        (((k + col("r") * 3) % 97).cast("double") / 100.0)
+          .as("authority_weight_snapshot"),
+        (((k * 7 + col("r")) % 89).cast("double") / 100.0).as("w_time"),
+        (k * 10 + col("r")).as("ord"))
+      .withColumn("dedup_key", F.dedupe_key(col("url")))
+  }
+
+  /** Skew-safe W3: the plain [[windowDedup]] puts EVERY row of a key through
+    * one window task — AQE cannot split a window partition, so a viral key
+    * means one straggler task holding 40% of the corpus. Instead rank in two
+    * stages: a salted local top-k (the viral key's rows spread over `salts`
+    * tasks, each ranking its own slice) and a global re-rank over the ≤
+    * `maxPerWindow × salts` local survivors per key. Ranking is by a total
+    * order (score desc, unique `ord` asc), so every global top-k row is
+    * necessarily its salt's local top-k — the two-stage result is IDENTICAL
+    * to the one-window result (SkewDedupSpec pins both the equivalence and
+    * the plan shape). At 100 TB this is the only shape that survives a viral
+    * key: per-task input is bounded by rows/salts, and the second window sees
+    * KB-sized groups no matter how hot the key. */
+  def windowDedupSkewSafe(mentions: DataFrame, maxPerWindow: Int = 2,
+      salts: Int = 32): DataFrame = {
+    val score = col("authority_weight_snapshot") * col("w_time")
+    val wLocal = Window.partitionBy(col("source_id"), col("dedup_key"), col("salt"))
+      .orderBy(score.desc, col("ord").asc)
+    val local = mentions
+      .withColumn("salt", pmod(hash(col("mid")), lit(salts)))
+      .withColumn("rnk_local", row_number().over(wLocal))
+      .filter(col("rnk_local") <= maxPerWindow)
+    val wGlobal = Window.partitionBy(col("source_id"), col("dedup_key"))
+      .orderBy(score.desc, col("ord").asc)
+    local.withColumn("rnk", row_number().over(wGlobal))
+      .filter(col("rnk") <= maxPerWindow)
+      .drop("salt", "rnk_local")
+  }
+
+  /** W3 over the planted-skew corpus via the salted two-stage ranking. */
+  def qW3DedupSkew(spark: SparkSession, dir: String): DataFrame =
+    windowDedupSkewSafe(mentionsW3SkewDf(spark, dir))
+      .select(col("mid"), col("source_id"), col("dedup_key"),
+        col("rnk").cast("long").as("rnk"))
+
   def qW4InBatch(spark: SparkSession, dir: String): DataFrame =
     inBatchDedup(dedupCandidatesDf(spark))
       .select(col("mid"), col("domain"), col("norm_url"), col("norm_title"))
@@ -159,6 +219,7 @@ object MentionDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w3_mention_dedup" -> (qW3Dedup _),
     "w3_mention_dedup_vol" -> (qW3DedupVol _),
+    "w3_mention_dedup_skew" -> (qW3DedupSkew _),
     "w4_inbatch_dedup" -> (qW4InBatch _))
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +250,27 @@ object MentionDedup {
         |  FROM m
         |  WHERE created_at >= TIMESTAMP '1998-08-02 00:00:00' - INTERVAL 21 DAY)
         |WHERE rnk <= 2""".stripMargin,
+    // the oracle ranks with ONE plain window — proving the salted two-stage
+    // engine path is semantically identical to the direct ranking
+    "w3_mention_dedup_skew" ->
+      """WITH m AS (
+        |  SELECT o_orderkey * 10 + r AS mid,
+        |    'src_' || CAST(g % 7 AS VARCHAR) AS source_id,
+        |    'site' || CAST(g % 7 AS VARCHAR)
+        |      || '.example/guide/place-' || CAST(g AS VARCHAR) AS dedup_key,
+        |    CAST((o_orderkey + r * 3) % 97 AS DOUBLE) / 100.0 AS aw,
+        |    CAST((o_orderkey * 7 + r) % 89 AS DOUBLE) / 100.0 AS wt,
+        |    o_orderkey * 10 + r AS ord
+        |  FROM (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 10 < 4 THEN 0
+        |               ELSE o_orderkey % 4000 END AS g
+        |        FROM orders)
+        |  CROSS JOIN (SELECT unnest(range(4)) AS r) reps)
+        |SELECT mid, source_id, dedup_key, rnk FROM (
+        |  SELECT mid, source_id, dedup_key, row_number() OVER (
+        |    PARTITION BY source_id, dedup_key
+        |    ORDER BY aw * wt DESC, ord ASC) AS rnk
+        |  FROM m) WHERE rnk <= 2""".stripMargin,
     "w4_inbatch_dedup" ->
       s"""WITH n AS (
          |  SELECT mid, domain, ord,

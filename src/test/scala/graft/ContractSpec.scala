@@ -8,24 +8,17 @@ class ContractSpec extends AnyFunSuite {
 
   test("query keys are unique across modules (no silent overwrite)") {
     // SparkEntry.queries merges module maps with ++ — a duplicate key would
-    // silently drop one implementation; compare against the per-module sum
+    // silently drop one implementation; compare against the per-module sum.
+    // Derived from SparkEntry.modules itself so a newly registered module can
+    // never drift out of this check (r11 shipped with a stale hard-coded list).
     val merged = SparkEntry.queries.size
-    val fields = Seq(
-      ops.Relational.queries.size, ops.Windows.queries.size,
-      ops.SetOps.queries.size, ops.Joins.queries.size, ops.Scalars.queries.size,
-      ops.TextDedup.queries.size, ops.TextAnalysis.queries.size,
-      ops.Similarity.queries.size, ops.Multimodal.queries.size,
-      domain.Classify.queries.size, domain.VolumeFixtures.queries.size,
-      domain.PipelineVol.queries.size,
-      domain.DateEnrichment.queries.size, domain.MentionScoring.queries.size,
-      domain.MentionDedup.queries.size, domain.Spatial.queries.size,
-      domain.Ingest.queries.size, domain.Collections.queries.size,
-      sinks.SinkQueries.queries.size, sinks.ScriptSinks.queries.size,
-      streaming.FsmQueries.queries.size,
-      streaming.Streams.queries.size, domain.Trending.queries.size,
-      domain.Monitoring.queries.size, ops.SerpCache.queries.size)
-    assert(merged == fields.sum,
-      s"duplicate query keys: merged=$merged, sum of modules=${fields.sum}")
+    val sum = SparkEntry.modules.map(_._1.size).sum
+    assert(merged == sum,
+      s"duplicate query keys: merged=$merged, sum of modules=$sum")
+    val mergedOracles = SparkEntry.oracleSql.size
+    val sumOracles = SparkEntry.modules.map(_._2.size).sum
+    assert(mergedOracles == sumOracles,
+      s"duplicate oracle keys: merged=$mergedOracles, sum of modules=$sumOracles")
   }
 
   test("serp fixture domains stay on apexDomain's replayable path") {
