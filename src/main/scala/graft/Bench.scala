@@ -81,13 +81,17 @@ object Bench {
     }.toSet
     val resolvedB = Set.newBuilder[String]
     firstPassContended.foreach { k =>
-      named.find(_._1 == k).foreach { case (_, fn) =>
+      named.zipWithIndex.find(_._1._1 == k).foreach { case ((_, fn), idx) =>
         // TWO retry samples (advisor r11): with one, a retry that beat the
         // old min satisfied `t <= 1.5*newMin` trivially — "reproducible"
         // resting on a single possibly-contaminated sample. Resolution now
         // needs a SECOND independent sample (retry or prior min) within
         // 1.5× of the new min, so the spliced min is always corroborated.
-        val retries = Seq(once(fn), once(fn)).collect { case (t, true) => t }
+        val attempts = Seq(once(fn), once(fn))
+        // a failed retry is still a failure — count it like main-round errors
+        // (advisor r11: silently dropping it undercounts the artifact)
+        errCounts(idx) += attempts.count(!_._2)
+        val retries = attempts.collect { case (t, true) => t }
         if (retries.nonEmpty) {
           val (med, min) = results(k)
           val support = (min +: retries).sorted
@@ -153,6 +157,22 @@ object Bench {
       s""""spread_p95":${jnum(spreadP95)},"spread_max":${jnum(spreadMax)},""" +
       s""""calib":$calibArr,"box_loaded":$boxLoaded,"num_errors":${errCounts.sum},""" +
       s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}""")
+    // COMPLETE artifact on disk (VERDICT r10 item 8): the driver's tail
+    // capture truncates the stdout line, so BENCH_r*.json carried only a
+    // fraction of the queries (parsed:null) and benchdiff compared a subset.
+    // bench_full.json is the same content, durable and complete — benchdiff
+    // prefers it when present.
+    val fullJson = s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
+      s""""queries":$qs,"queries_min":$qsMin,"total_min":${jnum(totalMin)},""" +
+      s""""contended":$contended,"contended_resolved":$contendedResolved,""" +
+      s""""slowest5":$slowest5,"spread_p95":${jnum(spreadP95)},""" +
+      s""""spread_max":${jnum(spreadMax)},"calib":$calibArr,""" +
+      s""""box_loaded":$boxLoaded,"errors":$errors,"num_errors":${errCounts.sum},""" +
+      s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -36,6 +36,7 @@ object SparkEntry {
     (domain.Spatial.queries, domain.Spatial.oracles),
     (domain.Ingest.queries, domain.Ingest.oracles),
     (domain.Collections.queries, domain.Collections.oracles),
+    (sources.BucketedTables.queries, sources.BucketedTables.oracles),
     (sinks.SinkQueries.queries, sinks.SinkQueries.oracles),
     (sinks.PartitionedTable.queries, sinks.PartitionedTable.oracles),
     (sinks.ScriptSinks.queries, sinks.ScriptSinks.oracles),

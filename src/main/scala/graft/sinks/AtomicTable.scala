@@ -1,0 +1,104 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic commit protocol for the merge sinks (VERDICT r10 item 6 / r11
+  * item 4).
+  *
+  * [[MergeSink]] computes merged states; persisting them with a plain
+  * `overwrite` deletes the old files before the new ones are complete, so a
+  * reader racing a merge can observe a half-written table. The reference
+  * never hits this because PostgREST gives it transactional upserts
+  * (db.py:33-75); a parquet-table deployment needs the classic
+  * staged-write + manifest-flip:
+  *
+  *  - data for version N is written to `root/v{N}/` — a fresh directory,
+  *    invisible to readers until published;
+  *  - `root/_CURRENT` is a one-line manifest naming the live version; it is
+  *    replaced via `Files.move(..., ATOMIC_MOVE)`, which POSIX guarantees is
+  *    all-or-nothing;
+  *  - readers resolve `_CURRENT` first and then read only that directory, so
+  *    every read sees exactly one fully-committed version;
+  *  - the previous version is retained for readers already inside it
+  *    (snapshot isolation for in-flight scans); older versions are pruned.
+  *
+  * Same single-writer model as the reference pipeline (run_pipeline.py's one
+  * daily process); on a real deployment this is the micro version of what
+  * Delta/Iceberg commit logs do, and swapping this object for `MERGE INTO` on
+  * Delta changes no caller.
+  */
+object AtomicTable {
+
+  private val Manifest = "_CURRENT"
+  private val KeepVersions = 2
+
+  private def manifestPath(root: String): Path = Paths.get(root, Manifest)
+
+  /** The live version directory name, if the table has ever been committed. */
+  def currentVersion(root: String): Option[String] = {
+    val m = manifestPath(root)
+    if (Files.exists(m)) Some(Files.readString(m).trim) else None
+  }
+
+  /** Stage version data WITHOUT publishing it — readers still resolve the old
+    * version. Exposed separately so SinkSpec can interleave a reader between
+    * stage and publish; [[commit]] is the composed path. */
+  def stage(df: DataFrame, root: String): String = {
+    val next = "v" + (currentVersion(root).map(_.drop(1).toLong).getOrElse(0L) + 1)
+    df.write.mode("overwrite").parquet(s"$root/$next")
+    next
+  }
+
+  /** Atomically flip `_CURRENT` to `version`, then prune stale versions. */
+  def publish(root: String, version: String): Unit = {
+    val tmp = Paths.get(root, s".$Manifest.tmp")
+    Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    prune(root, version)
+  }
+
+  /** Stage + publish: the atomic replacement for `write.mode("overwrite")`. */
+  def commit(df: DataFrame, root: String): String = {
+    val v = stage(df, root)
+    publish(root, v)
+    v
+  }
+
+  /** Read the live version. A commit racing this read flips the manifest
+    * between two complete versions — never into partial data. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    spark.read.parquet(s"$root/$v")
+  }
+
+  /** Drop versions older than the last [[KeepVersions]] (the live one plus
+    * its predecessor, which an in-flight reader may still be scanning). */
+  private def prune(root: String, live: String): Unit = {
+    val liveN = live.drop(1).toLong
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return
+    val it = Files.list(dir)
+    try {
+      it.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+            name.drop(1).toLong <= liveN - KeepVersions) {
+          deleteRecursively(p)
+        }
+      }
+    } finally it.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p)
+      try it.forEach(deleteRecursively) finally it.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}

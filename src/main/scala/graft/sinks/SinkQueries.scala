@@ -61,6 +61,21 @@ object SinkQueries {
   }.mkString("(VALUES ", ", ", ")") +
     " AS inc(poi_id, source_id, rating_value, reviews_count, captured_at)"
 
+  /** S9 through the ATOMIC persistence path: same merge as [[qS9Upsert]], but
+    * committed to an [[AtomicTable]] (staged version dir + manifest flip) and
+    * read back through the manifest — so the driver's hash gate covers the
+    * whole staged-write/publish/resolve round trip, not just the in-memory
+    * merge. Per-sf location, same convention as [[PartitionedTable]]. */
+  def qS9AtomicRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = "spark-warehouse/s9_atomic_" + new java.io.File(dir).getName
+    val merged = MergeSink.upsert(existingDf(spark), incomingDf(spark), "google_place_id",
+      updateCols = Seq("name", "rating", "reviews_count"), asOf = Fixtures.asOf)
+    AtomicTable.commit(merged, root)
+    AtomicTable.read(spark, root)
+      .select(col("google_place_id"), col("name"), col("rating"), col("reviews_count"),
+        date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"))
+  }
+
   def qS10ConditionalAppend(spark: SparkSession, dir: String): DataFrame =
     MergeSink.conditionalAppend(
       graft.domain.Fixtures.snapshotsDf(spark), incomingSnapshotsDf(spark))
@@ -246,7 +261,6 @@ object SinkQueries {
     * surviving rows get their rank from a window. PipelineSpec asserts the
     * plan shape. */
   def qIncrementalPipelineVol(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val updateCols = Seq("name", "rating", "reviews_count", "updated_at")
     val state1 = MergeSink.upsert(pipeStateVol(spark, dir),
       pipeBatchVol(spark, dir, 2, Day1V), "google_place_id", updateCols, asOf = Day1V)
@@ -257,12 +271,22 @@ object SinkQueries {
       pipeBatchVol(spark, dir, 3, Day2V), "google_place_id", updateCols, asOf = Day2V)
     val snap2 = snap1.unionByName(
       MergeSink.conditionalAppend(snap1, pipeSnapVolB(spark, dir, 3, Day2V)))
-    val asOfTs = to_timestamp(lit(Day2V))
-    val counts = snap2.groupBy(col("poi_id").as("google_place_id"))
+    rescoreSelection(state2, snap2, Day2V)
+  }
+
+  /** The P9 rescoring selection over a (state, snapshots) pair — the cycle's
+    * final stage, shared by the batch volume query and the streamed
+    * composition (StreamingSpec's AvailableNow parity test) so the two paths
+    * cannot drift. Volume-safe top-k: global `orderBy().limit(k)` plans as
+    * TakeOrderedAndProject; only the k survivors get a window rank. */
+  def rescoreSelection(state: DataFrame, snaps: DataFrame, asOf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asOfTs = to_timestamp(lit(asOf))
+    val counts = snaps.groupBy(col("poi_id").as("google_place_id"))
       .agg(count(lit(1)).as("n_snapshots"))
     val queueOrder = Seq(col("last_scored_at").asc_nulls_first,
       col("updated_at").desc, col("google_place_id").asc)
-    val selected = state2
+    val selected = state
       .filter(col("updated_at") >= asOfTs - expr("INTERVAL 7 DAYS") ||
         col("last_scored_at").isNull)
       .filter(col("last_scored_at").isNull ||
@@ -279,6 +303,21 @@ object SinkQueries {
         date_format(col("last_scored_at"), "yyyy-MM-dd").as("last_scored_date"),
         coalesce(col("n_snapshots"), lit(0L)).as("n_snapshots"))
   }
+
+  /** The per-day inputs of the volume cycle, exposed for the streamed
+    * composition: (day, poi batch, snapshot batch). Day 1 is the custkey%2
+    * slice, day 2 the %3 slice — same fixtures as [[qIncrementalPipelineVol]]. */
+  def pipeVolDays(spark: SparkSession, dir: String): Seq[(String, DataFrame, DataFrame)] = Seq(
+    (Day1V, pipeBatchVol(spark, dir, 2, Day1V), pipeSnapVolB(spark, dir, 2, Day1V)),
+    (Day2V, pipeBatchVol(spark, dir, 3, Day2V), pipeSnapVolB(spark, dir, 3, Day2V)))
+
+  /** The cycle's base state + base snapshots, exposed for the streamed
+    * composition's bootstrap commit. */
+  def pipeVolBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (pipeStateVol(spark, dir), pipeSnapVol0(spark, dir))
+
+  /** Column set the streamed day batches carry (the merge's update surface). */
+  val pipeVolUpdateCols: Seq[String] = Seq("name", "rating", "reviews_count", "updated_at")
 
   // ------------------------------------------------------- S9 at sf volume
 
@@ -320,6 +359,7 @@ object SinkQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_upsert_poi" -> (qS9Upsert _),
+    "s9_atomic_roundtrip" -> (qS9AtomicRoundtrip _),
     "s9_upsert_poi_vol" -> (qS9UpsertVol _),
     "s10_conditional_append" -> (qS10ConditionalAppend _),
     "pipe_incremental" -> (qIncrementalPipeline _),
@@ -505,9 +545,24 @@ object SinkQueries {
        |FROM ranked r LEFT JOIN counts ct USING (google_place_id)""".stripMargin
   }
 
+  /** Same merge semantics as s9_upsert_poi — the round trip through the
+    * staged commit + manifest read must be value-preserving. */
+  private def s9AtomicSql: String =
+    s"""SELECT coalesce(e.google_place_id, i.google_place_id) AS google_place_id,
+       |  coalesce(i.name, e.name) AS name,
+       |  coalesce(i.rating, e.rating) AS rating,
+       |  coalesce(i.reviews_count, e.reviews_count) AS reviews_count,
+       |  strftime(CASE WHEN e.google_place_id IS NULL
+       |    THEN TIMESTAMP '${Fixtures.asOf}' ELSE e.first_ingested_at END,
+       |    '%Y-%m-%d') AS first_ingested_date
+       |FROM $existingValues
+       |FULL OUTER JOIN $incomingValues
+       |  ON e.google_place_id = i.google_place_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pipe_incremental" -> pipeIncrementalSql,
     "pipe_incremental_vol" -> pipeIncrementalVolSql,
+    "s9_atomic_roundtrip" -> s9AtomicSql,
     "s9_upsert_poi" ->
       s"""SELECT coalesce(e.google_place_id, i.google_place_id) AS google_place_id,
          |  coalesce(i.name, e.name) AS name,

@@ -450,6 +450,105 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("volume: composed AvailableNow cycle == batch pipe_incremental_vol") {
+    // VERDICT r11 item 5: the stages are individually stream-proven, but the
+    // COMPOSED cycle (day batches -> merge -> snapshot suppression -> rescore
+    // selection) needed an end-to-end streaming run. Shape: the two day
+    // changesets land as one file each in a feed directory; a
+    // Trigger.AvailableNow file stream with maxFilesPerTrigger=1 delivers one
+    // day per micro-batch IN ORDER, and foreachBatch applies the exact
+    // MergeSink kernels against AtomicTable-committed state — the deployed
+    // daily-cadence topology (run_pipeline.py:549-581) as a stream. Parity:
+    // the final selection over the streamed state must be row-identical to
+    // the all-batch qIncrementalPipelineVol at sf0.01 volume.
+    import org.apache.spark.sql.functions._
+    import graft.sinks.{AtomicTable, MergeSink, SinkQueries}
+    val sf = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graftpipe").toString
+    val (feedDir, stateRoot, snapRoot) = (s"$tmp/feed", s"$tmp/state", s"$tmp/snaps")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
+
+    // bootstrap: base state and base snapshots as committed tables
+    val (state0, snap0) = SinkQueries.pipeVolBase(spark, sf)
+    AtomicTable.commit(state0, stateRoot)
+    AtomicTable.commit(snap0, snapRoot)
+
+    // one unified changeset file per day (poi batch + snapshot batch, tagged)
+    val nullStr = lit(null).cast("string")
+    val nullTs = lit(null).cast("timestamp")
+    SinkQueries.pipeVolDays(spark, sf).zipWithIndex.foreach { case ((day, pois, snaps), i) =>
+      val p = pois.select(lit(day).as("day"), lit("poi").as("kind"),
+        col("google_place_id"), col("name"), col("rating"),
+        col("reviews_count").cast("long").as("reviews_count"), col("updated_at"),
+        nullStr.as("poi_id"), nullStr.as("source_id"),
+        lit(null).cast("double").as("rating_value"),
+        lit(null).cast("long").as("rc_snap"), nullTs.as("captured_at"))
+      val s = snaps.select(lit(day).as("day"), lit("snap").as("kind"),
+        nullStr.as("google_place_id"), nullStr.as("name"),
+        lit(null).cast("double").as("rating"),
+        lit(null).cast("long").as("reviews_count"), nullTs.as("updated_at"),
+        col("poi_id"), col("source_id"), col("rating_value"),
+        col("reviews_count").cast("long").as("rc_snap"), col("captured_at"))
+      val staging = s"$tmp/stage$i"
+      p.unionByName(s).coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = java.nio.file.Paths.get(feedDir, f"day$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      // mtime drives FileStreamSource order — make it strictly increasing
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+
+    val feedSchema = spark.read.parquet(feedDir).schema
+    val daysSeen = scala.collection.mutable.ArrayBuffer[String]()
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val days = b.select("day").distinct().collect().map(_.getString(0))
+        assert(days.length == 1, s"micro-batch mixed days: ${days.toSeq}")
+        val day = days.head
+        daysSeen += day
+        val pois = b.filter(col("kind") === "poi")
+          .select(col("google_place_id"), col("name"), col("rating"),
+            col("reviews_count"), col("updated_at"))
+          .withColumn("first_ingested_at", nullTs)
+          .withColumn("last_scored_at", nullTs)
+        val state = AtomicTable.read(spark, stateRoot)
+        AtomicTable.commit(MergeSink.upsert(state, pois, "google_place_id",
+          SinkQueries.pipeVolUpdateCols, asOf = day), stateRoot)
+        val snapBatch = b.filter(col("kind") === "snap")
+          .select(col("poi_id"), col("source_id"), col("rating_value"),
+            col("rc_snap").as("reviews_count"), col("captured_at"))
+        val snaps = AtomicTable.read(spark, snapRoot)
+        AtomicTable.commit(snaps.unionByName(
+          MergeSink.conditionalAppend(snaps, snapBatch)), snapRoot)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.awaitTermination(120000)
+    assert(daysSeen.toSeq == Seq(SinkQueries.Day1V, SinkQueries.Day2V),
+      s"days processed out of order: $daysSeen")
+
+    // the streamed state's rescoring selection vs the all-batch dataflow;
+    // reviews_count comes back long from parquet — align the batch side
+    val streamed = SinkQueries.rescoreSelection(
+      AtomicTable.read(spark, stateRoot), AtomicTable.read(spark, snapRoot),
+      SinkQueries.Day2V)
+      .withColumn("reviews_count", col("reviews_count").cast("long"))
+      .orderBy("rnk").collect()
+    val batch = SinkQueries.qIncrementalPipelineVol(spark, sf)
+      .withColumn("reviews_count", col("reviews_count").cast("long"))
+      .orderBy("rnk").collect()
+    assert(streamed.length == batch.length && streamed.length > 100,
+      s"stream=${streamed.length} batch=${batch.length}")
+    assert(streamed.sameElements(batch),
+      s"first diff: ${streamed.zip(batch).find { case (a, b) => a != b }}")
+  }
+
   test("FSM convergence invariants: fixpoint reached, children unique, res monotone") {
     // the hash oracle pins the exact converged table; these invariants pin
     // the LOOP properties a fixture edit could silently break — termination

@@ -9,9 +9,13 @@ data-independent, so it transfers across sessions/boxes), and flags only the
 deltas that exceed the runs' own recorded noise envelope (spread_p95) — the
 comparison logic the bench protocol's data was designed for.
 
-Accepts either the driver artifact shape ({"parsed": {...}, "tail": "..."})
-or a raw Bench stdout capture (the two JSON lines). Truncated tails are
-salvaged per-entry by regex.
+Accepts either the driver artifact shape ({"parsed": {...}, "tail": "..."}),
+a raw Bench stdout capture (the two JSON lines), or Bench's own complete
+bench_full.json artifact. Given a driver BENCH_r{N}.json whose tail is
+truncated, a sibling bench_full_r{N}.json (archive bench_full.json under
+that name when the round's artifacts land) is PREFERRED — it carries every
+query, not the tail fragment. Truncated tails are salvaged per-entry by
+regex as the last resort.
 """
 import sys, os, json, re, statistics
 
@@ -72,6 +76,14 @@ def salvage_pairs(text):
 
 
 def load_round(path):
+    # prefer the complete on-disk artifact over the driver's truncated tail:
+    # BENCH_r12.json -> bench_full_r12.json alongside it, if archived
+    m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+    if m:
+        full = os.path.join(os.path.dirname(path) or ".",
+                            f"bench_full_r{m.group(1)}.json")
+        if os.path.exists(full):
+            path = full
     raw = open(path).read()
     info = {"queries_min": {}, "calib": [], "spread_p95": None,
             "contended": [], "label": os.path.basename(path), "stat": "min"}
