@@ -37,11 +37,27 @@ object AtomicTable {
 
   private def manifestPath(root: String): Path = Paths.get(root, Manifest)
 
-  /** The live version directory name, if the table has ever been committed. */
-  def currentVersion(root: String): Option[String] = {
+  /** Manifest contents: line 1 is the live version, optional line 2 is
+    * `batch <id>` — the streaming micro-batch that produced it (see
+    * [[commitBatch]]). Legacy single-line manifests parse as (version, None). */
+  private def readManifest(root: String): Option[(String, Option[Long])] = {
     val m = manifestPath(root)
-    if (Files.exists(m)) Some(Files.readString(m).trim) else None
+    if (!Files.exists(m)) None
+    else {
+      val lines = Files.readString(m).split('\n').map(_.trim).filter(_.nonEmpty)
+      val batch = lines.collectFirst {
+        case l if l.startsWith("batch ") => l.drop(6).trim.toLong
+      }
+      Some((lines.head, batch))
+    }
   }
+
+  /** The live version directory name, if the table has ever been committed. */
+  def currentVersion(root: String): Option[String] = readManifest(root).map(_._1)
+
+  /** The streaming micro-batch id that produced the live version, if the last
+    * commit came through [[commitBatch]]. */
+  def lastBatchId(root: String): Option[Long] = readManifest(root).flatMap(_._2)
 
   /** Stage version data WITHOUT publishing it — readers still resolve the old
     * version. Exposed separately so SinkSpec can interleave a reader between
@@ -53,9 +69,12 @@ object AtomicTable {
   }
 
   /** Atomically flip `_CURRENT` to `version`, then prune stale versions. */
-  def publish(root: String, version: String): Unit = {
+  def publish(root: String, version: String): Unit = publish(root, version, None)
+
+  private def publish(root: String, version: String, batchId: Option[Long]): Unit = {
     val tmp = Paths.get(root, s".$Manifest.tmp")
-    Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
+    val body = version + batchId.map(b => s"\nbatch $b").getOrElse("")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     prune(root, version)
@@ -66,6 +85,30 @@ object AtomicTable {
     val v = stage(df, root)
     publish(root, v)
     v
+  }
+
+  /** Idempotent commit for Structured Streaming `foreachBatch`: records the
+    * micro-batch id in the manifest and SKIPS a batch the table has already
+    * absorbed. `foreachBatch` is at-least-once — a crash after this commit
+    * but before the engine checkpoints the offsets redelivers the same
+    * batchId on restart — so without this, exactly-once would rest on every
+    * merge kernel being accidentally idempotent. `df` is only evaluated when
+    * the batch is new (the check is manifest-only), and with several tables
+    * committed in one foreachBatch, each table tracks its own id: a crash
+    * between two commits replays the batch, the already-committed table
+    * skips, the other applies — converging without double-apply.
+    *
+    * Batch ids must be monotone per query (Spark's contract); `<=` makes
+    * redelivery of any already-seen id a no-op.
+    *
+    * @return true if the commit applied, false if the batch was redelivered */
+  def commitBatch(df: => DataFrame, root: String, batchId: Long): Boolean = {
+    if (lastBatchId(root).exists(batchId <= _)) false
+    else {
+      val v = stage(df, root)
+      publish(root, v, Some(batchId))
+      true
+    }
   }
 
   /** Read the live version. A commit racing this read flips the manifest

@@ -117,6 +117,26 @@ class SinkSpec extends AnyFunSuite {
     assert(rows.length == 3 && rows.forall(_.getInt(1) == 3))
   }
 
+  test("commitBatch: redelivered ids skip, legacy manifests upgrade, ids survive plain commits") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftbatch").toString
+    // legacy path: a plain commit carries no batch id
+    AtomicTable.commit(Seq(("a", 1)).toDF("k", "ver"), root)
+    assert(AtomicTable.lastBatchId(root).isEmpty)
+    // first streaming batch applies and records its id
+    assert(AtomicTable.commitBatch(Seq(("a", 2)).toDF("k", "ver"), root, 0L))
+    assert(AtomicTable.lastBatchId(root).contains(0L))
+    // same id redelivered (crash-before-checkpoint): skipped, never evaluated
+    assert(!AtomicTable.commitBatch(
+      spark.range(1).select(org.apache.spark.sql.functions.raise_error(
+        org.apache.spark.sql.functions.lit("evaluated")).as("boom")), root, 0L))
+    assert(AtomicTable.read(spark, root).collect().map(_.getInt(1)).toSeq == Seq(2))
+    // a later id applies; a STALE id after it is also a no-op (<= semantics)
+    assert(AtomicTable.commitBatch(Seq(("a", 3)).toDF("k", "ver"), root, 1L))
+    assert(!AtomicTable.commitBatch(Seq(("a", 99)).toDF("k", "ver"), root, 0L))
+    assert(AtomicTable.read(spark, root).collect().map(_.getInt(1)).toSeq == Seq(3))
+  }
+
   test("atomic commit: every read during a commit storm is one complete version") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftatomic3").toString

@@ -505,7 +505,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = spark.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
       .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
         val days = b.select("day").distinct().collect().map(_.getString(0))
         assert(days.length == 1, s"micro-batch mixed days: ${days.toSeq}")
         val day = days.head
@@ -515,15 +515,20 @@ class StreamingSpec extends AnyFunSuite {
             col("reviews_count"), col("updated_at"))
           .withColumn("first_ingested_at", nullTs)
           .withColumn("last_scored_at", nullTs)
-        val state = AtomicTable.read(spark, stateRoot)
-        AtomicTable.commit(MergeSink.upsert(state, pois, "google_place_id",
-          SinkQueries.pipeVolUpdateCols, asOf = day), stateRoot)
+        // commitBatch, not commit: foreachBatch is at-least-once, and the
+        // manifest-recorded batch id makes a redelivered micro-batch a no-op
+        // (exercised end-to-end by the restart test below)
+        assert(AtomicTable.commitBatch(
+          MergeSink.upsert(AtomicTable.read(spark, stateRoot), pois,
+            "google_place_id", SinkQueries.pipeVolUpdateCols, asOf = day),
+          stateRoot, bid), s"fresh batch $bid skipped as redelivered")
         val snapBatch = b.filter(col("kind") === "snap")
           .select(col("poi_id"), col("source_id"), col("rating_value"),
             col("rc_snap").as("reviews_count"), col("captured_at"))
-        val snaps = AtomicTable.read(spark, snapRoot)
-        AtomicTable.commit(snaps.unionByName(
-          MergeSink.conditionalAppend(snaps, snapBatch)), snapRoot)
+        assert(AtomicTable.commitBatch({
+          val snaps = AtomicTable.read(spark, snapRoot)
+          snaps.unionByName(MergeSink.conditionalAppend(snaps, snapBatch))
+        }, snapRoot, bid), s"fresh batch $bid skipped as redelivered")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -535,6 +540,123 @@ class StreamingSpec extends AnyFunSuite {
 
     // the streamed state's rescoring selection vs the all-batch dataflow;
     // reviews_count comes back long from parquet — align the batch side
+    val streamed = SinkQueries.rescoreSelection(
+      AtomicTable.read(spark, stateRoot), AtomicTable.read(spark, snapRoot),
+      SinkQueries.Day2V)
+      .withColumn("reviews_count", col("reviews_count").cast("long"))
+      .orderBy("rnk").collect()
+    val batch = SinkQueries.qIncrementalPipelineVol(spark, sf)
+      .withColumn("reviews_count", col("reviews_count").cast("long"))
+      .orderBy("rnk").collect()
+    assert(streamed.length == batch.length && streamed.length > 100,
+      s"stream=${streamed.length} batch=${batch.length}")
+    assert(streamed.sameElements(batch),
+      s"first diff: ${streamed.zip(batch).find { case (a, b) => a != b }}")
+  }
+
+  test("composed cycle restart: checkpoint resume + redelivered batch no-op") {
+    // The deployed daily topology stops and restarts between days — the
+    // stream must resume from its checkpoint without re-applying day 1, and
+    // a micro-batch REDELIVERED after a crash-before-checkpoint must be a
+    // no-op against the state tables (AtomicTable.commitBatch's manifest-id
+    // skip). Shape: run the AvailableNow cycle with only day 1 present, prove
+    // a forced redelivery of its batch id does not even evaluate its frame,
+    // then drop day 2's file and restart on the SAME checkpoint — the resumed
+    // run processes day 2 alone and the final state is row-identical to the
+    // all-batch dataflow.
+    import org.apache.spark.sql.functions._
+    import graft.sinks.{AtomicTable, MergeSink, SinkQueries}
+    val sf = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graftrestart").toString
+    val (feedDir, stateRoot, snapRoot) = (s"$tmp/feed", s"$tmp/state", s"$tmp/snaps")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
+
+    val (state0, snap0) = SinkQueries.pipeVolBase(spark, sf)
+    AtomicTable.commit(state0, stateRoot)
+    AtomicTable.commit(snap0, snapRoot)
+
+    val nullStr = lit(null).cast("string")
+    val nullTs = lit(null).cast("timestamp")
+    val dayChangesets = SinkQueries.pipeVolDays(spark, sf)
+    def writeDayFile(i: Int): Unit = {
+      val (day, pois, snaps) = dayChangesets(i)
+      val p = pois.select(lit(day).as("day"), lit("poi").as("kind"),
+        col("google_place_id"), col("name"), col("rating"),
+        col("reviews_count").cast("long").as("reviews_count"), col("updated_at"),
+        nullStr.as("poi_id"), nullStr.as("source_id"),
+        lit(null).cast("double").as("rating_value"),
+        lit(null).cast("long").as("rc_snap"), nullTs.as("captured_at"))
+      val s = snaps.select(lit(day).as("day"), lit("snap").as("kind"),
+        nullStr.as("google_place_id"), nullStr.as("name"),
+        lit(null).cast("double").as("rating"),
+        lit(null).cast("long").as("reviews_count"), nullTs.as("updated_at"),
+        col("poi_id"), col("source_id"), col("rating_value"),
+        col("reviews_count").cast("long").as("rc_snap"), col("captured_at"))
+      val staging = s"$tmp/stage$i"
+      p.unionByName(s).coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = java.nio.file.Paths.get(feedDir, f"day$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+
+    val daysSeen = scala.collection.mutable.ArrayBuffer[String]()
+    def runCycle(feedSchema: org.apache.spark.sql.types.StructType): Unit = {
+      val q = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val day = b.select("day").distinct().collect().map(_.getString(0)).head
+          daysSeen += day
+          val pois = b.filter(col("kind") === "poi")
+            .select(col("google_place_id"), col("name"), col("rating"),
+              col("reviews_count"), col("updated_at"))
+            .withColumn("first_ingested_at", nullTs)
+            .withColumn("last_scored_at", nullTs)
+          AtomicTable.commitBatch(
+            MergeSink.upsert(AtomicTable.read(spark, stateRoot), pois,
+              "google_place_id", SinkQueries.pipeVolUpdateCols, asOf = day),
+            stateRoot, bid)
+          val snapBatch = b.filter(col("kind") === "snap")
+            .select(col("poi_id"), col("source_id"), col("rating_value"),
+              col("rc_snap").as("reviews_count"), col("captured_at"))
+          AtomicTable.commitBatch({
+            val snaps = AtomicTable.read(spark, snapRoot)
+            snaps.unionByName(MergeSink.conditionalAppend(snaps, snapBatch))
+          }, snapRoot, bid)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // run 1: only day 1 exists
+    writeDayFile(0)
+    val feedSchema = spark.read.parquet(feedDir).schema
+    runCycle(feedSchema)
+    assert(daysSeen.toSeq == Seq(SinkQueries.Day1V), s"run 1 saw $daysSeen")
+    assert(AtomicTable.lastBatchId(stateRoot).contains(0L))
+    val stateVerAfterRun1 = AtomicTable.currentVersion(stateRoot)
+
+    // crash-before-checkpoint redelivery: batch id 0 re-offered with a frame
+    // that throws if evaluated — the manifest skip must fire without touching
+    // the data, proving commitBatch is lazy AND idempotent
+    val poisoned = spark.range(1)
+      .select(raise_error(lit("redelivered batch was evaluated")).as("boom"))
+    assert(!AtomicTable.commitBatch(poisoned, stateRoot, 0L))
+    assert(AtomicTable.currentVersion(stateRoot) == stateVerAfterRun1)
+
+    // run 2: day 2 lands, SAME checkpoint — resume must skip day 1's file
+    writeDayFile(1)
+    runCycle(feedSchema)
+    assert(daysSeen.toSeq == Seq(SinkQueries.Day1V, SinkQueries.Day2V),
+      s"resume re-processed or skipped a day: $daysSeen")
+    assert(AtomicTable.lastBatchId(stateRoot).contains(1L))
+
     val streamed = SinkQueries.rescoreSelection(
       AtomicTable.read(spark, stateRoot), AtomicTable.read(spark, snapRoot),
       SinkQueries.Day2V)
