@@ -181,7 +181,44 @@ object Joins {
         (unix_micros(col("ts")) - unix_micros(col("err_ts"))).as("lag_us"))
   }
 
+  /** Skewed large-table equi-join resolved by AQE's skew split — the OTHER
+    * half of the skew story next to the salted two-stage window
+    * (MentionDedup.windowDedupSkewSafe): windows need manual salting because
+    * AQE cannot split a window partition, but a skewed JOIN is exactly what
+    * OptimizeSkewedJoin handles, so the right engineering is to DECLARE the
+    * join and let the runtime re-plan split the hot partition.
+    *
+    * The planted skew mirrors the viral-domain shape (reference
+    * mention_scanner/dedup.py:47-96): ~40% of lineitem rows land on one join
+    * key (`l_orderkey % 10 < 4` → key 7, same arithmetic family as
+    * w3_mention_dedup_skew so DuckDB replays it). The merge hint forces the
+    * sort-merge path a 100 TB fact-to-fact join would take (at real scale
+    * neither side broadcasts); SkewJoinSpec lowers the AQE thresholds to
+    * sf-scale bytes and pins `isSkewJoin` on the executed join plus result
+    * parity with the unhinted plan. In production the same query needs no
+    * tuning: default thresholds fire on real partition sizes. */
+  /** The join kernel, parameterized by its fact input so SkewJoinSpec can
+    * feed a many-mapper shape (AQE splits a skewed reduce partition by
+    * mapper ranges — a single-row-group local file gives one data-bearing
+    * mapper, which is structurally unsplittable; a cluster scan has
+    * thousands). Hot key 7 carries ~40% of rows; the cold 60% spreads over
+    * ~600 residues so the hot SHUFFLE PARTITION dominates the median by the
+    * multiple the skew detector keys on (a handful of cold keys would
+    * flatten the per-partition distribution and hide the straggler). */
+  def skewJoinAgg(l: DataFrame, n: DataFrame): DataFrame = {
+    val skewed = l.withColumn("skewkey",
+      when(pmod(col("l_orderkey"), lit(10)) < 4, lit(7))
+        .otherwise(pmod(col("l_orderkey"), lit(1000))))
+    skewed.join(n.hint("merge"), col("skewkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+  }
+
+  def jSkewAqeJoin(spark: SparkSession, dir: String): DataFrame =
+    skewJoinAgg(Tables.lineitem(spark, dir), Tables.nation(spark, dir))
+
   val queries: Map[String, Relational.Q] = Map(
+    "j_skew_aqe_join" -> (jSkewAqeJoin _),
     "j_theta_price_vs_acctbal" -> (jThetaPriceVsAcctbal _),
     "j_range_quantity_size" -> (jRangeQuantitySize _),
     "j_contains_tokens" -> (jContainsTokens _),
@@ -191,6 +228,11 @@ object Joins {
     "j5_trigram_topk_vol" -> (j5TrigramTopkVol _))
 
   val oracles: Map[String, String] = Map(
+    "j_skew_aqe_join" ->
+      """SELECT n_name, count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN nation
+        |  ON (CASE WHEN l_orderkey % 10 < 4 THEN 7 ELSE l_orderkey % 1000 END) = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "j_theta_price_vs_acctbal" ->
       """SELECT c_nationkey, count(*) AS n_big_orders,
         |  round(sum(o_totalprice - c_acctbal), 4) AS sum_excess
