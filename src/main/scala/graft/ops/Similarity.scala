@@ -307,7 +307,133 @@ object Similarity {
         col("st").getItem(2).cast("long").as("sum_codes"),
         round(col("st").getItem(3), 6).as("max_abs_err"))
 
+  // --------------------------------------------------- Product quantization
+
+  val PqSubspaces = 8
+  val PqSubDim = 8 // embedding dim 64 / PqSubspaces
+  val PqCodes = 16 // centroids per subspace codebook
+  val PqIters = 2
+
+  /** Per-component exploded view keyed by (subspace, in-subspace dim):
+    * the shared input of codebook training, encoding, and the ADC table. */
+  private def pqEv(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("g", "x")))
+      .select(col("vec_id"),
+        (col("g") / PqSubDim).cast("int").as("sub"),
+        (col("g") % PqSubDim).as("dim"),
+        col("x").cast("double").as("v"),
+        round(col("x").cast("double") * QuantScale).cast("long").as("qv"))
+
+  private def pqCentDf(spark: SparkSession, model: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    broadcast(model.zipWithIndex.flatMap { case (cells, sub) =>
+      cells.zipWithIndex.flatMap { case (dims, cell) =>
+        dims.zipWithIndex.map { case (cv, dim) => (sub, cell, dim, cv) }
+      }
+    }.toSeq.toDF("sub", "cell", "dim", "cv"))
+  }
+
+  /** Squared-L2 assignment of every (vector, subspace) against the codebook:
+    * 6-dp rounded distance, cell tie-break — the deterministic contract that
+    * makes training and encoding replayable by the DuckDB oracle. */
+  private def pqAssign(ev: DataFrame, centDf: DataFrame): DataFrame = {
+    val d2 = ev.join(centDf, Seq("sub", "dim"))
+      .groupBy("vec_id", "sub", "cell")
+      .agg(round(sum((col("v") - col("cv")) * (col("v") - col("cv"))), 6).as("d2"))
+    // argmin via lexicographic struct-min — same (d2 asc, cell asc) contract
+    // as a row_number window but map-side combinable (no per-group sort)
+    d2.groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"))
+  }
+
+  /** Deterministic per-subspace Lloyd's training of the PQ codebooks —
+    * same replayability contract as [[kmeansCentroidArrays]] (seed = first
+    * PqCodes vectors' subvectors, 6-dp rounded squared-L2 assignment with
+    * cell tie-break, exact integer-quantized means, emptied cell keeps its
+    * previous centroid), run for all [[PqSubspaces]] codebooks in ONE
+    * dataflow per iteration. Only the ~4 KB model crosses to the driver. */
+  private[graft] def pqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
+    val spark = e.sparkSession
+    val ev = pqEv(e)
+    var model: Array[Array[Array[Double]]] =
+      Array.fill(PqSubspaces, PqCodes, PqSubDim)(0.0)
+    ev.filter(col("vec_id") < PqCodes).collect().foreach { r =>
+      model(r.getInt(1))(r.getLong(0).toInt)(r.getInt(2)) = r.getDouble(3)
+    }
+    for (_ <- 1 to PqIters) {
+      val sums = pqAssign(ev, pqCentDf(spark, model))
+        .join(ev, Seq("vec_id", "sub"))
+        .groupBy("sub", "cell", "dim")
+        .agg(sum("qv").as("s"), count(lit(1)).as("c"))
+        .collect()
+      val next = model.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getAs[Long]("s").toDouble / (r.getAs[Long]("c") * QuantScale)
+      }
+      model = next
+    }
+    model
+  }
+
+  val PqShortlist = 50 // ADC candidates per query refined with exact dots
+
+  /** Product-quantized ANN: ADC shortlist + exact refine — the memory-scale
+    * end of the ladder after brute force → LSH → trained IVF, and the shape
+    * FAISS-style IVFADC deployments actually ship. Each vector is stored as
+    * [[PqSubspaces]] codebook codes (8×4 bits here vs 256 raw float bytes —
+    * the compression that lets a 100 TB corpus' index live in RAM), and the
+    * first pass scores a query against a vector WITHOUT touching the
+    * original floats: dot(q, x) ≈ Σ_sub table(q, sub, code_sub(x)), where
+    * the per-query lookup table is dot products of the query's subvectors
+    * against the codebooks. Quantization error caps shortlist-free recall
+    * (~0.25@5 on this corpus — pinned in TrainingOpsSpec), so the ADC pass
+    * keeps a [[PqShortlist]]-deep candidate set and only THOSE rows are
+    * re-scored with exact dots. Shapes at scale: the code table is the
+    * persisted artifact (4 bytes/vector), the per-query ADC table
+    * (PqSubspaces × PqCodes doubles) is broadcast, the first pass is one
+    * equi-join on (sub, code) + a per-query sum with the corpus never
+    * shuffling, and the refine touches `queries × PqShortlist` float
+    * vectors instead of the corpus. Training/encoding reuse the
+    * deterministic Lloyd's contract so the DuckDB oracle replays the whole
+    * pipeline, refine included. */
+  def simPqAdcTopk(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopkN(spark, dir, NumQueries)
+
+  private[graft] def pqAdcTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centDf = pqCentDf(spark, pqCodebooks(e))
+    val ev = pqEv(e)
+    val codes = pqAssign(ev, centDf).withColumnRenamed("vec_id", "n_id")
+    val tbl = ev.filter(col("vec_id") < nq)
+      .join(centDf, Seq("sub", "dim"))
+      .groupBy(col("vec_id").as("q_id"), col("sub"), col("cell"))
+      .agg(round(sum(col("v") * col("cv")), 6).as("dot"))
+    val adc = codes.join(broadcast(tbl), Seq("sub", "cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(round(sum("dot"), 6).as("adc"))
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)
+    val shortlist = adc.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= PqShortlist)
+      .select("q_id", "n_id")
+    // exact refine over the bounded shortlist (nq × PqShortlist rows — the
+    // only place original float vectors are read back; the interpreted HOF
+    // is fine at this row count)
+    val exactDot = expr(
+      "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+    val refined = shortlist
+      .join(broadcast(e.select(col("vec_id").as("q_id"), col("embedding").as("va"))), Seq("q_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("vb")), Seq("n_id"))
+      .withColumn("dot_r", round(exactDot, 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot_r").desc, col("n_id").asc)
+    refined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), col("dot_r"), col("rnk").cast("long").as("rnk"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "sim_pq_adc" -> (simPqAdcTopk _),
     "sim_int8_quantize" -> (simInt8Quantize _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
@@ -411,7 +537,66 @@ object Similarity {
          |FROM asg a JOIN sz s USING (cell_id)""".stripMargin
   }
 
+  /** One unrolled per-subspace Lloyd's iteration for the PQ oracle — the
+    * [[kmeansIterSql]] contract with a `sub` dimension threaded through
+    * (squared-L2 instead of cosine, per the PQ norm). */
+  private def pqIterSql(i: Int): String = {
+    val prev = s"pc${i - 1}"
+    s"""ps$i AS (SELECT e.vec_id, e.sub, c.cell,
+       |    round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+       |  FROM pev e JOIN $prev c ON e.sub = c.sub AND e.dim = c.dim GROUP BY 1, 2, 3),
+       |pa$i AS (SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cell ASC) AS rn
+       |    FROM ps$i) WHERE rn = 1),
+       |pm$i AS (SELECT a.sub, a.cell, e.dim,
+       |    CAST(sum(e.qv) AS DOUBLE) / (count(*) * 1000000.0) AS cv
+       |  FROM pa$i a JOIN pev e ON a.vec_id = e.vec_id AND a.sub = e.sub GROUP BY 1, 2, 3),
+       |pc$i AS (SELECT p.sub, p.cell, p.dim, coalesce(m.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN pm$i m ON p.sub = m.sub AND p.cell = m.cell AND p.dim = m.dim)""".stripMargin
+  }
+
+  private def pqAdcSql: String =
+    s"""WITH pev AS (
+       |  SELECT vec_id, CAST((g - 1) // $PqSubDim AS INT) AS sub,
+       |    CAST((g - 1) % $PqSubDim AS INT) AS dim,
+       |    CAST(embedding[g] AS DOUBLE) AS v,
+       |    CAST(round(CAST(embedding[g] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+       |  FROM embeddings, generate_series(1, 64) t(g)),
+       |pc0 AS (SELECT CAST(vec_id AS INT) AS cell, sub, dim, v AS cv
+       |  FROM pev WHERE vec_id < $PqCodes),
+       |""".stripMargin +
+      (1 to PqIters).map(pqIterSql).mkString(",\n") + ",\n" +
+      s"""psf AS (SELECT e.vec_id, e.sub, c.cell,
+         |    round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+         |  FROM pev e JOIN pc$PqIters c ON e.sub = c.sub AND e.dim = c.dim GROUP BY 1, 2, 3),
+         |paf AS (SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cell ASC) AS rn
+         |    FROM psf) WHERE rn = 1),
+         |ptbl AS (SELECT q.vec_id AS q_id, c.sub, c.cell,
+         |    round(sum(q.v * c.cv), 6) AS dot
+         |  FROM pev q JOIN pc$PqIters c ON q.sub = c.sub AND q.dim = c.dim
+         |  WHERE q.vec_id < $NumQueries GROUP BY 1, 2, 3),
+         |padc AS (SELECT t.q_id, a.vec_id AS n_id, round(sum(t.dot), 6) AS adc
+         |  FROM paf a JOIN ptbl t ON a.sub = t.sub AND a.cell = t.cell
+         |  WHERE a.vec_id != t.q_id GROUP BY 1, 2),
+         |pshort AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id ASC) AS srnk
+         |  FROM padc) WHERE srnk <= $PqShortlist),
+         |pex AS (SELECT s.q_id, s.n_id, round(sum(q.v * n.v), 6) AS dot_r
+         |  FROM pshort s
+         |  JOIN pev q ON q.vec_id = s.q_id
+         |  JOIN pev n ON n.vec_id = s.n_id AND n.sub = q.sub AND n.dim = q.dim
+         |  GROUP BY 1, 2)
+         |SELECT q_id, n_id, dot_r, rnk FROM (
+         |  SELECT q_id, n_id, dot_r,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot_r DESC, n_id ASC) AS rnk
+         |  FROM pex) WHERE rnk <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_pq_adc" -> pqAdcSql,
     "sim_int8_quantize" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM s),

