@@ -14,8 +14,28 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    shimNanosLong(load(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    shimNanosLong(load(spark, dir, "lineitem"), "l_shipdate")
+
+  /** Defensive variant of the [[events]] normalization for the other
+    * timestamp-bearing tables: `o_orderdate`/`l_shipdate` currently ship as
+    * TIMESTAMP_MICROS `isAdjustedToUTC=0` (read as TIMESTAMP_NTZ, which every
+    * consumer and the DuckDB oracle agree on under the UTC session), but the
+    * regen that flipped `events.ts` to INT64 TIMESTAMP(NANOS) in r9-r11 could
+    * do the same here — in which case `nanosAsLong` hands us a raw Long and
+    * every date function downstream fails analysis. Convert that one encoding
+    * back to a timestamp; leave the currently-green encodings untouched.
+    * TablesSpec pins all three tables' timestamp columns as timestamp-family
+    * so a new physical encoding fails loudly at the canary, not mid-query. */
+  private def shimNanosLong(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$c div 1000")))
+      case _ => df
+    }
   /** `events.ts` has shipped under three physical parquet encodings across
     * testdata regenerations; normalize all of them to `TimestampType` so every
     * downstream operator sees one stable type:

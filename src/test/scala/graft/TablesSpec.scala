@@ -76,4 +76,34 @@ class TablesSpec extends AnyFunSuite {
     val dt = Tables.events(spark, tmp.getAbsolutePath).schema("ts").dataType
     assert(dt == TimestampType)
   }
+
+  test("canary: every driver timestamp column surfaces as a timestamp family type") {
+    // o_orderdate / l_shipdate ship as TIMESTAMP_NTZ today and every
+    // consumer (and the DuckDB oracle) agrees on that under the UTC session;
+    // what must NEVER happen silently is a regen flipping them to an
+    // encoding that surfaces as a raw Long (the events.ts r11 failure mode —
+    // Tables shims that case back to a timestamp). This fails loudly on any
+    // NEW physical encoding instead of letting date functions break mid-query.
+    val dir = "/root/testdata/sf0.001"
+    val cols = Seq(
+      Tables.events(spark, dir).schema("ts").dataType,
+      Tables.orders(spark, dir).schema("o_orderdate").dataType,
+      Tables.lineitem(spark, dir).schema("l_shipdate").dataType)
+    cols.foreach { dt =>
+      assert(dt == TimestampType || dt == TimestampNTZType,
+        s"timestamp column surfaced as $dt — new physical encoding in testdata?")
+    }
+  }
+
+  test("orders/lineitem nanos-Long shim converts without drifting the instant") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-orders-tbl").toFile
+    tmp.deleteOnExit()
+    val micros = 1721995200000000L
+    Seq((1L, micros * 1000L)).toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"${tmp.getAbsolutePath}/orders.parquet")
+    val o = Tables.orders(spark, tmp.getAbsolutePath)
+    assert(o.schema("o_orderdate").dataType == TimestampType)
+    assert(o.select(unix_micros(col("o_orderdate"))).as[Long].head() == micros)
+  }
 }
