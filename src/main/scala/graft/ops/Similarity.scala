@@ -376,7 +376,7 @@ object Similarity {
     model
   }
 
-  val PqShortlist = 50 // ADC candidates per query refined with exact dots
+  val PqShortlist = 100 // ADC candidates per query refined with exact dots
 
   /** Product-quantized ANN: ADC shortlist + exact refine — the memory-scale
     * end of the ladder after brute force → LSH → trained IVF, and the shape

@@ -123,7 +123,7 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(adc).size.toDouble / exact.size
     // shortlist-free ADC recall is ~0.25 on this corpus (8x8 codebooks are
-    // a 64x compression); the exact refine over the 50-deep shortlist is
+    // a 64x compression); the exact refine over the 100-deep shortlist is
     // what buys the rest — the production IVFADC+refine shape
     assert(recall >= 0.7, s"PQ ADC+refine recall@5 too low: $recall")
     // structural invariants: every vector encodes to one code per subspace,
