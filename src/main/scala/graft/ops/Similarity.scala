@@ -423,7 +423,8 @@ object Similarity {
     val exactDot = expr(
       "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
     val refined = shortlist
-      .join(broadcast(e.select(col("vec_id").as("q_id"), col("embedding").as("va"))), Seq("q_id"))
+      .join(broadcast(e.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("va"))), Seq("q_id"))
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("vb")), Seq("n_id"))
       .withColumn("dot_r", round(exactDot, 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot_r").desc, col("n_id").asc)

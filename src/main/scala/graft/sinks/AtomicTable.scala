@@ -38,15 +38,23 @@ object AtomicTable {
   private def manifestPath(root: String): Path = Paths.get(root, Manifest)
 
   /** Manifest contents: line 1 is the live version, optional line 2 is
-    * `batch <id>` — the streaming micro-batch that produced it (see
-    * [[commitBatch]]). Legacy single-line manifests parse as (version, None). */
-  private def readManifest(root: String): Option[(String, Option[Long])] = {
+    * `batch <id> <appId>` — the streaming micro-batch (and the query
+    * identity, Delta-txn style) whose data the table has absorbed (see
+    * [[commitBatch]]). Legacy single-line manifests parse as (version, None);
+    * legacy two-line `batch <id>` manifests parse with an empty appId. */
+  private def readManifest(root: String): Option[(String, Option[(String, Long)])] = {
     val m = manifestPath(root)
     if (!Files.exists(m)) None
     else {
       val lines = Files.readString(m).split('\n').map(_.trim).filter(_.nonEmpty)
+      if (lines.isEmpty)
+        throw new IllegalStateException(
+          s"corrupt manifest at $root: $Manifest exists but is empty")
       val batch = lines.collectFirst {
-        case l if l.startsWith("batch ") => l.drop(6).trim.toLong
+        case l if l.startsWith("batch ") =>
+          val parts = l.drop(6).trim.split(" ", 2)
+          val app = if (parts.length > 1) parts(1).trim else ""
+          (app, parts(0).toLong)
       }
       Some((lines.head, batch))
     }
@@ -55,9 +63,14 @@ object AtomicTable {
   /** The live version directory name, if the table has ever been committed. */
   def currentVersion(root: String): Option[String] = readManifest(root).map(_._1)
 
-  /** The streaming micro-batch id that produced the live version, if the last
-    * commit came through [[commitBatch]]. */
-  def lastBatchId(root: String): Option[Long] = readManifest(root).flatMap(_._2)
+  /** The (appId, micro-batch id) whose data the table has absorbed, if any
+    * commit in its history came through [[commitBatch]] — plain [[commit]]s
+    * carry the tag forward rather than erasing it. */
+  def lastBatch(root: String): Option[(String, Long)] =
+    readManifest(root).flatMap(_._2)
+
+  /** The absorbed micro-batch id regardless of query identity. */
+  def lastBatchId(root: String): Option[Long] = lastBatch(root).map(_._2)
 
   /** Stage version data WITHOUT publishing it — readers still resolve the old
     * version. Exposed separately so SinkSpec can interleave a reader between
@@ -68,12 +81,17 @@ object AtomicTable {
     next
   }
 
-  /** Atomically flip `_CURRENT` to `version`, then prune stale versions. */
-  def publish(root: String, version: String): Unit = publish(root, version, None)
+  /** Atomically flip `_CURRENT` to `version`, then prune stale versions.
+    * Carries the absorbed-batch tag forward: a maintenance [[commit]]
+    * between two streaming batches must not erase the redelivery guard. */
+  def publish(root: String, version: String): Unit =
+    publish(root, version, lastBatch(root))
 
-  private def publish(root: String, version: String, batchId: Option[Long]): Unit = {
+  private def publish(root: String, version: String, batch: Option[(String, Long)]): Unit = {
     val tmp = Paths.get(root, s".$Manifest.tmp")
-    val body = version + batchId.map(b => s"\nbatch $b").getOrElse("")
+    val body = version +
+      batch.map { case (app, b) => s"\nbatch $b${if (app.isEmpty) "" else s" $app"}" }
+        .getOrElse("")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -87,26 +105,31 @@ object AtomicTable {
     v
   }
 
-  /** Idempotent commit for Structured Streaming `foreachBatch`: records the
-    * micro-batch id in the manifest and SKIPS a batch the table has already
-    * absorbed. `foreachBatch` is at-least-once — a crash after this commit
-    * but before the engine checkpoints the offsets redelivers the same
-    * batchId on restart — so without this, exactly-once would rest on every
-    * merge kernel being accidentally idempotent. `df` is only evaluated when
-    * the batch is new (the check is manifest-only), and with several tables
-    * committed in one foreachBatch, each table tracks its own id: a crash
-    * between two commits replays the batch, the already-committed table
-    * skips, the other applies — converging without double-apply.
+  /** Idempotent commit for Structured Streaming `foreachBatch`: records
+    * (appId, micro-batch id) in the manifest and SKIPS a batch the table has
+    * already absorbed. `foreachBatch` is at-least-once — a crash after this
+    * commit but before the engine checkpoints the offsets redelivers the
+    * same batchId on restart — so without this, exactly-once would rest on
+    * every merge kernel being accidentally idempotent. `df` is only
+    * evaluated when the batch is new (the check is manifest-only), and with
+    * several tables committed in one foreachBatch, each table tracks its own
+    * id: a crash between two commits replays the batch, the
+    * already-committed table skips, the other applies — converging without
+    * double-apply.
     *
-    * Batch ids must be monotone per query (Spark's contract); `<=` makes
-    * redelivery of any already-seen id a no-op.
+    * `appId` is the query identity (Delta's txnAppId pattern): pass one
+    * stable name per (stream, checkpoint). Batch ids are monotone per query
+    * (Spark's contract), so `<=` under the SAME appId is a redelivery — but
+    * a stream restarted on a FRESH checkpoint restarts its ids at 0, and
+    * only the appId mismatch lets its early batches through instead of
+    * silently dropping new data.
     *
     * @return true if the commit applied, false if the batch was redelivered */
-  def commitBatch(df: => DataFrame, root: String, batchId: Long): Boolean = {
-    if (lastBatchId(root).exists(batchId <= _)) false
+  def commitBatch(df: => DataFrame, root: String, appId: String, batchId: Long): Boolean = {
+    if (lastBatch(root).exists { case (app, b) => app == appId && batchId <= b }) false
     else {
       val v = stage(df, root)
-      publish(root, v, Some(batchId))
+      publish(root, v, Some((appId, batchId)))
       true
     }
   }

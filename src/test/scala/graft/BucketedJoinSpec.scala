@@ -19,17 +19,7 @@ class BucketedJoinSpec extends AnyFunSuite {
   test("bucketed join plans with zero exchanges below the sort-merge join") {
     val df = graft.sources.BucketedTables.bucketedJoin(spark, sf)
     df.collect() // finalize the adaptive plan before inspecting it
-    // AQE hides materialized stages behind QueryStageExec (leaf to collect);
-    // flatten through stage boundaries so the join inside a shuffle stage is
-    // actually visible to the assertions
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children.flatMap(flatten) ++ (p match {
-        case q: QueryStageExec => flatten(q.plan)
-        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case _ => Nil
-      }))
+    import PlanTestUtils.flatten
     val nodes = flatten(df.queryExecution.executedPlan)
     val smjs = nodes.collect { case j: SortMergeJoinExec => j }
     assert(smjs.nonEmpty,

@@ -124,17 +124,29 @@ class SinkSpec extends AnyFunSuite {
     AtomicTable.commit(Seq(("a", 1)).toDF("k", "ver"), root)
     assert(AtomicTable.lastBatchId(root).isEmpty)
     // first streaming batch applies and records its id
-    assert(AtomicTable.commitBatch(Seq(("a", 2)).toDF("k", "ver"), root, 0L))
-    assert(AtomicTable.lastBatchId(root).contains(0L))
+    assert(AtomicTable.commitBatch(Seq(("a", 2)).toDF("k", "ver"), root, "app1", 0L))
+    assert(AtomicTable.lastBatch(root).contains(("app1", 0L)))
     // same id redelivered (crash-before-checkpoint): skipped, never evaluated
     assert(!AtomicTable.commitBatch(
       spark.range(1).select(org.apache.spark.sql.functions.raise_error(
-        org.apache.spark.sql.functions.lit("evaluated")).as("boom")), root, 0L))
+        org.apache.spark.sql.functions.lit("evaluated")).as("boom")), root, "app1", 0L))
     assert(AtomicTable.read(spark, root).collect().map(_.getInt(1)).toSeq == Seq(2))
     // a later id applies; a STALE id after it is also a no-op (<= semantics)
-    assert(AtomicTable.commitBatch(Seq(("a", 3)).toDF("k", "ver"), root, 1L))
-    assert(!AtomicTable.commitBatch(Seq(("a", 99)).toDF("k", "ver"), root, 0L))
+    assert(AtomicTable.commitBatch(Seq(("a", 3)).toDF("k", "ver"), root, "app1", 1L))
+    assert(!AtomicTable.commitBatch(Seq(("a", 99)).toDF("k", "ver"), root, "app1", 0L))
     assert(AtomicTable.read(spark, root).collect().map(_.getInt(1)).toSeq == Seq(3))
+    // a plain maintenance commit between batches CARRIES the tag forward, so
+    // a redelivery arriving after it is still a no-op
+    AtomicTable.commit(Seq(("a", 4)).toDF("k", "ver"), root)
+    assert(AtomicTable.lastBatch(root).contains(("app1", 1L)),
+      "plain commit erased the absorbed-batch tag")
+    assert(!AtomicTable.commitBatch(Seq(("a", 99)).toDF("k", "ver"), root, "app1", 1L))
+    assert(AtomicTable.read(spark, root).collect().map(_.getInt(1)).toSeq == Seq(4))
+    // a DIFFERENT query identity restarting its ids at 0 (fresh checkpoint)
+    // is new data, not a redelivery — it must apply
+    assert(AtomicTable.commitBatch(Seq(("a", 5)).toDF("k", "ver"), root, "app2", 0L))
+    assert(AtomicTable.lastBatch(root).contains(("app2", 0L)))
+    assert(AtomicTable.read(spark, root).collect().map(_.getInt(1)).toSeq == Seq(5))
   }
 
   test("atomic commit: every read during a commit storm is one complete version") {

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -19,13 +17,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class SkewJoinSpec extends AnyFunSuite {
   private lazy val spark = Sessions.local(4)
   private val sf = "/root/testdata/sf0.01"
-
-  private def flatten(p: SparkPlan): Seq[SparkPlan] =
-    p +: (p.children.flatMap(flatten) ++ (p match {
-      case q: QueryStageExec => flatten(q.plan)
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case _ => Nil
-    }))
 
   test("AQE splits the planted hot partition: executed join has isSkewJoin") {
     spark // force parent init first so the child inherits a live context
@@ -52,7 +43,7 @@ class SkewJoinSpec extends AnyFunSuite {
       Tables.lineitem(child, sfPlan).repartition(16),
       Tables.nation(child, sfPlan))
     df.collect() // finalize the adaptive plan
-    val smjs = flatten(df.queryExecution.executedPlan)
+    val smjs = PlanTestUtils.flatten(df.queryExecution.executedPlan)
       .collect { case j: SortMergeJoinExec => j }
     assert(smjs.nonEmpty, s"no sort-merge join:\n${df.queryExecution.executedPlan}")
     assert(smjs.exists(_.isSkewJoin),

@@ -450,6 +450,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Stage day `i`'s changeset (poi batch + snapshot batch, kind-tagged and
+    * null-padded to one schema) as a single feed file whose mtime drives
+    * FileStreamSource order — shared by the composed-parity and restart
+    * tests so the fixture cannot drift between them. */
+  private def writePipeDayFile(tmp: String, feedDir: String,
+      dayChangesets: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)],
+      i: Int): Unit = {
+    val nullStr = lit(null).cast("string")
+    val nullTs = lit(null).cast("timestamp")
+    val (day, pois, snaps) = dayChangesets(i)
+    val p = pois.select(lit(day).as("day"), lit("poi").as("kind"),
+      col("google_place_id"), col("name"), col("rating"),
+      col("reviews_count").cast("long").as("reviews_count"), col("updated_at"),
+      nullStr.as("poi_id"), nullStr.as("source_id"),
+      lit(null).cast("double").as("rating_value"),
+      lit(null).cast("long").as("rc_snap"), nullTs.as("captured_at"))
+    val s = snaps.select(lit(day).as("day"), lit("snap").as("kind"),
+      nullStr.as("google_place_id"), nullStr.as("name"),
+      lit(null).cast("double").as("rating"),
+      lit(null).cast("long").as("reviews_count"), nullTs.as("updated_at"),
+      col("poi_id"), col("source_id"), col("rating_value"),
+      col("reviews_count").cast("long").as("rc_snap"), col("captured_at"))
+    val staging = s"$tmp/stage$i"
+    p.unionByName(s).coalesce(1).write.parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    val dest = java.nio.file.Paths.get(feedDir, f"day$i%02d.parquet")
+    java.nio.file.Files.move(part, dest)
+    // mtime drives FileStreamSource order — make it strictly increasing
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+  }
+
   test("volume: composed AvailableNow cycle == batch pipe_incremental_vol") {
     // VERDICT r11 item 5: the stages are individually stream-proven, but the
     // COMPOSED cycle (day batches -> merge -> snapshot suppression -> rescore
@@ -474,31 +507,9 @@ class StreamingSpec extends AnyFunSuite {
     AtomicTable.commit(snap0, snapRoot)
 
     // one unified changeset file per day (poi batch + snapshot batch, tagged)
-    val nullStr = lit(null).cast("string")
     val nullTs = lit(null).cast("timestamp")
-    SinkQueries.pipeVolDays(spark, sf).zipWithIndex.foreach { case ((day, pois, snaps), i) =>
-      val p = pois.select(lit(day).as("day"), lit("poi").as("kind"),
-        col("google_place_id"), col("name"), col("rating"),
-        col("reviews_count").cast("long").as("reviews_count"), col("updated_at"),
-        nullStr.as("poi_id"), nullStr.as("source_id"),
-        lit(null).cast("double").as("rating_value"),
-        lit(null).cast("long").as("rc_snap"), nullTs.as("captured_at"))
-      val s = snaps.select(lit(day).as("day"), lit("snap").as("kind"),
-        nullStr.as("google_place_id"), nullStr.as("name"),
-        lit(null).cast("double").as("rating"),
-        lit(null).cast("long").as("reviews_count"), nullTs.as("updated_at"),
-        col("poi_id"), col("source_id"), col("rating_value"),
-        col("reviews_count").cast("long").as("rc_snap"), col("captured_at"))
-      val staging = s"$tmp/stage$i"
-      p.unionByName(s).coalesce(1).write.parquet(staging)
-      val part = new java.io.File(staging).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      val dest = java.nio.file.Paths.get(feedDir, f"day$i%02d.parquet")
-      java.nio.file.Files.move(part, dest)
-      // mtime drives FileStreamSource order — make it strictly increasing
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-    }
+    val dayChangesets = SinkQueries.pipeVolDays(spark, sf)
+    dayChangesets.indices.foreach(writePipeDayFile(tmp, feedDir, dayChangesets, _))
 
     val feedSchema = spark.read.parquet(feedDir).schema
     val daysSeen = scala.collection.mutable.ArrayBuffer[String]()
@@ -521,14 +532,14 @@ class StreamingSpec extends AnyFunSuite {
         assert(AtomicTable.commitBatch(
           MergeSink.upsert(AtomicTable.read(spark, stateRoot), pois,
             "google_place_id", SinkQueries.pipeVolUpdateCols, asOf = day),
-          stateRoot, bid), s"fresh batch $bid skipped as redelivered")
+          stateRoot, "pipe-cycle", bid), s"fresh batch $bid skipped as redelivered")
         val snapBatch = b.filter(col("kind") === "snap")
           .select(col("poi_id"), col("source_id"), col("rating_value"),
             col("rc_snap").as("reviews_count"), col("captured_at"))
         assert(AtomicTable.commitBatch({
           val snaps = AtomicTable.read(spark, snapRoot)
           snaps.unionByName(MergeSink.conditionalAppend(snaps, snapBatch))
-        }, snapRoot, bid), s"fresh batch $bid skipped as redelivered")
+        }, snapRoot, "pipe-cycle", bid), s"fresh batch $bid skipped as redelivered")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -575,32 +586,9 @@ class StreamingSpec extends AnyFunSuite {
     AtomicTable.commit(state0, stateRoot)
     AtomicTable.commit(snap0, snapRoot)
 
-    val nullStr = lit(null).cast("string")
     val nullTs = lit(null).cast("timestamp")
     val dayChangesets = SinkQueries.pipeVolDays(spark, sf)
-    def writeDayFile(i: Int): Unit = {
-      val (day, pois, snaps) = dayChangesets(i)
-      val p = pois.select(lit(day).as("day"), lit("poi").as("kind"),
-        col("google_place_id"), col("name"), col("rating"),
-        col("reviews_count").cast("long").as("reviews_count"), col("updated_at"),
-        nullStr.as("poi_id"), nullStr.as("source_id"),
-        lit(null).cast("double").as("rating_value"),
-        lit(null).cast("long").as("rc_snap"), nullTs.as("captured_at"))
-      val s = snaps.select(lit(day).as("day"), lit("snap").as("kind"),
-        nullStr.as("google_place_id"), nullStr.as("name"),
-        lit(null).cast("double").as("rating"),
-        lit(null).cast("long").as("reviews_count"), nullTs.as("updated_at"),
-        col("poi_id"), col("source_id"), col("rating_value"),
-        col("reviews_count").cast("long").as("rc_snap"), col("captured_at"))
-      val staging = s"$tmp/stage$i"
-      p.unionByName(s).coalesce(1).write.parquet(staging)
-      val part = new java.io.File(staging).listFiles()
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      val dest = java.nio.file.Paths.get(feedDir, f"day$i%02d.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-    }
+    def writeDayFile(i: Int): Unit = writePipeDayFile(tmp, feedDir, dayChangesets, i)
 
     val daysSeen = scala.collection.mutable.ArrayBuffer[String]()
     def runCycle(feedSchema: org.apache.spark.sql.types.StructType): Unit = {
@@ -618,14 +606,14 @@ class StreamingSpec extends AnyFunSuite {
           AtomicTable.commitBatch(
             MergeSink.upsert(AtomicTable.read(spark, stateRoot), pois,
               "google_place_id", SinkQueries.pipeVolUpdateCols, asOf = day),
-            stateRoot, bid)
+            stateRoot, "pipe-restart", bid)
           val snapBatch = b.filter(col("kind") === "snap")
             .select(col("poi_id"), col("source_id"), col("rating_value"),
               col("rc_snap").as("reviews_count"), col("captured_at"))
           AtomicTable.commitBatch({
             val snaps = AtomicTable.read(spark, snapRoot)
             snaps.unionByName(MergeSink.conditionalAppend(snaps, snapBatch))
-          }, snapRoot, bid)
+          }, snapRoot, "pipe-restart", bid)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -647,7 +635,7 @@ class StreamingSpec extends AnyFunSuite {
     // the data, proving commitBatch is lazy AND idempotent
     val poisoned = spark.range(1)
       .select(raise_error(lit("redelivered batch was evaluated")).as("boom"))
-    assert(!AtomicTable.commitBatch(poisoned, stateRoot, 0L))
+    assert(!AtomicTable.commitBatch(poisoned, stateRoot, "pipe-restart", 0L))
     assert(AtomicTable.currentVersion(stateRoot) == stateVerAfterRun1)
 
     // run 2: day 2 lands, SAME checkpoint — resume must skip day 1's file

@@ -83,6 +83,13 @@ def load_round(path):
         full = os.path.join(os.path.dirname(path) or ".",
                             f"bench_full_r{m.group(1)}.json")
         if os.path.exists(full):
+            # a stale archive silently substituting for a re-captured driver
+            # artifact would hide (or invent) regressions — warn loudly
+            if os.path.getmtime(full) < os.path.getmtime(path):
+                print(f"# WARNING: {os.path.basename(full)} is OLDER than "
+                      f"{os.path.basename(path)} — archived full artifact may be "
+                      "stale; re-archive bench_full.json from the same run",
+                      file=sys.stderr)
             path = full
     raw = open(path).read()
     info = {"queries_min": {}, "calib": [], "spread_p95": None,
