@@ -43,7 +43,13 @@ object Bench {
       spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // optional comma-separated allowlist for focused local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=sim_pq_adc,pipe_e2e_vol); full-suite
+    // artifacts are only written for unfiltered runs below
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     calibrate() // JIT the probe itself before the recorded samples
     named.foreach { case (_, fn) => once(fn) } // warmup pass, discarded
     // INTERLEAVED rounds (all queries once per round, n rounds): a transient
@@ -169,9 +175,11 @@ object Bench {
       s""""spread_max":${jnum(spreadMax)},"calib":$calibArr,""" +
       s""""box_loaded":$boxLoaded,"errors":$errors,"num_errors":${errCounts.sum},""" +
       s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

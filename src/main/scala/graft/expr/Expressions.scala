@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, QuinaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -161,6 +161,46 @@ object Expressions {
       defineCodeGen(ctx, ev, (v, f, n, k) => s"$vec.nearestCells($v, $f, $n, $k)")
     override protected def withNewChildrenInternal(a: Expression, b: Expression,
         c: Expression, d: Expression): Expression = copy(a, b, c, d)
+  }
+
+  /** PQ code assignment of a float vector against a LITERAL flattened
+    * codebook tensor (numSub × numCodes × subDim — the driver-side PQ
+    * model) — one codegen'd pass per row instead of a centroid-join
+    * expansion + two grouped shuffles. Same (6-dp-rounded squared-L2, cell
+    * ASC) contract as the dataflow it replaces. Returns array<int>. */
+  case class PqCells(first: Expression, second: Expression, third: Expression,
+      fourth: Expression) extends QuaternaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(v: Any, flat: Any, ns: Any, nc: Any): Any =
+      VecAlgo.pqCells(v.asInstanceOf[ArrayData], flat.asInstanceOf[ArrayData],
+        ns.asInstanceOf[Int], nc.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, f, n, k) => s"$vec.pqCells($v, $f, $n, $k)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression, d: Expression): Expression = copy(a, b, c, d)
+  }
+
+  /** Per-vector PQ training contribution rows (assignment + quantized
+    * components) — see [[VecAlgo.pqContrib]]; built to sit INSIDE a
+    * posexplode so the assignment runs once per vector. */
+  case class PqContrib(first: Expression, second: Expression, third: Expression,
+      fourth: Expression, fifth: Expression) extends QuinaryExpression {
+    override def children: Seq[Expression] = Seq(first, second, third, fourth, fifth)
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub", IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell", IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("dim", IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("qv", LongType, nullable = false))),
+        containsNull = false)
+    override protected def nullSafeEval(v: Any, flat: Any, ns: Any, nc: Any, qs: Any): Any =
+      VecAlgo.pqContrib(v.asInstanceOf[ArrayData], flat.asInstanceOf[ArrayData],
+        ns.asInstanceOf[Int], nc.asInstanceOf[Int], qs.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, f, n, k, q) =>
+        s"${ev.value} = $vec.pqContrib($v, $f, $n, $k, $q);")
+    override protected def withNewChildrenInternal(ch: IndexedSeq[Expression]): Expression =
+      copy(ch(0), ch(1), ch(2), ch(3), ch(4))
   }
 
   /** Ray-cast containment of (lng, lat) in a ring column (J1 hot filter;
@@ -351,6 +391,27 @@ object functions {
     import org.apache.spark.sql.types.{ArrayType => AT, DoubleType => DT, IntegerType => IT}
     val flat = Literal.create(centroids.flatten, AT(DT, containsNull = false))
     asCol(NearestCells(expr(vec), flat, Literal(centroids.length, IT), Literal(k, IT)))
+  }
+
+  /** PQ codes (one per subspace) of a float-vector column vs a driver-side
+    * codebook model — the tensor is flattened into a plan literal. */
+  def pq_cells(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType => AT, DoubleType => DT, IntegerType => IT}
+    val flat = Literal.create(codebooks.flatMap(_.flatten), AT(DT, containsNull = false))
+    asCol(PqCells(expr(vec), flat, Literal(codebooks.length, IT),
+      Literal(codebooks.head.length, IT)))
+  }
+
+  /** PQ training contribution rows of a float-vector column vs a driver-side
+    * codebook model (posexplode this — assignment runs once per vector). */
+  def pq_contrib(vec: Column, codebooks: Array[Array[Array[Double]]],
+      quantScale: Double): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType => AT, DoubleType => DT, IntegerType => IT}
+    val flat = Literal.create(codebooks.flatMap(_.flatten), AT(DT, containsNull = false))
+    asCol(PqContrib(expr(vec), flat, Literal(codebooks.length, IT),
+      Literal(codebooks.head.length, IT), Literal(quantScale, DT)))
   }
 
   def tag_match_score(tags: Column, req: Column, exc: Column, minConf: Column): Column =

@@ -280,6 +280,71 @@ object VecAlgo {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization code assignment of one float vector against a
+    * LITERAL flattened codebook tensor (`numSub × numCodes × subDim` doubles
+    * — the ~8 KB PQ model, shipped with the plan like [[nearestCells]]'
+    * centroid matrix): per subspace the argmin cell by 6-dp-ROUNDED squared
+    * L2, cell-ascending tie-break — exactly the deterministic contract of
+    * the join-expanded assignment it replaces (round(Σ(v-cv)², 6) per
+    * (vec, sub, cell), then lexicographic (d2, cell) min), so codes are
+    * identical and the DuckDB replay of train→encode→ADC is unchanged.
+    * Returns array<int> of length numSub. */
+  def pqCells(v: ArrayData, flat: ArrayData, numSub: Int, numCodes: Int): ArrayData = {
+    val subDim = flat.numElements() / (numSub * numCodes)
+    val out = new Array[Int](numSub)
+    var sub = 0
+    while (sub < numSub) {
+      var bestCell = 0
+      var bestD2 = Double.PositiveInfinity
+      var cell = 0
+      while (cell < numCodes) {
+        val off = (sub * numCodes + cell) * subDim
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = v.getFloat(sub * subDim + d).toDouble - flat.getDouble(off + d)
+          d2 += diff * diff
+          d += 1
+        }
+        val r = round6(d2)
+        if (r < bestD2) { bestD2 = r; bestCell = cell }
+        cell += 1
+      }
+      out(sub) = bestCell
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-vector PQ training contribution: one codegen'd pass computing the
+    * [[pqCells]] assignment AND flattening the vector into its 64 per-
+    * component rows `struct<sub, cell, dim, qv>` (qv = the 1e6-quantized
+    * component, the exact-integer mean contract). Built for
+    * `posexplode(pq_contrib(...))`: a generator INPUT is evaluated once per
+    * child row, which is what keeps the assignment from re-running per
+    * exploded row (a bare `select(pq_cells(...), posexplode(...))` collapses
+    * into a Project ABOVE the Generate — 64 assignment evaluations per
+    * vector). */
+  def pqContrib(v: ArrayData, flat: ArrayData, numSub: Int, numCodes: Int,
+      quantScale: Double): ArrayData = {
+    val cells = pqCells(v, flat, numSub, numCodes)
+    val n = v.numElements()
+    val subDim = n / numSub
+    val out = new Array[Any](n)
+    var g = 0
+    while (g < n) {
+      val sub = g / subDim
+      out(g) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](sub, cells.getInt(sub), g % subDim,
+          // Spark round(double) semantics (decimal HALF_UP), same as the
+          // round(x*scale).cast(long) dataflow it replaces
+          java.math.BigDecimal.valueOf(v.getFloat(g).toDouble * quantScale)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-vector affine int8 quantization summary in ONE pass:
     * [min, max, sum_of_codes, max_abs_reconstruction_error]. Codes are
     * floor((x-min)/scale + 0.5) with scale = (max-min)/255 — floor(+0.5)

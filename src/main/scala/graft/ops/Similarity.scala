@@ -333,38 +333,41 @@ object Similarity {
     }.toSeq.toDF("sub", "cell", "dim", "cv"))
   }
 
-  /** Squared-L2 assignment of every (vector, subspace) against the codebook:
-    * 6-dp rounded distance, cell tie-break — the deterministic contract that
-    * makes training and encoding replayable by the DuckDB oracle. */
-  private def pqAssign(ev: DataFrame, centDf: DataFrame): DataFrame = {
-    val d2 = ev.join(centDf, Seq("sub", "dim"))
-      .groupBy("vec_id", "sub", "cell")
-      .agg(round(sum((col("v") - col("cv")) * (col("v") - col("cv"))), 6).as("d2"))
-    // argmin via lexicographic struct-min — same (d2 asc, cell asc) contract
-    // as a row_number window but map-side combinable (no per-group sort)
-    d2.groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"))
-  }
-
   /** Deterministic per-subspace Lloyd's training of the PQ codebooks —
     * same replayability contract as [[kmeansCentroidArrays]] (seed = first
     * PqCodes vectors' subvectors, 6-dp rounded squared-L2 assignment with
     * cell tie-break, exact integer-quantized means, emptied cell keeps its
     * previous centroid), run for all [[PqSubspaces]] codebooks in ONE
-    * dataflow per iteration. Only the ~4 KB model crosses to the driver. */
+    * dataflow per iteration. Executed MLlib-style like the k-means trainer:
+    * assignment is the codegen'd [[graft.expr.Expressions.PqCells]]
+    * projection against the driver-side model (no centroid-join expansion,
+    * no per-(vec, sub) argmin shuffle — the corpus never shuffles to
+    * assign), and each iteration reduces by ONE map-side-combinable
+    * groupBy(sub, cell, dim) integer sum — ≤ 1024 rows per partition on the
+    * wire. Only the ~8 KB model crosses to the driver. */
   private[graft] def pqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
-    val spark = e.sparkSession
-    val ev = pqEv(e)
+    import graft.expr.{functions => F}
     var model: Array[Array[Array[Double]]] =
       Array.fill(PqSubspaces, PqCodes, PqSubDim)(0.0)
-    ev.filter(col("vec_id") < PqCodes).collect().foreach { r =>
-      model(r.getInt(1))(r.getLong(0).toInt)(r.getInt(2)) = r.getDouble(3)
-    }
+    e.filter(col("vec_id") < PqCodes).select(col("vec_id"), col("embedding"))
+      .collect().foreach { r =>
+        val cell = r.getLong(0).toInt
+        val emb = r.getAs[collection.Seq[Float]](1)
+        var g = 0
+        while (g < PqSubspaces * PqSubDim) {
+          model(g / PqSubDim)(cell)(g % PqSubDim) = emb(g).toDouble
+          g += 1
+        }
+      }
     for (_ <- 1 to PqIters) {
-      val sums = pqAssign(ev, pqCentDf(spark, model))
-        .join(ev, Seq("vec_id", "sub"))
-        .groupBy("sub", "cell", "dim")
-        .agg(sum("qv").as("s"), count(lit(1)).as("c"))
+      // the assignment lives INSIDE the generator input, so it runs once per
+      // vector — a bare select(pq_cells, posexplode) collapses into a
+      // Project above the Generate and re-assigns per exploded row (64×)
+      val sums = e.select(
+          explode(F.pq_contrib(col("embedding"), model, QuantScale)).as("ct"))
+        .groupBy(col("ct.sub").as("sub"), col("ct.cell").as("cell"),
+          col("ct.dim").as("dim"))
+        .agg(sum(col("ct.qv")).as("s"), count(lit(1)).as("c"))
         .collect()
       val next = model.map(_.map(_.clone()))
       sums.foreach { r =>
@@ -401,12 +404,15 @@ object Similarity {
     pqAdcTopkN(spark, dir, NumQueries)
 
   private[graft] def pqAdcTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
+    import graft.expr.{functions => F}
     val e = Tables.embeddings(spark, dir)
-    val centDf = pqCentDf(spark, pqCodebooks(e))
-    val ev = pqEv(e)
-    val codes = pqAssign(ev, centDf).withColumnRenamed("vec_id", "n_id")
-    val tbl = ev.filter(col("vec_id") < nq)
-      .join(centDf, Seq("sub", "dim"))
+    val model = pqCodebooks(e)
+    // encode: ONE codegen'd projection per vector (the 4-byte code artifact)
+    // — the corpus reaches the ADC join without a single shuffle
+    val codes = e.select(col("vec_id").as("n_id"),
+      posexplode(F.pq_cells(col("embedding"), model)).as(Seq("sub", "cell")))
+    val tbl = pqEv(e.filter(col("vec_id") < nq))
+      .join(pqCentDf(spark, model), Seq("sub", "dim"))
       .groupBy(col("vec_id").as("q_id"), col("sub"), col("cell"))
       .agg(round(sum(col("v") * col("cv")), 6).as("dot"))
     val adc = codes.join(broadcast(tbl), Seq("sub", "cell"))
