@@ -25,6 +25,7 @@ object SparkEntry {
     (ops.Scalars.queries, ops.Scalars.oracles),
     (ops.TextDedup.queries, ops.TextDedup.oracles),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracles),
+    (ops.CorpusOps.queries, ops.CorpusOps.oracles),
     (ops.Similarity.queries, ops.Similarity.oracles),
     (ops.Multimodal.queries, ops.Multimodal.oracles),
     (domain.Classify.queries, domain.Classify.oracles),

@@ -413,6 +413,28 @@ object TextAnalysis {
   private def markerSql(lang: String): String =
     markers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The [[tcChunk]] dataflow as DuckDB CTE text ending in
+    * `ch(doc_id, chunk_idx, n_tokens, chunk_hash)` — shared by the tc_chunk
+    * oracle and [[CorpusOps]]' span-dedup replay. */
+  private[ops] def chunkCtesSql: String = {
+    val lo = s"chunk_idx * $ChunkStride + 1"
+    val hi = s"chunk_idx * $ChunkStride + $ChunkSize"
+    s"""w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+       |b AS (
+       |  SELECT doc_id, words,
+       |    CASE WHEN len(words) > $ChunkSize
+       |      THEN CAST(floor((len(words) - ${ChunkSize - ChunkStride + 1}) / $ChunkStride.0) AS INT)
+       |      ELSE 0 END AS extra
+       |  FROM w),
+       |c AS (SELECT doc_id, words, unnest(generate_series(0, extra)) AS chunk_idx FROM b),
+       |ch AS (
+       |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |    CAST(len(words[$lo : $hi]) AS BIGINT) AS n_tokens,
+       |    md5(array_to_string(words[$lo : $hi], ' ')) AS chunk_hash
+       |  FROM c)""".stripMargin
+  }
+
   val oracles: Map[String, String] = {
     val langs = markers.keys.toSeq.sorted
     val scoreCols = langs.map(l =>
@@ -594,23 +616,7 @@ object TextAnalysis {
            |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
            |       ELSE '' END AS drop_reason
            |FROM reasons r LEFT JOIN nd ON nd.doc_id = r.doc_id""".stripMargin,
-      "tc_chunk" -> {
-        val lo = s"chunk_idx * $ChunkStride + 1"
-        val hi = s"chunk_idx * $ChunkStride + $ChunkSize"
-        s"""WITH w AS (
-           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
-           |b AS (
-           |  SELECT doc_id, words,
-           |    CASE WHEN len(words) > $ChunkSize
-           |      THEN CAST(floor((len(words) - ${ChunkSize - ChunkStride + 1}) / $ChunkStride.0) AS INT)
-           |      ELSE 0 END AS extra
-           |  FROM w),
-           |c AS (SELECT doc_id, words, unnest(generate_series(0, extra)) AS chunk_idx FROM b)
-           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-           |  CAST(len(words[$lo : $hi]) AS BIGINT) AS n_tokens,
-           |  md5(array_to_string(words[$lo : $hi], ' ')) AS chunk_hash
-           |FROM c""".stripMargin
-      },
+      "tc_chunk" -> s"WITH $chunkCtesSql\nSELECT * FROM ch",
       "tc_decontaminate" ->
         s"""WITH w AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),

@@ -172,6 +172,45 @@ object TextDedup {
   val NumHashes = 32
   val Bands = 8 // 8 bands x 4 rows
 
+  /** The (doc_id, band_key) banded relation of a document set: ONE codegen'd
+    * MinHash signature pass per document + band concat — the persistable LSH
+    * index rows. Stateless projection, so it runs unchanged on a STREAMING
+    * document source ([[graft.streaming.Streams.incrementalNeardupStream]]).
+    * Documents with no shingles produce no band rows (trivially new). */
+  private[graft] def minhashBandedOf(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), graft.expr.functions.minhash_sigs(col("text")).as("sigs"))
+      .filter(size(col("sigs")) > 0)
+    val rowsPerBand = NumHashes / Bands
+    val bandKeys = (0 until Bands).map { bnd =>
+      concat_ws(":", lit(bnd) +:
+        (0 until rowsPerBand).map(r => col("sigs").getItem(bnd * rowsPerBand + r)): _*)
+    }
+    sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+  }
+
+  /** INCREMENTAL near-dup gate — "is this document a near-dup of anything
+    * already ingested?", the admission check a continuously-fed corpus runs
+    * on every new crawl snapshot (ingestion order = doc_id here): a document
+    * duplicates iff it shares ≥ 1 LSH band with ANY earlier document, and
+    * `dup_of` reports the smallest such predecessor. Batch form of the
+    * streaming stateful dedup ([[graft.streaming.Streams
+    * .incrementalNeardupStream]] — StreamingSpec pins row parity between the
+    * two): at 100 TB the band state is exactly the persisted LSH index the
+    * banded join probes, so the incremental and full-rebuild paths share
+    * their index artifact. Candidate generation is the banded equi-join;
+    * the per-doc reduce is a map-side-combinable min. */
+  def ddIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val banded = minhashBandedOf(Tables.documents(spark, dir))
+    val owners = banded
+      .join(banded.select(col("doc_id").as("id_a"), col("band_key")), Seq("band_key"))
+      .filter(col("id_a") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("id_a")).as("dup_of"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(owners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("is_new"))
+  }
+
   /** MinHash+LSH near-dup pairs: shingle → 32-wide signature → 8 LSH bands →
     * band-bucket equi-join → exact shingle-Jaccard verification ≥ 0.2.
     * Candidate generation is the banded join (shuffle on band hash), never a
@@ -198,17 +237,8 @@ object TextDedup {
       .select(col("doc_id"),
         size(graft.expr.functions.word_shingles(col("text"))).cast("long").as("n_sh"))
 
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.expr.functions.minhash_sigs(col("text")).as("sigs"))
-      .filter(size(col("sigs")) > 0)
-
-    val rowsPerBand = NumHashes / Bands
-    val bandKeys = (0 until Bands).map { bnd =>
-      concat_ws(":", lit(bnd) +:
-        (0 until rowsPerBand).map(r => col("sigs").getItem(bnd * rowsPerBand + r)): _*)
-    }
     // slim banded relation: only (doc_id, band_key) flows through the self-join
-    val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    val banded = minhashBandedOf(Tables.documents(spark, dir))
     val a = banded.select(col("doc_id").as("id_a"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_key"))
     val pairIds = a.join(b, Seq("band_key"))
@@ -593,6 +623,7 @@ object TextDedup {
     "dd_jaccard_chars" -> (ddJaccardChars _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_incremental_neardup" -> (ddIncrementalNeardup _),
     "dd_simhash" -> (ddSimhash _),
     "dd_embed_cosine" -> (ddEmbedCosine _),
     "dd_ngram_jaccard_dfcap" -> (ddNgramJaccardDfcap _),
@@ -609,7 +640,10 @@ object TextDedup {
     * vectorized min-aggregates (the signature) → 8 band keys → band-bucket
     * self-join → exact shingle-Jaccard verification — the same dataflow the
     * Spark side runs, expressed over DuckDB lists. */
-  private def minhashLshSql: String = {
+  /** The MinHash signature → LSH band replay as CTE text ending in
+    * `banded(doc_id, band_key)` — shared by the pair oracle and the
+    * incremental-gate oracle. */
+  private def minhashBandedCtes: String = {
     val P = graft.expr.VecAlgo.MinHashP
     val mins = (0 until NumHashes).map { i =>
       s"min((${graft.expr.VecAlgo.mhA(i)}*h+${graft.expr.VecAlgo.mhB(i)})%$P) AS s$i"
@@ -619,7 +653,7 @@ object TextDedup {
       val cols = (0 until rowsPerBand).map(r => s"s${b * rowsPerBand + r}").mkString(", ")
       s"concat_ws(':', $b, $cols)"
     }.mkString(",\n      ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      range(len(string_split_regex(trim(text), '\\s+')) - 2),
@@ -634,7 +668,21 @@ object TextDedup {
        |    $mins
        |  FROM hr GROUP BY doc_id),
        |banded AS (SELECT doc_id, unnest([
-       |      $bands]) AS band_key FROM sig),
+       |      $bands]) AS band_key FROM sig)""".stripMargin
+  }
+
+  private def incrementalNeardupSql: String =
+    s"""WITH $minhashBandedCtes,
+       |own AS (
+       |  SELECT b.doc_id AS doc_id, min(a.doc_id) AS dup_of
+       |  FROM banded b JOIN banded a USING (band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY b.doc_id)
+       |SELECT d.doc_id, o.dup_of, o.dup_of IS NULL AS is_new
+       |FROM documents d LEFT JOIN own o USING (doc_id)""".stripMargin
+
+  private def minhashLshSql: String = {
+    s"""WITH $minhashBandedCtes,
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b USING (band_key) WHERE a.doc_id < b.doc_id),
        |jac AS (
@@ -691,6 +739,7 @@ object TextDedup {
 
   val oracles: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashLshSql,
+    "dd_incremental_neardup" -> incrementalNeardupSql,
     "dd_simhash" -> simhashSql,
     "dd_block_boilerplate" ->
       s"""WITH w AS (

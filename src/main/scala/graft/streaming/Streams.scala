@@ -57,6 +57,41 @@ object Streams {
       }
   }
 
+  /** INCREMENTAL corpus near-dup as a STATEFUL stream — the streaming form
+    * of [[graft.ops.TextDedup.ddIncrementalNeardup]] (StreamingSpec pins row
+    * parity): documents arrive in micro-batches, each computes its MinHash
+    * band keys with the same stateless banding projection the batch path
+    * uses, and per band key the state store carries the SMALLEST doc_id
+    * ever seen — the live form of the persisted LSH index. A document emits
+    * one row per band whose state holds a smaller predecessor; the per-doc
+    * `min(band_dup_of)` (done by the consumer — a streaming aggregation
+    * after flatMapGroupsWithState would need a second stateful stage) is
+    * then EXACTLY the batch `dup_of`, independent of micro-batch
+    * boundaries: the band min is order-insensitive, so any batching of an
+    * id-ordered feed converges to the same owners. State is one long per
+    * distinct band key — bounded by the corpus's band vocabulary, the same
+    * cardinality the batch join shuffles. */
+  def incrementalNeardupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.ops.TextDedup.minhashBandedOf(docs)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, events: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          val out = Vector.newBuilder[(Long, Long)]
+          events.map(_._1).toArray.sorted.foreach { id =>
+            if (mn < id) out += ((id, mn))
+            if (id < mn) mn = id
+          }
+          state.update(mn)
+          out.result().iterator
+      }.toDF("doc_id", "band_dup_of")
+  }
+
   /** J6 as a STREAM-STREAM interval join: mention events join feed entries
     * on the feed domain, with the entry published in the 3 days up to the
     * mention's capture time. Both sides are watermarked so Spark bounds the

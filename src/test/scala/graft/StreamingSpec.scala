@@ -677,4 +677,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(r => r.getLong(1) == 11L && r.getString(2) == "split"),
       "res-11 cells must park as saturated/scanned, never split")
   }
+
+  test("incremental near-dup stream == batch gate (row parity across batching)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.incrementalNeardupStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      // feed the id-ordered corpus in 4 uneven micro-batches: batch
+      // boundaries must not change the owners (band-min is order-insensitive)
+      Seq(docs.slice(0, 100), docs.slice(100, 130), docs.slice(130, 400),
+        docs.slice(400, docs.length)).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        "select doc_id, min(band_dup_of) as dup_of from neardup_out group by doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.TextDedup.ddIncrementalNeardup(spark, dir)
+        .filter(col("dup_of").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.nonEmpty, "fixture must contain banded near-dups")
+      assert(streamed == batch,
+        s"stream/batch owner mismatch: ${streamed.size} vs ${batch.size} flagged docs")
+    } finally q.stop()
+  }
 }
