@@ -45,7 +45,8 @@ object SparkEntry {
     (streaming.Streams.queries, streaming.Streams.oracles),
     (domain.Trending.queries, domain.Trending.oracles),
     (domain.Monitoring.queries, domain.Monitoring.oracles),
-    (ops.SerpCache.queries, ops.SerpCache.oracles))
+    (ops.SerpCache.queries, ops.SerpCache.oracles),
+    (ops.Temporal.queries, ops.Temporal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Temporal snapshot / interval operators over the event log — the warehouse
+  * moves a training-data pipeline needs around "what was true at time t":
+  * building SCD2 validity intervals from a change stream, point-in-time
+  * snapshots (the leakage-safe feature-lookup primitive), and a scale-safe
+  * interval-overlap join. Companions to the as-of join
+  * ([[Joins.jAsofEvents]]) — as-of answers "latest left row per right row",
+  * these answer "state history", "state at t", and "which intervals meet".
+  *
+  * Scale notes (100 TB north star): SCD2 is ONE shuffle on the entity key —
+  * the run-break window, the run aggregate, and the interval-chaining window
+  * all share the user_id partitioning, so Catalyst reuses the exchange. The
+  * snapshot is a map-side-combinable max(struct) aggregate, NOT a window —
+  * no per-key sort, partial aggregation thins every map task before the
+  * exchange. The overlap join never materializes non-candidate pairs: each
+  * interval explodes into the (bounded: interval_len/bucket + 1) time buckets
+  * it covers and pairs meet through a plain shuffle equi-join on the bucket —
+  * per-bucket density bounds the intermediate, a viral hour is an ordinary
+  * skewed shuffle partition that AQE's OptimizeSkewedJoin splits (pinned for
+  * this join family by SkewJoinSpec), and each pair is emitted EXACTLY once
+  * (in the bucket of its overlap start) so no distinct pass is needed.
+  */
+object Temporal {
+
+  /** Gap threshold splitting a user's event run into sessions (micros). */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+  /** Overlap-join time bucket width (micros): one hour. */
+  val BucketUs: Long = 3600L * 1000000
+  /** The snapshot instant for [[snPitSnapshot]] (mid-range of the 30-day log). */
+  val PitAsOf = "2024-01-15 12:00:00"
+
+  /** SCD2 (type-2 slowly-changing dimension) VALIDITY INTERVALS from the raw
+    * change log: per user, consecutive events with the same event_type are
+    * change-compressed into one run, and each run becomes a versioned
+    * interval [valid_from, valid_to) whose valid_to is the next run's start
+    * (NULL = current). The canonical "dimension history from a CDC stream"
+    * build: deterministic under the (ts, event_id) total order, one shuffle
+    * on user_id shared by both windows and the run aggregate. */
+  def snScd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w0 = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val brk = when(lag(col("event_type"), 1).over(w0).isNull ||
+      lag(col("event_type"), 1).over(w0) =!= col("event_type"), lit(1L)).otherwise(lit(0L))
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("version", sum(brk).over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"), // constant within a run
+        min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
+    runs.withColumn("vt", lead(col("vf"), 1).over(wv))
+      .select(col("user_id"), col("version"), col("state"),
+        unix_micros(col("vf")).as("valid_from_us"),
+        unix_micros(col("vt")).as("valid_to_us"),
+        col("n_events"), col("vt").isNull.as("is_current"))
+  }
+
+  /** POINT-IN-TIME SNAPSHOT — every user's state as of [[PitAsOf]], the
+    * leakage-safe feature-store lookup ("no information from after t"). NOT
+    * a window: the latest at-or-before row per key is a map-side-combinable
+    * `max(struct(ts, event_id, ...))` aggregate over the time-filtered scan,
+    * so partial aggregation collapses each map task to one row per user
+    * before the only shuffle, and the time filter is pushed to the scan. */
+  def snPitSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = lit(PitAsOf).cast("timestamp")
+    Tables.events(spark, dir)
+      .filter(col("ts") <= asOf)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("state"),
+        col("m.event_id").as("last_event_id"),
+        (unix_micros(asOf) - unix_micros(col("m.ts"))).as("staleness_us"))
+  }
+
+  /** Per-user gap sessions as intervals (shared by the overlap join and its
+    * parity spec): a new session starts after [[SessionGapUs]] of silence. */
+  def sessionIntervals(events: DataFrame): DataFrame = {
+    val w0 = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w0))
+    val brk = when(gap.isNull || gap > lit(SessionGapUs), lit(1L)).otherwise(lit(0L))
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("sid", sum(brk).over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+  }
+
+  /** INTERVAL-OVERLAP JOIN, bucketed: which pairs of users were active at
+    * the same moment (their gap-sessions overlap), aggregated per day. The
+    * naive form is a theta join (`a.e >= b.s AND b.e >= a.s`) — a
+    * BroadcastNestedLoop/cartesian at scale. Here every session explodes
+    * into the hour buckets it covers and candidates meet through a plain
+    * shuffle EQUI-join on the bucket; the exact overlap predicate runs as
+    * the join residual. Emit-once discipline: a pair qualifies only in the
+    * bucket containing its overlap start (`greatest(s,s')`), which lies in
+    * both sessions' bucket ranges — so no distinct over the pair relation.
+    * TemporalSpec pins result parity with the naive theta form and the
+    * absence of any nested-loop/cartesian operator in this plan. */
+  def jIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val iv = sessionIntervals(Tables.events(spark, dir))
+    val exploded = iv
+      .select(col("user_id"), unix_micros(col("s")).as("s_us"), unix_micros(col("e")).as("e_us"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"s_us div $BucketUs"), expr(s"e_us div $BucketUs"))))
+    val a = exploded.select(col("bucket").as("bk1"), col("user_id").as("u1"),
+      col("s_us").as("s1"), col("e_us").as("e1"))
+    val b = exploded.select(col("bucket").as("bk2"), col("user_id").as("u2"),
+      col("s_us").as("s2"), col("e_us").as("e2"))
+    a.join(b, col("bk1") === col("bk2"), "inner")
+      .filter(col("u1") < col("u2") &&
+        col("e1") >= col("s2") && col("e2") >= col("s1"))
+      .withColumn("ov_start", greatest(col("s1"), col("s2")))
+      .filter(expr(s"ov_start div $BucketUs") === col("bk1"))
+      .groupBy(from_unixtime(expr("ov_start div 1000000"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e1"), col("e2")) - col("ov_start")).as("overlap_us"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "sn_scd2_intervals" -> (snScd2Intervals _),
+    "sn_pit_snapshot" -> (snPitSnapshot _),
+    "j_interval_overlap" -> (jIntervalOverlap _))
+
+  /** Sessionization CTEs shared by the overlap oracle (DuckDB replay of
+    * [[sessionIntervals]]). */
+  private val sessionCtesSql: String =
+    s"""ord AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(CAST(ts AS TIMESTAMP))
+       |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM ord),
+       |iv AS (
+       |  SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+       |  FROM sess GROUP BY user_id, sid)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sn_scd2_intervals" ->
+      """WITH ord AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |runs0 AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                   ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM ord),
+        |runs AS (
+        |  SELECT user_id, version, min(event_type) AS state, min(ts) AS vf,
+        |    count(*) AS n_events
+        |  FROM runs0 GROUP BY user_id, version)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        |  epoch_us(CAST(vf AS TIMESTAMP)) AS valid_from_us,
+        |  epoch_us(CAST(lead(vf) OVER wv AS TIMESTAMP)) AS valid_to_us,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  lead(vf) OVER wv IS NULL AS is_current
+        |FROM runs
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)""".stripMargin,
+    "sn_pit_snapshot" ->
+      s"""WITH f AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE ts <= TIMESTAMP '$PitAsOf')
+         |SELECT user_id, event_type AS state, event_id AS last_event_id,
+         |  epoch_us(TIMESTAMP '$PitAsOf') - epoch_us(CAST(ts AS TIMESTAMP)) AS staleness_us
+         |FROM f WHERE rn = 1""".stripMargin,
+    "j_interval_overlap" ->
+      s"""WITH $sessionCtesSql
+         |SELECT strftime(CAST(greatest(a.s, b.s) AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(epoch_us(CAST(least(a.e, b.e) AS TIMESTAMP))
+         |    - epoch_us(CAST(greatest(a.s, b.s) AS TIMESTAMP))) AS BIGINT) AS overlap_us
+         |FROM iv a JOIN iv b
+         |  ON a.user_id < b.user_id AND a.e >= b.s AND b.e >= a.s
+         |GROUP BY 1""".stripMargin)
+}

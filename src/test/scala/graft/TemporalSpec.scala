@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Temporal
+
+/** Pins the temporal-operator invariants that the driver's value-hash compare
+  * cannot express:
+  *
+  *  - SCD2 intervals must TILE each user's history — contiguous (each
+  *    valid_to equals the next valid_from), versions dense from 1, exactly
+  *    one open (current) interval, and change-compressed (adjacent states
+  *    differ; a run never splits).
+  *  - The point-in-time snapshot must agree with the SCD2 interval that
+  *    CONTAINS the snapshot instant — two independent dataflows (max-struct
+  *    aggregate vs windowed interval build) over the same log.
+  *  - The bucketed interval-overlap join must be pair-for-pair identical to
+  *    the naive theta form AND plan with no nested-loop/cartesian operator —
+  *    the whole point of the bucket explode is that candidates meet through
+  *    a shuffle equi-join.
+  */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+  private val sf = "/root/testdata/sf0.01"
+
+  private val asOfUs: Long =
+    java.time.Instant.parse("2024-01-15T12:00:00Z").toEpochMilli * 1000L
+
+  test("SCD2 intervals tile each user's history") {
+    val rows = Temporal.snScd2Intervals(spark, sf)
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"), col("is_current"))
+      .collect() // sf0.01: ~10k intervals — test-side only
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    val nEvents = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"user $user: versions not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(4) && a.getLong(4) == b.getLong(3),
+            s"user $user: interval chain broken at version ${a.getLong(1)}")
+          assert(a.getString(2) != b.getString(2),
+            s"user $user: adjacent intervals share state — not change-compressed")
+        case _ =>
+      }
+      assert(sorted.count(_.isNullAt(4)) == 1 && sorted.last.isNullAt(4),
+        s"user $user: exactly the last interval must be open")
+      assert(sorted.map(_.getBoolean(6)).toSeq == sorted.map(_.isNullAt(4)).toSeq,
+        s"user $user: is_current must mirror the open interval")
+      assert(sorted.map(_.getLong(5)).sum == nEvents(user),
+        s"user $user: run event counts must partition the log")
+    }
+  }
+
+  test("PIT snapshot equals the SCD2 interval containing the instant") {
+    val fromIntervals = Temporal.snScd2Intervals(spark, sf)
+      .filter(col("valid_from_us") <= asOfUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > asOfUs))
+      .select(col("user_id"), col("state"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val snapshot = Temporal.snPitSnapshot(spark, sf)
+      .select(col("user_id"), col("state"), col("staleness_us"))
+      .collect()
+    assert(snapshot.nonEmpty)
+    assert(snapshot.map(r => r.getLong(0) -> r.getString(1)).toMap == fromIntervals,
+      "snapshot state disagrees with the containing SCD2 interval")
+    snapshot.foreach(r => assert(r.getLong(2) >= 0, "snapshot read the future"))
+  }
+
+  test("bucketed overlap join: parity with naive theta, no nested-loop in plan") {
+    val iv = Temporal.sessionIntervals(Tables.events(spark, sf))
+      .select(col("user_id"), unix_micros(col("s")).as("s_us"), unix_micros(col("e")).as("e_us"))
+    val a = iv.select(col("user_id").as("u1"), col("s_us").as("s1"), col("e_us").as("e1"))
+    val b = iv.select(col("user_id").as("u2"), col("s_us").as("s2"), col("e_us").as("e2"))
+    val naive = a.join(b, col("u1") < col("u2") &&
+        col("e1") >= col("s2") && col("e2") >= col("s1"))
+      .withColumn("ov_start", greatest(col("s1"), col("s2")))
+      .groupBy(from_unixtime(expr("ov_start div 1000000"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e1"), col("e2")) - col("ov_start")).as("overlap_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val bucketed = Temporal.jIntervalOverlap(spark, sf)
+    val got = bucketed.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.nonEmpty && got.toSeq == naive.toSeq,
+      "bucketed overlap join diverges from the theta-join semantics")
+    val ops = PlanTestUtils.flatten(bucketed.queryExecution.executedPlan)
+    assert(!ops.exists(p => p.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      p.isInstanceOf[CartesianProductExec]),
+      "bucketed overlap join must meet through an equi-join, not a nested loop")
+  }
+}
