@@ -46,7 +46,8 @@ object SparkEntry {
     (domain.Trending.queries, domain.Trending.oracles),
     (domain.Monitoring.queries, domain.Monitoring.oracles),
     (ops.SerpCache.queries, ops.SerpCache.oracles),
-    (ops.Temporal.queries, ops.Temporal.oracles))
+    (ops.Temporal.queries, ops.Temporal.oracles),
+    (sinks.ZorderLayout.queries, sinks.ZorderLayout.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -92,6 +92,48 @@ object Streams {
       }.toDF("doc_id", "band_dup_of")
   }
 
+  /** SCD2 interval maintenance as a STATEFUL STREAM — the CDC-log form of
+    * [[graft.ops.Temporal.snScd2Intervals]]: per entity, fold ordered change
+    * events against the open interval held in the state store; a state
+    * change CLOSES the open interval (emitted downstream — append mode, so
+    * sinks only ever see finalized intervals) and opens the next, which
+    * waits in state for the next change. Contract: per-key event-time order
+    * ACROSS micro-batches — the order a CDC log already delivers; within a
+    * micro-batch the group buffer is sorted, so intra-batch arrival order is
+    * free. Emitted rows are exactly the batch build's closed
+    * (valid_to != null) intervals — StreamingSpec pins that parity across
+    * uneven batch boundaries. State per key is one open interval — O(keys),
+    * not O(events). */
+  def scd2Stream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Long, Long), (Long, Long, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, evs: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, String, Long, Long)]) =>
+          // open interval: (version, state, valid_from_us, n_events)
+          var cur = state.getOption.orNull
+          val out = Vector.newBuilder[(Long, Long, String, Long, Long, Long)]
+          evs.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, tsUs, _, tpe) =>
+            cur match {
+              case null => cur = (1L, tpe, tsUs, 1L)
+              case (v, st, from, n) =>
+                if (st == tpe) cur = (v, st, from, n + 1)
+                else {
+                  out += ((user, v, st, from, tsUs, n))
+                  cur = (v + 1, tpe, tsUs, 1L)
+                }
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }.toDF("user_id", "version", "state", "valid_from_us", "valid_to_us", "n_events")
+  }
+
   /** J6 as a STREAM-STREAM interval join: mention events join feed entries
     * on the feed domain, with the entry published in the 3 days up to the
     * mention's capture time. Both sides are watermarked so Spark bounds the

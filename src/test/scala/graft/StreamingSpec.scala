@@ -678,6 +678,40 @@ class StreamingSpec extends AnyFunSuite {
       "res-11 cells must park as saturated/scanned, never split")
   }
 
+  test("streaming SCD2 closed intervals == batch build across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    // the CDC contract: per-key event-time order across batches — feed the
+    // log globally ts-ordered, cut at arbitrary uneven points
+    val evs = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect().sortBy(e => (e._2, e._3))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val streamDf = input.toDF().toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val q = graft.streaming.Streams.scd2Stream(streamDf)
+      .writeStream.format("memory").queryName("scd2_out").outputMode("append").start()
+    try {
+      Seq(evs.slice(0, 1500), evs.slice(1500, 1700), evs.slice(1700, 6000),
+        evs.slice(6000, evs.length)).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val streamed = spark.sql(
+        "select user_id, version, state, valid_from_us, valid_to_us, n_events from scd2_out")
+        .collect().map(key).toSet
+      val batch = graft.ops.Temporal.snScd2Intervals(spark, dir)
+        .filter(col("valid_to_us").isNotNull)
+        .select("user_id", "version", "state", "valid_from_us", "valid_to_us", "n_events")
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream/batch SCD2 divergence: ${streamed.size} vs ${batch.size} closed intervals")
+    } finally q.stop()
+  }
+
   test("incremental near-dup stream == batch gate (row parity across batching)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
