@@ -35,29 +35,80 @@ object Temporal {
   /** The snapshot instant for [[snPitSnapshot]] (mid-range of the 30-day log). */
   val PitAsOf = "2024-01-15 12:00:00"
 
+  /** Run-compression kernel shared by the full build and the incremental
+    * merge: weighted change events (user_id, ts, event_id, event_type,
+    * weight) → intervals (user_id, version from 1, state, vf, vt — null =
+    * open, n_events = run weight sum). One shuffle on user_id shared by
+    * both windows and the run aggregate. */
+  private def intervals(events: DataFrame): DataFrame = {
+    val w0 = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val brk = when(lag(col("event_type"), 1).over(w0).isNull ||
+      lag(col("event_type"), 1).over(w0) =!= col("event_type"), lit(1L)).otherwise(lit(0L))
+    val runs = events
+      .withColumn("version", sum(brk).over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"), // constant within a run
+        min(col("ts")).as("vf"), sum(col("weight")).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
+    runs.withColumn("vt", lead(col("vf"), 1).over(wv))
+  }
+
+  /** The driver-facing interval shape (micros + current flag). */
+  private def formatIntervals(iv: DataFrame): DataFrame =
+    iv.select(col("user_id"), col("version"), col("state"),
+      unix_micros(col("vf")).as("valid_from_us"),
+      unix_micros(col("vt")).as("valid_to_us"),
+      col("n_events"), col("vt").isNull.as("is_current"))
+
+  private def changeLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lit(1L).as("weight"))
+
   /** SCD2 (type-2 slowly-changing dimension) VALIDITY INTERVALS from the raw
     * change log: per user, consecutive events with the same event_type are
     * change-compressed into one run, and each run becomes a versioned
     * interval [valid_from, valid_to) whose valid_to is the next run's start
     * (NULL = current). The canonical "dimension history from a CDC stream"
-    * build: deterministic under the (ts, event_id) total order, one shuffle
-    * on user_id shared by both windows and the run aggregate. */
-  def snScd2Intervals(spark: SparkSession, dir: String): DataFrame = {
-    val w0 = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val brk = when(lag(col("event_type"), 1).over(w0).isNull ||
-      lag(col("event_type"), 1).over(w0) =!= col("event_type"), lit(1L)).otherwise(lit(0L))
-    val runs = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("version", sum(brk).over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("version"))
-      .agg(min(col("event_type")).as("state"), // constant within a run
-        min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
-    val wv = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
-    runs.withColumn("vt", lead(col("vf"), 1).over(wv))
-      .select(col("user_id"), col("version"), col("state"),
-        unix_micros(col("vf")).as("valid_from_us"),
-        unix_micros(col("vt")).as("valid_to_us"),
-        col("n_events"), col("vt").isNull.as("is_current"))
+    * build: deterministic under the (ts, event_id) total order. */
+  def snScd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    formatIntervals(intervals(changeLog(spark, dir)))
+
+  /** Split instant for [[snScd2Merge]]'s base/delta halves. */
+  val MergeSplit = "2024-01-20 00:00:00"
+
+  /** INCREMENTAL SCD2 MERGE — fold a new slice of the change log into an
+    * already-built interval table without recomputing history: closed
+    * intervals pass through untouched; each key's OPEN interval re-enters
+    * the run compressor as ONE weighted seed pseudo-event (event_id -1 so
+    * it sorts first; weight = its accumulated n_events, so a delta run that
+    * continues the open state extends it seamlessly), and recompressed
+    * versions are offset by the key's prior version count. The recompute
+    * touches |keys| + |delta| rows — never the base history — which is the
+    * nightly-dim-maintenance shape at 100 TB: partition the interval table
+    * on the key, rewrite only touched partitions, swap via AtomicTable.
+    * The declared oracle is the FULL REBUILD's SQL, so the driver's hash
+    * gate itself proves merge ≡ rebuild; TemporalSpec adds the degenerate
+    * splits (all-base, all-delta). */
+  def snScd2Merge(spark: SparkSession, dir: String): DataFrame =
+    formatIntervals(scd2Merge(
+      changeLog(spark, dir).filter(col("ts") < lit(MergeSplit).cast("timestamp")),
+      changeLog(spark, dir).filter(col("ts") >= lit(MergeSplit).cast("timestamp"))))
+
+  /** The merge kernel over weighted change logs (see [[snScd2Merge]]). */
+  def scd2Merge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val oldIv = intervals(base)
+    val closed = oldIv.filter(col("vt").isNotNull)
+    val open = oldIv.filter(col("vt").isNull)
+    val seed = open.select(col("user_id"), col("vf").as("ts"),
+      lit(-1L).as("event_id"), col("state").as("event_type"),
+      col("n_events").as("weight"))
+    val re = intervals(seed.unionByName(delta))
+    val offsets = open.select(col("user_id"), (col("version") - 1).as("voff"))
+    val reOff = re.join(offsets, Seq("user_id"), "left")
+      .withColumn("version", col("version") + coalesce(col("voff"), lit(0L)))
+      .select(closed.columns.map(col).toIndexedSeq: _*)
+    closed.unionByName(reOff)
   }
 
   /** POINT-IN-TIME SNAPSHOT — every user's state as of [[PitAsOf]], the
@@ -122,6 +173,7 @@ object Temporal {
 
   val queries: Map[String, Relational.Q] = Map(
     "sn_scd2_intervals" -> (snScd2Intervals _),
+    "sn_scd2_merge" -> (snScd2Merge _),
     "sn_pit_snapshot" -> (snPitSnapshot _),
     "j_interval_overlap" -> (jIntervalOverlap _))
 
@@ -145,9 +197,10 @@ object Temporal {
        |  SELECT user_id, sid, min(ts) AS s, max(ts) AS e
        |  FROM sess GROUP BY user_id, sid)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "sn_scd2_intervals" ->
-      """WITH ord AS (
+  /** Full-rebuild replay — also the oracle of `sn_scd2_merge`, so the
+    * driver's hash gate itself proves the incremental merge ≡ rebuild. */
+  private val scd2RebuildSql: String =
+    """WITH ord AS (
         |  SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN lag(event_type) OVER w IS NULL
         |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
@@ -168,7 +221,11 @@ object Temporal {
         |  CAST(n_events AS BIGINT) AS n_events,
         |  lead(vf) OVER wv IS NULL AS is_current
         |FROM runs
-        |WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)""".stripMargin,
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sn_scd2_intervals" -> scd2RebuildSql,
+    "sn_scd2_merge" -> scd2RebuildSql,
     "sn_pit_snapshot" ->
       s"""WITH f AS (
          |  SELECT user_id, ts, event_id, event_type,

@@ -72,6 +72,29 @@ class TemporalSpec extends AnyFunSuite {
     snapshot.foreach(r => assert(r.getLong(2) >= 0, "snapshot read the future"))
   }
 
+  test("incremental SCD2 merge equals the full rebuild for any split") {
+    def fmt(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).toSet
+    val full = fmt(Temporal.snScd2Intervals(spark, sf))
+    assert(full.nonEmpty && fmt(Temporal.snScd2Merge(spark, sf)) == full,
+      "mid-log merge diverges from the full rebuild")
+    // degenerate splits: everything in the base (delta empty) and
+    // everything in the delta (base empty) must agree with each other
+    val log = Tables.events(spark, sf).select(col("user_id"), col("ts"),
+      col("event_id"), col("event_type"), lit(1L).as("weight"))
+    val none = log.filter(lit(false))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(col("user_id"),
+      col("version"), col("state"), unix_micros(col("vf")).as("f"),
+      unix_micros(col("vt")).as("t"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+        r.getLong(5))).toSet
+    assert(canon(Temporal.scd2Merge(log, none)) == canon(Temporal.scd2Merge(none, log)),
+      "degenerate splits disagree")
+  }
+
   test("bucketed overlap join: parity with naive theta, no nested-loop in plan") {
     val iv = Temporal.sessionIntervals(Tables.events(spark, sf))
       .select(col("user_id"), unix_micros(col("s")).as("s_us"), unix_micros(col("e")).as("e_us"))
