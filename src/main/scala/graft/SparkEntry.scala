@@ -47,7 +47,9 @@ object SparkEntry {
     (domain.Monitoring.queries, domain.Monitoring.oracles),
     (ops.SerpCache.queries, ops.SerpCache.oracles),
     (ops.Temporal.queries, ops.Temporal.oracles),
-    (sinks.ZorderLayout.queries, sinks.ZorderLayout.oracles))
+    (sinks.ZorderLayout.queries, sinks.ZorderLayout.oracles),
+    (ops.Sketches.queries, ops.Sketches.oracles),
+    (sinks.JsonlTable.queries, sinks.JsonlTable.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

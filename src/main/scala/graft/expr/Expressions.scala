@@ -26,6 +26,18 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** remove_stopwords (P13; scoring.py:270-279): KISS FR/venue stopword
+    * strip + ≤2-codepoint token drop, single-space rejoin. */
+  case class RemoveStopwords(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(TextAlgo.removeStopwords(v.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString($algo.removeStopwords($c.toString()))")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** trigram_similarity (scoring.py:250-267). */
   case class TrigramSimilarity(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -368,6 +380,7 @@ object functions {
   private def expr(c: Column): Expression = org.apache.spark.sql.GraftColumnBridge.toExpression(c)
 
   def normalize_text(c: Column): Column = asCol(NormalizeText(expr(c)))
+  def remove_stopwords(c: Column): Column = asCol(RemoveStopwords(expr(c)))
   def trigram_similarity(a: Column, b: Column): Column = asCol(TrigramSimilarity(expr(a), expr(b)))
   def fuzzy_ratio(a: Column, b: Column): Column = asCol(FuzzyRatio(expr(a), expr(b)))
   def name_score(a: Column, b: Column): Column = asCol(NameScore(expr(a), expr(b)))
@@ -440,6 +453,7 @@ object functions {
     * [[graft.GraftExtensions]] injection, so the two surfaces can't drift. */
   private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "normalize_text" -> (es => NormalizeText(es.head)),
+    "remove_stopwords" -> (es => RemoveStopwords(es.head)),
     "trigram_similarity" -> (es => TrigramSimilarity(es(0), es(1))),
     "fuzzy_ratio" -> (es => FuzzyRatio(es(0), es(1))),
     "name_score" -> (es => NameScore(es(0), es(1))),

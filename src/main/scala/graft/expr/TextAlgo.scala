@@ -281,7 +281,9 @@ object TextAlgo {
 
   // ------------------------------------------------------------- stopwords
 
-  private val stopwordsKiss = Set("le", "la", "les", "du", "de", "des", "un",
+  /** Public so the P13 oracle SQL derives its IN-list from the same source
+    * (single point of truth; a list edit cannot desynchronize the gate). */
+  val stopwordsKiss = Set("le", "la", "les", "du", "de", "des", "un",
     "une", "et", "ou", "restaurant", "cafe", "bar", "chez", "aux", "au", "paris")
 
   /** KISS stopword removal (scoring.py:270-279): FR/venue stopwords, drop

@@ -286,8 +286,35 @@ object Scalars {
         parsed <= asOfPlus).as("is_valid"))
   }
 
+  /** P13 stopword removal as a driver-gated query: the REAL kernel
+    * (codegen'd [[graft.expr.Expressions.RemoveStopwords]] →
+    * TextAlgo.removeStopwords, scoring.py:270-279) over the 2000-document
+    * corpus, replayed in the oracle with DuckDB list lambdas and an IN-list
+    * derived from the SAME Scala stopword set. Upgrades P13 from
+    * golden-vector-only to hash-gated on real data. */
+  def p13StopwordStrip(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = graft.expr.functions.remove_stopwords(col("text"))
+    Tables.documents(spark, dir).select(col("doc_id"), stripped.as("stripped"),
+      when(length(stripped) === 0, lit(0L))
+        .otherwise(size(split(stripped, " ")).cast("long")).as("n_kept"))
+  }
+
+  private def p13StopwordSql: String = {
+    val inList = graft.expr.TextAlgo.stopwordsKiss.toSeq.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      w -> len(w) > 2 AND w NOT IN ($inList)) AS kept
+       |  FROM documents)
+       |SELECT doc_id, array_to_string(kept, ' ') AS stripped,
+       |  CAST(len(kept) AS BIGINT) AS n_kept
+       |FROM t""".stripMargin
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "w7_photo_ranking" -> (w7PhotoRanking _),
+    "p13_stopword_strip" -> (p13StopwordStrip _),
     "s_date_validation" -> (sDateValidation _),
     "p5_last_field" -> (p5LastField _),
     "p11_url_normalize" -> (p11UrlNormalize _),
@@ -356,6 +383,7 @@ object Scalars {
       |  try_strptime(raw, '%d/%m/%Y'),
       |  try_strptime(raw, '%B %d, %Y')), '%Y-%m-%d') AS parsed_date
       |FROM $dateValues""".stripMargin,
+    "p13_stopword_strip" -> p13StopwordSql,
     "s_slugify" ->
       """SELECT p_partkey,
         |  regexp_replace(lower(concat(p_name, ' ', p_type)), '[^a-z0-9]+', '-', 'g') AS slug

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Mergeable-sketch aggregation — the cardinality side of the approximate
+  * toolbox (the ANN ladder covers similarity): HyperLogLog-style distinct
+  * counting whose registers live in an ordinary aggregation, so map-side
+  * partial aggregation and AQE apply unchanged, plus the MERGE form that
+  * combines pre-aggregated per-day sketches — the shape a 100 TB pipeline
+  * actually runs (sketch once per ingest slice, fold slices at query time
+  * instead of re-reading history; same incremental contract as
+  * [[Temporal.snScd2Merge]]).
+  *
+  * Exact cross-engine replay, by construction:
+  *  - the hash is md5-hex (Spark and DuckDB agree on it byte for byte; the
+  *    same coin contract as tc_sample_mix/tc_shuffle_shards), parsed with a
+  *    generated hex-digit ladder — both dialects' expressions come from the
+  *    same generator, only `locate` vs `strpos` argument order differs;
+  *  - the leading-zero rank is an integer CASE ladder, no floating log;
+  *  - the harmonic term `2^-Mj` is dyadic with Mj ≤ 33, so the register sum
+  *    is EXACT in a double no matter the add order — the one place a
+  *    float-sum across engines/partitions could diverge, closed by number
+  *    theory rather than tolerance.
+  * Spark's built-in `approx_count_distinct` is the production default; this
+  * operator exists because its sketch is opaque to the oracle — here every
+  * register is replayable SQL, and the estimate still lands within HLL's
+  * published error (SketchesSpec pins < 15% at m=256; reported beside the
+  * exact count).
+  */
+object Sketches {
+
+  val M = 256 // registers (2 hex digits of the hash)
+  /** Standard HLL bias constant α_m for m = 256, embedded as ONE literal in
+    * both dialects so the doubles agree bit for bit. */
+  val AlphaMM: Double = 0.7213 / (1 + 1.079 / M) * M * M
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** Value of the i-th (1-based) hex digit of `h` — per-dialect only in the
+    * substring-search builtin's argument order. */
+  private def hexValSpark(h: String, i: Int): String =
+    s"(locate(substring($h, $i, 1), '$HexDigits') - 1)"
+  private def hexValDuck(h: String, i: Int): String =
+    s"(strpos('$HexDigits', substring($h, $i, 1)) - 1)"
+
+  /** 32-bit value from hex digits 3..10 (Horner form). The seed is cast to
+    * BIGINT so the ×16 chain widens in 64-bit — digit builtins return
+    * 32-bit INT in both dialects and 16^8 overflows it. */
+  private def wSql(h: String, hexVal: (String, Int) => String): String =
+    (4 to 10).foldLeft(s"CAST(${hexVal(h, 3)} AS BIGINT)") {
+      (acc, i) => s"(($acc) * 16 + ${hexVal(h, i)})"
+    }
+
+  /** 1-based leading-zero rank of the 32-bit value — an integer CASE
+    * ladder, so no cross-engine floating log. */
+  private def rhoSql(w: String): String = {
+    val cases = (1 to 32).map(r => s"WHEN $w >= ${1L << (32 - r)} THEN $r").mkString(" ")
+    s"(CASE WHEN $w = 0 THEN 33 $cases END)"
+  }
+
+  /** Per-row (event_type, day, user_id, bucket, rho) — the sketch input
+    * projection, pure codegen'd expressions. */
+  def sketchRows(spark: SparkSession, dir: String): DataFrame = {
+    val hv = hexValSpark _
+    Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .withColumn("h", expr("md5(cast(cast(user_id as string) as binary))"))
+      .withColumn("bucket", expr(s"${hv("h", 1)} * 16 + ${hv("h", 2)}").cast("long"))
+      .withColumn("rho", expr(rhoSql(wSql("h", hv))).cast("long"))
+      .drop("h")
+  }
+
+  /** Registers → estimate, with HLL's small-range (linear-counting)
+    * correction. `regs` holds (event_type, bucket, mj). */
+  private def estimate(spark: SparkSession, dir: String, regs: DataFrame): DataFrame = {
+    val agg = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        sum(expr("power(2.0, -mj)")).as("s_hit"))
+      .withColumn("v", lit(M.toLong) - col("n_buckets_hit"))
+      .withColumn("est_raw", lit(AlphaMM) / (col("s_hit") + col("v")))
+      .withColumn("est_hll", round(
+        when(col("est_raw") <= lit(2.5 * M) && col("v") > 0,
+          lit(M.toDouble) * log(lit(M.toDouble) / col("v")))
+          .otherwise(col("est_raw")), 4))
+    val exact = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(agg, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_buckets_hit"), col("est_hll"))
+  }
+
+  /** Whole-log sketch: one register set per event_type. */
+  def skHllDistinct(spark: SparkSession, dir: String): DataFrame =
+    estimate(spark, dir, sketchRows(spark, dir)
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("mj")))
+
+  /** MERGE form: per-day register sets folded by bucket-wise max — register
+    * merge is associative/commutative, so the declared oracle is the DIRECT
+    * sketch's SQL and the driver's hash gate itself proves merge ≡ direct. */
+  def skHllMerge(spark: SparkSession, dir: String): DataFrame =
+    estimate(spark, dir, sketchRows(spark, dir)
+      .groupBy(col("event_type"), col("day"), col("bucket")).agg(max(col("rho")).as("mj_d"))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("mj_d")).as("mj")))
+
+  val queries: Map[String, Relational.Q] = Map(
+    "sk_hll_distinct" -> (skHllDistinct _),
+    "sk_hll_merge" -> (skHllMerge _))
+
+  private val hllSql: String = {
+    val hv = hexValDuck _
+    s"""WITH hh AS (
+       |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+       |  FROM events),
+       |rows0 AS (
+       |  SELECT event_type,
+       |    ${hv("h", 1)} * 16 + ${hv("h", 2)} AS bucket,
+       |    ${rhoSql(wSql("h", hv))} AS rho
+       |  FROM hh),
+       |regs AS (
+       |  SELECT event_type, bucket, max(rho) AS mj
+       |  FROM rows0 GROUP BY event_type, bucket),
+       |agg AS (
+       |  SELECT event_type, count(*) AS nb, sum(power(2.0, -mj)) AS s_hit
+       |  FROM regs GROUP BY event_type),
+       |est AS (
+       |  SELECT event_type, nb, ($M - nb) AS v,
+       |    $AlphaMM / (s_hit + ($M - nb)) AS est_raw
+       |  FROM agg),
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY event_type)
+       |SELECT ex.event_type, ex.n_exact,
+       |  CAST(est.nb AS BIGINT) AS n_buckets_hit,
+       |  CAST(round(CASE WHEN est.est_raw <= ${2.5 * M} AND est.v > 0
+       |    THEN ${M.toDouble} * ln(${M.toDouble} / est.v)
+       |    ELSE est.est_raw END, 4) AS DOUBLE) AS est_hll
+       |FROM ex JOIN est USING (event_type)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "sk_hll_distinct" -> hllSql,
+    "sk_hll_merge" -> hllSql)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sketches
+
+/** Pins what the driver's hash gate can't about the HLL operator: the
+  * generated hex/rho ladders against an independent JVM MessageDigest
+  * reference, exact merge ≡ direct register equality (associativity of the
+  * bucket-wise max), and the estimator's accuracy envelope. */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Independent reference: md5-hex → (bucket, rho) with plain JVM parsing. */
+  private def ref(userId: Long): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(userId.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val bucket = java.lang.Long.parseLong(hex.substring(0, 2), 16)
+    val w = java.lang.Long.parseLong(hex.substring(2, 10), 16)
+    val rho = if (w == 0) 33L else (java.lang.Long.numberOfLeadingZeros(w) - 31).toLong
+    (bucket, rho)
+  }
+
+  test("generated hex/rho ladders match the MessageDigest reference") {
+    val rows = Sketches.sketchRows(spark, sf)
+      .select(col("user_id"), col("bucket"), col("rho")).distinct()
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, got) =>
+      assert(got == ref(u), s"user $u: sketch projection diverges from reference")
+    }
+  }
+
+  test("per-day merged registers give exactly the direct estimate") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = canon(Sketches.skHllDistinct(spark, sf))
+    assert(direct.nonEmpty && canon(Sketches.skHllMerge(spark, sf)) == direct,
+      "register merge is not transparent")
+  }
+
+  test("estimate lands within the m=256 HLL error envelope") {
+    Sketches.skHllDistinct(spark, sf).collect().foreach { r =>
+      val (exact, est) = (r.getLong(1).toDouble, r.getDouble(3))
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"${r.getString(0)}: est $est vs exact $exact out of envelope")
+    }
+  }
+}
