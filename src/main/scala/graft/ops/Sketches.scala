@@ -103,9 +103,44 @@ object Sketches {
       .groupBy(col("event_type"), col("day"), col("bucket")).agg(max(col("rho")).as("mj_d"))
       .groupBy(col("event_type"), col("bucket")).agg(max(col("mj_d")).as("mj")))
 
+  // ------------------------------------------------ histogram quantiles
+
+  val BinW = 500L // fixed-width price bins (~1000 bins over the domain)
+  val Quantiles = Seq("p50" -> 0.50, "p95" -> 0.95, "p99" -> 0.99)
+
+  /** HISTOGRAM-SKETCH QUANTILES — the mergeable alternative to a global
+    * sort: fixed-width bins (the bin id is exact integer arithmetic, so
+    * partial counts merge with no float hazard), one running sum over the
+    * ≤ |domain|/BinW bins per group, and each quantile reads the upper
+    * edge of the first bin whose cumulative count reaches ceil(q·n). Error
+    * is bounded by one bin width BY CONSTRUCTION (SketchesSpec pins it
+    * against the exact percentile). At 100 TB this is the shape quantile
+    * jobs actually run: the scan reduces to (group, bin) counts map-side;
+    * only bounded histograms shuffle — t-digest/GK give tighter error but
+    * float-order-sensitive merges, which would break the exact oracle. */
+  def skHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") / BinW).cast("long").as("bin"))
+      .groupBy(col("o_orderpriority"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("o_orderpriority"))))
+    val qCols = Quantiles.map { case (name, q) =>
+      min(when(col("cum") >= ceil(col("total") * q), (col("bin") + 1) * BinW))
+        .as(s"${name}_est")
+    }
+    cum.groupBy(col("o_orderpriority"))
+      .agg(max(col("total")).as("n_rows"), qCols: _*)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sk_hll_distinct" -> (skHllDistinct _),
-    "sk_hll_merge" -> (skHllMerge _))
+    "sk_hll_merge" -> (skHllMerge _),
+    "sk_hist_quantiles" -> (skHistQuantiles _))
 
   private val hllSql: String = {
     val hv = hexValDuck _
@@ -138,7 +173,28 @@ object Sketches {
        |FROM ex JOIN est USING (event_type)""".stripMargin
   }
 
+  private val histQSql: String = {
+    val qSelects = Quantiles.map { case (name, q) =>
+      s"  CAST(min(CASE WHEN cum >= ceil(total * $q) " +
+        s"THEN (bin + 1) * $BinW END) AS BIGINT) AS ${name}_est"
+    }.mkString(",\n")
+    s"""WITH hist AS (
+       |  SELECT o_orderpriority,
+       |    CAST(floor(o_totalprice / $BinW) AS BIGINT) AS bin, count(*) AS cnt
+       |  FROM orders GROUP BY o_orderpriority, bin),
+       |cum AS (
+       |  SELECT o_orderpriority, bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin ASC
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+       |  FROM hist)
+       |SELECT o_orderpriority, CAST(max(total) AS BIGINT) AS n_rows,
+       |$qSelects
+       |FROM cum GROUP BY o_orderpriority""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sk_hll_distinct" -> hllSql,
-    "sk_hll_merge" -> hllSql)
+    "sk_hll_merge" -> hllSql,
+    "sk_hist_quantiles" -> histQSql)
 }

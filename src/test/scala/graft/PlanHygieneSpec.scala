@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-wide plan-hygiene sweep: EVERY registered query's physical plan must
+  * be free of cartesian products and nested-loop joins — the two operator
+  * shapes that turn into scale-killers at 100 TB — except where the
+  * nested-loop side is a documented driver-sized singleton (a broadcast
+  * count/model row). Individual specs pin individual claims; this sweep
+  * pins the NEXT regression: any new or edited query that plans a
+  * cartesian/BNLJ against data-sized relations fails here by name before
+  * it ever reaches a bench.
+  *
+  * Planning-only where possible (sparkPlan, no execution), but sink-family
+  * query builders run their writes eagerly — sf0.001 keeps that cheap.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The EXACT set of queries whose plan contains a nested-loop join — each
+    * against a BROADCAST dim/model/fixture side, documented at its site.
+    * Everything else, including every `_vol`/scale path, plans equi-joins:
+    * j1_paris_vol* (cell-cover rewrite), j5_trigram_topk_vol (token
+    * blocking), j7_radius* (cell join), sim_lsh/pq (bucketed/projected) are
+    * all ABSENT here — this list is the measured evidence that the
+    * fixture-scale theta forms and the volume-scale equi forms coexist as
+    * designed. Tight by construction: a query added here without a
+    * broadcast-singleton justification should be treated as a regression. */
+  private val singletonNlj: Set[String] = Set(
+    "j1_spatial_assign",          // 98-ring broadcast + ray-cast residual (fixture path)
+    "j5_similarity_join", "j5_trigram_topk", // broadcast probe-set theta (vol form blocks)
+    "j_contains_tokens",          // containment theta vs broadcast tiny side
+    "mention_score_decayed", "mention_score_decision", "mention_score_decision_vol",
+                                  // broadcast source catalog, suffix-match residual
+    "p7_collections", "p7_collections_vol", "p7_collections_vol24", "seo_pages",
+                                  // broadcast collection templates (~32 rows)
+    "pipe_e2e_vol",               // composed: catalog + templates + count singletons
+    "sim_bruteforce_topk",        // broadcast query set — the documented exact baseline
+    "sim_ivf_topk",               // broadcast probe set + 16-centroid model
+    "tc_mix_budget",              // broadcast 1-row corpus total
+    "tr_validation")              // broadcast poi fixture, contains() residual
+
+  test("no query plans a cartesian/nested-loop join outside the singleton allowlist") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case c: CartesianProductExec => c.getClass.getSimpleName
+          case b: BroadcastNestedLoopJoinExec => b.getClass.getSimpleName
+        }
+        if (bad.nonEmpty && !singletonNlj.contains(name)) Some(s"$name: ${bad.mkString(",")}")
+        else None
+      } catch {
+        case e: Throwable => Some(s"$name: PLANNING FAILED ${e.getClass.getSimpleName}")
+      }
+    }
+    assert(violations.isEmpty,
+      s"scale-killer operators found:\n  ${violations.mkString("\n  ")}")
+  }
+}

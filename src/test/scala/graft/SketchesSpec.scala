@@ -41,6 +41,27 @@ class SketchesSpec extends AnyFunSuite {
       "register merge is not transparent")
   }
 
+  test("histogram quantile estimates are within one bin of the exact rank statistic") {
+    // exact order statistic at the SAME rank the sketch targets (ceil(q·n))
+    val byGroup = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    val est = Sketches.skHistQuantiles(spark, sf).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val sortedVals = byGroup(r.getString(0))
+      assert(r.getLong(1) == sortedVals.length, "n_rows mismatch")
+      Seq(2, 3, 4).zip(Sketches.Quantiles.map(_._2)).foreach { case (i, q) =>
+        val exactV = sortedVals(math.ceil(q * sortedVals.length).toInt - 1)
+        val e = r.getLong(i).toDouble
+        // the estimate is the upper edge of the bin holding that value
+        assert(e > exactV - 1e-9 && e - exactV <= Sketches.BinW + 1e-9,
+          s"${r.getString(0)} q=$q: est $e vs exact $exactV outside one bin")
+      }
+    }
+  }
+
   test("estimate lands within the m=256 HLL error envelope") {
     Sketches.skHllDistinct(spark, sf).collect().foreach { r =>
       val (exact, est) = (r.getLong(1).toDouble, r.getDouble(3))
