@@ -49,7 +49,8 @@ object SparkEntry {
     (ops.Temporal.queries, ops.Temporal.oracles),
     (sinks.ZorderLayout.queries, sinks.ZorderLayout.oracles),
     (ops.Sketches.queries, ops.Sketches.oracles),
-    (sinks.JsonlTable.queries, sinks.JsonlTable.oracles))
+    (sinks.JsonlTable.queries, sinks.JsonlTable.oracles),
+    (sinks.Compaction.queries, sinks.Compaction.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -61,16 +61,22 @@ object Sketches {
   }
 
   /** Per-row (event_type, day, user_id, bucket, rho) — the sketch input
-    * projection, pure codegen'd expressions. */
-  def sketchRows(spark: SparkSession, dir: String): DataFrame = {
+    * projection, pure codegen'd expressions. Works on a stream unchanged
+    * (StreamingSpec runs the register aggregation under the state store and
+    * pins parity with the batch registers — max is order-insensitive, so
+    * micro-batch boundaries are free). */
+  def sketchProjection(events: DataFrame): DataFrame = {
     val hv = hexValSpark _
-    Tables.events(spark, dir)
+    events
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
       .withColumn("h", expr("md5(cast(cast(user_id as string) as binary))"))
       .withColumn("bucket", expr(s"${hv("h", 1)} * 16 + ${hv("h", 2)}").cast("long"))
       .withColumn("rho", expr(rhoSql(wSql("h", hv))).cast("long"))
       .drop("h")
   }
+
+  def sketchRows(spark: SparkSession, dir: String): DataFrame =
+    sketchProjection(Tables.events(spark, dir))
 
   /** Registers → estimate, with HLL's small-range (linear-counting)
     * correction. `regs` holds (event_type, bucket, mj). */

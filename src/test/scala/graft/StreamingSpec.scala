@@ -678,6 +678,36 @@ class StreamingSpec extends AnyFunSuite {
       "res-11 cells must park as saturated/scanned, never split")
   }
 
+  test("streaming HLL registers == batch registers across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    // arrival order is deliberately the raw table order (NOT time-sorted):
+    // register max is order-insensitive, so the stream needs no contract
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = input.toDF().toDF("user_id", "ts", "event_type")
+    val q = graft.ops.Sketches.sketchProjection(sdf)
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("mj"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      Seq(evs.slice(0, 3000), evs.slice(3000, 3100), evs.slice(3100, evs.length))
+        .foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1)) -> r.getLong(2)
+      val streamed = spark.sql("select event_type, bucket, mj from hll_regs")
+        .collect().map(key).toMap
+      val batch = graft.ops.Sketches.sketchRows(spark, dir)
+        .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("mj"))
+        .collect().map(key).toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"state-store registers diverge: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 closed intervals == batch build across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
