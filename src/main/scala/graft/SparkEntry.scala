@@ -50,7 +50,8 @@ object SparkEntry {
     (sinks.ZorderLayout.queries, sinks.ZorderLayout.oracles),
     (ops.Sketches.queries, ops.Sketches.oracles),
     (sinks.JsonlTable.queries, sinks.JsonlTable.oracles),
-    (sinks.Compaction.queries, sinks.Compaction.oracles))
+    (sinks.Compaction.queries, sinks.Compaction.oracles),
+    (ops.Quality.queries, ops.Quality.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

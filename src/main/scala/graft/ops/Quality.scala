@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality AUDIT — the deequ/dbt-test constraint class as a declared
+  * operator: a curation pipeline refuses to ingest a slice until its audit
+  * row-set is green, so the audit itself must be a scale-shaped query, not
+  * a driver loop. One row per constraint (name, n_checked, n_violations,
+  * pass). Shapes: column constraints fold into ONE scan-aggregate per table
+  * (conditional sums — map-side partial, no shuffle beyond the final
+  * single-row reduce); uniqueness is count-minus-distinct on the key;
+  * referential integrity is a LEFT ANTI join counted (broadcast or shuffle
+  * as the dim dictates). Everything unions into one small report relation —
+  * the whole audit is one job. */
+object Quality {
+
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+
+    // one scan-aggregate per table: column constraints fold into
+    // conditional sums, then unpivot into report rows via explode
+    val oAgg = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_pos"),
+      sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("v_cap"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"))
+    val orderRows = oAgg.select(explode(array(
+      struct(lit("o_custkey_not_null").as("constraint"), col("n").as("n_checked"), col("v_null").as("n_violations")),
+      struct(lit("o_totalprice_positive").as("constraint"), col("n").as("n_checked"), col("v_pos").as("n_violations")),
+      struct(lit("o_totalprice_below_cap").as("constraint"), col("n").as("n_checked"), col("v_cap").as("n_violations")),
+      struct(lit("o_orderkey_unique").as("constraint"), col("n").as("n_checked"), col("v_dup").as("n_violations")))).as("r"))
+      .select(col("r.*"))
+
+    val lAgg = l.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc"))
+    val lineRows = lAgg.select(explode(array(
+      struct(lit("l_quantity_in_domain").as("constraint"), col("n").as("n_checked"), col("v_qty").as("n_violations")),
+      struct(lit("l_discount_in_domain").as("constraint"), col("n").as("n_checked"), col("v_disc").as("n_violations")))).as("r"))
+      .select(col("r.*"))
+
+    // referential integrity: orders → customer as a ROW-PRESERVING left
+    // join (unique dim key) + conditional sum — checked and violation
+    // counts come out of ONE aggregate, no second pass, no cross join of
+    // the two 1-row results (the plan-hygiene sweep rejected that form)
+    val fkRows = o.select(col("o_custkey"))
+      .join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("o_custkey_references_customer").as("constraint"),
+        col("n_checked"), col("n_violations"))
+
+    orderRows.unionByName(lineRows).unionByName(fkRows)
+      .withColumn("pass", col("n_violations") === 0)
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "dq_audit" -> (dqAudit _))
+
+  val oracles: Map[String, String] = Map(
+    "dq_audit" ->
+      """SELECT 'o_custkey_not_null' AS constraint, count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice_positive', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice_below_cap', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey_unique', count(*),
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |  count(*) - count(DISTINCT o_orderkey) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'l_quantity_in_domain', count(*),
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount_in_domain', count(*),
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'o_custkey_references_customer',
+        |  (SELECT count(*) FROM orders),
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |        (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey)) AS BIGINT),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey)) = 0""".stripMargin)
+}

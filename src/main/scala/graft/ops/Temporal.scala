@@ -137,8 +137,19 @@ object Temporal {
     events.select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("sid", sum(brk).over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"), count(lit(1)).as("n_events"))
   }
+
+  /** W10 — batch gap SESSIONIZATION as a first-class query (the batch twin
+    * of the streaming session windows, and the interval source of
+    * [[jIntervalOverlap]]): one shuffle on the session key, the break
+    * window and the session aggregate share it. */
+  def w10GapSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionIntervals(Tables.events(spark, dir))
+      .select(col("user_id"), col("sid"),
+        unix_micros(col("s")).as("start_us"),
+        (unix_micros(col("e")) - unix_micros(col("s"))).as("duration_us"),
+        col("n_events"))
 
   /** INTERVAL-OVERLAP JOIN, bucketed: which pairs of users were active at
     * the same moment (their gap-sessions overlap), aggregated per day. The
@@ -175,6 +186,7 @@ object Temporal {
     "sn_scd2_intervals" -> (snScd2Intervals _),
     "sn_scd2_merge" -> (snScd2Merge _),
     "sn_pit_snapshot" -> (snPitSnapshot _),
+    "w10_gap_sessions" -> (w10GapSessions _),
     "j_interval_overlap" -> (jIntervalOverlap _))
 
   /** Sessionization CTEs shared by the overlap oracle (DuckDB replay of
@@ -194,7 +206,7 @@ object Temporal {
        |                   ROWS UNBOUNDED PRECEDING) AS sid
        |  FROM ord),
        |iv AS (
-       |  SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+       |  SELECT user_id, sid, min(ts) AS s, max(ts) AS e, count(*) AS n_events
        |  FROM sess GROUP BY user_id, sid)""".stripMargin
 
   /** Full-rebuild replay — also the oracle of `sn_scd2_merge`, so the
@@ -235,6 +247,13 @@ object Temporal {
          |SELECT user_id, event_type AS state, event_id AS last_event_id,
          |  epoch_us(TIMESTAMP '$PitAsOf') - epoch_us(CAST(ts AS TIMESTAMP)) AS staleness_us
          |FROM f WHERE rn = 1""".stripMargin,
+    "w10_gap_sessions" ->
+      s"""WITH $sessionCtesSql
+         |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+         |  epoch_us(CAST(s AS TIMESTAMP)) AS start_us,
+         |  epoch_us(CAST(e AS TIMESTAMP)) - epoch_us(CAST(s AS TIMESTAMP)) AS duration_us,
+         |  CAST(n_events AS BIGINT) AS n_events
+         |FROM iv""".stripMargin,
     "j_interval_overlap" ->
       s"""WITH $sessionCtesSql
          |SELECT strftime(CAST(greatest(a.s, b.s) AS TIMESTAMP), '%Y-%m-%d') AS day,

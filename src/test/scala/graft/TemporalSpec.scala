@@ -72,6 +72,30 @@ class TemporalSpec extends AnyFunSuite {
     snapshot.foreach(r => assert(r.getLong(2) >= 0, "snapshot read the future"))
   }
 
+  test("gap sessions: events within a session are <= gap apart, sessions > gap apart") {
+    val w10 = Temporal.w10GapSessions(spark, sf).collect()
+    assert(w10.nonEmpty)
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(1)).sorted }
+    w10.groupBy(_.getLong(0)).foreach { case (user, sessions) =>
+      val sorted = sessions.sortBy(_.getLong(2))
+      // session count == 1 + number of > gap jumps in the user's timeline
+      val jumps = events(user).sliding(2).count {
+        case Array(a, b) => b - a > Temporal.SessionGapUs; case _ => false }
+      assert(sorted.length == jumps + 1, s"user $user: wrong session count")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aEnd = a.getLong(2) + a.getLong(3) // start + duration
+          assert(b.getLong(2) - aEnd > Temporal.SessionGapUs,
+            s"user $user: adjacent sessions closer than the gap")
+        case _ =>
+      }
+      assert(sorted.map(_.getLong(4)).sum == events(user).length,
+        s"user $user: session event counts must partition the log")
+    }
+  }
+
   test("incremental SCD2 merge equals the full rebuild for any split") {
     def fmt(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
