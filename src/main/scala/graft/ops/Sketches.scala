@@ -143,10 +143,51 @@ object Sketches {
       .agg(max(col("total")).as("n_rows"), qCols: _*)
   }
 
+  // ------------------------------------------------------- bloom membership
+
+  val BloomBits = 4096  // m: 128 words × 32 used bits
+  val BloomHashes = 3   // k: three independent 12-bit slices of the md5
+
+  /** BLOOM-FILTER MEMBERSHIP — the "seen before?" primitive behind
+    * decontamination and incremental-ingest gates at 100 TB: the seen-set
+    * compresses to m bits that BUILD as an ordinary `bit_or` aggregate
+    * (mergeable across slices by construction) and PROBE through a
+    * broadcast equi-join on the word index — no driver round-trip, no
+    * nested loop. Here the seen-set is the BUILDING market segment and the
+    * probe is every customer, so the output exposes both bloom guarantees
+    * at once: zero false negatives on the build segment, and a measured
+    * false-positive count on the rest (SketchesSpec pins no-FN exactness
+    * and the FP envelope). Word capacity is 32 bits deliberately: DuckDB
+    * raises on `1::BIGINT << 63` where Spark wraps silently, so positions
+    * stay ≤ 31 and the two engines agree bit for bit. */
+  def skBloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val hv = hexValSpark _
+    def slice(h: String, start: Int): String =
+      s"((${hv(h, start)} * 16 + ${hv(h, start + 1)}) * 16 + ${hv(h, start + 2)})"
+    val hashed = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("h", expr("md5(cast(cast(c_custkey as string) as binary))"))
+      .withColumn("v", explode(array(
+        expr(slice("h", 1)), expr(slice("h", 4)), expr(slice("h", 7)))))
+      .withColumn("widx", expr("v div 32")).withColumn("pos", expr("v % 32"))
+      .drop("h", "v")
+    val words = hashed.filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("widx"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos as int)))").as("word"))
+    hashed.join(broadcast(words), Seq("widx"), "left")
+      .withColumn("hit",
+        expr("coalesce(shiftright(word, cast(pos as int)) & 1, 0)"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(min(col("hit")).as("member")) // 1 iff all k bits present
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("member")).as("n_flagged"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sk_hll_distinct" -> (skHllDistinct _),
     "sk_hll_merge" -> (skHllMerge _),
-    "sk_hist_quantiles" -> (skHistQuantiles _))
+    "sk_hist_quantiles" -> (skHistQuantiles _),
+    "sk_bloom_probe" -> (skBloomProbe _))
 
   private val hllSql: String = {
     val hv = hexValDuck _
@@ -199,8 +240,38 @@ object Sketches {
        |FROM cum GROUP BY o_orderpriority""".stripMargin
   }
 
+  private val bloomSql: String = {
+    val hv = hexValDuck _
+    def slice(h: String, start: Int): String =
+      s"((${hv(h, start)} * 16 + ${hv(h, start + 1)}) * 16 + ${hv(h, start + 2)})"
+    s"""WITH ch AS (
+       |  SELECT c_custkey, c_mktsegment, md5(CAST(c_custkey AS VARCHAR)) AS h
+       |  FROM customer),
+       |hv AS (
+       |  SELECT c_custkey, c_mktsegment, ${slice("h", 1)} AS v FROM ch
+       |  UNION ALL
+       |  SELECT c_custkey, c_mktsegment, ${slice("h", 4)} AS v FROM ch
+       |  UNION ALL
+       |  SELECT c_custkey, c_mktsegment, ${slice("h", 7)} AS v FROM ch),
+       |hashed AS (
+       |  SELECT c_custkey, c_mktsegment, v // 32 AS widx, v % 32 AS pos FROM hv),
+       |words AS (
+       |  SELECT widx, bit_or(CAST(1 AS BIGINT) << CAST(pos AS INT)) AS word
+       |  FROM hashed WHERE c_mktsegment = 'BUILDING' GROUP BY widx),
+       |probed AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    min(CASE WHEN ((COALESCE(word, 0) >> CAST(pos AS INT)) & 1) = 1
+       |             THEN 1 ELSE 0 END) AS member
+       |  FROM hashed LEFT JOIN words USING (widx)
+       |  GROUP BY c_custkey, c_mktsegment)
+       |SELECT c_mktsegment, count(*) AS n_customers,
+       |  CAST(sum(member) AS BIGINT) AS n_flagged
+       |FROM probed GROUP BY c_mktsegment""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sk_hll_distinct" -> hllSql,
     "sk_hll_merge" -> hllSql,
-    "sk_hist_quantiles" -> histQSql)
+    "sk_hist_quantiles" -> histQSql,
+    "sk_bloom_probe" -> bloomSql)
 }

@@ -62,6 +62,18 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom probe: zero false negatives on the build segment, bounded FPs elsewhere") {
+    val bySeg = Sketches.skBloomProbe(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (bn, bf) = bySeg("BUILDING")
+    assert(bn > 0 && bf == bn, "a bloom filter must never false-negative its build set")
+    val (on, of) = bySeg.view.filterKeys(_ != "BUILDING").values
+      .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    // theoretical FP at k=3, m=4096, n≈300 is ~0.8%; envelope 5%
+    assert(on > 0 && of.toDouble / on < 0.05,
+      s"false-positive rate ${of.toDouble / on} out of envelope ($of of $on)")
+  }
+
   test("estimate lands within the m=256 HLL error envelope") {
     Sketches.skHllDistinct(spark, sf).collect().foreach { r =>
       val (exact, est) = (r.getLong(1).toDouble, r.getDouble(3))
