@@ -230,6 +230,27 @@ object TextAnalysis {
         (coin < rate).as("sampled"))
   }
 
+  val StratumK = 20
+
+  /** Fixed-size STRATIFIED SAMPLE — the eval-set construction move
+    * ([[tcSampleMix]] keeps a RATE per language; this keeps exactly
+    * [[StratumK]] documents per language): rank each stratum by the same
+    * md5 shuffle-key contract (content-independent, reproducible,
+    * decorrelated from ingest order) and keep the first K. The per-stratum
+    * window is bounded — strata are languages, so each partition sorts one
+    * language's keys, and at 100 TB the rank prunes to a TakeOrdered-style
+    * top-K per stratum rather than a global sort. */
+  def tcStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hex = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("sample_key").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), hex.as("sample_key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= StratumK)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   val ChunkSize = 32
   val ChunkStride = 24
 
@@ -406,6 +427,7 @@ object TextAnalysis {
     "tc_clean_corpus" -> (tcCleanCorpus _),
     "tc_corpus_neardup" -> (tcCorpusNeardup _),
     "tc_sample_mix" -> (tcSampleMix _),
+    "tc_stratified_sample" -> (tcStratifiedSample _),
     "tc_mix_budget" -> (tcMixBudget _),
     "tc_decontaminate" -> (tcDecontaminate _),
     "tc_chunk" -> (tcChunk _))
@@ -656,6 +678,15 @@ object TextAnalysis {
            |    AS token_share
            |FROM per_lang""".stripMargin
       },
+      "tc_stratified_sample" ->
+        s"""WITH keyed AS (
+           |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |  CAST(row_number() OVER (PARTITION BY lang
+           |    ORDER BY sample_key ASC, doc_id ASC) AS BIGINT) AS rk
+           |FROM keyed
+           |QUALIFY rk <= $StratumK""".stripMargin,
       "tc_sample_mix" -> {
         val rateSql = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
           .mkString("CASE ", " ", " ELSE 0 END")
