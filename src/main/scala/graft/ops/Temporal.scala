@@ -182,10 +182,37 @@ object Temporal {
         sum(least(col("e1"), col("e2")) - col("ov_start")).as("overlap_us"))
   }
 
+  /** Day length in micros and the fixed horizon closing open intervals for
+    * [[snStateTimeline]] (first midnight after the 30-day log). */
+  val DayUs: Long = 86400L * 1000000
+  val TimelineEndDay: Long = 19753 // 2024-01-31 UTC midnight, days since epoch
+
+  /** STATE TIMELINE — the daily rollup a dimension history exists to
+    * answer ("how many users were in state X at each midnight"): every
+    * SCD2 interval explodes into the UTC midnights it covers (bounded by
+    * interval length in days — no day×user grid is ever materialized) and
+    * a plain count per (day, state) falls out, exact because intervals
+    * tile each user's history (at most one interval covers any instant).
+    * Same bounded-explode discipline as [[jIntervalOverlap]]'s buckets. */
+  def snStateTimeline(spark: SparkSession, dir: String): DataFrame = {
+    val iv = intervals(changeLog(spark, dir))
+    iv.select(col("state"),
+        unix_micros(col("vf")).as("vf_us"),
+        coalesce(unix_micros(col("vt")), lit((TimelineEndDay + 1) * DayUs)).as("vt_us"))
+      // midnights m with vf <= m*Day < vt
+      .withColumn("d0", expr(s"(vf_us + ${DayUs - 1}) div $DayUs"))
+      .withColumn("d1", least(expr(s"(vt_us - 1) div $DayUs"), lit(TimelineEndDay)))
+      .filter(col("d0") <= col("d1"))
+      .withColumn("day_idx", explode(sequence(col("d0"), col("d1"))))
+      .groupBy(col("day_idx"), col("state"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sn_scd2_intervals" -> (snScd2Intervals _),
     "sn_scd2_merge" -> (snScd2Merge _),
     "sn_pit_snapshot" -> (snPitSnapshot _),
+    "sn_state_timeline" -> (snStateTimeline _),
     "w10_gap_sessions" -> (w10GapSessions _),
     "j_interval_overlap" -> (jIntervalOverlap _))
 
@@ -209,24 +236,29 @@ object Temporal {
        |  SELECT user_id, sid, min(ts) AS s, max(ts) AS e, count(*) AS n_events
        |  FROM sess GROUP BY user_id, sid)""".stripMargin
 
+  /** Run-compression CTEs shared by the rebuild/merge oracle and the
+    * state-timeline oracle (DuckDB replay of [[intervals]]). */
+  private val scd2CtesSql: String =
+    """ord AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |runs0 AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM ord),
+      |runs AS (
+      |  SELECT user_id, version, min(event_type) AS state, min(ts) AS vf,
+      |    count(*) AS n_events
+      |  FROM runs0 GROUP BY user_id, version)""".stripMargin
+
   /** Full-rebuild replay — also the oracle of `sn_scd2_merge`, so the
     * driver's hash gate itself proves the incremental merge ≡ rebuild. */
   private val scd2RebuildSql: String =
-    """WITH ord AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN lag(event_type) OVER w IS NULL
-        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-        |runs0 AS (
-        |  SELECT user_id, event_type, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                   ROWS UNBOUNDED PRECEDING) AS version
-        |  FROM ord),
-        |runs AS (
-        |  SELECT user_id, version, min(event_type) AS state, min(ts) AS vf,
-        |    count(*) AS n_events
-        |  FROM runs0 GROUP BY user_id, version)
+    s"""WITH $scd2CtesSql
         |SELECT user_id, CAST(version AS BIGINT) AS version, state,
         |  epoch_us(CAST(vf AS TIMESTAMP)) AS valid_from_us,
         |  epoch_us(CAST(lead(vf) OVER wv AS TIMESTAMP)) AS valid_to_us,
@@ -238,6 +270,24 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     "sn_scd2_intervals" -> scd2RebuildSql,
     "sn_scd2_merge" -> scd2RebuildSql,
+    "sn_state_timeline" ->
+      s"""WITH $scd2CtesSql,
+         |iv AS (
+         |  SELECT user_id, state,
+         |    epoch_us(CAST(vf AS TIMESTAMP)) AS vf_us,
+         |    COALESCE(epoch_us(CAST(lead(vf) OVER
+         |        (PARTITION BY user_id ORDER BY version ASC) AS TIMESTAMP)),
+         |      ${(TimelineEndDay + 1) * DayUs}) AS vt_us
+         |  FROM runs),
+         |ex AS (
+         |  SELECT state,
+         |    unnest(generate_series((vf_us + ${DayUs - 1}) // $DayUs,
+         |      least((vt_us - 1) // $DayUs, $TimelineEndDay))) AS day_idx
+         |  FROM iv
+         |  WHERE (vf_us + ${DayUs - 1}) // $DayUs
+         |    <= least((vt_us - 1) // $DayUs, $TimelineEndDay))
+         |SELECT day_idx, state, count(*) AS n_users
+         |FROM ex GROUP BY day_idx, state""".stripMargin,
     "sn_pit_snapshot" ->
       s"""WITH f AS (
          |  SELECT user_id, ts, event_id, event_type,
