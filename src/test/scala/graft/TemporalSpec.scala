@@ -96,6 +96,24 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("state timeline: per-day totals equal users whose history started by that midnight") {
+    val timeline = Temporal.snStateTimeline(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(timeline.nonEmpty)
+    val firstSeen = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+      .collect().map(_.getLong(1))
+    timeline.foreach { case (dayIdx, total) =>
+      val midnightUs = dayIdx * Temporal.DayUs
+      val expected = firstSeen.count(_ <= midnightUs)
+      assert(total == expected,
+        s"day $dayIdx: $total users on the timeline vs $expected with history")
+    }
+    // the horizon day is present and counts every user (all intervals open or past)
+    assert(timeline.contains(Temporal.TimelineEndDay) &&
+      timeline(Temporal.TimelineEndDay) == firstSeen.length)
+  }
+
   test("incremental SCD2 merge equals the full rebuild for any split") {
     def fmt(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
