@@ -41,13 +41,13 @@ object TextAlgo {
     var t = handleVariations(sb.toString)
     t = punctRe.matcher(t).replaceAll(" ")
     t = wsRe.matcher(t).replaceAll(" ")
-    t.toLowerCase.trim
+    t.toLowerCase(java.util.Locale.ROOT).trim
   }
 
   /** Variation substitutions, applied in the reference's order
     * (matching.py:36-68). Lowercases first, as the reference does. */
   private def handleVariations(text0: String): String = {
-    var text = text0.toLowerCase
+    var text = text0.toLowerCase(java.util.Locale.ROOT)
     val variations = Seq(
       "\u2019" -> "'", // typographic apostrophe → ASCII
       "'" -> "",       // remove apostrophes entirely
@@ -72,7 +72,7 @@ object TextAlgo {
     * like U+1F98A is one trigram element, not a surrogate pair. The all-BMP
     * common case keeps the allocation-free substring walk. */
   def trigrams(s: String): Set[String] = {
-    val padded = "  " + s.toLowerCase + "  "
+    val padded = "  " + s.toLowerCase(java.util.Locale.ROOT) + "  "
     if (padded.length == padded.codePointCount(0, padded.length))
       (0 until padded.length - 2).map(i => padded.substring(i, i + 3)).toSet
     else {
@@ -292,7 +292,7 @@ object TextAlgo {
     val stop = stopwordsKiss
     // CPython len() counts codepoints: an astral-only word like a double
     // emoji has len 2 and is dropped, even though it spans 4 UTF-16 chars
-    wsRe.split(text.toLowerCase).iterator
+    wsRe.split(text.toLowerCase(java.util.Locale.ROOT)).iterator
       .filter(w => w.nonEmpty && !stop.contains(w) && w.codePointCount(0, w.length) > 2)
       .mkString(" ")
   }
@@ -311,7 +311,7 @@ object TextAlgo {
   def nameScore(poiName: String, text: String): Double = {
     if (poiName == null || poiName.isEmpty) return 0.0
     if (text == null || text.trim.isEmpty) return 0.0
-    val fuzzy = fuzzyRatio(poiName.toLowerCase, text.toLowerCase)
+    val fuzzy = fuzzyRatio(poiName.toLowerCase(java.util.Locale.ROOT), text.toLowerCase(java.util.Locale.ROOT))
     val tri = trigramSimilarity(poiName, text)
     val np = removeStopwords(poiName)
     val nt = removeStopwords(text)
@@ -329,15 +329,15 @@ object TextAlgo {
     if (url != null && url.nonEmpty) {
       val u = if (url.startsWith("http://") || url.startsWith("https://")) url else "http://" + url
       val netloc = netlocOf(u)
-      if (netloc.nonEmpty) return stripWww(netloc.toLowerCase)
+      if (netloc.nonEmpty) return stripWww(netloc.toLowerCase(java.util.Locale.ROOT))
     }
     if (displayLink != null && displayLink.nonEmpty) {
-      val d = stripWww(displayLink.toLowerCase.split(':')(0).split('/')(0))
+      val d = stripWww(displayLink.toLowerCase(java.util.Locale.ROOT).split(':')(0).split('/')(0))
       if (d.nonEmpty) return d
     }
     if (formattedUrl != null && formattedUrl.nonEmpty) {
       val m = "^(?:https?://)?([^/]+)".r.findFirstMatchIn(formattedUrl)
-      if (m.isDefined) return stripWww(m.get.group(1).toLowerCase)
+      if (m.isDefined) return stripWww(m.get.group(1).toLowerCase(java.util.Locale.ROOT))
     }
     ""
   }
@@ -345,7 +345,7 @@ object TextAlgo {
   /** Apex (eTLD+1 approximation: last two labels — domains.py:13-32). */
   def apexDomain(domain: String): String = {
     if (domain == null || domain.isEmpty) return ""
-    var d = domain.toLowerCase
+    var d = domain.toLowerCase(java.util.Locale.ROOT)
     if (d.startsWith("http")) d = netlocOf(d)
     if (d.startsWith("www.")) d = d.substring(4)
     val parts = d.split('.')
@@ -440,7 +440,7 @@ object TextAlgo {
     val replaced = variations.foldLeft(s"lower(strip_accents($c))") {
       case (acc, (from, to)) => s"replace($acc, ${lit(from)}, ${lit(to)})"
     }
-    s"trim(regexp_replace(regexp_replace($replaced, '[^\\p{L}\\p{N}_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace($replaced, '[^\\p{L}\\p{N}_ \\t\\n\\x0B\\f\\r]', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
   }
 
   /** Two-space padding of [[trigrams]] over expression `c` (scoring.py:255). */

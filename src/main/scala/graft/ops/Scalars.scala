@@ -304,7 +304,7 @@ object Scalars {
       .map(w => s"'$w'").mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
        |      w -> len(w) > 2 AND w NOT IN ($inList)) AS kept
        |  FROM documents)
        |SELECT doc_id, array_to_string(kept, ' ') AS stripped,

@@ -71,8 +71,12 @@ object Sketches {
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
       .withColumn("h", expr("md5(cast(cast(user_id as string) as binary))"))
       .withColumn("bucket", expr(s"${hv("h", 1)} * 16 + ${hv("h", 2)}").cast("long"))
-      .withColumn("rho", expr(rhoSql(wSql("h", hv))).cast("long"))
-      .drop("h")
+      // w is projected ONCE and the 33-branch rho ladder references the
+      // column — inlining the 8-digit Horner chain into every CASE branch
+      // costs ~264 substring/locate calls per row in both dialects.
+      .withColumn("w", expr(wSql("h", hv)))
+      .withColumn("rho", expr(rhoSql("w")).cast("long"))
+      .drop("h", "w")
   }
 
   def sketchRows(spark: SparkSession, dir: String): DataFrame =
@@ -194,11 +198,14 @@ object Sketches {
     s"""WITH hh AS (
        |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
        |  FROM events),
-       |rows0 AS (
+       |hw AS (
        |  SELECT event_type,
        |    ${hv("h", 1)} * 16 + ${hv("h", 2)} AS bucket,
-       |    ${rhoSql(wSql("h", hv))} AS rho
+       |    ${wSql("h", hv)} AS w
        |  FROM hh),
+       |rows0 AS (
+       |  SELECT event_type, bucket, ${rhoSql("w")} AS rho
+       |  FROM hw),
        |regs AS (
        |  SELECT event_type, bucket, max(rho) AS mj
        |  FROM rows0 GROUP BY event_type, bucket),

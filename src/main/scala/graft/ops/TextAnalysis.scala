@@ -442,7 +442,7 @@ object TextAnalysis {
     val lo = s"chunk_idx * $ChunkStride + 1"
     val hi = s"chunk_idx * $ChunkStride + $ChunkSize"
     s"""w AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
        |b AS (
        |  SELECT doc_id, words,
        |    CASE WHEN len(words) > $ChunkSize
@@ -460,7 +460,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = {
     val langs = markers.keys.toSeq.sorted
     val scoreCols = langs.map(l =>
-      s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> list_contains(${markerSql(l)}, w))) AS score_$l")
+      s"len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), w -> list_contains(${markerSql(l)}, w))) AS score_$l")
       .mkString(",\n        ")
     // argmax with lexicographic tie-break: pick first lang of the max score
     val caseArg = langs.map(l =>
@@ -470,9 +470,9 @@ object TextAnalysis {
     val cleanCte =
       s"""sig AS (
          |  SELECT doc_id,
-         |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |    len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
          |    length(trim(text)) AS n_chars_actual,
-         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |    len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
          |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop,
          |    md5(text) AS exact_fp,
          |    $scoreCols
@@ -536,7 +536,7 @@ object TextAnalysis {
            |FROM p""".stripMargin,
       "tc_pack_offsets" ->
         s"""WITH t AS (
-           |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+           |  SELECT doc_id, len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens
            |  FROM documents),
            |c AS (
            |  SELECT doc_id, n_tokens,
@@ -620,11 +620,11 @@ object TextAnalysis {
            |sh AS (
            |  SELECT doc_id, lang, source,
            |    list_distinct(list_transform(
-           |      range(len(string_split_regex(trim(text), '\\s+')) - 2),
+           |      range(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
            |      i -> concat_ws(' ',
-           |        string_split_regex(trim(text), '\\s+')[i + 1],
-           |        string_split_regex(trim(text), '\\s+')[i + 2],
-           |        string_split_regex(trim(text), '\\s+')[i + 3]))) AS grams
+           |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 1],
+           |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 2],
+           |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 3]))) AS grams
            |  FROM surv),
            |nd AS (
            |  SELECT DISTINCT b.doc_id
@@ -641,7 +641,7 @@ object TextAnalysis {
       "tc_chunk" -> s"WITH $chunkCtesSql\nSELECT * FROM ch",
       "tc_decontaminate" ->
         s"""WITH w AS (
-           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+           |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
            |g8 AS (
            |  SELECT doc_id, unnest(list_distinct(list_transform(
            |    range(len(words) - ${DecontamN - 1}),

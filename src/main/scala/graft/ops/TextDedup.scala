@@ -656,11 +656,11 @@ object TextDedup {
     s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
-       |      range(len(string_split_regex(trim(text), '\\s+')) - 2),
+       |      range(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
        |      i -> concat_ws(' ',
-       |        string_split_regex(trim(text), '\\s+')[i + 1],
-       |        string_split_regex(trim(text), '\\s+')[i + 2],
-       |        string_split_regex(trim(text), '\\s+')[i + 3]))) AS grams
+       |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 1],
+       |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 2],
+       |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 3]))) AS grams
        |  FROM documents),
        |gr AS (SELECT doc_id, unnest(grams) AS g FROM sh),
        |hr AS (SELECT doc_id, ${polyHashSql("g", 31)} AS h FROM gr),
@@ -703,7 +703,7 @@ object TextDedup {
       s"CASE WHEN sum(CASE WHEN (h2 >> ${j - 31}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END"
     }).mkString("\n    + ")
     s"""WITH w AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS wd FROM documents),
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS wd FROM documents),
        |hr AS (SELECT doc_id,
        |    ${polyHashSql("wd", 31)} AS h1,
        |    ${polyHashSql("wd", 131)} AS h2
@@ -743,7 +743,7 @@ object TextDedup {
     "dd_simhash" -> simhashSql,
     "dd_block_boilerplate" ->
       s"""WITH w AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
          |b AS (
          |  SELECT doc_id, words,
          |    unnest(generate_series(0,
@@ -873,11 +873,11 @@ object TextDedup {
       s"""WITH sh AS (
          |  SELECT doc_id, lang, source,
          |    list_distinct(list_transform(
-         |      range(len(string_split_regex(trim(text), '\\s+')) - 2),
+         |      range(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
          |      i -> concat_ws(' ',
-         |        string_split_regex(trim(text), '\\s+')[i + 1],
-         |        string_split_regex(trim(text), '\\s+')[i + 2],
-         |        string_split_regex(trim(text), '\\s+')[i + 3]))) AS grams
+         |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 1],
+         |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 2],
+         |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 3]))) AS grams
          |  FROM $docsSrc),
          |rows_ AS (SELECT doc_id, lang, source, unnest(grams) AS s FROM sh),
          |rare AS (SELECT s FROM rows_ GROUP BY s HAVING count(*) <= $DfCap),

@@ -48,7 +48,8 @@ object Compaction {
   /** Metadata-only partition census: partition value → (files, bytes). */
   def partitionStats(spark: SparkSession, path: String): Map[String, (Int, Long)] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(path)).filter(_.isDirectory).map { d =>
+    fs.listStatus(new Path(path))
+      .filter(d => d.isDirectory && d.getPath.getName.contains("=")).map { d =>
       val parts = fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
       d.getPath.getName.split("=", 2)(1) -> ((parts.length, parts.map(_.getLen).sum))
     }.toMap

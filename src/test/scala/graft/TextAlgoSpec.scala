@@ -146,6 +146,11 @@ class TextAlgoSpec extends AnyFunSuite {
     val fox3 = "\uD83E\uDD8A" * 3
     assert(TextAlgo.removeStopwords(fox2 + " tour") == "tour")
     assert(TextAlgo.removeStopwords(fox3 + " tour") == fox3 + " tour")
+    // the tokenizer's whitespace class is pinned to [ \t\n\x0B\f\r] in BOTH
+    // dialects (the oracle spells it explicitly — RE2's \s lacks \x0B), and
+    // lowercasing is Locale.ROOT so a Turkish-locale JVM can't flip 'I'
+    assert(TextAlgo.removeStopwords("tourmontparnasse") == "tour montparnasse")
+    assert(TextAlgo.removeStopwords("TOUR EIFFEL") == "tour eiffel")
   }
 
   test("discriminant tokens") {
