@@ -51,7 +51,8 @@ object SparkEntry {
     (ops.Sketches.queries, ops.Sketches.oracles),
     (sinks.JsonlTable.queries, sinks.JsonlTable.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
-    (ops.Quality.queries, ops.Quality.oracles))
+    (ops.Quality.queries, ops.Quality.oracles),
+    (ops.Retrieval.queries, ops.Retrieval.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -187,11 +187,56 @@ object Sketches {
       .agg(count(lit(1)).as("n_customers"), sum(col("member")).as("n_flagged"))
   }
 
+  // ------------------------------------------------ count-min heavy hitters
+
+  val CmsW = 4096 // buckets per hash row (3 hex digits)
+  val CmsD = 4    // hash rows: disjoint 3-digit slices of ONE md5
+  val CmsTopK = 20
+
+  /** COUNT-MIN SKETCH HEAVY HITTERS — the frequency side of the approximate
+    * toolbox (HLL = how many distinct, histogram = where in the domain,
+    * bloom = seen before, CMS = how often). The sketch is d×W = 16384 cells
+    * regardless of corpus size: each token increments one bucket per hash
+    * row, the build is an ordinary `groupBy(j, bucket).count` (map-side
+    * partial, mergeable across ingest slices by construction — fold slices
+    * by cell-wise SUM, the same incremental contract as the HLL registers),
+    * and a point estimate is min over the d cells, which can only
+    * OVERcount (collisions add, never subtract). At 100 TB the scan
+    * reduces to 16 k cells map-side; only the fixed-size sketch shuffles.
+    * The output sets the estimate beside the exact count for the exact
+    * top-K tokens, so the one-sided error guarantee is measurable in the
+    * result (SketchesSpec pins est ≥ exact and the ε·N envelope). Hash
+    * rows are disjoint hex slices of one md5 — same replayable-coin
+    * contract as the bloom probe. */
+  def skCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val hv = hexValSpark _
+    def slice(h: String, start: Int): String =
+      s"((${hv(h, start)} * 16 + ${hv(h, start + 1)}) * 16 + ${hv(h, start + 2)})"
+    def bucketCols = (0 until CmsD).map(j => expr(slice("h", 1 + 3 * j)).cast("long"))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val sketch = toks
+      .withColumn("h", expr("md5(cast(word as binary))"))
+      .select(posexplode(array(bucketCols: _*)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exactTop = toks.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word").asc).limit(CmsTopK)
+    val cand = exactTop
+      .withColumn("h", expr("md5(cast(word as binary))"))
+      .select(col("word"), col("n_exact"),
+        posexplode(array(bucketCols: _*)).as(Seq("j", "bucket")))
+    sketch.join(broadcast(cand), Seq("j", "bucket"))
+      .groupBy(col("word"), col("n_exact")).agg(min(col("c")).as("n_cms"))
+      .select(col("word"), col("n_exact"), col("n_cms"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sk_hll_distinct" -> (skHllDistinct _),
     "sk_hll_merge" -> (skHllMerge _),
     "sk_hist_quantiles" -> (skHistQuantiles _),
-    "sk_bloom_probe" -> (skBloomProbe _))
+    "sk_bloom_probe" -> (skBloomProbe _),
+    "sk_cms_heavy" -> (skCmsHeavy _))
 
   private val hllSql: String = {
     val hv = hexValDuck _
@@ -276,9 +321,37 @@ object Sketches {
        |FROM probed GROUP BY c_mktsegment""".stripMargin
   }
 
+  private val cmsSql: String = {
+    val hv = hexValDuck _
+    def slice(h: String, start: Int): String =
+      s"((${hv(h, start)} * 16 + ${hv(h, start + 1)}) * 16 + ${hv(h, start + 2)})"
+    val buildArms = (0 until CmsD).map(j =>
+      s"SELECT $j AS j, ${slice("h", 1 + 3 * j)} AS bucket FROM tw").mkString("\n  UNION ALL ")
+    val candArms = (0 until CmsD).map(j =>
+      s"SELECT word, n_exact, $j AS j, ${slice("h", 1 + 3 * j)} AS bucket FROM candh")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
+       |  FROM documents),
+       |tw AS (SELECT word, md5(word) AS h FROM toks WHERE len(word) > 0),
+       |bkts AS (
+       |  $buildArms),
+       |sketch AS (SELECT j, bucket, count(*) AS c FROM bkts GROUP BY j, bucket),
+       |exact AS (
+       |  SELECT word, count(*) AS n_exact FROM toks WHERE len(word) > 0
+       |  GROUP BY word ORDER BY n_exact DESC, word LIMIT $CmsTopK),
+       |candh AS (SELECT word, n_exact, md5(word) AS h FROM exact),
+       |cand AS (
+       |  $candArms)
+       |SELECT word, n_exact, min(c) AS n_cms
+       |FROM cand JOIN sketch USING (j, bucket)
+       |GROUP BY word, n_exact""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sk_hll_distinct" -> hllSql,
     "sk_hll_merge" -> hllSql,
     "sk_hist_quantiles" -> histQSql,
-    "sk_bloom_probe" -> bloomSql)
+    "sk_bloom_probe" -> bloomSql,
+    "sk_cms_heavy" -> cmsSql)
 }

@@ -117,6 +117,11 @@ object Probe {
         val name = args(1)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
         graft.SparkEntry.queries(name)(spark, sf).explain("formatted")
+      case "show" =>
+        val name = args(1)
+        val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+        val df = graft.SparkEntry.queries(name)(spark, sf)
+        df.orderBy(df.columns.map(col).toIndexedSeq: _*).show(50, truncate = false)
       case _ => println(s"unknown probe: $what")
     }
     spark.stop()

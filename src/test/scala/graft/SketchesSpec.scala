@@ -81,4 +81,22 @@ class SketchesSpec extends AnyFunSuite {
         s"${r.getString(0)}: est $est vs exact $exact out of envelope")
     }
   }
+
+  test("count-min estimates only ever OVERcount, within the ε·N envelope") {
+    val rows = Sketches.skCmsHeavy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == Sketches.CmsTopK)
+    val nTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    // CMS guarantee: exact ≤ est, and est − exact ≤ e·N/W per row whp;
+    // min over d=4 rows makes the slack comfortably inside 3·N/W here
+    val slack = 3.0 * nTokens / Sketches.CmsW
+    rows.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"'$w': CMS undercounted ($est < $exact)")
+      assert(est - exact <= slack, s"'$w': overcount ${est - exact} > $slack")
+    }
+    assert(rows.exists { case (_, exact, est) => est == exact },
+      "expected at least one collision-free cell at this sketch load")
+  }
 }
