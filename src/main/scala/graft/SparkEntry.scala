@@ -52,7 +52,8 @@ object SparkEntry {
     (sinks.JsonlTable.queries, sinks.JsonlTable.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
     (ops.Quality.queries, ops.Quality.oracles),
-    (ops.Retrieval.queries, ops.Retrieval.oracles))
+    (ops.Retrieval.queries, ops.Retrieval.oracles),
+    (ops.Graph.queries, ops.Graph.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over a relation-derived graph — the missing
+  * sibling of the connected-components contraction in
+  * [[TextDedup]]: weighted PageRank with the full dangling-mass
+  * treatment, K fixed power iterations.
+  *
+  * The graph: suppliers co-occurring in an order, DIRECTED by ship
+  * sequence (the earlier-shipping supplier endorses the later one), edge
+  * weight = number of such orders, thresholded at [[MinW]] so the tiny-SF
+  * graph keeps real topology (470 edges / 100 nodes / 4 dangling at
+  * sf0.01 instead of the complete co-occurrence clique). The build is two
+  * equi-joins: per-(order, supplier) first-ship is an ordinary groupBy,
+  * and the pair explode self-joins on the order key — bounded by
+  * items-per-order², never all-pairs across the table.
+  *
+  * Exact cross-engine replay: ranks are BIGINT mass units ([[Scale]] =
+  * 1e12 total), every transfer is an integer floor division (Spark `div`
+  * ≡ DuckDB `//` on positives), and each iteration's per-node update is an
+  * order-independent integer SUM — so 5 unrolled CTE generations in the
+  * oracle reproduce the Spark loop bit for bit, the same determinism
+  * contract as the dup-cluster contraction. Dangling mass (nodes with no
+  * out-edges) is summed each iteration and redistributed uniformly — the
+  * textbook treatment, pinned live by GraphSpec since the thresholded
+  * graph genuinely has dangling nodes.
+  *
+  * 100 TB shape: each iteration is one equi-join (edges ⋈ ranks on src,
+  * shuffle on the join key) plus a dst aggregation; the dangling sum and
+  * node count are model-sized singleton broadcasts. K is fixed, so plan
+  * lineage is bounded; a production variant at larger K would checkpoint
+  * per iteration exactly like the dup-cluster loop's child session.
+  */
+object Graph {
+
+  val Scale = 1000000000000L // total rank mass (integer units)
+  val DampNum = 85L          // damping d = 85/100
+  val DampDen = 100L
+  val Iters = 5
+  val MinW = 18L
+
+  /** Directed, weighted co-shipment edges (src endorses dst). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val fs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+    fs.as("a").join(fs.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.first_ship") < col("b.first_ship"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= MinW)
+  }
+
+  def gPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = e.join(outw, Seq("src"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // node count is a model-sized driver scalar (the supplier universe),
+    // same contract as the k-means centroid collect in Similarity
+    val n = nodes.count()
+    val init = Scale / n
+    val tele = (init * (DampDen - DampNum)) / DampDen
+    val srcs = e.select(col("src")).distinct()
+    var pr = nodes.withColumn("pr", lit(init))
+    for (_ <- 1 to Iters) {
+      val contrib = ew.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("(pr * w) div wout").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val dangling = pr.join(srcs, pr("node") === srcs("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dmass"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), expr(
+          s"CAST($tele AS BIGINT) + ($DampNum * " +
+            s"(coalesce(contrib, CAST(0 AS BIGINT)) + (dmass div $n))) div $DampDen")
+          .as("pr"))
+    }
+    pr.select(col("node").as("suppkey"), col("pr").as("pr_q12"))
+  }
+
+  private val pagerankSql: String = {
+    val iterCtes = (1 to Iters).map { i =>
+      val p = s"pr${i - 1}"
+      s"""d$i AS (
+         |  SELECT COALESCE(CAST(sum(pr) AS BIGINT), 0) AS dmass FROM $p
+         |  WHERE node NOT IN (SELECT src FROM e)),
+         |c$i AS (
+         |  SELECT e.dst AS node, CAST(sum((p.pr * e.w) // o.wout) AS BIGINT) AS contrib
+         |  FROM e JOIN $p p ON p.node = e.src JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |pr$i AS (
+         |  SELECT n.node,
+         |    (SELECT tele FROM consts) + ($DampNum *
+         |      (COALESCE(c.contrib, 0) + ((SELECT dmass FROM d$i) // (SELECT n FROM nn)))) // $DampDen AS pr
+         |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fs AS (
+       |  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS d
+       |  FROM lineitem GROUP BY 1, 2),
+       |e AS (
+       |  SELECT a.s AS src, b.s AS dst, count(*) AS w
+       |  FROM fs a JOIN fs b ON a.o = b.o AND a.d < b.d
+       |  GROUP BY a.s, b.s HAVING count(*) >= $MinW),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |consts AS (
+       |  SELECT (($Scale // n) * ($DampDen - $DampNum)) // $DampDen AS tele FROM nn),
+       |pr0 AS (SELECT node, ($Scale // (SELECT n FROM nn)) AS pr FROM nodes),
+       |$iterCtes
+       |SELECT node AS suppkey, pr AS pr_q12 FROM pr$Iters""".stripMargin
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "g_pagerank" -> (gPagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "g_pagerank" -> pagerankSql)
+}

@@ -41,7 +41,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_ivf_topk",               // broadcast probe set + 16-centroid model
     "tc_mix_budget",              // broadcast 1-row corpus total
     "tr_validation",              // broadcast poi fixture, contains() residual
-    "ts_bm25_topk")               // broadcast 1-row (n_docs, avgdl) corpus stats
+    "ts_bm25_topk",               // broadcast 1-row (n_docs, avgdl) corpus stats
+    "g_pagerank")                 // broadcast 1-row dangling-mass singleton, ×K iterations
 
   test("no query plans a cartesian/nested-loop join outside the singleton allowlist") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
