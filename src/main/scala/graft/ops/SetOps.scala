@@ -62,7 +62,28 @@ object SetOps {
         col("n_customers"), col("sum_acctbal"))
   }
 
+  /** CUBE with an explicit grouping id — all four (segment, priority)
+    * grouping sets in one pass (Catalyst expands the cube into a single
+    * Expand + aggregate, so the fact table is scanned once, not 4×). The
+    * grouping id is derived from the null pattern of the NOT-NULL dims
+    * rather than grouping_id(), so the same expression replays verbatim
+    * in the oracle dialect. */
+  def dCubeSegmentPriority(spark: SparkSession, dir: String): DataFrame = {
+    val gid = (when(col("c_mktsegment").isNull, 2).otherwise(0) +
+      when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("long")
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .select(gid.as("gid"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "d_cube_segment_priority" -> (dCubeSegmentPriority _),
     "d_union_nations" -> (dUnionNations _),
     "d_intersect_nations" -> (dIntersectNations _),
     "d_except_nations" -> (dExceptNations _),
@@ -89,5 +110,14 @@ object SetOps {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "d_cube_segment_priority" ->
+      """SELECT
+        |  CAST((CASE WHEN c_mktsegment IS NULL THEN 2 ELSE 0 END) +
+        |       (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gid,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin)
 }

@@ -142,6 +142,39 @@ object AtomicTable {
     spark.read.parquet(s"$root/$v")
   }
 
+  /** Committed version directories present on disk, oldest first. Live is
+    * whatever `_CURRENT` names; the rest are retained predecessors. */
+  def versions(root: String): Seq[String] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val it = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit))
+          .toSeq.sortBy(_.drop(1).toLong)
+      } finally it.close()
+    }
+  }
+
+  /** TIME TRAVEL: read a specific retained version (e.g. `versions(root)`
+    * minus the live one). The retention window is [[KeepVersions]]; asking
+    * for a pruned or never-committed version fails loudly rather than
+    * falling back to live data. */
+  def readVersion(spark: SparkSession, root: String, version: String): DataFrame = {
+    if (!versions(root).contains(version))
+      throw new IllegalStateException(
+        s"version $version not retained at $root (have: ${versions(root).mkString(",")})")
+    spark.read.parquet(s"$root/$version")
+  }
+
+  /** The newest retained version BEFORE the live one, if any. */
+  def previousVersion(root: String): Option[String] = {
+    val live = currentVersion(root)
+    versions(root).filter(v => live.forall(_.drop(1).toLong > v.drop(1).toLong)).lastOption
+  }
+
   /** Drop versions older than the last [[KeepVersions]] (the live one plus
     * its predecessor, which an in-flight reader may still be scanning). */
   private def prune(root: String, live: String): Unit = {

@@ -76,6 +76,32 @@ object SinkQueries {
         date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"))
   }
 
+  /** S19 TIME TRAVEL over the atomic table's retained versions: commit an
+    * as-of snapshot (orders before the cutoff), then commit the live state,
+    * then answer a query that reads BOTH — the live manifest version and
+    * its retained predecessor via [[AtomicTable.readVersion]] — proving the
+    * published version flip keeps the old version readable (snapshot
+    * isolation made queryable, the micro version of Delta's VERSION AS OF).
+    * Re-runs re-commit the same pair, so previous/current are deterministic
+    * per run regardless of accumulated history. */
+  val TtCutoff = "2000-01-01"
+  def qS19TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = "spark-warehouse/s19_tt_" + new java.io.File(dir).getName
+    val o = graft.Tables.orders(spark, dir)
+    val byPriority = (df: DataFrame) => df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    AtomicTable.commit(byPriority(o.filter(col("o_orderdate") < lit(TtCutoff).cast("date"))), root)
+    AtomicTable.commit(byPriority(o), root)
+    val prevV = AtomicTable.previousVersion(root).get
+    val prev = AtomicTable.readVersion(spark, root, prevV)
+      .withColumnRenamed("n_orders", "n_asof_v1")
+    val live = AtomicTable.read(spark, root)
+      .withColumnRenamed("n_orders", "n_live")
+    prev.join(live, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_asof_v1"), col("n_live"),
+        (col("n_live") - col("n_asof_v1")).as("n_added"))
+  }
+
   def qS10ConditionalAppend(spark: SparkSession, dir: String): DataFrame =
     MergeSink.conditionalAppend(
       graft.domain.Fixtures.snapshotsDf(spark), incomingSnapshotsDf(spark))
@@ -360,6 +386,7 @@ object SinkQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_upsert_poi" -> (qS9Upsert _),
     "s9_atomic_roundtrip" -> (qS9AtomicRoundtrip _),
+    "s19_time_travel" -> (qS19TimeTravel _),
     "s9_upsert_poi_vol" -> (qS9UpsertVol _),
     "s10_conditional_append" -> (qS10ConditionalAppend _),
     "pipe_incremental" -> (qIncrementalPipeline _),
@@ -563,6 +590,15 @@ object SinkQueries {
     "pipe_incremental" -> pipeIncrementalSql,
     "pipe_incremental_vol" -> pipeIncrementalVolSql,
     "s9_atomic_roundtrip" -> s9AtomicSql,
+    "s19_time_travel" ->
+      s"""WITH a AS (
+         |  SELECT o_orderpriority, count(*) AS n_asof_v1 FROM orders
+         |  WHERE o_orderdate < DATE '$TtCutoff' GROUP BY o_orderpriority),
+         |b AS (
+         |  SELECT o_orderpriority, count(*) AS n_live FROM orders
+         |  GROUP BY o_orderpriority)
+         |SELECT o_orderpriority, n_asof_v1, n_live, n_live - n_asof_v1 AS n_added
+         |FROM a JOIN b USING (o_orderpriority)""".stripMargin,
     "s9_upsert_poi" ->
       s"""SELECT coalesce(e.google_place_id, i.google_place_id) AS google_place_id,
          |  coalesce(i.name, e.name) AS name,

@@ -182,6 +182,21 @@ class SinkSpec extends AnyFunSuite {
     assert(kept.sameElements(Array("v5", "v6")), kept.mkString(","))
   }
 
+  test("time travel: previous version stays queryable, pruned versions fail loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("grafttt").toString
+    AtomicTable.commit(Seq(("g1", 1)).toDF("k", "ver"), root)
+    AtomicTable.commit(Seq(("g1", 2)).toDF("k", "ver"), root)
+    AtomicTable.commit(Seq(("g1", 3)).toDF("k", "ver"), root)
+    assert(AtomicTable.versions(root) == Seq("v2", "v3")) // retention window 2
+    assert(AtomicTable.previousVersion(root).contains("v2"))
+    assert(AtomicTable.readVersion(spark, root, "v2").collect().head.getInt(1) == 2)
+    assert(AtomicTable.read(spark, root).collect().head.getInt(1) == 3)
+    intercept[IllegalStateException] {
+      AtomicTable.readVersion(spark, root, "v1") // pruned: loud, not live-fallback
+    }
+  }
+
   test("S4 cache: HIT within TTL, STALE past TTL, MISS when absent") {
     val st = SerpCache.qCacheLookup(spark, "").collect()
       .map(r => r.getString(0) -> (r.getString(4), Option(r.getString(2)))).toMap
