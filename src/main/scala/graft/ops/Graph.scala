@@ -11,12 +11,16 @@ import graft.Tables
   *
   * The graph: suppliers co-occurring in an order, DIRECTED by ship
   * sequence (the earlier-shipping supplier endorses the later one), edge
-  * weight = number of such orders, thresholded at [[MinW]] so the tiny-SF
-  * graph keeps real topology (470 edges / 100 nodes / 4 dangling at
-  * sf0.01 instead of the complete co-occurrence clique). The build is two
-  * equi-joins: per-(order, supplier) first-ship is an ordinary groupBy,
-  * and the pair explode self-joins on the order key — bounded by
-  * items-per-order², never all-pairs across the table.
+  * weight = number of such orders, kept to the [[TopE]] strongest edges
+  * under a total order so every SF yields real topology (sf0.01: 100
+  * nodes / 4 dangling; sf0.1: 579 nodes / 241 dangling) instead of the
+  * complete co-occurrence clique. The build is two equi-joins:
+  * per-(order, supplier) first-ship is an ordinary groupBy, and the pair
+  * explode self-joins on the order key — bounded by items-per-order²,
+  * never all-pairs across the table. The oracle's CTEs are MATERIALIZED:
+  * DuckDB inlines every reference, and the unrolled 5-generation chain
+  * references each generation twice — 2^5 re-evaluations of the edge
+  * build without the hint (34 s → 0.11 s at sf0.01, measured).
   *
   * Exact cross-engine replay: ranks are BIGINT mass units ([[Scale]] =
   * 1e12 total), every transfer is an integer floor division (Spark `div`
@@ -40,7 +44,13 @@ object Graph {
   val DampNum = 85L          // damping d = 85/100
   val DampDen = 100L
   val Iters = 5
-  val MinW = 18L
+  /** The graph keeps the TopE strongest edges under a TOTAL order
+    * (weight desc, then src, dst) — a fixed weight cutoff would empty the
+    * graph as SF grows (pair weights thin out as the supplier universe
+    * widens: the r13 bench caught exactly that as a divide-by-zero at
+    * sf0.1), while a deterministic top-E adapts to any scale and plans as
+    * a TakeOrderedAndProject, never a full sort. */
+  val TopE = 500
 
   /** Directed, weighted co-shipment edges (src endorses dst). */
   def edges(spark: SparkSession, dir: String): DataFrame = {
@@ -52,7 +62,8 @@ object Graph {
           col("a.first_ship") < col("b.first_ship"))
       .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .filter(col("w") >= MinW)
+      .orderBy(col("w").desc, col("src").asc, col("dst").asc)
+      .limit(TopE)
   }
 
   def gPagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -87,32 +98,35 @@ object Graph {
   private val pagerankSql: String = {
     val iterCtes = (1 to Iters).map { i =>
       val p = s"pr${i - 1}"
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT COALESCE(CAST(sum(pr) AS BIGINT), 0) AS dmass FROM $p
          |  WHERE node NOT IN (SELECT src FROM e)),
-         |c$i AS (
+         |c$i AS MATERIALIZED (
          |  SELECT e.dst AS node, CAST(sum((p.pr * e.w) // o.wout) AS BIGINT) AS contrib
          |  FROM e JOIN $p p ON p.node = e.src JOIN outw o ON o.src = e.src
          |  GROUP BY e.dst),
-         |pr$i AS (
+         |pr$i AS MATERIALIZED (
          |  SELECT n.node,
          |    (SELECT tele FROM consts) + ($DampNum *
          |      (COALESCE(c.contrib, 0) + ((SELECT dmass FROM d$i) // (SELECT n FROM nn)))) // $DampDen AS pr
          |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH fs AS (
+    s"""WITH fs AS MATERIALIZED (
        |  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS d
        |  FROM lineitem GROUP BY 1, 2),
-       |e AS (
+       |e0 AS MATERIALIZED (
        |  SELECT a.s AS src, b.s AS dst, count(*) AS w
        |  FROM fs a JOIN fs b ON a.o = b.o AND a.d < b.d
-       |  GROUP BY a.s, b.s HAVING count(*) >= $MinW),
-       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |consts AS (
+       |  GROUP BY a.s, b.s),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, w FROM e0
+       |  ORDER BY w DESC, src ASC, dst ASC LIMIT $TopE),
+       |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |consts AS MATERIALIZED (
        |  SELECT (($Scale // n) * ($DampDen - $DampNum)) // $DampDen AS tele FROM nn),
-       |pr0 AS (SELECT node, ($Scale // (SELECT n FROM nn)) AS pr FROM nodes),
+       |pr0 AS MATERIALIZED (SELECT node, ($Scale // (SELECT n FROM nn)) AS pr FROM nodes),
        |$iterCtes
        |SELECT node AS suppkey, pr AS pr_q12 FROM pr$Iters""".stripMargin
   }

@@ -82,7 +82,40 @@ object SetOps {
         col("n_orders"), col("sum_price"))
   }
 
+  /** PIVOT — wide-format cross-tab via the DataFrame pivot API (explicit
+    * value list, so Catalyst skips the extra distinct-values job and the
+    * output schema is static — the 100 TB-safe way to call pivot). Nulls
+    * from absent cells coalesce to 0 to match the oracle's conditional
+    * counts. */
+  def dPivotSegmentPriority(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val aliases = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment") +:
+        prios.zip(aliases).map { case (p, a) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(a) }: _*)
+  }
+
+  /** UNPIVOT — the inverse surface: melt the pivoted wide table back to
+    * (segment, priority, n) long form via the Dataset unpivot API. Declared
+    * oracle is the plain GROUP BY counts, so the driver's hash gate proves
+    * pivot∘unpivot ≡ identity on real data. */
+  def dUnpivotSegmentPriority(spark: SparkSession, dir: String): DataFrame = {
+    val aliases = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+    dPivotSegmentPriority(spark, dir).unpivot(
+      ids = Array(col("c_mktsegment")),
+      values = aliases.map(col).toArray,
+      variableColumnName = "priority_slot",
+      valueColumnName = "n_orders")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "d_pivot_segment_priority" -> (dPivotSegmentPriority _),
+    "d_unpivot_segment_priority" -> (dUnpivotSegmentPriority _),
     "d_cube_segment_priority" -> (dCubeSegmentPriority _),
     "d_union_nations" -> (dUnionNations _),
     "d_intersect_nations" -> (dIntersectNations _),
@@ -119,5 +152,23 @@ object SetOps {
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin)
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
+    "d_pivot_segment_priority" ->
+      """SELECT c_mktsegment,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "d_unpivot_segment_priority" ->
+      """SELECT c_mktsegment,
+        |  CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 'p1_urgent' WHEN '2-HIGH' THEN 'p2_high'
+        |    WHEN '3-MEDIUM' THEN 'p3_medium' WHEN '4-NOT SPECIFIED' THEN 'p4_not_specified'
+        |    ELSE 'p5_low' END AS priority_slot,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -67,13 +67,37 @@ object Windows {
       .filter(col("n_kept") >= 2)
   }
 
+  /** W11 — the distribution-rank window family (ntile / percent_rank /
+    * cume_dist) in one pass over one window sort. The order is made TOTAL
+    * (price, then key) so ntile's row-position semantics are deterministic;
+    * percent_rank and cume_dist are exact rationals of row counts, so the
+    * doubles agree cross-engine bit for bit. */
+  def w11DistributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "w11_distribution_ranks" -> (w11DistributionRanks _),
     "w2_trailing_window" -> (w2TrailingWindow _),
     "w3_top_orders_per_customer" -> (w3TopOrdersPerCustomer _),
     "w6_top_events" -> (w6TopEvents _),
     "w9_rank_gate" -> (w9RankGate _))
 
   val oracles: Map[String, String] = Map(
+    "w11_distribution_ranks" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "w2_trailing_window" ->
       """SELECT event_id, user_id, day_idx,
         |  round(sum(value) OVER w, 4) AS trailing_sum,

@@ -26,7 +26,7 @@ class GraphSpec extends AnyFunSuite {
         if a._3 < b._3
       } yield (a._2, b._2)
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
-      .filter(_._2 >= Graph.MinW)
+      .toSeq.sortBy { case ((s, d), w) => (-w, s, d) }.take(Graph.TopE).toMap
   }
 
   private def refRanks: Map[Long, Long] = {
