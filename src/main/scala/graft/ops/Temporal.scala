@@ -208,7 +208,35 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE for algebraic aggregates — the batch
+    * sibling of [[snScd2Merge]]'s touched-rows contract: a materialized
+    * revenue view stores PARTIALS (sum, count, max — each map-side
+    * combinable), the nightly delta slice folds in as one more partial
+    * union + re-aggregate, and derived values (avg) are computed only at
+    * read time from the merged partials. The declared oracle is the FULL
+    * REBUILD over all orders, so the driver's hash gate itself proves
+    * merge ≡ rebuild every round — maintaining the view never re-reads
+    * base history, only |groups| + |delta| rows. */
+  val IvCutoff = "2000-01-01"
+  def ivRevenueMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def partials(df: DataFrame) = df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_p"),
+        max(col("o_totalprice")).as("max_p"))
+    val base = partials(o.filter(col("o_orderdate") < lit(IvCutoff).cast("date")))
+    val delta = partials(o.filter(col("o_orderdate") >= lit(IvCutoff).cast("date")))
+    base.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_p")).as("sum_p"),
+        max(col("max_p")).as("max_p"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        round(col("sum_p"), 4).as("sum_price"),
+        round(col("sum_p") / col("n_orders"), 4).as("avg_price"),
+        round(col("max_p"), 4).as("max_price"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "iv_revenue_merge" -> (ivRevenueMerge _),
     "sn_scd2_intervals" -> (snScd2Intervals _),
     "sn_scd2_merge" -> (snScd2Merge _),
     "sn_pit_snapshot" -> (snPitSnapshot _),
@@ -268,6 +296,12 @@ object Temporal {
         |WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "iv_revenue_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price,
+        |  round(sum(o_totalprice) / count(*), 4) AS avg_price,
+        |  round(max(o_totalprice), 4) AS max_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "sn_scd2_intervals" -> scd2RebuildSql,
     "sn_scd2_merge" -> scd2RebuildSql,
     "sn_state_timeline" ->

@@ -82,7 +82,43 @@ object Windows {
         round(cume_dist().over(w), 6).as("cume"))
   }
 
+  /** W12 — windowed funnel (the ClickHouse-windowFunnel class of analytics):
+    * per user, greedy earliest-first matching of view → click → signup →
+    * purchase where every later step is strictly after the previous match
+    * and inside [[FunnelHours]] of the first view. Each step is one
+    * filter + min-aggregate + equi-join, ALL keyed on user_id — one
+    * partitioning carried through the whole chain, no window over the raw
+    * event log, no per-user sort. Timestamp arithmetic is exact
+    * microsecond TIMESTAMP+INTERVAL in both engines, so the greedy match
+    * replays bit for bit. */
+  val FunnelHours = 48
+  def w12Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def step(t: String) = ev.filter(col("event_type") === t)
+    val lim = expr(s"t1 + INTERVAL $FunnelHours HOURS")
+    val s1 = step("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = step("click").join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= lim)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = step("signup").join(s2, Seq("user_id")).join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= lim)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val s4 = step("purchase").join(s3, Seq("user_id")).join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t3") && col("ts") <= lim)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t4"))
+    def fmt(c: String) = date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .join(s4, Seq("user_id"), "left")
+      .select(col("user_id"),
+        fmt("t1").as("t_view"), fmt("t2").as("t_click"),
+        fmt("t3").as("t_signup"), fmt("t4").as("t_purchase"),
+        when(col("t4").isNotNull, 4L).when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L).otherwise(1L).as("depth"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "w12_funnel" -> (w12Funnel _),
     "w11_distribution_ranks" -> (w11DistributionRanks _),
     "w2_trailing_window" -> (w2TrailingWindow _),
     "w3_top_orders_per_customer" -> (w3TopOrdersPerCustomer _),
@@ -90,6 +126,35 @@ object Windows {
     "w9_rank_gate" -> (w9RankGate _))
 
   val oracles: Map[String, String] = Map(
+    "w12_funnel" ->
+      s"""WITH s1 AS MATERIALIZED (
+         |  SELECT user_id, min(ts) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS MATERIALIZED (
+         |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND ts > t1
+         |    AND ts <= t1 + INTERVAL $FunnelHours HOUR GROUP BY e.user_id),
+         |s3 AS MATERIALIZED (
+         |  SELECT e.user_id, min(ts) AS t3
+         |  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+         |  WHERE event_type = 'signup' AND ts > t2
+         |    AND ts <= t1 + INTERVAL $FunnelHours HOUR GROUP BY e.user_id),
+         |s4 AS MATERIALIZED (
+         |  SELECT e.user_id, min(ts) AS t4
+         |  FROM events e JOIN s3 USING (user_id) JOIN s1 USING (user_id)
+         |  WHERE event_type = 'purchase' AND ts > t3
+         |    AND ts <= t1 + INTERVAL $FunnelHours HOUR GROUP BY e.user_id)
+         |SELECT user_id,
+         |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+         |  strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+         |  strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_signup,
+         |  strftime(t4, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+         |  CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+         |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth
+         |FROM s1
+         |LEFT JOIN s2 USING (user_id)
+         |LEFT JOIN s3 USING (user_id)
+         |LEFT JOIN s4 USING (user_id)""".stripMargin,
     "w11_distribution_ranks" ->
       """SELECT o_orderpriority, o_orderkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

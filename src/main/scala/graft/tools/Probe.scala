@@ -117,6 +117,19 @@ object Probe {
         val name = args(1)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
         graft.SparkEntry.queries(name)(spark, sf).explain("formatted")
+      case "g_stages" =>
+        def t[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[g] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        graft.ops.Graph.edges(spark, sf).explain("formatted")
+        t("edges count")(graft.ops.Graph.edges(spark, sf).count())
+        t("edges count 2")(graft.ops.Graph.edges(spark, sf).count())
+        t("full query")(graft.ops.Graph.gPagerank(spark, sf)
+          .write.mode("overwrite").format("noop").save())
+        t("full query 2")(graft.ops.Graph.gPagerank(spark, sf)
+          .write.mode("overwrite").format("noop").save())
       case "show" =>
         val name = args(1)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
