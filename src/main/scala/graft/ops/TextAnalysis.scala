@@ -416,7 +416,41 @@ object TextAnalysis {
         (col("last_seq") > col("first_seq")).as("crosses_boundary"))
   }
 
+  /** LM-PERPLEXITY QUALITY SCORING (the CCNet/Gopher filter class): a
+    * corpus bigram model with add-one smoothing scores every document by
+    * its summed token-transition log-probability — low scores flag
+    * boilerplate/garbled text for the cleaning chain. All dataflow:
+    * unigram/bigram counts are ordinary groupBys (map-side partial), a doc
+    * scores through one equi-join per table, and the vocab size is the
+    * only singleton broadcast. Cross-engine exactness: each transition's
+    * `ln((c2+1)/(c1+V))` is quantized to a BIGINT at 1e6, so per-doc sums
+    * are order-independent integer sums; the integer average is spelled
+    * `-((-sum) div n)` on BOTH sides because Spark `div` truncates toward
+    * zero while DuckDB `//` floors — they only agree on positives, and
+    * log-probs are negative. */
+  def taBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+    val toks = docs.select(explode(col("ws")).as("w1"))
+    val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct(col("w1")).as("v"))
+    val pw = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> named_struct('w1', ws[i], 'w2', ws[i + 1]))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pw.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    pw.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("q", expr(
+        "CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v)) * 1000000.0) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("q")).as("sum_lp_q6"))
+      .withColumn("avg_lp_q6", expr("-((-sum_lp_q6) div n_pairs)"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "ta_bigram_logprob" -> (taBigramLogprob _),
     "ta_lang_id" -> (taLangId _),
     "ta_pii" -> (taPii _),
     "tc_pack_offsets" -> (tcPackOffsets _),
@@ -503,6 +537,27 @@ object TextAnalysis {
          |         ELSE '' END AS drop_reason
          |  FROM decided)""".stripMargin
     Map(
+      "ta_bigram_logprob" ->
+        """WITH docs AS MATERIALIZED (
+          |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
+          |  FROM documents),
+          |toks AS MATERIALIZED (SELECT unnest(ws) AS w1 FROM docs),
+          |uni AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1),
+          |voc AS MATERIALIZED (SELECT count(DISTINCT w1) AS v FROM toks),
+          |pw AS MATERIALIZED (
+          |  SELECT doc_id,
+          |    unnest(ws[1:len(ws) - 1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+          |  FROM docs WHERE len(ws) >= 2),
+          |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM pw GROUP BY w1, w2),
+          |q AS MATERIALIZED (
+          |  SELECT doc_id,
+          |    CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v))
+          |      * 1000000.0) AS BIGINT) AS q
+          |  FROM pw JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc)
+          |SELECT doc_id, count(*) AS n_pairs,
+          |  CAST(sum(q) AS BIGINT) AS sum_lp_q6,
+          |  -((-CAST(sum(q) AS BIGINT)) // count(*)) AS avg_lp_q6
+          |FROM q GROUP BY doc_id""".stripMargin,
       "ta_lang_id" ->
         s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
            |  CASE WHEN best > 0 THEN (CASE $caseArg END) ELSE 'und' END AS predicted_lang,

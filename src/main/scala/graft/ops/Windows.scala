@@ -117,7 +117,32 @@ object Windows {
           .when(col("t2").isNotNull, 2L).otherwise(1L).as("depth"))
   }
 
+  /** W13 — cohort retention matrix: customers cohorted by the month of
+    * their FIRST order (80 months of history → a real triangular matrix);
+    * each (cohort_month, month_offset) cell counts the distinct customers
+    * ordering again that month, beside the cohort size and the retention
+    * ratio. Two shuffles total (first-order per customer; cell
+    * aggregate); month indexing is exact integer arithmetic on
+    * year()/month(), and the ratio is one double division of two exact
+    * integers. */
+  def w13RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"))
+    val first = ev.groupBy(col("o_custkey")).agg(min(col("mo")).as("cohort_month"))
+    val sizes = first.groupBy(col("cohort_month")).agg(count(lit(1)).as("cohort_size"))
+    ev.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort_month"), (col("mo") - col("cohort_month")).as("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_month"))
+      .select(col("cohort_month"), col("month_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") * lit(1.0) / col("cohort_size"), 6).as("retention"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "w13_retention_cohorts" -> (w13RetentionCohorts _),
     "w12_funnel" -> (w12Funnel _),
     "w11_distribution_ranks" -> (w11DistributionRanks _),
     "w2_trailing_window" -> (w2TrailingWindow _),
@@ -126,6 +151,20 @@ object Windows {
     "w9_rank_gate" -> (w9RankGate _))
 
   val oracles: Map[String, String] = Map(
+    "w13_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT o_custkey,
+        |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo
+        |  FROM orders),
+        |first_mo AS (SELECT o_custkey, min(mo) AS cohort_month FROM ev GROUP BY o_custkey),
+        |sizes AS (SELECT cohort_month, count(*) AS cohort_size FROM first_mo GROUP BY cohort_month),
+        |act AS (
+        |  SELECT cohort_month, mo - cohort_month AS month_offset,
+        |    count(DISTINCT o_custkey) AS n_active
+        |  FROM ev JOIN first_mo USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort_month, month_offset, n_active, cohort_size,
+        |  round(n_active * 1.0 / cohort_size, 6) AS retention
+        |FROM act JOIN sizes USING (cohort_month)""".stripMargin,
     "w12_funnel" ->
       s"""WITH s1 AS MATERIALIZED (
          |  SELECT user_id, min(ts) AS t1 FROM events

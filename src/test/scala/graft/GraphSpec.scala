@@ -56,6 +56,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got == refRanks)
   }
 
+  test("edge build plans one scan, no data-sized broadcast, top-E as TakeOrdered") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val plan = graft.ops.Graph.edges(spark, sf).queryExecution.sparkPlan
+    // the r13 regression this pins: the self-join form planned the
+    // per-(order,supplier) relation TWICE and broadcast it data-sized
+    val scans = plan.collect {
+      case s if s.nodeName.toLowerCase.contains("scan parquet") => s
+      case s if s.getClass.getSimpleName == "FileSourceScanExec" => s
+    }
+    assert(scans.size == 1, s"expected one lineitem scan, got ${scans.size}")
+    val broadcasts = plan.collect {
+      case b: BroadcastExchangeExec => b
+      case b: BroadcastHashJoinExec => b
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(broadcasts.isEmpty, "edge build must not broadcast a data-sized side")
+    assert(plan.collect {
+      case t if t.getClass.getSimpleName.startsWith("TakeOrderedAndProject") => t
+    }.nonEmpty, "top-E must plan as TakeOrderedAndProject, not a full sort")
+  }
+
   test("the thresholded graph has dangling nodes and the mass balance holds") {
     val srcs = refEdges.keys.map(_._1).toSet
     val nodes = srcs ++ refEdges.keys.map(_._2)

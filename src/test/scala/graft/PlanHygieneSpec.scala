@@ -42,7 +42,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "tc_mix_budget",              // broadcast 1-row corpus total
     "tr_validation",              // broadcast poi fixture, contains() residual
     "ts_bm25_topk",               // broadcast 1-row (n_docs, avgdl) corpus stats
-    "g_pagerank")                 // broadcast 1-row dangling-mass singleton, ×K iterations
+    "g_pagerank",                 // broadcast 1-row dangling-mass singleton, ×K iterations
+    "ta_bigram_logprob")          // broadcast 1-row vocab-size singleton
 
   test("no query plans a cartesian/nested-loop join outside the singleton allowlist") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
