@@ -148,7 +148,54 @@ object Relational {
         round(col("nation_avg"), 6).as("nation_avg"))
   }
 
+  /** TPC-H Q5 shape — the six-way local-supplier-volume join: the
+    * lineitem⋈orders⋈customer⋈supplier chain with the EXTRA
+    * c_nationkey = s_nationkey equi-condition, region-filtered through
+    * broadcast dims with the filter PUSHED to the dim side so join
+    * reorder prunes early. Revenue uses the q3 decimal-sum contract
+    * (round-6 per item, DECIMAL sum) so the total is partition-order
+    * independent. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+    val c  = Tables.customer(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = broadcast(Tables.nation(spark, dir))
+    val r  = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(n, s("s_nationkey").cast("int") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .cast("decimal(28,6)")), 4).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18 shape — large-volume customers: per-order quantity
+    * aggregate, HAVING gate, then join BACK to the order/customer grain.
+    * l_quantity values are integral, so the double sum is exact and
+    * order-independent without the decimal detour. */
+  def q18LargeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 4).as("o_totalprice"), col("total_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q18_large_volume_customers" -> (q18LargeVolumeCustomers _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q1_sql_api"           -> (q1Sql _),
     "q_correlated_above_avg" -> (qCorrelatedAboveAvg _),
@@ -189,6 +236,29 @@ object Relational {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |    AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q18_large_volume_customers" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(o_totalprice, 4) AS o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0) b
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q3_revenue_by_region" ->
       """SELECT r_name,
         |  CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
