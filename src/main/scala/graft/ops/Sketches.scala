@@ -187,6 +187,55 @@ object Sketches {
       .agg(count(lit(1)).as("n_customers"), sum(col("member")).as("n_flagged"))
   }
 
+  // ------------------------------------------------ HLL set algebra
+
+  /** HLL SET ALGEBRA — the sketch-union/intersection move (Theta-sketch
+    * style, via inclusion–exclusion): the 1995 and 2001 customer sets
+    * sketch independently, their UNION is the bucket-wise max of the two
+    * register sets (exact, by the merge property), and the intersection
+    * estimates as est(A) + est(B) − est(A∪B). The whole query is
+    * register dataflow — per-set registers, one more max-merge, three
+    * estimator rows folded by conditional aggregation — and the exact
+    * overlap rides along from a per-customer flag aggregate so the
+    * estimate's error is measurable in the output (SketchesSpec pins the
+    * inclusion–exclusion identity and the error envelope). */
+  def skHllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val hv = hexValSpark _
+    val flags = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("a"),
+        max(when(year(col("o_orderdate")) === 2001, 1).otherwise(0)).as("b"))
+    val rows = flags.filter(col("a") === 1 || col("b") === 1)
+      .withColumn("h", expr("md5(cast(cast(o_custkey as string) as binary))"))
+      .withColumn("bucket", expr(s"${hv("h", 1)} * 16 + ${hv("h", 2)}").cast("long"))
+      .withColumn("w", expr(wSql("h", hv)))
+      .withColumn("rho", expr(rhoSql("w")).cast("long"))
+      .select(col("a"), col("b"), col("bucket"), col("rho"))
+    def regs(grp: String, cond: org.apache.spark.sql.Column) = rows.filter(cond)
+      .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+      .withColumn("grp", lit(grp))
+    val allRegs = regs("a", col("a") === 1)
+      .unionByName(regs("b", col("b") === 1))
+      .unionByName(regs("u", lit(true)))
+    val ests = allRegs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("nb"), sum(expr("power(2.0, -mj)")).as("s_hit"))
+      .withColumn("v", lit(M.toLong) - col("nb"))
+      .withColumn("est_raw", lit(AlphaMM) / (col("s_hit") + col("v")))
+      .withColumn("est", round(
+        when(col("est_raw") <= lit(2.5 * M) && col("v") > 0,
+          lit(M.toDouble) * log(lit(M.toDouble) / col("v")))
+          .otherwise(col("est_raw")), 4))
+      .groupBy()
+      .agg(max(when(col("grp") === "a", col("est"))).as("est_a"),
+        max(when(col("grp") === "b", col("est"))).as("est_b"),
+        max(when(col("grp") === "u", col("est"))).as("est_union"))
+      .withColumn("est_intersect", round(col("est_a") + col("est_b") - col("est_union"), 4))
+    val exact = flags.agg(sum(col("a")).cast("long").as("n_a_exact"),
+      sum(col("b")).cast("long").as("n_b_exact"),
+      sum(col("a") * col("b")).cast("long").as("n_intersect_exact"))
+    exact.crossJoin(broadcast(ests))
+  }
+
   // ------------------------------------------------ count-min heavy hitters
 
   val CmsW = 4096 // buckets per hash row (3 hex digits)
@@ -236,7 +285,8 @@ object Sketches {
     "sk_hll_merge" -> (skHllMerge _),
     "sk_hist_quantiles" -> (skHistQuantiles _),
     "sk_bloom_probe" -> (skBloomProbe _),
-    "sk_cms_heavy" -> (skCmsHeavy _))
+    "sk_cms_heavy" -> (skCmsHeavy _),
+    "sk_hll_intersect" -> (skHllIntersect _))
 
   private val hllSql: String = {
     val hv = hexValDuck _
@@ -348,7 +398,53 @@ object Sketches {
        |GROUP BY word, n_exact""".stripMargin
   }
 
+  private val hllIntersectSql: String = {
+    val hv = hexValDuck _
+    s"""WITH flags AS MATERIALIZED (
+       |  SELECT o_custkey,
+       |    max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS a,
+       |    max(CASE WHEN year(o_orderdate) = 2001 THEN 1 ELSE 0 END) AS b
+       |  FROM orders GROUP BY o_custkey),
+       |hw AS MATERIALIZED (
+       |  SELECT a, b,
+       |    ${hv("h", 1)} * 16 + ${hv("h", 2)} AS bucket,
+       |    ${wSql("h", hv)} AS w
+       |  FROM (SELECT a, b, md5(CAST(o_custkey AS VARCHAR)) AS h
+       |        FROM flags WHERE a = 1 OR b = 1)),
+       |rows0 AS MATERIALIZED (
+       |  SELECT a, b, bucket, ${rhoSql("w")} AS rho FROM hw),
+       |regs AS MATERIALIZED (
+       |  SELECT 'a' AS grp, bucket, max(rho) AS mj FROM rows0 WHERE a = 1 GROUP BY bucket
+       |  UNION ALL
+       |  SELECT 'b', bucket, max(rho) FROM rows0 WHERE b = 1 GROUP BY bucket
+       |  UNION ALL
+       |  SELECT 'u', bucket, max(rho) FROM rows0 GROUP BY bucket),
+       |est0 AS MATERIALIZED (
+       |  SELECT grp, count(*) AS nb, sum(power(2.0, -mj)) AS s_hit
+       |  FROM regs GROUP BY grp),
+       |est1 AS MATERIALIZED (
+       |  SELECT grp, ($M - nb) AS v, $AlphaMM / (s_hit + ($M - nb)) AS est_raw
+       |  FROM est0),
+       |ests AS MATERIALIZED (
+       |  SELECT
+       |    max(CASE WHEN grp = 'a' THEN est END) AS est_a,
+       |    max(CASE WHEN grp = 'b' THEN est END) AS est_b,
+       |    max(CASE WHEN grp = 'u' THEN est END) AS est_union
+       |  FROM (SELECT grp, CAST(round(CASE WHEN est_raw <= ${2.5 * M} AND v > 0
+       |          THEN ${M.toDouble} * ln(${M.toDouble} / v)
+       |          ELSE est_raw END, 4) AS DOUBLE) AS est FROM est1)),
+       |exact AS MATERIALIZED (
+       |  SELECT CAST(sum(a) AS BIGINT) AS n_a_exact,
+       |    CAST(sum(b) AS BIGINT) AS n_b_exact,
+       |    CAST(sum(a * b) AS BIGINT) AS n_intersect_exact
+       |  FROM flags)
+       |SELECT n_a_exact, n_b_exact, n_intersect_exact, est_a, est_b, est_union,
+       |  round(est_a + est_b - est_union, 4) AS est_intersect
+       |FROM exact CROSS JOIN ests""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sk_hll_intersect" -> hllIntersectSql,
     "sk_hll_distinct" -> hllSql,
     "sk_hll_merge" -> hllSql,
     "sk_hist_quantiles" -> histQSql,

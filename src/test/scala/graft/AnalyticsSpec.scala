@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Independent references for the round-13 analytics operators: the funnel
+  * and cohort queries re-computed with plain Scala collections from the
+  * raw tables (no Spark expressions, no shared formula strings), plus the
+  * structural facts that make iv_revenue_merge a real incremental merge. */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+  private val sf = "/root/testdata/sf0.01"
+
+  test("w12_funnel matches a pure-Scala greedy matcher on every user") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    val windowUs = graft.ops.Windows.FunnelHours.toLong * 3600L * 1000000L
+    val want = byUser.flatMap { case (u, evs) =>
+      def minAfter(t: String, after: Long, lim: Long): Option[Long] = {
+        val c = evs.filter(e => e._2 == t && e._3 > after && e._3 <= lim).map(_._3)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val views = evs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val t1 = views.min
+        val lim = t1 + windowUs
+        val t2 = minAfter("click", t1, lim)
+        val t3 = t2.flatMap(minAfter("signup", _, lim))
+        val t4 = t3.flatMap(minAfter("purchase", _, lim))
+        val depth = 1L + Seq(t2, t3, t4).takeWhile(_.isDefined).size
+        Some(u -> ((t1, t2, t3, t4, depth)))
+      }
+    }
+    val got = graft.ops.Windows.w12Funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, (_, _, _, _, depth)) =>
+      assert(got(u) == depth, s"user $u depth ${got(u)} != $depth")
+    }
+    // the funnel must actually narrow at this window, or the query is a
+    // tautology on this data
+    val hist = want.values.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(hist.keySet.size >= 3, s"degenerate depth histogram: $hist")
+  }
+
+  test("w13 cohort matrix: offset-0 is full retention, cells nest in cohort size") {
+    val rows = graft.ops.Windows.w13RetentionCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n, size, ret) =>
+      assert(off >= 0 && n >= 1 && n <= size)
+      assert(math.abs(ret - math.rint(n * 1e6 / size) / 1e6) < 1e-9)
+    }
+    rows.filter(_._2 == 0L).foreach { case (cw, _, n, size, _) =>
+      assert(n == size, s"cohort $cw: offset 0 must contain every member")
+    }
+    // reference cohort sizes from the raw table
+    val first = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (c, ms) => c -> ms.map(_._2).min }
+    val wantSizes = first.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val gotSizes = rows.map(r => r._1 -> r._4).toMap
+    assert(gotSizes == wantSizes)
+  }
+
+  test("iv_revenue_merge: the cutoff genuinely splits the log and merge = direct") {
+    val o = Tables.orders(spark, sf)
+    val cut = lit(graft.ops.Temporal.IvCutoff).cast("date")
+    val nBase = o.filter(col("o_orderdate") < cut).count()
+    val nDelta = o.filter(col("o_orderdate") >= cut).count()
+    assert(nBase > 0 && nDelta > 0,
+      s"cutoff must split the log (base=$nBase delta=$nDelta) or the merge is vacuous")
+    val got = graft.ops.Temporal.ivRevenueMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val direct = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == direct.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n == direct(k)._1)
+      assert(math.abs(s - direct(k)._2) < 1e-3, s"$k: merged $s vs direct ${direct(k)._2}")
+    }
+  }
+}

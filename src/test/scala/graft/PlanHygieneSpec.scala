@@ -43,7 +43,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "tr_validation",              // broadcast poi fixture, contains() residual
     "ts_bm25_topk",               // broadcast 1-row (n_docs, avgdl) corpus stats
     "g_pagerank",                 // broadcast 1-row dangling-mass singleton, ×K iterations
-    "ta_bigram_logprob")          // broadcast 1-row vocab-size singleton
+    "ta_bigram_logprob",          // broadcast 1-row vocab-size singleton
+    "sk_hll_intersect")           // broadcast 1-row estimator triple
 
   test("no query plans a cartesian/nested-loop join outside the singleton allowlist") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

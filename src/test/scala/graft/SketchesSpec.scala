@@ -82,6 +82,18 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL intersection: inclusion-exclusion identity holds, error in envelope") {
+    val r = Sketches.skHllIntersect(spark, sf).collect().head
+    val (na, nb, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (ea, eb, eu, ei) = (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(na > ni && nb > ni && ni > 0, "sets must partially overlap or the op is vacuous")
+    // the identity is exact BY CONSTRUCTION (ei derives from the three ests)
+    assert(math.abs(ei - (ea + eb - eu)) < 1e-6)
+    // per-set error carries HLL's envelope; inclusion-exclusion compounds it
+    assert(math.abs(ea - na) / na < 0.15 && math.abs(eb - nb) / nb < 0.15)
+    assert(math.abs(ei - ni) / ni < 0.30, s"intersection est $ei vs exact $ni")
+  }
+
   test("count-min estimates only ever OVERcount, within the ε·N envelope") {
     val rows = Sketches.skCmsHeavy(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
