@@ -181,6 +181,45 @@ object Joins {
         (unix_micros(col("ts")) - unix_micros(col("err_ts"))).as("lag_us"))
   }
 
+  /** AS-OF (nearest) join — each purchase matched to the user's NEAREST
+    * error within [[AsofToleranceUs]], either direction (the
+    * feature-alignment variant of [[jAsofEvents]]'s backward form: sensor
+    * fusion / label alignment want the closest reading, not the latest).
+    * Same union-merge shape, ONE shuffle: the backward carry reuses the
+    * inclusive-<= frame; a mirrored forward frame carries the next error
+    * (exclusive on ts ties, which the backward side already owns). The
+    * nearer side wins, backward on distance ties; all comparisons are
+    * integer microseconds. */
+  val AsofToleranceUs: Long = 24L * 3600L * 1000000L
+  def jAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    def side(tpe: String, s: Int): DataFrame = e.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), lit(s).as("side"))
+    val u = side("error", 0).unionByName(side("purchase", 1))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def back(c: Column): Column = last(when(col("side") === 0, c), ignoreNulls = true).over(wb)
+    def fwd(c: Column): Column = first(when(col("side") === 0, c), ignoreNulls = true).over(wf)
+    u.withColumn("bid", back(col("event_id"))).withColumn("bts", back(col("ts")))
+      .withColumn("fid", fwd(col("event_id"))).withColumn("fts", fwd(col("ts")))
+      .filter(col("side") === 1)
+      .withColumn("db", unix_micros(col("ts")) - unix_micros(col("bts")))
+      .withColumn("df", unix_micros(col("fts")) - unix_micros(col("ts")))
+      .withColumn("use_b",
+        col("bid").isNotNull && col("db") <= AsofToleranceUs &&
+          (col("fid").isNull || col("df") > AsofToleranceUs || col("db") <= col("df")))
+      .withColumn("use_f",
+        !col("use_b") && col("fid").isNotNull && col("df") <= AsofToleranceUs)
+      .filter(col("use_b") || col("use_f"))
+      .select(col("event_id"), col("user_id"),
+        when(col("use_b"), col("bid")).otherwise(col("fid")).as("err_id"),
+        when(col("use_b"), -col("db")).otherwise(col("df")).as("delta_us"),
+        when(col("use_b"), lit("backward")).otherwise(lit("forward")).as("direction"))
+  }
+
   /** Skewed large-table equi-join resolved by AQE's skew split — the OTHER
     * half of the skew story next to the salted two-stage window
     * (MentionDedup.windowDedupSkewSafe): windows need manual salting because
@@ -223,6 +262,7 @@ object Joins {
     "j_range_quantity_size" -> (jRangeQuantitySize _),
     "j_contains_tokens" -> (jContainsTokens _),
     "j_asof_events" -> (jAsofEvents _),
+    "j_asof_nearest" -> (jAsofNearest _),
     "j5_similarity_join" -> (j5SimilarityJoin _),
     "j5_trigram_topk" -> (j5TrigramTopk _),
     "j5_trigram_topk_vol" -> (j5TrigramTopkVol _))
@@ -269,6 +309,41 @@ object Joins {
         |SELECT event_id, user_id, round(value, 2) AS value_r, err_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(err_ts AS TIMESTAMP)) AS lag_us
         |FROM c WHERE side = 1 AND err_id IS NOT NULL""".stripMargin,
+    "j_asof_nearest" -> {
+      val tol = 24L * 3600L * 1000000L
+      s"""WITH u AS (
+         |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'error'
+         |  UNION ALL
+         |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, ts, event_id, side,
+         |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER wb AS bid,
+         |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wb AS bts,
+         |    first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER wf AS fid,
+         |    first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wf AS fts
+         |  FROM u
+         |  WINDOW
+         |    wb AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, event_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, event_id ASC
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |d AS (
+         |  SELECT event_id, user_id, bid, fid,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(bts AS TIMESTAMP)) AS db,
+         |    epoch_us(CAST(fts AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)) AS df
+         |  FROM c WHERE side = 1),
+         |p AS (
+         |  SELECT *,
+         |    (bid IS NOT NULL AND db <= $tol
+         |      AND (fid IS NULL OR df > $tol OR db <= df)) AS use_b
+         |  FROM d)
+         |SELECT event_id, user_id,
+         |  CASE WHEN use_b THEN bid ELSE fid END AS err_id,
+         |  CASE WHEN use_b THEN -db ELSE df END AS delta_us,
+         |  CASE WHEN use_b THEN 'backward' ELSE 'forward' END AS direction
+         |FROM p
+         |WHERE use_b OR (fid IS NOT NULL AND df <= $tol)""".stripMargin
+    },
     "j5_trigram_topk" -> j5TrigramOracle,
     "j5_similarity_join" -> j5SimilarityOracle,
     "j5_trigram_topk_vol" -> j5TrigramOracleFrom(
