@@ -207,7 +207,7 @@ object Collections {
          |GROUP BY t.tag""".stripMargin,
     "a11_trend_keywords" ->
       """SELECT word, count(*) AS n FROM (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word FROM documents)
         |WHERE word IN ('fast', 'slow', 'new', 'merge', 'stream', 'window')
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""".stripMargin)
 }

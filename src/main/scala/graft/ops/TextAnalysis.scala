@@ -617,24 +617,24 @@ object TextAnalysis {
           |    + (CASE WHEN round(n_stop * 1.0 / n_words, 6) BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END),
           |    1.0), 6) AS DOUBLE) AS quality_score
           |FROM (SELECT doc_id,
-          |        len(string_split_regex(trim(text), '\s+')) AS n_words,
+          |        len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_words,
           |        length(trim(text)) AS n_chars_actual,
-          |        len(list_filter(string_split_regex(trim(text), '\s+'),
+          |        len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
           |            w -> list_contains(['the', 'a', 'of', 'and'], w))) AS n_stop
           |      FROM documents)""".stripMargin,
       "ta_token_count" ->
         """SELECT doc_id,
-          |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+          |  len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS ws_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpeish_tokens,
           |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_len4
           |FROM documents""".stripMargin,
       "ta_fingerprint" ->
         """SELECT doc_id, md5(text) AS exact_fp,
-          |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS bag_fp
+          |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))), ' ')) AS bag_fp
           |FROM documents""".stripMargin,
       "ta_repetition" ->
         """WITH w AS (
-          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+          |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS words FROM documents),
           |wc AS (
           |  SELECT doc_id, max(c) AS top_word_count
           |  FROM (SELECT doc_id, count(*) AS c

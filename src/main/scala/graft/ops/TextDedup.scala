@@ -776,11 +776,11 @@ object TextDedup {
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, lang, source,
         |    list_distinct(list_transform(
-        |      range(len(string_split_regex(trim(text), '\s+')) - 2),
+        |      range(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) - 2),
         |      i -> concat_ws(' ',
-        |        string_split_regex(trim(text), '\s+')[i + 1],
-        |        string_split_regex(trim(text), '\s+')[i + 2],
-        |        string_split_regex(trim(text), '\s+')[i + 3]))) AS grams
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 1],
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 2],
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 3]))) AS grams
         |  FROM documents),
         |pr AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -838,11 +838,11 @@ object TextDedup {
       """WITH sh AS (
         |  SELECT doc_id, lang, source,
         |    list_distinct(list_transform(
-        |      range(len(string_split_regex(trim(text), '\s+')) - 2),
+        |      range(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) - 2),
         |      i -> concat_ws(' ',
-        |        string_split_regex(trim(text), '\s+')[i + 1],
-        |        string_split_regex(trim(text), '\s+')[i + 2],
-        |        string_split_regex(trim(text), '\s+')[i + 3]))) AS grams
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 1],
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 2],
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 3]))) AS grams
         |  FROM documents)
         |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(round(len(list_intersect(a.grams, b.grams)) * 1.0
