@@ -74,6 +74,32 @@ object TextDedup {
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     shingleRowsOf(Tables.documents(spark, dir))
 
+  /** ASYMMETRIC CONTAINMENT near-dup — the quote/subset detector Jaccard
+    * misses: a short doc fully embedded in a long one has low Jaccard
+    * (union is dominated by the long side) but containment
+    * |A∩B| / min(|A|,|B|) ≈ 1. Same sparse shingle equi-join as
+    * [[ddNgramJaccard]] but UNBLOCKED: quotes cross language/source
+    * boundaries by nature, so the shuffle key is the bare shingle (at
+    * corpus scale the dfcap trim composes unchanged — hot boilerplate
+    * shingles leave the vocabulary before the join). The ratio is
+    * quantized to parts-per-million by integer floor division — positive
+    * operands, so Spark `div` ≡ DuckDB `//` — and gated at 0.8. */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("s"))
+    val b = sh.select(col("doc_id").as("id_b"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(n.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(n.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("c_q6", expr("(n_inter * 1000000) div least(n_a, n_b)"))
+      .filter(col("c_q6") >= 800000)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"), col("c_q6"))
+  }
+
   /** Word-3-gram (shingle) Jaccard pairs within (lang, source) blocks with
     * threshold — the classical near-dup measure MinHash approximates.
     *
@@ -622,6 +648,7 @@ object TextDedup {
     "dd_embed_kmeans" -> (ddEmbedKmeans _),
     "dd_jaccard_chars" -> (ddJaccardChars _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_containment" -> (ddContainment _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_incremental_neardup" -> (ddIncrementalNeardup _),
     "dd_simhash" -> (ddSimhash _),
@@ -851,6 +878,26 @@ object TextDedup {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.grams, b.grams)) * 1.0
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2""".stripMargin,
+    "dd_containment" ->
+      """WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      range(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) - 2),
+        |      i -> concat_ws(' ',
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 1],
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 2],
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[i + 3]))) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+        |  CAST(len(a.grams) AS BIGINT) AS n_a,
+        |  CAST(len(b.grams) AS BIGINT) AS n_b,
+        |  (CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) * 1000000)
+        |    // least(len(a.grams), len(b.grams)) AS c_q6
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id AND len(list_intersect(a.grams, b.grams)) > 0
+        |WHERE (CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) * 1000000)
+        |    // least(len(a.grams), len(b.grams)) >= 800000""".stripMargin,
     "dd_embed_cosine" ->
       """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
