@@ -61,10 +61,62 @@ object Quality {
       .withColumn("pass", col("n_violations") === 0)
   }
 
+  /** IQR OUTLIER DETECTION — the distributional sibling of the constraint
+    * audit: per-group Tukey fences (1.5·IQR beyond the quartiles) with the
+    * quartiles taken as EXACT rank statistics under a total order, so both
+    * engines pick the identical element (no interpolated percentile — an
+    * interpolation is a float blend two engines won't reproduce bitwise).
+    * ceil-rank indices are pure integer arithmetic ((n+3) div 4 and
+    * (3n+3) div 4); one window sort per group + one conditional aggregate,
+    * then the fence counts fold into the same pass — no second scan. */
+  def dqOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wn = Window.partitionBy(col("event_type"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    val stats = ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("value"))).as("q1"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("value"))).as("q3"))
+    ranked.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        round(max(col("q1")), 4).as("q1"), round(max(col("q3")), 4).as("q3"),
+        sum(when(col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1")), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")), 1L)
+          .otherwise(0L)).as("n_high"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
-    "dq_audit" -> (dqAudit _))
+    "dq_audit" -> (dqAudit _),
+    "dq_outliers" -> (dqOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "dq_outliers" ->
+      """WITH ranked AS MATERIALIZED (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |stats AS MATERIALIZED (
+        |  SELECT event_type, max(n) AS n_events,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+        |  FROM ranked GROUP BY event_type)
+        |SELECT event_type, max(n_events) AS n_events,
+        |  round(max(q1), 4) AS q1, round(max(q3), 4) AS q3,
+        |  CAST(sum(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN value > q3 + 1.5 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM ranked JOIN stats USING (event_type)
+        |GROUP BY event_type""".stripMargin,
     "dq_audit" ->
       """SELECT 'o_custkey_not_null' AS constraint, count(*) AS n_checked,
         |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
