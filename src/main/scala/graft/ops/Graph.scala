@@ -100,6 +100,11 @@ object Graph {
     // node count is a model-sized driver scalar (the supplier universe),
     // same contract as the k-means centroid collect in Similarity
     val n = nodes.count()
+    // An all-single-supplier (or all-tied-first-ship) order log thins the
+    // co-shipment graph to zero edges; surface the cause instead of an
+    // unexplained ArithmeticException from Scale / 0 below.
+    require(n > 0, "co-shipment graph is empty at this SF: no order has two " +
+      "suppliers with distinct first-ship dates, so PageRank has no nodes")
     val init = Scale / n
     val tele = (init * (DampDen - DampNum)) / DampDen
     val srcs = e.select(col("src")).distinct()
@@ -153,7 +158,10 @@ object Graph {
        |  ORDER BY w DESC, src ASC, dst ASC LIMIT $TopE),
        |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |nn AS MATERIALIZED (
+       |  SELECT CASE WHEN count(*) = 0
+       |    THEN CAST(error('co-shipment graph is empty at this SF') AS BIGINT)
+       |    ELSE count(*) END AS n FROM nodes),
        |consts AS MATERIALIZED (
        |  SELECT (($Scale // n) * ($DampDen - $DampNum)) // $DampDen AS tele FROM nn),
        |pr0 AS MATERIALIZED (SELECT node, ($Scale // (SELECT n FROM nn)) AS pr FROM nodes),

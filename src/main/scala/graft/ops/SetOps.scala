@@ -162,13 +162,24 @@ object SetOps {
         |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    // Spark's melt emits a 0-count row for EVERY (segment, slot) cell (the
+    // pivot coalesces absent cells to 0), so the oracle must generate the
+    // full segment × slot grid and left-join the observed counts — a bare
+    // GROUP BY drops empty cells and breaks rows_match at small/filtered
+    // SFs even though both results are correct.
     "d_unpivot_segment_priority" ->
-      """SELECT c_mktsegment,
-        |  CASE o_orderpriority
-        |    WHEN '1-URGENT' THEN 'p1_urgent' WHEN '2-HIGH' THEN 'p2_high'
-        |    WHEN '3-MEDIUM' THEN 'p3_medium' WHEN '4-NOT SPECIFIED' THEN 'p4_not_specified'
-        |    ELSE 'p5_low' END AS priority_slot,
-        |  count(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1, 2""".stripMargin)
+      """WITH slots(priority_slot, o_orderpriority) AS (VALUES
+        |  ('p1_urgent', '1-URGENT'), ('p2_high', '2-HIGH'),
+        |  ('p3_medium', '3-MEDIUM'), ('p4_not_specified', '4-NOT SPECIFIED'),
+        |  ('p5_low', '5-LOW')),
+        |obs AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |segs AS (SELECT DISTINCT c_mktsegment FROM obs)
+        |SELECT s.c_mktsegment, sl.priority_slot,
+        |  CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+        |FROM segs s CROSS JOIN slots sl
+        |LEFT JOIN obs o ON o.c_mktsegment = s.c_mktsegment
+        |  AND o.o_orderpriority = sl.o_orderpriority""".stripMargin)
 }

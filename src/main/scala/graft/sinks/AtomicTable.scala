@@ -1,7 +1,10 @@
 package graft.sinks
 
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths,
+  StandardCopyOption, StandardOpenOption}
+import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -25,10 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - the previous version is retained for readers already inside it
   *    (snapshot isolation for in-flight scans); older versions are pruned.
   *
-  * Same single-writer model as the reference pipeline (run_pipeline.py's one
-  * daily process); on a real deployment this is the micro version of what
-  * Delta/Iceberg commit logs do, and swapping this object for `MERGE INTO` on
-  * Delta changes no caller.
+  * [[commit]]/[[stage]]/[[publish]] are the single-writer fast path (the
+  * reference pipeline's one daily process, run_pipeline.py). [[mergeCommit]]
+  * is the MULTI-WRITER path — optimistic concurrency matching the
+  * transactional upserts the reference gets from Postgres
+  * (utils/database.py:776-801): compute the merge against the observed base
+  * version, stage to a private directory, then claim the next version number
+  * with one atomic directory rename (rename(2) onto an existing target fails,
+  * so the rename IS the compare-and-swap); a loser deletes its stage, re-reads
+  * the new live version, and rebases its merge. On a real deployment this is
+  * the micro version of what Delta/Iceberg commit logs do, and swapping this
+  * object for `MERGE INTO` on Delta changes no caller.
   */
 object AtomicTable {
 
@@ -134,6 +144,121 @@ object AtomicTable {
     }
   }
 
+  // ------------------------------------------------- multi-writer commits
+
+  /** Per-root monitor so two threads in ONE JVM serialize the manifest flip
+    * without tripping `FileChannel.lock`'s same-JVM OverlappingFileLock rule;
+    * the file lock underneath serializes against OTHER processes. */
+  private val rootMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** OPTIMISTIC CONCURRENCY commit — the multi-writer replacement for
+    * read-merge-[[commit]] (which is last-writer-wins: two writers both
+    * merging against version N silently drop one merge). Protocol per
+    * attempt:
+    *
+    *  1. observe base = live version N (None for a fresh table);
+    *  2. `merged = merge(base data)` — the caller's merge kernel, typically
+    *     a [[MergeSink]] upsert of a fixed incoming batch;
+    *  3. stage `merged` to a private `.stage-<uuid>/` (dot-prefixed: never
+    *     listed by [[versions]], invisible to readers);
+    *  4. CAS: atomically rename the stage onto `v{N+1}` — POSIX rename(2)
+    *     fails if the target exists, so exactly ONE writer claims each
+    *     version number, and its data directory appears fully formed;
+    *  5. flip `_CURRENT` under [[withPublishLock]], only ever forward — a
+    *     writer whose flip is delayed past a successor's cannot regress the
+    *     pointer.
+    *
+    * A losing writer (target existed, or its base was pruned mid-scan by
+    * faster winners) deletes its stage and REBASES: re-reads the new live
+    * version and recomputes the merge, so its incoming batch lands exactly
+    * once no matter how many times it retries. Contention cost is one wasted
+    * staged write per lost race — acceptable for the reference's workload
+    * (few concurrent ingesters); hundreds of writers want a real commit
+    * service (Delta/Iceberg catalog), not this file protocol.
+    *
+    * @param merge incoming-batch merge kernel: live table data (None when
+    *              the table has never been committed) → full next state
+    * @return the committed version name
+    */
+  def mergeCommit(spark: SparkSession, root: String, maxRetries: Int = 16)
+      (merge: Option[DataFrame] => DataFrame): String = {
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(root)
+      val baseN = base.map(_.drop(1).toLong).getOrElse(0L)
+      val stageDir = Paths.get(root, s".stage-${UUID.randomUUID()}")
+      val conflict: Option[String] =
+        try {
+          val live = base.map(v => spark.read.parquet(s"$root/$v"))
+          merge(live).write.mode("overwrite").parquet(stageDir.toString)
+          val target = Paths.get(root, s"v${baseN + 1}")
+          try {
+            Files.move(stageDir, target) // rename(2): atomic, fails if target exists
+            withPublishLock(root) {
+              val cur = currentVersion(root).map(_.drop(1).toLong).getOrElse(0L)
+              if (baseN + 1 > cur) publish(root, s"v${baseN + 1}")
+            }
+            return s"v${baseN + 1}"
+          } catch {
+            case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException =>
+              Some(s"version v${baseN + 1} was claimed by another writer")
+          }
+        } catch {
+          // base version pruned mid-scan by faster winners: rebase on the
+          // new live version (same recovery as losing the rename CAS)
+          case e: org.apache.spark.SparkException => Some(s"base $base vanished: ${e.getMessage}")
+          case e: org.apache.spark.sql.AnalysisException => Some(s"base $base vanished: ${e.getMessage}")
+        } finally {
+          if (Files.exists(stageDir)) deleteRecursively(stageDir)
+        }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"mergeCommit lost $maxRetries consecutive races at $root " +
+            s"(last: ${conflict.getOrElse("?")}) — contention this high wants " +
+            "a commit service, not the file protocol")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Cross-process + cross-thread critical section for the `_CURRENT` flip:
+    * a JVM monitor per root (file locks are not reentrant within a JVM)
+    * wrapping an OS advisory `FileChannel.lock` on `root/_lock`. */
+  private def withPublishLock[A](root: String)(body: => A): A = {
+    val mon = rootMonitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = FileChannel.open(Paths.get(root, "_lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Delete abandoned `.stage-*` directories (a writer that crashed between
+    * staging and its CAS rename) older than `olderThanMs`. Age-gated so a
+    * LIVE writer's in-flight stage is never vacuumed; run it from the same
+    * maintenance cadence as retention. */
+  def vacuumStaging(root: String, olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val it = Files.list(dir)
+    val stale =
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.filter { p =>
+          p.getFileName.toString.startsWith(".stage-") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+        }.toList
+      } finally it.close()
+    stale.foreach(deleteRecursively)
+    stale.size
+  }
+
   /** Read the live version. A commit racing this read flips the manifest
     * between two complete versions — never into partial data. */
   def read(spark: SparkSession, root: String): DataFrame = {
@@ -169,11 +294,15 @@ object AtomicTable {
     spark.read.parquet(s"$root/$version")
   }
 
-  /** The newest retained version BEFORE the live one, if any. */
-  def previousVersion(root: String): Option[String] = {
-    val live = currentVersion(root)
-    versions(root).filter(v => live.forall(_.drop(1).toLong > v.drop(1).toLong)).lastOption
-  }
+  /** The newest retained version BEFORE the live one, if any. A table with
+    * no readable `_CURRENT` is torn, not "all predecessors" — returning the
+    * newest on-disk version here would silently hand a torn table's newest
+    * snapshot to a caller asking for history, contradicting the fails-loudly
+    * contract [[readVersion]] documents. */
+  def previousVersion(root: String): Option[String] =
+    currentVersion(root).flatMap { live =>
+      versions(root).filter(_.drop(1).toLong < live.drop(1).toLong).lastOption
+    }
 
   /** Drop versions older than the last [[KeepVersions]] (the live one plus
     * its predecessor, which an in-flight reader may still be scanning). */

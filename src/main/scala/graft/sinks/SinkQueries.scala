@@ -76,6 +76,27 @@ object SinkQueries {
         date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"))
   }
 
+  /** S9 through the MULTI-WRITER path: seed the table with one
+    * [[AtomicTable.mergeCommit]] (replacing whatever a previous run left
+    * live, so re-runs are deterministic), then apply the incoming batch with
+    * a second mergeCommit whose kernel reads the LIVE version it is handed —
+    * the exact shape a concurrent ingester uses, where the kernel may be
+    * re-invoked against a newer base after losing a CAS race. The driver's
+    * hash gate then proves the optimistic path is value-identical to the
+    * single-writer round trip ([[qS9AtomicRoundtrip]]'s oracle). */
+  def qS9OptimisticUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = "spark-warehouse/s9_opt_" + new java.io.File(dir).getName
+    AtomicTable.mergeCommit(spark, root) { _ => existingDf(spark) }
+    AtomicTable.mergeCommit(spark, root) { live =>
+      MergeSink.upsert(live.getOrElse(existingDf(spark).limit(0)),
+        incomingDf(spark), "google_place_id",
+        updateCols = Seq("name", "rating", "reviews_count"), asOf = Fixtures.asOf)
+    }
+    AtomicTable.read(spark, root)
+      .select(col("google_place_id"), col("name"), col("rating"), col("reviews_count"),
+        date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"))
+  }
+
   /** S19 TIME TRAVEL over the atomic table's retained versions: commit an
     * as-of snapshot (orders before the cutoff), then commit the live state,
     * then answer a query that reads BOTH — the live manifest version and
@@ -386,6 +407,7 @@ object SinkQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_upsert_poi" -> (qS9Upsert _),
     "s9_atomic_roundtrip" -> (qS9AtomicRoundtrip _),
+    "s9_optimistic_upsert" -> (qS9OptimisticUpsert _),
     "s19_time_travel" -> (qS19TimeTravel _),
     "s9_upsert_poi_vol" -> (qS9UpsertVol _),
     "s10_conditional_append" -> (qS10ConditionalAppend _),
@@ -590,6 +612,7 @@ object SinkQueries {
     "pipe_incremental" -> pipeIncrementalSql,
     "pipe_incremental_vol" -> pipeIncrementalVolSql,
     "s9_atomic_roundtrip" -> s9AtomicSql,
+    "s9_optimistic_upsert" -> s9AtomicSql,
     "s19_time_travel" ->
       s"""WITH a AS (
          |  SELECT o_orderpriority, count(*) AS n_asof_v1 FROM orders

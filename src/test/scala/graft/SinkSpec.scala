@@ -182,6 +182,60 @@ class SinkSpec extends AnyFunSuite {
     assert(kept.sameElements(Array("v5", "v6")), kept.mkString(","))
   }
 
+  test("mergeCommit: two sessions racing interleaved merges land every row exactly once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftocc").toString
+    val batchesPerWriter = 5
+    val rowsPerBatch = 3
+    // each writer appends its own disjoint batches through the optimistic
+    // path; a lost-update (last-writer-wins overwrite) would drop a whole
+    // batch, a double-apply on CAS retry would duplicate one
+    def writer(session: org.apache.spark.sql.SparkSession, wid: Int) = new Thread(() => {
+      import session.implicits._
+      (0 until batchesPerWriter).foreach { b =>
+        val incoming = (0 until rowsPerBatch)
+          .map(i => (s"w$wid-b$b-r$i", wid, b)).toDF("id", "writer", "batch")
+        AtomicTable.mergeCommit(session, root) {
+          case None       => incoming
+          case Some(live) => live.unionByName(incoming)
+        }
+      }
+    })
+    val t1 = writer(spark, 1)
+    val t2 = writer(spark.newSession(), 2)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val rows = AtomicTable.read(spark, root).collect().map(_.getString(0))
+    assert(rows.length == 2 * batchesPerWriter * rowsPerBatch,
+      s"expected every batch exactly once, got ${rows.length} rows")
+    assert(rows.distinct.length == rows.length, "CAS retry double-applied a batch")
+    // every commit claimed its own version number: the chain is linear
+    assert(AtomicTable.currentVersion(root).contains(s"v${2 * batchesPerWriter}"))
+    // no abandoned staging dirs survive a clean run
+    assert(AtomicTable.vacuumStaging(root, olderThanMs = -1) == 0)
+  }
+
+  test("mergeCommit: fresh-table race — exactly one writer seeds v1, the other rebases") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftocc2").toString
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(session: org.apache.spark.sql.SparkSession, wid: Int) = new Thread(() => {
+      import session.implicits._
+      val incoming = Seq((s"seed-$wid", wid)).toDF("id", "writer")
+      barrier.await() // both observe base=None before either commits
+      AtomicTable.mergeCommit(session, root) {
+        case None       => incoming
+        case Some(live) => live.unionByName(incoming)
+      }
+    })
+    val t1 = writer(spark, 1)
+    val t2 = writer(spark.newSession(), 2)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val ids = AtomicTable.read(spark, root).collect().map(_.getString(0)).sorted
+    assert(ids.sameElements(Array("seed-1", "seed-2")),
+      s"fresh-table race lost a seed: ${ids.mkString(",")}")
+    assert(AtomicTable.currentVersion(root).contains("v2"))
+  }
+
   test("time travel: previous version stays queryable, pruned versions fail loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("grafttt").toString
