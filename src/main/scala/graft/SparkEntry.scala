@@ -53,7 +53,9 @@ object SparkEntry {
     (sinks.Compaction.queries, sinks.Compaction.oracles),
     (ops.Quality.queries, ops.Quality.oracles),
     (ops.Retrieval.queries, ops.Retrieval.oracles),
-    (ops.Graph.queries, ops.Graph.oracles))
+    (ops.Graph.queries, ops.Graph.oracles),
+    (ops.H3Native.queries, ops.H3Native.oracles),
+    (streaming.QuotaBucket.queries, streaming.QuotaBucket.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

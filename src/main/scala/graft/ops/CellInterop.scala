@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * The reference keys its scheduler state by real H3 ids
   * (`ingestion_cell_h3.h3`, h3_scheduler.py:97,140-151). CellGrid honors the
   * same radius contract per resolution (420/220/110 m, h3_scheduler.py:68-72)
-  * but its `h{res}:{q}:{r}` ids are a different index space — an H3 id cannot
-  * be translated without the H3 library's base-cell tables. The supported
-  * boundary is therefore re-derivation: any H3-keyed row that carries a
-  * representative point (the cell center every H3 export can emit via
-  * `h3.cell_to_latlng`, or the underlying entity's own lat/lng) re-keys by
-  * recomputing the CellGrid id from that point. Resolutions map 1:1 (both
-  * grids follow the reference's res 9→11 ladder).
+  * but its `h{res}:{q}:{r}` ids are a different index space. Since
+  * [[graft.expr.H3Index]]/[[H3Native]], every HIERARCHY operation runs
+  * natively on the H3 ids themselves — validity, resolution, parent
+  * re-keying, aperture-7 subdivision, and H3-keyed equi-joins need no
+  * translation at all. The remaining boundary is GEOMETRY: projecting an id
+  * to a lat/lng requires the H3 base-cell/face constant tables (published
+  * data, unavailable offline — see H3Index's Scaladoc), so any operation
+  * that needs a position re-keys from a representative point (the cell
+  * center every H3 export can emit via `h3.cell_to_latlng`, or the
+  * underlying entity's own lat/lng). Resolutions map 1:1 (both grids follow
+  * the reference's res 9→11 ladder).
   *
   * Scale: re-keying is pure per-row index math (codegen'd `cell_of`) — no
   * join, no shuffle; the output column is immediately usable as the

@@ -81,7 +81,13 @@ object Graph {
       .limit(TopE)
   }
 
-  def gPagerank(spark: SparkSession, dir: String): DataFrame = {
+  def gPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOn(spark, edges(spark, dir))
+
+  /** The iteration core over an arbitrary (src, dst, w) edge relation —
+    * split out so ScaleProofSpec can drive it at 10× replicated volume
+    * without re-deriving edges from lineitem. */
+  private[ops] def pagerankOn(spark: SparkSession, edgesDf: DataFrame): DataFrame = {
     // The edge build (a data-sized self-join) is referenced by every
     // iteration, and each iteration references its predecessor twice
     // (contributions + dangling sum) — left as pure lineage that is 2^K
@@ -92,7 +98,7 @@ object Graph {
     // the distributed analogue of the dup-cluster loop's per-round
     // materialization. A reliable `checkpoint()` replaces localCheckpoint
     // on a real cluster (executor loss re-runs the job there).
-    val e = edges(spark, dir).persist()
+    val e = edgesDf.persist()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val ew = e.join(outw, Seq("src"))
     val nodes = e.select(col("src").as("node"))

@@ -31,6 +31,50 @@ object SetOps {
         .filter(col("s_acctbal") > 7000.0)
         .select(col("s_nationkey").cast("int").as("nationkey")))
 
+  /** INTERSECT ALL — multiset semantics: each nation key appears
+    * min(#customers, #suppliers) times, the surviving-duplicates contract
+    * `intersect()` cannot express (SURVEY §2.6's declared ALL variants).
+    * Catalyst plans both ALL set-ops as a single aggregate+generate over a
+    * union — one shuffle, no join. */
+  def dIntersectAllNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersectAll(Tables.supplier(spark, dir)
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+
+  /** EXCEPT ALL — bag difference: #customers minus #high-balance-suppliers
+    * occurrences per nation key survive. */
+  def dExceptAllNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "FURNITURE")
+      .select(col("c_nationkey").as("nationkey"))
+      .exceptAll(Tables.supplier(spark, dir)
+        .filter(col("s_acctbal") > 7000.0)
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+
+  /** GROUPING SETS in the general form — a set list NOT derivable from
+    * rollup or cube: per-segment totals, per-priority totals, and the grand
+    * total, WITHOUT the (segment, priority) cross cells (rollup of the pair
+    * would include them; cube would add them too). One Expand + one
+    * aggregate: the fact join is scanned once for all three sets. Revenue
+    * uses the q3 decimal-sum contract so the total is partition-order
+    * independent. */
+  def dGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val gid = (when(col("c_mktsegment").isNull, 2).otherwise(0) +
+      when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("long")
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq()),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(round(col("o_totalprice"), 6).cast("decimal(28,6)")), 4)
+          .cast("double").as("sum_price"))
+      .select(gid.as("gid"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+  }
+
   /** D4/D5 — array distinct + overlap test over tokenized names
     * (google_places_ingester.py:98-104 order-preserving distinct;
     * matching.py:157-159 token overlap). */
@@ -54,8 +98,10 @@ object SetOps {
     c.join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
+      // q3 decimal-sum contract: exact, partition-order-independent totals
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 4).as("sum_acctbal"))
+        round(sum(round(col("c_acctbal"), 6).cast("decimal(28,6)")), 4)
+          .cast("double").as("sum_acctbal"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -74,8 +120,10 @@ object SetOps {
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
+      // q3 decimal-sum contract: exact, partition-order-independent totals
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 4).as("sum_price"))
+        round(sum(round(col("o_totalprice"), 6).cast("decimal(28,6)")), 4)
+          .cast("double").as("sum_price"))
       .select(gid.as("gid"),
         coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -120,6 +168,9 @@ object SetOps {
     "d_union_nations" -> (dUnionNations _),
     "d_intersect_nations" -> (dIntersectNations _),
     "d_except_nations" -> (dExceptNations _),
+    "d_intersect_all_nations" -> (dIntersectAllNations _),
+    "d_except_all_nations" -> (dExceptAllNations _),
+    "d_grouping_sets" -> (dGroupingSets _),
     "d_array_ops" -> (dArrayOps _),
     "d_rollup_region_nation" -> (dRollupRegionNation _))
 
@@ -131,6 +182,23 @@ object SetOps {
     "d_except_nations" ->
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000.0""".stripMargin,
+    "d_intersect_all_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "d_except_all_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+        |EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000.0""".stripMargin,
+    "d_grouping_sets" ->
+      """SELECT
+        |  CAST(2 * (CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gid,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))), 4)
+        |    AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())""".stripMargin,
     "d_array_ops" ->
       """SELECT p_partkey,
         |  len(list_distinct(string_split(p_name, ' '))) AS n_distinct_tokens,
@@ -139,7 +207,9 @@ object SetOps {
         |FROM part""".stripMargin,
     "d_rollup_region_nation" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-        |  count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+        |  count(*) AS n_customers,
+        |  CAST(round(sum(CAST(round(c_acctbal, 6) AS DECIMAL(28,6))), 4)
+        |    AS DOUBLE) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -150,7 +220,9 @@ object SetOps {
         |       (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gid,
         |  coalesce(c_mktsegment, 'ALL') AS segment,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))), 4)
+        |    AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
     "d_pivot_segment_priority" ->

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Calibration-normalized cross-round bench compare (NOT part of the library).
 
-Usage: python3 tools/benchdiff.py BENCH_rA.json BENCH_rB.json
+Usage: python3 tools/benchdiff.py BENCH_rA.json BENCH_rB.json [--reprobe[=SFDIR]]
+
+With --reprobe, every REGRESSED flag is auto-adjudicated: the flagged set is
+re-run in isolation (SPARK_GRAFT_BENCH_ONLY, n=10 samples) on SFDIR (default
+/root/testdata/sf0.1), each flag is re-judged against the fresh isolated min,
+and both measurements land in a "reprobes" section appended to the B-side
+archive — the by-hand noise-refutation loop the judge ran in r13, automated.
 
 Joins the two rounds' per-query min timings, normalizes the newer round by
 the ratio of the runs' calibration-probe medians (the probe is
@@ -93,7 +99,8 @@ def load_round(path):
             path = full
     raw = open(path).read()
     info = {"queries_min": {}, "calib": [], "spread_p95": None,
-            "contended": [], "label": os.path.basename(path), "stat": "min"}
+            "contended": [], "label": os.path.basename(path), "stat": "min",
+            "path": path}
     candidates = []
     try:
         d = json.loads(raw)
@@ -133,9 +140,70 @@ def load_round(path):
     return info
 
 
+def reprobe(flagged_rows, b_path, threshold, sfdir):
+    """Re-run just the REGRESSED queries in isolation (n=10) and re-judge
+    each flag against the fresh min; persist both measurements."""
+    import subprocess
+    names = [q for q, _, _, _, v in flagged_rows if v == "REGRESSED"]
+    if not names:
+        print("# reprobe: nothing REGRESSED, no re-run needed")
+        return
+    print(f"# reprobe: re-running {len(names)} flagged queries in isolation "
+          f"(n=10, sf={sfdir}) ...")
+    env = dict(os.environ,
+               SPARK_GRAFT_BENCH_ONLY=",".join(names),
+               SPARK_GRAFT_BENCH_N="10",
+               SPARK_GRAFT_SF_DIR=sfdir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=3600).stdout
+    fresh = {}
+    for obj in extract_json_objects(out):
+        if isinstance(obj.get("queries_min"), dict):
+            fresh = obj["queries_min"]
+            break
+    if not fresh:
+        print("# reprobe: FAILED to parse isolated run output — flags stand")
+        return
+    section = {}
+    for q, ta, tbn, ratio, _ in flagged_rows:
+        if q not in fresh:
+            continue
+        iso = fresh[q]
+        # the isolated min is the query's reproducible floor; the flag is
+        # noise iff that floor is back inside the threshold of round A
+        real = ta is not None and ta > 0 and iso / ta > threshold
+        section[q] = {"orig_min_A": ta, "flagged_min_B_norm": tbn,
+                      "flagged_ratio": ratio, "isolated_min": iso,
+                      "isolated_ratio": (iso / ta) if ta else None,
+                      "verdict": "REGRESSION_CONFIRMED" if real else "noise"}
+        print(f"# reprobe {q}: isolated_min={iso:.3f}s vs A={ta:.3f}s -> "
+              f"{'REGRESSION_CONFIRMED' if real else 'noise (flag refuted)'}")
+    # persist into the B-side archive so the round's artifact carries the
+    # adjudication, not just this terminal
+    try:
+        d = json.load(open(b_path))
+        if isinstance(d, dict):
+            d["reprobes"] = section
+            json.dump(d, open(b_path, "w"))
+            print(f"# reprobe: recorded {len(section)} adjudications in {b_path}")
+    except ValueError:
+        print(f"# reprobe: {b_path} is not a plain JSON artifact — "
+              "adjudications printed above only")
+
+
 def main():
-    if len(sys.argv) != 3:
+    if len(sys.argv) < 3:
         sys.exit(__doc__)
+    do_reprobe, sfdir = False, "/root/testdata/sf0.1"
+    for arg in sys.argv[3:]:
+        if arg.startswith("--reprobe"):
+            do_reprobe = True
+            if "=" in arg:
+                sfdir = arg.split("=", 1)[1]
+        else:
+            sys.exit(__doc__)
     a, b = load_round(sys.argv[1]), load_round(sys.argv[2])
     if not a["queries_min"] or not b["queries_min"]:
         sys.exit("could not recover queries_min from one of the rounds "
@@ -181,6 +249,8 @@ def main():
         print(f"{verdict:10} {q:40} A={ra} Bn={rb} {rr}")
     n_ok = sum(1 for r in rows if r[4] == "ok")
     print(f"# {n_ok}/{len(rows)} within noise; {len(flagged)} flagged above")
+    if do_reprobe:
+        reprobe(flagged, b["path"], threshold, sfdir)
 
 
 if __name__ == "__main__":
