@@ -19,8 +19,10 @@ object Joins {
     val c = Tables.customer(spark, dir)
     o.join(c, o("o_custkey") === c("c_custkey") && o("o_totalprice") > c("c_acctbal"))
       .groupBy(col("c_nationkey"))
+      // exact integer-cents sum (Relational.centsSum): order-independent
       .agg(count(lit(1)).as("n_big_orders"),
-        round(sum(col("o_totalprice") - col("c_acctbal")), 4).as("sum_excess"))
+        Relational.centsSum(col("o_totalprice") - col("c_acctbal"), 2)
+          .as("sum_excess"))
   }
 
   /** Range/band join — line quantity within ±5 of part size (J7 radius-join
@@ -274,8 +276,8 @@ object Joins {
         |  ON (CASE WHEN l_orderkey % 10 < 4 THEN 7 ELSE l_orderkey % 1000 END) = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "j_theta_price_vs_acctbal" ->
-      """SELECT c_nationkey, count(*) AS n_big_orders,
-        |  round(sum(o_totalprice - c_acctbal), 4) AS sum_excess
+      s"""SELECT c_nationkey, count(*) AS n_big_orders,
+        |  ${Relational.centsSumSql("o_totalprice - c_acctbal", 2)} AS sum_excess
         |FROM orders JOIN customer
         |  ON o_custkey = c_custkey AND o_totalprice > c_acctbal
         |GROUP BY c_nationkey""".stripMargin,

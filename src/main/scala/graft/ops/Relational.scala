@@ -19,16 +19,47 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** EXACT MONEY SUM, fast path: the input expression is a fixed-point value
+    * with `scale` decimal digits (TPC-H money columns carry 2; a product of
+    * two money terms carries ≤ 4), so quantizing each term to integer units
+    * (`round(x * 10^scale)` — the round absorbs the representation error of
+    * the double product) and summing LONGS is exact and partition-order
+    * independent, with none of the >18-precision BigDecimal cost that a
+    * DECIMAL(28,6) sum pays per row (~4x on the q1 flagship, measured).
+    * Capacity: aggregate magnitude must stay < 2^63 / 10^scale — 9e16 money
+    * units at scale 2 — far past any driver SF; a true 100 TB deployment of
+    * a SINGLE global total would move this one aggregate to DECIMAL.
+    * [[centsSumSql]] is the oracle-dialect mirror (DuckDB sums BIGINT into
+    * HUGEINT, hence the explicit cast back). */
+  def centsSum(x: org.apache.spark.sql.Column, scale: Int, outScale: Int = 4): org.apache.spark.sql.Column = {
+    val unit = math.pow(10, scale) // exact for small scales
+    round(sum(round(x * unit).cast("long")) / unit, outScale)
+  }
+  def centsSumSql(x: String, scale: Int, outScale: Int = 4): String = {
+    val unit = BigInt(10).pow(scale)
+    // divisor cast: a bare `100.0` literal parses as DECIMAL in both SQL
+    // dialects, silently turning the result column into DECIMAL on the
+    // Spark side — the CAST pins double division in both engines
+    s"round(CAST(sum(CAST(round(($x) * $unit, 0) AS BIGINT)) AS BIGINT)" +
+      s" / CAST($unit AS DOUBLE), $outScale)"
+  }
+
   /** Reference A-family groupBy aggregations (SURVEY §2.4; intelligent_classifier.py
     * city stats / db.py counts): wide agg with sum/avg/count + arithmetic. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("date"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // price sums use the exact integer-cents contract ([[centsSum]]): the
+      // raw double sum's order-spread (~3e-5 at sf0.1) is within 2x of the
+      // 4-decimal rounding margin, so exactness is required — and the long
+      // sum keeps the flagship at double-sum speed. Quantity sums and the
+      // small-magnitude averages are exact in double as-is.
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        centsSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -122,16 +153,19 @@ object Relational {
   def q1Sql(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.functions.registerAll(spark)
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    // the integer-cents sum is dialect-neutral SQL: this exact text is also
+    // the DuckDB oracle ([[q1OracleSql]]), so the two engines' expressions
+    // cannot drift
     spark.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
-        |  count(1) AS count_order
-        |FROM lineitem_v WHERE l_shipdate <= DATE '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(l_quantity), 4) AS sum_qty,
+         |  ${centsSumSql("l_extendedprice", 2)} AS sum_base_price,
+         |  ${centsSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+         |  round(avg(l_quantity), 6) AS avg_qty,
+         |  round(avg(l_discount), 6) AS avg_disc,
+         |  count(1) AS count_order
+         |FROM lineitem_v WHERE l_shipdate <= DATE '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
   }
 
   /** Correlated-subquery shape (Catalyst freebie per SURVEY §2.3 note):
@@ -207,15 +241,15 @@ object Relational {
     "a1_decay_sum"   -> (a1DecaySum _))
 
   private val q1OracleSql =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  round(avg(l_quantity), 6) AS avg_qty,
-      |  round(avg(l_discount), 6) AS avg_disc,
-      |  count(*) AS count_order
-      |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
-      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  round(sum(l_quantity), 4) AS sum_qty,
+       |  ${centsSumSql("l_extendedprice", 2)} AS sum_base_price,
+       |  ${centsSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+       |  round(avg(l_quantity), 6) AS avg_qty,
+       |  round(avg(l_discount), 6) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q1_sql_api" -> q1OracleSql,
@@ -226,16 +260,7 @@ object Relational {
         |FROM customer c1
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin,
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_pricing_summary" -> q1OracleSql,
     "q5_local_supplier_volume" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)

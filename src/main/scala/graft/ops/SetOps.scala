@@ -67,8 +67,7 @@ object SetOps {
         Seq(Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq()),
         col("c_mktsegment"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(round(col("o_totalprice"), 6).cast("decimal(28,6)")), 4)
-          .cast("double").as("sum_price"))
+        Relational.centsSum(col("o_totalprice"), 2).as("sum_price"))
       .select(gid.as("gid"),
         coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -98,10 +97,9 @@ object SetOps {
     c.join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      // q3 decimal-sum contract: exact, partition-order-independent totals
+      // exact integer-cents sum (Relational.centsSum): order-independent
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(round(col("c_acctbal"), 6).cast("decimal(28,6)")), 4)
-          .cast("double").as("sum_acctbal"))
+        Relational.centsSum(col("c_acctbal"), 2).as("sum_acctbal"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -120,10 +118,9 @@ object SetOps {
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
-      // q3 decimal-sum contract: exact, partition-order-independent totals
+      // exact integer-cents sum (Relational.centsSum): order-independent
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(round(col("o_totalprice"), 6).cast("decimal(28,6)")), 4)
-          .cast("double").as("sum_price"))
+        Relational.centsSum(col("o_totalprice"), 2).as("sum_price"))
       .select(gid.as("gid"),
         coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -189,14 +186,13 @@ object SetOps {
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
         |EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000.0""".stripMargin,
     "d_grouping_sets" ->
-      """SELECT
+      s"""SELECT
         |  CAST(2 * (CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) +
         |       (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gid,
         |  coalesce(c_mktsegment, 'ALL') AS segment,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n_orders,
-        |  CAST(round(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))), 4)
-        |    AS DOUBLE) AS sum_price
+        |  ${Relational.centsSumSql("o_totalprice", 2)} AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())""".stripMargin,
     "d_array_ops" ->
@@ -206,23 +202,21 @@ object SetOps {
         |  len(list_intersect(string_split(p_name, ' '), ['cold', 'small', 'large'])) AS n_size_words
         |FROM part""".stripMargin,
     "d_rollup_region_nation" ->
-      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |  count(*) AS n_customers,
-        |  CAST(round(sum(CAST(round(c_acctbal, 6) AS DECIMAL(28,6))), 4)
-        |    AS DOUBLE) AS sum_acctbal
+        |  ${Relational.centsSumSql("c_acctbal", 2)} AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "d_cube_segment_priority" ->
-      """SELECT
+      s"""SELECT
         |  CAST((CASE WHEN c_mktsegment IS NULL THEN 2 ELSE 0 END) +
         |       (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gid,
         |  coalesce(c_mktsegment, 'ALL') AS segment,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n_orders,
-        |  CAST(round(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))), 4)
-        |    AS DOUBLE) AS sum_price
+        |  ${Relational.centsSumSql("o_totalprice", 2)} AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
     "d_pivot_segment_priority" ->
