@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sinks.AtomicTable
+import graft.sources.HttpSource
+import graft.sources.HttpSource.HttpResponse
+import graft.streaming.IngestLoop
+import graft.streaming.IngestLoop.FetchRequest
+
+/** End-to-end ingestion loop: quota gate → backoff fetch → parse → atomic
+  * upsert, across micro-batches and a UTC-midnight refill — the composed
+  * form of the reference's daily ingest, every stage running the
+  * individually-spec'd kernels. */
+/** Fixtures live on the companion so executor closures (the transport
+  * factory, the sleeper) never capture the spec instance — scalatest's
+  * Engine is not serializable. */
+object IngestLoopSpec {
+  private def body(id: String, name: String, rating: Double) =
+    s"""{"google_place_id":"$id","name":"$name","rating":$rating}"""
+
+  // u4 is admitted but needs one 503 retry; u9/u10 arrive past midnight
+  val script: Map[String, Seq[HttpResponse]] = Map(
+    "u1" -> Seq(HttpResponse(200, Map.empty, body("g1", "Cafe One", 4.1))),
+    "u2" -> Seq(HttpResponse(200, Map.empty, body("g2", "Cafe Two", 4.2))),
+    "u3" -> Seq(HttpResponse(200, Map.empty, body("g3", "Cafe Three", 4.3))),
+    "u4" -> Seq(HttpResponse(503, Map.empty, ""),
+      HttpResponse(200, Map.empty, body("g4", "Late Cafe", 4.4))),
+    "u9" -> Seq(HttpResponse(200, Map.empty, body("g1", "Cafe One Renamed", 4.5))),
+    "u10" -> Seq(HttpResponse(200, Map.empty, body("g9", "New Day Cafe", 3.9))))
+
+  def mkTransport(): HttpSource.Transport = new HttpSource.ReplayTransport(script)
+  val noSleep: Long => Unit = _ => ()
+}
+
+class IngestLoopSpec extends AnyFunSuite {
+  import IngestLoopSpec._
+
+  lazy val spark = Sessions.local(4)
+
+  val DayUs = IngestLoop.DayUs
+  val Limit = 3
+
+  test("ingest loop: admission, retry-fetch, upsert and midnight refill across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graftingest")
+    val (poiRoot, ledgerRoot, ckpt) =
+      (s"$base/poi", s"$base/ledger", s"$base/ckpt")
+
+    val input = MemoryStream[FetchRequest]
+    val q = IngestLoop.run(spark, input.toDS(), poiRoot, ledgerRoot,
+      IngestLoopSpec.mkTransport _, Limit,
+      asOf = "2025-06-01 00:00:00", appId = "ingest-spec", checkpoint = ckpt,
+      sleeper = noSleep)
+    try {
+      // batch 0: two requests on day 100 — both admitted
+      input.addData(
+        FetchRequest(1, "places", 100 * DayUs + 1000, "u1"),
+        FetchRequest(2, "places", 100 * DayUs + 2000, "u2"))
+      q.processAllAvailable()
+      assert(AtomicTable.read(spark, poiRoot).count() == 2)
+      val led1 = AtomicTable.read(spark, ledgerRoot).collect()
+      assert(led1.length == 1 && led1.head.getLong(2) == 2) // 2 tokens used
+
+      // batch 1: three more same-day requests — the bucket (limit 3) admits
+      // only the earliest; u4's fetch walks the ladder once (503 → 200)
+      input.addData(
+        FetchRequest(3, "places", 100 * DayUs + 3000, "u4"),
+        FetchRequest(4, "places", 100 * DayUs + 4000, "u3"),
+        FetchRequest(5, "places", 100 * DayUs + 5000, "u3"))
+      q.processAllAvailable()
+      val poi2 = AtomicTable.read(spark, poiRoot).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(poi2.keySet == Set("g1", "g2", "g4"), s"got ${poi2.keySet}")
+      assert(poi2("g4") == "Late Cafe") // the retried fetch landed
+      assert(AtomicTable.read(spark, ledgerRoot).collect()
+        .head.getLong(2) == 3) // bucket exhausted
+
+      // batch 2: past midnight — refilled; g1 update + brand-new g9
+      input.addData(
+        FetchRequest(6, "places", 101 * DayUs + 10, "u9"),
+        FetchRequest(7, "places", 101 * DayUs + 20, "u10"))
+      q.processAllAvailable()
+      val poi3 = AtomicTable.read(spark, poiRoot).collect()
+        .map(r => (r.getString(0), (r.getString(1), r.getDouble(2)))).toMap
+      assert(poi3.keySet == Set("g1", "g2", "g4", "g9"))
+      assert(poi3("g1") == (("Cafe One Renamed", 4.5))) // upsert updated
+      val led3 = AtomicTable.read(spark, ledgerRoot).collect()
+      assert(led3.length == 1 && led3.head.getLong(1) == 101 &&
+        led3.head.getLong(2) == 2, "ledger must hold only the NEW day's count")
+
+      // exactly-once: both tables absorbed the final micro-batch id
+      assert(AtomicTable.lastBatch(poiRoot) == AtomicTable.lastBatch(ledgerRoot))
+    } finally q.stop()
+  }
+}
