@@ -173,6 +173,81 @@ object H3Native {
         when(col("dig") === -1, col("res")).otherwise(col("res") + 1).as("res_out"))
   }
 
+  /** PARENT ROLLUP at a fixed resolution — the scheduler's "how is this
+    * parent area doing overall" readout (the reference stores `parent_h3`
+    * on every cell row, h3_scheduler.py:140-151, and walks the hierarchy
+    * when deciding splits): children at res 9–11 coarsen to their res-9
+    * ancestor with ONE constant-mask expression (blanking digits 10..15 to
+    * 7 needs no per-row loop when the target res is fixed), then an
+    * ordinary groupBy on the parent key. This is the native-H3 form of the
+    * aggregate-then-join pattern every cell-keyed rollup uses. */
+  val RollupRes = 9
+  def qH3ParentRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = SparkD
+    // constant masks for "parent at res 9": set digits 10..15 to 7, res to 9
+    val low = (1L << (3 * (H3Index.MaxRes - RollupRes))) - 1
+    val resField = RollupRes.toLong << 52
+    val state = rollupState.toDF("h3", "results_last")
+    state
+      .withColumn("n", conv(col("h3"), 16, 10).cast("long"))
+      .withColumn("res", expr(resSql(d, "n")))
+      .filter(col("res") >= RollupRes)
+      .withColumn("p9", expr(s"(((n | $low) & $ResClear) | $resField)"))
+      .groupBy(expr(fmtSparkSql("p9")).as("parent_h3"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("results_last")).as("total_results"),
+        sum(when(col("results_last") >= ScanCap, 1L).otherwise(0L)).as("n_saturated"),
+        max(col("res")).as("max_res"))
+  }
+
+  /** Rollup fixture: the res-9 doc cell, two of its res-10 children, a
+    * res-11 grandchild, a SIBLING res-9 cell with its own child, and the
+    * pentagon — three distinct res-9 parents in the output. */
+  val rollupState: Seq[(String, Int)] = {
+    val n = H3Index.parse(DocCell)
+    val sib = H3Index.children(H3Index.parent(n, 8), 9).filter(_ != n).head
+    Seq(
+      (DocCell, 60),
+      (H3Index.format(H3Index.children(n, 10).head), 44),
+      (H3Index.format(H3Index.children(n, 10)(1)), 71),
+      (H3Index.format(H3Index.centerChild(n, 11)), 12),
+      (H3Index.format(sib), 9),
+      (H3Index.format(H3Index.children(sib, 10)(2)), 63),
+      (H3Index.format((1L << 59) | (9L << 52) | (4L << 45) | ((1L << 18) - 1)), 64))
+  }
+
+  /** VOLUME variant of the screening projection: 100k structurally valid
+    * res-9 ids GENERATED from a row index by identical integer arithmetic
+    * in both engines (base cell fixed to the doc cell's hexagon base;
+    * digits 1..9 decoded base-7 from the index, so ids are distinct and
+    * every digit value occurs), then the same validity/res/base/parent
+    * algebra as [[qH3NativeOps]], aggregated per leading digit so the
+    * hashed output stays small while every row's math feeds it. Pure
+    * per-row codegen'd expressions — the 100 TB path is exactly this shape,
+    * just more partitions. */
+  val VolN = 100000L
+  def qH3RekeyVol(spark: SparkSession, dir: String): DataFrame = {
+    val d = SparkD
+    val digitTerms = (1 to 9).map { i =>
+      // digit_i = (id / 7^(9-i)) % 7 placed at bit position 45 - 3i
+      val pow = math.pow(7, 9 - i).toLong
+      s"(((id div $pow) % 7) * ${1L << (45 - 3 * i)})"
+    }.mkString(" + ")
+    val base = ((1L << 59) | (9L << 52) | (20L << 45) | ((1L << 18) - 1))
+    spark.range(VolN).toDF("id")
+      .withColumn("n", expr(s"$base + $digitTerms").cast("long"))
+      .withColumn("res", expr(resSql(d, "n")))
+      .withColumn("ok", expr(isValidSql(d, "n", "res")))
+      .withColumn("d9", expr(digitSql(d, "n", 9)))
+      .withColumn("p8", expr(parentSql(d, "n", "res")))
+      .groupBy(col("d9"))
+      .agg(count(lit(1)).as("n_ids"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+        countDistinct(col("p8")).as("n_parents"),
+        sum(col("n") % 1000000007L).as("id_checksum"))
+  }
+
   /** Scheduler-state fixture: doc-family cells + the pentagon, mixing
     * saturated (>= 60), unsaturated, and a saturated max-res cell. */
   val schedulerState: Seq[(String, Int)] = {
@@ -195,9 +270,15 @@ object H3Native {
     schedulerState.map { case (id, r) => s"('$id', $r)" }
       .mkString("(VALUES ", ", ", ") AS t(h3, results_last)")
 
+  private def rollupValues: String =
+    rollupState.map { case (id, r) => s"('$id', $r)" }
+      .mkString("(VALUES ", ", ", ") AS t(h3, results_last)")
+
   val queries: Map[String, Relational.Q] = Map(
     "h3_native_ops" -> (qH3NativeOps _),
-    "h3_subdivide_saturated" -> (qH3SubdivideSaturated _))
+    "h3_subdivide_saturated" -> (qH3SubdivideSaturated _),
+    "h3_parent_rollup" -> (qH3ParentRollup _),
+    "h3_rekey_vol" -> (qH3RekeyVol _))
 
   val oracles: Map[String, String] = {
     val d = DuckD
@@ -233,6 +314,37 @@ object H3Native {
            |  CASE WHEN dig = -1 THEN h3
            |    ELSE ${fmtDuckSql(childSql(d, "n", "res", "dig"))} END AS cell_out,
            |  CAST(CASE WHEN dig = -1 THEN res ELSE res + 1 END AS BIGINT) AS res_out
-           |FROM x""".stripMargin)
+           |FROM x""".stripMargin,
+      "h3_parent_rollup" -> {
+        val low = (1L << (3 * (H3Index.MaxRes - RollupRes))) - 1
+        val resField = RollupRes.toLong << 52
+        s"""WITH p AS (
+           |  SELECT h3, results_last, CAST(('0x' || h3) AS BIGINT) AS n
+           |  FROM $rollupValues),
+           |r AS (SELECT h3, results_last, n, ${resSql(d, "n")} AS res FROM p)
+           |SELECT ${fmtDuckSql(s"(((n | $low) & $ResClear) | $resField)")} AS parent_h3,
+           |  count(*) AS n_cells,
+           |  CAST(sum(results_last) AS BIGINT) AS total_results,
+           |  CAST(sum(CASE WHEN results_last >= $ScanCap THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_saturated,
+           |  CAST(max(res) AS BIGINT) AS max_res
+           |FROM r WHERE res >= $RollupRes GROUP BY 1""".stripMargin
+      },
+      "h3_rekey_vol" -> {
+        val digitTerms = (1 to 9).map { i =>
+          val pow = math.pow(7, 9 - i).toLong
+          s"(((id // $pow) % 7) * ${1L << (45 - 3 * i)})"
+        }.mkString(" + ")
+        val base = (1L << 59) | (9L << 52) | (20L << 45) | ((1L << 18) - 1)
+        s"""WITH g AS (SELECT unnest(generate_series(0, ${VolN - 1})) AS id),
+           |n0 AS (SELECT id, CAST($base + $digitTerms AS BIGINT) AS n FROM g),
+           |r AS (SELECT id, n, ${resSql(d, "n")} AS res FROM n0)
+           |SELECT ${digitSql(d, "n", 9)} AS d9, count(*) AS n_ids,
+           |  CAST(sum(CASE WHEN ${isValidSql(d, "n", "res")} THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_valid,
+           |  CAST(count(DISTINCT ${parentSql(d, "n", "res")}) AS BIGINT) AS n_parents,
+           |  CAST(sum(n % 1000000007) AS BIGINT) AS id_checksum
+           |FROM r GROUP BY 1""".stripMargin
+      })
   }
 }

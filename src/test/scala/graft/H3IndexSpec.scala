@@ -109,6 +109,18 @@ class H3IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("sql cross-check: parent rollup groups every cell under its H3Index res-9 ancestor") {
+    val rows = H3Native.qH3ParentRollup(spark, "").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = H3Native.rollupState
+      .filter { case (id, _) => H3Index.resolution(H3Index.parse(id)) >= H3Native.RollupRes }
+      .groupBy { case (id, _) =>
+        H3Index.format(H3Index.parent(H3Index.parse(id), H3Native.RollupRes)) }
+      .map { case (p, cells) =>
+        p -> ((cells.size.toLong, cells.map(_._2.toLong).sum)) }
+    assert(rows == expect)
+  }
+
   test("sql cross-check: subdivision emits exactly the H3Index children") {
     val out = H3Native.qH3SubdivideSaturated(spark, "").collect()
       .groupBy(_.getString(0))
