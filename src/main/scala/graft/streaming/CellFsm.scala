@@ -23,6 +23,33 @@ object CellFsm {
   val CategoryCap = 20
   val RescanDays = 7
 
+  /** The FSM's only grid dependency — resolution, ladder cap, subdivision —
+    * behind an adapter so the SAME transition function runs on engine
+    * CellGrid keys or on REAL H3 cell indexes ([[graft.expr.H3Index]]):
+    * the reference's `ingestion_cell_h3.h3` ids drive the state machine
+    * without any re-keying. */
+  trait CellIndex extends Serializable {
+    def res(id: String): Int
+    def maxRes: Int
+    def children(id: String): Seq[String]
+  }
+  object CellGridIndex extends CellIndex {
+    def res(id: String): Int = CellGrid.cellRes(id)
+    def maxRes: Int = CellGrid.MaxRes
+    def children(id: String): Seq[String] = CellGrid.cellToChildren(id).toSeq
+  }
+  /** Real-H3 keyspace; the ladder cap is the reference's config max_res
+    * (config.py:121), not H3's own res-15 limit. */
+  object H3CellIndex extends CellIndex {
+    import graft.expr.H3Index
+    def res(id: String): Int = H3Index.resolution(H3Index.parse(id))
+    def maxRes: Int = 11
+    def children(id: String): Seq[String] = {
+      val n = H3Index.parse(id)
+      H3Index.children(n, H3Index.resolution(n) + 1).map(H3Index.format)
+    }
+  }
+
   case class CellState(h3: String, res: Int, status: String, saturated: Boolean,
     lastScannedAt: Option[String], nextDueAt: Option[String],
     resultsLast: Option[Int], attempts: Int)
@@ -34,10 +61,11 @@ object CellFsm {
     total >= ScanCapPerCell || maxCat >= CategoryCap
 
   /** Pure transition: scanned cell state + emitted children (if split). */
-  def transition(state: CellState, scan: ScanResult): (CellState, Seq[CellState]) = {
+  def transition(state: CellState, scan: ScanResult,
+      idx: CellIndex = CellGridIndex): (CellState, Seq[CellState]) = {
     val saturated = isSaturated(scan.totalResults, scan.maxCategoryCount)
-    if (saturated && state.res < CellGrid.MaxRes) {
-      val children = CellGrid.cellToChildren(state.h3).toSeq.map { c =>
+    if (saturated && state.res < idx.maxRes) {
+      val children = idx.children(state.h3).map { c =>
         CellState(c, state.res + 1, "pending", saturated = false, None, None, None, 0)
       }
       (state.copy(status = "split", saturated = true,
@@ -105,18 +133,19 @@ object CellFsm {
 
   /** Streaming FSM: state per cell key in the state store; scan events drive
     * transitions; outputs updated state + any emitted children rows. */
-  def streamingFsm(spark: SparkSession, scans: Dataset[ScanResult]): Dataset[CellState] = {
+  def streamingFsm(spark: SparkSession, scans: Dataset[ScanResult],
+      idx: CellIndex = CellGridIndex): Dataset[CellState] = {
     import spark.implicits._
     scans.groupByKey(_.h3)
       .flatMapGroupsWithState[CellState, CellState](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (h3: String, events: Iterator[ScanResult], state: GroupState[CellState]) =>
           val init = state.getOption.getOrElse(
-            CellState(h3, CellGrid.cellRes(h3), "pending", saturated = false, None, None, None, 0))
+            CellState(h3, idx.res(h3), "pending", saturated = false, None, None, None, 0))
           var cur = init
           val out = scala.collection.mutable.ArrayBuffer[CellState]()
           events.toSeq.sortBy(_.asOf).foreach { ev =>
-            val (next, children) = transition(cur, ev)
+            val (next, children) = transition(cur, ev, idx)
             cur = next
             out += next
             out ++= children

@@ -42,6 +42,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FSM on REAL H3 keys: split emits the seven H3 children, state persists") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val doc = "8928308280fffff" // the H3 docs' res-9 worked-example cell
+    val input = MemoryStream[CellFsm.ScanResult]
+    val q = CellFsm.streamingFsm(spark, input.toDS(), CellFsm.H3CellIndex)
+      .writeStream.format("memory").queryName("h3fsm_out").outputMode("append").start()
+    try {
+      // saturated res-9 scan → split + 7 pending REAL res-10 children
+      input.addData(CellFsm.ScanResult(doc, 70, 25, "2025-06-01 00:00:00"))
+      q.processAllAvailable()
+      val b1 = spark.sql("select * from h3fsm_out").as[CellFsm.CellState].collect()
+      assert(b1.exists(s => s.h3 == doc && s.status == "split" && s.res == 9))
+      val kids = b1.filter(_.status == "pending")
+      val expect = graft.expr.H3Index
+        .children(graft.expr.H3Index.parse(doc), 10).map(graft.expr.H3Index.format).toSet
+      assert(kids.map(_.h3).toSet == expect && kids.forall(_.res == 10))
+
+      // a child scans quietly → scanned with a due date; attempts from state
+      val child = expect.head
+      input.addData(CellFsm.ScanResult(child, 5, 2, "2025-06-02 00:00:00"))
+      q.processAllAvailable()
+      val b2 = spark.sql("select * from h3fsm_out").as[CellFsm.CellState].collect()
+      assert(b2.exists(s => s.h3 == child && s.status == "scanned" && s.res == 10
+        && s.nextDueAt.exists(_.startsWith("2025-06-09"))))
+
+      // a saturated res-11 grandchild cannot split past the config ladder cap
+      val gkid = graft.expr.H3Index.format(
+        graft.expr.H3Index.centerChild(graft.expr.H3Index.parse(child), 11))
+      input.addData(CellFsm.ScanResult(gkid, 99, 30, "2025-06-03 00:00:00"))
+      q.processAllAvailable()
+      val b3 = spark.sql("select * from h3fsm_out").as[CellFsm.CellState].collect()
+      assert(b3.exists(s => s.h3 == gkid && s.status == "saturated" && s.res == 11))
+      assert(!b3.exists(_.res == 12), "max_res=11 ladder cap must stop subdivision")
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
