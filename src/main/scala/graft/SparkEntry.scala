@@ -55,7 +55,8 @@ object SparkEntry {
     (ops.Retrieval.queries, ops.Retrieval.oracles),
     (ops.Graph.queries, ops.Graph.oracles),
     (ops.H3Native.queries, ops.H3Native.oracles),
-    (streaming.QuotaBucket.queries, streaming.QuotaBucket.oracles))
+    (streaming.QuotaBucket.queries, streaming.QuotaBucket.oracles),
+    (sources.SchemaEvolution.queries, sources.SchemaEvolution.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
