@@ -201,6 +201,26 @@ object AtomicTable {
             return s"v${baseN + 1}"
           } catch {
             case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException =>
+              // v{N+1} exists but the manifest still names v{N}: its claimant
+              // either is mid-flip or DIED between rename and flip. A
+              // mergeCommit claim is complete by construction (the atomic
+              // rename happens only after the staged write finished, marker
+              // included), so ADOPT it — publish forward-only and rebase on
+              // it; a live claimant's own later flip is then a no-op. Without
+              // adoption an orphaned claim would starve every later writer
+              // (each would retry the same taken version number forever). A
+              // claimed dir WITHOUT the completeness marker cannot come from
+              // mergeCommit — it is a crashed bare [[stage]] — and is removed,
+              // matching [[commit]]'s own overwrite-the-orphan semantics.
+              val cur = currentVersion(root).map(_.drop(1).toLong).getOrElse(0L)
+              if (cur <= baseN) {
+                if (Files.exists(target.resolve("_SUCCESS"))) {
+                  withPublishLock(root) {
+                    val c = currentVersion(root).map(_.drop(1).toLong).getOrElse(0L)
+                    if (baseN + 1 > c) publish(root, s"v${baseN + 1}")
+                  }
+                } else if (Files.exists(target)) deleteRecursively(target)
+              }
               Some(s"version v${baseN + 1} was claimed by another writer")
           }
         } catch {

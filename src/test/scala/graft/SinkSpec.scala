@@ -214,6 +214,48 @@ class SinkSpec extends AnyFunSuite {
     assert(AtomicTable.vacuumStaging(root, olderThanMs = -1) == 0)
   }
 
+  test("mergeCommit: an orphaned claim (crash between rename and flip) is adopted, not starved") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftoccadopt").toString
+    AtomicTable.mergeCommit(spark, root) { _ => Seq(("a", 1)).toDF("k", "src") }
+    // simulate a writer that fully staged and CAS-renamed v2, then died
+    // before flipping the manifest: complete data + _SUCCESS, stale _CURRENT
+    val tmp = java.nio.file.Files.createTempDirectory("graftstage").toString
+    Seq(("b", 2)).toDF("k", "src").write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(root, "v2"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(AtomicTable.currentVersion(root).contains("v1"))
+
+    // the next writer must adopt v2 (it is complete) and land its merge as v3
+    AtomicTable.mergeCommit(spark, root) {
+      case Some(live) => live.unionByName(Seq(("c", 3)).toDF("k", "src"))
+      case None       => Seq(("c", 3)).toDF("k", "src")
+    }
+    assert(AtomicTable.currentVersion(root).contains("v3"))
+    val rows = AtomicTable.read(spark, root).collect().map(_.getString(0)).sorted
+    assert(rows.sameElements(Array("b", "c")),
+      s"merge must rebase on the ADOPTED v2 (its data is the base): ${rows.mkString(",")}")
+  }
+
+  test("mergeCommit: a torn claimed dir (no completeness marker) is cleared, not adopted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftocctorn").toString
+    AtomicTable.mergeCommit(spark, root) { _ => Seq(("a", 1)).toDF("k", "src") }
+    // a crashed bare stage: directory with data fragments but no _SUCCESS
+    val torn = java.nio.file.Paths.get(root, "v2")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-junk.parquet"), "partial")
+    AtomicTable.mergeCommit(spark, root) {
+      case Some(live) => live.unionByName(Seq(("d", 4)).toDF("k", "src"))
+      case None       => Seq(("d", 4)).toDF("k", "src")
+    }
+    assert(AtomicTable.currentVersion(root).contains("v2"))
+    val rows = AtomicTable.read(spark, root).collect().map(_.getString(0)).sorted
+    assert(rows.sameElements(Array("a", "d")),
+      s"torn dir must be discarded, merge based on v1: ${rows.mkString(",")}")
+  }
+
   test("mergeCommit: fresh-table race — exactly one writer seeds v1, the other rebases") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftocc2").toString
