@@ -220,25 +220,27 @@ object Temporal {
   val IvCutoff = "2000-01-01"
   def ivRevenueMerge(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    // The q3/q5 decimal-sum contract: round each price to 6dp and sum as
-    // DECIMAL so the partial sums are EXACT — merging two partials is then
-    // bit-identical to the oracle's single sequential sum at any
-    // partitioning/SF (a raw double sum is partition-order dependent and
-    // only matched the oracle's 4th decimal by luck). avg is derived from
-    // the exact decimal sum via ONE double division, identical both sides.
+    // Exact integer-cents partials (Relational.centsSum's contract): each
+    // price quantizes to BIGINT cents, so a partial is a long sum, merging
+    // two partials is long addition — bit-identical to the oracle's single
+    // sequential sum at any partitioning/SF (a raw double sum is
+    // partition-order dependent and only matched the oracle's 4th decimal
+    // by luck; the interim DECIMAL form was exact but ~4x slower). Derived
+    // values divide the exact cents once, in the same operation order as
+    // the oracle.
     def partials(df: DataFrame) = df.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(round(col("o_totalprice"), 6).cast("decimal(28,6)")).as("sum_p"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_c"),
         max(col("o_totalprice")).as("max_p"))
     val base = partials(o.filter(col("o_orderdate") < lit(IvCutoff).cast("date")))
     val delta = partials(o.filter(col("o_orderdate") >= lit(IvCutoff).cast("date")))
     base.unionByName(delta)
       .groupBy(col("o_orderpriority"))
-      .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_p")).as("sum_p"),
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_c")).as("sum_c"),
         max(col("max_p")).as("max_p"))
       .select(col("o_orderpriority"), col("n_orders"),
-        round(col("sum_p"), 4).cast("double").as("sum_price"),
-        round(col("sum_p").cast("double") / col("n_orders"), 4).as("avg_price"),
+        round(col("sum_c") / lit(100.0), 4).as("sum_price"),
+        round(col("sum_c") / lit(100.0) / col("n_orders"), 4).as("avg_price"),
         round(col("max_p"), 4).as("max_price"))
   }
 
@@ -304,11 +306,10 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "iv_revenue_merge" ->
-      """SELECT o_orderpriority, count(*) AS n_orders,
-        |  CAST(round(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))), 4)
-        |    AS DOUBLE) AS sum_price,
-        |  round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6)))
-        |    AS DOUBLE) / count(*), 4) AS avg_price,
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+        |  ${graft.ops.Relational.centsSumSql("o_totalprice", 2)} AS sum_price,
+        |  round(CAST(sum(CAST(round((o_totalprice) * 100, 0) AS BIGINT)) AS BIGINT)
+        |    / CAST(100 AS DOUBLE) / count(*), 4) AS avg_price,
         |  round(max(o_totalprice), 4) AS max_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "sn_scd2_intervals" -> scd2RebuildSql,
