@@ -50,7 +50,7 @@ object IngestLoop {
       .withColumn("prior",
         when(col("led_day") === col("day_idx"), col("led_used")).otherwise(0L))
       .withColumn("admitted", col("prior") + col("seq") <= limit)
-    val newLedger = withPrior
+    val touched = withPrior
       .groupBy(col("api_type"), col("day_idx"))
       .agg((max(col("prior")) + sum(when(col("admitted"), 1L).otherwise(0L))).as("used"))
       // keep only each api_type's newest day: the bucket has no memory
@@ -58,6 +58,12 @@ object IngestLoop {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("api_type")).orderBy(col("day_idx").desc)))
       .filter(col("rk") === 1).drop("rk")
+    // the committed ledger REPLACES the table, so api_types idle in this
+    // micro-batch must carry their rows forward — dropping them would
+    // refill their bucket mid-day on their next request
+    val newLedger = ledger
+      .join(touched.select(col("api_type")), Seq("api_type"), "left_anti")
+      .unionByName(touched)
     (withPrior.drop("led_day", "led_used", "prior"), newLedger)
   }
 

@@ -29,7 +29,8 @@ object IngestLoopSpec {
     "u4" -> Seq(HttpResponse(503, Map.empty, ""),
       HttpResponse(200, Map.empty, body("g4", "Late Cafe", 4.4))),
     "u9" -> Seq(HttpResponse(200, Map.empty, body("g1", "Cafe One Renamed", 4.5))),
-    "u10" -> Seq(HttpResponse(200, Map.empty, body("g9", "New Day Cafe", 3.9))))
+    "u10" -> Seq(HttpResponse(200, Map.empty, body("g9", "New Day Cafe", 3.9))),
+    "s1" -> Seq(HttpResponse(200, Map.empty, body("g8", "Serp Cafe", 4.0))))
 
   def mkTransport(): HttpSource.Transport = new HttpSource.ReplayTransport(script)
   val noSleep: Long => Unit = _ => ()
@@ -56,14 +57,17 @@ class IngestLoopSpec extends AnyFunSuite {
       asOf = "2025-06-01 00:00:00", appId = "ingest-spec", checkpoint = ckpt,
       sleeper = noSleep)
     try {
-      // batch 0: two requests on day 100 — both admitted
+      // batch 0: two places requests + one serp request on day 100 — each
+      // api_type meters its own bucket
       input.addData(
         FetchRequest(1, "places", 100 * DayUs + 1000, "u1"),
-        FetchRequest(2, "places", 100 * DayUs + 2000, "u2"))
+        FetchRequest(2, "places", 100 * DayUs + 2000, "u2"),
+        FetchRequest(10, "serp", 100 * DayUs + 500, "s1"))
       q.processAllAvailable()
-      assert(AtomicTable.read(spark, poiRoot).count() == 2)
+      assert(AtomicTable.read(spark, poiRoot).count() == 3)
       val led1 = AtomicTable.read(spark, ledgerRoot).collect()
-      assert(led1.length == 1 && led1.head.getLong(2) == 2) // 2 tokens used
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(led1 == Map("places" -> ((100L, 2L)), "serp" -> ((100L, 1L))))
 
       // batch 1: three more same-day requests — the bucket (limit 3) admits
       // only the earliest; u4's fetch walks the ladder once (503 → 200)
@@ -74,10 +78,13 @@ class IngestLoopSpec extends AnyFunSuite {
       q.processAllAvailable()
       val poi2 = AtomicTable.read(spark, poiRoot).collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(poi2.keySet == Set("g1", "g2", "g4"), s"got ${poi2.keySet}")
+      assert(poi2.keySet == Set("g1", "g2", "g4", "g8"), s"got ${poi2.keySet}")
       assert(poi2("g4") == "Late Cafe") // the retried fetch landed
-      assert(AtomicTable.read(spark, ledgerRoot).collect()
-        .head.getLong(2) == 3) // bucket exhausted
+      val led2 = AtomicTable.read(spark, ledgerRoot).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(led2("places") == ((100L, 3L))) // bucket exhausted
+      assert(led2("serp") == ((100L, 1L)),
+        "an api_type idle in this micro-batch must carry its ledger row forward")
 
       // batch 2: past midnight — refilled; g1 update + brand-new g9
       input.addData(
@@ -86,11 +93,14 @@ class IngestLoopSpec extends AnyFunSuite {
       q.processAllAvailable()
       val poi3 = AtomicTable.read(spark, poiRoot).collect()
         .map(r => (r.getString(0), (r.getString(1), r.getDouble(2)))).toMap
-      assert(poi3.keySet == Set("g1", "g2", "g4", "g9"))
+      assert(poi3.keySet == Set("g1", "g2", "g4", "g8", "g9"))
       assert(poi3("g1") == (("Cafe One Renamed", 4.5))) // upsert updated
       val led3 = AtomicTable.read(spark, ledgerRoot).collect()
-      assert(led3.length == 1 && led3.head.getLong(1) == 101 &&
-        led3.head.getLong(2) == 2, "ledger must hold only the NEW day's count")
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(led3("places") == ((101L, 2L)),
+        "a touched api_type keeps only its NEW day's count")
+      assert(led3("serp") == ((100L, 1L)),
+        "an untouched api_type's row survives across micro-batches and days")
 
       // exactly-once: both tables absorbed the final micro-batch id
       assert(AtomicTable.lastBatch(poiRoot) == AtomicTable.lastBatch(ledgerRoot))
