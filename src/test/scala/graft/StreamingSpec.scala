@@ -250,6 +250,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join state is EVICTED by the watermark, not accumulated") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2025-06-${1 + day}%02d $hour%02d:00:00")
+    val mIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val eIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val joined = Streams.mentionFeedJoinStream(
+      mIn.toDF().toDF("m_id", "m_domain", "m_ts"),
+      eIn.toDF().toDF("e_id", "e_domain", "e_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_evict_out")
+      .outputMode("append").start()
+    try {
+      var fed = 0L
+      def stateRows: Long = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      // 12 days, 40 entries + 60 mentions per day, 5 domains: event time
+      // advances a day per micro-batch, so the watermark (1 h lateness) +
+      // the 3-day join reach bound the retained state at ~4 days of
+      // entries — a steady state, not a linear accumulation
+      var steady = 0L
+      for (d <- 0 until 12) {
+        eIn.addData((0 until 40).map(j => ((d * 100 + j).toLong, s"d${j % 5}.com", ts(d, j % 12))): _*)
+        mIn.addData((0 until 60).map(i => ((d * 1000 + i).toLong, s"d${i % 5}.com", ts(d, 6 + i % 12))): _*)
+        q.processAllAvailable()
+        fed += 100
+        if (d == 5) steady = stateRows
+      }
+      val end = stateRows
+      assert(end > 0, "join state must exist")
+      assert(end < fed / 2,
+        s"state $end did not evict against $fed fed rows — watermark not bounding")
+      // steady state: day-11's retained rows are in the same ballpark as
+      // day-5's, not ~2x (which linear accumulation would give)
+      assert(end <= steady * 3 / 2,
+        s"state grew from $steady (day 5) to $end (day 11) — accumulating, not evicting")
+    } finally q.stop()
+  }
+
   test("volume: streaming FSM == two sequential batch steps over 3200 cells") {
     import spark.implicits._
     import graft.expr.CellGrid
