@@ -93,12 +93,78 @@ object CorpusOps {
         .otherwise("test").as("split"))
   }
 
+  /** Sample size per language for [[tcWeightedSample]]. */
+  val SampleK = 12
+  private val HexDigits = "0123456789abcdef"
+  /** 52-bit integer from the first 13 hex digits of `h` (Horner form,
+    * BIGINT seed — digit builtins return 32-bit INT in both dialects and
+    * the ×16 chain must widen in 64-bit). Parameterized only by the
+    * substring-search builtin's argument order (Spark locate(sub, str) vs
+    * DuckDB strpos(str, sub)) — the Sketches convention. */
+  private def m52Sql(h: String, hexVal: (String, Int) => String): String =
+    (2 to 13).foldLeft(s"CAST(${hexVal(h, 1)} AS BIGINT)") {
+      (acc, i) => s"(($acc) * 16 + ${hexVal(h, i)})"
+    }
+  /** 2^52 as a double literal — the uniform-coin denominator. */
+  private val TwoPow52 = "4503599627370496.0"
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT per group — the
+    * Efraimidis–Spirakis one-pass scheme that decides a training MIXTURE
+    * ("k documents per language, longer documents proportionally more
+    * likely") without ever materializing the k draws sequentially: each row
+    * gets an exponential key `-ln(u)/w` from a DETERMINISTIC uniform coin
+    * (md5 of the doc id → 52-bit integer → u ∈ (0,1), same reproducible-coin
+    * contract as [[tcShuffleShards]]) and the k smallest keys per group ARE
+    * a weight-proportional sample without replacement (Efraimidis &
+    * Spirakis 2006, via the equivalent u^(1/w) max-form). Scale shape: a
+    * rank-k window, which Spark plans with WindowGroupLimit — every map
+    * task pre-truncates to its local top-k per group BEFORE the shuffle, so
+    * the exchange carries O(k · groups · tasks) rows, not the corpus; at
+    * 100 TB the sample of a petabyte mixture costs one scan plus a
+    * k-bounded shuffle. The emitted columns are rank and identity only —
+    * the float key stays internal to the ORDER (cross-engine ln agrees to
+    * ~1 ulp; a rank flip would need two keys within that of each other,
+    * checked by the cross-SF sweep) with doc_id as the total-order tiebreak. */
+  def tcWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val hv: (String, Int) => String =
+      (h, i) => s"(locate(substring($h, $i, 1), '$HexDigits') - 1)"
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("h", expr("md5(cast(cast(doc_id as string) as binary))"))
+      .withColumn("m", expr(m52Sql("h", hv)))
+      .withColumn("es_key", expr(s"-ln((m + 0.5) / $TwoPow52) / n_chars"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("es_key").asc, col("doc_id").asc)))
+      .filter(col("rank") <= SampleK)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars").as("weight"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "tc_span_dedup" -> (tcSpanDedup _),
     "tc_shuffle_shards" -> (tcShuffleShards _),
+    "tc_weighted_sample" -> (tcWeightedSample _),
     "tc_domain_split" -> (tcDomainSplit _))
 
   val oracles: Map[String, String] = Map(
+    "tc_weighted_sample" -> {
+      val hv: (String, Int) => String =
+        (h, i) => s"(strpos('$HexDigits', substring($h, $i, 1)) - 1)"
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents WHERE n_chars > 0),
+         |coined AS (
+         |  SELECT doc_id, lang, n_chars, ${m52Sql("h", hv)} AS m FROM keyed),
+         |ranked AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY -ln((m + 0.5) / $TwoPow52) / n_chars ASC, doc_id ASC)
+         |      AS rank
+         |  FROM coined)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+         |  n_chars AS weight
+         |FROM ranked WHERE rank <= $SampleK""".stripMargin
+    },
     // owner replay: rank within hash (window) == the engine's min(struct)
     "tc_span_dedup" ->
       s"""WITH ${TextAnalysis.chunkCtesSql},

@@ -92,11 +92,82 @@ object Quality {
           .otherwise(0L)).as("n_high"))
   }
 
+  /** Drift epochs (week 1 vs week 3 of the log), bin width over the value
+    * domain (0, 490] → 20 bins, and the alert threshold in ppm. */
+  val DriftOldFrom = "2024-01-01 00:00:00"; val DriftOldTo = "2024-01-08 00:00:00"
+  val DriftNewFrom = "2024-01-15 00:00:00"; val DriftNewTo = "2024-01-22 00:00:00"
+  val BinWidth = 25.0
+  val DriftAlertPpm = 100000L // 10% total-variation distance
+
+  /** DISTRIBUTION DRIFT between two time epochs — the monitoring move that
+    * catches a silently-shifted upstream before it poisons a training mix:
+    * per event_type, histogram the value column over fixed bins in each
+    * epoch and compare via TOTAL-VARIATION distance. TV is the
+    * integer-exact choice (PSI/KL need cross-engine logs of ratios):
+    * TV = Σ|cA·nB − cB·nA| / (2·nA·nB), in ppm — pure BIGINT arithmetic, so
+    * both engines agree bit for bit (exact while n_per_group·1e6 fits 64-bit,
+    * i.e. ≲3e6 rows per group-epoch; beyond that promote to DECIMAL(38)).
+    * Scale shape: ONE scan (both epoch counts are conditional sums in the
+    * same aggregate), one shuffle on (event_type, bin); the bin relation is
+    * O(types × bins) regardless of data size, so the totals join back is a
+    * broadcast of a model-sized singleton. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val inOld = col("ts") >= lit(DriftOldFrom).cast("timestamp") &&
+      col("ts") < lit(DriftOldTo).cast("timestamp")
+    val inNew = col("ts") >= lit(DriftNewFrom).cast("timestamp") &&
+      col("ts") < lit(DriftNewTo).cast("timestamp")
+    val binned = Tables.events(spark, dir)
+      .filter(inOld || inNew)
+      .select(col("event_type"),
+        floor(col("value") / lit(BinWidth)).cast("long").as("bin"),
+        when(inOld, 1L).otherwise(0L).as("a"),
+        when(inNew, 1L).otherwise(0L).as("b"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val totals = binned.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    binned.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_old"), max(col("nb")).as("n_new"),
+        count(lit(1)).as("n_bins"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("s"))
+      .select(col("event_type"), col("n_old"), col("n_new"), col("n_bins"),
+        when(col("n_old") === 0 || col("n_new") === 0, lit(1000000L))
+          .otherwise(expr("(s * 500000) div (n_old * n_new)")).as("tv_ppm"))
+      .withColumn("drifted", col("tv_ppm") > lit(DriftAlertPpm))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dq_audit" -> (dqAudit _),
+    "dq_drift" -> (dqDrift _),
     "dq_outliers" -> (dqOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "dq_drift" ->
+      s"""WITH binned AS (
+         |  SELECT event_type, CAST(floor(value / $BinWidth) AS BIGINT) AS bin,
+         |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$DriftOldFrom'
+         |      AND ts < TIMESTAMP '$DriftOldTo' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$DriftNewFrom'
+         |      AND ts < TIMESTAMP '$DriftNewTo' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM events
+         |  WHERE (ts >= TIMESTAMP '$DriftOldFrom' AND ts < TIMESTAMP '$DriftOldTo')
+         |     OR (ts >= TIMESTAMP '$DriftNewFrom' AND ts < TIMESTAMP '$DriftNewTo')
+         |  GROUP BY event_type, bin),
+         |totals AS (
+         |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM binned GROUP BY event_type)
+         |SELECT b.event_type, max(na) AS n_old, max(nb) AS n_new,
+         |  count(*) AS n_bins,
+         |  CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1000000
+         |    ELSE (CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) * 500000)
+         |      // (max(na) * max(nb)) END AS tv_ppm,
+         |  CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1000000
+         |    ELSE (CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) * 500000)
+         |      // (max(na) * max(nb)) END > $DriftAlertPpm AS drifted
+         |FROM binned b JOIN totals t ON b.event_type = t.event_type
+         |GROUP BY b.event_type""".stripMargin,
     "dq_outliers" ->
       """WITH ranked AS MATERIALIZED (
         |  SELECT event_type, event_id, value,

@@ -244,8 +244,71 @@ object Temporal {
         round(col("max_p"), 4).as("max_price"))
   }
 
+  /** Snapshot instants and the activity window for [[snSnapshotDiff]]: a
+    * user is IN the snapshot at t iff they have an event in (t-1d, t]; the
+    * 1-day window makes all four diff classes (added/removed/changed/
+    * unchanged) non-degenerate at every SF (a 7-day window captures every
+    * user at the log's event rate and the added/removed classes vanish). */
+  val DiffT1 = "2024-01-15 00:00:00"
+  val DiffT2 = "2024-01-22 00:00:00"
+  val SnapWindowUs: Long = DayUs
+
+  /** Activity snapshot at `at`: per active user, last state (total-ordered
+    * by (ts, event_id) via one map-side-combinable max(struct)) + event
+    * count in the window. Same aggregate shape as [[snPitSnapshot]]. */
+  private def activitySnapshot(events: DataFrame, at: String): DataFrame = {
+    val tUs = unix_micros(lit(at).cast("timestamp")) // constant-folded
+    events
+      .filter(unix_micros(col("ts")) <= tUs &&
+        unix_micros(col("ts")) > tUs - lit(SnapWindowUs))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("m.event_type").as("state"), col("n_events"))
+  }
+
+  /** TABLE DIFF kernel — reconcile two snapshot versions of a keyed table
+    * into row-level change records: `added` (key only in new), `removed`
+    * (key only in old), `changed` (key in both, any compared column
+    * differs, with the differing-column count), `unchanged`. The shape a
+    * lakehouse needs for snapshot audits, CDC backfills and
+    * rebuild-vs-incremental reconciliation. ONE full-outer shuffle
+    * equi-join on the key and a row-local classification — no window, no
+    * driver loop; at 100 TB both snapshot versions live bucketed by the
+    * key (sources/BucketedTables' layout), so the join plans with zero
+    * exchanges and the diff streams straight to its sink. */
+  def snapshotDiff(oldS: DataFrame, newS: DataFrame, key: String): DataFrame = {
+    val o = oldS.select(col(key).as("k1"),
+      col("state").as("old_state"), col("n_events").as("old_n"))
+    val n = newS.select(col(key).as("k2"),
+      col("state").as("new_state"), col("n_events").as("new_n"))
+    o.join(n, col("k1") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k1"), col("k2")).as(key),
+        when(col("old_n").isNull, "added")
+          .when(col("new_n").isNull, "removed")
+          .when(col("old_state") =!= col("new_state") ||
+            col("old_n") =!= col("new_n"), "changed")
+          .otherwise("unchanged").as("change"),
+        col("old_state"), col("new_state"), col("old_n"), col("new_n"),
+        when(col("old_n").isNull || col("new_n").isNull, lit(null).cast("long"))
+          .otherwise(
+            when(col("old_state") =!= col("new_state"), 1L).otherwise(0L) +
+              when(col("old_n") =!= col("new_n"), 1L).otherwise(0L))
+          .as("n_cols_changed"))
+  }
+
+  /** SNAPSHOT DIFF between the [[DiffT1]] and [[DiffT2]] activity
+    * snapshots — who entered, left, or changed shape week over week. */
+  def snSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    snapshotDiff(activitySnapshot(ev, DiffT1), activitySnapshot(ev, DiffT2),
+      "user_id")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "iv_revenue_merge" -> (ivRevenueMerge _),
+    "sn_snapshot_diff" -> (snSnapshotDiff _),
     "sn_scd2_intervals" -> (snScd2Intervals _),
     "sn_scd2_merge" -> (snScd2Merge _),
     "sn_pit_snapshot" -> (snPitSnapshot _),
@@ -304,7 +367,41 @@ object Temporal {
         |FROM runs
         |WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)""".stripMargin
 
+  /** One activity-snapshot CTE body (DuckDB replay of [[activitySnapshot]]). */
+  private def snapCteSql(at: String): String =
+    s"""  SELECT user_id, event_type AS state,
+       |    count(*) OVER (PARTITION BY user_id) AS n_events,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events
+       |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= epoch_us(TIMESTAMP '$at')
+       |    AND epoch_us(CAST(ts AS TIMESTAMP))
+       |        > epoch_us(TIMESTAMP '$at') - $SnapWindowUs""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sn_snapshot_diff" ->
+      s"""WITH s1r AS (
+         |${snapCteSql(DiffT1)}),
+         |s2r AS (
+         |${snapCteSql(DiffT2)}),
+         |s1 AS (SELECT user_id, state, CAST(n_events AS BIGINT) AS n_events
+         |       FROM s1r WHERE rn = 1),
+         |s2 AS (SELECT user_id, state, CAST(n_events AS BIGINT) AS n_events
+         |       FROM s2r WHERE rn = 1)
+         |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+         |  CASE WHEN s1.n_events IS NULL THEN 'added'
+         |       WHEN s2.n_events IS NULL THEN 'removed'
+         |       WHEN s1.state <> s2.state OR s1.n_events <> s2.n_events
+         |         THEN 'changed'
+         |       ELSE 'unchanged' END AS change,
+         |  s1.state AS old_state, s2.state AS new_state,
+         |  s1.n_events AS old_n, s2.n_events AS new_n,
+         |  CASE WHEN s1.n_events IS NULL OR s2.n_events IS NULL
+         |         THEN CAST(NULL AS BIGINT)
+         |       ELSE (CASE WHEN s1.state <> s2.state THEN 1 ELSE 0 END)
+         |          + (CASE WHEN s1.n_events <> s2.n_events THEN 1 ELSE 0 END)
+         |       END AS n_cols_changed
+         |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id""".stripMargin,
     "iv_revenue_merge" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
         |  ${graft.ops.Relational.centsSumSql("o_totalprice", 2)} AS sum_price,

@@ -88,4 +88,38 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(s - direct(k)._2) < 1e-3, s"$k: merged $s vs direct ${direct(k)._2}")
     }
   }
+
+  test("dq_drift: tv_ppm matches a driver-side exact recomputation") {
+    import graft.ops.Quality
+    def us(s: String): Long =
+      java.time.Instant.parse(s.replace(' ', 'T') + "Z").toEpochMilli * 1000L
+    val (a0, a1) = (us(Quality.DriftOldFrom), us(Quality.DriftOldTo))
+    val (b0, b1) = (us(Quality.DriftNewFrom), us(Quality.DriftNewTo))
+    // independent fold: plain Scala maps + BigInt arithmetic (no 64-bit
+    // headroom question on the reference side)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .collect()
+    val types = ev.map(_.getString(0)).distinct
+    val expect = types.map { t =>
+      def hist(lo: Long, hi: Long): Map[Long, Long] = ev
+        .filter(r => r.getString(0) == t && r.getLong(1) >= lo && r.getLong(1) < hi)
+        .groupBy(r => math.floor(r.getDouble(2) / Quality.BinWidth).toLong)
+        .map { case (b, rs) => b -> rs.length.toLong }
+      val (ha, hb) = (hist(a0, a1), hist(b0, b1))
+      val (na, nb) = (ha.values.sum, hb.values.sum)
+      val bins = (ha.keySet ++ hb.keySet)
+      val s = bins.toSeq.map(b => (BigInt(ha.getOrElse(b, 0L)) * nb -
+        BigInt(hb.getOrElse(b, 0L)) * na).abs).sum
+      t -> ((na, nb, bins.size.toLong, (s * 500000 / (BigInt(na) * nb)).toLong))
+    }.toMap
+    val got = Quality.dqDrift(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (t, v) =>
+      assert(v == expect(t), s"$t: engine $v vs reference ${expect(t)}")
+      assert(v._4 >= 0L && v._4 <= 1000000L, s"$t: tv_ppm out of [0, 1e6]")
+    }
+  }
 }

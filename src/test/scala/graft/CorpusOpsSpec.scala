@@ -81,4 +81,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     val counts = rows.groupBy(_.getString(3)).map { case (k, v) => k -> v.length }
     assert(counts("train") > counts("val") && counts("train") > counts("test"))
   }
+
+  test("weighted sample: k dense ranks per group, weight-biased, map-side limit") {
+    val df = CorpusOps.tcWeightedSample(spark, dir)
+    val rows = df.collect()
+    // exactly SampleK per language (every lang has >= K docs at sf0.01),
+    // ranks dense from 1
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to CorpusOps.SampleK),
+        s"lang $lang: ranks not dense 1..${CorpusOps.SampleK}")
+    }
+    // Efraimidis–Spirakis with weight = n_chars must bias the pooled sample
+    // toward longer documents (per-lang means are k=12 noisy; pooled is a
+    // deterministic property of the fixed coin on this corpus)
+    val sampleMean = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    val corpusMean = Tables.documents(spark, dir).filter(col("n_chars") > 0)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      f"sample mean $sampleMean%.1f must exceed corpus mean $corpusMean%.1f")
+    // the scale contract: rank-k plans as WindowGroupLimit, so every map
+    // task pre-truncates to its local top-k per group BEFORE the shuffle
+    val ops = PlanTestUtils.flatten(df.queryExecution.executedPlan)
+      .map(_.getClass.getSimpleName)
+    assert(ops.count(_ == "WindowGroupLimitExec") >= 2,
+      s"expected partial+final WindowGroupLimit, plan had: ${ops.distinct}")
+  }
 }

@@ -158,4 +158,60 @@ class TemporalSpec extends AnyFunSuite {
       p.isInstanceOf[CartesianProductExec]),
       "bucketed overlap join must meet through an equi-join, not a nested loop")
   }
+
+  test("snapshot diff partitions the active keys and replays old → new") {
+    // independent replay: rebuild both activity snapshots from the raw log
+    // with a driver-side fold (a different dataflow from the engine's
+    // max-struct aggregate + full-outer join)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect() // sf0.01: 10k rows, test-side only
+    def snap(at: String): Map[Long, (String, Long)] = {
+      val tUs = java.time.Instant.parse(at.replace(' ', 'T') + "Z")
+        .toEpochMilli * 1000L
+      ev.filter(r => r.getLong(1) <= tUs && r.getLong(1) > tUs - Temporal.SnapWindowUs)
+        .groupBy(_.getLong(0))
+        .map { case (u, rs) =>
+          val last = rs.maxBy(r => (r.getLong(1), r.getLong(2)))
+          u -> (last.getString(3), rs.length.toLong)
+        }
+    }
+    val s1 = snap(Temporal.DiffT1)
+    val s2 = snap(Temporal.DiffT2)
+    val rows = Temporal.snSnapshotDiff(spark, sf).collect()
+    // key space: every diff row is a key from either snapshot, exactly once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(0)).toSet == (s1.keySet ++ s2.keySet))
+    // all four classes must be live at this SF (the 1-day window exists
+    // precisely so added/removed don't degenerate)
+    val classes = rows.map(_.getString(1)).toSet
+    assert(classes == Set("added", "removed", "changed", "unchanged"),
+      s"expected all four diff classes, got $classes")
+    // classification agrees with the independent snapshots, and applying
+    // the diff to s1 reconstructs s2 (the CDC-faithfulness contract)
+    val applied = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    s1.foreach { case (k, v) => applied(k) = v }
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      r.getString(1) match {
+        case "added" =>
+          assert(!s1.contains(k) && s2.contains(k), s"user $k misclassified")
+          assert(r.isNullAt(2) && r.isNullAt(4) && r.isNullAt(6))
+          applied(k) = (r.getString(3), r.getLong(5))
+        case "removed" =>
+          assert(s1.contains(k) && !s2.contains(k), s"user $k misclassified")
+          assert(r.isNullAt(3) && r.isNullAt(5) && r.isNullAt(6))
+          applied.remove(k)
+        case "changed" =>
+          assert(s1(k) != s2(k), s"user $k not actually changed")
+          assert(r.getLong(6) >= 1L && r.getLong(6) <= 2L)
+          applied(k) = (r.getString(3), r.getLong(5))
+        case "unchanged" =>
+          assert(s1(k) == s2(k) && r.getLong(6) == 0L,
+            s"user $k not actually unchanged")
+      }
+    }
+    assert(applied.toMap == s2, "replaying the diff onto old must yield new")
+  }
 }
