@@ -137,12 +137,116 @@ object Quality {
       .withColumn("drifted", col("tv_ppm") > lit(DriftAlertPpm))
   }
 
+  /** Trailing-baseline length for [[dqAnomalyDays]]. */
+  val BaselineDays = 7
+
+  /** DAILY-VOLUME ANOMALY DETECTION — the pipeline-health monitor that
+    * catches a collapsed or runaway source: each (event_type, day) count is
+    * tested against its trailing [[BaselineDays]]-observation baseline with
+    * a 2-sigma population test kept ENTIRELY IN INTEGERS — the textbook
+    * |x−μ| > 2σ with μ = S/7, σ² = (7·SS − S²)/49 clears denominators to
+    *   (7x − S)² > 4·(7·SS − S²)
+    * so there is no cross-engine sqrt/float anywhere (headroom: exact while
+    * 7·daily_count fits ~3e9, i.e. petabyte-scale logs). Scale shape: the
+    * raw log collapses to |types × days| rows in one map-side-combinable
+    * count BEFORE the window; the window then sorts a few dozen rows per
+    * type. Days with a short baseline (the first week) are excluded rather
+    * than tested against a partial window. */
+  def dqAnomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      .rowsBetween(-BaselineDays, -1)
+    daily
+      .withColumn("bn", count(lit(1)).over(win))
+      .withColumn("s", sum(col("x")).over(win))
+      .withColumn("ss", sum(col("x") * col("x")).over(win))
+      .filter(col("bn") === BaselineDays)
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+        col("s").as("base_sum"),
+        ((lit(7L) * col("x") - col("s")) * (lit(7L) * col("x") - col("s")) >
+          lit(4L) * (lit(7L) * col("ss") - col("s") * col("s")))
+          .as("is_anomaly"))
+  }
+
+  /** WHOLE-FK-GRAPH REFERENTIAL-INTEGRITY AUDIT — [[dqAudit]]'s single
+    * orders→customer check generalized to every foreign-key edge of the
+    * star schema in one report: each edge is a row-preserving left join
+    * against the DISTINCT parent key with checked/orphan counts folded into
+    * one conditional aggregate (one pass over the child, no second scan).
+    * Scale: fact→fact edges (lineitem→orders) shuffle on the key — the
+    * exact check needs the join; at 100 TB a runtime bloom filter from the
+    * parent side short-circuits the probe (Spark injects one under AQE) —
+    * while dim parents (nation) broadcast. The report itself is 5 rows. */
+  def dqRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String,
+             bcastParent: Boolean = false): DataFrame = {
+      val keys0 = parent.select(col(parentKey).cast("long").as("__pk")).distinct()
+      val keys = if (bcastParent) broadcast(keys0) else keys0
+      child.select(col(childKey).cast("long").as("__ck"))
+        .join(keys, col("__ck") === col("__pk"), "left_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("__pk").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+    edge("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part.p_partkey", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(edge("lineitem.l_suppkey->supplier.s_suppkey", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(edge("orders.o_custkey->customer.c_custkey", o, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation.n_nationkey",
+        Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey", bcastParent = true))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dq_audit" -> (dqAudit _),
+    "dq_ref_integrity" -> (dqRefIntegrity _),
     "dq_drift" -> (dqDrift _),
+    "dq_anomaly_days" -> (dqAnomalyDays _),
     "dq_outliers" -> (dqOutliers _))
 
+  /** One FK edge of the [[dqRefIntegrity]] oracle (DuckDB dialect). */
+  private def fkEdgeSql(name: String, child: String, childKey: String,
+                        parent: String, parentKey: String): String =
+    s"""SELECT '$name' AS fk_edge, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(coalesce(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+       |FROM $child c LEFT JOIN
+       |  (SELECT DISTINCT CAST($parentKey AS BIGINT) AS __pk FROM $parent) p
+       |  ON CAST(c.$childKey AS BIGINT) = p.__pk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dq_ref_integrity" -> Seq(
+      fkEdgeSql("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkEdgeSql("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      fkEdgeSql("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      fkEdgeSql("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      fkEdgeSql("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .mkString("\nUNION ALL\n"),
+    "dq_anomaly_days" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, day, x,
+         |    count(*) OVER win AS bn,
+         |    CAST(sum(x) OVER win AS BIGINT) AS s,
+         |    CAST(sum(x * x) OVER win AS BIGINT) AS ss
+         |  FROM daily
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY day ASC
+         |    ROWS BETWEEN $BaselineDays PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, day, x AS n_events, s AS base_sum,
+         |  (7 * x - s) * (7 * x - s) > 4 * (7 * ss - s * s) AS is_anomaly
+         |FROM w WHERE bn = $BaselineDays""".stripMargin,
     "dq_drift" ->
       s"""WITH binned AS (
          |  SELECT event_type, CAST(floor(value / $BinWidth) AS BIGINT) AS bin,

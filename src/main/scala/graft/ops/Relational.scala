@@ -228,8 +228,119 @@ object Relational {
         round(col("o_totalprice"), 4).as("o_totalprice"), col("total_qty"))
   }
 
+  /** The Q7 nation pair (synthetic nation names in the test tables). */
+  val Q7NationA = "NATION_1"; val Q7NationB = "NATION_2"
+
+  /** TPC-H Q7 shape — volume shipping between two nations: the canonical
+    * 6-relation join (lineitem–orders–customer–supplier–nation×2) with a
+    * DISJUNCTIVE cross-dim predicate (either shipping direction). Plan
+    * discipline: the ship-date range is the only filter on the fact and
+    * is pushed to the scan; each nation dim pre-filters to the 2-row pair
+    * set and broadcasts, so suppliers/customers outside the pair fall out
+    * at their (broadcast) joins before the big equi-joins; the
+    * direction disjunction runs as a residual on the 2×2 remnant. Revenue
+    * uses the exact integer-cents contract ([[centsSum]], scale 4 for the
+    * 2dp×2dp product). */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq(Q7NationA, Q7NationB)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val n1 = broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey").cast("int") === col("sn_key"))
+      .join(n2, col("c_nationkey").cast("int") === col("cn_key"))
+      .filter((col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
+        (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q13 shape — order-count distribution: how many customers placed
+    * exactly N (non-urgent) orders, INCLUDING the zero bucket. The classic
+    * outer-join-then-double-aggregate. Scale discipline: orders collapse to
+    * per-customer counts FIRST (map-side combinable, the join then carries
+    * |customers| + |active customers| rows instead of |orders|), the outer
+    * join supplies the zeros, and the second aggregate runs over the tiny
+    * distinct-count domain. */
+  def q13OrderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    * per-part average (`l_quantity < 0.2 * avg(l_quantity) for this part`)
+    * in its DECORRELATED form: one brand-pruned scan feeds both the per-part
+    * limits and the probe side, joined back on the part key. The brand dim
+    * filter broadcasts, so the fact scan is pruned before any shuffle; the
+    * self-join is equi on l_partkey. Revenue uses integer cents; the
+    * quantity threshold is exact cross-engine because l_quantity is
+    * integral (its sum/avg are exact doubles) and both engines compute the
+    * identical `avg * 0.2` product. */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey")))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val limits = li.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+    li.join(limits, "l_partkey")
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(
+        round(sum(round(col("l_extendedprice") * 100).cast("long")) / lit(700.0), 4)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape — dormant high-balance customers: a GLOBAL scalar
+    * threshold (average positive balance) gating an anti join, aggregated
+    * per nation. The threshold is ONE broadcast row crossJoined in (the
+    * repo's documented singleton idiom — allowlisted in PlanHygieneSpec
+    * beside tc_mix_budget/ts_bm25_topk), and the comparison is cleared of
+    * float boundaries entirely: `cents(bal) · n > Σcents` cross-multiplies
+    * the average away, so both engines compare the same integers. Dormancy
+    * = no order since 2000-01-01 (every customer has SOME order in the
+    * testdata), an anti join against the date-pruned order scan. */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val stats = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents_sum"),
+        count(lit(1)).as("bal_n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(stats))
+      .filter(round(col("c_acctbal") * 100).cast("long") * col("bal_n") >
+        col("bal_cents_sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        centsSum(col("c_acctbal"), 2).as("totacctbal"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q13_order_count_distribution" -> (q13OrderCountDistribution _),
+    "q17_small_quantity_revenue" -> (q17SmallQuantityRevenue _),
+    "q22_dormant_customers" -> (q22DormantCustomers _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
     "q18_large_volume_customers" -> (q18LargeVolumeCustomers _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q1_sql_api"           -> (q1Sql _),
@@ -275,6 +386,53 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q13_order_count_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |       FROM lineitem JOIN pp ON l_partkey = p_partkey),
+        |lim AS (SELECT l_partkey, avg(l_quantity) * CAST(0.2 AS DOUBLE) AS qty_limit
+        |        FROM li GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         / CAST(700 AS DOUBLE), 4) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM li JOIN lim USING (l_partkey)
+        |WHERE l_quantity < qty_limit""".stripMargin,
+    "q22_dormant_customers" ->
+      s"""WITH stats AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents_sum,
+        |    CAST(count(*) AS BIGINT) AS bal_n
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  ${centsSumSql("c_acctbal", 2)} AS totacctbal
+        |FROM customer, stats
+        |WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * bal_n > bal_cents_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |  ${centsSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders    ON l_orderkey = o_orderkey
+        |JOIN customer  ON o_custkey = c_custkey
+        |JOIN supplier  ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+        |    OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q18_large_volume_customers" ->
       """SELECT c_custkey, c_name, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -44,7 +44,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ts_bm25_topk",               // broadcast 1-row (n_docs, avgdl) corpus stats
     "g_pagerank",                 // broadcast 1-row dangling-mass singleton, ×K iterations
     "ta_bigram_logprob",          // broadcast 1-row vocab-size singleton
-    "sk_hll_intersect")           // broadcast 1-row estimator triple
+    "sk_hll_intersect",           // broadcast 1-row estimator triple
+    "q22_dormant_customers")      // broadcast 1-row balance-threshold stats
 
   test("no query plans a cartesian/nested-loop join outside the singleton allowlist") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
