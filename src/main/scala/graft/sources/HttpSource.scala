@@ -115,7 +115,13 @@ object HttpSource {
         if (lastAt == Long.MinValue || now - lastAt >= minIntervalMs) 0L
         else (minIntervalMs - (now - lastAt)) + jitterMs()
       if (wait > 0) sleep(wait)
-      lastAt = clock() + wait
+      // The intended SEND time is now + wait. Under a real sleeper the clock
+      // has already advanced by ~wait when we get here, so re-reading the
+      // clock and adding wait again would park lastAt ~2×wait in the future
+      // and grow every subsequent spacing by ~minIntervalMs (unbounded
+      // over-throttling). Anchor on the pre-sleep timestamp instead — correct
+      // under both real and injected clocks.
+      lastAt = now + wait
       wait
     }
   }

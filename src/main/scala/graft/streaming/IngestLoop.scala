@@ -49,7 +49,13 @@ object IngestLoop {
       // the ledger count carries over only within the same UTC day
       .withColumn("prior",
         when(col("led_day") === col("day_idx"), col("led_used")).otherwise(0L))
-      .withColumn("admitted", col("prior") + col("seq") <= limit)
+      // a request timestamped BEFORE the ledger's day is a late arrival for a
+      // bucket that already closed — never admit it, and (below) never let it
+      // regress the ledger. The stream form (QuotaBucket.admissionStream)
+      // guards `d > day` the same way.
+      .withColumn("admitted",
+        (col("led_day").isNull || col("day_idx") >= col("led_day")) &&
+          col("prior") + col("seq") <= limit)
     val touched = withPrior
       .groupBy(col("api_type"), col("day_idx"))
       .agg((max(col("prior")) + sum(when(col("admitted"), 1L).otherwise(0L))).as("used"))
@@ -59,11 +65,18 @@ object IngestLoop {
         Window.partitionBy(col("api_type")).orderBy(col("day_idx").desc)))
       .filter(col("rk") === 1).drop("rk")
     // the committed ledger REPLACES the table, so api_types idle in this
-    // micro-batch must carry their rows forward — dropping them would
-    // refill their bucket mid-day on their next request
-    val newLedger = ledger
-      .join(touched.select(col("api_type")), Seq("api_type"), "left_anti")
-      .unionByName(touched)
+    // micro-batch must carry their rows forward; and per api_type the GREATER
+    // day wins (a micro-batch holding only stale-day stragglers must not roll
+    // the ledger back and refill an exhausted bucket — daily-quota
+    // double-spend). Same day in both → touched wins (its `used` is
+    // prior + newly admitted ≥ the ledger's count, so `used` desc breaks the
+    // tie toward the update).
+    val newLedger = ledger.select(col("api_type"), col("day_idx"), col("used"))
+      .unionByName(touched.select(col("api_type"), col("day_idx"), col("used")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("api_type"))
+          .orderBy(col("day_idx").desc, col("used").desc)))
+      .filter(col("rk") === 1).drop("rk")
     (withPrior.drop("led_day", "led_used", "prior"), newLedger)
   }
 

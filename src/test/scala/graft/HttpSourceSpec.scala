@@ -79,4 +79,18 @@ class HttpSourceSpec extends AnyFunSuite {
     rl.acquire()
     assert(slept.toSeq == Seq(950L))
   }
+
+  test("rate limiter stays at steady-state spacing when the sleeper advances the clock") {
+    // Under a REAL sleeper the clock advances by `wait` during the sleep. If
+    // lastAt were re-read from the clock after sleeping (+wait again), it
+    // would land ~2×wait in the future and every back-to-back acquire would
+    // grow by ~minInterval. Model the real clock and pin the steady state.
+    var now = 0L
+    val slept = collection.mutable.ArrayBuffer[Long]()
+    val sleeper: Long => Unit = ms => { slept += ms; now += ms }
+    val rl = new HttpSource.RateLimiter(1000L, () => 0L, () => now, sleeper)
+    rl.acquire()                   // free
+    (1 to 4).foreach(_ => rl.acquire()) // back-to-back: each waits exactly 1000
+    assert(slept.toSeq == Seq(1000L, 1000L, 1000L, 1000L))
+  }
 }

@@ -30,6 +30,8 @@ object IngestLoopSpec {
       HttpResponse(200, Map.empty, body("g4", "Late Cafe", 4.4))),
     "u9" -> Seq(HttpResponse(200, Map.empty, body("g1", "Cafe One Renamed", 4.5))),
     "u10" -> Seq(HttpResponse(200, Map.empty, body("g9", "New Day Cafe", 3.9))),
+    "u12" -> Seq(HttpResponse(200, Map.empty, body("g10", "Fresh Cafe", 4.6))),
+    "u14" -> Seq(HttpResponse(200, Map.empty, body("g11", "Overdraft Cafe", 1.0))),
     "s1" -> Seq(HttpResponse(200, Map.empty, body("g8", "Serp Cafe", 4.0))))
 
   def mkTransport(): HttpSource.Transport = new HttpSource.ReplayTransport(script)
@@ -101,6 +103,36 @@ class IngestLoopSpec extends AnyFunSuite {
         "a touched api_type keeps only its NEW day's count")
       assert(led3("serp") == ((100L, 1L)),
         "an untouched api_type's row survives across micro-batches and days")
+
+      // batch 3: exhaust day 101's bucket (2 used + 1 = limit 3)
+      input.addData(FetchRequest(8, "places", 101 * DayUs + 30, "u12"))
+      q.processAllAvailable()
+      val led4 = AtomicTable.read(spark, ledgerRoot).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(led4("places") == ((101L, 3L)))
+
+      // batch 4: ONLY a late straggler timestamped in day 100. It must not
+      // be admitted, and — the double-spend trap — it must NOT roll the
+      // ledger back to day 100 (which would make the next day-101 request
+      // see prior=0 and refill the exhausted bucket).
+      input.addData(FetchRequest(11, "places", 100 * DayUs + 9000, "u13"))
+      q.processAllAvailable()
+      val led5 = AtomicTable.read(spark, ledgerRoot).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(led5("places") == ((101L, 3L)),
+        "a stale-day-only micro-batch must not regress the ledger day")
+
+      // batch 5: a day-101 request against the exhausted bucket — denied
+      input.addData(FetchRequest(12, "places", 101 * DayUs + 40, "u14"))
+      q.processAllAvailable()
+      val poi6 = AtomicTable.read(spark, poiRoot).collect()
+        .map(_.getString(0)).toSet
+      assert(!poi6.contains("g11"),
+        "the exhausted day-101 bucket must stay exhausted after a stale-day batch")
+      assert(poi6.contains("g10"))
+      val led6 = AtomicTable.read(spark, ledgerRoot).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(led6("places") == ((101L, 3L)))
 
       // exactly-once: both tables absorbed the final micro-batch id
       assert(AtomicTable.lastBatch(poiRoot) == AtomicTable.lastBatch(ledgerRoot))
