@@ -22,7 +22,7 @@ object Relational {
   /** EXACT MONEY SUM, fast path: the input expression is a fixed-point value
     * with `scale` decimal digits (TPC-H money columns carry 2; a product of
     * two money terms carries ≤ 4), so quantizing each term to integer units
-    * (`round(x * 10^scale)` — the round absorbs the representation error of
+    * ([[quantize]] — nearest integer absorbs the representation error of
     * the double product) and summing LONGS is exact and partition-order
     * independent, with none of the >18-precision BigDecimal cost that a
     * DECIMAL(28,6) sum pays per row (~4x on the q1 flagship, measured).
@@ -31,10 +31,33 @@ object Relational {
     * a SINGLE global total would move this one aggregate to DECIMAL.
     * [[centsSumSql]] is the oracle-dialect mirror (DuckDB sums BIGINT into
     * HUGEINT, hence the explicit cast back). */
-  def centsSum(x: org.apache.spark.sql.Column, scale: Int, outScale: Int = 4): org.apache.spark.sql.Column = {
+  /** Per-row quantization to integer units, allocation-free: Spark's `round`
+    * on DoubleType codegens to `BigDecimal.valueOf(x).setScale(...)` — two
+    * heap allocations PER ROW per money term, the dominant cost the r14
+    * integer-cents conversion added to the q1 flagship. The contract here is
+    * that `x` is fixed-point with `scale` digits, so `x * 10^scale` is an
+    * integer ± double representation error and NEVER a true half — nearest
+    * integer via `floor(v + 0.5)` is therefore value-identical to HALF_UP
+    * rounding for both signs (for x = n − ε: floor(n − ε + 0.5) = n), while
+    * staying pure double math inside whole-stage codegen. Returns LongType
+    * (Spark's `floor(double)` is LongType; null propagates). */
+  def quantize(x: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
     val unit = math.pow(10, scale) // exact for small scales
-    round(sum(round(x * unit).cast("long")) / unit, outScale)
+    floor(x * unit + lit(0.5))
   }
+
+  /** Finisher over an already-quantized (or summed) cents column: exact long
+    * sum, one double division + round per GROUP. Pre-project [[quantize]]d
+    * columns before a groupBy carrying several money aggregates so each row
+    * pays one quantization per term, not per (term × aggregate). */
+  def centsTotal(cents: org.apache.spark.sql.Column, scale: Int,
+      outScale: Int = 4): org.apache.spark.sql.Column = {
+    val unit = math.pow(10, scale)
+    round(sum(cents) / unit, outScale)
+  }
+
+  def centsSum(x: org.apache.spark.sql.Column, scale: Int, outScale: Int = 4): org.apache.spark.sql.Column =
+    centsTotal(quantize(x, scale), scale, outScale)
   def centsSumSql(x: String, scale: Int, outScale: Int = 4): String = {
     val unit = BigInt(10).pow(scale)
     // divisor cast: a bare `100.0` literal parses as DECIMAL in both SQL
@@ -49,17 +72,23 @@ object Relational {
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("date"))
+      // price sums use the exact integer-cents contract: quantize each money
+      // term ONCE in a projection fused into the scan stage ([[quantize]] —
+      // allocation-free nearest-integer, not Spark's BigDecimal `round`),
+      // then sum longs — exact, order-independent, double-sum speed. The raw
+      // double sum's order-spread (~3e-5 at sf0.1) is within 2x of the
+      // 4-decimal rounding margin, so exactness is required. Quantity sums
+      // and the small-magnitude averages are exact in double as-is.
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_discount"),
+        quantize(col("l_extendedprice"), 2).as("bp_cents"),
+        quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("dp_cents"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      // price sums use the exact integer-cents contract ([[centsSum]]): the
-      // raw double sum's order-spread (~3e-5 at sf0.1) is within 2x of the
-      // 4-decimal rounding margin, so exactness is required — and the long
-      // sum keeps the flagship at double-sum speed. Quantity sums and the
-      // small-magnitude averages are exact in double as-is.
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        centsSum(col("l_extendedprice"), 2).as("sum_base_price"),
-        centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .as("sum_disc_price"),
+        centsTotal(col("bp_cents"), 2).as("sum_base_price"),
+        centsTotal(col("dp_cents"), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -304,7 +333,7 @@ object Relational {
     li.join(limits, "l_partkey")
       .filter(col("l_quantity") < col("qty_limit"))
       .agg(
-        round(sum(round(col("l_extendedprice") * 100).cast("long")) / lit(700.0), 4)
+        round(sum(quantize(col("l_extendedprice"), 2)) / lit(700.0), 4)
           .as("avg_yearly"),
         count(lit(1)).as("n_items"))
   }
@@ -321,13 +350,13 @@ object Relational {
   def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val stats = c.filter(col("c_acctbal") > 0.0)
-      .agg(sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents_sum"),
+      .agg(sum(quantize(col("c_acctbal"), 2)).as("bal_cents_sum"),
         count(lit(1)).as("bal_n"))
     val recent = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
       .select(col("o_custkey"))
     c.crossJoin(broadcast(stats))
-      .filter(round(col("c_acctbal") * 100).cast("long") * col("bal_n") >
+      .filter(quantize(col("c_acctbal"), 2) * col("bal_n") >
         col("bal_cents_sum"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))

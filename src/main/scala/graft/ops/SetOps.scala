@@ -63,11 +63,15 @@ object SetOps {
       when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("long")
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      // quantize BEFORE the Expand: grouping sets replicate every input row
+      // once per set, so a quantization inside the aggregate would run
+      // |sets|× per row; projected here it runs once (Relational.quantize)
+      .withColumn("price_cents", Relational.quantize(col("o_totalprice"), 2))
       .groupingSets(
         Seq(Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq()),
         col("c_mktsegment"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        Relational.centsSum(col("o_totalprice"), 2).as("sum_price"))
+        Relational.centsTotal(col("price_cents"), 2).as("sum_price"))
       .select(gid.as("gid"),
         coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -96,10 +100,11 @@ object SetOps {
     val r = broadcast(Tables.region(spark, dir))
     c.join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
+      // quantize before the rollup Expand (see dCubeSegmentPriority)
+      .withColumn("bal_cents", Relational.quantize(col("c_acctbal"), 2))
       .rollup(col("r_name"), col("n_name"))
-      // exact integer-cents sum (Relational.centsSum): order-independent
       .agg(count(lit(1)).as("n_customers"),
-        Relational.centsSum(col("c_acctbal"), 2).as("sum_acctbal"))
+        Relational.centsTotal(col("bal_cents"), 2).as("sum_acctbal"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -117,10 +122,13 @@ object SetOps {
       when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("long")
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      // quantize BEFORE the Expand: cube replicates every input row 4× (one
+      // per grouping set), so a quantization inside the aggregate would run
+      // 4× per row; projected here it runs once (Relational.quantize)
+      .withColumn("price_cents", Relational.quantize(col("o_totalprice"), 2))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
-      // exact integer-cents sum (Relational.centsSum): order-independent
       .agg(count(lit(1)).as("n_orders"),
-        Relational.centsSum(col("o_totalprice"), 2).as("sum_price"))
+        Relational.centsTotal(col("price_cents"), 2).as("sum_price"))
       .select(gid.as("gid"),
         coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),

@@ -230,7 +230,7 @@ object Temporal {
     // the oracle.
     def partials(df: DataFrame) = df.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_c"),
+        sum(graft.ops.Relational.quantize(col("o_totalprice"), 2)).as("sum_c"),
         max(col("o_totalprice")).as("max_p"))
     val base = partials(o.filter(col("o_orderdate") < lit(IvCutoff).cast("date")))
     val delta = partials(o.filter(col("o_orderdate") >= lit(IvCutoff).cast("date")))

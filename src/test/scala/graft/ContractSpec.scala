@@ -104,4 +104,33 @@ class ContractSpec extends AnyFunSuite {
       assert(!sql.toLowerCase.contains("percentile("), s"$k uses Spark-only percentile()")
     }
   }
+
+  test("quantize matches HALF_UP round-to-cents on fixed-point inputs, both signs") {
+    // Relational.quantize replaced Spark's `round(x*unit)::long` (per-row
+    // BigDecimal) with floor(x*unit + 0.5). On the contract's inputs —
+    // fixed-point with `scale` digits, so x*unit is an integer ± double
+    // representation error, never a true half — both forms must agree for
+    // both signs. Sweep a dense grid of 2- and 4-decimal values including
+    // negatives (c_acctbal) and values whose double image sits just below
+    // the integer (the floor trap if the +0.5 were missing).
+    val spark = Sessions.local(4)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (-200000 to 200000 by 7).map(_ / 100.0) ++
+      Seq(0.01, -0.01, 0.07, -0.07, 999999.99, -999999.99)
+    // 123.455 is IN contract only at scale 4: at scale 2 its double image
+    // ×100 lands exactly on -12345.5 — a true half, where HALF_UP (away
+    // from zero) and floor(+0.5) legitimately diverge. That is the contract
+    // boundary, not a bug: quantize requires ≤`scale` decimal digits.
+    val grids = Map(2 -> base, 4 -> (base ++ Seq(123.455, -123.455)))
+    for ((scale, vals) <- grids) {
+      val unit = math.pow(10, scale)
+      val bad = vals.toDF("x").select(col("x"),
+          ops.Relational.quantize(col("x"), scale).as("fast"),
+          round(col("x") * unit).cast("long").as("ref"))
+        .filter(col("fast") =!= col("ref"))
+        .collect()
+      assert(bad.isEmpty, s"scale=$scale mismatches: ${bad.take(5).mkString(", ")}")
+    }
+  }
 }
