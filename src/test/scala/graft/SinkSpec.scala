@@ -219,9 +219,12 @@ class SinkSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graftoccadopt").toString
     AtomicTable.mergeCommit(spark, root) { _ => Seq(("a", 1)).toDF("k", "src") }
     // simulate a writer that fully staged and CAS-renamed v2, then died
-    // before flipping the manifest: complete data + _SUCCESS, stale _CURRENT
+    // before flipping the manifest: complete data + the protocol's own
+    // completeness marker (what mergeCommit writes pre-rename), stale _CURRENT
     val tmp = java.nio.file.Files.createTempDirectory("graftstage").toString
     Seq(("b", 2)).toDF("k", "src").write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_GRAFT_COMMITTED"), Array.emptyByteArray)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
       java.nio.file.Paths.get(root, "v2"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -254,6 +257,110 @@ class SinkSpec extends AnyFunSuite {
     val rows = AtomicTable.read(spark, root).collect().map(_.getString(0)).sorted
     assert(rows.sameElements(Array("a", "d")),
       s"torn dir must be discarded, merge based on v1: ${rows.mkString(",")}")
+  }
+
+  test("mergeCommit: adoption works with Spark committer markers disabled") {
+    // Deployments can set marksuccessfuljobs=false; adoption must key on the
+    // protocol's own _GRAFT_COMMITTED, not on the _SUCCESS Spark happens to
+    // emit (VERDICT r14 advisory: with _SUCCESS-keyed adoption, a COMPLETE
+    // claim would be misjudged as a crashed stage and deleted).
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = hconf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+    hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graftoccnosucc").toString
+      AtomicTable.mergeCommit(spark, root) { _ => Seq(("a", 1)).toDF("k", "src") }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "v1", "_SUCCESS")),
+        "precondition: committer markers must actually be off")
+      // orphaned complete claim (rename done, flip lost), no _SUCCESS anywhere
+      val tmp = java.nio.file.Files.createTempDirectory("graftstage2").toString
+      Seq(("b", 2)).toDF("k", "src").write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "_GRAFT_COMMITTED"), Array.emptyByteArray)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(root, "v2"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      AtomicTable.mergeCommit(spark, root) {
+        case Some(live) => live.unionByName(Seq(("c", 3)).toDF("k", "src"))
+        case None       => Seq(("c", 3)).toDF("k", "src")
+      }
+      assert(AtomicTable.currentVersion(root).contains("v3"))
+      val rows = AtomicTable.read(spark, root).collect().map(_.getString(0)).sorted
+      assert(rows.sameElements(Array("b", "c")),
+        s"complete markerless-_SUCCESS claim must still be adopted: ${rows.mkString(",")}")
+    } finally {
+      if (prev == null) hconf.unset("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+      else hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", prev)
+    }
+  }
+
+  test("mergeCommit: a bare stage() claim (has _SUCCESS, no protocol marker) is not force-published") {
+    // The other half of the same advisory: a deliberately staged-but-
+    // unpublished single-writer version carries Spark's _SUCCESS but not the
+    // protocol marker — _SUCCESS-keyed adoption would force-publish data its
+    // writer never committed. It must be treated as an orphan and cleared.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftoccbare").toString
+    AtomicTable.mergeCommit(spark, root) { _ => Seq(("a", 1)).toDF("k", "src") }
+    val staged = AtomicTable.stage(Seq(("z", 9)).toDF("k", "src"), root) // v2, never published
+    assert(staged == "v2")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v2", "_SUCCESS")))
+    AtomicTable.mergeCommit(spark, root) {
+      case Some(live) => live.unionByName(Seq(("c", 3)).toDF("k", "src"))
+      case None       => Seq(("c", 3)).toDF("k", "src")
+    }
+    val rows = AtomicTable.read(spark, root).collect().map(_.getString(0)).sorted
+    assert(rows.sameElements(Array("a", "c")),
+      s"the unpublished stage's data must NOT be force-published: ${rows.mkString(",")}")
+  }
+
+  test("mergeCommit: age-gated retention lets a slow reader finish against a commit burst") {
+    // With count-only retention (KeepVersions=2), three committers racing can
+    // prune the directory a reader resolved moments earlier. The age gate
+    // guarantees any version younger than pruneAgeMs survives, so a reader
+    // whose scan starts within the window never loses its files mid-collect.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftoccslow").toString
+    AtomicTable.mergeCommit(spark, root) { _ => Seq((0, 0)).toDF("wid", "batch") }
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val committers = (1 to 3).map { wid =>
+      val session = spark.newSession()
+      new Thread(() => {
+        import session.implicits._
+        try (1 to 4).foreach { b =>
+          AtomicTable.mergeCommit(session, root) {
+            case Some(live) => live.unionByName(Seq((wid, b)).toDF("wid", "batch"))
+            case None       => Seq((wid, b)).toDF("wid", "batch")
+          }
+        } catch { case t: Throwable => failures.compareAndSet(null, t) }
+      })
+    }
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val df = AtomicTable.read(spark, root) // resolves _CURRENT now...
+          Thread.sleep(20)                       // ...scan starts "late"
+          df.collect()                           // must still find its files
+        }
+      } catch { case t: Throwable => failures.compareAndSet(null, t) }
+    })
+    reader.start(); committers.foreach(_.start()); committers.foreach(_.join())
+    stop.set(true); reader.join()
+    assert(failures.get() == null,
+      s"slow reader or committer failed under burst: ${failures.get()}")
+    // 13 versions committed in well under the age window: ALL must survive
+    assert(AtomicTable.versions(root).size == 13,
+      s"age gate must retain burst versions: ${AtomicTable.versions(root)}")
+    // and pruneAgeMs=0 restores count-based retention on the next commit
+    AtomicTable.mergeCommit(spark, root, pruneAgeMs = 0L) {
+      case Some(live) => live
+      case None       => Seq((9, 9)).toDF("wid", "batch")
+    }
+    assert(AtomicTable.versions(root) == Seq("v13", "v14"),
+      s"explicit pruneAgeMs=0 must restore the count window: ${AtomicTable.versions(root)}")
   }
 
   test("mergeCommit: fresh-table race — exactly one writer seeds v1, the other rebases") {
