@@ -364,7 +364,44 @@ object Relational {
         centsSum(col("c_acctbal"), 2).as("totacctbal"))
   }
 
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: STACKED semi+anti
+    * on the same fact. A supplier's returned line on a finished multi-
+    * supplier order qualifies iff some OTHER supplier shipped on that order
+    * (EXISTS → left semi) and no OTHER supplier's line was also returned
+    * (NOT EXISTS → left anti) — the hardest TPC-H join composition, and a
+    * shape real training-data audits hit ("docs with a duplicate in another
+    * shard but no canonical copy"). Adapted to the driver testdata: lineitem
+    * carries no receipt/commit dates, so the per-line "problem" predicate is
+    * `l_returnflag = 'R'` (the late-delivery stand-in); semantics of the
+    * composition are unchanged. Both correlated subqueries become equi joins
+    * on l_orderkey with a non-equi suppkey-inequality residual — shuffle on
+    * the order key ×3, no cartesian; supplier is a broadcast dim. */
+  def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val problem = li.filter(col("l_returnflag") === "R")
+    val l1 = problem
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .drop("o_orderkey")
+    val others = li.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val problemOthers = problem.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"))
+    l1.join(others, col("l_orderkey") === col("l2_orderkey") &&
+        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(problemOthers, col("l_orderkey") === col("l3_orderkey") &&
+        col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q21_waiting_orders" -> (q21WaitingOrders _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q13_order_count_distribution" -> (q13OrderCountDistribution _),
     "q17_small_quantity_revenue" -> (q17SmallQuantityRevenue _),
@@ -446,6 +483,20 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q21_waiting_orders" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
