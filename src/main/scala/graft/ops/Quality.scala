@@ -99,14 +99,33 @@ object Quality {
   val BinWidth = 25.0
   val DriftAlertPpm = 100000L // 10% total-variation distance
 
+  /** tv_ppm = ⌊s·500000 / (n_old·n_new)⌋ over columns (s, n_old, n_new),
+    * with the 100 TB promotion implemented, not commented: the BIGINT fast
+    * path holds while BOTH epoch counts are ≤ 3e6 (then s ≤ 2·n_old·n_new ≤
+    * 1.8e13, so s·5e5 ≤ 9e18 < 2^63 — provably no overflow); beyond that the
+    * SAME integral division runs in DECIMAL(38,0) (s ≤ 2e20 at 1e10-row
+    * epochs → s·5e5 ≤ 1e26, comfortably inside 38 digits). All terms are
+    * non-negative so `div` (truncation) equals the floor the oracle's `//`
+    * computes; the DuckDB side needs no branch at all — its sum(BIGINT) is
+    * already HUGEINT. Evaluated once per event_type GROUP, so the decimal
+    * branch costs nothing measurable. Disjoint epochs → tv_ppm ∈ [0, 1e6];
+    * an empty epoch reports full drift. */
+  val TvPpmExpr: String =
+    """CASE WHEN n_old = 0 OR n_new = 0 THEN CAST(1000000 AS BIGINT)
+      |  WHEN n_old <= 3000000 AND n_new <= 3000000
+      |    THEN (s * 500000) div (n_old * n_new)
+      |  ELSE (CAST(s AS DECIMAL(38,0)) * 500000)
+      |       div (CAST(n_old AS DECIMAL(38,0)) * CAST(n_new AS DECIMAL(38,0)))
+      |END""".stripMargin
+
   /** DISTRIBUTION DRIFT between two time epochs — the monitoring move that
     * catches a silently-shifted upstream before it poisons a training mix:
     * per event_type, histogram the value column over fixed bins in each
     * epoch and compare via TOTAL-VARIATION distance. TV is the
     * integer-exact choice (PSI/KL need cross-engine logs of ratios):
-    * TV = Σ|cA·nB − cB·nA| / (2·nA·nB), in ppm — pure BIGINT arithmetic, so
-    * both engines agree bit for bit (exact while n_per_group·1e6 fits 64-bit,
-    * i.e. ≲3e6 rows per group-epoch; beyond that promote to DECIMAL(38)).
+    * TV = Σ|cA·nB − cB·nA| / (2·nA·nB), in ppm — pure integer arithmetic, so
+    * both engines agree bit for bit: BIGINT while ≤3e6 rows per group-epoch,
+    * DECIMAL(38,0) beyond ([[TvPpmExpr]] switches per group at runtime).
     * Scale shape: ONE scan (both epoch counts are conditional sums in the
     * same aggregate), one shuffle on (event_type, bin); the bin relation is
     * O(types × bins) regardless of data size, so the totals join back is a
@@ -132,8 +151,7 @@ object Quality {
         count(lit(1)).as("n_bins"),
         sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("s"))
       .select(col("event_type"), col("n_old"), col("n_new"), col("n_bins"),
-        when(col("n_old") === 0 || col("n_new") === 0, lit(1000000L))
-          .otherwise(expr("(s * 500000) div (n_old * n_new)")).as("tv_ppm"))
+        expr(TvPpmExpr).as("tv_ppm"))
       .withColumn("drifted", col("tv_ppm") > lit(DriftAlertPpm))
   }
 
