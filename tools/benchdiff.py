@@ -140,9 +140,16 @@ def load_round(path):
     return info
 
 
-def reprobe(flagged_rows, b_path, threshold, sfdir):
+def reprobe(flagged_rows, b_path, threshold, sfdir, cal_a=None):
     """Re-run just the REGRESSED queries in isolation (n=10) and re-judge
-    each flag against the fresh min; persist both measurements."""
+    each flag against the fresh min; persist both measurements.
+
+    The isolated min is judged under the SAME yardstick as the original
+    comparison: the fresh run's own calibration probe (graft.Bench always
+    emits one) is medianed and the isolated time is scaled by
+    cal_a/cal_iso before the threshold test. Without this, a box slower or
+    faster than round A's session re-adjudicates raw seconds against
+    normalized ones — confirming noise or refuting real regressions."""
     import subprocess
     names = [q for q, _, _, _, v in flagged_rows if v == "REGRESSED"]
     if not names:
@@ -158,27 +165,39 @@ def reprobe(flagged_rows, b_path, threshold, sfdir):
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"], env=env, cwd="/root/repo",
         capture_output=True, text=True, timeout=3600).stdout
-    fresh = {}
+    fresh, cal_iso = {}, None
     for obj in extract_json_objects(out):
-        if isinstance(obj.get("queries_min"), dict):
+        if isinstance(obj.get("queries_min"), dict) and not fresh:
             fresh = obj["queries_min"]
-            break
+        if isinstance(obj.get("calib"), list) and cal_iso is None:
+            probes = [x for x in obj["calib"] if isinstance(x, (int, float))]
+            if probes:
+                cal_iso = statistics.median(probes)
     if not fresh:
         print("# reprobe: FAILED to parse isolated run output — flags stand")
         return
+    iso_norm_ratio = (cal_a / cal_iso) if (cal_a and cal_iso) else 1.0
+    print(f"# reprobe: isolated calib_med={cal_iso}, normalizing by "
+          f"cal_A/cal_iso={iso_norm_ratio:.3f} (same yardstick as the "
+          "original comparison)")
     section = {}
     for q, ta, tbn, ratio, _ in flagged_rows:
         if q not in fresh:
             continue
         iso = fresh[q]
-        # the isolated min is the query's reproducible floor; the flag is
-        # noise iff that floor is back inside the threshold of round A
-        real = ta is not None and ta > 0 and iso / ta > threshold
+        iso_n = iso * iso_norm_ratio
+        # the NORMALIZED isolated min is the query's reproducible floor under
+        # round A's yardstick; the flag is noise iff it is back inside the
+        # threshold of round A
+        real = ta is not None and ta > 0 and iso_n / ta > threshold
         section[q] = {"orig_min_A": ta, "flagged_min_B_norm": tbn,
-                      "flagged_ratio": ratio, "isolated_min": iso,
-                      "isolated_ratio": (iso / ta) if ta else None,
+                      "flagged_ratio": ratio, "isolated_min_raw": iso,
+                      "isolated_calib_med": cal_iso,
+                      "isolated_min_norm": iso_n,
+                      "isolated_ratio": (iso_n / ta) if ta else None,
                       "verdict": "REGRESSION_CONFIRMED" if real else "noise"}
-        print(f"# reprobe {q}: isolated_min={iso:.3f}s vs A={ta:.3f}s -> "
+        print(f"# reprobe {q}: isolated_min={iso:.3f}s (norm {iso_n:.3f}s) "
+              f"vs A={ta:.3f}s -> "
               f"{'REGRESSION_CONFIRMED' if real else 'noise (flag refuted)'}")
     # persist into the B-side archive so the round's artifact carries the
     # adjudication, not just this terminal
@@ -250,7 +269,7 @@ def main():
     n_ok = sum(1 for r in rows if r[4] == "ok")
     print(f"# {n_ok}/{len(rows)} within noise; {len(flagged)} flagged above")
     if do_reprobe:
-        reprobe(flagged, b["path"], threshold, sfdir)
+        reprobe(flagged, b["path"], threshold, sfdir, cal_a)
 
 
 if __name__ == "__main__":
