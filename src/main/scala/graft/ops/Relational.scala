@@ -364,6 +364,84 @@ object Relational {
         centsSum(col("c_acctbal"), 2).as("totacctbal"))
   }
 
+  /** TPC-H Q14 shape — promoted-revenue share: conditional aggregate ratio
+    * over the lineitem⋈part equi join, one global output row. The ratio is
+    * EXACT: both sums are integer scale-4 cents ([[quantize]] before the
+    * aggregate) and the share is integral division in ppm — promoted to
+    * DECIMAL(38,0) on the Spark side / HUGEINT on the oracle side because
+    * promo_c·1e6 already exceeds 2^63 at sf0.01 money magnitudes. Scale:
+    * part co-shuffles with lineitem on the part key (part is a true fact-dim
+    * that grows with SF — not broadcastable at 100 TB; AQE may still choose
+    * broadcast at small SF). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(col("l_partkey"),
+        quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("rev_c"))
+    li.join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+          .as("promo_c"),
+        sum(col("rev_c")).as("total_c"))
+      .select(
+        round(col("promo_c") / lit(10000.0), 4).as("promo_revenue"),
+        round(col("total_c") / lit(10000.0), 4).as("total_revenue"),
+        expr("(CAST(promo_c AS DECIMAL(38,0)) * 1000000) div total_c")
+          .as("promo_ppm"))
+  }
+
+  /** TPC-H Q15 shape — top supplier by windowed revenue: per-supplier exact
+    * cents aggregate, the global max as a ONE-ROW broadcast singleton
+    * (the repo's documented idiom, allowlisted in PlanHygieneSpec beside
+    * q22/tc_mix_budget), equality filter back on the exact longs — ties
+    * surface as multiple rows, deterministically, with no float boundary.
+    * Supplier is a broadcast dim for the name lookup. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-07-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .as("rev_c"))
+    val top = rev.agg(max(col("rev_c")).as("max_c"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_c") === col("max_c"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_c") / lit(10000.0), 4).as("total_revenue"))
+  }
+
+  /** TPC-H Q19 shape — disjunction-of-conjunctions revenue: the OR-of-ANDs
+    * predicate mixes part attributes (brand, size) with lineitem attributes
+    * (quantity) across three arms. Catalyst derives the per-side
+    * disjunctions — (brand∈…∧size≤…)∨… reaches the part SCAN as a pushed
+    * filter, (qty ranges)∨… reaches the lineitem scan — then applies the
+    * exact cross-side predicate after the equi join; no cartesian, both
+    * scans pre-pruned. Revenue is exact integer cents. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("rev_c"))
+    li.join(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 40)))
+      .agg(centsTotal(col("rev_c"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q21 shape — suppliers who kept orders waiting: STACKED semi+anti
     * on the same fact. A supplier's returned line on a finished multi-
     * supplier order qualifies iff some OTHER supplier shipped on that order
@@ -401,6 +479,9 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q14_promo_share" -> (q14PromoShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "q21_waiting_orders" -> (q21WaitingOrders _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q13_order_count_distribution" -> (q13OrderCountDistribution _),
@@ -483,6 +564,40 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c,
+        |    CAST(sum(rev_c) AS BIGINT) AS total_c
+        |  FROM j)
+        |SELECT round(promo_c / CAST(10000 AS DOUBLE), 4) AS promo_revenue,
+        |  round(total_c / CAST(10000 AS DOUBLE), 4) AS total_revenue,
+        |  CAST((CAST(promo_c AS HUGEINT) * 1000000) // total_c AS BIGINT) AS promo_ppm
+        |FROM s""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(rev_c / CAST(10000 AS DOUBLE), 4) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_c = (SELECT max(rev_c) FROM rev)""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT
+        |  ${centsSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q21_waiting_orders" ->
       """SELECT s_name, count(*) AS numwait
         |FROM lineitem l1

@@ -45,7 +45,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "g_pagerank",                 // broadcast 1-row dangling-mass singleton, ×K iterations
     "ta_bigram_logprob",          // broadcast 1-row vocab-size singleton
     "sk_hll_intersect",           // broadcast 1-row estimator triple
-    "q22_dormant_customers")      // broadcast 1-row balance-threshold stats
+    "q22_dormant_customers",      // broadcast 1-row balance-threshold stats
+    "q15_top_supplier")           // broadcast 1-row max-revenue singleton
 
   test("no query plans a cartesian/nested-loop join outside the singleton allowlist") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
