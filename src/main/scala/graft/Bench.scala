@@ -43,6 +43,21 @@ object Bench {
       spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // SECOND calibration dimension, scan/memory-bound: the range-sum probe
+    // is pure scalar CPU and misses the bandwidth dimension — the r14→r15
+    // adjudication (bench_adjudication_r15.json) found code-identical
+    // scan-heavy queries reproducibly 1.6x slower on a box whose CPU probe
+    // was at parity with the faster round. This probe times a fixed
+    // 3-column parquet aggregate over the session's own SF dir
+    // (page-cache-warm decode + sums): comparable across rounds at the same
+    // SF, which is exactly how rounds are compared.
+    def calibrateScan(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_extendedprice)", "sum(l_quantity)", "sum(l_orderkey)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // optional comma-separated allowlist for focused local iteration
     // (e.g. SPARK_GRAFT_BENCH_ONLY=sim_pq_adc,pipe_e2e_vol); full-suite
     // artifacts are only written for unfiltered runs below
@@ -51,6 +66,7 @@ object Bench {
     val named = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     calibrate() // JIT the probe itself before the recorded samples
+    calibrateScan() // and warm the parquet footer/page cache for its twin
     named.foreach { case (_, fn) => once(fn) } // warmup pass, discarded
     // INTERLEAVED rounds (all queries once per round, n rounds): a transient
     // busy patch on the box inflates one sample of many queries instead of
@@ -59,16 +75,21 @@ object Bench {
     val samples = Array.fill(named.size)(Vector.newBuilder[Double])
     val errCounts = Array.fill(named.size)(0)
     val calibs = Vector.newBuilder[Double]
+    val scanCalibs = Vector.newBuilder[Double]
     calibs += calibrate() // pre-round probe: n+2 total calib samples
+    scanCalibs += calibrateScan()
     for (_ <- 1 to n) {
       named.zipWithIndex.foreach { case ((_, fn), idx) =>
         val (t, ok) = once(fn)
         if (ok) samples(idx) += t else errCounts(idx) += 1
       }
       calibs += calibrate()
+      scanCalibs += calibrateScan()
     }
     calibs += calibrate() // trailing probe after the final round
+    scanCalibs += calibrateScan()
     val calibTimes = calibs.result()
+    val scanCalibTimes = scanCalibs.result()
     // a query with zero successful samples reports null timings + an errors
     // entry instead of masquerading as fast
     var results = named.zipWithIndex.map { case ((name, _), idx) =>
@@ -148,6 +169,7 @@ object Bench {
     val spreadP95 = if (spreads.isEmpty) 1.0 else spreads((spreads.length - 1) * 95 / 100)
     val spreadMax = if (spreads.isEmpty) 1.0 else spreads.last
     val calibArr = calibTimes.map(jnum).mkString("[", ",", "]")
+    val scanCalibArr = scanCalibTimes.map(jnum).mkString("[", ",", "]")
     // box considered loaded only for SUSTAINED drift (median probe > 2x the
     // best probe): a single transient spike is already absorbed by the
     // interleaved per-query min, so it shouldn't condemn the session. For
@@ -161,7 +183,8 @@ object Bench {
       s""""total_min":${jnum(totalMin)},"contended":$contended,""" +
       s""""contended_resolved":$contendedResolved,"slowest5":$slowest5,""" +
       s""""spread_p95":${jnum(spreadP95)},"spread_max":${jnum(spreadMax)},""" +
-      s""""calib":$calibArr,"box_loaded":$boxLoaded,"num_errors":${errCounts.sum},""" +
+      s""""calib":$calibArr,"calib_scan":$scanCalibArr,""" +
+      s""""box_loaded":$boxLoaded,"num_errors":${errCounts.sum},""" +
       s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}""")
     // COMPLETE artifact on disk (VERDICT r10 item 8): the driver's tail
     // capture truncates the stdout line, so BENCH_r*.json carried only a
@@ -173,6 +196,7 @@ object Bench {
       s""""contended":$contended,"contended_resolved":$contendedResolved,""" +
       s""""slowest5":$slowest5,"spread_p95":${jnum(spreadP95)},""" +
       s""""spread_max":${jnum(spreadMax)},"calib":$calibArr,""" +
+      s""""calib_scan":$scanCalibArr,""" +
       s""""box_loaded":$boxLoaded,"errors":$errors,"num_errors":${errCounts.sum},""" +
       s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}"""
     if (only.isEmpty) {

@@ -98,7 +98,8 @@ def load_round(path):
                       file=sys.stderr)
             path = full
     raw = open(path).read()
-    info = {"queries_min": {}, "calib": [], "spread_p95": None,
+    info = {"queries_min": {}, "calib": [], "calib_scan": [],
+            "spread_p95": None,
             "contended": [], "label": os.path.basename(path), "stat": "min",
             "path": path}
     candidates = []
@@ -124,6 +125,9 @@ def load_round(path):
             info["queries_min"], info["stat"] = c["queries"], "median"
         if isinstance(c.get("calib"), list) and not info["calib"]:
             info["calib"] = [x for x in c["calib"] if isinstance(x, (int, float))]
+        if isinstance(c.get("calib_scan"), list) and not info["calib_scan"]:
+            info["calib_scan"] = [x for x in c["calib_scan"]
+                                  if isinstance(x, (int, float))]
         if isinstance(c.get("spread_p95"), (int, float)) and info["spread_p95"] is None:
             info["spread_p95"] = c["spread_p95"]
         if isinstance(c.get("contended"), list) and not info["contended"]:
@@ -236,6 +240,16 @@ def main():
 
     print(f"# A={a['label']} ({a['stat']}, calib_med={cal_a})  "
           f"B={b['label']} ({b['stat']}, calib_med={cal_b})")
+    # scan-probe context (r15+): the CPU probe misses the memory/scan
+    # dimension — when the two probes drift by different ratios, the box
+    # changed in a way CPU normalization cannot correct; treat cross-round
+    # ratios with suspicion and lean on --reprobe
+    scan_a = statistics.median(a["calib_scan"]) if a["calib_scan"] else None
+    scan_b = statistics.median(b["calib_scan"]) if b["calib_scan"] else None
+    if scan_a or scan_b:
+        print(f"# scan probe: A calib_scan_med={scan_a}  B calib_scan_med={scan_b}"
+              + ("  (same-SF scan probes; divergence from the CPU ratio means "
+                 "a bandwidth-side box change)" if scan_a and scan_b else ""))
     print(f"# B normalized by calib ratio {norm:.3f}; "
           f"flag threshold {threshold:.2f}x (max spread_p95), floor {floor}s")
     rows = []
