@@ -158,6 +158,16 @@ def reprobe(flagged_rows, b_path, threshold, sfdir, cal_a=None):
     names = [q for q, _, _, _, v in flagged_rows if v == "REGRESSED"]
     if not names:
         print("# reprobe: nothing REGRESSED, no re-run needed")
+        # still refresh the archive: a stale reprobes section from an earlier
+        # (differently-judged) run must not outlive its flags
+        try:
+            d = json.load(open(b_path))
+            if isinstance(d, dict) and d.get("reprobes"):
+                d["reprobes"] = {}
+                json.dump(d, open(b_path, "w"))
+                print(f"# reprobe: cleared stale reprobes section in {b_path}")
+        except ValueError:
+            pass
         return
     print(f"# reprobe: re-running {len(names)} flagged queries in isolation "
           f"(n=10, sf={sfdir}) ...")
@@ -190,19 +200,25 @@ def reprobe(flagged_rows, b_path, threshold, sfdir, cal_a=None):
             continue
         iso = fresh[q]
         iso_n = iso * iso_norm_ratio
-        # the NORMALIZED isolated min is the query's reproducible floor under
-        # round A's yardstick; the flag is noise iff it is back inside the
-        # threshold of round A
-        real = ta is not None and ta > 0 and iso_n / ta > threshold
+        # two-yardstick rule, same as the main comparison: the isolated floor
+        # confirms a regression only when the RAW and the NORMALIZED ratio
+        # both exceed the threshold; a one-sided exceedance is the box
+        # differing in a dimension the CPU probe mis-scales
+        both = ta is not None and ta > 0 and \
+            iso_n / ta > threshold and iso / ta > threshold
+        one = ta is not None and ta > 0 and \
+            (iso_n / ta > threshold or iso / ta > threshold)
+        verdict = ("REGRESSION_CONFIRMED" if both
+                   else "box_shift" if one else "noise")
         section[q] = {"orig_min_A": ta, "flagged_min_B_norm": tbn,
                       "flagged_ratio": ratio, "isolated_min_raw": iso,
                       "isolated_calib_med": cal_iso,
                       "isolated_min_norm": iso_n,
+                      "isolated_ratio_raw": (iso / ta) if ta else None,
                       "isolated_ratio": (iso_n / ta) if ta else None,
-                      "verdict": "REGRESSION_CONFIRMED" if real else "noise"}
+                      "verdict": verdict}
         print(f"# reprobe {q}: isolated_min={iso:.3f}s (norm {iso_n:.3f}s) "
-              f"vs A={ta:.3f}s -> "
-              f"{'REGRESSION_CONFIRMED' if real else 'noise (flag refuted)'}")
+              f"vs A={ta:.3f}s -> {verdict}")
     # persist into the B-side archive so the round's artifact carries the
     # adjudication, not just this terminal
     try:
@@ -252,6 +268,13 @@ def main():
                  "a bandwidth-side box change)" if scan_a and scan_b else ""))
     print(f"# B normalized by calib ratio {norm:.3f}; "
           f"flag threshold {threshold:.2f}x (max spread_p95), floor {floor}s")
+    # TWO-YARDSTICK RULE (r15): the CPU probe measures scalar arithmetic and
+    # OVER-corrects scan/shuffle-bound queries when the boxes differ — the
+    # r14->r15 compare normalized a fast box's times onto a 3.5x-slower
+    # probe's clock and "confirmed" 74 regressions whose raw times had
+    # improved. A verdict is only a verdict when the RAW and the NORMALIZED
+    # ratio agree on it; disagreement is a box shift, not a code delta —
+    # reported as BOX-SHIFT and left to --reprobe/A-B code checks.
     rows = []
     for q in sorted(set(a["queries_min"]) | set(b["queries_min"])):
         ta, tb = a["queries_min"].get(q), b["queries_min"].get(q)
@@ -263,23 +286,35 @@ def main():
             continue
         tbn = tb * norm
         ratio = tbn / ta if ta > 0 else float("inf")
+        ratio_raw = tb / ta if ta > 0 else float("inf")
         if q in a["contended"] or q in b["contended"]:
             verdict = "CONTENDED"
-        elif max(ta, tbn) < floor or 1 / threshold <= ratio <= threshold:
+        elif max(ta, tb, tbn) < floor:
             verdict = "ok"
-        elif ratio > threshold:
+        elif ratio > threshold and ratio_raw > threshold:
             verdict = "REGRESSED"
-        else:
+        elif ratio > threshold or ratio_raw > threshold:
+            verdict = "BOX-SHIFT"  # one yardstick claims regression, other denies
+        elif ratio < 1 / threshold and ratio_raw < 1 / threshold:
             verdict = "improved"
+        else:
+            verdict = "ok"
         rows.append((q, ta, tbn, ratio, verdict))
     flagged = [r for r in rows if r[4] not in ("ok",)]
+    n_shift = sum(1 for r in rows if r[4] == "BOX-SHIFT")
+    summarize_shift = n_shift > 20
     for q, ta, tbn, ratio, verdict in rows:
-        if verdict == "ok":
+        if verdict == "ok" or (verdict == "BOX-SHIFT" and summarize_shift):
             continue
         ra = "-" if ta is None else f"{ta:8.3f}"
         rb = "-" if tbn is None else f"{tbn:8.3f}"
         rr = "-" if ratio is None else f"{ratio:5.2f}x"
         print(f"{verdict:10} {q:40} A={ra} Bn={rb} {rr}")
+    if summarize_shift:
+        print(f"# BOX-SHIFT x{n_shift}: the raw and CPU-normalized yardsticks "
+              "disagree on that many queries — the boxes differ in a dimension "
+              "the CPU probe mis-scales (see calib_scan); these are NOT code "
+              "verdicts. Adjudicate with --reprobe or an A/B code build.")
     n_ok = sum(1 for r in rows if r[4] == "ok")
     print(f"# {n_ok}/{len(rows)} within noise; {len(flagged)} flagged above")
     if do_reprobe:
