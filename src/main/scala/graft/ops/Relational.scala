@@ -478,7 +478,136 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** TPC-H Q6 shape — the forecasting-revenue-change scan: a single-pass
+    * filtered aggregate with EVERY predicate pushed to the parquet scan
+    * (ship-date range, discount band, quantity cap — all scan-native
+    * PushedFilters; at 100 TB this is the query shape that reads only the
+    * row groups whose min/max stats intersect the band). The discount band
+    * is float-safe WITHOUT leaving the pushable-literal form: discounts are
+    * 2-dp multiples, so the 0.045/0.075 thresholds sit midway between
+    * representable data points — no data value is within 4e-3 of a bound,
+    * vs ~1e-17 representation error — and a quantize() spelling would cost
+    * the pushdown (computed expressions never reach PushedFilters;
+    * TpchPlanSpec pins all three predicates at the scan). Revenue =
+    * Σ extendedprice·discount in exact scale-4 cents. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.045, 0.075) &&
+        col("l_quantity") < 24.0)
+      .agg(centsSum(col("l_extendedprice") * col("l_discount"), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4 shape — order-priority checking: EXISTS decorrelated to a
+    * left semi join (the reference's `_exists_in_db` pattern at order
+    * grain), then a tiny groupBy over the 5-value priority domain.
+    * Adapted like [[q21WaitingOrders]]: the testdata lineitem carries no
+    * commit/receipt dates, so the per-line "problem" predicate is
+    * `l_returnflag = 'R'`. The date filter prunes the orders scan before
+    * the shuffle; the semi join shuffles on the order key only (no
+    * payload duplication — semi output ≤ orders side). */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-04-01").cast("date"))
+      .join(Tables.lineitem(spark, dir)
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** The Q8 target supplier nation (synthetic names in the test tables). */
+  val Q8Nation = "NATION_3"
+
+  /** TPC-H Q8 shape — national market share: the 8-relation join
+    * (lineitem–part–orders–customer–nation–region + supplier–nation) with
+    * a conditional-sum ratio per order year. Plan discipline: part
+    * pre-filters on type and co-shuffles with lineitem on the part key
+    * (a true fact-dim, not broadcastable at 100 TB — AQE may still pick
+    * broadcast at small SF); the customer-side region gate and BOTH
+    * nation lookups are broadcast dims; the date range prunes the orders
+    * scan. The share itself is EXACT: volumes are scale-4 integer cents
+    * and the ratio is integral ppm, promoted to DECIMAL(38,0)/HUGEINT
+    * because nation_c·1e6 exceeds 2^63 at money magnitudes. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("vol_c"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    li.join(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey").cast("int") === col("sn_key"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === Q8Nation, col("vol_c")).otherwise(0L))
+          .as("nation_c"),
+        sum(col("vol_c")).as("total_c"))
+      .select(col("o_year"),
+        round(col("nation_c") / lit(10000.0), 4).as("nation_volume"),
+        round(col("total_c") / lit(10000.0), 4).as("total_volume"),
+        expr("(CAST(nation_c AS DECIMAL(38,0)) * 1000000) div total_c")
+          .as("mkt_share_ppm"))
+  }
+
+  /** TPC-H Q10 shape — returned-item reporting: GLOBAL top-k by exact
+    * revenue. Aggregate-then-join discipline (the J8 N+1 fix): returned
+    * lines collapse to per-customer cents BEFORE touching the customer
+    * dim, so the join carries |active customers| rows, not |lineitem|.
+    * The top-20 runs as `orderBy.limit` — Spark's TakeOrderedAndProject,
+    * a per-partition heap + driver merge of 20-row heads, no global sort
+    * shuffle at any SF. Determinism at the cut: revenue ties are exact
+    * longs, broken by c_custkey, identically in the oracle's ORDER BY. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("rev_c"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("date") &&
+            col("o_orderdate") < lit("1997-01-01").cast("date"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_c")).as("rev_c"))
+    perCust
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev_c").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal"), 4).as("c_acctbal"),
+        round(col("rev_c") / lit(10000.0), 4).as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q14_promo_share" -> (q14PromoShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
@@ -511,6 +640,62 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      s"""SELECT
+        |  ${centsSumSql("l_extendedprice * l_discount", 4)} AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.045 AND 0.075
+        |  AND l_quantity < 24""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1997-01-01'
+        |  AND o_orderdate < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH j AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |    n2.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT) AS vol_c
+        |  FROM lineitem
+        |  JOIN part      ON l_partkey = p_partkey
+        |  JOIN orders    ON l_orderkey = o_orderkey
+        |  JOIN customer  ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region    ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier  ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        |    AND o_orderdate >= DATE '1996-01-01'
+        |    AND o_orderdate < DATE '1998-01-01'),
+        |s AS (
+        |  SELECT o_year,
+        |    CAST(sum(CASE WHEN supp_nation = '$Q8Nation' THEN vol_c ELSE 0 END) AS BIGINT) AS nation_c,
+        |    CAST(sum(vol_c) AS BIGINT) AS total_c
+        |  FROM j GROUP BY o_year)
+        |SELECT o_year,
+        |  round(nation_c / CAST(10000 AS DOUBLE), 4) AS nation_volume,
+        |  round(total_c / CAST(10000 AS DOUBLE), 4) AS total_volume,
+        |  CAST((CAST(nation_c AS HUGEINT) * 1000000) // total_c AS BIGINT) AS mkt_share_ppm
+        |FROM s""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name, round(c_acctbal, 4) AS c_acctbal,
+        |  round(rev_c / CAST(10000 AS DOUBLE), 4) AS revenue
+        |FROM (SELECT o_custkey,
+        |        CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |      WHERE l_returnflag = 'R'
+        |        AND o_orderdate >= DATE '1996-10-01'
+        |        AND o_orderdate < DATE '1997-01-01'
+        |      GROUP BY o_custkey)
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev_c DESC, c_custkey LIMIT 20""".stripMargin,
     "q1_sql_api" -> q1OracleSql,
     "q_correlated_above_avg" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS c_acctbal,
