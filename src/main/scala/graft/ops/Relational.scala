@@ -603,7 +603,213 @@ object Relational {
         round(col("rev_c") / lit(10000.0), 4).as("revenue"))
   }
 
+  /** TPC-H Q2 shape — min-cost supplier: the correlated "cost equals the
+    * part's regional minimum" subquery, decorrelated into a two-level
+    * aggregate + equality join-back. Adapted to the driver testdata (no
+    * partsupp table): a supplier's offer price for a part is their cheapest
+    * observed lineitem for it, in exact integer cents (`min` over quantized
+    * longs — exact, so the join-back equality has no float boundary and
+    * ties surface deterministically as extra rows, as in the spec). Plan
+    * discipline: the region gate reduces supplier via broadcast nation ⋈
+    * region BEFORE the offers aggregate (semi-shaped, suppkey only); part
+    * pre-filters on type/size and equi-joins the offers on the part key;
+    * the per-part minimum re-joins on (partkey, cost) — two shuffles on the
+    * part key, both AQE-coalescible, no cartesian anywhere. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eurSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        quantize(col("l_extendedprice"), 2).as("price_c"))
+      // dim filters BEFORE the pair aggregate: the type/size gate keeps ~4%
+      // of parts and the region gate ~20% of suppliers, so the groupBy
+      // shuffles only the surviving lines, not every (part, supp) pair
+      .join(Tables.part(spark, dir)
+          .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("s_acctbal"))
+      .agg(min(col("price_c")).as("cost_c"))
+    val mins = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_c")).as("min_c"))
+    offers.join(mins,
+        col("p_partkey") === col("mk") && col("cost_c") === col("min_c"))
+      .select(col("p_partkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal"), 4).as("s_acctbal"),
+        round(col("cost_c") / lit(100.0), 4).as("cost"))
+  }
+
+
+  /** TPC-H Q9 shape — product-type profit: the 6-relation profit rollup
+    * per (supplier nation, order year) over parts matching a name infix.
+    * Adapted: no partsupp, so supply cost is the catalog-derived
+    * `p_retailprice · l_quantity · 0.8` (2-dp price × integer qty × one
+    * decimal digit = 3-dp fixed point — inside [[quantize]]'s scale-4
+    * contract). Profit = rev_c − cost_c summed as exact longs. Plan: the
+    * name filter prunes part BEFORE its equi join with lineitem (infix
+    * `contains` reaches the scan as a pushed StringContains); orders joins
+    * on the order key carrying only (key, year); supplier and nation are
+    * broadcast dims. One final 2-key groupBy with map-side partials. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"),
+        quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("rev_c"))
+      .join(Tables.part(spark, dir).filter(col("p_name").contains("gear"))
+          .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("rev_c") -
+          quantize(col("p_retailprice") * col("l_quantity") * lit(0.8), 4))
+          .as("profit_c"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(centsTotal(col("profit_c"), 4).as("sum_profit"))
+
+  /** TPC-H Q11 shape — important stock: per-key value sums gated by a
+    * GLOBAL share threshold (HAVING value > fraction × Σ value). Adapted:
+    * value of a part inside one nation's supply chain = Σ exact price
+    * cents over that nation's suppliers' lineitems. The global total is
+    * ONE broadcast row crossJoined in (the repo's documented singleton
+    * idiom, allowlisted in PlanHygieneSpec beside q15/q22), and the
+    * 0.1%-share gate cross-multiplies the fraction away —
+    * `value_c · 1000 > total_c` compares the same integers in both
+    * engines, no float boundary. Supplier-nation gate is a broadcast
+    * semi before the big aggregate, so the shuffle carries only the
+    * gated nation's lines. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        quantize(col("l_extendedprice"), 2).as("price_c"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("price_c")).as("value_c"))
+    val total = value.agg(sum(col("value_c")).as("total_c"))
+    value.crossJoin(broadcast(total))
+      // 0.02% share — cross-multiplied so both engines compare the same
+      // longs; picked to stay non-empty AND selective at every driver SF
+      // (the share distribution flattens as parts grow with SF)
+      .filter(col("value_c") * lit(5000L) > col("total_c"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("value_c") / lit(100.0), 4).as("value"))
+  }
+
+  /** TPC-H Q12 shape — shipping-priority audit: conditional counts split
+    * by order urgency, grouped over a small categorical domain. Adapted:
+    * the testdata lineitem has no ship-mode column, so the audited
+    * categories are the return flags 'A'/'R' (the IN-list gate reaches
+    * the scan as a pushed filter beside the date window). The join
+    * shuffles lineitem⋈orders on the order key carrying only (key,
+    * priority); the CASE split is computed map-side into the 2-group
+    * partial aggregate. Counts are longs on both engines (the oracle
+    * casts DuckDB's HUGEINT sum back). */
+  def q12PriorityLines(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date") &&
+        col("l_returnflag").isin("A", "R"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q16 shape — parts/supplier relationship count: COUNT(DISTINCT
+    * supplier) per part attribute triple, minus an exclusion list.
+    * Adapted: the supplier↔part relation is the distinct (partkey,
+    * suppkey) pairs observed in lineitem, and the "complaints" exclusion
+    * is suppliers with negative balance — an anti join against a tiny
+    * broadcast side (spelled NOT EXISTS in the oracle; DuckDB 1.0 has no
+    * LEFT ANTI syntax). Plan: the pair-dedup is a partial-aggregating
+    * groupBy on the pair key (map-side combine shrinks the shuffle to
+    * the distinct pairs); part pre-filters brand/type/size before its
+    * equi join; the final count-distinct re-shuffles on the attribute
+    * triple. No cartesian, nothing non-broadcast on a small side. */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape — potential part promotion: the NESTED correlated
+    * threshold (suppliers holding more than half a part's flow), composed
+    * as aggregate → per-part singleton → threshold filter → semi join into
+    * the supplier dim. Adapted: no partsupp/availqty, so a supplier
+    * qualifies if for SOME name-prefixed part they shipped MORE THAN HALF
+    * of that part's total 1997 volume (`qty·2 > total` — quantities are
+    * integer-valued, so the double comparison is exact). The per-(supp,
+    * part) and per-part aggregates share one shuffle key family (partkey);
+    * the qualifying-supplier set semi-joins into supplier; region gate and
+    * name lookup via broadcast nation. Output is the qualifying EUROPE
+    * suppliers. */
+  def q20PromotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val flows = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .join(Tables.part(spark, dir)
+          .filter(col("p_name").startsWith("small"))
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val totals = flows.groupBy(col("l_partkey").as("tk"))
+      .agg(sum(col("qty")).as("total_qty"))
+    val qualifying = flows
+      .join(totals, col("l_partkey") === col("tk"))
+      .filter(col("qty") * lit(2.0) > col("total_qty"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q12_priority_lines" -> (q12PriorityLines _),
+    "q16_supplier_count" -> (q16SupplierCount _),
+    "q20_promotion_suppliers" -> (q20PromotionSuppliers _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q8_market_share" -> (q8MarketShare _),
@@ -640,6 +846,87 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey AS p_partkey, s_name, n_name, s_acctbal,
+        |    CAST(min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cost_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eur ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'STANDARD' AND p_size <= 10
+        |  GROUP BY 1, 2, 3, 4),
+        |mins AS (
+        |  SELECT p_partkey AS mk, min(cost_c) AS min_c FROM offers GROUP BY 1)
+        |SELECT p_partkey, s_name, n_name, round(s_acctbal, 4) AS s_acctbal,
+        |  round(cost_c / CAST(100 AS DOUBLE), 4) AS cost
+        |FROM offers JOIN mins ON p_partkey = mk AND cost_c = min_c""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(
+        |    CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT)
+        |    - CAST(round((p_retailprice * l_quantity * CAST(0.8 AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |  ) AS BIGINT) / CAST(10000 AS DOUBLE), 4) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, o_year""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem
+        |  WHERE EXISTS (SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |                WHERE s_suppkey = l_suppkey AND n_name = 'NATION_3')
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM v)
+        |SELECT p_partkey, round(value_c / CAST(100 AS DOUBLE), 4) AS value
+        |FROM v, t WHERE value_c * 5000 > total_c""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q20_promotion_suppliers" ->
+      """WITH flows AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT l_partkey AS tk, sum(qty) AS total_qty
+        |           FROM flows GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND EXISTS (SELECT 1 FROM flows JOIN totals ON l_partkey = tk
+        |              WHERE l_suppkey = s_suppkey AND qty * 2 > total_qty)""".stripMargin,
     "q6_forecast_revenue" ->
       s"""SELECT
         |  ${centsSumSql("l_extendedprice * l_discount", 4)} AS revenue,

@@ -46,7 +46,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ta_bigram_logprob",          // broadcast 1-row vocab-size singleton
     "sk_hll_intersect",           // broadcast 1-row estimator triple
     "q22_dormant_customers",      // broadcast 1-row balance-threshold stats
-    "q15_top_supplier")           // broadcast 1-row max-revenue singleton
+    "q15_top_supplier",           // broadcast 1-row max-revenue singleton
+    "q11_important_parts")        // broadcast 1-row value-total singleton
 
   test("no query plans a cartesian/nested-loop join outside the singleton allowlist") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

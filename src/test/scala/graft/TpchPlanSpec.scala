@@ -47,6 +47,40 @@ class TpchPlanSpec extends AnyFunSuite {
       s"top-k must be a per-partition heap + driver merge, got:\n$plan")
   }
 
+  test("q2: decorrelated min joins back as equi joins — no cartesian") {
+    val plan = ops.Relational.q2MinCostSupplier(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"min join-back must stay equi:\n$plan")
+    assert(plan.contains("partial_min"), "no map-side partial min")
+  }
+
+  test("q16: pair dedup partial-aggregates before the shuffle; anti join on the exclusion list") {
+    val plan = ops.Relational.q16SupplierCount(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    // the distinct over (partkey, suppkey) must combine map-side so the
+    // dedup shuffle carries distinct pairs, not raw lineitem
+    assert(plan.contains("HashAggregate"), "pair dedup must be an aggregate")
+  }
+
+  test("q20: qualifying suppliers enter supplier as a left semi join") {
+    val plan = ops.Relational.q20PromotionSuppliers(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+  }
+
+  test("q12: scan prunes on the date window and the flag IN-list") {
+    val plan = ops.Relational.q12PriorityLines(spark, sf)
+      .queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    val li = scans.find(_.metadata("Location").contains("lineitem")).get
+    val pushed = li.metadata("PushedFilters")
+    for (c <- Seq("l_shipdate", "l_returnflag"))
+      assert(pushed.contains(c), s"$c missing from PushedFilters: $pushed")
+  }
+
   test("q8: region/nation dims broadcast; no shuffle of a dim-sized side") {
     val plan = ops.Relational.q8MarketShare(spark, sf)
       .queryExecution.sparkPlan
