@@ -803,7 +803,44 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
   }
 
+  /** TPC-H Q3 shape (canonical) — shipping priority: top-10 unshipped
+    * orders by revenue for one market segment. Distinct from the regional
+    * rollup [[q3RevenueByRegion]]: the groupBy key here is the HIGH-
+    * CARDINALITY order key (at 100 TB, billions of groups — the aggregate
+    * must stay fully distributed) and only the global cut is small. The
+    * top-10 runs as `orderBy.limit` → TakeOrderedAndProject (per-partition
+    * heap + driver merge of 10-row heads — no global sort shuffle).
+    * Determinism at the cut: ordering on the EXACT cents long (ties broken
+    * by orderkey), with the double division applied after the cut. The
+    * segment gate prunes customer before its join; both date gates reach
+    * their scans as pushed filters. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01").cast("date")
+    // segment semi-gate applies to orders BEFORE the lineitem join, so the
+    // big orderkey shuffle carries only the ~20% surviving orders
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        quantize(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("rev_c"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_c")).as("rev_c"))
+      .orderBy(col("rev_c").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        round(col("rev_c") / lit(10000.0), 4).as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q3_shipping_priority" -> (q3ShippingPriority _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q11_important_parts" -> (q11ImportantParts _),
@@ -846,6 +883,20 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(rev_c / CAST(10000 AS DOUBLE), 4) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate < TIMESTAMP '1997-06-01'
+        |    AND l_shipdate > TIMESTAMP '1997-06-01'
+        |    AND EXISTS (SELECT 1 FROM customer
+        |                WHERE c_custkey = o_custkey
+        |                  AND c_mktsegment = 'BUILDING')
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY rev_c DESC, l_orderkey LIMIT 10""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH eur AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name

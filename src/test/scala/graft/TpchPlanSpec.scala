@@ -81,6 +81,14 @@ class TpchPlanSpec extends AnyFunSuite {
       assert(pushed.contains(c), s"$c missing from PushedFilters: $pushed")
   }
 
+  test("q3: billion-group top-10 plans as TakeOrderedAndProject over a semi-gated join") {
+    val plan = ops.Relational.q3ShippingPriority(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap, got:\n$plan")
+    assert(plan.contains("LeftSemi"), s"segment gate must be a semi join:\n$plan")
+  }
+
   test("q8: region/nation dims broadcast; no shuffle of a dim-sized side") {
     val plan = ops.Relational.q8MarketShare(spark, sf)
       .queryExecution.sparkPlan
