@@ -207,6 +207,54 @@ object TextAnalysis {
           .otherwise("").as("drop_reason"))
   }
 
+  /** THE COMPOSED CURATION RUN — every corpus stage as ONE declared plan,
+    * the corpus-side analogue of `pipe_e2e` (reference: the end-to-end
+    * dataset build `scripts/build_dataset.py`-style chain, re-grounded in
+    * this engine's corpus operators). Per document, a first-match drop
+    * ladder across five stages, then sequence-packing offsets over the
+    * FINAL corpus only:
+    *
+    *   1. clean chain   — exact-dup / length / quality / language gates
+    *   2. near-dup      — 3-gram Jaccard over clean survivors (stage-2
+    *                      semantics identical to [[tcCorpusNeardup]])
+    *   3. eval holdout  — benchmark docs (`doc_id % EvalMod == 0`) never
+    *                      enter the training corpus
+    *   4. decontaminate — shares an 8-gram with any eval doc
+    *   5. mix           — per-language md5-coin downsampling
+    *
+    * Stages 1–2 are set-dependent and composed exactly as their standalone
+    * operators define them; stages 3–5 are per-doc verdicts, so evaluating
+    * them over the full corpus (reusing the standalone operators' plans
+    * unchanged) is value-identical to evaluating them over stage-2
+    * survivors — the ladder order alone decides the attributed stage.
+    * Dropped docs carry NULL offsets; kept docs get their global token
+    * offset from the same two-level scan as [[tcPackOffsets]], now keyed
+    * by surviving doc ids (sparse blocks are fine — the block-total prefix
+    * never assumes density). Shuffle inventory is the union of the parts:
+    * nothing new beyond the stages themselves, and the final verdict/pack
+    * joins are hash joins on doc_id. */
+  def tcCorpusE2e(spark: SparkSession, dir: String): DataFrame = {
+    val nd = tcCorpusNeardup(spark, dir).select(col("doc_id"), col("drop_reason"))
+    val decon = tcDecontaminate(spark, dir).select(col("doc_id"), col("contaminated"))
+    val mix = tcSampleMix(spark, dir).select(col("doc_id"), col("sampled"))
+    val verdict = nd
+      .join(decon, Seq("doc_id"), "left") // eval docs have no decontam row
+      .join(mix, Seq("doc_id"))
+      .withColumn("drop_stage",
+        when(col("drop_reason") =!= "", col("drop_reason"))
+          .when(col("doc_id") % EvalMod === 0, "eval_holdout")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .when(!col("sampled"), "mix_sampled_out")
+          .otherwise(""))
+      .select(col("doc_id"), (col("drop_stage") === "").as("final_keep"),
+        col("drop_stage"))
+    val keptTokens = Tables.documents(spark, dir)
+      .join(verdict.filter(col("final_keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    verdict.join(packScanOf(keptTokens), Seq("doc_id"), "left")
+  }
+
   /** Per-language sampling rates (percent) for the corpus mix — the
     * downsample-high-resource shape of a pretraining data mix. */
   val mixRates: Seq[(String, Int)] =
@@ -392,12 +440,20 @@ object TextAnalysis {
     * rows — at 100 TB blocks map to files/splits so this stays thousands of
     * rows, driver-trivial), broadcast back. A naive `Window.orderBy(doc_id)`
     * with no partition key would funnel the corpus through ONE task. */
-  def tcPackOffsets(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+  def tcPackOffsets(spark: SparkSession, dir: String): DataFrame =
+    packScanOf(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      .withColumn("blk", expr(s"doc_id div $PackBlock"))
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .withColumn("crosses_boundary", col("last_seq") > col("first_seq"))
+
+  /** The two-level distributed scan of [[tcPackOffsets]] over any
+    * `(doc_id, n_tokens)` input — shared with the composed curation run,
+    * which packs only its FINAL survivors. Blocks may be sparse (a filtered
+    * corpus keeps original ids); the prefix over block totals is unaffected. */
+  private def packScanOf(docTokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docTokens.withColumn("blk", expr(s"doc_id div $PackBlock"))
     val wLocal = Window.partitionBy(col("blk")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = docs.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
@@ -411,9 +467,7 @@ object TextAnalysis {
       .withColumn("first_seq", floor(col("start_off") / SeqLen))
       .withColumn("last_seq", floor((col("start_off") + col("n_tokens") - 1) / SeqLen))
       .select(col("doc_id"), col("n_tokens"), col("start_off"),
-        col("first_seq"), col("last_seq"),
-        (col("last_seq") - col("first_seq") + 1).as("n_seqs"),
-        (col("last_seq") > col("first_seq")).as("crosses_boundary"))
+        col("first_seq"), col("last_seq"))
   }
 
   /** LM-PERPLEXITY QUALITY SCORING (the CCNet/Gopher filter class): a
@@ -464,6 +518,7 @@ object TextAnalysis {
     "tc_stratified_sample" -> (tcStratifiedSample _),
     "tc_mix_budget" -> (tcMixBudget _),
     "tc_decontaminate" -> (tcDecontaminate _),
+    "tc_corpus_e2e" -> (tcCorpusE2e _),
     "tc_chunk" -> (tcChunk _))
 
   private def markerSql(lang: String): String =
@@ -527,7 +582,7 @@ object TextAnalysis {
          |  SELECT *,
          |    CASE WHEN best > 0 THEN (CASE $caseArg END) ELSE 'und' END AS predicted_lang
          |  FROM q),
-         |reasons AS (
+         |reasons AS MATERIALIZED (
          |  SELECT *,
          |    CASE WHEN dup_rank > 1 THEN 'exact_dup'
          |         WHEN n_words < 25 THEN 'too_short'
@@ -536,6 +591,29 @@ object TextAnalysis {
          |         WHEN predicted_lang = 'und' THEN 'unknown_lang'
          |         ELSE '' END AS drop_reason
          |  FROM decided)""".stripMargin
+    // the near-dup CTE chain shared by tc_corpus_neardup and tc_corpus_e2e;
+    // sh self-joins, so it MATERIALIZEs (DuckDB 1.0 inlines CTEs by default,
+    // and an inlined self-joined CTE evaluates its whole lineage twice)
+    val ndCtes =
+      s"""surv AS (
+         |  SELECT d.doc_id, d.lang, d.source, d.text
+         |  FROM documents d JOIN reasons r USING (doc_id)
+         |  WHERE r.drop_reason = ''),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(list_transform(
+         |      range(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
+         |      i -> concat_ws(' ',
+         |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 1],
+         |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 2],
+         |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 3]))) AS grams
+         |  FROM surv),
+         |nd AS MATERIALIZED (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+         |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2)""".stripMargin
     Map(
       "ta_bigram_logprob" ->
         """WITH docs AS MATERIALIZED (
@@ -668,31 +746,62 @@ object TextAnalysis {
       // same shingle/pair SQL as dd_ngram_jaccard, restricted to survivors
       "tc_corpus_neardup" ->
         s"""WITH $cleanCte,
-           |surv AS (
-           |  SELECT d.doc_id, d.lang, d.source, d.text
-           |  FROM documents d JOIN reasons r USING (doc_id)
-           |  WHERE r.drop_reason = ''),
-           |sh AS (
-           |  SELECT doc_id, lang, source,
-           |    list_distinct(list_transform(
-           |      range(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) - 2),
-           |      i -> concat_ws(' ',
-           |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 1],
-           |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 2],
-           |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i + 3]))) AS grams
-           |  FROM surv),
-           |nd AS (
-           |  SELECT DISTINCT b.doc_id
-           |  FROM sh a JOIN sh b
-           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0
-           |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2)
+           |$ndCtes
            |SELECT r.doc_id,
            |  (r.drop_reason = '' AND nd.doc_id IS NULL) AS final_keep,
            |  CASE WHEN r.drop_reason <> '' THEN r.drop_reason
            |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
            |       ELSE '' END AS drop_reason
            |FROM reasons r LEFT JOIN nd ON nd.doc_id = r.doc_id""".stripMargin,
+      // the full curation run: clean -> near-dup -> eval holdout ->
+      // decontaminate -> mix, then pack offsets over the FINAL corpus only
+      "tc_corpus_e2e" -> {
+        val rateSql = mixRates.map { case (l, r) => s"WHEN d.lang = '$l' THEN $r" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        val coinSql =
+          """(ascii(substring(md5(CAST(r.doc_id AS VARCHAR)), 1, 1)) * 256
+            |      + ascii(substring(md5(CAST(r.doc_id AS VARCHAR)), 2, 1))) % 100""".stripMargin
+        s"""WITH $cleanCte,
+           |$ndCtes,
+           |w8 AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words
+           |  FROM documents),
+           |g8 AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(len(words) - ${DecontamN - 1}),
+           |    i -> concat_ws(' ', ${(1 to DecontamN).map(k => s"words[i + $k]").mkString(", ")})))) AS g
+           |  FROM w8),
+           |cont AS MATERIALIZED (
+           |  SELECT DISTINCT co.doc_id
+           |  FROM (SELECT doc_id, g FROM g8 WHERE doc_id % $EvalMod != 0) co
+           |  JOIN (SELECT g FROM g8 WHERE doc_id % $EvalMod = 0) ev USING (g)),
+           |verd AS MATERIALIZED (
+           |  SELECT r.doc_id,
+           |    CASE WHEN r.drop_reason <> '' THEN r.drop_reason
+           |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+           |         WHEN r.doc_id % $EvalMod = 0 THEN 'eval_holdout'
+           |         WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+           |         WHEN NOT ($coinSql < ($rateSql)) THEN 'mix_sampled_out'
+           |         ELSE '' END AS drop_stage
+           |  FROM reasons r
+           |  JOIN documents d ON d.doc_id = r.doc_id
+           |  LEFT JOIN nd ON nd.doc_id = r.doc_id
+           |  LEFT JOIN cont ct ON ct.doc_id = r.doc_id),
+           |packed AS (
+           |  SELECT v.doc_id,
+           |    len(string_split_regex(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens,
+           |    sum(len(string_split_regex(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+')))
+           |      OVER (ORDER BY v.doc_id ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM verd v JOIN documents d ON d.doc_id = v.doc_id
+           |  WHERE v.drop_stage = '')
+           |SELECT v.doc_id, v.drop_stage = '' AS final_keep, v.drop_stage,
+           |  CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(p.cum - p.n_tokens AS BIGINT) AS start_off,
+           |  CAST(floor((p.cum - p.n_tokens) / $SeqLen.0) AS BIGINT) AS first_seq,
+           |  CAST(floor((p.cum - 1) / $SeqLen.0) AS BIGINT) AS last_seq
+           |FROM verd v LEFT JOIN packed p ON p.doc_id = v.doc_id""".stripMargin
+      },
       "tc_chunk" -> s"WITH $chunkCtesSql\nSELECT * FROM ch",
       "tc_decontaminate" ->
         s"""WITH w AS (

@@ -223,4 +223,68 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.count() == 500)
     assert(out.columns.toSeq == Seq("doc_id", "media_type", "byte_len", "byte_sum", "first_byte", "n_frames", "format"))
   }
+
+  /** The engine-side replay of [[graft.ops.TextAnalysis.tcSampleMix]]'s
+    * md5 coin, used to pick fixture ids on the wanted side of the rate. */
+  private def mixCoin(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (hex(0).toInt * 256 + hex(1).toInt) % 100
+  }
+
+  test("corpus e2e ladder: every drop stage fires; offsets pack the final corpus") {
+    import graft.ops.TextAnalysis
+    // 30-word zh doc (rate 100 => mix never drops): marker 'shu' wins the
+    // argmax, 'of and' lands the stopword ratio in the quality band
+    def zh(seed: String, extra: Seq[String] = Nil): String =
+      ("shu" +: "of" +: "and" +: ((1 to (27 - extra.size)).map(k => f"$seed$k%02dxx") ++ extra)).mkString(" ")
+    def en(seed: String): String =
+      ("the" +: "and" +: (1 to 28).map(k => f"$seed$k%02dxx")).mkString(" ")
+    val enKeepId = (30L to 96L).find(i => mixCoin(i) < 50).get
+    val enOutId = (30L to 96L).find(i => mixCoin(i) >= 50).get
+    val evalText = zh("evalw")
+    val contamText = // shares the eval doc's first 10 words (3 common 8-grams)
+      (evalText.split(" ").take(10) ++ (1 to 20).map(k => f"contam$k%02d")).mkString(" ")
+    val rows = Seq(
+      (10L, zh("alpha"), "zh", "s1", 0L),                      // kept
+      (12L, zh("gamma"), "zh", "s1", 0L),                      // kept (dup survivor)
+      (13L, zh("gamma"), "zh", "s1", 0L),                      // exact_dup of 12
+      (14L, "the and tiny", "en", "s1", 0L),                   // too_short (3 words)
+      (15L, ("the" +: "and" +: (1 to 93).map(k => f"long$k%02dxx")).mkString(" "),
+        "en", "s1", 0L),                                       // too_long (95 words)
+      (16L, (1 to 30).map(k => f"magnificently$k%02d").mkString(" "),
+        "en", "s1", 0L),                                       // low_quality (mwl>8, no stopwords)
+      (17L, ("of" +: "and" +: (1 to 28).map(k => f"nolang$k%02d")).mkString(" "),
+        "en", "s1", 0L),                                       // unknown_lang (stopwords, no markers)
+      (18L, zh("delta"), "zh", "s1", 0L),                      // kept (near-dup survivor)
+      (19L, zh("delta", Seq("zzz1", "zzz2", "zzz3")), "zh", "s1", 0L), // near_dup of 18
+      (20L, contamText, "zh", "s1", 0L),                       // contaminated via doc 97
+      (enKeepId, en("keep"), "en", "s1", 0L),                  // kept (coin < 50)
+      (enOutId, en("mixout"), "en", "s1", 0L),                 // mix_sampled_out
+      (97L, evalText, "zh", "ev", 0L))                         // eval_holdout (97 % 97 == 0)
+    val dir = writeDocs(rows)
+    val out = TextAnalysis.tcCorpusE2e(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def stage(id: Long): String = out(id).getString(2)
+    assert(stage(13L) == "exact_dup" && stage(12L) == "")
+    assert(stage(14L) == "too_short")
+    assert(stage(15L) == "too_long")
+    assert(stage(16L) == "low_quality")
+    assert(stage(17L) == "unknown_lang")
+    assert(stage(19L) == "near_dup" && stage(18L) == "")
+    assert(stage(20L) == "contaminated")
+    assert(stage(enOutId) == "mix_sampled_out")
+    assert(stage(97L) == "eval_holdout")
+    assert(stage(10L) == "" && stage(enKeepId) == "")
+    // dropped docs carry NULL offsets; kept docs pack contiguously in
+    // doc_id order (30 tokens each) and split sequences at SeqLen=64
+    assert(out(19L).isNullAt(4) && out(97L).isNullAt(4))
+    val kept = Seq(10L, 12L, 18L, enKeepId).sorted
+    kept.zipWithIndex.foreach { case (id, i) =>
+      assert(out(id).getLong(3) == 30L, s"n_tokens of $id")
+      assert(out(id).getLong(4) == 30L * i, s"start_off of $id")
+      assert(out(id).getLong(5) == (30L * i) / TextAnalysis.SeqLen, s"first_seq of $id")
+      assert(out(id).getLong(6) == (30L * i + 29) / TextAnalysis.SeqLen, s"last_seq of $id")
+    }
+  }
 }
