@@ -50,6 +50,7 @@ object SparkEntry {
     (sinks.ZorderLayout.queries, sinks.ZorderLayout.oracles),
     (ops.Sketches.queries, ops.Sketches.oracles),
     (sinks.JsonlTable.queries, sinks.JsonlTable.oracles),
+    (sinks.OrcTable.queries, sinks.OrcTable.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
     (ops.Quality.queries, ops.Quality.oracles),
     (ops.Retrieval.queries, ops.Retrieval.oracles),

@@ -225,8 +225,60 @@ object Quality {
         Tables.nation(spark, dir), "n_nationkey", bcastParent = true))
   }
 
+  /** COLUMN PROFILER — the deequ `ColumnProfiler` / "describe my source
+    * before I trust it" class as a declared operator: for every column of a
+    * table, (rows, nulls, exact distinct count, min/max, string mass) in one
+    * job. Shape: ONE SLIM SUB-AGGREGATE PER COLUMN, unioned — each branch
+    * scans only its own column (parquet prunes to it, so total IO across all
+    * branches is one full-table read) and plans as the standard two-level
+    * single-distinct rewrite: partial aggregate keyed on the VALUE (map-side
+    * collapse to the partition's distinct values), one shuffle of that
+    * deduplicated slim relation, final count + merged min/max/null-sums. No
+    * branch ever sees another column's data. The alternative — all six exact
+    * distincts in one aggregate — plans as a 7-way Expand feeding a
+    * SortAggregate KEYED ON EVERY COLUMN AT ONCE (wide-row sort of
+    * |rows|×7, measured 3.5 s vs 0.6 s at sf0.1); per-column branches keep
+    * each sort/shuffle narrow and let them run in parallel. At 100 TB the
+    * drop-in relaxation per branch is `approx_count_distinct` (mergeable HLL
+    * partials, no value shuffle) — kept exact here because the oracle must
+    * replay the number bit for bit.
+    *
+    * Representation contract (`min_repr`/`max_repr` are VARCHAR so one report
+    * schema covers every column type, and each type uses a cross-engine-exact
+    * rendering): BIGINT columns cast directly; the money column renders as
+    * integer CENTS via the [[Relational.quantize]] contract (a raw double's
+    * string form differs between engines); timestamps render through one
+    * shared format string. String min/max compare bytewise identically in
+    * both engines (binary collation on ASCII data). */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val orders = Tables.orders(spark, dir)
+    def branch(c: String, repr: Column => Column, withLen: Boolean): DataFrame =
+      orders.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).as("mn"), max(col(c)).as("mx"),
+        (if (withLen) sum(length(col(c)).cast("long"))
+         else max(lit(null).cast("long"))).as("sum_len"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), repr(col("mn")).as("min_repr"),
+          repr(col("mx")).as("max_repr"), col("sum_len"))
+    val asString = (x: Column) => x.cast("string")
+    val asCents = (x: Column) => Relational.quantize(x, 2).cast("string")
+    val asDateTime = (x: Column) => date_format(x, "yyyy-MM-dd HH:mm:ss")
+    val asIs = (x: Column) => x
+    branch("o_orderkey", asString, withLen = false)
+      .unionByName(branch("o_custkey", asString, withLen = false))
+      .unionByName(branch("o_orderstatus", asIs, withLen = true))
+      .unionByName(branch("o_totalprice", asCents, withLen = false))
+      .unionByName(branch("o_orderdate", asDateTime, withLen = false))
+      .unionByName(branch("o_orderpriority", asIs, withLen = true))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dq_audit" -> (dqAudit _),
+    "dq_profile" -> (dqProfile _),
     "dq_ref_integrity" -> (dqRefIntegrity _),
     "dq_drift" -> (dqDrift _),
     "dq_anomaly_days" -> (dqAnomalyDays _),
@@ -241,7 +293,41 @@ object Quality {
        |  (SELECT DISTINCT CAST($parentKey AS BIGINT) AS __pk FROM $parent) p
        |  ON CAST(c.$childKey AS BIGINT) = p.__pk""".stripMargin
 
+  /** One profile row of the [[dqProfile]] oracle. `minMax` renders the
+    * column's min/max in the type's exact representation; `lenOf` is the
+    * string-mass expression or NULL. */
+  private def profileRowSql(colName: String, minRepr: String, maxRepr: String,
+                            lenOf: String): String =
+    s"""SELECT '$colName' AS col_name, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN $colName IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT $colName) AS BIGINT) AS n_distinct,
+       |  $minRepr AS min_repr, $maxRepr AS max_repr,
+       |  $lenOf AS sum_len
+       |FROM orders""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dq_profile" -> Seq(
+      profileRowSql("o_orderkey",
+        "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)",
+        "CAST(NULL AS BIGINT)"),
+      profileRowSql("o_custkey",
+        "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)",
+        "CAST(NULL AS BIGINT)"),
+      profileRowSql("o_orderstatus",
+        "min(o_orderstatus)", "max(o_orderstatus)",
+        "CAST(sum(len(o_orderstatus)) AS BIGINT)"),
+      profileRowSql("o_totalprice",
+        "CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        "CAST(NULL AS BIGINT)"),
+      profileRowSql("o_orderdate",
+        "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+        "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+        "CAST(NULL AS BIGINT)"),
+      profileRowSql("o_orderpriority",
+        "min(o_orderpriority)", "max(o_orderpriority)",
+        "CAST(sum(len(o_orderpriority)) AS BIGINT)"))
+      .mkString("\nUNION ALL\n"),
     "dq_ref_integrity" -> Seq(
       fkEdgeSql("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       fkEdgeSql("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),

@@ -148,4 +148,41 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got(c) == want, s"$c: engine ${got(c)} vs exact $want")
     }
   }
+
+  test("dq_profile: planted nulls, dups, and extremes are all reported") {
+    import spark.implicits._
+    // all instants in UTC — the session TZ the engine and oracle share
+    def utc(s: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val rows = Seq(
+      (1L, Option(10L), "O", 10.00, utc("2024-03-05T10:00:00Z"), "1-URGENT"),
+      (1L, Option(11L), "F", 99999.99, utc("2024-07-31T23:59:59Z"), "5-LOW"),
+      (2L, Option.empty[Long], "P", 0.01, utc("2024-03-05T10:00:00Z"), "3-MEDIUM"))
+    val dir = java.nio.file.Files.createTempDirectory("graftprof").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(dir + "/orders.parquet")
+    val p = graft.ops.Quality.dqProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    p.values.foreach(r => assert(r.getLong(1) == 3L))        // n_rows everywhere
+    val ok = p("o_orderkey")
+    assert(ok.getLong(2) == 0L && ok.getLong(3) == 2L)       // dup key: distinct < rows
+    assert(ok.getString(4) == "1" && ok.getString(5) == "2" && ok.isNullAt(6))
+    val ck = p("o_custkey")
+    assert(ck.getLong(2) == 1L && ck.getLong(3) == 2L)       // the planted null
+    assert(ck.getString(4) == "10" && ck.getString(5) == "11")
+    val tp = p("o_totalprice")
+    assert(tp.getString(4) == "1" && tp.getString(5) == "9999999") // exact cents
+    val od = p("o_orderdate")
+    assert(od.getLong(3) == 2L)
+    assert(od.getString(4) == "2024-03-05 10:00:00" && od.getString(5) == "2024-07-31 23:59:59")
+    val st = p("o_orderstatus")
+    assert(st.getLong(3) == 3L && st.getString(4) == "F" && st.getString(5) == "P")
+    assert(st.getLong(6) == 3L)                              // 3 single-char statuses
+    val pr = p("o_orderpriority")
+    assert(pr.getString(4) == "1-URGENT" && pr.getString(5) == "5-LOW")
+    assert(pr.getLong(6) == 21L)                             // 8 + 5 + 8
+  }
 }
