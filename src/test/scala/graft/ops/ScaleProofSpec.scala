@@ -100,4 +100,11 @@ class ScaleProofSpec extends AnyFunSuite {
     assertShape(pb, pr, "pipe_e2e")
     assertLinear(tb, tr, "pipe_e2e")
   }
+
+  test("tc_corpus_e2e slope sf0.01 -> sf0.1: the composed curation run is linear in its corpus") {
+    val (tb, pb) = timeAndPlan(TextAnalysis.tcCorpusE2e(spark, Sf001))
+    val (tr, pr) = timeAndPlan(TextAnalysis.tcCorpusE2e(spark, Sf01))
+    assertShape(pb, pr, "tc_corpus_e2e")
+    assertLinear(tb, tr, "tc_corpus_e2e")
+  }
 }
