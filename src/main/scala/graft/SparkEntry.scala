@@ -51,6 +51,7 @@ object SparkEntry {
     (ops.Sketches.queries, ops.Sketches.oracles),
     (sinks.JsonlTable.queries, sinks.JsonlTable.oracles),
     (sinks.OrcTable.queries, sinks.OrcTable.oracles),
+    (sinks.TargetedDelete.queries, sinks.TargetedDelete.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
     (ops.Quality.queries, ops.Quality.oracles),
     (ops.Retrieval.queries, ops.Retrieval.oracles),

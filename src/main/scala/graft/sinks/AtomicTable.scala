@@ -392,7 +392,7 @@ object AtomicTable {
     } finally it.close()
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[sinks] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val it = Files.list(p)
       try it.forEach(deleteRecursively) finally it.close()

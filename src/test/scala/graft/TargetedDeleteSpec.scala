@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.{AtomicTable, TargetedDelete}
+
+/** The file-level contracts of the S22 targeted delete that the hash gate
+  * cannot see: footer pruning actually engages (rewritten ⊂ all files),
+  * untouched files are REUSED by inode (hard link, not copy), the prior
+  * version still serves the deleted rows (time travel), and version pruning
+  * under links never corrupts the live version. */
+class TargetedDeleteSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+
+  private def fileKey(p: Path): AnyRef =
+    Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+
+  private def partFiles(dir: Path): Seq[Path] =
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString)
+
+  private def deleteAll(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p)
+      try it.iterator().asScala.toSeq.foreach(deleteAll) finally it.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  private def buildTable(root: String, n: Long): Unit = {
+    deleteAll(Paths.get(root))
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 7).as("grp"), concat(lit("row"), col("id")).as("payload"))
+    AtomicTable.commit(
+      df.repartitionByRange(8, col("id")).sortWithinPartitions(col("id")), root)
+  }
+
+  test("clustered delete rewrites only intersecting files; the rest are hard-linked") {
+    val root = "spark-warehouse/test_s22_clustered"
+    buildTable(root, 8000)
+    val v1files = partFiles(Paths.get(root, "v1")).map(p => p.getFileName.toString -> fileKey(p)).toMap
+    // one contiguous block: on the range-partitioned layout it lives in 1-2 files
+    val stats = TargetedDelete.deleteKeys(spark, root, "id", (100L to 250L))
+    assert(stats.version == "v2")
+    assert(stats.rewrittenFiles >= 1 && stats.rewrittenFiles <= 2,
+      s"expected the clustered block to touch 1-2 of 8 files, got ${stats.rewrittenFiles}")
+    assert(stats.reusedFiles == stats.totalFiles - stats.rewrittenFiles)
+    // reused = SAME inode as v1's file of the same name
+    val v2 = Paths.get(root, "v2")
+    val linked = partFiles(v2).filter(p => v1files.contains(p.getFileName.toString))
+    assert(linked.size == stats.reusedFiles)
+    linked.foreach { p =>
+      assert(fileKey(p) == v1files(p.getFileName.toString),
+        s"${p.getFileName} should be a hard link to the v1 inode") }
+    // row-level contract: deleted gone, survivors byte-identical
+    val live = spark.read.parquet(s"$root/v2")
+    assert(live.filter(col("id").between(100, 250)).count() == 0)
+    assert(live.count() == 8000 - 151)
+    val wantSum = (0L until 8000L).filterNot(i => i >= 100 && i <= 250).sum
+    assert(live.agg(sum(col("id"))).head.getLong(0) == wantSum)
+    // time travel: the PRIOR version still serves the deleted rows
+    val prev = AtomicTable.readVersion(spark, root, "v1")
+    assert(prev.filter(col("id").between(100, 250)).count() == 151)
+  }
+
+  test("scattered delete degenerates to full rewrite, still correct") {
+    val root = "spark-warehouse/test_s22_scattered"
+    buildTable(root, 4000)
+    // one key per ACTUAL file (its min id): every footer intersects
+    val keys = partFiles(Paths.get(root, "v1")).map { f =>
+      spark.read.parquet(f.toString).agg(min(col("id"))).head.getLong(0) }
+    val stats = TargetedDelete.deleteKeys(spark, root, "id", keys)
+    assert(stats.rewrittenFiles == stats.totalFiles && stats.reusedFiles == 0)
+    val live = spark.read.parquet(s"$root/${AtomicTable.currentVersion(root).get}")
+    assert(live.count() == 4000 - keys.size)
+    assert(live.filter(col("id").isin(keys.map(Long.box): _*)).count() == 0)
+  }
+
+  test("pruning old versions unlinks names, never the live version's inodes") {
+    val root = "spark-warehouse/test_s22_prune"
+    buildTable(root, 4000)
+    TargetedDelete.deleteKeys(spark, root, "id", Seq(10L))          // v2 (links most of v1)
+    TargetedDelete.deleteKeys(spark, root, "id", Seq(20L))          // v3 (links most of v2)
+    TargetedDelete.deleteKeys(spark, root, "id", Seq(30L))          // v4 -> v1, v2 pruned
+    assert(!Files.exists(Paths.get(root, "v1")) && !Files.exists(Paths.get(root, "v2")))
+    val live = spark.read.parquet(s"$root/${AtomicTable.currentVersion(root).get}")
+    assert(live.count() == 4000 - 3)
+    assert(live.filter(col("id").isin(10L, 20L, 30L)).count() == 0)
+    assert(live.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 4000L).sum - 10L - 20L - 30L)
+  }
+}
