@@ -234,12 +234,22 @@ object TextAnalysis {
     * nothing new beyond the stages themselves, and the final verdict/pack
     * joins are hash joins on doc_id. */
   def tcCorpusE2e(spark: SparkSession, dir: String): DataFrame = {
-    val nd = tcCorpusNeardup(spark, dir).select(col("doc_id"), col("drop_reason"))
-    val decon = tcDecontaminate(spark, dir).select(col("doc_id"), col("contaminated"))
-    val mix = tcSampleMix(spark, dir).select(col("doc_id"), col("sampled"))
-    val verdict = nd
-      .join(decon, Seq("doc_id"), "left") // eval docs have no decontam row
-      .join(mix, Seq("doc_id"))
+    val verdict = curationVerdict(spark, dir)
+    val keptTokens = Tables.documents(spark, dir)
+      .join(verdict.filter(col("final_keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    verdict.join(packScanOf(keptTokens), Seq("doc_id"), "left")
+  }
+
+  /** The per-document first-match drop ladder of [[tcCorpusE2e]] — shared
+    * with the data card so the two reports cannot drift. */
+  private def curationVerdict(spark: SparkSession, dir: String): DataFrame =
+    tcCorpusNeardup(spark, dir).select(col("doc_id"), col("drop_reason"))
+      // eval docs have no decontam row
+      .join(tcDecontaminate(spark, dir).select(col("doc_id"), col("contaminated")),
+        Seq("doc_id"), "left")
+      .join(tcSampleMix(spark, dir).select(col("doc_id"), col("sampled")), Seq("doc_id"))
       .withColumn("drop_stage",
         when(col("drop_reason") =!= "", col("drop_reason"))
           .when(col("doc_id") % EvalMod === 0, "eval_holdout")
@@ -248,12 +258,23 @@ object TextAnalysis {
           .otherwise(""))
       .select(col("doc_id"), (col("drop_stage") === "").as("final_keep"),
         col("drop_stage"))
-    val keptTokens = Tables.documents(spark, dir)
-      .join(verdict.filter(col("final_keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    verdict.join(packScanOf(keptTokens), Seq("doc_id"), "left")
-  }
+
+  /** DATASET DATA CARD — the datasheet a released pretraining corpus ships
+    * (what went in, what each stage removed, in whose language): per
+    * (lang, stage) document and token mass under [[curationVerdict]]'s
+    * attribution, 'kept' being the surviving corpus. Tokens are counted for
+    * DROPPED docs too — the card's point is what each gate cost, not just
+    * what survived. One hash join of the verdict against the corpus on
+    * doc_id, one map-side-combinable aggregate on the (lang, stage) pair —
+    * the report relation is O(langs × stages) regardless of corpus size. */
+  def tcDatacard(spark: SparkSession, dir: String): DataFrame =
+    curationVerdict(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks")),
+        Seq("doc_id"))
+      .groupBy(col("lang"),
+        when(col("drop_stage") === "", "kept").otherwise(col("drop_stage")).as("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
 
   /** Per-language sampling rates (percent) for the corpus mix — the
     * downsample-high-resource shape of a pretraining data mix. */
@@ -519,6 +540,7 @@ object TextAnalysis {
     "tc_mix_budget" -> (tcMixBudget _),
     "tc_decontaminate" -> (tcDecontaminate _),
     "tc_corpus_e2e" -> (tcCorpusE2e _),
+    "tc_datacard" -> (tcDatacard _),
     "tc_chunk" -> (tcChunk _))
 
   private def markerSql(lang: String): String =
@@ -614,6 +636,41 @@ object TextAnalysis {
          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0
          |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2)""".stripMargin
+    // the full first-match drop-ladder verdict (clean -> near-dup -> eval
+    // holdout -> decontaminate -> mix), shared by tc_corpus_e2e and
+    // tc_datacard so the two reports replay ONE attribution
+    val verdCtes = {
+      val rateSql = mixRates.map { case (l, r) => s"WHEN d.lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      val coinSql =
+        """(ascii(substring(md5(CAST(r.doc_id AS VARCHAR)), 1, 1)) * 256
+          |      + ascii(substring(md5(CAST(r.doc_id AS VARCHAR)), 2, 1))) % 100""".stripMargin
+      s"""$ndCtes,
+         |w8 AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words
+         |  FROM documents),
+         |g8 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(words) - ${DecontamN - 1}),
+         |    i -> concat_ws(' ', ${(1 to DecontamN).map(k => s"words[i + $k]").mkString(", ")})))) AS g
+         |  FROM w8),
+         |cont AS MATERIALIZED (
+         |  SELECT DISTINCT co.doc_id
+         |  FROM (SELECT doc_id, g FROM g8 WHERE doc_id % $EvalMod != 0) co
+         |  JOIN (SELECT g FROM g8 WHERE doc_id % $EvalMod = 0) ev USING (g)),
+         |verd AS MATERIALIZED (
+         |  SELECT r.doc_id,
+         |    CASE WHEN r.drop_reason <> '' THEN r.drop_reason
+         |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+         |         WHEN r.doc_id % $EvalMod = 0 THEN 'eval_holdout'
+         |         WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+         |         WHEN NOT ($coinSql < ($rateSql)) THEN 'mix_sampled_out'
+         |         ELSE '' END AS drop_stage
+         |  FROM reasons r
+         |  JOIN documents d ON d.doc_id = r.doc_id
+         |  LEFT JOIN nd ON nd.doc_id = r.doc_id
+         |  LEFT JOIN cont ct ON ct.doc_id = r.doc_id)""".stripMargin
+    }
     Map(
       "ta_bigram_logprob" ->
         """WITH docs AS MATERIALIZED (
@@ -755,38 +812,9 @@ object TextAnalysis {
            |FROM reasons r LEFT JOIN nd ON nd.doc_id = r.doc_id""".stripMargin,
       // the full curation run: clean -> near-dup -> eval holdout ->
       // decontaminate -> mix, then pack offsets over the FINAL corpus only
-      "tc_corpus_e2e" -> {
-        val rateSql = mixRates.map { case (l, r) => s"WHEN d.lang = '$l' THEN $r" }
-          .mkString("CASE ", " ", " ELSE 0 END")
-        val coinSql =
-          """(ascii(substring(md5(CAST(r.doc_id AS VARCHAR)), 1, 1)) * 256
-            |      + ascii(substring(md5(CAST(r.doc_id AS VARCHAR)), 2, 1))) % 100""".stripMargin
+      "tc_corpus_e2e" ->
         s"""WITH $cleanCte,
-           |$ndCtes,
-           |w8 AS (
-           |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words
-           |  FROM documents),
-           |g8 AS (
-           |  SELECT doc_id, unnest(list_distinct(list_transform(
-           |    range(len(words) - ${DecontamN - 1}),
-           |    i -> concat_ws(' ', ${(1 to DecontamN).map(k => s"words[i + $k]").mkString(", ")})))) AS g
-           |  FROM w8),
-           |cont AS MATERIALIZED (
-           |  SELECT DISTINCT co.doc_id
-           |  FROM (SELECT doc_id, g FROM g8 WHERE doc_id % $EvalMod != 0) co
-           |  JOIN (SELECT g FROM g8 WHERE doc_id % $EvalMod = 0) ev USING (g)),
-           |verd AS MATERIALIZED (
-           |  SELECT r.doc_id,
-           |    CASE WHEN r.drop_reason <> '' THEN r.drop_reason
-           |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
-           |         WHEN r.doc_id % $EvalMod = 0 THEN 'eval_holdout'
-           |         WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
-           |         WHEN NOT ($coinSql < ($rateSql)) THEN 'mix_sampled_out'
-           |         ELSE '' END AS drop_stage
-           |  FROM reasons r
-           |  JOIN documents d ON d.doc_id = r.doc_id
-           |  LEFT JOIN nd ON nd.doc_id = r.doc_id
-           |  LEFT JOIN cont ct ON ct.doc_id = r.doc_id),
+           |$verdCtes,
            |packed AS (
            |  SELECT v.doc_id,
            |    len(string_split_regex(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens,
@@ -800,8 +828,19 @@ object TextAnalysis {
            |  CAST(p.cum - p.n_tokens AS BIGINT) AS start_off,
            |  CAST(floor((p.cum - p.n_tokens) / $SeqLen.0) AS BIGINT) AS first_seq,
            |  CAST(floor((p.cum - 1) / $SeqLen.0) AS BIGINT) AS last_seq
-           |FROM verd v LEFT JOIN packed p ON p.doc_id = v.doc_id""".stripMargin
-      },
+           |FROM verd v LEFT JOIN packed p ON p.doc_id = v.doc_id""".stripMargin,
+      // the data card: per (lang, stage) doc + token mass under the SAME
+      // verdict chain — tokens counted for dropped docs too (what each
+      // gate cost, not just what survived)
+      "tc_datacard" ->
+        s"""WITH $cleanCte,
+           |$verdCtes
+           |SELECT d.lang,
+           |  CASE WHEN v.drop_stage = '' THEN 'kept' ELSE v.drop_stage END AS stage,
+           |  count(*) AS n_docs,
+           |  CAST(sum(len(string_split_regex(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+'))) AS BIGINT) AS n_tokens
+           |FROM verd v JOIN documents d ON d.doc_id = v.doc_id
+           |GROUP BY 1, 2""".stripMargin,
       "tc_chunk" -> s"WITH $chunkCtesSql\nSELECT * FROM ch",
       "tc_decontaminate" ->
         s"""WITH w AS (

@@ -286,5 +286,16 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(out(id).getLong(5) == (30L * i) / TextAnalysis.SeqLen, s"first_seq of $id")
       assert(out(id).getLong(6) == (30L * i + 29) / TextAnalysis.SeqLen, s"last_seq of $id")
     }
+    // the data card attributes the SAME ladder: per-(lang, stage) doc counts
+    // reconcile with the per-doc verdicts, and token mass covers drops too
+    val card = TextAnalysis.tcDatacard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val wantCounts = out.values.groupBy { r =>
+      val lang = rows.find(_._1 == r.getLong(0)).get._3
+      (lang, if (r.getString(2) == "") "kept" else r.getString(2))
+    }.view.mapValues(_.size.toLong).toMap
+    assert(card.view.mapValues(_._1).toMap == wantCounts)
+    assert(card(("zh", "kept"))._2 == 90L)          // 3 kept zh docs x 30 tokens
+    assert(card(("en", "too_short"))._2 == 3L)      // dropped docs still weighed
   }
 }
