@@ -276,9 +276,57 @@ object Quality {
       .unionByName(branch("o_orderpriority", asIs, withLen = true))
   }
 
+  /** THE PROFILER'S 100 TB PATH — [[dqProfile]]'s exact per-column distinct
+    * shuffles each column's deduplicated VALUES; at deploy scale the right
+    * operator is a mergeable sketch. This variant profiles every column
+    * through the repo's oracle-replayable HLL kernel ([[Sketches]]): each
+    * column's values render to the same cross-engine-exact representation
+    * the exact profiler uses (cents / shared timestamp format / casts), the
+    * six repr relations union into ONE register build — md5 bucket + integer
+    * rho ladder, `max` per (column, bucket) is a map-side partial — so the
+    * only shuffle is 6×256 register rows REGARDLESS of table size. The
+    * exact count rides along as `n_exact` (the measurable error envelope,
+    * affordable at test SF; a deployment drops that column). Distinctness is
+    * counted over the REPRESENTATION — the hashable unit — in both engines,
+    * so the gate compares like with like. */
+  def dqProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val o = Tables.orders(spark, dir)
+    def reprOf(c: String, repr: Column): DataFrame =
+      o.select(repr.cast("string").as("repr")).filter(col("repr").isNotNull)
+        .select(lit(c).as("col_name"), col("repr"))
+    val reprs = reprOf("o_orderkey", col("o_orderkey"))
+      .unionByName(reprOf("o_custkey", col("o_custkey")))
+      .unionByName(reprOf("o_orderstatus", col("o_orderstatus")))
+      .unionByName(reprOf("o_totalprice", Relational.quantize(col("o_totalprice"), 2)))
+      .unionByName(reprOf("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")))
+      .unionByName(reprOf("o_orderpriority", col("o_orderpriority")))
+    val hv = Sketches.hexValSpark _
+    val regs = reprs
+      .withColumn("h", expr("md5(cast(repr as binary))"))
+      .withColumn("bucket", expr(s"${hv("h", 1)} * 16 + ${hv("h", 2)}").cast("long"))
+      .withColumn("w", expr(Sketches.wSql("h", hv)))
+      .withColumn("rho", expr(Sketches.rhoSql("w")).cast("long"))
+      .groupBy(col("col_name"), col("bucket")).agg(max(col("rho")).as("mj"))
+    val m = Sketches.M
+    val est = regs.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        sum(expr("power(2.0, -mj)")).as("s_hit"))
+      .withColumn("v", lit(m.toLong) - col("n_buckets_hit"))
+      .withColumn("est_raw", lit(Sketches.AlphaMM) / (col("s_hit") + col("v")))
+      .select(col("col_name"), col("n_buckets_hit"),
+        round(when(col("est_raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("est_raw")), 4).as("est_distinct"))
+    val exact = reprs.groupBy(col("col_name"))
+      .agg(countDistinct(col("repr")).as("n_exact"))
+    exact.join(est, Seq("col_name"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dq_audit" -> (dqAudit _),
     "dq_profile" -> (dqProfile _),
+    "dq_profile_approx" -> (dqProfileApprox _),
     "dq_ref_integrity" -> (dqRefIntegrity _),
     "dq_drift" -> (dqDrift _),
     "dq_anomaly_days" -> (dqAnomalyDays _),
@@ -305,7 +353,56 @@ object Quality {
        |  $lenOf AS sum_len
        |FROM orders""".stripMargin
 
+  private val profileApproxSql: String = {
+    val hv = Sketches.hexValDuck _
+    val m = Sketches.M
+    s"""WITH reprs AS (
+       |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS repr
+       |    FROM orders WHERE o_orderkey IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+       |    FROM orders WHERE o_custkey IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'o_orderstatus', o_orderstatus
+       |    FROM orders WHERE o_orderstatus IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'o_totalprice', CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+       |    FROM orders WHERE o_totalprice IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+       |    FROM orders WHERE o_orderdate IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'o_orderpriority', o_orderpriority
+       |    FROM orders WHERE o_orderpriority IS NOT NULL),
+       |hh AS (SELECT col_name, repr, md5(repr) AS h FROM reprs),
+       |hw AS (
+       |  SELECT col_name,
+       |    ${hv("h", 1)} * 16 + ${hv("h", 2)} AS bucket,
+       |    ${Sketches.wSql("h", hv)} AS w
+       |  FROM hh),
+       |regs AS (
+       |  SELECT col_name, bucket, max(${Sketches.rhoSql("w")}) AS mj
+       |  FROM hw GROUP BY col_name, bucket),
+       |agg AS (
+       |  SELECT col_name, count(*) AS nb, sum(power(2.0, -mj)) AS s_hit
+       |  FROM regs GROUP BY col_name),
+       |est AS (
+       |  SELECT col_name, nb, ($m - nb) AS v,
+       |    ${Sketches.AlphaMM} / (s_hit + ($m - nb)) AS est_raw
+       |  FROM agg),
+       |ex AS (
+       |  SELECT col_name, count(DISTINCT repr) AS n_exact
+       |  FROM reprs GROUP BY col_name)
+       |SELECT ex.col_name, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       |  CAST(est.nb AS BIGINT) AS n_buckets_hit,
+       |  CAST(round(CASE WHEN est.est_raw <= ${2.5 * m} AND est.v > 0
+       |    THEN ${m.toDouble} * ln(${m.toDouble} / est.v)
+       |    ELSE est.est_raw END, 4) AS DOUBLE) AS est_distinct
+       |FROM ex JOIN est USING (col_name)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dq_profile_approx" -> profileApproxSql,
     "dq_profile" -> Seq(
       profileRowSql("o_orderkey",
         "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)",

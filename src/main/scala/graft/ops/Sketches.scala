@@ -40,22 +40,22 @@ object Sketches {
 
   /** Value of the i-th (1-based) hex digit of `h` — per-dialect only in the
     * substring-search builtin's argument order. */
-  private def hexValSpark(h: String, i: Int): String =
+  private[ops] def hexValSpark(h: String, i: Int): String =
     s"(locate(substring($h, $i, 1), '$HexDigits') - 1)"
-  private def hexValDuck(h: String, i: Int): String =
+  private[ops] def hexValDuck(h: String, i: Int): String =
     s"(strpos('$HexDigits', substring($h, $i, 1)) - 1)"
 
   /** 32-bit value from hex digits 3..10 (Horner form). The seed is cast to
     * BIGINT so the ×16 chain widens in 64-bit — digit builtins return
     * 32-bit INT in both dialects and 16^8 overflows it. */
-  private def wSql(h: String, hexVal: (String, Int) => String): String =
+  private[ops] def wSql(h: String, hexVal: (String, Int) => String): String =
     (4 to 10).foldLeft(s"CAST(${hexVal(h, 3)} AS BIGINT)") {
       (acc, i) => s"(($acc) * 16 + ${hexVal(h, i)})"
     }
 
   /** 1-based leading-zero rank of the 32-bit value — an integer CASE
     * ladder, so no cross-engine floating log. */
-  private def rhoSql(w: String): String = {
+  private[ops] def rhoSql(w: String): String = {
     val cases = (1 to 32).map(r => s"WHEN $w >= ${1L << (32 - r)} THEN $r").mkString(" ")
     s"(CASE WHEN $w = 0 THEN 33 $cases END)"
   }

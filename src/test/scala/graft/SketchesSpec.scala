@@ -82,6 +82,16 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx profiler: every column's estimate lands in the HLL envelope") {
+    graft.ops.Quality.dqProfileApprox(spark, sf).collect().foreach { r =>
+      val (exact, est) = (r.getLong(1).toDouble, r.getDouble(3))
+      // m=256 keeps ±1.3σ ≈ 8.5% for large n; the small-n linear-counting
+      // branch is tighter — 15% is the house envelope (cf. the HLL tests)
+      assert(math.abs(est - exact) / math.max(exact, 1.0) < 0.15,
+        s"${r.getString(0)}: est $est vs exact $exact out of envelope")
+    }
+  }
+
   test("HLL intersection: inclusion-exclusion identity holds, error in envelope") {
     val r = Sketches.skHllIntersect(spark, sf).collect().head
     val (na, nb, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
