@@ -175,9 +175,102 @@ object Graph {
        |SELECT node AS suppkey, pr AS pr_q12 FROM pr$Iters""".stripMargin
   }
 
+  /** TRIANGLE COUNTING over the co-shipment graph — the canonical
+    * bounded-skew distributed join (Suri & Vassilvitskii's degree
+    * orientation, WWW'11): symmetrize the edge set, orient every edge from
+    * its lower-(degree, id) endpoint to the higher, enumerate wedges by ONE
+    * self-join on the oriented source, and close each wedge with a semi
+    * check against the oriented edges. The orientation is the scale story:
+    * a node's oriented out-degree is O(√m) on any graph (a node of degree d
+    * only points at nodes of degree ≥ d, and there are ≤ 2m/d of those), so
+    * the wedge join's per-key fan-out — the thing that explodes on a
+    * power-law graph if you join on raw adjacency — is bounded without
+    * sampling or skew hints. Every join is an equi-join on a node id; the
+    * wedge relation carries only (a, b, c) triples. Output: per-node
+    * triangle participation (each triangle counts at all three corners). */
+  def gTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOn(spark, edges(spark, dir))
+
+  private[graft] def trianglesOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    // the TopE-bounded symmetrized edge set is referenced by deg (twice),
+    // orient, o2, both wedge sides, and the closing semi — without a
+    // lineage cut the EDGE BUILD (the lineitem self-join) re-evaluates
+    // once per reference (the recomputation trap, same as pagerankOn's
+    // loop): eager-checkpointing ≤TopE rows costs one build, measured
+    // 3.6 s -> edge-build cost for the whole query at sf0.1
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val orient = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
+        when(uLower, col("v")).otherwise(col("u")).as("b"))
+    // carry the head's (degree, id) rank so the wedge pair (b, c) is
+    // emitted once, in orientation order — the closing edge b->c can then
+    // only exist in ONE direction
+    val o2 = orient.join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val wedges = o2.select(col("a"), col("b").as("wb"), col("db").as("dwb"))
+      .join(o2.select(col("a"), col("b").as("wc"), col("db").as("dwc")), Seq("a"))
+      .filter(col("dwb") < col("dwc") ||
+        (col("dwb") === col("dwc") && col("wb") < col("wc")))
+      .select(col("a"), col("wb").as("b"), col("wc").as("c"))
+    val tris = wedges.join(orient.select(col("a").as("b"), col("b").as("c")),
+      Seq("b", "c"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val trianglesSql: String =
+    s"""WITH fs AS MATERIALIZED (
+       |  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS d
+       |  FROM lineitem GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.s AS src, b.s AS dst, count(*) AS w
+       |  FROM fs a JOIN fs b ON a.o = b.o AND a.d < b.d
+       |  GROUP BY a.s, b.s),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, w FROM e0
+       |  ORDER BY w DESC, src ASC, dst ASC LIMIT $TopE),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e WHERE src <> dst),
+       |deg AS MATERIALIZED (
+       |  SELECT n, count(*) AS d FROM (
+       |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+       |  GROUP BY n),
+       |orient AS MATERIALIZED (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u < v)
+       |           THEN u ELSE v END AS a,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND u < v)
+       |           THEN v ELSE u END AS b
+       |  FROM und JOIN deg da ON da.n = u JOIN deg db ON db.n = v),
+       |o2 AS MATERIALIZED (
+       |  SELECT o.a, o.b, d.d AS db FROM orient o JOIN deg d ON d.n = o.b),
+       |tri AS (
+       |  SELECT x.a, x.b, y.b AS c
+       |  FROM o2 x JOIN o2 y ON x.a = y.a
+       |  WHERE (x.db < y.db OR (x.db = y.db AND x.b < y.b))
+       |    AND EXISTS (SELECT 1 FROM orient t WHERE t.a = x.b AND t.b = y.b)),
+       |corners AS (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM corners GROUP BY node""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
-    "g_pagerank" -> (gPagerank _))
+    "g_pagerank" -> (gPagerank _),
+    "g_triangles" -> (gTriangles _))
 
   val oracles: Map[String, String] = Map(
-    "g_pagerank" -> pagerankSql)
+    "g_pagerank" -> pagerankSql,
+    "g_triangles" -> trianglesSql)
 }

@@ -90,4 +90,36 @@ class GraphSpec extends AnyFunSuite {
       Graph.Scale - mass < (nodes.size + refEdges.size).toLong * Graph.Iters,
       s"mass $mass drifted from ${Graph.Scale}")
   }
+
+  test("g_triangles matches a brute-force reference on the real sf0.01 graph") {
+    val e = Graph.edges(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = e.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((u, v) <- und; w <- adj(u) if w > v && adj(v).contains(w)) {
+      want(u) += 1; want(v) += 1; want(w) += 1
+    }
+    val got = Graph.gTriangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want.toMap, s"engine $got vs reference $want")
+    assert(got.nonEmpty, "co-shipment graph has no triangles at sf0.01 — test is vacuous")
+  }
+
+  test("triangles on a planted hub: orientation keeps the star wedge-free") {
+    import spark.implicits._
+    // a 1000-leaf star (hub 0, leaves 10..1009) + a triangle sharing only
+    // ONE leaf (10, 2000, 2001 — two leaves would close a second triangle
+    // through the hub): raw adjacency would enumerate ~500k wedge pairs at
+    // the hub; the degree orientation points every star edge leaf->hub
+    // (leaf degree ≤ 3 < 1000), so the hub has out-degree 0 and contributes
+    // NOTHING to the wedge join — the only triangle is the planted one
+    val star = (10L to 1009L).map(i => (i, 0L))
+    val tri = Seq((10L, 2000L), (2000L, 2001L), (10L, 2001L))
+    val edges = (star ++ tri).toDF("src", "dst").withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val got = graft.ops.Graph.trianglesOn(spark, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 2000L -> 1L, 2001L -> 1L))
+  }
 }
