@@ -266,11 +266,88 @@ object Graph {
        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM corners GROUP BY node""".stripMargin
 
+  /** BFS hop budget and seed count for [[gKhopReach]]. */
+  val Hops = 3
+  val Seeds = 5
+
+  /** K-HOP REACHABILITY — breadth-first min-distance from a seed set over
+    * the undirected co-shipment graph (the "everything within 3 hops of a
+    * known-contaminated source" / crawl-frontier shape). The hop count is a
+    * FIXED budget, so the loop unrolls into [[Hops]] equi-joins — each hop
+    * joins the known set against the edge list and folds by min(dist), a
+    * map-side-combinable aggregate; per-hop lazy localCheckpoints cut the
+    * doubly-referenced lineage (union + join) exactly as the PageRank loop
+    * does. Seeds are the [[Seeds]] smallest node ids (deterministic,
+    * TakeOrdered over the node set). At 100 TB each hop is one shuffle on
+    * the node key; frontier growth is bounded by the closed neighborhood —
+    * the same plan a Pregel superstep lowers to. */
+  def gKhopReach(spark: SparkSession, dir: String): DataFrame =
+    khopOn(spark, edges(spark, dir))
+
+  private[graft] def khopOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val sym = und.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(und.select(col("v").as("s"), col("u").as("t")))
+    val nodes = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .distinct()
+    val seeds = nodes.orderBy(col("node").asc).limit(Seeds)
+      .select(col("node"), lit(0L).as("dist"))
+    var reach = seeds.localCheckpoint()
+    for (h <- 1 to Hops) {
+      val next = reach.join(sym, reach("node") === sym("s"))
+        .select(col("t").as("node"), lit(h.toLong).as("dist"))
+      reach = reach.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    reach
+  }
+
+  private val khopSql: String = {
+    val hopCtes = (1 to Hops).map { h =>
+      s"""d$h AS MATERIALIZED (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${h - 1}
+         |    UNION ALL
+         |    SELECT e.t AS node, $h AS dist
+         |    FROM d${h - 1} r JOIN sym e ON e.s = r.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fs AS MATERIALIZED (
+       |  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS d
+       |  FROM lineitem GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.s AS src, b.s AS dst, count(*) AS w
+       |  FROM fs a JOIN fs b ON a.o = b.o AND a.d < b.d
+       |  GROUP BY a.s, b.s),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, w FROM e0
+       |  ORDER BY w DESC, src ASC, dst ASC LIMIT $TopE),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e WHERE src <> dst),
+       |sym AS MATERIALIZED (
+       |  SELECT u AS s, v AS t FROM und UNION ALL SELECT v AS s, u AS t FROM und),
+       |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM und
+       |  UNION SELECT v FROM und),
+       |d0 AS MATERIALIZED (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+       |  ORDER BY node ASC LIMIT $Seeds),
+       |$hopCtes
+       |SELECT node, dist FROM d$Hops""".stripMargin
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "g_pagerank" -> (gPagerank _),
-    "g_triangles" -> (gTriangles _))
+    "g_triangles" -> (gTriangles _),
+    "g_khop_reach" -> (gKhopReach _))
 
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> pagerankSql,
-    "g_triangles" -> trianglesSql)
+    "g_triangles" -> trianglesSql,
+    "g_khop_reach" -> khopSql)
 }

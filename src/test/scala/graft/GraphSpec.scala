@@ -122,4 +122,25 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(10L -> 1L, 2000L -> 1L, 2001L -> 1L))
   }
+
+  test("g_khop_reach matches a pure-Scala BFS on the real sf0.01 graph") {
+    val e = Graph.edges(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = e.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    val allNodes = und.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var dist = allNodes.take(Graph.Seeds).map(_ -> 0L).toMap
+    for (h <- 1 to Graph.Hops) {
+      val next = dist.keys.flatMap(adj).filterNot(dist.contains).map(_ -> h.toLong)
+      dist = dist ++ next
+    }
+    val got = Graph.gKhopReach(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist, "BFS distances diverge from the reference")
+    // the co-shipment cluster is dense: everything reachable lands within 2
+    // hops at sf0.01 — pin that MULTIPLE hops genuinely ran, not the exact
+    // horizon (which the graph's diameter, not the operator, decides)
+    assert(got.values.max >= 2L, "frontier never advanced past hop 1")
+  }
 }
