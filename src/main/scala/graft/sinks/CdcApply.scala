@@ -1,0 +1,119 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** S23 — CDC CHANGESET APPLY: merge an insert/update/delete change feed into
+  * a keyed table in ONE dataflow — the generalized MERGE INTO the upsert
+  * kernels ([[MergeSink]]) and the targeted delete ([[TargetedDelete]]) are
+  * special cases of, and the batch form of applying a Debezium/Delta-CDF
+  * feed. Semantics (Delta's whenMatched/whenNotMatched ladder):
+  *
+  *   - several changes per key fold to the LATEST by sequence number first —
+  *     a map-side-combinable max(struct(seq, ...)) aggregate, never a window;
+  *   - 'D' drops the row (whether or not a base row exists);
+  *   - 'U' and 'I' both land the change's values (upsert semantics: a U
+  *     without a base row inserts, an I over an existing row updates —
+  *     at-least-once feeds redeliver, so strict insert-vs-update raises
+  *     on replays; upsert converges);
+  *   - keys without a change pass the base row through unchanged.
+  *
+  * Scale shape: one shuffle of the changeset on the key for the fold, one
+  * full-outer equi-join against the base (shuffle or broadcast as the feed
+  * size dictates) — exactly the plan a format-native MERGE INTO lowers to.
+  * The changeset here is synthesized deterministically from the key space
+  * (delete/update/update-then-delete/insert classes + a net-new id range)
+  * so the DuckDB oracle replays feed construction, fold, and apply. */
+object CdcApply {
+
+  /** Key-space classes of the synthesized feed (mod [[ChangeMod]]). */
+  val ChangeMod = 19
+  val InsertBase = 1000000L
+  val Inserts = 500
+
+  /** The deterministic change feed over the customer key space: class 0
+    * deletes, class 1 updates, class 2 updates THEN deletes (two entries,
+    * seq 1 and 2 — the fold must keep the delete), plus [[Inserts]] net-new
+    * keys. Balances are integer cents derived from the key. */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_custkey").mod(ChangeMod).as("cls"))
+    val dels = keys.filter(col("cls") === 0)
+      .select(col("id"), lit(1L).as("seq"), lit("D").as("op"),
+        lit(null).cast("long").as("bal_c"))
+    val upds = keys.filter(col("cls") === 1)
+      .select(col("id"), lit(1L).as("seq"), lit("U").as("op"),
+        (col("id") * 100L).as("bal_c"))
+    val updThenDel = keys.filter(col("cls") === 2)
+      .select(col("id"), lit(1L).as("seq"), lit("U").as("op"),
+        (col("id") * 100L).as("bal_c"))
+      .unionAll(keys.filter(col("cls") === 2)
+        .select(col("id"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("long").as("bal_c")))
+    val ins = spark.range(Inserts.toLong)
+      .select((lit(InsertBase) + col("id")).as("id"), lit(1L).as("seq"),
+        lit("I").as("op"), (col("id") * 7L).as("bal_c"))
+    dels.unionAll(upds).unionAll(updThenDel).unionAll(ins)
+  }
+
+  /** Apply `changes` (id, seq, op, bal_c) onto `base` (id, name, bal_c). */
+  def apply(base: DataFrame, changes: DataFrame): DataFrame = {
+    // latest change per key: lexicographic struct-max on seq — map-side
+    // combinable, no window, ties impossible (seq unique per key by contract)
+    val latest = changes
+      .groupBy(col("id"))
+      .agg(max(struct(col("seq"), col("op"), col("bal_c"))).as("c"))
+      .select(col("id"), col("c.op").as("op"), col("c.bal_c").as("chg_bal"))
+    base.join(latest, Seq("id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("id"),
+        when(col("op").isNull, col("name"))
+          .otherwise(coalesce(col("name"), lit("cdc_inserted"))).as("name"),
+        when(col("op").isNull, col("bal_c")).otherwise(col("chg_bal")).as("bal_c"))
+  }
+
+  /** Declared query: base = customer (name + exact-cents balance), feed =
+    * [[changeFeed]], output = the post-apply table. */
+  def qS23CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
+    apply(base, changeFeed(spark, dir))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_cdc_apply" -> (qS23CdcApply _))
+
+  val oracles: Map[String, String] = Map(
+    "s23_cdc_apply" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey AS id, c_name AS name,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+         |  FROM customer),
+         |feed AS (
+         |  SELECT c_custkey AS id, 1 AS seq, 'D' AS op, CAST(NULL AS BIGINT) AS bal_c
+         |  FROM customer WHERE c_custkey % $ChangeMod = 0
+         |  UNION ALL
+         |  SELECT c_custkey, 1, 'U', CAST(c_custkey * 100 AS BIGINT)
+         |  FROM customer WHERE c_custkey % $ChangeMod = 1
+         |  UNION ALL
+         |  SELECT c_custkey, 1, 'U', CAST(c_custkey * 100 AS BIGINT)
+         |  FROM customer WHERE c_custkey % $ChangeMod = 2
+         |  UNION ALL
+         |  SELECT c_custkey, 2, 'D', CAST(NULL AS BIGINT)
+         |  FROM customer WHERE c_custkey % $ChangeMod = 2
+         |  UNION ALL
+         |  SELECT $InsertBase + i.range AS id, 1, 'I', CAST(i.range * 7 AS BIGINT)
+         |  FROM range($Inserts) i),
+         |latest AS (
+         |  SELECT id,
+         |    max(struct_pack(seq := seq, op := op, bal_c := bal_c)) AS c
+         |  FROM feed GROUP BY id)
+         |SELECT coalesce(b.id, l.id) AS id,
+         |  CASE WHEN l.id IS NULL THEN b.name
+         |       ELSE coalesce(b.name, 'cdc_inserted') END AS name,
+         |  CASE WHEN l.id IS NULL THEN b.bal_c ELSE (l.c).bal_c END AS bal_c
+         |FROM base b FULL OUTER JOIN latest l ON b.id = l.id
+         |WHERE l.id IS NULL OR (l.c).op <> 'D'""".stripMargin)
+}

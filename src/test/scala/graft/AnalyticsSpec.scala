@@ -185,4 +185,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pr.getString(4) == "1-URGENT" && pr.getString(5) == "5-LOW")
     assert(pr.getLong(6) == 21L)                             // 8 + 5 + 8
   }
+
+  test("dq_profile: every branch's scan is pruned to its own single column") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.ops.Quality.dqProfile(spark, sf)
+    df.write.mode("overwrite").format("noop").save()
+    val scans = PlanTestUtils.flatten(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSeq }
+    assert(scans.size == 6, s"expected 6 per-column scans, got ${scans.size}")
+    scans.foreach(cols => assert(cols.size == 1,
+      s"a profiler branch reads ${cols.mkString(",")} — column pruning failed"))
+    assert(scans.flatten.toSet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+  }
 }
