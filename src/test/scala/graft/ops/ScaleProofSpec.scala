@@ -107,4 +107,33 @@ class ScaleProofSpec extends AnyFunSuite {
     assertShape(pb, pr, "tc_corpus_e2e")
     assertLinear(tb, tr, "tc_corpus_e2e")
   }
+
+  /** 10 disconnected id-offset copies of an edge relation — component
+    * structure per copy identical, total mass 10× (the pagerank test's
+    * replication, shared). */
+  private def replicate10(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val offset = 10000000L
+    e.withColumn("rep", explode(sequence(lit(0), lit(9))))
+      .select((col("src") + col("rep") * offset).as("src"),
+        (col("dst") + col("rep") * offset).as("dst"), col("w"))
+  }
+
+  test("triangles at 10x the sf0.1 graph: wedge mass scales linearly") {
+    val e = Graph.edges(spark, Sf01)
+    val (tb, pb) = timeAndPlan(Graph.trianglesOn(spark, e))
+    val (tr, pr) = timeAndPlan(Graph.trianglesOn(spark, replicate10(e)))
+    assert(!pr.contains("CartesianProduct") && !pb.contains("CartesianProduct"))
+    // checkpointed base truncates lineage, so compare NLJ absence, not counts
+    assert(!pr.contains("BroadcastNestedLoopJoin"))
+    assertLinear(tb, tr, "triangles")
+  }
+
+  test("k-hop reach at 10x the sf0.1 graph: per-hop mass scales linearly") {
+    val e = Graph.edges(spark, Sf01)
+    val (tb, pb) = timeAndPlan(Graph.khopOn(spark, e))
+    val (tr, pr) = timeAndPlan(Graph.khopOn(spark, replicate10(e)))
+    assert(!pr.contains("CartesianProduct") && !pb.contains("CartesianProduct"))
+    assert(!pr.contains("BroadcastNestedLoopJoin"))
+    assertLinear(tb, tr, "khop")
+  }
 }
