@@ -136,6 +136,22 @@ object Graph {
     pr.select(col("node").as("suppkey"), col("pr").as("pr_q12"))
   }
 
+  /** The fs → e0 → e edge-build CTE chain shared VERBATIM by all three
+    * graph oracles — the TopE bound and its total-order tiebreak live in
+    * exactly one place, so the oracles cannot desynchronize from
+    * [[edges]] or from each other. */
+  private val edgeCtesSql: String =
+    s"""fs AS MATERIALIZED (
+       |  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS d
+       |  FROM lineitem GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.s AS src, b.s AS dst, count(*) AS w
+       |  FROM fs a JOIN fs b ON a.o = b.o AND a.d < b.d
+       |  GROUP BY a.s, b.s),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, w FROM e0
+       |  ORDER BY w DESC, src ASC, dst ASC LIMIT $TopE)""".stripMargin
+
   private val pagerankSql: String = {
     val iterCtes = (1 to Iters).map { i =>
       val p = s"pr${i - 1}"
@@ -152,16 +168,7 @@ object Graph {
          |      (COALESCE(c.contrib, 0) + ((SELECT dmass FROM d$i) // (SELECT n FROM nn)))) // $DampDen AS pr
          |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH fs AS MATERIALIZED (
-       |  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS d
-       |  FROM lineitem GROUP BY 1, 2),
-       |e0 AS MATERIALIZED (
-       |  SELECT a.s AS src, b.s AS dst, count(*) AS w
-       |  FROM fs a JOIN fs b ON a.o = b.o AND a.d < b.d
-       |  GROUP BY a.s, b.s),
-       |e AS MATERIALIZED (
-       |  SELECT src, dst, w FROM e0
-       |  ORDER BY w DESC, src ASC, dst ASC LIMIT $TopE),
+    s"""WITH $edgeCtesSql,
        |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |nn AS MATERIALIZED (
@@ -229,16 +236,7 @@ object Graph {
   }
 
   private val trianglesSql: String =
-    s"""WITH fs AS MATERIALIZED (
-       |  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS d
-       |  FROM lineitem GROUP BY 1, 2),
-       |e0 AS MATERIALIZED (
-       |  SELECT a.s AS src, b.s AS dst, count(*) AS w
-       |  FROM fs a JOIN fs b ON a.o = b.o AND a.d < b.d
-       |  GROUP BY a.s, b.s),
-       |e AS MATERIALIZED (
-       |  SELECT src, dst, w FROM e0
-       |  ORDER BY w DESC, src ASC, dst ASC LIMIT $TopE),
+    s"""WITH $edgeCtesSql,
        |und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |  FROM e WHERE src <> dst),
@@ -317,16 +315,7 @@ object Graph {
          |    FROM d${h - 1} r JOIN sym e ON e.s = r.node)
          |  GROUP BY node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH fs AS MATERIALIZED (
-       |  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS d
-       |  FROM lineitem GROUP BY 1, 2),
-       |e0 AS MATERIALIZED (
-       |  SELECT a.s AS src, b.s AS dst, count(*) AS w
-       |  FROM fs a JOIN fs b ON a.o = b.o AND a.d < b.d
-       |  GROUP BY a.s, b.s),
-       |e AS MATERIALIZED (
-       |  SELECT src, dst, w FROM e0
-       |  ORDER BY w DESC, src ASC, dst ASC LIMIT $TopE),
+    s"""WITH $edgeCtesSql,
        |und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |  FROM e WHERE src <> dst),

@@ -37,6 +37,15 @@ object CdcApply {
     * seq 1 and 2 — the fold must keep the delete), plus [[Inserts]] net-new
     * keys. Balances are integer cents derived from the key. */
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    // the insert class must be NET-NEW ids: customer keys reach 1e6 around
+    // sf ~7, at which point 'inserts' would silently become updates in BOTH
+    // engines (the oracle replays the same collision, so the hash gate
+    // would stay green while the class semantics drift) — fail loudly first
+    val maxKey = Tables.customer(spark, dir)
+      .agg(max(col("c_custkey"))).head.getLong(0)
+    require(maxKey < InsertBase,
+      s"customer keys reach $maxKey >= InsertBase $InsertBase: the synthesized " +
+        "insert class would collide with existing rows at this SF")
     val keys = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_custkey").mod(ChangeMod).as("cls"))
     val dels = keys.filter(col("cls") === 0)

@@ -39,10 +39,13 @@ object TargetedDelete {
       rewrittenFiles: Int, reusedFiles: Int)
 
   /** Parquet part files of a directory (skips markers/CRCs). */
-  private def partFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator().asScala
+  private def partFiles(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
+    finally st.close()
+  }
 
   /** Does `f`'s footer admit any of `sorted` in some row group's
     * [min, max] for `keyCol`? Missing/empty statistics are treated as
@@ -100,13 +103,17 @@ object TargetedDelete {
     if (touched.nonEmpty) {
       // one job over ONLY the intersecting files
       val rewriteOut = stageDir.resolve("rewrite")
+      // NULL keys are never in the delete set — keep them explicitly:
+      // NOT(NULL IN (...)) is NULL and a bare filter would DROP such rows
       spark.read.parquet(touched.map(_.toString): _*)
-        .filter(!col(keyCol).isin(sorted.map(Long.box): _*))
+        .filter(col(keyCol).isNull || !col(keyCol).isin(sorted.map(Long.box): _*))
         .write.mode("overwrite").parquet(rewriteOut.toString)
       partFiles(rewriteOut).foreach { f =>
         Files.move(f, stageDir.resolve(f.getFileName))
       }
-      Files.list(rewriteOut).iterator().asScala.toSeq.foreach(Files.delete)
+      val rest = Files.list(rewriteOut)
+      try rest.iterator().asScala.toSeq.foreach(Files.delete)
+      finally rest.close()
       Files.delete(rewriteOut)
     }
     reused.foreach(linkInto(stageDir, _))

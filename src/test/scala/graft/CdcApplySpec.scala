@@ -82,7 +82,7 @@ class CdcApplySpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$tmp/ckpt")
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "AvailableNow stream timed out")
     val streamed = AtomicTable.read(spark, root).collect()
       .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) null else r.getLong(2))).toMap
     val batch = CdcApply.qS23CdcApply(spark, sf).collect()

@@ -79,6 +79,24 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(live.filter(col("id").isin(keys.map(Long.box): _*)).count() == 0)
   }
 
+  test("NULL keys are never deleted (isin's three-valued logic)") {
+    import spark.implicits._
+    val root = "spark-warehouse/test_s22_nullkeys"
+    deleteAll(Paths.get(root))
+    // 50 NULL-key rows interleaved with real keys; footers with nulls are
+    // conservative-intersecting, so every file rewrites — NOT(NULL IN set)
+    // is NULL and an unguarded filter would silently drop all 50
+    val rows = (0L until 200L).map(i =>
+      (if (i % 4 == 3) Option.empty[Long] else Option(i), s"p$i"))
+    AtomicTable.commit(rows.toDF("id", "payload").repartition(4), root)
+    val stats = TargetedDelete.deleteKeys(spark, root, "id", Seq(8L, 16L))
+    val live = spark.read.parquet(s"$root/${stats.version}")
+    assert(live.filter(col("id").isNull).count() == 50L,
+      "NULL-key rows were lost by the delete rewrite")
+    assert(live.filter(col("id").isin(8L, 16L)).count() == 0)
+    assert(live.count() == 200L - 2L)
+  }
+
   test("pruning old versions unlinks names, never the live version's inodes") {
     val root = "spark-warehouse/test_s22_prune"
     buildTable(root, 4000)

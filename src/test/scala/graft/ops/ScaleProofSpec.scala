@@ -84,11 +84,7 @@ class ScaleProofSpec extends AnyFunSuite {
   test("pagerank at 10x the sf0.1 graph: per-iteration mass scales linearly") {
     val e = Graph.edges(spark, Sf01)
     val (tb, pb) = timeAndPlan(Graph.pagerankOn(spark, e))
-    val offset = 10000000L
-    val big = e.withColumn("rep", explode(sequence(lit(0), lit(9))))
-      .select((col("src") + col("rep") * offset).as("src"),
-        (col("dst") + col("rep") * offset).as("dst"), col("w"))
-    val (tr, pr) = timeAndPlan(Graph.pagerankOn(spark, big))
+    val (tr, pr) = timeAndPlan(Graph.pagerankOn(spark, replicate10(e)))
     assert(!pr.contains("BroadcastNestedLoopJoin") && !pr.contains("CartesianProduct"))
     assert(!pb.contains("BroadcastNestedLoopJoin"))
     assertLinear(tb, tr, "pagerank")
