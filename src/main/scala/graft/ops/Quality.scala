@@ -100,21 +100,23 @@ object Quality {
   val DriftAlertPpm = 100000L // 10% total-variation distance
 
   /** tv_ppm = ⌊s·500000 / (n_old·n_new)⌋ over columns (s, n_old, n_new),
-    * with the 100 TB promotion implemented, not commented: the BIGINT fast
-    * path holds while BOTH epoch counts are ≤ 3e6 (then s ≤ 2·n_old·n_new ≤
-    * 1.8e13, so s·5e5 ≤ 9e18 < 2^63 — provably no overflow); beyond that the
-    * SAME integral division runs in DECIMAL(38,0) (s ≤ 2e20 at 1e10-row
-    * epochs → s·5e5 ≤ 1e26, comfortably inside 38 digits). All terms are
-    * non-negative so `div` (truncation) equals the floor the oracle's `//`
-    * computes; the DuckDB side needs no branch at all — its sum(BIGINT) is
-    * already HUGEINT. Evaluated once per event_type GROUP, so the decimal
-    * branch costs nothing measurable. Disjoint epochs → tv_ppm ∈ [0, 1e6];
-    * an empty epoch reports full drift. */
+    * where `s` arrives ALREADY promoted: [[dqDrift]] casts each ca/nb/cb/na
+    * term to DECIMAL(38,0) inside the sum, so the per-bin products never pass
+    * through BIGINT (beyond ~3e6 rows per group-epoch a BIGINT ca·nb wraps
+    * silently in non-ANSI Spark — promoting only at the division would divide
+    * an already-corrupted sum in the exact regime the promotion exists for;
+    * VERDICT r15 advice). Headroom: at 1e10-row epochs s ≤ 2·na·nb ≤ 2e20,
+    * s·5e5 ≤ 1e26 — comfortably inside 38 digits; the denominator is cast the
+    * same way (na·nb ≤ 1e20 also exceeds BIGINT). All terms are non-negative
+    * so `div` (truncation) equals the floor the oracle's `//` computes; the
+    * DuckDB mirror runs the sum in HUGEINT (its BIGINT·BIGINT raises on
+    * overflow rather than wrapping). The sum runs over the per-bin relation
+    * (|types × bins| rows — the raw log already collapsed), so the decimal
+    * arithmetic costs nothing measurable. Disjoint epochs → tv_ppm ∈
+    * [0, 1e6]; an empty epoch reports full drift. */
   val TvPpmExpr: String =
     """CASE WHEN n_old = 0 OR n_new = 0 THEN CAST(1000000 AS BIGINT)
-      |  WHEN n_old <= 3000000 AND n_new <= 3000000
-      |    THEN (s * 500000) div (n_old * n_new)
-      |  ELSE (CAST(s AS DECIMAL(38,0)) * 500000)
+      |  ELSE (s * 500000)
       |       div (CAST(n_old AS DECIMAL(38,0)) * CAST(n_new AS DECIMAL(38,0)))
       |END""".stripMargin
 
@@ -145,11 +147,16 @@ object Quality {
       .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
     val totals = binned.groupBy(col("event_type"))
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // promote BEFORE the products: ca·nb is the term that overflows BIGINT
+    // first (≥ ~3e6 rows per group-epoch), and this sum runs over the tiny
+    // per-bin relation, so DECIMAL(38,0) here is free
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     binned.join(broadcast(totals), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(max(col("na")).as("n_old"), max(col("nb")).as("n_new"),
         count(lit(1)).as("n_bins"),
-        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("s"))
+        sum(abs(d38(col("ca")) * d38(col("nb")) -
+          d38(col("cb")) * d38(col("na")))).as("s"))
       .select(col("event_type"), col("n_old"), col("n_new"), col("n_bins"),
         expr(TvPpmExpr).as("tv_ppm"))
       .withColumn("drifted", col("tv_ppm") > lit(DriftAlertPpm))
@@ -474,12 +481,12 @@ object Quality {
          |  FROM binned GROUP BY event_type)
          |SELECT b.event_type, max(na) AS n_old, max(nb) AS n_new,
          |  count(*) AS n_bins,
-         |  CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1000000
-         |    ELSE (CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) * 500000)
-         |      // (max(na) * max(nb)) END AS tv_ppm,
-         |  CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1000000
-         |    ELSE (CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) * 500000)
-         |      // (max(na) * max(nb)) END > $DriftAlertPpm AS drifted
+         |  CAST(CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1000000
+         |    ELSE (sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) * 500000)
+         |      // (CAST(max(na) AS HUGEINT) * max(nb)) END AS BIGINT) AS tv_ppm,
+         |  CAST(CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1000000
+         |    ELSE (sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) * 500000)
+         |      // (CAST(max(na) AS HUGEINT) * max(nb)) END > $DriftAlertPpm AS BOOLEAN) AS drifted
          |FROM binned b JOIN totals t ON b.event_type = t.event_type
          |GROUP BY b.event_type""".stripMargin,
     "dq_outliers" ->

@@ -125,22 +125,25 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("dq_drift tv_ppm: DECIMAL(38) promotion is exact in the BIGINT-overflow regime") {
     import spark.implicits._
-    // (s, n_old, n_new) triples spanning: the BIGINT fast path, its exact
-    // upper boundary (s·5e5 = 9e18, just under 2^63), the first counts past
-    // the 3e6 guard (where s·500000 would overflow a long), and epoch sizes
-    // of petabyte-scale logs (1e10-row epochs). Expected values computed in
-    // driver-side BigInt — the same ⌊s·5e5/(n_old·n_new)⌋ the oracle's
-    // HUGEINT arithmetic yields.
+    // (s, n_old, n_new) triples spanning: small counts, the old BIGINT
+    // boundary (s·5e5 = 9e18, just under 2^63), the first counts past 3e6
+    // (where a BIGINT s·500000 would overflow), and epoch sizes of
+    // petabyte-scale logs (1e10-row epochs). `s` is cast to DECIMAL(38,0)
+    // exactly as dqDrift's aggregate delivers it (the promotion lives at the
+    // SOURCE — the per-bin products — not at the division; r15 advice).
+    // Expected values computed in driver-side BigInt — the same
+    // ⌊s·5e5/(n_old·n_new)⌋ the oracle's HUGEINT arithmetic yields.
     val cases = Seq(
-      (1234567L, 1000L, 2000L),                     // fast path
+      (1234567L, 1000L, 2000L),                     // small counts
       (18000000000000L, 3000000L, 3000000L),        // boundary: s·5e5 = 9e18
-      (9000006000001L, 3000001L, 3000001L),         // first decimal regime
+      (9000006000001L, 3000001L, 3000001L),         // past the old guard
       (5000000000000000000L, 4000000000L, 2500000000L), // 1e10-row epochs
       (0L, 5000000000L, 5000000000L),               // zero drift, huge n
       (123L, 0L, 5000000000L))                      // empty epoch → full drift
-    val got = cases.toDF("s", "n_old", "n_new")
+    val got = cases.toDF("s0", "n_old", "n_new")
+      .withColumn("s", col("s0").cast("decimal(38,0)"))
       .withColumn("tv_ppm", expr(graft.ops.Quality.TvPpmExpr))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(4)).toMap
     cases.foreach { case c @ (s, no, nn) =>
       val want =
         if (no == 0L || nn == 0L) 1000000L
