@@ -195,8 +195,19 @@ def reprobe(flagged_rows, b_path, threshold, sfdir, cal_a=None):
           f"cal_A/cal_iso={iso_norm_ratio:.3f} (same yardstick as the "
           "original comparison)")
     section = {}
-    for q, ta, tbn, ratio, _ in flagged_rows:
+    for q, ta, tbn, ratio, flag_verdict in flagged_rows:
         if q not in fresh:
+            # a REGRESSED flag the isolated run produced no sample for (it
+            # errored or vanished from the registry) must not silently drop
+            # from the persisted section — the archive would then read as if
+            # every flag was re-judged (r15 advice). Non-REGRESSED flags
+            # (BOX-SHIFT/NEW/GONE/CONTENDED) were never re-run by design.
+            if flag_verdict == "REGRESSED":
+                section[q] = {"orig_min_A": ta, "flagged_min_B_norm": tbn,
+                              "flagged_ratio": ratio,
+                              "verdict": "UNADJUDICATED"}
+                print(f"# reprobe {q}: MISSING from isolated run output -> "
+                      "UNADJUDICATED (flag stands unjudged)")
             continue
         iso = fresh[q]
         iso_n = iso * iso_norm_ratio

@@ -58,11 +58,19 @@ def main():
     if os.path.exists(prev):
         pd_ = json.load(open(prev)) if prev.endswith("_local.json") else None
         cal_prev = med(pd_.get("calib", [])) if pd_ else None
-        norm = (cal_prev / cal) if (cal_prev and cal) else 1.0
-        print(f"# raw total_min={d.get('total_min'):.1f}s over "
-              f"{d.get('num_queries')} queries; normalized to r{rnd - 1}'s "
-              f"yardstick: {d.get('total_min', 0) * norm:.1f}s "
-              f"(calib ratio {norm:.3f})")
+        total_min = d.get("total_min") or 0.0
+        if cal_prev and cal:
+            norm = cal_prev / cal
+            print(f"# raw total_min={total_min:.1f}s over "
+                  f"{d.get('num_queries')} queries; normalized to r{rnd - 1}'s "
+                  f"yardstick: {total_min * norm:.1f}s "
+                  f"(calib ratio {norm:.3f})")
+        else:
+            # falling back to the driver's BENCH_r{N-1}.json (no calib list)
+            # or a probe-less artifact: claiming "normalized" with norm=1.0
+            # would misdescribe a raw number as a cross-round one
+            print(f"# raw total_min={total_min:.1f}s over "
+                  f"{d.get('num_queries')} queries; no prior calib — raw only")
         print(f"# roundclose: benchdiff vs {os.path.basename(prev)} "
               "with --reprobe ...")
         subprocess.run([sys.executable, os.path.join(REPO, "tools/benchdiff.py"),
