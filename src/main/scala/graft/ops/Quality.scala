@@ -232,56 +232,158 @@ object Quality {
         Tables.nation(spark, dir), "n_nationkey", bcastParent = true))
   }
 
+  // ------------------------------------------------ schema-driven profiler
+
+  /** REPRESENTATION CONTRACT of one column type — the single dispatch BOTH
+    * profiler engines are generated from (r15 verdict item 1: hard-coding the
+    * orders columns meant a new table needed new code, and a hand-mirrored
+    * oracle could drift). `spark` renders a value cross-engine-exactly to
+    * VARCHAR; `duck` renders the SAME contract as a DuckDB expression; a type
+    * with no contract fails loudly at dispatch rather than profiling
+    * approximately. Contracts: integrals cast directly; doubles render as
+    * integer CENTS via [[Relational.quantize]] (a raw double's string form
+    * differs between engines); timestamps go through one shared format
+    * string; strings pass through (bytewise min/max agrees between engines
+    * on ASCII data — UTF-8 byte order is codepoint order anyway) and also
+    * carry the string-mass sum. */
+  sealed abstract class Repr(val withLen: Boolean = false) {
+    def spark(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+    def duck(e: String): String
+  }
+  case object ReprIntegral extends Repr() {
+    def spark(c: org.apache.spark.sql.Column) = c.cast("string")
+    def duck(e: String) = s"CAST($e AS VARCHAR)"
+  }
+  case object ReprCents extends Repr() {
+    def spark(c: org.apache.spark.sql.Column) = Relational.quantize(c, 2).cast("string")
+    def duck(e: String) = s"CAST(CAST(floor($e * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+  }
+  case object ReprDateTime extends Repr() {
+    def spark(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+    def duck(e: String) = s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+  }
+  case object ReprString extends Repr(withLen = true) {
+    def spark(c: org.apache.spark.sql.Column) = c
+    def duck(e: String) = e
+  }
+
+  /** Type → repr contract. TIMESTAMP_NTZ maps with TIMESTAMP (the testdata's
+    * parquet encodings have flipped between the two across regens — the
+    * contract is the rendered string either way). */
+  def reprFor(dt: org.apache.spark.sql.types.DataType): Repr = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => ReprIntegral
+      case DoubleType | FloatType => ReprCents
+      case TimestampType | TimestampNTZType | DateType => ReprDateTime
+      case StringType => ReprString
+      case other => throw new IllegalArgumentException(
+        s"dq_profile has no repr contract for column type $other")
+    }
+  }
+
+  /** The profiled tables' pinned (column, type) lists — what the STATIC
+    * oracle SQL is generated from. [[profiled]] requires the live schema to
+    * dispatch to the same contracts at query time, so a testdata regen that
+    * changes a column's type fails loudly at the query instead of silently
+    * hash-mismatching (and TablesSpec pins the loaders upstream). */
+  val ProfileSchemas: Seq[(String, Seq[(String, Repr)])] = {
+    import org.apache.spark.sql.types._
+    def reprs(cols: (String, DataType)*): Seq[(String, Repr)] =
+      cols.map { case (n, dt) => n -> reprFor(dt) }
+    Seq(
+      "orders" -> reprs(
+        "o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+      "lineitem" -> reprs(
+        "l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampType),
+      "documents" -> reprs(
+        "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+        "source" -> StringType, "n_chars" -> LongType))
+  }
+
+  private def tableByName(spark: SparkSession, dir: String, table: String): DataFrame =
+    table match {
+      case "orders" => Tables.orders(spark, dir)
+      case "lineitem" => Tables.lineitem(spark, dir)
+      case "documents" => Tables.documents(spark, dir)
+      case other => throw new IllegalArgumentException(s"unprofiled table $other")
+    }
+
+  /** Load `table` and pin its LIVE per-column contracts against the
+    * registry the oracle was generated from — the cannot-drift guarantee:
+    * both engines' profile of this table came through [[reprFor]] on the
+    * same (column, type) list, or this throws. */
+  private def profiled(spark: SparkSession, dir: String, table: String)
+      : (DataFrame, Seq[(String, Repr)]) = {
+    val df = tableByName(spark, dir, table)
+    val live = df.schema.fields.toSeq.map(f => f.name -> reprFor(f.dataType))
+    val pinned = ProfileSchemas.toMap.apply(table)
+    require(live == pinned,
+      s"$table drifted from the profiler registry: live=$live pinned=$pinned")
+    (df, live)
+  }
+
   /** COLUMN PROFILER — the deequ `ColumnProfiler` / "describe my source
     * before I trust it" class as a declared operator: for every column of a
     * table, (rows, nulls, exact distinct count, min/max, string mass) in one
-    * job. Shape: ONE SLIM SUB-AGGREGATE PER COLUMN, unioned — each branch
+    * job — SCHEMA-DRIVEN: the branches are generated from the live schema
+    * through [[reprFor]], so any registered table profiles without new code.
+    * Shape: ONE SLIM SUB-AGGREGATE PER COLUMN, unioned — each branch
     * scans only its own column (parquet prunes to it, so total IO across all
     * branches is one full-table read) and plans as the standard two-level
     * single-distinct rewrite: partial aggregate keyed on the VALUE (map-side
     * collapse to the partition's distinct values), one shuffle of that
     * deduplicated slim relation, final count + merged min/max/null-sums. No
-    * branch ever sees another column's data. The alternative — all six exact
-    * distincts in one aggregate — plans as a 7-way Expand feeding a
+    * branch ever sees another column's data. The alternative — all exact
+    * distincts in one aggregate — plans as a k+1-way Expand feeding a
     * SortAggregate KEYED ON EVERY COLUMN AT ONCE (wide-row sort of
-    * |rows|×7, measured 3.5 s vs 0.6 s at sf0.1); per-column branches keep
-    * each sort/shuffle narrow and let them run in parallel. At 100 TB the
-    * drop-in relaxation per branch is `approx_count_distinct` (mergeable HLL
-    * partials, no value shuffle) — kept exact here because the oracle must
-    * replay the number bit for bit.
-    *
-    * Representation contract (`min_repr`/`max_repr` are VARCHAR so one report
-    * schema covers every column type, and each type uses a cross-engine-exact
-    * rendering): BIGINT columns cast directly; the money column renders as
-    * integer CENTS via the [[Relational.quantize]] contract (a raw double's
-    * string form differs between engines); timestamps render through one
-    * shared format string. String min/max compare bytewise identically in
-    * both engines (binary collation on ASCII data). */
-  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    val orders = Tables.orders(spark, dir)
-    def branch(c: String, repr: Column => Column, withLen: Boolean): DataFrame =
-      orders.select(col(c)).agg(
+    * |rows|×(k+1), measured 3.5 s vs 0.6 s at sf0.1); per-column branches
+    * keep each sort/shuffle narrow and let them run in parallel. At 100 TB
+    * the drop-in relaxation per branch is [[dqProfileApprox]]'s HLL kernel
+    * (mergeable register partials, no value shuffle) — kept exact here
+    * because the oracle must replay the number bit for bit. */
+  def profileOf(df: DataFrame, cols: Seq[(String, Repr)]): DataFrame =
+    cols.map { case (c, r) =>
+      df.select(col(c)).agg(
         count(lit(1)).as("n_rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
         countDistinct(col(c)).as("n_distinct"),
         min(col(c)).as("mn"), max(col(c)).as("mx"),
-        (if (withLen) sum(length(col(c)).cast("long"))
+        (if (r.withLen) sum(length(col(c)).cast("long"))
          else max(lit(null).cast("long"))).as("sum_len"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
-          col("n_distinct"), repr(col("mn")).as("min_repr"),
-          repr(col("mx")).as("max_repr"), col("sum_len"))
-    val asString = (x: Column) => x.cast("string")
-    val asCents = (x: Column) => Relational.quantize(x, 2).cast("string")
-    val asDateTime = (x: Column) => date_format(x, "yyyy-MM-dd HH:mm:ss")
-    val asIs = (x: Column) => x
-    branch("o_orderkey", asString, withLen = false)
-      .unionByName(branch("o_custkey", asString, withLen = false))
-      .unionByName(branch("o_orderstatus", asIs, withLen = true))
-      .unionByName(branch("o_totalprice", asCents, withLen = false))
-      .unionByName(branch("o_orderdate", asDateTime, withLen = false))
-      .unionByName(branch("o_orderpriority", asIs, withLen = true))
+          col("n_distinct"), r.spark(col("mn")).cast("string").as("min_repr"),
+          r.spark(col("mx")).cast("string").as("max_repr"), col("sum_len"))
+    }.reduce(_.unionByName(_))
+
+  def dqProfile(spark: SparkSession, dir: String): DataFrame =
+    dqProfileTable(spark, dir, "orders")
+
+  def dqProfileTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val (df, cols) = profiled(spark, dir, table)
+    profileOf(df, cols)
   }
+
+  /** The static oracle side of [[profileOf]] — SAME registry, SAME
+    * [[reprFor]] dispatch, so the engines cannot drift. */
+  private def profileSqlOf(table: String, cols: Seq[(String, Repr)]): String =
+    cols.map { case (c, r) =>
+      val lenOf = if (r.withLen) s"CAST(sum(len($c)) AS BIGINT)"
+                  else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  ${r.duck(s"min($c)")} AS min_repr, ${r.duck(s"max($c)")} AS max_repr,
+         |  $lenOf AS sum_len
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** THE PROFILER'S 100 TB PATH — [[dqProfile]]'s exact per-column distinct
     * shuffles each column's deduplicated VALUES; at deploy scale the right
@@ -296,18 +398,16 @@ object Quality {
     * affordable at test SF; a deployment drops that column). Distinctness is
     * counted over the REPRESENTATION — the hashable unit — in both engines,
     * so the gate compares like with like. */
-  def dqProfileApprox(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    val o = Tables.orders(spark, dir)
-    def reprOf(c: String, repr: Column): DataFrame =
-      o.select(repr.cast("string").as("repr")).filter(col("repr").isNotNull)
+  def dqProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    dqProfileApproxTable(spark, dir, "orders")
+
+  def dqProfileApproxTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val (df, cols) = profiled(spark, dir, table)
+    val reprs = cols.map { case (c, r) =>
+      df.select(r.spark(col(c)).cast("string").as("repr"))
+        .filter(col("repr").isNotNull)
         .select(lit(c).as("col_name"), col("repr"))
-    val reprs = reprOf("o_orderkey", col("o_orderkey"))
-      .unionByName(reprOf("o_custkey", col("o_custkey")))
-      .unionByName(reprOf("o_orderstatus", col("o_orderstatus")))
-      .unionByName(reprOf("o_totalprice", Relational.quantize(col("o_totalprice"), 2)))
-      .unionByName(reprOf("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")))
-      .unionByName(reprOf("o_orderpriority", col("o_orderpriority")))
+    }.reduce(_.unionByName(_))
     val hv = Sketches.hexValSpark _
     // dedup ONCE, then derive BOTH the exact count and the registers from
     // the distinct reprs: registers are max-per-bucket, so duplicates never
@@ -338,14 +438,25 @@ object Quality {
     exact.join(est, Seq("col_name"))
   }
 
+  /** Declared name for a profiled table: the orders exemplar keeps its
+    * original names (fixture continuity); the rest are suffixed. */
+  private def profileName(table: String, approx: Boolean): String = {
+    val base = if (approx) "dq_profile_approx" else "dq_profile"
+    if (table == "orders") base else s"${base}_$table"
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dq_audit" -> (dqAudit _),
-    "dq_profile" -> (dqProfile _),
-    "dq_profile_approx" -> (dqProfileApprox _),
     "dq_ref_integrity" -> (dqRefIntegrity _),
     "dq_drift" -> (dqDrift _),
     "dq_anomaly_days" -> (dqAnomalyDays _),
-    "dq_outliers" -> (dqOutliers _))
+    "dq_outliers" -> (dqOutliers _)) ++
+    ProfileSchemas.flatMap { case (t, _) => Seq[(String, Relational.Q)](
+      profileName(t, approx = false) ->
+        ((s: SparkSession, d: String) => dqProfileTable(s, d, t)),
+      profileName(t, approx = true) ->
+        ((s: SparkSession, d: String) => dqProfileApproxTable(s, d, t)))
+    }
 
   /** One FK edge of the [[dqRefIntegrity]] oracle (DuckDB dialect). */
   private def fkEdgeSql(name: String, child: String, childKey: String,
@@ -356,39 +467,18 @@ object Quality {
        |  (SELECT DISTINCT CAST($parentKey AS BIGINT) AS __pk FROM $parent) p
        |  ON CAST(c.$childKey AS BIGINT) = p.__pk""".stripMargin
 
-  /** One profile row of the [[dqProfile]] oracle. `minMax` renders the
-    * column's min/max in the type's exact representation; `lenOf` is the
-    * string-mass expression or NULL. */
-  private def profileRowSql(colName: String, minRepr: String, maxRepr: String,
-                            lenOf: String): String =
-    s"""SELECT '$colName' AS col_name, count(*) AS n_rows,
-       |  CAST(sum(CASE WHEN $colName IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-       |  CAST(count(DISTINCT $colName) AS BIGINT) AS n_distinct,
-       |  $minRepr AS min_repr, $maxRepr AS max_repr,
-       |  $lenOf AS sum_len
-       |FROM orders""".stripMargin
-
-  private val profileApproxSql: String = {
+  /** Static oracle for [[dqProfileApproxTable]] — repr rows generated from
+    * the SAME registry + [[reprFor]] dispatch as the Spark side, HLL skeleton
+    * identical to [[Sketches]]'. */
+  private def profileApproxSqlOf(table: String, cols: Seq[(String, Repr)]): String = {
     val hv = Sketches.hexValDuck _
     val m = Sketches.M
+    val reprRows = cols.map { case (c, r) =>
+      s"""SELECT '$c' AS col_name, ${r.duck(c)} AS repr
+         |    FROM $table WHERE $c IS NOT NULL""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH reprs AS (
-       |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS repr
-       |    FROM orders WHERE o_orderkey IS NOT NULL
-       |  UNION ALL
-       |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
-       |    FROM orders WHERE o_custkey IS NOT NULL
-       |  UNION ALL
-       |  SELECT 'o_orderstatus', o_orderstatus
-       |    FROM orders WHERE o_orderstatus IS NOT NULL
-       |  UNION ALL
-       |  SELECT 'o_totalprice', CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
-       |    FROM orders WHERE o_totalprice IS NOT NULL
-       |  UNION ALL
-       |  SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
-       |    FROM orders WHERE o_orderdate IS NOT NULL
-       |  UNION ALL
-       |  SELECT 'o_orderpriority', o_orderpriority
-       |    FROM orders WHERE o_orderpriority IS NOT NULL),
+       |  $reprRows),
        |dedup AS MATERIALIZED (SELECT DISTINCT col_name, repr FROM reprs),
        |hh AS (SELECT col_name, repr, md5(repr) AS h FROM dedup),
        |hw AS (
@@ -417,30 +507,10 @@ object Quality {
        |FROM ex JOIN est USING (col_name)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    "dq_profile_approx" -> profileApproxSql,
-    "dq_profile" -> Seq(
-      profileRowSql("o_orderkey",
-        "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)",
-        "CAST(NULL AS BIGINT)"),
-      profileRowSql("o_custkey",
-        "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)",
-        "CAST(NULL AS BIGINT)"),
-      profileRowSql("o_orderstatus",
-        "min(o_orderstatus)", "max(o_orderstatus)",
-        "CAST(sum(len(o_orderstatus)) AS BIGINT)"),
-      profileRowSql("o_totalprice",
-        "CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)",
-        "CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)",
-        "CAST(NULL AS BIGINT)"),
-      profileRowSql("o_orderdate",
-        "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
-        "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')",
-        "CAST(NULL AS BIGINT)"),
-      profileRowSql("o_orderpriority",
-        "min(o_orderpriority)", "max(o_orderpriority)",
-        "CAST(sum(len(o_orderpriority)) AS BIGINT)"))
-      .mkString("\nUNION ALL\n"),
+  val oracles: Map[String, String] = ProfileSchemas.flatMap { case (t, cols) =>
+    Seq(profileName(t, approx = false) -> profileSqlOf(t, cols),
+        profileName(t, approx = true) -> profileApproxSqlOf(t, cols))
+  }.toMap ++ Map(
     "dq_ref_integrity" -> Seq(
       fkEdgeSql("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       fkEdgeSql("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),

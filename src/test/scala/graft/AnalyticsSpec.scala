@@ -189,6 +189,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pr.getLong(6) == 21L)                             // 8 + 5 + 8
   }
 
+  test("dq_profile: schema drift from the registry fails loudly, as does a contract-less type") {
+    import spark.implicits._
+    // (a) a regen that changes a pinned column's TYPE KIND must throw at the
+    // query, not silently hash-mismatch: plant orders with o_totalprice as a
+    // string — the live dispatch (ReprString) disagrees with the registry's
+    // ReprCents
+    val dir = java.nio.file.Files.createTempDirectory("graftdrift").toString
+    Seq((1L, 1L, "O", "10.00", java.sql.Timestamp.valueOf("2024-03-05 10:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(dir + "/orders.parquet")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Quality.dqProfile(spark, dir).collect())
+    assert(e.getMessage.contains("drifted"), e.getMessage)
+    // (b) a type with no repr contract refuses to dispatch
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.Quality.reprFor(org.apache.spark.sql.types.BinaryType))
+    assert(e2.getMessage.contains("no repr contract"), e2.getMessage)
+    // (c) the registry itself matches the real testdata loaders for every
+    // profiled table (the pin the static oracles rest on)
+    graft.ops.Quality.ProfileSchemas.foreach { case (t, pinned) =>
+      val df = t match {
+        case "orders" => Tables.orders(spark, sf)
+        case "lineitem" => Tables.lineitem(spark, sf)
+        case "documents" => Tables.documents(spark, sf)
+      }
+      val live = df.schema.fields.toSeq.map(f => f.name -> graft.ops.Quality.reprFor(f.dataType))
+      assert(live == pinned, s"$t: live=$live pinned=$pinned")
+    }
+  }
+
   test("dq_profile: every branch's scan is pruned to its own single column") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = graft.ops.Quality.dqProfile(spark, sf)
