@@ -91,11 +91,105 @@ object CdcApply {
     apply(base, changeFeed(spark, dir))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s23_cdc_apply" -> (qS23CdcApply _))
+  // ---- streamed apply under the driver gate (r15 verdict item 2) --------
 
-  val oracles: Map[String, String] = Map(
-    "s23_cdc_apply" ->
+  def streamRoot(dir: String): String =
+    "spark-warehouse/s23_cdc_stream_" + new java.io.File(dir).getName
+
+  /** The feed cut into three micro-batch files: seq-1 changes split by key
+    * parity, then ALL seq-2 entries (the class-2 deletes) last — so a key's
+    * update and its later delete land in DIFFERENT micro-batches and the
+    * per-batch apply must net to the delete across committed state. */
+  private def writeFeedSlice(feedDir: String, feed: DataFrame, i: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val slice = i match {
+      case 0 => feed.filter(col("seq") === 1 && col("id") % 2 === 0)
+      case 1 => feed.filter(col("seq") === 1 && col("id") % 2 === 1)
+      case 2 => feed.filter(col("seq") === 2)
+    }
+    val f = s"$feedDir/b$i"
+    slice.coalesce(1).write.mode("overwrite").parquet(f)
+    // mtime order = delivery order under maxFilesPerTrigger=1
+    val it = Files.list(Paths.get(f))
+    try it.forEach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)))
+    finally it.close()
+  }
+
+  /** STREAMED CDC APPLY, driver-gated: the synthesized changeset arrives as
+    * files through an AvailableNow file stream (maxFilesPerTrigger=1), each
+    * micro-batch applied onto the COMMITTED table state and committed through
+    * [[AtomicTable.commitBatch]] — with a MID-FEED RESTART baked into the
+    * query: after the first two micro-batches, the engine's own commit record
+    * for the last batch is dropped (the crash-after-sink-commit-before-
+    * offsets-checkpoint window `foreachBatch` is documented to redeliver),
+    * the third feed file lands, and the stream restarts on the same
+    * checkpoint. Spark redelivers batch 1; `commitBatch` must SKIP it (the
+    * manifest already carries (appId, 1)), then apply batch 2 — the query
+    * throws if the redelivery was double-applied or never happened, so the
+    * hash row is green ONLY through the exactly-once path. Final state must
+    * equal the one-shot batch apply (same oracle as `s23_cdc_apply`).
+    *
+    * Scale shape per micro-batch: identical to [[apply]] (one keyed fold +
+    * one full-outer join); the restart machinery is checkpoint-metadata-only.
+    * CdcApplySpec additionally pins arbitrary uneven cuts; this declared form
+    * pins the restart/redelivery corridor under the driver's hash gate. */
+  def qS23CdcApplyStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = streamRoot(dir)
+    AtomicTable.deleteRecursively(Paths.get(root))
+    val (tableRoot, feedDir, ckpt) = (s"$root/table", s"$root/feed", s"$root/ckpt")
+    Files.createDirectories(Paths.get(feedDir))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
+    AtomicTable.commit(base, tableRoot)
+    val feed = changeFeed(spark, dir)
+    writeFeedSlice(feedDir, feed, 0)
+    writeFeedSlice(feedDir, feed, 1)
+    val schema = spark.read.parquet(s"$feedDir/b0").schema
+    val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val redelivered = new java.util.concurrent.atomic.AtomicInteger(0)
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/b*")
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          if (AtomicTable.commitBatch(
+              apply(AtomicTable.read(spark, tableRoot), b),
+              tableRoot, "s23-cdc-stream", bid)) applied.incrementAndGet()
+          else redelivered.incrementAndGet()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      if (!q.awaitTermination(180000))
+        throw new IllegalStateException("s23 cdc AvailableNow stream timed out")
+    }
+    runStream() // micro-batches 0 and 1
+    // crash-window simulation: the sink committed batch 1 but the engine
+    // never checkpointed it — on restart Spark re-executes batch 1. The
+    // local ChecksumFileSystem shadows every commit file with a .crc; the
+    // stale CRC must go too or the re-commit's rename fails on it.
+    Files.delete(Paths.get(ckpt, "commits", "1"))
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".1.crc"))
+    writeFeedSlice(feedDir, feed, 2)
+    runStream() // redelivers 1 (must skip), then applies 2
+    if (redelivered.get != 1 || applied.get != 3)
+      throw new IllegalStateException(
+        s"exactly-once violated: applied=${applied.get} (want 3), " +
+          s"redelivered-skips=${redelivered.get} (want 1)")
+    AtomicTable.read(spark, tableRoot)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_cdc_apply" -> (qS23CdcApply _),
+    "s23_cdc_apply_stream" -> (qS23CdcApplyStream _))
+
+  /** The streamed apply must land the SAME final state as the one-shot batch
+    * apply — one oracle body serves both. */
+  private def cdcOracleSql: String =
       s"""WITH base AS (
          |  SELECT c_custkey AS id, c_name AS name,
          |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
@@ -124,5 +218,9 @@ object CdcApply {
          |       ELSE coalesce(b.name, 'cdc_inserted') END AS name,
          |  CASE WHEN l.id IS NULL THEN b.bal_c ELSE (l.c).bal_c END AS bal_c
          |FROM base b FULL OUTER JOIN latest l ON b.id = l.id
-         |WHERE l.id IS NULL OR (l.c).op <> 'D'""".stripMargin)
+         |WHERE l.id IS NULL OR (l.c).op <> 'D'""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "s23_cdc_apply" -> cdcOracleSql,
+    "s23_cdc_apply_stream" -> cdcOracleSql)
 }
