@@ -220,7 +220,25 @@ object AtomicTable {
     */
   def mergeCommit(spark: SparkSession, root: String, maxRetries: Int = 16,
       pruneAgeMs: Long = MergePruneAgeMs)
-      (merge: Option[DataFrame] => DataFrame): String = {
+      (merge: Option[DataFrame] => DataFrame): String =
+    occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
+      val live = base.map(v => spark.read.parquet(s"$root/$v"))
+      merge(live).write.mode("overwrite").parquet(stageDir.toString)
+    }
+
+  /** The OCC claim/rebase core [[mergeCommit]] runs on, factored so OTHER
+    * next-state producers compose with the same protocol — notably
+    * [[TargetedDelete.deleteKeysOcc]], whose staged state is a footer-pruned
+    * rewrite + hard links rather than a full Spark write. `stageInto(base,
+    * stageDir)` must materialize the COMPLETE next version into `stageDir`
+    * from the observed `base` (None for a fresh table); a staging that fails
+    * because faster winners pruned the base mid-read triggers a rebase, same
+    * as losing the CAS. Everything else — the completeness marker, the
+    * rename-as-CAS, forward-only publish, orphan adoption — is identical for
+    * every producer because it lives HERE, once. */
+  private[sinks] def occCommit(root: String, maxRetries: Int = 16,
+      pruneAgeMs: Long = MergePruneAgeMs)
+      (stageInto: (Option[String], Path) => Unit): String = {
     var attempt = 0
     while (true) {
       val base = currentVersion(root)
@@ -228,8 +246,7 @@ object AtomicTable {
       val stageDir = Paths.get(root, s".stage-${UUID.randomUUID()}")
       val conflict: Option[String] =
         try {
-          val live = base.map(v => spark.read.parquet(s"$root/$v"))
-          merge(live).write.mode("overwrite").parquet(stageDir.toString)
+          stageInto(base, stageDir)
           // the protocol's own completeness attestation: present in every
           // renamed claim, independent of Spark's committer settings
           Files.write(stageDir.resolve(Committed), Array.emptyByteArray)
@@ -269,9 +286,13 @@ object AtomicTable {
           }
         } catch {
           // base version pruned mid-scan by faster winners: rebase on the
-          // new live version (same recovery as losing the rename CAS)
+          // new live version (same recovery as losing the rename CAS). The
+          // IO exceptions cover non-Spark stagers (footer reads / hard
+          // links) racing the same prune.
           case e: org.apache.spark.SparkException => Some(s"base $base vanished: ${e.getMessage}")
           case e: org.apache.spark.sql.AnalysisException => Some(s"base $base vanished: ${e.getMessage}")
+          case e: java.nio.file.NoSuchFileException => Some(s"base $base vanished: ${e.getMessage}")
+          case e: java.io.FileNotFoundException => Some(s"base $base vanished: ${e.getMessage}")
         } finally {
           if (Files.exists(stageDir)) deleteRecursively(stageDir)
         }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -20,23 +20,113 @@ import graft.Tables
   * AtomicTable protocol; the reference pipeline's deletes are Postgres row
   * deletes, utils/database.py — this is the lakehouse re-expression).
   *
-  * Scale shape: the pruning decision reads footer METADATA only (one
-  * ~KB-sized read per file, no row groups); the rewrite job scans just the
-  * intersecting files; the link step is metadata-only. On an id-clustered
-  * layout (range-partitioned write — the natural layout for a corpus keyed
-  * by doc_id), a clustered delete set (one user / one source's documents)
+  * Scale shape (r15 advisories folded in): the pruning decision reads footer
+  * METADATA only (one ~KB-sized read per file, no row groups), and past
+  * [[ParallelFooterThreshold]] files the footer reads run as a SPARK JOB
+  * over the file list — 10⁵–10⁶-file tables prune at executor parallelism,
+  * never in a driver loop (a manifest holding per-file column stats, the
+  * Delta/Iceberg move, would skip even those reads; the footer is the
+  * stats source this file protocol owns). BIGINT and STRING key stats both
+  * decode; any other key type falls to the conservative rewrite-everything
+  * branch. The rewrite job scans just the intersecting files, and the
+  * delete predicate is a literal NOT-IN while the key set is small
+  * ([[IsinKeyThreshold]] — codegen-able, scan-pushable) and a broadcast
+  * LEFT ANTI join beyond it (10⁶ opted-out ids must not macro-expand into
+  * the plan). The link step is metadata-only. On an id-clustered layout
+  * (range-partitioned write — the natural layout for a corpus keyed by
+  * doc_id), a clustered delete set (one user / one source's documents)
   * touches a handful of files no matter how large the table is. Version
   * pruning stays safe under links: deleting an old version's directory
   * unlinks names, never inodes, so the new version's linked files survive.
   *
   * Cross-filesystem fallback: if the stage directory cannot hard-link to
   * the live files (different device), the file is copied — same semantics,
-  * the reuse is an optimization, not a correctness dependency. */
+  * the reuse is an optimization, not a correctness dependency.
+  *
+  * Concurrency: [[deleteKeys]] is the single-writer path (composes with
+  * [[AtomicTable.commit]]'s cadence); [[deleteKeysOcc]] runs the SAME
+  * staged prune/rewrite/link through [[AtomicTable.occCommit]]'s
+  * claim/rebase protocol, so multi-writer deployments get the targeted
+  * delete raced safely against concurrent [[AtomicTable.mergeCommit]]s —
+  * a loser rebases on the winner's version and re-prunes. */
 object TargetedDelete {
 
   /** What the delete touched — the audit row a maintenance job logs. */
   final case class DeleteStats(version: String, totalFiles: Int,
       rewrittenFiles: Int, reusedFiles: Int)
+
+  /** Above this many live files the footer-stats reads run as a Spark job
+    * over the file list instead of a driver loop. */
+  val ParallelFooterThreshold = 16
+
+  /** Above this many delete keys the survivor filter switches from a
+    * literal NOT-IN predicate to a broadcast LEFT ANTI join. */
+  val IsinKeyThreshold = 1000
+
+  /** A typed, deduplicated, sorted delete-key set: how the footer stats are
+    * probed and how the survivor filter is expressed, per key type. NULL is
+    * never a deletable key (rows with a NULL key always survive — matching
+    * three-valued logic on the NOT-IN path and no-match on the anti join). */
+  sealed trait KeySet extends Serializable {
+    def size: Int
+    /** any key within [mn, mx], where mn/mx are the footer's generic stats
+      * values — false only when the stats PROVE no key is in the file */
+    def intersectsStats(mn: Any, mx: Any): Boolean
+    /** NOT-IN literal predicate (small key sets). */
+    def survivorPredicate(keyCol: String): Column
+    /** one-column frame of the keys, for the anti join (large key sets). */
+    def toDF(spark: SparkSession): DataFrame
+  }
+
+  final case class LongKeys(sorted: Array[Long]) extends KeySet {
+    def size: Int = sorted.length
+    def intersectsStats(mn: Any, mx: Any): Boolean = (mn, mx) match {
+      case (lo: java.lang.Long, hi: java.lang.Long) =>
+        val i = {
+          val idx = java.util.Arrays.binarySearch(sorted, lo.longValue)
+          if (idx >= 0) idx else -idx - 1
+        }
+        i < sorted.length && sorted(i) <= hi.longValue
+      case _ => true // foreign stats type: conservative
+    }
+    def survivorPredicate(keyCol: String): Column =
+      col(keyCol).isNull || !col(keyCol).isin(sorted.map(Long.box).toIndexedSeq: _*)
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      sorted.toSeq.toDF("__del_key")
+    }
+  }
+
+  final case class StringKeys(sorted: Array[String]) extends KeySet {
+    def size: Int = sorted.length
+    def intersectsStats(mn: Any, mx: Any): Boolean = {
+      // parquet BINARY/UTF8 stats surface as Binary; decode and compare as
+      // Strings (UTF-8 byte order IS codepoint order, so the comparison
+      // both engines wrote the stats under is the one we replay). Writers
+      // may TRUNCATE binary stats: a truncated max is a PREFIX-extended
+      // upper bound the comparison below still respects only if the writer
+      // adjusted it upward (parquet-mr does); unknown shapes stay
+      // conservative via the catch-all.
+      (mn, mx) match {
+        case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+          val lo = a.toStringUsingUTF8; val hi = b.toStringUsingUTF8
+          val i = {
+            val idx = java.util.Arrays.binarySearch(
+              sorted.asInstanceOf[Array[AnyRef]], lo,
+              Ordering.String.asInstanceOf[java.util.Comparator[AnyRef]])
+            if (idx >= 0) idx else -idx - 1
+          }
+          i < sorted.length && sorted(i) <= hi
+        case _ => true
+      }
+    }
+    def survivorPredicate(keyCol: String): Column =
+      col(keyCol).isNull || !col(keyCol).isin(sorted.toIndexedSeq: _*)
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      sorted.toSeq.toDF("__del_key")
+    }
+  }
 
   /** Parquet part files of a directory (skips markers/CRCs). */
   private def partFiles(dir: Path): Seq[Path] = {
@@ -47,12 +137,12 @@ object TargetedDelete {
     finally st.close()
   }
 
-  /** Does `f`'s footer admit any of `sorted` in some row group's
-    * [min, max] for `keyCol`? Missing/empty statistics are treated as
-    * intersecting (conservative: rewrite rather than silently keep). */
-  private def footerIntersects(f: Path, keyCol: String, sorted: Array[Long]): Boolean = {
+  /** Does `f`'s footer admit any key in some row group's [min, max] for
+    * `keyCol`? Missing/empty statistics are treated as intersecting
+    * (conservative: rewrite rather than silently keep). */
+  private[sinks] def footerIntersects(f: String, keyCol: String, ks: KeySet): Boolean = {
     val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(f.toUri), new Configuration())
+      new org.apache.hadoop.fs.Path(Paths.get(f).toUri), new Configuration())
     val r = ParquetFileReader.open(in)
     try {
       r.getFooter.getBlocks.asScala.exists { block =>
@@ -61,52 +151,47 @@ object TargetedDelete {
           case Some(cc) =>
             val st = cc.getStatistics
             if (st == null || !st.hasNonNullValue) true
-            else (st.genericGetMin, st.genericGetMax) match {
-              case (mn: java.lang.Long, mx: java.lang.Long) =>
-                // any key in [mn, mx]: first key >= mn must be <= mx
-                val i = {
-                  val idx = java.util.Arrays.binarySearch(sorted, mn.longValue)
-                  if (idx >= 0) idx else -idx - 1
-                }
-                i < sorted.length && sorted(i) <= mx.longValue
-              case _ => true
-            }
+            else ks.intersectsStats(st.genericGetMin, st.genericGetMax)
         }
       }
     } finally r.close()
   }
 
-  /** Link (or copy, cross-device) `src` into `dir` under its own name. */
-  private def linkInto(dir: Path, src: Path): Unit = {
-    val dst = dir.resolve(src.getFileName)
-    try Files.createLink(dst, src)
-    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-      Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES) }
-  }
+  /** Partition the live files into (touched, reusable) by footer stats —
+    * a driver loop for small tables, a Spark job past
+    * [[ParallelFooterThreshold]] (the keys ride to executors inside the
+    * task closure; they are a delete REQUEST, driver-sized by nature). */
+  private def pruneFiles(spark: SparkSession, files: Seq[Path], keyCol: String,
+      ks: KeySet): (Seq[Path], Seq[Path]) =
+    if (files.size <= ParallelFooterThreshold) {
+      files.partition(p => footerIntersects(p.toString, keyCol, ks))
+    } else {
+      val names = files.map(_.toString)
+      val touched = spark.sparkContext
+        .parallelize(names, math.min(names.size, 256).max(1))
+        .filter(p => footerIntersects(p, keyCol, ks))
+        .collect().toSet // file NAMES only — O(touched), not data
+      files.partition(p => touched.contains(p.toString))
+    }
 
-  /** Delete all rows whose `keyCol` (BIGINT) is in `keys` from the live
-    * version of the AtomicTable at `root`, publishing the result as the next
-    * version. Single-writer path (composes with [[AtomicTable.commit]]'s
-    * cadence; for concurrent writers run it through mergeCommit's merge
-    * function instead). */
-  def deleteKeys(spark: SparkSession, root: String, keyCol: String,
-      keys: Seq[Long]): DeleteStats = {
-    val live = AtomicTable.currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no live version at $root"))
-    val liveDir = Paths.get(root, live)
+  /** The survivor filter over the touched files' rows. */
+  private def survivors(df: DataFrame, keyCol: String, ks: KeySet): DataFrame =
+    if (ks.size <= IsinKeyThreshold) df.filter(ks.survivorPredicate(keyCol))
+    else df.join(broadcast(ks.toDF(df.sparkSession)),
+      df(keyCol) === col("__del_key"), "left_anti")
+
+  /** Stage the post-delete state of `liveDir` into `stageDir`: rewrite the
+    * footer-intersecting files, hard-link the rest. Shared by the
+    * single-writer and the OCC paths. Returns (total, rewritten, reused). */
+  private def stageDelete(spark: SparkSession, liveDir: Path, stageDir: Path,
+      keyCol: String, ks: KeySet): (Int, Int, Int) = {
     val files = partFiles(liveDir)
-    val sorted = keys.distinct.sorted.toArray
-    val (touched, reused) = files.partition(footerIntersects(_, keyCol, sorted))
-
-    val stageDir = Paths.get(root, s".stage-del-${java.util.UUID.randomUUID()}")
+    val (touched, reused) = pruneFiles(spark, files, keyCol, ks)
     Files.createDirectories(stageDir)
     if (touched.nonEmpty) {
       // one job over ONLY the intersecting files
       val rewriteOut = stageDir.resolve("rewrite")
-      // NULL keys are never in the delete set — keep them explicitly:
-      // NOT(NULL IN (...)) is NULL and a bare filter would DROP such rows
-      spark.read.parquet(touched.map(_.toString): _*)
-        .filter(col(keyCol).isNull || !col(keyCol).isin(sorted.map(Long.box): _*))
+      survivors(spark.read.parquet(touched.map(_.toString): _*), keyCol, ks)
         .write.mode("overwrite").parquet(rewriteOut.toString)
       partFiles(rewriteOut).foreach { f =>
         Files.move(f, stageDir.resolve(f.getFileName))
@@ -117,11 +202,79 @@ object TargetedDelete {
       Files.delete(rewriteOut)
     }
     reused.foreach(linkInto(stageDir, _))
+    (files.size, touched.size, reused.size)
+  }
 
-    val next = "v" + (live.drop(1).toLong + 1)
-    Files.move(stageDir, Paths.get(root, next), StandardCopyOption.ATOMIC_MOVE)
-    AtomicTable.publish(root, next)
-    DeleteStats(next, files.size, touched.size, reused.size)
+  /** Link (or copy, cross-device) `src` into `dir` under its own name. */
+  private def linkInto(dir: Path, src: Path): Unit = {
+    val dst = dir.resolve(src.getFileName)
+    try Files.createLink(dst, src)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES) }
+  }
+
+  private def longKeySet(keys: Seq[Long]): KeySet =
+    LongKeys(keys.distinct.sorted.toArray)
+  private def stringKeySet(keys: Seq[String]): KeySet =
+    StringKeys(keys.filter(_ != null).distinct.sorted.toArray)
+
+  /** Delete all rows whose BIGINT `keyCol` is in `keys` from the live
+    * version, publishing the result as the next version. Single-writer path
+    * (composes with [[AtomicTable.commit]]'s cadence; for concurrent
+    * writers use [[deleteKeysOcc]]). */
+  def deleteKeys(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[Long]): DeleteStats =
+    deleteKeySet(spark, root, keyCol, longKeySet(keys))
+
+  /** [[deleteKeys]] for STRING-keyed tables (doc hashes): the footer stats
+    * decode as UTF-8 binary, so an id-clustered string layout prunes the
+    * same way a BIGINT one does. */
+  def deleteStringKeys(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[String]): DeleteStats =
+    deleteKeySet(spark, root, keyCol, stringKeySet(keys))
+
+  private def deleteKeySet(spark: SparkSession, root: String, keyCol: String,
+      ks: KeySet): DeleteStats = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    val liveDir = Paths.get(root, live)
+    val stageDir = Paths.get(root, s".stage-del-${java.util.UUID.randomUUID()}")
+    try {
+      val (total, rewritten, reusedN) =
+        stageDelete(spark, liveDir, stageDir, keyCol, ks)
+      val next = "v" + (live.drop(1).toLong + 1)
+      val target = Paths.get(root, next)
+      // mirror commit()'s overwrite-the-orphan semantics: a crash between a
+      // previous delete's rename and its publish leaves a bare unpublished
+      // v{N+1}; on the single-writer cadence nothing else can own it, so
+      // overwrite it rather than wedging every later delete on
+      // FileAlreadyExists (r15 advice)
+      if (Files.exists(target) && next != live) AtomicTable.deleteRecursively(target)
+      Files.move(stageDir, target, StandardCopyOption.ATOMIC_MOVE)
+      AtomicTable.publish(root, next)
+      DeleteStats(next, total, rewritten, reusedN)
+    } finally {
+      if (Files.exists(stageDir)) AtomicTable.deleteRecursively(stageDir)
+    }
+  }
+
+  /** MULTI-WRITER targeted delete: the same staged prune/rewrite/link run
+    * through [[AtomicTable.occCommit]]'s claim/rebase protocol — the CAS
+    * rename claims v{N+1}, a lost race re-reads the new live version and
+    * RE-PRUNES against it (the winner's files differ), so the delete's
+    * effect lands exactly once alongside any interleaved [[AtomicTable
+    * .mergeCommit]]s. Stats reflect the attempt that won. */
+  def deleteKeysOcc(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[Long], maxRetries: Int = 16,
+      pruneAgeMs: Long = AtomicTable.MergePruneAgeMs): DeleteStats = {
+    val ks = longKeySet(keys)
+    @volatile var last: (Int, Int, Int) = (0, 0, 0)
+    val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
+      val liveV = base.getOrElse(
+        throw new IllegalStateException(s"no live version at $root"))
+      last = stageDelete(spark, Paths.get(root, liveV), stageDir, keyCol, ks)
+    }
+    DeleteStats(v, last._1, last._2, last._3)
   }
 
   // ---- declared query -------------------------------------------------

@@ -97,6 +97,120 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(live.count() == 200L - 2L)
   }
 
+  test("string-keyed clustered delete prunes by decoded UTF-8 footer stats") {
+    import spark.implicits._
+    val root = "spark-warehouse/test_s22_stringkeys"
+    deleteAll(Paths.get(root))
+    // zero-padded doc hashes: lexicographic order == numeric order, so the
+    // range-partitioned layout clusters a contiguous block into 1-2 files
+    val df = spark.range(8000).select(
+      format_string("doc%05d", col("id")).as("doc_id"),
+      (col("id") % 7).as("grp"))
+    AtomicTable.commit(
+      df.repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id")), root)
+    val keys = (1000L to 1150L).map(i => f"doc$i%05d")
+    val stats = TargetedDelete.deleteStringKeys(spark, root, "doc_id", keys)
+    assert(stats.rewrittenFiles >= 1 && stats.rewrittenFiles <= 2,
+      s"string footer stats did not prune: rewrote ${stats.rewrittenFiles} of ${stats.totalFiles}")
+    assert(stats.reusedFiles == stats.totalFiles - stats.rewrittenFiles)
+    val live = spark.read.parquet(s"$root/${stats.version}")
+    assert(live.count() == 8000 - 151)
+    assert(live.filter(col("doc_id").isin(keys: _*)).count() == 0)
+  }
+
+  test("past the threshold the footer pruning runs as a Spark job, same verdicts") {
+    val root = "spark-warehouse/test_s22_manyfiles"
+    deleteAll(Paths.get(root))
+    val df = spark.range(12000).select(col("id"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(
+      df.repartitionByRange(24, col("id")).sortWithinPartitions(col("id")), root)
+    val nFiles = partFiles(Paths.get(root, "v1")).size
+    assert(nFiles > TargetedDelete.ParallelFooterThreshold,
+      s"fixture must exceed the parallel threshold, got $nFiles files")
+    val stats = TargetedDelete.deleteKeys(spark, root, "id", (100L to 250L))
+    assert(stats.totalFiles == nFiles)
+    assert(stats.rewrittenFiles <= 2,
+      s"parallel pruning lost selectivity: rewrote ${stats.rewrittenFiles}")
+    val live = spark.read.parquet(s"$root/${stats.version}")
+    assert(live.count() == 12000 - 151)
+    assert(live.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 12000L).sum - (100L to 250L).sum)
+  }
+
+  test("a key set past IsinKeyThreshold routes through the anti join, NULLs kept") {
+    import spark.implicits._
+    val root = "spark-warehouse/test_s22_bigkeyset"
+    deleteAll(Paths.get(root))
+    val rows = (0L until 6000L).map(i =>
+      (if (i % 10 == 9) Option.empty[Long] else Option(i), s"p$i"))
+    AtomicTable.commit(rows.toDF("id", "payload").repartition(4), root)
+    val keys = (0L until 6000L).filter(_ % 4 == 0)  // 1500 > threshold
+    assert(keys.size > TargetedDelete.IsinKeyThreshold)
+    val stats = TargetedDelete.deleteKeys(spark, root, "id", keys)
+    val live = spark.read.parquet(s"$root/${stats.version}")
+    val nNull = rows.count(_._1.isEmpty)
+    assert(live.filter(col("id").isNull).count() == nNull,
+      "anti join dropped NULL-key rows")
+    // deleted = non-null keys %4==0 that actually existed as rows
+    val deleted = (0L until 6000L).count(i => i % 4 == 0 && i % 10 != 9)
+    assert(live.count() == 6000L - deleted)
+    assert(live.filter(col("id").isNotNull && col("id") % 4 === 0).count() == 0)
+  }
+
+  test("OCC delete raced against a concurrent mergeCommit lands BOTH effects") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val root = "spark-warehouse/test_s22_occ_race"
+    deleteAll(Paths.get(root))
+    val base = spark.range(4000).select(col("id"), lit("base").as("src"))
+    AtomicTable.mergeCommit(spark, root)(_ => base)
+    val newRows = (100000L until 100200L).map(i => (i, "merged")).toDF("id", "src")
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val fDel = pool.submit(new java.util.concurrent.Callable[TargetedDelete.DeleteStats] {
+      def call() = { gate.await();
+        TargetedDelete.deleteKeysOcc(spark, root, "id", (100L to 250L)) }
+    })
+    val fMerge = pool.submit(new java.util.concurrent.Callable[String] {
+      def call() = { gate.await();
+        AtomicTable.mergeCommit(spark, root, pruneAgeMs = 0L)(live =>
+          live.get.unionByName(newRows)) }
+    })
+    gate.countDown()
+    val delStats = fDel.get(120, TimeUnit.SECONDS)
+    val mergeV = fMerge.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(Set(delStats.version, mergeV) == Set("v2", "v3"),
+      s"expected the two writers to claim v2 and v3, got $delStats / $mergeV")
+    val live = AtomicTable.read(spark, root)
+    assert(live.filter(col("id").between(100, 250)).count() == 0,
+      "the delete's effect was lost in the race")
+    assert(live.filter(col("src") === "merged").count() == 200,
+      "the merge's effect was lost in the race")
+    assert(live.count() == 4000 - 151 + 200)
+    // no abandoned stage dirs from the losing attempt
+    val stages = Files.list(Paths.get(root)).iterator().asScala
+      .count(_.getFileName.toString.startsWith(".stage"))
+    assert(stages == 0, s"$stages stage dirs leaked")
+  }
+
+  test("a bare orphan v{N+1} from a crashed delete is overwritten, stage cleaned") {
+    val root = "spark-warehouse/test_s22_orphan"
+    buildTable(root, 2000)
+    // simulate a crash between the stage rename and publish: v2 exists on
+    // disk (incomplete junk), the manifest still names v1
+    val orphan = Paths.get(root, "v2")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
+    val stats = TargetedDelete.deleteKeys(spark, root, "id", Seq(5L, 6L))
+    assert(stats.version == "v2")
+    val live = spark.read.parquet(s"$root/v2")
+    assert(live.count() == 1998 && live.filter(col("id").isin(5L, 6L)).count() == 0)
+    val stages = Files.list(Paths.get(root)).iterator().asScala
+      .count(_.getFileName.toString.startsWith(".stage"))
+    assert(stages == 0, s"$stages stage dirs leaked")
+  }
+
   test("pruning old versions unlinks names, never the live version's inodes") {
     val root = "spark-warehouse/test_s22_prune"
     buildTable(root, 4000)
