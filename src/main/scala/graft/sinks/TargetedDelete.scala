@@ -309,16 +309,71 @@ object TargetedDelete {
         sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** Post-delete survivor aggregate — the shared tail of every s22 query. */
+  private def survivorAgg(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/${AtomicTable.currentVersion(root).get}")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+
+  /** Same delete through the MULTI-WRITER path: table seeded via
+    * mergeCommit, keys removed via [[deleteKeysOcc]] — the OCC
+    * claim/rebase/marker corridor under the driver's hash gate (the RACE
+    * itself is TargetedDeleteSpec territory; this pins the protocol's
+    * sequential correctness cross-engine). */
+  def qS22TargetedDeleteOcc(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_occ"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.mergeCommit(spark, root)(_ =>
+      Tables.documents(spark, dir)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")))
+    deleteKeysOcc(spark, root, "doc_id", deleteSet)
+    survivorAgg(spark, root)
+  }
+
+  /** Volume variant forcing BOTH scale branches at every SF: 24 live files
+    * (> [[ParallelFooterThreshold]] → the pruning decision runs as a Spark
+    * job) and 2000 delete keys (> [[IsinKeyThreshold]] → broadcast anti
+    * join). The key set is scattered (every 3rd id), so this also pins the
+    * degenerate rewrite-heavy shape at data volume. */
+  val VolKeyStride = 3L; val VolKeyMax = 6000L
+  def volDeleteSet: Seq[Long] = 0L.until(VolKeyMax, VolKeyStride)
+
+  def qS22TargetedDeleteVol(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_vol"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(24, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root)
+    deleteKeys(spark, root, "doc_id", volDeleteSet)
+    survivorAgg(spark, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s22_targeted_delete" -> (qS22TargetedDelete _))
+    "s22_targeted_delete" -> (qS22TargetedDelete _),
+    "s22_targeted_delete_occ" -> (qS22TargetedDeleteOcc _),
+    "s22_targeted_delete_vol" -> (qS22TargetedDeleteVol _))
+
+  private val s22OracleSql: String =
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM documents
+       |WHERE NOT (doc_id BETWEEN $DeleteFrom AND $DeleteTo
+       |           OR doc_id IN (${DeleteSingles.mkString(", ")}))
+       |GROUP BY lang, source""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "s22_targeted_delete" ->
+    "s22_targeted_delete" -> s22OracleSql,
+    "s22_targeted_delete_occ" -> s22OracleSql,
+    "s22_targeted_delete_vol" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM documents
-         |WHERE NOT (doc_id BETWEEN $DeleteFrom AND $DeleteTo
-         |           OR doc_id IN (${DeleteSingles.mkString(", ")}))
+         |WHERE NOT (doc_id % $VolKeyStride = 0 AND doc_id < $VolKeyMax)
          |GROUP BY lang, source""".stripMargin)
 }
