@@ -20,13 +20,15 @@ import graft.Tables
   * AtomicTable protocol; the reference pipeline's deletes are Postgres row
   * deletes, utils/database.py — this is the lakehouse re-expression).
   *
-  * Scale shape (r15 advisories folded in): the pruning decision reads footer
-  * METADATA only (one ~KB-sized read per file, no row groups), and past
-  * [[ParallelFooterThreshold]] files the footer reads run as a SPARK JOB
-  * over the file list — 10⁵–10⁶-file tables prune at executor parallelism,
-  * never in a driver loop (a manifest holding per-file column stats, the
-  * Delta/Iceberg move, would skip even those reads; the footer is the
-  * stats source this file protocol owns). BIGINT and STRING key stats both
+  * Scale shape (r15 advisories folded in): the pruning decision prefers the
+  * version's MANIFEST-HELD stats sidecar ([[StatsFile]] — one small
+  * sequential read regardless of file count, the Delta/Iceberg move; build
+  * it with [[indexKeyStats]], and every delete writes its output version's
+  * sidecar so the index self-maintains); files the sidecar doesn't cover
+  * fall back to footer METADATA reads (one ~KB-sized read per file, no row
+  * groups), and past [[ParallelFooterThreshold]] files those run as a SPARK
+  * JOB over the file list — 10⁵–10⁶-file tables prune at executor
+  * parallelism, never in a driver loop. BIGINT and STRING key stats both
   * decode; any other key type falls to the conservative rewrite-everything
   * branch. The rewrite job scans just the intersecting files, and the
   * delete predicate is a literal NOT-IN while the key set is small
@@ -51,9 +53,12 @@ import graft.Tables
   * a loser rebases on the winner's version and re-prunes. */
 object TargetedDelete {
 
-  /** What the delete touched — the audit row a maintenance job logs. */
+  /** What the delete touched — the audit row a maintenance job logs.
+    * `footerReads` counts live files whose pruning decision needed a real
+    * parquet footer read (0 when the version's `_KEYSTATS` sidecar already
+    * indexed the key column — the manifest-held-stats path). */
   final case class DeleteStats(version: String, totalFiles: Int,
-      rewrittenFiles: Int, reusedFiles: Int)
+      rewrittenFiles: Int, reusedFiles: Int, footerReads: Int = 0)
 
   /** Above this many live files the footer-stats reads run as a Spark job
     * over the file list instead of a driver loop. */
@@ -100,23 +105,26 @@ object TargetedDelete {
   final case class StringKeys(sorted: Array[String]) extends KeySet {
     def size: Int = sorted.length
     def intersectsStats(mn: Any, mx: Any): Boolean = {
-      // parquet BINARY/UTF8 stats surface as Binary; decode and compare as
-      // Strings (UTF-8 byte order IS codepoint order, so the comparison
-      // both engines wrote the stats under is the one we replay). Writers
-      // may TRUNCATE binary stats: a truncated max is a PREFIX-extended
-      // upper bound the comparison below still respects only if the writer
-      // adjusted it upward (parquet-mr does); unknown shapes stay
-      // conservative via the catch-all.
+      // parquet BINARY/UTF8 stats surface as Binary (decoded Strings arrive
+      // from the _KEYSTATS sidecar); UTF-8 byte order IS codepoint order, so
+      // the String comparison replays the order the stats were written
+      // under. Writers may TRUNCATE binary stats: a truncated max is a
+      // PREFIX-extended upper bound the comparison below still respects only
+      // if the writer adjusted it upward (parquet-mr does); unknown shapes
+      // stay conservative via the catch-all.
+      def anyIn(lo: String, hi: String): Boolean = {
+        val i = {
+          val idx = java.util.Arrays.binarySearch(
+            sorted.asInstanceOf[Array[AnyRef]], lo,
+            Ordering.String.asInstanceOf[java.util.Comparator[AnyRef]])
+          if (idx >= 0) idx else -idx - 1
+        }
+        i < sorted.length && sorted(i) <= hi
+      }
       (mn, mx) match {
         case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
-          val lo = a.toStringUsingUTF8; val hi = b.toStringUsingUTF8
-          val i = {
-            val idx = java.util.Arrays.binarySearch(
-              sorted.asInstanceOf[Array[AnyRef]], lo,
-              Ordering.String.asInstanceOf[java.util.Comparator[AnyRef]])
-            if (idx >= 0) idx else -idx - 1
-          }
-          i < sorted.length && sorted(i) <= hi
+          anyIn(a.toStringUsingUTF8, b.toStringUsingUTF8)
+        case (a: String, b: String) => anyIn(a, b)
         case _ => true
       }
     }
@@ -137,42 +145,137 @@ object TargetedDelete {
     finally st.close()
   }
 
-  /** Does `f`'s footer admit any key in some row group's [min, max] for
-    * `keyCol`? Missing/empty statistics are treated as intersecting
-    * (conservative: rewrite rather than silently keep). */
-  private[sinks] def footerIntersects(f: String, keyCol: String, ks: KeySet): Boolean = {
+  // ---------------------------------------- manifest-held key statistics
+
+  /** A file's whole-file key range as one sidecar row: ("long"|"string",
+    * min, max), or ("none","","") when the footer proves nothing (missing /
+    * mixed-type / empty stats — conservative: the file always rewrites). */
+  type StatRow = (String, String, String)
+
+  /** Per-version stats sidecar: lives INSIDE the version directory, so it
+    * travels with the OCC claim's atomic rename, is pruned with its version,
+    * and is invisible to readers (the leading underscore is Hadoop/Spark's
+    * hidden-file convention). One row per (file, column). This is the
+    * manifest-held-stats move a Delta/Iceberg commit log makes: once a key
+    * column is indexed, every later delete's pruning decision is ONE small
+    * sequential file read — zero parquet footers at any table size. */
+  val StatsFile = "_KEYSTATS.tsv"
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def loadStats(versionDir: Path): Map[(String, String), StatRow] = {
+    val p = versionDir.resolve(StatsFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val a = line.split("\t", 5)
+      (dec(a(0)), dec(a(1))) -> ((a(2), dec(a(3)), dec(a(4))))
+    }.toMap
+  }
+
+  private def writeStats(versionDir: Path,
+      rows: Map[(String, String), StatRow]): Unit = {
+    val body = rows.toSeq.sortBy(_._1).map { case ((f, c), (k, mn, mx)) =>
+      s"${enc(f)}\t${enc(c)}\t$k\t${enc(mn)}\t${enc(mx)}"
+    }.mkString("\n")
+    val tmp = versionDir.resolve(s".$StatsFile.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, versionDir.resolve(StatsFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Extract `keyCol`'s whole-file range from `f`'s parquet footer —
+    * metadata-only (~KB), no row groups. */
+  private[sinks] def footerStatRow(f: String, keyCol: String): StatRow = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(Paths.get(f).toUri), new Configuration())
     val r = ParquetFileReader.open(in)
     try {
-      r.getFooter.getBlocks.asScala.exists { block =>
+      val perBlock = r.getFooter.getBlocks.asScala.toSeq.map { block =>
         block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
-          case None => true
+          case None => None
           case Some(cc) =>
             val st = cc.getStatistics
-            if (st == null || !st.hasNonNullValue) true
-            else ks.intersectsStats(st.genericGetMin, st.genericGetMax)
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Long, b: java.lang.Long) =>
+                Some(("long", a.toString, b.toString))
+              case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+                Some(("string", a.toStringUsingUTF8, b.toStringUsingUTF8))
+              case _ => None
+            }
+        }
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty) ||
+          perBlock.flatten.map(_._1).distinct.size != 1) ("none", "", "")
+      else {
+        val rows = perBlock.flatten
+        rows.head._1 match {
+          case "long" =>
+            ("long", rows.map(_._2.toLong).min.toString, rows.map(_._3.toLong).max.toString)
+          case kind => (kind, rows.map(_._2).min, rows.map(_._3).max)
         }
       }
     } finally r.close()
   }
 
-  /** Partition the live files into (touched, reusable) by footer stats —
-    * a driver loop for small tables, a Spark job past
-    * [[ParallelFooterThreshold]] (the keys ride to executors inside the
-    * task closure; they are a delete REQUEST, driver-sized by nature). */
-  private def pruneFiles(spark: SparkSession, files: Seq[Path], keyCol: String,
-      ks: KeySet): (Seq[Path], Seq[Path]) =
-    if (files.size <= ParallelFooterThreshold) {
-      files.partition(p => footerIntersects(p.toString, keyCol, ks))
-    } else {
-      val names = files.map(_.toString)
-      val touched = spark.sparkContext
-        .parallelize(names, math.min(names.size, 256).max(1))
-        .filter(p => footerIntersects(p, keyCol, ks))
-        .collect().toSet // file NAMES only — O(touched), not data
-      files.partition(p => touched.contains(p.toString))
+  /** Does a stat row admit any delete key? "none" is conservative-true. */
+  private def rowIntersects(row: StatRow, ks: KeySet): Boolean = row match {
+    case ("long", mn, mx) =>
+      ks.intersectsStats(java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx))
+    case ("string", mn, mx) => ks.intersectsStats(mn, mx)
+    case _ => true
+  }
+
+  /** Stat rows for `files` — a driver loop for small batches, a Spark job
+    * past [[ParallelFooterThreshold]] (file NAMES out, rows back — the keys
+    * and rows are a delete request / an index, driver-sized by nature). */
+  private def statRowsFor(spark: SparkSession, files: Seq[Path],
+      keyCol: String): Map[String, StatRow] =
+    if (files.isEmpty) Map.empty
+    else if (files.size <= ParallelFooterThreshold)
+      files.map(f => f.getFileName.toString -> footerStatRow(f.toString, keyCol)).toMap
+    else spark.sparkContext
+      .parallelize(files.map(_.toString), math.min(files.size, 256).max(1))
+      .map(p => Paths.get(p).getFileName.toString -> footerStatRow(p, keyCol))
+      .collect().toMap
+
+  /** Build (or extend) the LIVE version's `_KEYSTATS` index for `keyCol`:
+    * footer-read each unindexed file ONCE (executor-parallel past the
+    * threshold), then every later delete on this column prunes from the
+    * sidecar with zero footer reads. Returns the number of files indexed.
+    * Adding a sidecar to a committed version is metadata augmentation —
+    * data files are never touched. */
+  def indexKeyStats(spark: SparkSession, root: String, keyCol: String): Int = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    val liveDir = Paths.get(root, live)
+    val old = loadStats(liveDir)
+    val missing = partFiles(liveDir)
+      .filterNot(f => old.contains((f.getFileName.toString, keyCol)))
+    val fresh = statRowsFor(spark, missing, keyCol)
+    if (fresh.nonEmpty)
+      writeStats(liveDir, old ++ fresh.map { case (n, row) => (n, keyCol) -> row })
+    missing.size
+  }
+
+  private final case class Pruned(touched: Seq[Path], reused: Seq[Path],
+      footerReads: Int, keyRows: Map[String, StatRow])
+
+  /** Partition the live files into (touched, reusable): sidecar rows decide
+    * for free; only files the sidecar doesn't cover fall back to footer
+    * reads (hybrid — a partial index still prunes maximally). */
+  private def pruneFiles(spark: SparkSession, liveDir: Path, files: Seq[Path],
+      keyCol: String, ks: KeySet): Pruned = {
+    val side = loadStats(liveDir).collect {
+      case ((f, c), row) if c == keyCol => f -> row
     }
+    val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
+    val rows = side ++ statRowsFor(spark, unknown, keyCol)
+    val (touched, reused) =
+      files.partition(f => rowIntersects(rows(f.getFileName.toString), ks))
+    Pruned(touched, reused, unknown.size, rows)
+  }
 
   /** The survivor filter over the touched files' rows. */
   private def survivors(df: DataFrame, keyCol: String, ks: KeySet): DataFrame =
@@ -181,17 +284,22 @@ object TargetedDelete {
       df(keyCol) === col("__del_key"), "left_anti")
 
   /** Stage the post-delete state of `liveDir` into `stageDir`: rewrite the
-    * footer-intersecting files, hard-link the rest. Shared by the
-    * single-writer and the OCC paths. Returns (total, rewritten, reused). */
+    * stats-intersecting files, hard-link the rest, and write the NEXT
+    * version's `_KEYSTATS` sidecar — reused files carry their rows forward
+    * (all indexed columns), freshly-rewritten files get `keyCol` rows from
+    * their just-written local footers, so a delete's output version is
+    * always fully indexed on the delete column and the next delete on it
+    * needs ZERO footer reads. Shared by the single-writer and OCC paths.
+    * Returns (total, rewritten, reused, footerReads). */
   private def stageDelete(spark: SparkSession, liveDir: Path, stageDir: Path,
-      keyCol: String, ks: KeySet): (Int, Int, Int) = {
+      keyCol: String, ks: KeySet): (Int, Int, Int, Int) = {
     val files = partFiles(liveDir)
-    val (touched, reused) = pruneFiles(spark, files, keyCol, ks)
+    val pr = pruneFiles(spark, liveDir, files, keyCol, ks)
     Files.createDirectories(stageDir)
-    if (touched.nonEmpty) {
+    if (pr.touched.nonEmpty) {
       // one job over ONLY the intersecting files
       val rewriteOut = stageDir.resolve("rewrite")
-      survivors(spark.read.parquet(touched.map(_.toString): _*), keyCol, ks)
+      survivors(spark.read.parquet(pr.touched.map(_.toString): _*), keyCol, ks)
         .write.mode("overwrite").parquet(rewriteOut.toString)
       partFiles(rewriteOut).foreach { f =>
         Files.move(f, stageDir.resolve(f.getFileName))
@@ -201,8 +309,17 @@ object TargetedDelete {
       finally rest.close()
       Files.delete(rewriteOut)
     }
-    reused.foreach(linkInto(stageDir, _))
-    (files.size, touched.size, reused.size)
+    pr.reused.foreach(linkInto(stageDir, _))
+    val reusedNames = pr.reused.map(_.getFileName.toString).toSet
+    val carried = loadStats(liveDir).filter { case ((f, _), _) => reusedNames(f) }
+    val reusedKeyRows = reusedNames.toSeq
+      .map(n => (n, keyCol) -> pr.keyRows(n)).toMap
+    val freshFiles = partFiles(stageDir).filterNot(p => reusedNames(p.getFileName.toString))
+    val freshRows = freshFiles
+      .map(p => (p.getFileName.toString, keyCol) ->
+        footerStatRow(p.toString, keyCol)).toMap
+    writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
+    (files.size, pr.touched.size, pr.reused.size, pr.footerReads)
   }
 
   /** Link (or copy, cross-device) `src` into `dir` under its own name. */
@@ -240,7 +357,7 @@ object TargetedDelete {
     val liveDir = Paths.get(root, live)
     val stageDir = Paths.get(root, s".stage-del-${java.util.UUID.randomUUID()}")
     try {
-      val (total, rewritten, reusedN) =
+      val (total, rewritten, reusedN, footerReads) =
         stageDelete(spark, liveDir, stageDir, keyCol, ks)
       val next = "v" + (live.drop(1).toLong + 1)
       val target = Paths.get(root, next)
@@ -252,7 +369,7 @@ object TargetedDelete {
       if (Files.exists(target) && next != live) AtomicTable.deleteRecursively(target)
       Files.move(stageDir, target, StandardCopyOption.ATOMIC_MOVE)
       AtomicTable.publish(root, next)
-      DeleteStats(next, total, rewritten, reusedN)
+      DeleteStats(next, total, rewritten, reusedN, footerReads)
     } finally {
       if (Files.exists(stageDir)) AtomicTable.deleteRecursively(stageDir)
     }
@@ -268,13 +385,13 @@ object TargetedDelete {
       keys: Seq[Long], maxRetries: Int = 16,
       pruneAgeMs: Long = AtomicTable.MergePruneAgeMs): DeleteStats = {
     val ks = longKeySet(keys)
-    @volatile var last: (Int, Int, Int) = (0, 0, 0)
+    @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
     val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
       val liveV = base.getOrElse(
         throw new IllegalStateException(s"no live version at $root"))
       last = stageDelete(spark, Paths.get(root, liveV), stageDir, keyCol, ks)
     }
-    DeleteStats(v, last._1, last._2, last._3)
+    DeleteStats(v, last._1, last._2, last._3, last._4)
   }
 
   // ---- declared query -------------------------------------------------
@@ -352,10 +469,32 @@ object TargetedDelete {
     survivorAgg(spark, root)
   }
 
+  /** Same delete through the MANIFEST-HELD-STATS path: the key column is
+    * indexed into the version's `_KEYSTATS` sidecar first, then the delete's
+    * pruning decision reads ZERO parquet footers (enforced — the query
+    * throws otherwise, so the hash row is green only through the indexed
+    * path). At 10⁶ files this is the difference between a distributed
+    * footer sweep and one small sequential metadata read. */
+  def qS22TargetedDeleteIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_idx"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root)
+    indexKeyStats(spark, root, "doc_id")
+    val stats = deleteKeys(spark, root, "doc_id", deleteSet)
+    if (stats.footerReads != 0)
+      throw new IllegalStateException(
+        s"indexed delete read ${stats.footerReads} footers — sidecar not used")
+    survivorAgg(spark, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_targeted_delete" -> (qS22TargetedDelete _),
     "s22_targeted_delete_occ" -> (qS22TargetedDeleteOcc _),
-    "s22_targeted_delete_vol" -> (qS22TargetedDeleteVol _))
+    "s22_targeted_delete_vol" -> (qS22TargetedDeleteVol _),
+    "s22_targeted_delete_indexed" -> (qS22TargetedDeleteIndexed _))
 
   private val s22OracleSql: String =
     s"""SELECT lang, source, count(*) AS n_docs,
@@ -369,6 +508,7 @@ object TargetedDelete {
   val oracles: Map[String, String] = Map(
     "s22_targeted_delete" -> s22OracleSql,
     "s22_targeted_delete_occ" -> s22OracleSql,
+    "s22_targeted_delete_indexed" -> s22OracleSql,
     "s22_targeted_delete_vol" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -194,6 +194,36 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(stages == 0, s"$stages stage dirs leaked")
   }
 
+  test("indexed delete prunes from the _KEYSTATS sidecar with zero footer reads, and the index self-maintains") {
+    val root = "spark-warehouse/test_s22_stats"
+    buildTable(root, 8000)
+    // un-indexed first delete: every pruning decision is a footer read,
+    // but the OUTPUT version's sidecar is written (reused rows carried,
+    // fresh rewrite rows computed)
+    val d1 = TargetedDelete.deleteKeys(spark, root, "id", (100L to 250L))
+    assert(d1.footerReads == d1.totalFiles,
+      s"un-indexed delete should footer-read every file, read ${d1.footerReads}")
+    assert(Files.exists(Paths.get(root, d1.version, TargetedDelete.StatsFile)))
+    // second delete on the self-maintained index: ZERO footer reads, same
+    // clustered selectivity
+    val d2 = TargetedDelete.deleteKeys(spark, root, "id", (4000L to 4150L))
+    assert(d2.footerReads == 0,
+      s"sidecar-indexed delete read ${d2.footerReads} footers")
+    assert(d2.rewrittenFiles >= 1 && d2.rewrittenFiles <= 2)
+    val live = spark.read.parquet(s"$root/${d2.version}")
+    assert(live.count() == 8000 - 151 - 151)
+    assert(live.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 8000L).sum - (100L to 250L).sum - (4000L to 4150L).sum)
+    // explicit indexing on a fresh table gives the zero-read path up front
+    val root2 = "spark-warehouse/test_s22_stats2"
+    buildTable(root2, 4000)
+    assert(TargetedDelete.indexKeyStats(spark, root2, "id") == 8)
+    assert(TargetedDelete.indexKeyStats(spark, root2, "id") == 0) // idempotent
+    val d3 = TargetedDelete.deleteKeys(spark, root2, "id", (100L to 200L))
+    assert(d3.footerReads == 0 && d3.rewrittenFiles <= 2)
+    assert(spark.read.parquet(s"$root2/${d3.version}").count() == 4000 - 101)
+  }
+
   test("a bare orphan v{N+1} from a crashed delete is overwritten, stage cleaned") {
     val root = "spark-warehouse/test_s22_orphan"
     buildTable(root, 2000)
