@@ -383,8 +383,17 @@ object TargetedDelete {
     * .mergeCommit]]s. Stats reflect the attempt that won. */
   def deleteKeysOcc(spark: SparkSession, root: String, keyCol: String,
       keys: Seq[Long], maxRetries: Int = 16,
-      pruneAgeMs: Long = AtomicTable.MergePruneAgeMs): DeleteStats = {
-    val ks = longKeySet(keys)
+      pruneAgeMs: Long = AtomicTable.MergePruneAgeMs): DeleteStats =
+    deleteKeySetOcc(spark, root, keyCol, longKeySet(keys), maxRetries, pruneAgeMs)
+
+  /** [[deleteKeysOcc]] for STRING-keyed tables. */
+  def deleteStringKeysOcc(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[String], maxRetries: Int = 16,
+      pruneAgeMs: Long = AtomicTable.MergePruneAgeMs): DeleteStats =
+    deleteKeySetOcc(spark, root, keyCol, stringKeySet(keys), maxRetries, pruneAgeMs)
+
+  private def deleteKeySetOcc(spark: SparkSession, root: String, keyCol: String,
+      ks: KeySet, maxRetries: Int, pruneAgeMs: Long): DeleteStats = {
     @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
     val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
       val liveV = base.getOrElse(
