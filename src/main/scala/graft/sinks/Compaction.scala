@@ -99,13 +99,130 @@ object Compaction {
         countDistinct(col("event_id")).as("n_distinct_ids"))
   }
 
+  // ------------------------------------------------- versioned OPTIMIZE
+
+  /** What a versioned compaction did. `linkedFiles` carried by inode;
+    * `coalescedInputs` small files were folded into `outputFiles` new ones. */
+  final case class CompactStats(version: String, totalFiles: Int,
+      coalescedInputs: Int, outputFiles: Int, linkedFiles: Int)
+
+  /** VERSIONED OPTIMIZE on the AtomicTable protocol — Delta's `OPTIMIZE` /
+    * Iceberg's `rewrite_data_files` inside the commit log rather than in
+    * place: coalesce the live version's small files (< targetBytes/2) into
+    * ~targetBytes outputs, HARD-LINK every already-big-enough file into the
+    * next version (O(1), no data movement — same reuse as the targeted
+    * delete), carry the `_KEYSTATS` sidecar rows of linked files forward and
+    * index the fresh outputs on `statsCol` so a maintenance pass never
+    * degrades the delete path's zero-footer-read index, and commit through
+    * [[AtomicTable.occCommit]]'s claim/rebase CAS so it races safely with
+    * concurrent writers. A version with ≤1 small file is already optimal:
+    * no new version is committed (maintenance must be idempotent-cheap, not
+    * version-churning).
+    *
+    * 100 TB: the DECISION is one directory listing + (optionally) one
+    * sidecar read; the REWRITE touches only the small-file fraction; links
+    * do the rest. */
+  def compactVersion(spark: SparkSession, root: String,
+      targetBytes: Long = TargetBytes,
+      statsCol: Option[String] = None): CompactStats = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val live0 = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    // cheap pre-check outside the commit: nothing to do → no version churn
+    val files0 = TargetedDelete.partFiles(Paths.get(root, live0))
+    val small0 = files0.filter(f => JFiles.size(f) < targetBytes / 2)
+    if (small0.size <= 1)
+      return CompactStats(live0, files0.size, 0, 0, files0.size)
+    var out: (Int, Int, Int, Int) = (0, 0, 0, 0)
+    val v = AtomicTable.occCommit(root) { (base, stageDir) =>
+      val liveDir = Paths.get(root, base.getOrElse(
+        throw new IllegalStateException(s"no live version at $root")))
+      val files = TargetedDelete.partFiles(liveDir)
+      val (small, big) = files.partition(f => JFiles.size(f) < targetBytes / 2)
+      JFiles.createDirectories(stageDir)
+      var nOut = 0
+      if (small.size > 1) {
+        val bytes = small.map(JFiles.size(_)).sum
+        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val rewriteOut = stageDir.resolve("rewrite")
+        spark.read.parquet(small.map(_.toString): _*)
+          .repartition(n)
+          .write.mode("overwrite").parquet(rewriteOut.toString)
+        TargetedDelete.partFiles(rewriteOut).foreach { f =>
+          JFiles.move(f, stageDir.resolve(f.getFileName)); nOut += 1
+        }
+        val rest = JFiles.list(rewriteOut)
+        try { import scala.jdk.CollectionConverters._
+          rest.iterator().asScala.toSeq.foreach(JFiles.delete) }
+        finally rest.close()
+        JFiles.delete(rewriteOut)
+      } else small.foreach(TargetedDelete.linkInto(stageDir, _))
+      big.foreach(TargetedDelete.linkInto(stageDir, _))
+      // stats lifecycle: linked files keep ALL their indexed rows; fresh
+      // outputs get statsCol rows from their just-written local footers
+      val linkedNames = (big ++ (if (small.size > 1) Nil else small))
+        .map(_.getFileName.toString).toSet
+      val carried = TargetedDelete.loadStats(liveDir)
+        .filter { case ((f, _), _) => linkedNames(f) }
+      val fresh = statsCol match {
+        case Some(c) =>
+          val newFiles = TargetedDelete.partFiles(stageDir)
+            .filterNot(p => linkedNames(p.getFileName.toString))
+          TargetedDelete.statRowsFor(spark, newFiles, c)
+            .map { case (n, row) => (n, c) -> row }
+        case None => Map.empty[(String, String), TargetedDelete.StatRow]
+      }
+      if (carried.nonEmpty || fresh.nonEmpty)
+        TargetedDelete.writeStats(stageDir, carried ++ fresh)
+      out = (files.size, small.size, nOut, big.size)
+    }
+    CompactStats(v, out._1, out._2, out._3, out._4)
+  }
+
+  def versionedRoot(dir: String): String =
+    "spark-warehouse/s18_events_vers_" + new java.io.File(dir).getName
+
+  /** Driver-gated versioned-OPTIMIZE round trip: commit a deliberately
+    * fragmented events table (32 writer-parallel small files), compact it
+    * through the OCC protocol, and aggregate the post-compaction live
+    * version — the oracle replays the aggregate over the source, so the
+    * hash row proves the coalesce+link+commit lost and duplicated nothing.
+    * The query also asserts the layout actually improved (fewer live files,
+    * some links) so the row cannot go green on a no-op. */
+  def qS18CompactionVersioned(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val root = versionedRoot(dir)
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.events(spark, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .drop("ts") // render once; raw nanos ts must not reach the output
+        .repartition(32), root)
+    val stats = compactVersion(spark, root, statsCol = Some("event_id"))
+    if (stats.version == "v1" || stats.outputFiles >= stats.coalescedInputs)
+      throw new IllegalStateException(s"compaction was a no-op: $stats")
+    AtomicTable.read(spark, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        countDistinct(col("event_id")).as("n_distinct_ids"),
+        max(col("day")).as("max_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s18_compaction" -> (qS18Compaction _))
+    "s18_compaction" -> (qS18Compaction _),
+    "s18_compaction_versioned" -> (qS18CompactionVersioned _))
 
   val oracles: Map[String, String] = Map(
     "s18_compaction" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
         |  count(DISTINCT event_id) AS n_distinct_ids
+        |FROM events GROUP BY event_type""".stripMargin,
+    "s18_compaction_versioned" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT event_id) AS n_distinct_ids,
+        |  max(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS max_day
         |FROM events GROUP BY event_type""".stripMargin)
 }

@@ -137,7 +137,7 @@ object TargetedDelete {
   }
 
   /** Parquet part files of a directory (skips markers/CRCs). */
-  private def partFiles(dir: Path): Seq[Path] = {
+  private[sinks] def partFiles(dir: Path): Seq[Path] = {
     val st = Files.list(dir)
     try st.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -164,7 +164,7 @@ object TargetedDelete {
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def loadStats(versionDir: Path): Map[(String, String), StatRow] = {
+  private[sinks] def loadStats(versionDir: Path): Map[(String, String), StatRow] = {
     val p = versionDir.resolve(StatsFile)
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
@@ -173,7 +173,7 @@ object TargetedDelete {
     }.toMap
   }
 
-  private def writeStats(versionDir: Path,
+  private[sinks] def writeStats(versionDir: Path,
       rows: Map[(String, String), StatRow]): Unit = {
     val body = rows.toSeq.sortBy(_._1).map { case ((f, c), (k, mn, mx)) =>
       s"${enc(f)}\t${enc(c)}\t$k\t${enc(mn)}\t${enc(mx)}"
@@ -230,7 +230,7 @@ object TargetedDelete {
   /** Stat rows for `files` — a driver loop for small batches, a Spark job
     * past [[ParallelFooterThreshold]] (file NAMES out, rows back — the keys
     * and rows are a delete request / an index, driver-sized by nature). */
-  private def statRowsFor(spark: SparkSession, files: Seq[Path],
+  private[sinks] def statRowsFor(spark: SparkSession, files: Seq[Path],
       keyCol: String): Map[String, StatRow] =
     if (files.isEmpty) Map.empty
     else if (files.size <= ParallelFooterThreshold)
@@ -323,7 +323,7 @@ object TargetedDelete {
   }
 
   /** Link (or copy, cross-device) `src` into `dir` under its own name. */
-  private def linkInto(dir: Path, src: Path): Unit = {
+  private[sinks] def linkInto(dir: Path, src: Path): Unit = {
     val dst = dir.resolve(src.getFileName)
     try Files.createLink(dst, src)
     catch { case _: UnsupportedOperationException | _: java.io.IOException =>

@@ -66,4 +66,69 @@ class CompactionSpec extends AnyFunSuite {
     // nothing lost, nothing duplicated beyond the deliberate append
     assert(spark.read.parquet(path).count() == total0 + clickRows)
   }
+
+  test("versioned OPTIMIZE: links big files by inode, coalesces small, keeps the stats index alive") {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sinks.{AtomicTable, TargetedDelete}
+    def fileKey(p: Path): AnyRef =
+      Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    def parts(dir: Path): Seq[Path] = {
+      val st = Files.list(dir)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally st.close()
+    }
+    def deleteAll(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p)
+        try it.iterator().asScala.toSeq.foreach(deleteAll) finally it.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    val root = "spark-warehouse/test_s18_versioned"
+    deleteAll(Paths.get(root))
+    // mixed layout: one BIG id-clustered file (ids 0..99999) + 12 small ones
+    val big = spark.range(100000L).select(col("id"), lit("big").as("tag")).coalesce(1)
+    val small = spark.range(100000L, 101200L)
+      .select(col("id"), lit("small").as("tag")).repartition(12)
+    // hand-assemble v1 with the mixed layout: one big + 12 small part files
+    Files.createDirectories(Paths.get(root, "v1"))
+    big.write.mode("overwrite").parquet(s"$root/.tmp_big")
+    small.write.mode("overwrite").parquet(s"$root/.tmp_small")
+    (parts(Paths.get(root, ".tmp_big")) ++ parts(Paths.get(root, ".tmp_small")))
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.move(f, Paths.get(root, "v1", f"part-$i%05d.parquet")) }
+    deleteAll(Paths.get(root, ".tmp_big"))
+    deleteAll(Paths.get(root, ".tmp_small"))
+    AtomicTable.publish(root, "v1")
+    TargetedDelete.indexKeyStats(spark, root, "id")
+    val bigFile = parts(Paths.get(root, "v1")).maxBy(Files.size(_))
+    val bigKey = fileKey(bigFile)
+    val nBefore = AtomicTable.read(spark, root).count()
+
+    // threshold chosen so ONLY the 12 tiny files coalesce (big == target is
+    // not < target/2), and so the post-delete big REWRITE (marginally
+    // smaller than big) still clears target/2 — keeping the later
+    // idempotence call a true no-op
+    val target = Files.size(bigFile)
+    val stats = Compaction.compactVersion(spark, root, target, statsCol = Some("id"))
+    assert(stats.version == "v2", stats.toString)
+    assert(stats.coalescedInputs == 12 && stats.outputFiles < 12 && stats.linkedFiles == 1,
+      stats.toString)
+    // the big file traveled by inode, not copy
+    val v2big = Paths.get(root, "v2", bigFile.getFileName.toString)
+    assert(Files.exists(v2big) && fileKey(v2big) == bigKey, "big file was copied, not linked")
+    // nothing lost, nothing duplicated
+    assert(AtomicTable.read(spark, root).count() == nBefore)
+    // stats lifecycle: a delete on the compacted version reads ZERO footers
+    val d = TargetedDelete.deleteKeys(spark, root, "id", Seq(5L, 100050L))
+    assert(d.footerReads == 0, s"compaction degraded the stats index: $d")
+    assert(AtomicTable.read(spark, root).count() == nBefore - 2)
+    // idempotence: an already-optimal version does not churn a new version
+    val again = Compaction.compactVersion(spark, root, target, statsCol = Some("id"))
+    assert(again.version == d.version && again.outputFiles == 0,
+      s"no-op compaction churned a version: $again")
+  }
 }
