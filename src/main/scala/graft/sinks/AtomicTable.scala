@@ -219,11 +219,24 @@ object AtomicTable {
     * @return the committed version name
     */
   def mergeCommit(spark: SparkSession, root: String, maxRetries: Int = 16,
-      pruneAgeMs: Long = MergePruneAgeMs)
+      pruneAgeMs: Long = MergePruneAgeMs, statsCols: Seq[String] = Nil)
       (merge: Option[DataFrame] => DataFrame): String =
     occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
       val live = base.map(v => spark.read.parquet(s"$root/$v"))
       merge(live).write.mode("overwrite").parquet(stageDir.toString)
+      // statsCols: index the staged outputs into the version's _KEYSTATS
+      // sidecar (one local footer read per fresh file, executor-parallel
+      // past the threshold) so OCC merge writers emit INDEXED versions and
+      // the zero-footer-read delete path holds across every producer, not
+      // just delete/compact (r16 forward item 1)
+      if (statsCols.nonEmpty) {
+        val files = TargetedDelete.partFiles(stageDir)
+        val rows = statsCols.flatMap { c =>
+          KeyStats.statRowsFor(spark, files, c)
+            .map { case (n, row) => (n, c) -> row }
+        }.toMap
+        KeyStats.writeStats(stageDir, rows)
+      }
     }
 
   /** The OCC claim/rebase core [[mergeCommit]] runs on, factored so OTHER

@@ -1,0 +1,105 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+/** MANIFEST-HELD per-file column statistics for AtomicTable versions — the
+  * Delta/Iceberg stats-in-the-commit-log move on this file protocol. One
+  * `_KEYSTATS.tsv` INSIDE each version directory (it travels with the OCC
+  * claim's atomic rename, is pruned with its version, and the leading
+  * underscore keeps it out of every Hadoop/Spark scan), one row per
+  * (file, column) holding the whole-file min/max. Producers: [[TargetedDelete
+  * .indexKeyStats]] (explicit build), every targeted delete and versioned
+  * compaction (self-maintaining carry-forward), and [[AtomicTable
+  * .mergeCommit]] when given `statsCols` (so OCC merge writers emit indexed
+  * versions too). Consumer: the delete's pruning decision — one small
+  * sequential read instead of per-file footer reads at any table size. */
+object KeyStats {
+
+  /** A file's whole-file key range: ("long"|"string", min, max), or
+    * ("none","","") when the footer proves nothing (missing / mixed-type /
+    * empty stats — conservative: such a file always rewrites). */
+  type StatRow = (String, String, String)
+
+  val StatsFile = "_KEYSTATS.tsv"
+
+  /** Above this many files the footer reads run as a Spark job over the
+    * file list instead of a driver loop. */
+  val ParallelFooterThreshold = 16
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  def loadStats(versionDir: Path): Map[(String, String), StatRow] = {
+    val p = versionDir.resolve(StatsFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val a = line.split("\t", 5)
+      (dec(a(0)), dec(a(1))) -> ((a(2), dec(a(3)), dec(a(4))))
+    }.toMap
+  }
+
+  def writeStats(versionDir: Path,
+      rows: Map[(String, String), StatRow]): Unit = {
+    val body = rows.toSeq.sortBy(_._1).map { case ((f, c), (k, mn, mx)) =>
+      s"${enc(f)}\t${enc(c)}\t$k\t${enc(mn)}\t${enc(mx)}"
+    }.mkString("\n")
+    val tmp = versionDir.resolve(s".$StatsFile.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, versionDir.resolve(StatsFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Extract `keyCol`'s whole-file range from `f`'s parquet footer —
+    * metadata-only (~KB), no row groups. */
+  def footerStatRow(f: String, keyCol: String): StatRow = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(f).toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      val perBlock = r.getFooter.getBlocks.asScala.toSeq.map { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+          case None => None
+          case Some(cc) =>
+            val st = cc.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Long, b: java.lang.Long) =>
+                Some(("long", a.toString, b.toString))
+              case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+                Some(("string", a.toStringUsingUTF8, b.toStringUsingUTF8))
+              case _ => None
+            }
+        }
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty) ||
+          perBlock.flatten.map(_._1).distinct.size != 1) ("none", "", "")
+      else {
+        val rows = perBlock.flatten
+        rows.head._1 match {
+          case "long" =>
+            ("long", rows.map(_._2.toLong).min.toString, rows.map(_._3.toLong).max.toString)
+          case kind => (kind, rows.map(_._2).min, rows.map(_._3).max)
+        }
+      }
+    } finally r.close()
+  }
+
+  /** Stat rows for `files` — a driver loop for small batches, a Spark job
+    * past [[ParallelFooterThreshold]] (file NAMES out, rows back — the keys
+    * and rows are an index, driver-sized by nature). */
+  def statRowsFor(spark: SparkSession, files: Seq[Path],
+      keyCol: String): Map[String, StatRow] =
+    if (files.isEmpty) Map.empty
+    else if (files.size <= ParallelFooterThreshold)
+      files.map(f => f.getFileName.toString -> footerStatRow(f.toString, keyCol)).toMap
+    else spark.sparkContext
+      .parallelize(files.map(_.toString), math.min(files.size, 256).max(1))
+      .map(p => Paths.get(p).getFileName.toString -> footerStatRow(p, keyCol))
+      .collect().toMap
+}

@@ -3,9 +3,6 @@ package graft.sinks
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -59,10 +56,6 @@ object TargetedDelete {
     * indexed the key column — the manifest-held-stats path). */
   final case class DeleteStats(version: String, totalFiles: Int,
       rewrittenFiles: Int, reusedFiles: Int, footerReads: Int = 0)
-
-  /** Above this many live files the footer-stats reads run as a Spark job
-    * over the file list instead of a driver loop. */
-  val ParallelFooterThreshold = 16
 
   /** Above this many delete keys the survivor filter switches from a
     * literal NOT-IN predicate to a broadcast LEFT ANTI join. */
@@ -146,99 +139,24 @@ object TargetedDelete {
   }
 
   // ---------------------------------------- manifest-held key statistics
+  // (the machinery lives in [[KeyStats]], shared with Compaction and
+  // AtomicTable.mergeCommit; these aliases keep this object the delete-side
+  // entry point and the specs' import surface)
 
-  /** A file's whole-file key range as one sidecar row: ("long"|"string",
-    * min, max), or ("none","","") when the footer proves nothing (missing /
-    * mixed-type / empty stats — conservative: the file always rewrites). */
-  type StatRow = (String, String, String)
+  type StatRow = KeyStats.StatRow
+  val StatsFile: String = KeyStats.StatsFile
+  val ParallelFooterThreshold: Int = KeyStats.ParallelFooterThreshold
 
-  /** Per-version stats sidecar: lives INSIDE the version directory, so it
-    * travels with the OCC claim's atomic rename, is pruned with its version,
-    * and is invisible to readers (the leading underscore is Hadoop/Spark's
-    * hidden-file convention). One row per (file, column). This is the
-    * manifest-held-stats move a Delta/Iceberg commit log makes: once a key
-    * column is indexed, every later delete's pruning decision is ONE small
-    * sequential file read — zero parquet footers at any table size. */
-  val StatsFile = "_KEYSTATS.tsv"
-
-  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
-  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
-
-  private[sinks] def loadStats(versionDir: Path): Map[(String, String), StatRow] = {
-    val p = versionDir.resolve(StatsFile)
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
-      val a = line.split("\t", 5)
-      (dec(a(0)), dec(a(1))) -> ((a(2), dec(a(3)), dec(a(4))))
-    }.toMap
-  }
-
+  private[sinks] def loadStats(versionDir: Path): Map[(String, String), StatRow] =
+    KeyStats.loadStats(versionDir)
   private[sinks] def writeStats(versionDir: Path,
-      rows: Map[(String, String), StatRow]): Unit = {
-    val body = rows.toSeq.sortBy(_._1).map { case ((f, c), (k, mn, mx)) =>
-      s"${enc(f)}\t${enc(c)}\t$k\t${enc(mn)}\t${enc(mx)}"
-    }.mkString("\n")
-    val tmp = versionDir.resolve(s".$StatsFile.tmp")
-    Files.writeString(tmp, body)
-    Files.move(tmp, versionDir.resolve(StatsFile),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Extract `keyCol`'s whole-file range from `f`'s parquet footer —
-    * metadata-only (~KB), no row groups. */
-  private[sinks] def footerStatRow(f: String, keyCol: String): StatRow = {
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(Paths.get(f).toUri), new Configuration())
-    val r = ParquetFileReader.open(in)
-    try {
-      val perBlock = r.getFooter.getBlocks.asScala.toSeq.map { block =>
-        block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
-          case None => None
-          case Some(cc) =>
-            val st = cc.getStatistics
-            if (st == null || !st.hasNonNullValue) None
-            else (st.genericGetMin, st.genericGetMax) match {
-              case (a: java.lang.Long, b: java.lang.Long) =>
-                Some(("long", a.toString, b.toString))
-              case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
-                Some(("string", a.toStringUsingUTF8, b.toStringUsingUTF8))
-              case _ => None
-            }
-        }
-      }
-      if (perBlock.isEmpty || perBlock.exists(_.isEmpty) ||
-          perBlock.flatten.map(_._1).distinct.size != 1) ("none", "", "")
-      else {
-        val rows = perBlock.flatten
-        rows.head._1 match {
-          case "long" =>
-            ("long", rows.map(_._2.toLong).min.toString, rows.map(_._3.toLong).max.toString)
-          case kind => (kind, rows.map(_._2).min, rows.map(_._3).max)
-        }
-      }
-    } finally r.close()
-  }
-
-  /** Does a stat row admit any delete key? "none" is conservative-true. */
-  private def rowIntersects(row: StatRow, ks: KeySet): Boolean = row match {
-    case ("long", mn, mx) =>
-      ks.intersectsStats(java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx))
-    case ("string", mn, mx) => ks.intersectsStats(mn, mx)
-    case _ => true
-  }
-
-  /** Stat rows for `files` — a driver loop for small batches, a Spark job
-    * past [[ParallelFooterThreshold]] (file NAMES out, rows back — the keys
-    * and rows are a delete request / an index, driver-sized by nature). */
+      rows: Map[(String, String), StatRow]): Unit =
+    KeyStats.writeStats(versionDir, rows)
+  private[sinks] def footerStatRow(f: String, keyCol: String): StatRow =
+    KeyStats.footerStatRow(f, keyCol)
   private[sinks] def statRowsFor(spark: SparkSession, files: Seq[Path],
       keyCol: String): Map[String, StatRow] =
-    if (files.isEmpty) Map.empty
-    else if (files.size <= ParallelFooterThreshold)
-      files.map(f => f.getFileName.toString -> footerStatRow(f.toString, keyCol)).toMap
-    else spark.sparkContext
-      .parallelize(files.map(_.toString), math.min(files.size, 256).max(1))
-      .map(p => Paths.get(p).getFileName.toString -> footerStatRow(p, keyCol))
-      .collect().toMap
+    KeyStats.statRowsFor(spark, files, keyCol)
 
   /** Build (or extend) the LIVE version's `_KEYSTATS` index for `keyCol`:
     * footer-read each unindexed file ONCE (executor-parallel past the
@@ -257,6 +175,14 @@ object TargetedDelete {
     if (fresh.nonEmpty)
       writeStats(liveDir, old ++ fresh.map { case (n, row) => (n, keyCol) -> row })
     missing.size
+  }
+
+  /** Does a stat row admit any delete key? "none" is conservative-true. */
+  private def rowIntersects(row: StatRow, ks: KeySet): Boolean = row match {
+    case ("long", mn, mx) =>
+      ks.intersectsStats(java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx))
+    case ("string", mn, mx) => ks.intersectsStats(mn, mx)
+    case _ => true
   }
 
   private final case class Pruned(touched: Seq[Path], reused: Seq[Path],
@@ -451,11 +377,17 @@ object TargetedDelete {
   def qS22TargetedDeleteOcc(spark: SparkSession, dir: String): DataFrame = {
     val root = tableRoot(dir) + "_occ"
     AtomicTable.deleteRecursively(Paths.get(root))
-    AtomicTable.mergeCommit(spark, root)(_ =>
+    // the merge writer indexes its own outputs (statsCols), so the delete
+    // that follows prunes with ZERO footer reads — the whole multi-writer
+    // lifecycle stays on the manifest-stats path, enforced below
+    AtomicTable.mergeCommit(spark, root, statsCols = Seq("doc_id"))(_ =>
       Tables.documents(spark, dir)
         .repartitionByRange(8, col("doc_id"))
         .sortWithinPartitions(col("doc_id")))
-    deleteKeysOcc(spark, root, "doc_id", deleteSet)
+    val stats = deleteKeysOcc(spark, root, "doc_id", deleteSet)
+    if (stats.footerReads != 0)
+      throw new IllegalStateException(
+        s"merge-committed version was not indexed: $stats")
     survivorAgg(spark, root)
   }
 
