@@ -130,12 +130,27 @@ object AtomicTable {
     prune(root, version, pruneAgeMs)
   }
 
-  /** Stage + publish: the atomic replacement for `write.mode("overwrite")`. */
-  def commit(df: DataFrame, root: String): String = {
+  /** Stage + publish: the atomic replacement for `write.mode("overwrite")`.
+    * `statsCols` additionally indexes the staged files into the version's
+    * `_KEYSTATS` sidecar before the flip (see [[mergeCommit]]) — with it,
+    * every producer path emits versions the targeted delete prunes with
+    * zero footer reads. */
+  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil): String = {
     val v = stage(df, root)
+    indexStage(df.sparkSession, Paths.get(root, v), statsCols)
     publish(root, v)
     v
   }
+
+  /** Index a staged (not yet published) version directory on `statsCols`. */
+  private def indexStage(spark: SparkSession, dir: Path, statsCols: Seq[String]): Unit =
+    if (statsCols.nonEmpty) {
+      val files = TargetedDelete.partFiles(dir)
+      val rows = statsCols.flatMap { c =>
+        KeyStats.statRowsFor(spark, files, c).map { case (n, row) => (n, c) -> row }
+      }.toMap
+      KeyStats.writeStats(dir, rows)
+    }
 
   /** Idempotent commit for Structured Streaming `foreachBatch`: records
     * (appId, micro-batch id) in the manifest and SKIPS a batch the table has
@@ -157,10 +172,13 @@ object AtomicTable {
     * silently dropping new data.
     *
     * @return true if the commit applied, false if the batch was redelivered */
-  def commitBatch(df: => DataFrame, root: String, appId: String, batchId: Long): Boolean = {
+  def commitBatch(df: => DataFrame, root: String, appId: String, batchId: Long,
+      statsCols: Seq[String] = Nil): Boolean = {
     if (lastBatch(root).exists { case (app, b) => app == appId && batchId <= b }) false
     else {
-      val v = stage(df, root)
+      val d = df
+      val v = stage(d, root)
+      indexStage(d.sparkSession, Paths.get(root, v), statsCols)
       publish(root, v, Some((appId, batchId)))
       true
     }
@@ -229,14 +247,7 @@ object AtomicTable {
       // past the threshold) so OCC merge writers emit INDEXED versions and
       // the zero-footer-read delete path holds across every producer, not
       // just delete/compact (r16 forward item 1)
-      if (statsCols.nonEmpty) {
-        val files = TargetedDelete.partFiles(stageDir)
-        val rows = statsCols.flatMap { c =>
-          KeyStats.statRowsFor(spark, files, c)
-            .map { case (n, row) => (n, c) -> row }
-        }.toMap
-        KeyStats.writeStats(stageDir, rows)
-      }
+      indexStage(spark, stageDir, statsCols)
     }
 
   /** The OCC claim/rebase core [[mergeCommit]] runs on, factored so OTHER

@@ -222,6 +222,18 @@ class TargetedDeleteSpec extends AnyFunSuite {
     val d3 = TargetedDelete.deleteKeys(spark, root2, "id", (100L to 200L))
     assert(d3.footerReads == 0 && d3.rewrittenFiles <= 2)
     assert(spark.read.parquet(s"$root2/${d3.version}").count() == 4000 - 101)
+    // every producer path can emit indexed versions: plain commit and
+    // streaming commitBatch with statsCols both feed a zero-read delete
+    val root3 = "spark-warehouse/test_s22_stats3"
+    deleteAll(Paths.get(root3))
+    val df3 = spark.range(4000).select(col("id"), (col("id") % 7).as("grp"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+    AtomicTable.commit(df3, root3, statsCols = Seq("id"))
+    val d4 = TargetedDelete.deleteKeys(spark, root3, "id", (100L to 200L))
+    assert(d4.footerReads == 0, s"commit(statsCols) did not index: $d4")
+    assert(AtomicTable.commitBatch(df3, root3, "app", 1L, statsCols = Seq("id")))
+    val d5 = TargetedDelete.deleteKeys(spark, root3, "id", (300L to 400L))
+    assert(d5.footerReads == 0, s"commitBatch(statsCols) did not index: $d5")
   }
 
   test("a bare orphan v{N+1} from a crashed delete is overwritten, stage cleaned") {
