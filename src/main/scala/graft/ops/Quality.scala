@@ -266,6 +266,23 @@ object Quality {
     def spark(c: org.apache.spark.sql.Column) = c
     def duck(e: String) = e
   }
+  /** Float/double VECTOR columns (embeddings): each element quantized to an
+    * integer at scale 6 (exact in both engines — the float upcasts to double
+    * losslessly, then floor(x·1e6+0.5) is pure double arithmetic) and joined
+    * with commas, so min/max/distinct all operate on a deterministic string.
+    * Ordering note: min/max aggregate the RAW array first (both engines
+    * compare lists lexicographically element-wise) and render the winner.
+    * The `transform` lambda is an interpreted HOF — acceptable in a profiler
+    * branch (one pass per row); the ANN family's codegen'd vector kernels
+    * are the hot-path alternative if a deployment profiles vectors hourly. */
+  case object ReprFloatArray extends Repr() {
+    def spark(c: org.apache.spark.sql.Column) =
+      array_join(transform(c,
+        x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)).cast("long")), ",")
+    def duck(e: String) =
+      s"array_to_string(list_transform($e, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ',')"
+  }
 
   /** Type → repr contract. TIMESTAMP_NTZ maps with TIMESTAMP (the testdata's
     * parquet encodings have flipped between the two across regens — the
@@ -277,6 +294,7 @@ object Quality {
       case DoubleType | FloatType => ReprCents
       case TimestampType | TimestampNTZType | DateType => ReprDateTime
       case StringType => ReprString
+      case ArrayType(FloatType | DoubleType, _) => ReprFloatArray
       case other => throw new IllegalArgumentException(
         s"dq_profile has no repr contract for column type $other")
     }
@@ -305,7 +323,10 @@ object Quality {
         "l_shipdate" -> TimestampType),
       "documents" -> reprs(
         "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
-        "source" -> StringType, "n_chars" -> LongType))
+        "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> reprs(
+        "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+        "label" -> IntegerType))
   }
 
   private def tableByName(spark: SparkSession, dir: String, table: String): DataFrame =
@@ -313,6 +334,7 @@ object Quality {
       case "orders" => Tables.orders(spark, dir)
       case "lineitem" => Tables.lineitem(spark, dir)
       case "documents" => Tables.documents(spark, dir)
+      case "embeddings" => Tables.embeddings(spark, dir)
       case other => throw new IllegalArgumentException(s"unprofiled table $other")
     }
 

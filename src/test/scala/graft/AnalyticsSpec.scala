@@ -214,6 +214,7 @@ class AnalyticsSpec extends AnyFunSuite {
         case "orders" => Tables.orders(spark, sf)
         case "lineitem" => Tables.lineitem(spark, sf)
         case "documents" => Tables.documents(spark, sf)
+        case "embeddings" => Tables.embeddings(spark, sf)
       }
       val live = df.schema.fields.toSeq.map(f => f.name -> graft.ops.Quality.reprFor(f.dataType))
       assert(live == pinned, s"$t: live=$live pinned=$pinned")
