@@ -126,8 +126,10 @@ object Quality {
     * epoch and compare via TOTAL-VARIATION distance. TV is the
     * integer-exact choice (PSI/KL need cross-engine logs of ratios):
     * TV = Σ|cA·nB − cB·nA| / (2·nA·nB), in ppm — pure integer arithmetic, so
-    * both engines agree bit for bit: BIGINT while ≤3e6 rows per group-epoch,
-    * DECIMAL(38,0) beyond ([[TvPpmExpr]] switches per group at runtime).
+    * both engines agree bit for bit: the per-bin products are cast to
+    * DECIMAL(38,0) INSIDE the sum (there is no BIGINT fast path — a wrapped
+    * sum cannot be un-wrapped at the division; [[TvPpmExpr]] requires `s`
+    * pre-promoted).
     * Scale shape: ONE scan (both epoch counts are conditional sums in the
     * same aggregate), one shuffle on (event_type, bin); the bin relation is
     * O(types × bins) regardless of data size, so the totals join back is a

@@ -164,8 +164,13 @@ object CdcApply {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .start()
-      if (!q.awaitTermination(180000))
+      if (!q.awaitTermination(180000)) {
+        // stop the straggler before throwing — a still-live query would have
+        // its checkpoint/feed/table deleted out from under it by the next
+        // invocation's cleanup, contaminating later runs with its failures
+        q.stop()
         throw new IllegalStateException("s23 cdc AvailableNow stream timed out")
+      }
     }
     runStream() // micro-batches 0 and 1
     // crash-window simulation: the sink committed batch 1 but the engine

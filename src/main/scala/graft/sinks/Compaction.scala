@@ -134,34 +134,38 @@ object Compaction {
     if (small0.size <= 1)
       return CompactStats(live0, files0.size, 0, 0, files0.size)
     var out: (Int, Int, Int, Int) = (0, 0, 0, 0)
-    val v = AtomicTable.occCommit(root) { (base, stageDir) =>
-      val liveDir = Paths.get(root, base.getOrElse(
-        throw new IllegalStateException(s"no live version at $root")))
+    // the already-optimal check must ALSO hold inside the commit: after an
+    // OCC rebase onto a concurrent writer's version the base may have become
+    // optimal, and committing a pure-link copy of it would churn a no-op
+    // version past retention (and misreport its one small file as coalesced)
+    final case class AlreadyOptimal(live: String, nFiles: Int) extends Exception
+    val v = try AtomicTable.occCommit(root) { (base, stageDir) =>
+      val liveV = base.getOrElse(
+        throw new IllegalStateException(s"no live version at $root"))
+      val liveDir = Paths.get(root, liveV)
       val files = TargetedDelete.partFiles(liveDir)
       val (small, big) = files.partition(f => JFiles.size(f) < targetBytes / 2)
+      if (small.size <= 1) throw AlreadyOptimal(liveV, files.size)
       JFiles.createDirectories(stageDir)
       var nOut = 0
-      if (small.size > 1) {
-        val bytes = small.map(JFiles.size(_)).sum
-        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val rewriteOut = stageDir.resolve("rewrite")
-        spark.read.parquet(small.map(_.toString): _*)
-          .repartition(n)
-          .write.mode("overwrite").parquet(rewriteOut.toString)
-        TargetedDelete.partFiles(rewriteOut).foreach { f =>
-          JFiles.move(f, stageDir.resolve(f.getFileName)); nOut += 1
-        }
-        val rest = JFiles.list(rewriteOut)
-        try { import scala.jdk.CollectionConverters._
-          rest.iterator().asScala.toSeq.foreach(JFiles.delete) }
-        finally rest.close()
-        JFiles.delete(rewriteOut)
-      } else small.foreach(TargetedDelete.linkInto(stageDir, _))
+      val bytes = small.map(JFiles.size(_)).sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val rewriteOut = stageDir.resolve("rewrite")
+      spark.read.parquet(small.map(_.toString): _*)
+        .repartition(n)
+        .write.mode("overwrite").parquet(rewriteOut.toString)
+      TargetedDelete.partFiles(rewriteOut).foreach { f =>
+        JFiles.move(f, stageDir.resolve(f.getFileName)); nOut += 1
+      }
+      val rest = JFiles.list(rewriteOut)
+      try { import scala.jdk.CollectionConverters._
+        rest.iterator().asScala.toSeq.foreach(JFiles.delete) }
+      finally rest.close()
+      JFiles.delete(rewriteOut)
       big.foreach(TargetedDelete.linkInto(stageDir, _))
       // stats lifecycle: linked files keep ALL their indexed rows; fresh
       // outputs get statsCol rows from their just-written local footers
-      val linkedNames = (big ++ (if (small.size > 1) Nil else small))
-        .map(_.getFileName.toString).toSet
+      val linkedNames = big.map(_.getFileName.toString).toSet
       val carried = TargetedDelete.loadStats(liveDir)
         .filter { case ((f, _), _) => linkedNames(f) }
       val fresh = statsCol match {
@@ -175,6 +179,8 @@ object Compaction {
       if (carried.nonEmpty || fresh.nonEmpty)
         TargetedDelete.writeStats(stageDir, carried ++ fresh)
       out = (files.size, small.size, nOut, big.size)
+    } catch {
+      case AlreadyOptimal(live, n) => return CompactStats(live, n, 0, 0, n)
     }
     CompactStats(v, out._1, out._2, out._3, out._4)
   }

@@ -32,6 +32,29 @@ object KeyStats {
     * file list instead of a driver loop. */
   val ParallelFooterThreshold = 16
 
+  /** THE string order of the stats path: unsigned UTF-8 byte order, i.e.
+    * codepoint order — the order parquet computed the BINARY min/max under.
+    * Java's `String.compareTo` is UTF-16 CODE-UNIT order, which diverges for
+    * supplementary-plane codepoints (U+10000+) vs U+E000..U+FFFF: under it a
+    * file whose stats min literally equals a delete key can be judged
+    * disjoint and silently keep the row. Every comparison that ranges over
+    * stats values (range probes, per-block merges, key-set sorting) must go
+    * through this ordering. */
+  val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
@@ -84,7 +107,11 @@ object KeyStats {
         rows.head._1 match {
           case "long" =>
             ("long", rows.map(_._2.toLong).min.toString, rows.map(_._3.toLong).max.toString)
-          case kind => (kind, rows.map(_._2).min, rows.map(_._3).max)
+          case kind =>
+            // per-block strings merge under the SAME byte order parquet
+            // computed them with — Java's default String order understates
+            // the range for supplementary-plane content ([[Utf8Order]])
+            (kind, rows.map(_._2).min(Utf8Order), rows.map(_._3).max(Utf8Order))
         }
       }
     } finally r.close()

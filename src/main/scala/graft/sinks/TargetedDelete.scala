@@ -95,29 +95,30 @@ object TargetedDelete {
     }
   }
 
+  /** `sorted` MUST be sorted under [[KeyStats.Utf8Order]] (the companion
+    * constructor [[TargetedDelete.stringKeySet]] guarantees it) — the range
+    * probe replays parquet's unsigned-UTF-8-byte stats order, which Java's
+    * default String order diverges from on supplementary-plane content. */
   final case class StringKeys(sorted: Array[String]) extends KeySet {
     def size: Int = sorted.length
     def intersectsStats(mn: Any, mx: Any): Boolean = {
-      // parquet BINARY/UTF8 stats surface as Binary (decoded Strings arrive
-      // from the _KEYSTATS sidecar); UTF-8 byte order IS codepoint order, so
-      // the String comparison replays the order the stats were written
-      // under. Writers may TRUNCATE binary stats: a truncated max is a
-      // PREFIX-extended upper bound the comparison below still respects only
-      // if the writer adjusted it upward (parquet-mr does); unknown shapes
-      // stay conservative via the catch-all.
-      def anyIn(lo: String, hi: String): Boolean = {
-        val i = {
-          val idx = java.util.Arrays.binarySearch(
-            sorted.asInstanceOf[Array[AnyRef]], lo,
-            Ordering.String.asInstanceOf[java.util.Comparator[AnyRef]])
-          if (idx >= 0) idx else -idx - 1
-        }
-        i < sorted.length && sorted(i) <= hi
-      }
+      // stats values arrive as decoded Strings (footer reads and the
+      // _KEYSTATS sidecar both decode through KeyStats.footerStatRow).
+      // Writers may TRUNCATE binary stats: parquet-mr adjusts a truncated
+      // max upward, so the range stays an upper bound; unknown shapes stay
+      // conservative via the catch-all.
       (mn, mx) match {
-        case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
-          anyIn(a.toStringUsingUTF8, b.toStringUsingUTF8)
-        case (a: String, b: String) => anyIn(a, b)
+        case (lo: String, hi: String) =>
+          val cmp = KeyStats.Utf8Order
+          val i = {
+            var a = 0; var b = sorted.length
+            while (a < b) { // lower_bound under the byte order
+              val m = (a + b) >>> 1
+              if (cmp.compare(sorted(m), lo) < 0) a = m + 1 else b = m
+            }
+            a
+          }
+          i < sorted.length && cmp.compare(sorted(i), hi) <= 0
         case _ => true
       }
     }
@@ -186,21 +187,25 @@ object TargetedDelete {
   }
 
   private final case class Pruned(touched: Seq[Path], reused: Seq[Path],
-      footerReads: Int, keyRows: Map[String, StatRow])
+      footerReads: Int, keyRows: Map[String, StatRow],
+      allSideRows: Map[(String, String), StatRow])
 
   /** Partition the live files into (touched, reusable): sidecar rows decide
     * for free; only files the sidecar doesn't cover fall back to footer
-    * reads (hybrid — a partial index still prunes maximally). */
+    * reads (hybrid — a partial index still prunes maximally). The loaded
+    * sidecar rides along in the result so the staging pass never re-reads
+    * it. */
   private def pruneFiles(spark: SparkSession, liveDir: Path, files: Seq[Path],
       keyCol: String, ks: KeySet): Pruned = {
-    val side = loadStats(liveDir).collect {
+    val sideAll = loadStats(liveDir)
+    val side = sideAll.collect {
       case ((f, c), row) if c == keyCol => f -> row
     }
     val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
     val rows = side ++ statRowsFor(spark, unknown, keyCol)
     val (touched, reused) =
       files.partition(f => rowIntersects(rows(f.getFileName.toString), ks))
-    Pruned(touched, reused, unknown.size, rows)
+    Pruned(touched, reused, unknown.size, rows, sideAll)
   }
 
   /** The survivor filter over the touched files' rows. */
@@ -237,13 +242,14 @@ object TargetedDelete {
     }
     pr.reused.foreach(linkInto(stageDir, _))
     val reusedNames = pr.reused.map(_.getFileName.toString).toSet
-    val carried = loadStats(liveDir).filter { case ((f, _), _) => reusedNames(f) }
+    val carried = pr.allSideRows.filter { case ((f, _), _) => reusedNames(f) }
     val reusedKeyRows = reusedNames.toSeq
       .map(n => (n, keyCol) -> pr.keyRows(n)).toMap
     val freshFiles = partFiles(stageDir).filterNot(p => reusedNames(p.getFileName.toString))
-    val freshRows = freshFiles
-      .map(p => (p.getFileName.toString, keyCol) ->
-        footerStatRow(p.toString, keyCol)).toMap
+    // executor-parallel past the threshold — a scattered delete rewrites
+    // many files and their index rows must not serialize on the driver
+    val freshRows = statRowsFor(spark, freshFiles, keyCol)
+      .map { case (n, row) => (n, keyCol) -> row }
     writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
     (files.size, pr.touched.size, pr.reused.size, pr.footerReads)
   }
@@ -259,7 +265,7 @@ object TargetedDelete {
   private def longKeySet(keys: Seq[Long]): KeySet =
     LongKeys(keys.distinct.sorted.toArray)
   private def stringKeySet(keys: Seq[String]): KeySet =
-    StringKeys(keys.filter(_ != null).distinct.sorted.toArray)
+    StringKeys(keys.filter(_ != null).distinct.sorted(KeyStats.Utf8Order).toArray)
 
   /** Delete all rows whose BIGINT `keyCol` is in `keys` from the live
     * version, publishing the result as the next version. Single-writer path

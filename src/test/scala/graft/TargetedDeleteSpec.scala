@@ -118,6 +118,32 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(live.filter(col("doc_id").isin(keys: _*)).count() == 0)
   }
 
+  test("supplementary-plane string keys prune under UTF-8 byte order, not UTF-16 code units") {
+    import spark.implicits._
+    // parquet computes BINARY stats in unsigned UTF-8 byte order, where
+    // U+FFFF (EF BF BF) < U+1F600 (F0 9F 98 80); Java's String order says
+    // the opposite (0xFFFF > 0xD83D surrogate). Under the buggy UTF-16
+    // comparison this file's stats range [￿, U+1F600] excludes the key
+    // ￿ — its own minimum — and the delete silently keeps the row.
+    val root = "spark-warehouse/test_s22_astral"
+    deleteAll(Paths.get(root))
+    val rows = Seq(("￿", 1L), ("😀", 2L), ("😀zz", 3L))
+    AtomicTable.commit(rows.toDF("doc_id", "payload").coalesce(1), root)
+    val stats = TargetedDelete.deleteStringKeys(spark, root, "doc_id", Seq("￿"))
+    assert(stats.rewrittenFiles == 1,
+      s"footer stats judged the key's own file disjoint: $stats")
+    val live = spark.read.parquet(s"$root/${stats.version}").collect()
+      .map(_.getString(0)).toSet
+    assert(live == Set("😀", "😀zz"),
+      s"UTF-16 ordering kept the deleted row: $live")
+    // the sidecar path merges per-block stats under the SAME order
+    TargetedDelete.indexKeyStats(spark, root, "doc_id")
+    val stats2 = TargetedDelete.deleteStringKeys(spark, root, "doc_id",
+      Seq("😀zz"))
+    assert(stats2.footerReads == 0 && stats2.rewrittenFiles == 1, stats2.toString)
+    assert(spark.read.parquet(s"$root/${stats2.version}").count() == 1)
+  }
+
   test("past the threshold the footer pruning runs as a Spark job, same verdicts") {
     val root = "spark-warehouse/test_s22_manyfiles"
     deleteAll(Paths.get(root))
