@@ -52,6 +52,7 @@ object SparkEntry {
     (sinks.JsonlTable.queries, sinks.JsonlTable.oracles),
     (sinks.OrcTable.queries, sinks.OrcTable.oracles),
     (sinks.TargetedDelete.queries, sinks.TargetedDelete.oracles),
+    (sinks.StatsRead.queries, sinks.StatsRead.oracles),
     (sinks.CdcApply.queries, sinks.CdcApply.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
     (ops.Quality.queries, ops.Quality.oracles),

@@ -258,7 +258,10 @@ object Quality {
   }
   case object ReprCents extends Repr() {
     def spark(c: org.apache.spark.sql.Column) = Relational.quantize(c, 2).cast("string")
-    def duck(e: String) = s"CAST(CAST(floor($e * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+    // explicit upcast: the Spark side (Relational.quantize) computes in
+    // double, so a REAL column must not evaluate floor(x*100+0.5) in single
+    // precision on the DuckDB side — same contract ReprFloatArray pins
+    def duck(e: String) = s"CAST(CAST(floor(CAST($e AS DOUBLE) * 100 + 0.5) AS BIGINT) AS VARCHAR)"
   }
   case object ReprDateTime extends Repr() {
     def spark(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")

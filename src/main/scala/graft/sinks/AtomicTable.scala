@@ -52,8 +52,11 @@ object AtomicTable {
     * Spark's committer happens to emit: deployments that disable committer
     * markers (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`)
     * would otherwise see every complete claim misjudged as a crashed bare
-    * stage and deleted (VERDICT r14 advisory). */
-  private val Committed = "_GRAFT_COMMITTED"
+    * stage and deleted (VERDICT r14 advisory). `private[sinks]` so
+    * [[TargetedDelete]]'s single-writer orphan handling can distinguish a
+    * crashed bare stage (safe to overwrite) from a complete, adoptable claim
+    * (must be published forward, never destroyed — r16 advisory). */
+  private[sinks] val Committed = "_GRAFT_COMMITTED"
 
   /** Versions younger than this are never pruned by [[mergeCommit]], even
     * beyond the [[KeepVersions]] count — under multi-writer cadence a burst
@@ -142,14 +145,12 @@ object AtomicTable {
     v
   }
 
-  /** Index a staged (not yet published) version directory on `statsCols`. */
+  /** Index a staged (not yet published) version directory on `statsCols` —
+    * ONE footer open per file regardless of column count. */
   private def indexStage(spark: SparkSession, dir: Path, statsCols: Seq[String]): Unit =
     if (statsCols.nonEmpty) {
       val files = TargetedDelete.partFiles(dir)
-      val rows = statsCols.flatMap { c =>
-        KeyStats.statRowsFor(spark, files, c).map { case (n, row) => (n, c) -> row }
-      }.toMap
-      KeyStats.writeStats(dir, rows)
+      KeyStats.writeStats(dir, KeyStats.statRowsFor(spark, files, statsCols))
     }
 
   /** Idempotent commit for Structured Streaming `foreachBatch`: records

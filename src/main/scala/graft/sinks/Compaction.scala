@@ -102,9 +102,14 @@ object Compaction {
   // ------------------------------------------------- versioned OPTIMIZE
 
   /** What a versioned compaction did. `linkedFiles` carried by inode;
-    * `coalescedInputs` small files were folded into `outputFiles` new ones. */
+    * `coalescedInputs` small files were folded into `outputFiles` new ones.
+    * On a NO-OP pass (already-optimal layout) `noOp` is true, `version` is
+    * the pre-existing live version, and every count except `totalFiles` is 0
+    * — an audit consumer must be able to tell "nothing happened" from a real
+    * all-link compaction (r16 advice). */
   final case class CompactStats(version: String, totalFiles: Int,
-      coalescedInputs: Int, outputFiles: Int, linkedFiles: Int)
+      coalescedInputs: Int, outputFiles: Int, linkedFiles: Int,
+      noOp: Boolean = false)
 
   /** VERSIONED OPTIMIZE on the AtomicTable protocol — Delta's `OPTIMIZE` /
     * Iceberg's `rewrite_data_files` inside the commit log rather than in
@@ -129,10 +134,11 @@ object Compaction {
     val live0 = AtomicTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no live version at $root"))
     // cheap pre-check outside the commit: nothing to do → no version churn
+    TargetedDelete.requireFlatLayout(Paths.get(root, live0), "versioned compaction")
     val files0 = TargetedDelete.partFiles(Paths.get(root, live0))
     val small0 = files0.filter(f => JFiles.size(f) < targetBytes / 2)
     if (small0.size <= 1)
-      return CompactStats(live0, files0.size, 0, 0, files0.size)
+      return CompactStats(live0, files0.size, 0, 0, 0, noOp = true)
     var out: (Int, Int, Int, Int) = (0, 0, 0, 0)
     // the already-optimal check must ALSO hold inside the commit: after an
     // OCC rebase onto a concurrent writer's version the base may have become
@@ -143,6 +149,7 @@ object Compaction {
       val liveV = base.getOrElse(
         throw new IllegalStateException(s"no live version at $root"))
       val liveDir = Paths.get(root, liveV)
+      TargetedDelete.requireFlatLayout(liveDir, "versioned compaction")
       val files = TargetedDelete.partFiles(liveDir)
       val (small, big) = files.partition(f => JFiles.size(f) < targetBytes / 2)
       if (small.size <= 1) throw AlreadyOptimal(liveV, files.size)
@@ -180,7 +187,7 @@ object Compaction {
         TargetedDelete.writeStats(stageDir, carried ++ fresh)
       out = (files.size, small.size, nOut, big.size)
     } catch {
-      case AlreadyOptimal(live, n) => return CompactStats(live, n, 0, 0, n)
+      case AlreadyOptimal(live, n) => return CompactStats(live, n, 0, 0, 0, noOp = true)
     }
     CompactStats(v, out._1, out._2, out._3, out._4)
   }

@@ -78,55 +78,88 @@ object KeyStats {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Extract `keyCol`'s whole-file range from `f`'s parquet footer —
-    * metadata-only (~KB), no row groups. */
-  def footerStatRow(f: String, keyCol: String): StatRow = {
+  /** Footer opens performed so far, for the spec-level contract that indexing
+    * k columns costs ONE open per file, not k (r16 verdict item 3). Counted in
+    * [[footerStatRows]] — in local mode executor increments land on the same
+    * singleton, and the driver-loop branch (≤ threshold) is always exact. */
+  private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One column's whole-file range merged from per-block footer stats. */
+  private def statFromBlocks(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      keyCol: String): StatRow = {
+    val perBlock = blocks.map { block =>
+      block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+        case None => None
+        case Some(cc) =>
+          val st = cc.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (a: java.lang.Long, b: java.lang.Long) =>
+              Some(("long", a.toString, b.toString))
+            case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+              Some(("string", a.toStringUsingUTF8, b.toStringUsingUTF8))
+            case _ => None
+          }
+      }
+    }
+    if (perBlock.isEmpty || perBlock.exists(_.isEmpty) ||
+        perBlock.flatten.map(_._1).distinct.size != 1) ("none", "", "")
+    else {
+      val rows = perBlock.flatten
+      rows.head._1 match {
+        case "long" =>
+          ("long", rows.map(_._2.toLong).min.toString, rows.map(_._3.toLong).max.toString)
+        case kind =>
+          // per-block strings merge under the SAME byte order parquet
+          // computed them with — Java's default String order understates
+          // the range for supplementary-plane content ([[Utf8Order]])
+          (kind, rows.map(_._2).min(Utf8Order), rows.map(_._3).max(Utf8Order))
+      }
+    }
+  }
+
+  /** Extract EVERY requested column's whole-file range from `f`'s parquet
+    * footer in ONE open — metadata-only (~KB), no row groups. Indexing k
+    * columns must not cost k footer sweeps (r16 verdict item 3): the footer
+    * holds all columns' block stats, so one open serves them all. */
+  def footerStatRows(f: String, keyCols: Seq[String]): Map[String, StatRow] = {
+    footerOpens.incrementAndGet()
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(Paths.get(f).toUri), new Configuration())
     val r = ParquetFileReader.open(in)
     try {
-      val perBlock = r.getFooter.getBlocks.asScala.toSeq.map { block =>
-        block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
-          case None => None
-          case Some(cc) =>
-            val st = cc.getStatistics
-            if (st == null || !st.hasNonNullValue) None
-            else (st.genericGetMin, st.genericGetMax) match {
-              case (a: java.lang.Long, b: java.lang.Long) =>
-                Some(("long", a.toString, b.toString))
-              case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
-                Some(("string", a.toStringUsingUTF8, b.toStringUsingUTF8))
-              case _ => None
-            }
-        }
-      }
-      if (perBlock.isEmpty || perBlock.exists(_.isEmpty) ||
-          perBlock.flatten.map(_._1).distinct.size != 1) ("none", "", "")
-      else {
-        val rows = perBlock.flatten
-        rows.head._1 match {
-          case "long" =>
-            ("long", rows.map(_._2.toLong).min.toString, rows.map(_._3.toLong).max.toString)
-          case kind =>
-            // per-block strings merge under the SAME byte order parquet
-            // computed them with — Java's default String order understates
-            // the range for supplementary-plane content ([[Utf8Order]])
-            (kind, rows.map(_._2).min(Utf8Order), rows.map(_._3).max(Utf8Order))
-        }
-      }
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      keyCols.map(c => c -> statFromBlocks(blocks, c)).toMap
     } finally r.close()
   }
 
-  /** Stat rows for `files` — a driver loop for small batches, a Spark job
-    * past [[ParallelFooterThreshold]] (file NAMES out, rows back — the keys
-    * and rows are an index, driver-sized by nature). */
+  /** Single-column form of [[footerStatRows]]. */
+  def footerStatRow(f: String, keyCol: String): StatRow =
+    footerStatRows(f, Seq(keyCol))(keyCol)
+
+  /** Stat rows for (file × column) — a driver loop for small batches, a
+    * Spark job past [[ParallelFooterThreshold]] (file NAMES out, rows back —
+    * the keys and rows are an index, driver-sized by nature). Each file's
+    * footer is opened ONCE regardless of how many columns are requested. */
   def statRowsFor(spark: SparkSession, files: Seq[Path],
-      keyCol: String): Map[String, StatRow] =
-    if (files.isEmpty) Map.empty
+      keyCols: Seq[String]): Map[(String, String), StatRow] =
+    if (files.isEmpty || keyCols.isEmpty) Map.empty
     else if (files.size <= ParallelFooterThreshold)
-      files.map(f => f.getFileName.toString -> footerStatRow(f.toString, keyCol)).toMap
+      files.flatMap { f =>
+        footerStatRows(f.toString, keyCols)
+          .map { case (c, row) => (f.getFileName.toString, c) -> row }
+      }.toMap
     else spark.sparkContext
       .parallelize(files.map(_.toString), math.min(files.size, 256).max(1))
-      .map(p => Paths.get(p).getFileName.toString -> footerStatRow(p, keyCol))
+      .flatMap { p =>
+        footerStatRows(p, keyCols)
+          .map { case (c, row) => (Paths.get(p).getFileName.toString, c) -> row }
+      }
       .collect().toMap
+
+  /** Single-column [[statRowsFor]], keyed by file name only. */
+  def statRowsFor(spark: SparkSession, files: Seq[Path],
+      keyCol: String): Map[String, StatRow] =
+    statRowsFor(spark, files, Seq(keyCol)).map { case ((f, _), row) => f -> row }
 }

@@ -1,0 +1,157 @@
+package graft.sinks
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** S16b — STATS-PRUNED READS on the atomic table: the read-path half of the
+  * Delta/Iceberg data-skipping move (r16 verdict item 1, its top-next). The
+  * `_KEYSTATS` sidecar ([[KeyStats]]) and the footer fallback already let
+  * DELETES skip non-intersecting files; until now [[AtomicTable.read]]
+  * handed the whole version directory to `spark.read.parquet`, so a
+  * point/range query on an id-clustered corpus scanned every file. This
+  * object prunes the FILE LIST against the per-file min/max BEFORE the scan
+  * is constructed — at 100 TB the difference between "open 10⁶ files, let
+  * row-group stats discard most rows" and "open the 1–2 files that can
+  * contain the key at all": Spark's own parquet filter pushdown only prunes
+  * row groups INSIDE files it has already planned, listed, and opened.
+  *
+  * Decision cost mirrors the delete path exactly (shared [[TargetedDelete
+  * .pruneFiles]]): one small sequential sidecar read when the column is
+  * indexed (zero footer reads at any file count), per-file footer metadata
+  * reads as the hybrid fallback, executor-parallel past
+  * [[KeyStats.ParallelFooterThreshold]]. The row-level tail re-applies the
+  * predicate INSIDE the surviving files — stats are file-granular, so the
+  * scan still needs the filter (which Spark pushes into the parquet reader's
+  * row-group stats; the two prunings compose). NULL keys never match,
+  * mirroring the delete path's three-valued-logic contract.
+  *
+  * Reference anchor: the reference pipeline's point lookups are Postgres
+  * index scans (utils/database.py); on a parquet lakehouse the manifest
+  * min/max IS the coarse index.
+  */
+object StatsRead {
+
+  /** The read's audit row: how many live files the scan actually planned
+    * (`filesRead`) out of `totalFiles`, and how many pruning decisions
+    * needed a real parquet footer read (`footerReads` — 0 when the sidecar
+    * covers the column). */
+  final case class ReadStats(version: String, totalFiles: Int,
+      filesRead: Int, footerReads: Int = 0)
+
+  /** Read rows whose `keyCol` falls in [lo, hi] from the live version,
+    * planning ONLY the files whose stats intersect the range. */
+  def readKeyRange(spark: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long): (DataFrame, ReadStats) =
+    readWhere(spark, root, keyCol, TargetedDelete.LongRange(lo, hi))
+
+  /** Read rows whose BIGINT `keyCol` is in `keys` (point-lookup batch). */
+  def readKeyIn(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[Long]): (DataFrame, ReadStats) =
+    readWhere(spark, root, keyCol,
+      TargetedDelete.LongKeys(keys.distinct.sorted.toArray))
+
+  /** [[readKeyIn]] for STRING-keyed tables (doc hashes) — stats compare
+    * under parquet's unsigned-UTF-8 byte order ([[KeyStats.Utf8Order]]). */
+  def readStringKeyIn(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[String]): (DataFrame, ReadStats) =
+    readWhere(spark, root, keyCol, TargetedDelete.StringKeys(
+      keys.filter(_ != null).distinct.sorted(KeyStats.Utf8Order).toArray))
+
+  /** The shared core: prune the live version's file list by stats, scan only
+    * the survivors, re-apply the predicate row-level. A fully-pruned read
+    * (no file can contain a key) returns an empty frame with the table's
+    * schema without constructing a data scan. */
+  def readWhere(spark: SparkSession, root: String, keyCol: String,
+      ks: TargetedDelete.KeySet): (DataFrame, ReadStats) = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val liveDir = Paths.get(root, live)
+    TargetedDelete.requireFlatLayout(liveDir, "stats-pruned read")
+    val files = TargetedDelete.partFiles(liveDir)
+    val pr = TargetedDelete.pruneFiles(spark, liveDir, files, keyCol, ks)
+    val df =
+      if (pr.touched.isEmpty)
+        // schema-only plan: where(false) folds to an empty LocalRelation
+        spark.read.parquet(liveDir.toString).where(lit(false))
+      else TargetedDelete.matched(
+        spark.read.parquet(pr.touched.map(_.toString): _*), keyCol, ks)
+    (df, ReadStats(live, files.size, pr.touched.size, pr.footerReads))
+  }
+
+  // ---- declared queries -------------------------------------------------
+
+  def tableRoot(dir: String): String =
+    "spark-warehouse/s16_docs_" + new java.io.File(dir).getName
+
+  /** The looked-up id block — same corpus convention as the s22 delete set
+    * (ids < 500 exist at every SF). */
+  val ReadFrom = 100L; val ReadTo = 299L
+
+  private def docsAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+
+  /** RANGE READ over an indexed id-clustered corpus: commit with
+    * `statsCols` (the producer indexes its own outputs), then the range
+    * lookup must plan a STRICT SUBSET of the files with ZERO footer reads —
+    * the query throws otherwise, so the hash row is green only through the
+    * manifest-stats skipping path. The oracle replays the range filter over
+    * the parquet source, pinning that file-level pruning lost no rows. */
+  def qS16KeyedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir)
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_id"))
+    val (df, rs) = readKeyRange(spark, root, "doc_id", ReadFrom, ReadTo)
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles)
+      throw new IllegalStateException(
+        s"stats-pruned read did not skip: $rs (want footerReads=0, filesRead < totalFiles)")
+    docsAgg(df)
+  }
+
+  /** KEY-SET READ through the footer-fallback path: the table is committed
+    * WITHOUT a sidecar, so the pruning decision footer-reads each file once
+    * (enforced: footerReads > 0) and must still plan a strict subset. The
+    * key set is the s22 shape — a contiguous block plus two singletons. */
+  def qS16KeyedReadSet(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_set"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root)
+    val keys = (ReadFrom to ReadTo) ++ Seq(7L, 421L)
+    val (df, rs) = readKeyIn(spark, root, "doc_id", keys)
+    if (rs.footerReads == 0 || rs.filesRead >= rs.totalFiles)
+      throw new IllegalStateException(
+        s"footer-fallback read audit wrong: $rs (want footerReads>0, filesRead < totalFiles)")
+    docsAgg(df)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_keyed_read" -> (qS16KeyedRead _),
+    "s16_keyed_read_set" -> (qS16KeyedReadSet _))
+
+  val oracles: Map[String, String] = Map(
+    "s16_keyed_read" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE doc_id BETWEEN $ReadFrom AND $ReadTo
+         |GROUP BY lang, source""".stripMargin,
+    "s16_keyed_read_set" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE doc_id BETWEEN $ReadFrom AND $ReadTo OR doc_id IN (7, 421)
+         |GROUP BY lang, source""".stripMargin)
+}

@@ -72,8 +72,17 @@ object TargetedDelete {
     def intersectsStats(mn: Any, mx: Any): Boolean
     /** NOT-IN literal predicate (small key sets). */
     def survivorPredicate(keyCol: String): Column
-    /** one-column frame of the keys, for the anti join (large key sets). */
+    /** The POSITIVE membership predicate — the read path's filter
+      * ([[StatsRead]]): rows whose key IS in the set. NULL keys never match
+      * (mirrors three-valued logic on the survivor side). */
+    def matchPredicate(keyCol: String): Column
+    /** one-column frame of the keys, for the anti/semi join (large key sets). */
     def toDF(spark: SparkSession): DataFrame
+    /** Express the filter as a literal predicate (codegen-able, scan-pushable)
+      * rather than a broadcast join. True for small enumerated sets and ALL
+      * ranges (a range is two comparisons no matter how many keys it spans —
+      * macro-expanding it into a join side would be backwards). */
+    def preferPredicate: Boolean = size <= IsinKeyThreshold
   }
 
   final case class LongKeys(sorted: Array[Long]) extends KeySet {
@@ -89,10 +98,35 @@ object TargetedDelete {
     }
     def survivorPredicate(keyCol: String): Column =
       col(keyCol).isNull || !col(keyCol).isin(sorted.map(Long.box).toIndexedSeq: _*)
+    def matchPredicate(keyCol: String): Column =
+      col(keyCol).isin(sorted.map(Long.box).toIndexedSeq: _*)
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
       sorted.toSeq.toDF("__del_key")
     }
+  }
+
+  /** A CONTIGUOUS key range [lo, hi] — the natural shape of "one withdrawn
+    * source's documents" on an id-clustered layout, and the read path's
+    * point/range lookup. Always expressed as a two-comparison literal
+    * predicate (scan-pushable into the parquet reader's row-group stats),
+    * never a join, regardless of how many keys the range spans. */
+  final case class LongRange(lo: Long, hi: Long) extends KeySet {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    def size: Int = math.min(hi - lo + 1, Int.MaxValue.toLong).toInt
+    def intersectsStats(mn: Any, mx: Any): Boolean = (mn, mx) match {
+      case (fMin: java.lang.Long, fMax: java.lang.Long) =>
+        !(hi < fMin.longValue || lo > fMax.longValue)
+      case _ => true // foreign stats type: conservative
+    }
+    def survivorPredicate(keyCol: String): Column =
+      col(keyCol).isNull || !col(keyCol).between(lo, hi)
+    def matchPredicate(keyCol: String): Column = col(keyCol).between(lo, hi)
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      spark.range(lo, if (hi == Long.MaxValue) hi else hi + 1).toDF("__del_key")
+    }
+    override def preferPredicate: Boolean = true
   }
 
   /** `sorted` MUST be sorted under [[KeyStats.Utf8Order]] (the companion
@@ -124,6 +158,8 @@ object TargetedDelete {
     }
     def survivorPredicate(keyCol: String): Column =
       col(keyCol).isNull || !col(keyCol).isin(sorted.toIndexedSeq: _*)
+    def matchPredicate(keyCol: String): Column =
+      col(keyCol).isin(sorted.toIndexedSeq: _*)
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
       sorted.toSeq.toDF("__del_key")
@@ -137,6 +173,26 @@ object TargetedDelete {
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
     finally st.close()
+  }
+
+  /** LOUD guard on the flat version layout [[partFiles]] assumes (r16
+    * verdict item 4): delete and compaction list only top-level `*.parquet`,
+    * so against a PARTITIONED (subdirectory) version layout they would see
+    * zero part files and publish an EMPTY next version — silent total data
+    * loss. Not constructible through [[AtomicTable.commit]] today, but a
+    * hand-assembled or future partitioned version must fail here, not there. */
+  private[sinks] def requireFlatLayout(dir: Path, op: String): Unit = {
+    val st = Files.list(dir)
+    val subdirs =
+      try st.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toList
+      finally st.close()
+    if (subdirs.nonEmpty)
+      throw new IllegalStateException(
+        s"$op requires a FLAT version layout but $dir contains " +
+          s"subdirectories (${subdirs.sorted.take(3).mkString(", ")}): a " +
+          "partitioned version cannot be staged file-by-file — proceeding " +
+          "would publish an empty next version")
   }
 
   // ---------------------------------------- manifest-held key statistics
@@ -159,24 +215,31 @@ object TargetedDelete {
       keyCol: String): Map[String, StatRow] =
     KeyStats.statRowsFor(spark, files, keyCol)
 
-  /** Build (or extend) the LIVE version's `_KEYSTATS` index for `keyCol`:
-    * footer-read each unindexed file ONCE (executor-parallel past the
-    * threshold), then every later delete on this column prunes from the
-    * sidecar with zero footer reads. Returns the number of files indexed.
-    * Adding a sidecar to a committed version is metadata augmentation —
-    * data files are never touched. */
-  def indexKeyStats(spark: SparkSession, root: String, keyCol: String): Int = {
+  /** Build (or extend) the LIVE version's `_KEYSTATS` index for `keyCols`:
+    * footer-read each unindexed file ONCE — one open serves ALL requested
+    * columns (the footer holds every column's block stats; k columns must
+    * not cost k sweeps) — executor-parallel past the threshold; then every
+    * later delete/read on these columns prunes from the sidecar with zero
+    * footer reads. Returns the number of files opened. Adding a sidecar to a
+    * committed version is metadata augmentation — data files are never
+    * touched. */
+  def indexKeyStats(spark: SparkSession, root: String, keyCols: Seq[String]): Int = {
     val live = AtomicTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no live version at $root"))
     val liveDir = Paths.get(root, live)
     val old = loadStats(liveDir)
-    val missing = partFiles(liveDir)
-      .filterNot(f => old.contains((f.getFileName.toString, keyCol)))
-    val fresh = statRowsFor(spark, missing, keyCol)
-    if (fresh.nonEmpty)
-      writeStats(liveDir, old ++ fresh.map { case (n, row) => (n, keyCol) -> row })
+    // a file missing ANY requested column gets one open extracting all of
+    // them (recomputing an already-present row lands the identical value)
+    val missing = partFiles(liveDir).filter(f =>
+      keyCols.exists(c => !old.contains((f.getFileName.toString, c))))
+    val fresh = KeyStats.statRowsFor(spark, missing, keyCols)
+    if (fresh.nonEmpty) writeStats(liveDir, old ++ fresh)
     missing.size
   }
+
+  /** Single-column [[indexKeyStats]]. */
+  def indexKeyStats(spark: SparkSession, root: String, keyCol: String): Int =
+    indexKeyStats(spark, root, Seq(keyCol))
 
   /** Does a stat row admit any delete key? "none" is conservative-true. */
   private def rowIntersects(row: StatRow, ks: KeySet): Boolean = row match {
@@ -186,7 +249,7 @@ object TargetedDelete {
     case _ => true
   }
 
-  private final case class Pruned(touched: Seq[Path], reused: Seq[Path],
+  private[sinks] final case class Pruned(touched: Seq[Path], reused: Seq[Path],
       footerReads: Int, keyRows: Map[String, StatRow],
       allSideRows: Map[(String, String), StatRow])
 
@@ -195,7 +258,7 @@ object TargetedDelete {
     * reads (hybrid — a partial index still prunes maximally). The loaded
     * sidecar rides along in the result so the staging pass never re-reads
     * it. */
-  private def pruneFiles(spark: SparkSession, liveDir: Path, files: Seq[Path],
+  private[sinks] def pruneFiles(spark: SparkSession, liveDir: Path, files: Seq[Path],
       keyCol: String, ks: KeySet): Pruned = {
     val sideAll = loadStats(liveDir)
     val side = sideAll.collect {
@@ -210,9 +273,17 @@ object TargetedDelete {
 
   /** The survivor filter over the touched files' rows. */
   private def survivors(df: DataFrame, keyCol: String, ks: KeySet): DataFrame =
-    if (ks.size <= IsinKeyThreshold) df.filter(ks.survivorPredicate(keyCol))
+    if (ks.preferPredicate) df.filter(ks.survivorPredicate(keyCol))
     else df.join(broadcast(ks.toDF(df.sparkSession)),
       df(keyCol) === col("__del_key"), "left_anti")
+
+  /** The MATCH filter — [[StatsRead]]'s row-level tail after its file-level
+    * prune: literal predicate while small/range (scan-pushable), broadcast
+    * LEFT SEMI beyond (the positive twin of [[survivors]]). */
+  private[sinks] def matched(df: DataFrame, keyCol: String, ks: KeySet): DataFrame =
+    if (ks.preferPredicate) df.filter(ks.matchPredicate(keyCol))
+    else df.join(broadcast(ks.toDF(df.sparkSession)),
+      df(keyCol) === col("__del_key"), "left_semi")
 
   /** Stage the post-delete state of `liveDir` into `stageDir`: rewrite the
     * stats-intersecting files, hard-link the rest, and write the NEXT
@@ -224,6 +295,7 @@ object TargetedDelete {
     * Returns (total, rewritten, reused, footerReads). */
   private def stageDelete(spark: SparkSession, liveDir: Path, stageDir: Path,
       keyCol: String, ks: KeySet): (Int, Int, Int, Int) = {
+    requireFlatLayout(liveDir, "targeted delete")
     val files = partFiles(liveDir)
     val pr = pruneFiles(spark, liveDir, files, keyCol, ks)
     Files.createDirectories(stageDir)
@@ -282,29 +354,59 @@ object TargetedDelete {
       keys: Seq[String]): DeleteStats =
     deleteKeySet(spark, root, keyCol, stringKeySet(keys))
 
+  /** Delete a CONTIGUOUS BIGINT key range [lo, hi] — the "one withdrawn
+    * source's id block" shape, expressed as a two-comparison predicate no
+    * matter how many keys the range spans (a 10⁹-key GDPR block must not be
+    * enumerated). */
+  def deleteKeyRange(spark: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long): DeleteStats =
+    deleteKeySet(spark, root, keyCol, LongRange(lo, hi))
+
   private def deleteKeySet(spark: SparkSession, root: String, keyCol: String,
       ks: KeySet): DeleteStats = {
-    val live = AtomicTable.currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no live version at $root"))
-    val liveDir = Paths.get(root, live)
-    val stageDir = Paths.get(root, s".stage-del-${java.util.UUID.randomUUID()}")
-    try {
-      val (total, rewritten, reusedN, footerReads) =
-        stageDelete(spark, liveDir, stageDir, keyCol, ks)
+    // The orphan-v{N+1} handling must distinguish WHO left it (r16 advice):
+    // a bare directory without [[AtomicTable.Committed]] is a crashed
+    // single-writer stage — nothing else can ever clean it up, so overwrite
+    // (mirrors commit()'s semantics). A directory WITH the marker is a
+    // COMPLETE claim from an occCommit writer that died between its CAS
+    // rename and its manifest flip: destroying it would be silent data loss,
+    // so ADOPT it (publish forward, as occCommit does) and REBASE the delete
+    // on the adopted version. Adoption advances the live version, hence the
+    // small loop.
+    var attempt = 0
+    while (true) {
+      val live = AtomicTable.currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"no live version at $root"))
+      val liveDir = Paths.get(root, live)
       val next = "v" + (live.drop(1).toLong + 1)
       val target = Paths.get(root, next)
-      // mirror commit()'s overwrite-the-orphan semantics: a crash between a
-      // previous delete's rename and its publish leaves a bare unpublished
-      // v{N+1}; on the single-writer cadence nothing else can own it, so
-      // overwrite it rather than wedging every later delete on
-      // FileAlreadyExists (r15 advice)
-      if (Files.exists(target) && next != live) AtomicTable.deleteRecursively(target)
-      Files.move(stageDir, target, StandardCopyOption.ATOMIC_MOVE)
-      AtomicTable.publish(root, next)
-      DeleteStats(next, total, rewritten, reusedN, footerReads)
-    } finally {
-      if (Files.exists(stageDir)) AtomicTable.deleteRecursively(stageDir)
+      if (Files.exists(target)) {
+        if (Files.exists(target.resolve(AtomicTable.Committed))) {
+          AtomicTable.publish(root, next) // adopt, then rebase via the loop
+        } else {
+          AtomicTable.deleteRecursively(target)
+        }
+      }
+      if (!Files.exists(target)) {
+        val stageDir = Paths.get(root, s".stage-del-${java.util.UUID.randomUUID()}")
+        try {
+          val (total, rewritten, reusedN, footerReads) =
+            stageDelete(spark, liveDir, stageDir, keyCol, ks)
+          Files.move(stageDir, target, StandardCopyOption.ATOMIC_MOVE)
+          AtomicTable.publish(root, next)
+          return DeleteStats(next, total, rewritten, reusedN, footerReads)
+        } finally {
+          if (Files.exists(stageDir)) AtomicTable.deleteRecursively(stageDir)
+        }
+      }
+      attempt += 1
+      if (attempt > 4)
+        throw new IllegalStateException(
+          s"deleteKeys found a fresh complete claim at $root on every " +
+            s"attempt — concurrent occCommit writers are active; use " +
+            "deleteKeysOcc on multi-writer tables")
     }
+    sys.error("unreachable")
   }
 
   /** MULTI-WRITER targeted delete: the same staged prune/rewrite/link run
@@ -323,6 +425,12 @@ object TargetedDelete {
       keys: Seq[String], maxRetries: Int = 16,
       pruneAgeMs: Long = AtomicTable.MergePruneAgeMs): DeleteStats =
     deleteKeySetOcc(spark, root, keyCol, stringKeySet(keys), maxRetries, pruneAgeMs)
+
+  /** [[deleteKeyRange]] through the OCC claim/rebase protocol. */
+  def deleteKeyRangeOcc(spark: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long, maxRetries: Int = 16,
+      pruneAgeMs: Long = AtomicTable.MergePruneAgeMs): DeleteStats =
+    deleteKeySetOcc(spark, root, keyCol, LongRange(lo, hi), maxRetries, pruneAgeMs)
 
   private def deleteKeySetOcc(spark: SparkSession, root: String, keyCol: String,
       ks: KeySet, maxRetries: Int, pruneAgeMs: Long): DeleteStats = {

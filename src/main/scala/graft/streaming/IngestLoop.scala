@@ -107,13 +107,16 @@ object IngestLoop {
       .select(col("r.*"))
       .withColumn("first_ingested_at", lit(null).cast("timestamp"))
 
+    // statsCols: the streamed poi table emits INDEXED versions (string key —
+    // UTF-8 byte-order stats), so a later targeted delete/read prunes with
+    // zero footer reads; the ledger is |api_types|-row, not worth a sidecar
     AtomicTable.commitBatch({
       val existing =
         if (AtomicTable.currentVersion(poiRoot).isDefined) AtomicTable.read(spark, poiRoot)
         else parsed.limit(0).withColumn("first_ingested_at", lit(null).cast("timestamp"))
       MergeSink.upsert(existing, parsed, "google_place_id",
         updateCols = Seq("name", "rating"), asOf = asOf)
-    }, poiRoot, appId, batchId)
+    }, poiRoot, appId, batchId, statsCols = Seq("google_place_id"))
     AtomicTable.commitBatch(newLedger, ledgerRoot, appId, batchId)
   }
 

@@ -126,9 +126,13 @@ class CompactionSpec extends AnyFunSuite {
     val d = TargetedDelete.deleteKeys(spark, root, "id", Seq(5L, 100050L))
     assert(d.footerReads == 0, s"compaction degraded the stats index: $d")
     assert(AtomicTable.read(spark, root).count() == nBefore - 2)
-    // idempotence: an already-optimal version does not churn a new version
+    // idempotence: an already-optimal version does not churn a new version,
+    // and its stats row says NOTHING HAPPENED (noOp, zero links) — an audit
+    // consumer must distinguish a no-op pass from a real all-link compaction
     val again = Compaction.compactVersion(spark, root, target, statsCol = Some("id"))
     assert(again.version == d.version && again.outputFiles == 0,
       s"no-op compaction churned a version: $again")
+    assert(again.noOp && again.linkedFiles == 0,
+      s"no-op pass misreported as real work: $again")
   }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.{AtomicTable, KeyStats, StatsRead, TargetedDelete}
+
+/** The read-path data-skipping contracts the driver's hash gate can't see:
+  * a stats-pruned read plans a strict SUBSET of the live files yet returns
+  * row-for-row the same result as filtering a full scan, the fully-pruned
+  * case never constructs a data scan, the indexed path needs zero footer
+  * reads, and multi-column indexing opens each footer exactly ONCE. */
+class StatsReadSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+
+  private def deleteAll(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p)
+      try it.iterator().asScala.toSeq.foreach(deleteAll) finally it.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  private def buildTable(root: String, n: Long, statsCols: Seq[String] = Nil): Unit = {
+    deleteAll(Paths.get(root))
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 7).as("grp"), concat(lit("row"), col("id")).as("payload"))
+    AtomicTable.commit(
+      df.repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = statsCols)
+  }
+
+  test("range read plans a strict subset with row parity against the full scan") {
+    val root = "spark-warehouse/test_s16_range"
+    buildTable(root, 8000, statsCols = Seq("id"))
+    val (df, rs) = StatsRead.readKeyRange(spark, root, "id", 1000L, 1200L)
+    assert(rs.footerReads == 0, s"indexed read should not open footers: $rs")
+    assert(rs.filesRead >= 1 && rs.filesRead <= 2,
+      s"clustered range should plan 1-2 of ${rs.totalFiles} files: $rs")
+    // row parity: pruned-scan result == full-scan filter, exactly
+    val full = AtomicTable.read(spark, root)
+      .filter(col("id").between(1000L, 1200L))
+    assert(df.count() == 201 && full.count() == 201)
+    assert(df.exceptAll(full).isEmpty && full.exceptAll(df).isEmpty,
+      "stats pruning changed the result set")
+  }
+
+  test("a range no file can contain returns empty without a data scan, schema intact") {
+    val root = "spark-warehouse/test_s16_empty"
+    buildTable(root, 2000, statsCols = Seq("id"))
+    val (df, rs) = StatsRead.readKeyRange(spark, root, "id", 500000L, 600000L)
+    assert(rs.filesRead == 0 && rs.footerReads == 0, rs.toString)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("id", "grp", "payload"),
+      "empty read must keep the table schema")
+  }
+
+  test("unindexed table falls back to footer reads, then the sidecar serves the next read") {
+    val root = "spark-warehouse/test_s16_fallback"
+    buildTable(root, 4000)
+    val (df, rs) = StatsRead.readKeyIn(spark, root, "id", Seq(50L, 60L, 3999L))
+    assert(rs.footerReads == rs.totalFiles,
+      s"unindexed read should footer-read every file: $rs")
+    // 50/60 share the head file(s) unless a sampled range boundary falls
+    // between them; 3999 is the tail file — 2 normally, 3 at most
+    assert(rs.filesRead >= 2 && rs.filesRead <= 3,
+      s"two clustered points + one tail point: $rs")
+    assert(df.count() == 3)
+    // explicit index → second read is zero-footer
+    TargetedDelete.indexKeyStats(spark, root, "id")
+    val (_, rs2) = StatsRead.readKeyIn(spark, root, "id", Seq(50L, 60L, 3999L))
+    assert(rs2.footerReads == 0, rs2.toString)
+  }
+
+  test("a key set past IsinKeyThreshold routes through the broadcast semi join, same rows") {
+    val root = "spark-warehouse/test_s16_bigset"
+    buildTable(root, 6000, statsCols = Seq("id"))
+    val keys = (0L until 6000L).filter(_ % 4 == 0) // 1500 > threshold
+    assert(keys.size > TargetedDelete.IsinKeyThreshold)
+    val (df, rs) = StatsRead.readKeyIn(spark, root, "id", keys)
+    assert(rs.footerReads == 0)
+    assert(df.count() == keys.size)
+    assert(df.filter(col("id") % 4 =!= 0).count() == 0)
+  }
+
+  test("string-keyed read prunes under UTF-8 stats order with row parity") {
+    import spark.implicits._
+    val root = "spark-warehouse/test_s16_string"
+    deleteAll(Paths.get(root))
+    val df = spark.range(4000).select(
+      format_string("doc%05d", col("id")).as("doc_id"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(
+      df.repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id")),
+      root, statsCols = Seq("doc_id"))
+    val keys = (1000L to 1050L).map(i => f"doc$i%05d")
+    val (out, rs) = StatsRead.readStringKeyIn(spark, root, "doc_id", keys)
+    assert(rs.footerReads == 0 && rs.filesRead <= 2, rs.toString)
+    assert(out.count() == 51)
+    assert(out.select("doc_id").as[String].collect().toSet == keys.toSet)
+  }
+
+  test("multi-column indexing opens each footer exactly once") {
+    val root = "spark-warehouse/test_s16_multicol"
+    buildTable(root, 4000) // 8 files, no sidecar
+    val before = KeyStats.footerOpens.get()
+    val indexed = TargetedDelete.indexKeyStats(spark, root, Seq("id", "grp"))
+    assert(indexed == 8)
+    assert(KeyStats.footerOpens.get() - before == 8,
+      s"2-column index must cost ONE open per file, took ${KeyStats.footerOpens.get() - before}")
+    // both columns landed in the sidecar: reads on either are zero-footer
+    val (_, rsId) = StatsRead.readKeyRange(spark, root, "id", 100L, 200L)
+    val (dfGrp, rsGrp) = StatsRead.readKeyIn(spark, root, "grp", Seq(3L))
+    assert(rsId.footerReads == 0 && rsGrp.footerReads == 0,
+      s"$rsId / $rsGrp")
+    // grp is scattered 0..6 in every file: stats can't prune, rows still right
+    assert(rsGrp.filesRead == rsGrp.totalFiles)
+    assert(dfGrp.count() == spark.range(4000).filter(col("id") % 7 === 3).count())
+    // idempotent: nothing left to open
+    val before2 = KeyStats.footerOpens.get()
+    assert(TargetedDelete.indexKeyStats(spark, root, Seq("id", "grp")) == 0)
+    assert(KeyStats.footerOpens.get() == before2)
+  }
+
+  test("range delete removes the block with the same pruned selectivity") {
+    val root = "spark-warehouse/test_s16_rangedel"
+    buildTable(root, 8000, statsCols = Seq("id"))
+    val stats = TargetedDelete.deleteKeyRange(spark, root, "id", 2000L, 2150L)
+    assert(stats.footerReads == 0, stats.toString)
+    assert(stats.rewrittenFiles >= 1 && stats.rewrittenFiles <= 2, stats.toString)
+    val live = AtomicTable.read(spark, root)
+    assert(live.count() == 8000 - 151)
+    assert(live.filter(col("id").between(2000L, 2150L)).count() == 0)
+  }
+}

@@ -279,6 +279,57 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(stages == 0, s"$stages stage dirs leaked")
   }
 
+  test("a COMPLETE orphan claim (with the commit marker) is adopted, never destroyed") {
+    val root = "spark-warehouse/test_s22_adopt"
+    buildTable(root, 2000)
+    // an occCommit writer died between its CAS rename and its manifest flip:
+    // v2 exists, COMPLETE (marker present, real data), manifest names v1.
+    // The old single-writer path deleted it unconditionally — silent loss of
+    // the claim's 100 extra rows (r16 advice). Now: adopt + rebase on it.
+    val claim = Paths.get(root, "v2")
+    val extra = spark.range(100000L, 100100L)
+      .select(col("id"), (col("id") % 7).as("grp"),
+        concat(lit("row"), col("id")).as("payload"))
+    spark.read.parquet(s"$root/v1").unionByName(extra)
+      .write.mode("overwrite").parquet(claim.toString)
+    Files.write(claim.resolve("_GRAFT_COMMITTED"), Array.emptyByteArray)
+    val stats = TargetedDelete.deleteKeys(spark, root, "id", Seq(5L, 6L))
+    assert(stats.version == "v3",
+      s"delete must rebase ON TOP of the adopted claim, got ${stats.version}")
+    val live = AtomicTable.read(spark, root)
+    assert(live.filter(col("id") >= 100000L).count() == 100,
+      "the complete claim's rows were destroyed by the delete")
+    assert(live.filter(col("id").isin(5L, 6L)).count() == 0)
+    assert(live.count() == 2000 + 100 - 2)
+  }
+
+  test("a partitioned (subdirectory) version layout fails loudly instead of staging empty") {
+    val root = "spark-warehouse/test_s22_flatguard"
+    buildTable(root, 1000)
+    // plant a partition-style subdirectory inside the live version: partFiles
+    // would see only top-level parquet and a silent pass would publish a
+    // version missing the subdirectory's data
+    val sub = Paths.get(root, "v1", "grp=1")
+    Files.createDirectories(sub)
+    spark.range(10).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(sub.resolve("inner").toString)
+    val before = AtomicTable.currentVersion(root)
+    val e1 = intercept[IllegalStateException] {
+      TargetedDelete.deleteKeys(spark, root, "id", Seq(5L))
+    }
+    assert(e1.getMessage.contains("FLAT version layout"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      graft.sinks.Compaction.compactVersion(spark, root, 1L << 20)
+    }
+    assert(e2.getMessage.contains("FLAT version layout"), e2.getMessage)
+    val e3 = intercept[IllegalStateException] {
+      graft.sinks.StatsRead.readKeyRange(spark, root, "id", 0L, 10L)
+    }
+    assert(e3.getMessage.contains("FLAT version layout"), e3.getMessage)
+    assert(AtomicTable.currentVersion(root) == before,
+      "a refused pass must not have published anything")
+  }
+
   test("pruning old versions unlinks names, never the live version's inodes") {
     val root = "spark-warehouse/test_s22_prune"
     buildTable(root, 4000)
