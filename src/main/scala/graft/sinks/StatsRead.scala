@@ -135,9 +135,34 @@ object StatsRead {
     docsAgg(df)
   }
 
+  /** STRING-KEYED READ over a lang-clustered layout: the corpus is
+    * range-partitioned on (lang, doc_id) — the natural "cluster by language
+    * then id" layout of a multilingual corpus — indexed on `lang`, and the
+    * one-language lookup must skip the files whose decoded UTF-8 stats
+    * prove they hold other languages only (enforced like [[qS16KeyedRead]]).
+    * String stats compare under parquet's unsigned byte order end to end. */
+  def qS16KeyedReadStr(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_str"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(8, col("lang"), col("doc_id"))
+        .sortWithinPartitions(col("lang"), col("doc_id")),
+      root, statsCols = Seq("lang"))
+    val (df, rs) = readStringKeyIn(spark, root, "lang", Seq("fr"))
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles)
+      throw new IllegalStateException(
+        s"string-stats read did not skip: $rs (want footerReads=0, filesRead < totalFiles)")
+    df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_keyed_read" -> (qS16KeyedRead _),
-    "s16_keyed_read_set" -> (qS16KeyedReadSet _))
+    "s16_keyed_read_set" -> (qS16KeyedReadSet _),
+    "s16_keyed_read_str" -> (qS16KeyedReadStr _))
 
   val oracles: Map[String, String] = Map(
     "s16_keyed_read" ->
@@ -153,5 +178,12 @@ object StatsRead {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM documents
          |WHERE doc_id BETWEEN $ReadFrom AND $ReadTo OR doc_id IN (7, 421)
-         |GROUP BY lang, source""".stripMargin)
+         |GROUP BY lang, source""".stripMargin,
+    "s16_keyed_read_str" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE lang = 'fr'
+        |GROUP BY source""".stripMargin)
 }

@@ -44,6 +44,15 @@ class StatsReadSpec extends AnyFunSuite {
     assert(df.count() == 201 && full.count() == 201)
     assert(df.exceptAll(full).isEmpty && full.exceptAll(df).isEmpty,
       "stats pruning changed the result set")
+    // the two prunings COMPOSE: the row-level range predicate must reach
+    // the parquet reader of the already-file-pruned scan (row-group stats)
+    val pushed = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(id,1000)") &&
+      pushed.contains("LessThanOrEqual(id,1200)"),
+      s"range predicate not pushed into the pruned scan: $pushed")
   }
 
   test("a range no file can contain returns empty without a data scan, schema intact") {
