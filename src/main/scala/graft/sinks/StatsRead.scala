@@ -65,20 +65,44 @@ object StatsRead {
     * (no file can contain a key) returns an empty frame with the table's
     * schema without constructing a data scan. */
   def readWhere(spark: SparkSession, root: String, keyCol: String,
-      ks: TargetedDelete.KeySet): (DataFrame, ReadStats) = {
+      ks: TargetedDelete.KeySet): (DataFrame, ReadStats) =
+    readWhereAll(spark, root, Seq(keyCol -> ks))
+
+  /** CONJUNCTIVE multi-column prune: a file survives only if EVERY
+    * predicate's stats range intersects it — the read-side move that makes
+    * a Z-ORDERED layout ([[ZorderLayout]]) pay off at the FILE level: each
+    * z-clustered file covers a small rectangle of the key plane, so a box
+    * predicate's per-dimension ranges jointly exclude most files, where
+    * either dimension alone excludes few. Files missing sidecar rows for
+    * ANY needed column fall back to ONE footer open each (all columns
+    * extracted together — [[KeyStats.footerStatRows]]). */
+  def readWhereAll(spark: SparkSession, root: String,
+      preds: Seq[(String, TargetedDelete.KeySet)]): (DataFrame, ReadStats) = {
+    require(preds.nonEmpty, "readWhereAll needs at least one predicate")
     val live = AtomicTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val liveDir = Paths.get(root, live)
     TargetedDelete.requireFlatLayout(liveDir, "stats-pruned read")
     val files = TargetedDelete.partFiles(liveDir)
-    val pr = TargetedDelete.pruneFiles(spark, liveDir, files, keyCol, ks)
+    val side = KeyStats.loadStats(liveDir)
+    val cols = preds.map(_._1)
+    val unknown = files.filter(f =>
+      cols.exists(c => !side.contains((f.getFileName.toString, c))))
+    val rows = side ++ KeyStats.statRowsFor(spark, unknown, cols)
+    val touched = files.filter { f =>
+      preds.forall { case (c, ks) =>
+        TargetedDelete.rowIntersects(
+          rows.getOrElse((f.getFileName.toString, c), ("none", "", "")), ks)
+      }
+    }
     val df =
-      if (pr.touched.isEmpty)
+      if (touched.isEmpty)
         // schema-only plan: where(false) folds to an empty LocalRelation
         spark.read.parquet(liveDir.toString).where(lit(false))
-      else TargetedDelete.matched(
-        spark.read.parquet(pr.touched.map(_.toString): _*), keyCol, ks)
-    (df, ReadStats(live, files.size, pr.touched.size, pr.footerReads))
+      else preds.foldLeft(spark.read.parquet(touched.map(_.toString): _*)) {
+        case (d, (c, ks)) => TargetedDelete.matched(d, c, ks)
+      }
+    (df, ReadStats(live, files.size, touched.size, unknown.size))
   }
 
   // ---- declared queries -------------------------------------------------

@@ -242,7 +242,7 @@ object TargetedDelete {
     indexKeyStats(spark, root, Seq(keyCol))
 
   /** Does a stat row admit any delete key? "none" is conservative-true. */
-  private def rowIntersects(row: StatRow, ks: KeySet): Boolean = row match {
+  private[sinks] def rowIntersects(row: StatRow, ks: KeySet): Boolean = row match {
     case ("long", mn, mx) =>
       ks.intersectsStats(java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx))
     case ("string", mn, mx) => ks.intersectsStats(mn, mx)

@@ -88,9 +88,47 @@ object ZorderLayout {
   def qZorderScan(spark: SparkSession, dir: String): DataFrame =
     boxRead(spark, zorderWrite(spark, dir))
 
+  def zorderRoot(dir: String): String =
+    "spark-warehouse/s17_lineitem_zv_" + new java.io.File(dir).getName
+
+  /** The z-layout's FILE-LEVEL payoff (r17): the same z-clustered write
+    * committed as an AtomicTable version indexed on BOTH dimensions (one
+    * footer open per file), then the box predicate runs through
+    * [[StatsRead.readWhereAll]] — each file is a small rectangle of the
+    * (partkey, suppkey) plane, so the CONJUNCTION of the two per-dimension
+    * stats ranges excludes files that either dimension alone admits. The
+    * query throws unless the pruning came entirely from the sidecar
+    * (footerReads==0) AND skipped files; the oracle replays the box over
+    * the un-clustered source, so the hash covers code, layout, index,
+    * conjunctive prune, and the row-level residual together. At 100 TB this
+    * is Delta's `ZORDER BY` + stats skipping: a needle box over 10⁶ files
+    * plans the handful of intersecting rectangles. */
+  def qZorderSkip(spark: SparkSession, dir: String): DataFrame = {
+    val root = zorderRoot(dir)
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
+    AtomicTable.commit(
+      Tables.lineitem(spark, dir)
+        .withColumn("zcode", zcode(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(NumFiles, col("zcode"))
+        .sortWithinPartitions(col("zcode"))
+        .drop("zcode"),
+      root, statsCols = Seq("l_partkey", "l_suppkey"))
+    val (df, rs) = StatsRead.readWhereAll(spark, root, Seq(
+      "l_partkey" -> TargetedDelete.LongRange(0L, 100L),
+      "l_suppkey" -> TargetedDelete.LongRange(0L, 5L)))
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles)
+      throw new IllegalStateException(
+        s"z-order conjunctive prune did not skip: $rs")
+    df.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s17_zorder_code" -> (qZorderCode _),
-    "s17_zorder_scan" -> (qZorderScan _))
+    "s17_zorder_scan" -> (qZorderScan _),
+    "s17_zorder_skip" -> (qZorderSkip _))
 
   /** DuckDB replay of [[spread]], generated from [[SpreadStages]]. */
   private def spreadCtesSql: String = {
@@ -118,5 +156,12 @@ object ZorderLayout {
         |  count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem
         |WHERE l_partkey <= 100 AND l_suppkey <= 5
+        |GROUP BY 1""".stripMargin,
+    "s17_zorder_skip" ->
+      """SELECT l_suppkey, count(*) AS n_rows,
+        |  CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 0 AND 100 AND l_suppkey BETWEEN 0 AND 5
         |GROUP BY 1""".stripMargin)
 }

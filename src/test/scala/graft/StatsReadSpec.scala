@@ -131,6 +131,34 @@ class StatsReadSpec extends AnyFunSuite {
     assert(KeyStats.footerOpens.get() == before2)
   }
 
+  test("conjunctive prune on a z-ordered layout beats either dimension alone") {
+    val root = "spark-warehouse/test_s16_zconj"
+    deleteAll(Paths.get(root))
+    // 256x256 plane z-ordered into 16 files: each file ≈ one 64x64 quad, so
+    // a small box predicate lives in ~1 file while either 1-D range alone
+    // crosses a full stripe of quads
+    val df = spark.range(65536L).select(
+      (col("id") / 256L).cast("long").as("x"), (col("id") % 256L).as("y"))
+    AtomicTable.commit(
+      df.withColumn("z", graft.sinks.ZorderLayout.zcode(col("x"), col("y")))
+        .repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+        .drop("z"),
+      root, statsCols = Seq("x", "y"))
+    val box = Seq(
+      "x" -> TargetedDelete.LongRange(10L, 20L),
+      "y" -> TargetedDelete.LongRange(10L, 20L))
+    val (out, rs) = StatsRead.readWhereAll(spark, root, box)
+    val (_, rx) = StatsRead.readKeyRange(spark, root, "x", 10L, 20L)
+    val (_, ry) = StatsRead.readKeyRange(spark, root, "y", 10L, 20L)
+    assert(rs.footerReads == 0, rs.toString)
+    assert(rs.filesRead <= rx.filesRead && rs.filesRead <= ry.filesRead,
+      s"conjunction must never admit more than a single dimension: $rs vs $rx / $ry")
+    assert(rs.filesRead < rx.filesRead.max(ry.filesRead),
+      s"conjunction should beat the worse dimension on a z layout: $rs vs $rx / $ry")
+    assert(rs.filesRead < rs.totalFiles)
+    assert(out.count() == 121) // 11 x 11 box
+  }
+
   test("range delete removes the block with the same pruned selectivity") {
     val root = "spark-warehouse/test_s16_rangedel"
     buildTable(root, 8000, statsCols = Seq("id"))
