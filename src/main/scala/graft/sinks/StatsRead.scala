@@ -28,6 +28,12 @@ import graft.Tables
   * row-group stats; the two prunings compose). NULL keys never match,
   * mirroring the delete path's three-valued-logic contract.
   *
+  * Reads are PURE: a footer-fallback read never writes the rows it derived
+  * back into the live version's sidecar (a read that mutates table metadata
+  * would surprise concurrent writers and audits) — run
+  * [[TargetedDelete.indexKeyStats]] once for a durable index; deletes and
+  * compactions self-maintain it from there.
+  *
   * Reference anchor: the reference pipeline's point lookups are Postgres
   * index scans (utils/database.py); on a parquet lakehouse the manifest
   * min/max IS the coarse index.
