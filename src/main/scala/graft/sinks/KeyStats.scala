@@ -21,10 +21,19 @@ import org.apache.spark.sql.SparkSession
   * sequential read instead of per-file footer reads at any table size. */
 object KeyStats {
 
-  /** A file's whole-file key range: ("long"|"string", min, max), or
-    * ("none","","") when the footer proves nothing (missing / mixed-type /
-    * empty stats — conservative: such a file always rewrites). */
-  type StatRow = (String, String, String)
+  /** A file's whole-file column statistics: `kind` is "long"|"string" with
+    * decoded `min`/`max`, or "none" when the footer proves nothing about the
+    * range (missing / mixed-type / empty stats — conservative: such a file
+    * always rewrites/scans). `rowCount`/`nullCount` are the file's total rows
+    * and the column's null count (−1 = unknown — e.g. a legacy 5-field
+    * sidecar row, or a footer block without numNulls); they power the
+    * CONTAINMENT fast paths (r17): a file whose [min,max] lies entirely
+    * inside a predicate range contributes `rowCount − nullCount` matches
+    * metadata-only, and a range DELETE drops it without rewriting a byte.
+    * min/max ignore nulls (parquet's contract), which is exactly why the
+    * null count must ride along: containment says nothing about null rows. */
+  final case class StatRow(kind: String, min: String, max: String,
+      rowCount: Long = -1L, nullCount: Long = -1L)
 
   val StatsFile = "_KEYSTATS.tsv"
 
@@ -62,15 +71,18 @@ object KeyStats {
     val p = versionDir.resolve(StatsFile)
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
-      val a = line.split("\t", 5)
-      (dec(a(0)), dec(a(1))) -> ((a(2), dec(a(3)), dec(a(4))))
+      // 7-field current format; 5-field legacy rows parse with unknown counts
+      val a = line.split("\t", 7)
+      val (rows, nulls) =
+        if (a.length >= 7) (a(5).toLong, a(6).toLong) else (-1L, -1L)
+      (dec(a(0)), dec(a(1))) -> StatRow(a(2), dec(a(3)), dec(a(4)), rows, nulls)
     }.toMap
   }
 
   def writeStats(versionDir: Path,
       rows: Map[(String, String), StatRow]): Unit = {
-    val body = rows.toSeq.sortBy(_._1).map { case ((f, c), (k, mn, mx)) =>
-      s"${enc(f)}\t${enc(c)}\t$k\t${enc(mn)}\t${enc(mx)}"
+    val body = rows.toSeq.sortBy(_._1).map { case ((f, c), r) =>
+      s"${enc(f)}\t${enc(c)}\t${r.kind}\t${enc(r.min)}\t${enc(r.max)}\t${r.rowCount}\t${r.nullCount}"
     }.mkString("\n")
     val tmp = versionDir.resolve(s".$StatsFile.tmp")
     Files.writeString(tmp, body)
@@ -84,10 +96,23 @@ object KeyStats {
     * singleton, and the driver-loop branch (≤ threshold) is always exact. */
   private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** One column's whole-file range merged from per-block footer stats. */
+  /** One column's whole-file stats merged from per-block footer stats. */
   private def statFromBlocks(
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
       keyCol: String): StatRow = {
+    val rowCount = blocks.map(_.getRowCount).sum
+    // nulls known only if EVERY block reports numNulls for the column
+    val perBlockNulls = blocks.map { block =>
+      block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+        case Some(cc) if cc.getStatistics != null &&
+          cc.getStatistics.isNumNullsSet => Some(cc.getStatistics.getNumNulls)
+        case _ => None
+      }
+    }
+    val nullCount =
+      if (perBlockNulls.nonEmpty && perBlockNulls.forall(_.isDefined))
+        perBlockNulls.flatten.sum
+      else -1L
     val perBlock = blocks.map { block =>
       block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
         case None => None
@@ -104,17 +129,20 @@ object KeyStats {
       }
     }
     if (perBlock.isEmpty || perBlock.exists(_.isEmpty) ||
-        perBlock.flatten.map(_._1).distinct.size != 1) ("none", "", "")
+        perBlock.flatten.map(_._1).distinct.size != 1)
+      StatRow("none", "", "", rowCount, nullCount)
     else {
       val rows = perBlock.flatten
       rows.head._1 match {
         case "long" =>
-          ("long", rows.map(_._2.toLong).min.toString, rows.map(_._3.toLong).max.toString)
+          StatRow("long", rows.map(_._2.toLong).min.toString,
+            rows.map(_._3.toLong).max.toString, rowCount, nullCount)
         case kind =>
           // per-block strings merge under the SAME byte order parquet
           // computed them with — Java's default String order understates
           // the range for supplementary-plane content ([[Utf8Order]])
-          (kind, rows.map(_._2).min(Utf8Order), rows.map(_._3).max(Utf8Order))
+          StatRow(kind, rows.map(_._2).min(Utf8Order),
+            rows.map(_._3).max(Utf8Order), rowCount, nullCount)
       }
     }
   }

@@ -98,7 +98,7 @@ object StatsRead {
     val touched = files.filter { f =>
       preds.forall { case (c, ks) =>
         TargetedDelete.rowIntersects(
-          rows.getOrElse((f.getFileName.toString, c), ("none", "", "")), ks)
+          rows.getOrElse((f.getFileName.toString, c), KeyStats.StatRow("none", "", "")), ks)
       }
     }
     val df =
@@ -109,6 +109,52 @@ object StatsRead {
         case (d, (c, ks)) => TargetedDelete.matched(d, c, ks)
       }
     (df, ReadStats(live, files.size, touched.size, unknown.size))
+  }
+
+  /** A metadata-count's audit row: `metadataFiles` contributed their match
+    * count from the sidecar alone (`rowCount − nullCount` of a file whose
+    * [min,max] lies inside the range), `scannedFiles` (the ≤2 boundary files
+    * holding a range endpoint, plus any file with unknown counts) were
+    * counted by a real filtered scan, and the rest were stats-disjoint. */
+  final case class CountStats(version: String, totalFiles: Int,
+      metadataFiles: Int, scannedFiles: Int, footerReads: Int)
+
+  /** METADATA-ONLY COUNT (r17): `count(*) WHERE keyCol BETWEEN lo AND hi`
+    * answered from the stats sidecar for every file the range fully
+    * contains — on an id-clustered corpus a huge contiguous block counts by
+    * reading ~2 boundary files no matter how many interior files exist
+    * (Delta/Iceberg answer these from numRecords the same way). min/max
+    * ignore nulls, so a contained file contributes `rowCount − nullCount`;
+    * a file with unknown counts is scanned, never guessed. */
+  def countKeyRange(spark: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long): (Long, CountStats) = {
+    val ks = TargetedDelete.LongRange(lo, hi)
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val liveDir = Paths.get(root, live)
+    TargetedDelete.requireFlatLayout(liveDir, "stats-pruned count")
+    val files = TargetedDelete.partFiles(liveDir)
+    val side = KeyStats.loadStats(liveDir)
+    val unknown = files.filter(f => !side.contains((f.getFileName.toString, keyCol)))
+    val rows = side ++ KeyStats.statRowsFor(spark, unknown, Seq(keyCol))
+    def rowOf(f: java.nio.file.Path): KeyStats.StatRow =
+      rows.getOrElse((f.getFileName.toString, keyCol), KeyStats.StatRow("none", "", ""))
+    val overlapping = files.filter(f => TargetedDelete.rowIntersects(rowOf(f), ks))
+    val (metaFiles, scanFiles) = overlapping.partition { f =>
+      val r = rowOf(f)
+      // countable from metadata: containment proven AND both counts known
+      r.kind == "long" && r.rowCount >= 0 && r.nullCount >= 0 &&
+        r.min.toLong >= lo && r.max.toLong <= hi
+    }
+    val metaCount = metaFiles.map { f =>
+      val r = rowOf(f); r.rowCount - r.nullCount
+    }.sum
+    val scanned =
+      if (scanFiles.isEmpty) 0L
+      else spark.read.parquet(scanFiles.map(_.toString): _*)
+        .filter(ks.matchPredicate(keyCol)).count()
+    (metaCount + scanned,
+      CountStats(live, files.size, metaFiles.size, scanFiles.size, unknown.size))
   }
 
   // ---- declared queries -------------------------------------------------
@@ -189,10 +235,39 @@ object StatsRead {
         sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** The counted block: long relative to the per-file id span at every SF
+    * (64 files over ≥500 ids → spans ≈80 ids at sf0.1, ≈8 below; the 400-id
+    * block covers several spans even under range-sampling skew), so the
+    * range always fully contains interior files. Ids < 500 exist at every
+    * SF, same convention as the s22 delete set. */
+  val CountFrom = 50L; val CountTo = 449L
+  val CountFiles = 64
+
+  /** METADATA-ONLY COUNT under the hash gate: 64-file id-clustered corpus,
+    * committed indexed, then `count(*)` over a 300-id block must come from
+    * the sidecar for every interior file — at most the 2 endpoint-holding
+    * boundary files scan (enforced), zero footer reads (enforced). The
+    * oracle replays the plain SQL count, so the metadata arithmetic
+    * (rowCount − nullCount per contained file) is value-checked. */
+  def qS16KeyedCount(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_cnt"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(CountFiles, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_id"))
+    val (n, cs) = countKeyRange(spark, root, "doc_id", CountFrom, CountTo)
+    if (cs.footerReads != 0 || cs.scannedFiles > 2 || cs.metadataFiles < 1)
+      throw new IllegalStateException(
+        s"metadata count did not engage: $cs (want footerReads=0, scanned<=2, metadata>=1)")
+    spark.range(1).select(lit(n).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_keyed_read" -> (qS16KeyedRead _),
     "s16_keyed_read_set" -> (qS16KeyedReadSet _),
-    "s16_keyed_read_str" -> (qS16KeyedReadStr _))
+    "s16_keyed_read_str" -> (qS16KeyedReadStr _),
+    "s16_keyed_count" -> (qS16KeyedCount _))
 
   val oracles: Map[String, String] = Map(
     "s16_keyed_read" ->
@@ -215,5 +290,8 @@ object StatsRead {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |WHERE lang = 'fr'
-        |GROUP BY source""".stripMargin)
+        |GROUP BY source""".stripMargin,
+    "s16_keyed_count" ->
+      s"""SELECT count(*) AS n_docs FROM documents
+         |WHERE doc_id BETWEEN $CountFrom AND $CountTo""".stripMargin)
 }

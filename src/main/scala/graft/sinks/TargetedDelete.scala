@@ -53,9 +53,13 @@ object TargetedDelete {
   /** What the delete touched — the audit row a maintenance job logs.
     * `footerReads` counts live files whose pruning decision needed a real
     * parquet footer read (0 when the version's `_KEYSTATS` sidecar already
-    * indexed the key column — the manifest-held-stats path). */
+    * indexed the key column — the manifest-held-stats path). `droppedFiles`
+    * (r17) counts files a RANGE delete removed whole — stats proved every
+    * non-null key inside the range, so nothing was rewritten or linked for
+    * them; `totalFiles == rewrittenFiles + droppedFiles + reusedFiles`. */
   final case class DeleteStats(version: String, totalFiles: Int,
-      rewrittenFiles: Int, reusedFiles: Int, footerReads: Int = 0)
+      rewrittenFiles: Int, reusedFiles: Int, footerReads: Int = 0,
+      droppedFiles: Int = 0)
 
   /** Above this many delete keys the survivor filter switches from a
     * literal NOT-IN predicate to a broadcast LEFT ANTI join. */
@@ -242,11 +246,25 @@ object TargetedDelete {
     indexKeyStats(spark, root, Seq(keyCol))
 
   /** Does a stat row admit any delete key? "none" is conservative-true. */
-  private[sinks] def rowIntersects(row: StatRow, ks: KeySet): Boolean = row match {
-    case ("long", mn, mx) =>
-      ks.intersectsStats(java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx))
-    case ("string", mn, mx) => ks.intersectsStats(mn, mx)
+  private[sinks] def rowIntersects(row: StatRow, ks: KeySet): Boolean = row.kind match {
+    case "long" =>
+      ks.intersectsStats(java.lang.Long.valueOf(row.min), java.lang.Long.valueOf(row.max))
+    case "string" => ks.intersectsStats(row.min, row.max)
     case _ => true
+  }
+
+  /** Is EVERY non-null key in the file provably inside the delete range —
+    * i.e. can a range delete DROP the whole file without rewriting a byte?
+    * True only for a [[LongRange]] whose bounds contain the file's [min,max]
+    * AND a file known to hold zero NULL keys (NULL-key rows always survive a
+    * delete, so a file that might hold one must rewrite). Conservative-false
+    * everywhere else — a drop decided wrongly is data loss, so every leg of
+    * this predicate is a proof, not a heuristic. */
+  private[sinks] def rowContained(row: StatRow, ks: KeySet): Boolean = ks match {
+    case LongRange(lo, hi) =>
+      row.kind == "long" && row.nullCount == 0L &&
+        row.min.toLong >= lo && row.max.toLong <= hi
+    case _ => false
   }
 
   private[sinks] final case class Pruned(touched: Seq[Path], reused: Seq[Path],
@@ -285,24 +303,29 @@ object TargetedDelete {
     else df.join(broadcast(ks.toDF(df.sparkSession)),
       df(keyCol) === col("__del_key"), "left_semi")
 
-  /** Stage the post-delete state of `liveDir` into `stageDir`: rewrite the
-    * stats-intersecting files, hard-link the rest, and write the NEXT
-    * version's `_KEYSTATS` sidecar — reused files carry their rows forward
-    * (all indexed columns), freshly-rewritten files get `keyCol` rows from
-    * their just-written local footers, so a delete's output version is
-    * always fully indexed on the delete column and the next delete on it
-    * needs ZERO footer reads. Shared by the single-writer and OCC paths.
-    * Returns (total, rewritten, reused, footerReads). */
+  /** Stage the post-delete state of `liveDir` into `stageDir`: DROP whole
+    * files a range delete provably empties ([[rowContained]] — no rewrite,
+    * no link, O(1) per file; the GDPR "remove this source's id block" fast
+    * path), rewrite the remaining stats-intersecting files, hard-link the
+    * rest, and write the NEXT version's `_KEYSTATS` sidecar — reused files
+    * carry their rows forward (all indexed columns), freshly-rewritten
+    * files get `keyCol` rows from their just-written local footers, so a
+    * delete's output version is always fully indexed on the delete column
+    * and the next delete on it needs ZERO footer reads. Shared by the
+    * single-writer and OCC paths.
+    * Returns (total, rewritten, dropped, reused, footerReads). */
   private def stageDelete(spark: SparkSession, liveDir: Path, stageDir: Path,
-      keyCol: String, ks: KeySet): (Int, Int, Int, Int) = {
+      keyCol: String, ks: KeySet): (Int, Int, Int, Int, Int) = {
     requireFlatLayout(liveDir, "targeted delete")
     val files = partFiles(liveDir)
     val pr = pruneFiles(spark, liveDir, files, keyCol, ks)
+    val (dropped, rewrite) = pr.touched.partition(f =>
+      rowContained(pr.keyRows(f.getFileName.toString), ks))
     Files.createDirectories(stageDir)
-    if (pr.touched.nonEmpty) {
-      // one job over ONLY the intersecting files
+    if (rewrite.nonEmpty) {
+      // one job over ONLY the partially-intersecting files
       val rewriteOut = stageDir.resolve("rewrite")
-      survivors(spark.read.parquet(pr.touched.map(_.toString): _*), keyCol, ks)
+      survivors(spark.read.parquet(rewrite.map(_.toString): _*), keyCol, ks)
         .write.mode("overwrite").parquet(rewriteOut.toString)
       partFiles(rewriteOut).foreach { f =>
         Files.move(f, stageDir.resolve(f.getFileName))
@@ -323,7 +346,7 @@ object TargetedDelete {
     val freshRows = statRowsFor(spark, freshFiles, keyCol)
       .map { case (n, row) => (n, keyCol) -> row }
     writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
-    (files.size, pr.touched.size, pr.reused.size, pr.footerReads)
+    (files.size, rewrite.size, dropped.size, pr.reused.size, pr.footerReads)
   }
 
   /** Link (or copy, cross-device) `src` into `dir` under its own name. */
@@ -390,11 +413,11 @@ object TargetedDelete {
       if (!Files.exists(target)) {
         val stageDir = Paths.get(root, s".stage-del-${java.util.UUID.randomUUID()}")
         try {
-          val (total, rewritten, reusedN, footerReads) =
+          val (total, rewritten, droppedN, reusedN, footerReads) =
             stageDelete(spark, liveDir, stageDir, keyCol, ks)
           Files.move(stageDir, target, StandardCopyOption.ATOMIC_MOVE)
           AtomicTable.publish(root, next)
-          return DeleteStats(next, total, rewritten, reusedN, footerReads)
+          return DeleteStats(next, total, rewritten, reusedN, footerReads, droppedN)
         } finally {
           if (Files.exists(stageDir)) AtomicTable.deleteRecursively(stageDir)
         }
@@ -434,13 +457,13 @@ object TargetedDelete {
 
   private def deleteKeySetOcc(spark: SparkSession, root: String, keyCol: String,
       ks: KeySet, maxRetries: Int, pruneAgeMs: Long): DeleteStats = {
-    @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
+    @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
     val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
       val liveV = base.getOrElse(
         throw new IllegalStateException(s"no live version at $root"))
       last = stageDelete(spark, Paths.get(root, liveV), stageDir, keyCol, ks)
     }
-    DeleteStats(v, last._1, last._2, last._3, last._4)
+    DeleteStats(v, last._1, last._2, last._4, last._5, last._3)
   }
 
   // ---- declared query -------------------------------------------------
@@ -545,11 +568,37 @@ object TargetedDelete {
     survivorAgg(spark, root)
   }
 
+  /** RANGE DELETE with whole-file drops (r17): a withdrawn source's
+    * contiguous id block removed from a 64-file id-clustered layout — the
+    * interior files' stats prove every key is inside the range (and zero
+    * NULLs), so they are DROPPED without rewriting a byte; only the ≤2
+    * endpoint-holding boundary files rewrite. Enforced: at least one drop
+    * actually happened and the pruning came from the sidecar (footerReads
+    * ==0) — at 10⁶ files this turns a block delete from "rewrite the
+    * block's files" into "rewrite 2, forget the rest". Same bounds as
+    * [[StatsRead.CountFrom]]/[[StatsRead.CountTo]] (ids < 500 at every SF). */
+  def qS22TargetedDeleteRange(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_rng"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(StatsRead.CountFiles, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_id"))
+    val stats = deleteKeyRange(spark, root, "doc_id",
+      StatsRead.CountFrom, StatsRead.CountTo)
+    if (stats.footerReads != 0 || stats.droppedFiles < 1 || stats.rewrittenFiles > 2)
+      throw new IllegalStateException(
+        s"range delete containment did not engage: $stats " +
+          "(want footerReads=0, dropped>=1, rewritten<=2)")
+    survivorAgg(spark, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_targeted_delete" -> (qS22TargetedDelete _),
     "s22_targeted_delete_occ" -> (qS22TargetedDeleteOcc _),
     "s22_targeted_delete_vol" -> (qS22TargetedDeleteVol _),
-    "s22_targeted_delete_indexed" -> (qS22TargetedDeleteIndexed _))
+    "s22_targeted_delete_indexed" -> (qS22TargetedDeleteIndexed _),
+    "s22_targeted_delete_range" -> (qS22TargetedDeleteRange _))
 
   private val s22OracleSql: String =
     s"""SELECT lang, source, count(*) AS n_docs,
@@ -564,6 +613,13 @@ object TargetedDelete {
     "s22_targeted_delete" -> s22OracleSql,
     "s22_targeted_delete_occ" -> s22OracleSql,
     "s22_targeted_delete_indexed" -> s22OracleSql,
+    "s22_targeted_delete_range" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE doc_id NOT BETWEEN ${StatsRead.CountFrom} AND ${StatsRead.CountTo}
+         |GROUP BY lang, source""".stripMargin,
     "s22_targeted_delete_vol" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -164,9 +164,74 @@ class StatsReadSpec extends AnyFunSuite {
     buildTable(root, 8000, statsCols = Seq("id"))
     val stats = TargetedDelete.deleteKeyRange(spark, root, "id", 2000L, 2150L)
     assert(stats.footerReads == 0, stats.toString)
-    assert(stats.rewrittenFiles >= 1 && stats.rewrittenFiles <= 2, stats.toString)
+    assert(stats.rewrittenFiles + stats.droppedFiles >= 1 &&
+      stats.rewrittenFiles + stats.droppedFiles <= 2, stats.toString)
     val live = AtomicTable.read(spark, root)
     assert(live.count() == 8000 - 151)
     assert(live.filter(col("id").between(2000L, 2150L)).count() == 0)
+  }
+
+  test("a range delete DROPS fully-contained files whole; boundary files rewrite") {
+    val root = "spark-warehouse/test_s16_dropdel"
+    deleteAll(Paths.get(root))
+    // 8000 ids over 64 files ≈ 125 ids/file; [1000, 2000] spans ~8 files —
+    // interior ones are provably all-inside (and null-free) → dropped, the
+    // ≤2 endpoint files rewrite, everything else hard-links
+    val df = spark.range(8000L).select(col("id"),
+      (col("id") % 7).as("grp"), concat(lit("row"), col("id")).as("payload"))
+    AtomicTable.commit(
+      df.repartitionByRange(64, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    val stats = TargetedDelete.deleteKeyRange(spark, root, "id", 1000L, 2000L)
+    assert(stats.footerReads == 0, stats.toString)
+    assert(stats.droppedFiles >= 4,
+      s"interior files should drop whole: $stats")
+    assert(stats.rewrittenFiles <= 2,
+      s"only endpoint-holding files should rewrite: $stats")
+    assert(stats.totalFiles ==
+      stats.rewrittenFiles + stats.droppedFiles + stats.reusedFiles, stats.toString)
+    val live = AtomicTable.read(spark, root)
+    assert(live.count() == 8000 - 1001)
+    assert(live.filter(col("id").between(1000L, 2000L)).count() == 0)
+    assert(live.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 8000L).sum - (1000L to 2000L).sum)
+    // a file that MIGHT hold a NULL key must never drop: nullable key col
+    val root2 = "spark-warehouse/test_s16_dropnull"
+    deleteAll(Paths.get(root2))
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i =>
+      (if (i % 100 == 99) Option.empty[Long] else Option(i), s"p$i"))
+    AtomicTable.commit(rows.toDF("id", "payload")
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      root2, statsCols = Seq("id"))
+    val s2 = TargetedDelete.deleteKeyRange(spark, root2, "id", 0L, 999L)
+    val live2 = AtomicTable.read(spark, root2)
+    assert(live2.count() == 10 && live2.filter(col("id").isNull).count() == 10,
+      s"NULL-key rows lost by a whole-file drop: $s2")
+  }
+
+  test("metadata-only count: interior files count from the sidecar, boundaries scan") {
+    val root = "spark-warehouse/test_s16_count"
+    deleteAll(Paths.get(root))
+    val df = spark.range(8000L).select(col("id"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(
+      df.repartitionByRange(64, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    val (n, cs) = StatsRead.countKeyRange(spark, root, "id", 1000L, 2000L)
+    assert(n == 1001, cs.toString)
+    assert(cs.footerReads == 0 && cs.metadataFiles >= 4 && cs.scannedFiles <= 2,
+      cs.toString)
+    // nulls are invisible to min/max but must not be invisible to the count
+    val root2 = "spark-warehouse/test_s16_countnull"
+    deleteAll(Paths.get(root2))
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i =>
+      (if (i % 10 == 9) Option.empty[Long] else Option(i), s"p$i"))
+    AtomicTable.commit(rows.toDF("id", "payload").coalesce(1),
+      root2, statsCols = Seq("id"))
+    val (n2, cs2) = StatsRead.countKeyRange(spark, root2, "id", 0L, 999L)
+    assert(n2 == 900, s"null keys counted as matches: $n2 / $cs2")
+    assert(cs2.metadataFiles == 1 && cs2.scannedFiles == 0,
+      s"single contained file should count metadata-only: $cs2")
   }
 }
