@@ -66,6 +66,13 @@ object StatsRead {
     readWhere(spark, root, keyCol, TargetedDelete.StringKeys(
       keys.filter(_ != null).distinct.sorted(KeyStats.Utf8Order).toArray))
 
+  /** STRING range read [lo, hi] under UTF-8 byte order — the prefix scan of
+    * a hash-keyed corpus: `readStringKeyRange(root, col, p, p + "￿")`
+    * reads every key starting with `p` from the 1-2 files that can hold it. */
+  def readStringKeyRange(spark: SparkSession, root: String, keyCol: String,
+      lo: String, hi: String): (DataFrame, ReadStats) =
+    readWhere(spark, root, keyCol, TargetedDelete.StringRange(lo, hi))
+
   /** The shared core: prune the live version's file list by stats, scan only
     * the survivors, re-apply the predicate row-level. A fully-pruned read
     * (no file can contain a key) returns an empty frame with the table's
@@ -155,6 +162,42 @@ object StatsRead {
         .filter(ks.matchPredicate(keyCol)).count()
     (metaCount + scanned,
       CountStats(live, files.size, metaFiles.size, scanFiles.size, unknown.size))
+  }
+
+  /** METADATA-ONLY MIN/MAX of an indexed BIGINT column: fold the sidecar's
+    * per-file ranges (SQL MIN/MAX ignore nulls, exactly like parquet's
+    * min/max stats, so the semantics line up for free); only files whose
+    * stats prove nothing ("none" rows — e.g. all-null) fall back to a scan.
+    * The Iceberg/Delta "answer aggregates from the manifest" move: O(files)
+    * driver work on an index that is driver-sized by nature, zero data IO. */
+  def minMaxLong(spark: SparkSession, root: String,
+      keyCol: String): (Option[(Long, Long)], CountStats) = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val liveDir = Paths.get(root, live)
+    TargetedDelete.requireFlatLayout(liveDir, "stats min/max")
+    val files = TargetedDelete.partFiles(liveDir)
+    val side = KeyStats.loadStats(liveDir)
+    val unknown = files.filter(f => !side.contains((f.getFileName.toString, keyCol)))
+    val rows = side ++ KeyStats.statRowsFor(spark, unknown, Seq(keyCol))
+    val (meta, scan) = files.partition { f =>
+      rows.getOrElse((f.getFileName.toString, keyCol),
+        KeyStats.StatRow("none", "", "")).kind == "long"
+    }
+    val metaRanges = meta.map { f =>
+      val r = rows((f.getFileName.toString, keyCol)); (r.min.toLong, r.max.toLong)
+    }
+    val scanned =
+      if (scan.isEmpty) None
+      else {
+        val row = spark.read.parquet(scan.map(_.toString): _*)
+          .agg(min(col(keyCol)), max(col(keyCol))).head
+        if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
+      }
+    val all = metaRanges ++ scanned
+    val result =
+      if (all.isEmpty) None else Some((all.map(_._1).min, all.map(_._2).max))
+    (result, CountStats(live, files.size, meta.size, scan.size, unknown.size))
   }
 
   // ---- declared queries -------------------------------------------------
@@ -260,7 +303,14 @@ object StatsRead {
     if (cs.footerReads != 0 || cs.scannedFiles > 2 || cs.metadataFiles < 1)
       throw new IllegalStateException(
         s"metadata count did not engage: $cs (want footerReads=0, scanned<=2, metadata>=1)")
-    spark.range(1).select(lit(n).as("n_docs"))
+    // metadata-served MIN/MAX on the same table: zero scans, zero footers
+    val (mm, ms) = minMaxLong(spark, root, "doc_id")
+    if (ms.footerReads != 0 || ms.scannedFiles != 0 || mm.isEmpty)
+      throw new IllegalStateException(
+        s"metadata min/max did not engage: $ms")
+    val (lo, hi) = mm.get
+    spark.range(1).select(lit(n).as("n_docs"),
+      lit(lo).as("min_id"), lit(hi).as("max_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,6 +342,8 @@ object StatsRead {
         |WHERE lang = 'fr'
         |GROUP BY source""".stripMargin,
     "s16_keyed_count" ->
-      s"""SELECT count(*) AS n_docs FROM documents
-         |WHERE doc_id BETWEEN $CountFrom AND $CountTo""".stripMargin)
+      s"""SELECT (SELECT count(*) FROM documents
+         |        WHERE doc_id BETWEEN $CountFrom AND $CountTo) AS n_docs,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents""".stripMargin)
 }

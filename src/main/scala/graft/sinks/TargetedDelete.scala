@@ -133,6 +133,34 @@ object TargetedDelete {
     override def preferPredicate: Boolean = true
   }
 
+  /** A CONTIGUOUS STRING key range [lo, hi] under UNSIGNED UTF-8 BYTE order
+    * — the doc-hash twin of [[LongRange]] (e.g. every key with a given hash
+    * prefix: `[p, p + "￿..."]`). All three comparison sites agree on
+    * the byte order: the stats probe uses [[KeyStats.Utf8Order]], Spark
+    * compares strings as UTF8String binary, and DuckDB's default collation
+    * is memcmp — so a range predicate means the same thing in the footer,
+    * the engine, and the oracle. Always a two-comparison literal predicate,
+    * never a join. */
+  final case class StringRange(lo: String, hi: String) extends KeySet {
+    require(lo != null && hi != null && KeyStats.Utf8Order.compare(lo, hi) <= 0,
+      s"empty string range [$lo, $hi]")
+    def size: Int = Int.MaxValue // unenumerable; preferPredicate overrides
+    def intersectsStats(mn: Any, mx: Any): Boolean = (mn, mx) match {
+      case (fMin: String, fMax: String) =>
+        val c = KeyStats.Utf8Order
+        !(c.compare(hi, fMin) < 0 || c.compare(lo, fMax) > 0)
+      case _ => true // foreign stats type: conservative
+    }
+    def survivorPredicate(keyCol: String): Column =
+      col(keyCol).isNull || !(col(keyCol) >= lo && col(keyCol) <= hi)
+    def matchPredicate(keyCol: String): Column =
+      col(keyCol) >= lo && col(keyCol) <= hi
+    def toDF(spark: SparkSession): DataFrame =
+      throw new UnsupportedOperationException(
+        "a string range is never expressed as a join side")
+    override def preferPredicate: Boolean = true
+  }
+
   /** `sorted` MUST be sorted under [[KeyStats.Utf8Order]] (the companion
     * constructor [[TargetedDelete.stringKeySet]] guarantees it) — the range
     * probe replays parquet's unsigned-UTF-8-byte stats order, which Java's
@@ -264,6 +292,14 @@ object TargetedDelete {
     case LongRange(lo, hi) =>
       row.kind == "long" && row.nullCount == 0L &&
         row.min.toLong >= lo && row.max.toLong <= hi
+    case StringRange(lo, hi) =>
+      // writer-truncated stats stay safe here: a truncated min is a LOWER
+      // bound (min >= lo still implies every true key >= lo) and a
+      // truncated-then-adjusted max is an UPPER bound — both err toward
+      // "not contained", never toward a wrong drop
+      row.kind == "string" && row.nullCount == 0L &&
+        KeyStats.Utf8Order.compare(row.min, lo) >= 0 &&
+        KeyStats.Utf8Order.compare(row.max, hi) <= 0
     case _ => false
   }
 
@@ -384,6 +420,13 @@ object TargetedDelete {
   def deleteKeyRange(spark: SparkSession, root: String, keyCol: String,
       lo: Long, hi: Long): DeleteStats =
     deleteKeySet(spark, root, keyCol, LongRange(lo, hi))
+
+  /** [[deleteKeyRange]] for STRING keys under UTF-8 byte order — e.g. every
+    * doc hash with a withdrawn source's prefix. Contained files drop whole,
+    * same as the long form. */
+  def deleteStringKeyRange(spark: SparkSession, root: String, keyCol: String,
+      lo: String, hi: String): DeleteStats =
+    deleteKeySet(spark, root, keyCol, StringRange(lo, hi))
 
   private def deleteKeySet(spark: SparkSession, root: String, keyCol: String,
       ks: KeySet): DeleteStats = {

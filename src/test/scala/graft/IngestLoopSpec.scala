@@ -136,6 +136,17 @@ class IngestLoopSpec extends AnyFunSuite {
 
       // exactly-once: both tables absorbed the final micro-batch id
       assert(AtomicTable.lastBatch(poiRoot) == AtomicTable.lastBatch(ledgerRoot))
+
+      // the streamed poi commits are INDEXED (statsCols threads through
+      // commitBatch): a targeted delete on the stream-built table prunes
+      // from the sidecar with zero footer reads (r17 — the streaming →
+      // maintenance lifecycle stays on the manifest-stats path)
+      val del = graft.sinks.TargetedDelete.deleteStringKeys(
+        spark, poiRoot, "google_place_id", Seq("g10"))
+      assert(del.footerReads == 0,
+        s"stream-committed poi version was not indexed: $del")
+      assert(!AtomicTable.read(spark, poiRoot).collect()
+        .map(_.getString(0)).contains("g10"))
     } finally q.stop()
   }
 }

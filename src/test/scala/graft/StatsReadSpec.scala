@@ -210,6 +210,40 @@ class StatsReadSpec extends AnyFunSuite {
       s"NULL-key rows lost by a whole-file drop: $s2")
   }
 
+  test("string prefix range: read and delete prune and drop under UTF-8 byte order") {
+    val root = "spark-warehouse/test_s16_strrange"
+    deleteAll(Paths.get(root))
+    // zero-padded doc hashes clustered into 64 files (~125 keys each); the
+    // "doc01" prefix block [doc01000, doc01999] spans ~8 of them
+    val df = spark.range(8000L).select(
+      format_string("doc%05d", col("id")).as("doc_id"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(
+      df.repartitionByRange(64, col("doc_id")).sortWithinPartitions(col("doc_id")),
+      root, statsCols = Seq("doc_id"))
+    val (out, rs) = StatsRead.readStringKeyRange(
+      spark, root, "doc_id", "doc01000", "doc01999")
+    assert(rs.footerReads == 0 && rs.filesRead < rs.totalFiles, rs.toString)
+    assert(out.count() == 1000)
+    val stats = TargetedDelete.deleteStringKeyRange(
+      spark, root, "doc_id", "doc01000", "doc01999")
+    assert(stats.footerReads == 0, stats.toString)
+    assert(stats.droppedFiles >= 4, s"interior prefix files should drop: $stats")
+    assert(stats.rewrittenFiles <= 2, stats.toString)
+    val live = AtomicTable.read(spark, root)
+    assert(live.count() == 7000)
+    assert(live.filter(col("doc_id").startsWith("doc01")).count() == 0)
+    // supplementary-plane guard: the byte order's U+FFFF < U+1F600 must hold
+    // on the range form too (a UTF-16 comparison would judge the range empty)
+    val root2 = "spark-warehouse/test_s16_strrange_astral"
+    deleteAll(Paths.get(root2))
+    import spark.implicits._
+    AtomicTable.commit(Seq(("￿", 1L), ("😀", 2L), ("😀zz", 3L))
+      .toDF("doc_id", "v").coalesce(1), root2, statsCols = Seq("doc_id"))
+    val (out2, _) = StatsRead.readStringKeyRange(spark, root2, "doc_id", "￿", "😀")
+    assert(out2.select("doc_id").as[String].collect().toSet == Set("￿", "😀"),
+      "UTF-8 byte-order range misjudged supplementary-plane bounds")
+  }
+
   test("metadata-only count: interior files count from the sidecar, boundaries scan") {
     val root = "spark-warehouse/test_s16_count"
     deleteAll(Paths.get(root))
@@ -233,5 +267,20 @@ class StatsReadSpec extends AnyFunSuite {
     assert(n2 == 900, s"null keys counted as matches: $n2 / $cs2")
     assert(cs2.metadataFiles == 1 && cs2.scannedFiles == 0,
       s"single contained file should count metadata-only: $cs2")
+    // min/max served from the sidecar alone on the indexed 64-file table
+    val (mm, ms) = StatsRead.minMaxLong(spark, root, "id")
+    assert(mm.contains((0L, 7999L)), s"$mm / $ms")
+    assert(ms.scannedFiles == 0 && ms.footerReads == 0, ms.toString)
+    // a file whose column is ALL NULL has no min/max stats ("none") and
+    // must fall back to a scan, not silently vanish from the aggregate
+    val root3 = "spark-warehouse/test_s16_minmaxnull"
+    deleteAll(Paths.get(root3))
+    val mixed = (0L until 200L).map(i =>
+      (if (i < 100) Option.empty[Long] else Option(i), if (i < 100) 0L else 1L))
+    AtomicTable.commit(mixed.toDF("id", "grp")
+      .repartitionByRange(2, col("grp")), root3, statsCols = Seq("id"))
+    val (mm3, ms3) = StatsRead.minMaxLong(spark, root3, "id")
+    assert(mm3.contains((100L, 199L)), s"$mm3 / $ms3")
+    assert(ms3.scannedFiles == 1 && ms3.metadataFiles == 1, ms3.toString)
   }
 }
