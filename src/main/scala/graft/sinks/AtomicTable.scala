@@ -121,6 +121,20 @@ object AtomicTable {
   def publish(root: String, version: String): Unit =
     publish(root, version, lastBatch(root))
 
+  /** ADOPT an orphaned complete claim: flip `_CURRENT` to `version` under
+    * the publish lock, FORWARD-ONLY, with the multi-writer prune age gate —
+    * the same discipline [[occCommit]]'s own adoption uses. For callers
+    * outside occCommit that find a marker-bearing claim (e.g.
+    * [[TargetedDelete]]'s single-writer path): a bare [[publish]] there
+    * could regress `_CURRENT` past a concurrent writer's newer flip and
+    * prune a version a reader just resolved. */
+  private[sinks] def adoptForward(root: String, version: String): Unit =
+    withPublishLock(root) {
+      val cur = currentVersion(root).map(_.drop(1).toLong).getOrElse(0L)
+      if (version.drop(1).toLong > cur)
+        publish(root, version, lastBatch(root), MergePruneAgeMs)
+    }
+
   private def publish(root: String, version: String, batch: Option[(String, Long)],
       pruneAgeMs: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".$Manifest.tmp")

@@ -96,43 +96,47 @@ object KeyStats {
     * singleton, and the driver-loop branch (≤ threshold) is always exact. */
   private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** One column's whole-file stats merged from per-block footer stats. */
+  /** One column's whole-file stats merged from per-block footer stats —
+    * ONE column lookup per block extracting (numNulls, kind, min, max)
+    * together. */
   private def statFromBlocks(
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
       keyCol: String): StatRow = {
     val rowCount = blocks.map(_.getRowCount).sum
+    // per block: (numNulls if reported, (kind, min, max) if usable)
+    val perBlock: Seq[(Option[Long], Option[(String, String, String)])] =
+      blocks.map { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+          case None => (None, None)
+          case Some(cc) =>
+            val st = cc.getStatistics
+            if (st == null) (None, None)
+            else {
+              val nulls = if (st.isNumNullsSet) Some(st.getNumNulls) else None
+              val range =
+                if (!st.hasNonNullValue) None
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (a: java.lang.Long, b: java.lang.Long) =>
+                    Some(("long", a.toString, b.toString))
+                  case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+                    Some(("string", a.toStringUsingUTF8, b.toStringUsingUTF8))
+                  case _ => None
+                }
+              (nulls, range)
+            }
+        }
+      }
     // nulls known only if EVERY block reports numNulls for the column
-    val perBlockNulls = blocks.map { block =>
-      block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
-        case Some(cc) if cc.getStatistics != null &&
-          cc.getStatistics.isNumNullsSet => Some(cc.getStatistics.getNumNulls)
-        case _ => None
-      }
-    }
     val nullCount =
-      if (perBlockNulls.nonEmpty && perBlockNulls.forall(_.isDefined))
-        perBlockNulls.flatten.sum
+      if (perBlock.nonEmpty && perBlock.forall(_._1.isDefined))
+        perBlock.flatMap(_._1).sum
       else -1L
-    val perBlock = blocks.map { block =>
-      block.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
-        case None => None
-        case Some(cc) =>
-          val st = cc.getStatistics
-          if (st == null || !st.hasNonNullValue) None
-          else (st.genericGetMin, st.genericGetMax) match {
-            case (a: java.lang.Long, b: java.lang.Long) =>
-              Some(("long", a.toString, b.toString))
-            case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
-              Some(("string", a.toStringUsingUTF8, b.toStringUsingUTF8))
-            case _ => None
-          }
-      }
-    }
-    if (perBlock.isEmpty || perBlock.exists(_.isEmpty) ||
-        perBlock.flatten.map(_._1).distinct.size != 1)
+    val ranges = perBlock.map(_._2)
+    if (ranges.isEmpty || ranges.exists(_.isEmpty) ||
+        ranges.flatten.map(_._1).distinct.size != 1)
       StatRow("none", "", "", rowCount, nullCount)
     else {
-      val rows = perBlock.flatten
+      val rows = ranges.flatten
       rows.head._1 match {
         case "long" =>
           StatRow("long", rows.map(_._2.toLong).min.toString,

@@ -66,12 +66,19 @@ object StatsRead {
     readWhere(spark, root, keyCol, TargetedDelete.StringKeys(
       keys.filter(_ != null).distinct.sorted(KeyStats.Utf8Order).toArray))
 
-  /** STRING range read [lo, hi] under UTF-8 byte order — the prefix scan of
-    * a hash-keyed corpus: `readStringKeyRange(root, col, p, p + "￿")`
-    * reads every key starting with `p` from the 1-2 files that can hold it. */
+  /** STRING range read [lo, hi] under UTF-8 byte order. For a PREFIX scan
+    * use [[readStringKeyPrefix]] — an inclusive upper bound cannot cover a
+    * prefix block (astral suffixes sort above U+FFFF). */
   def readStringKeyRange(spark: SparkSession, root: String, keyCol: String,
       lo: String, hi: String): (DataFrame, ReadStats) =
     readWhere(spark, root, keyCol, TargetedDelete.StringRange(lo, hi))
+
+  /** PREFIX scan of a hash-keyed corpus: every key starting with `prefix`,
+    * from the 1-2 files whose stats ranges can reach the prefix block —
+    * complete by construction (astral and max-byte suffixes included). */
+  def readStringKeyPrefix(spark: SparkSession, root: String, keyCol: String,
+      prefix: String): (DataFrame, ReadStats) =
+    readWhere(spark, root, keyCol, TargetedDelete.StringPrefix(prefix))
 
   /** The shared core: prune the live version's file list by stats, scan only
     * the survivors, re-apply the predicate row-level. A fully-pruned read
@@ -89,33 +96,53 @@ object StatsRead {
     * either dimension alone excludes few. Files missing sidecar rows for
     * ANY needed column fall back to ONE footer open each (all columns
     * extracted together — [[KeyStats.footerStatRows]]). */
-  def readWhereAll(spark: SparkSession, root: String,
-      preds: Seq[(String, TargetedDelete.KeySet)]): (DataFrame, ReadStats) = {
-    require(preds.nonEmpty, "readWhereAll needs at least one predicate")
+  /** Shared resolve: live version (flat-layout-guarded), its part files,
+    * the per-(file, column) stat rows (sidecar first, ONE footer open per
+    * file missing any requested column), and how many footer opens that
+    * took. Every stats-served read/count/aggregate starts here. */
+  private def resolveStats(spark: SparkSession, root: String,
+      cols: Seq[String], op: String)
+      : (String, Seq[java.nio.file.Path], Map[(String, String), KeyStats.StatRow], Int) = {
     val live = AtomicTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val liveDir = Paths.get(root, live)
-    TargetedDelete.requireFlatLayout(liveDir, "stats-pruned read")
+    TargetedDelete.requireFlatLayout(liveDir, op)
     val files = TargetedDelete.partFiles(liveDir)
     val side = KeyStats.loadStats(liveDir)
-    val cols = preds.map(_._1)
     val unknown = files.filter(f =>
       cols.exists(c => !side.contains((f.getFileName.toString, c))))
-    val rows = side ++ KeyStats.statRowsFor(spark, unknown, cols)
+    (live, files, side ++ KeyStats.statRowsFor(spark, unknown, cols), unknown.size)
+  }
+
+  private def rowOf(rows: Map[(String, String), KeyStats.StatRow],
+      f: java.nio.file.Path, c: String): KeyStats.StatRow =
+    rows.getOrElse((f.getFileName.toString, c), KeyStats.StatRow("none", "", ""))
+
+  /** Schema-bearing empty frame: one part file's footer, not a full
+    * directory re-list + inference sweep (the fileless-directory form is
+    * only needed for a table with no files at all — unreachable through
+    * the producers, which always leave a schema-bearing part file). */
+  private def emptyLike(spark: SparkSession, files: Seq[java.nio.file.Path],
+      liveDir: java.nio.file.Path): DataFrame =
+    if (files.nonEmpty) spark.read.parquet(files.head.toString).where(lit(false))
+    else spark.read.parquet(liveDir.toString).where(lit(false))
+
+  def readWhereAll(spark: SparkSession, root: String,
+      preds: Seq[(String, TargetedDelete.KeySet)]): (DataFrame, ReadStats) = {
+    require(preds.nonEmpty, "readWhereAll needs at least one predicate")
+    val (live, files, rows, opened) =
+      resolveStats(spark, root, preds.map(_._1), "stats-pruned read")
     val touched = files.filter { f =>
       preds.forall { case (c, ks) =>
-        TargetedDelete.rowIntersects(
-          rows.getOrElse((f.getFileName.toString, c), KeyStats.StatRow("none", "", "")), ks)
+        TargetedDelete.rowIntersects(rowOf(rows, f, c), ks)
       }
     }
     val df =
-      if (touched.isEmpty)
-        // schema-only plan: where(false) folds to an empty LocalRelation
-        spark.read.parquet(liveDir.toString).where(lit(false))
+      if (touched.isEmpty) emptyLike(spark, files, Paths.get(root, live))
       else preds.foldLeft(spark.read.parquet(touched.map(_.toString): _*)) {
         case (d, (c, ks)) => TargetedDelete.matched(d, c, ks)
       }
-    (df, ReadStats(live, files.size, touched.size, unknown.size))
+    (df, ReadStats(live, files.size, touched.size, opened))
   }
 
   /** A metadata-count's audit row: `metadataFiles` contributed their match
@@ -136,32 +163,25 @@ object StatsRead {
   def countKeyRange(spark: SparkSession, root: String, keyCol: String,
       lo: Long, hi: Long): (Long, CountStats) = {
     val ks = TargetedDelete.LongRange(lo, hi)
-    val live = AtomicTable.currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root"))
-    val liveDir = Paths.get(root, live)
-    TargetedDelete.requireFlatLayout(liveDir, "stats-pruned count")
-    val files = TargetedDelete.partFiles(liveDir)
-    val side = KeyStats.loadStats(liveDir)
-    val unknown = files.filter(f => !side.contains((f.getFileName.toString, keyCol)))
-    val rows = side ++ KeyStats.statRowsFor(spark, unknown, Seq(keyCol))
-    def rowOf(f: java.nio.file.Path): KeyStats.StatRow =
-      rows.getOrElse((f.getFileName.toString, keyCol), KeyStats.StatRow("none", "", ""))
-    val overlapping = files.filter(f => TargetedDelete.rowIntersects(rowOf(f), ks))
+    val (live, files, rows, opened) =
+      resolveStats(spark, root, Seq(keyCol), "stats-pruned count")
+    val overlapping =
+      files.filter(f => TargetedDelete.rowIntersects(rowOf(rows, f, keyCol), ks))
     val (metaFiles, scanFiles) = overlapping.partition { f =>
-      val r = rowOf(f)
+      val r = rowOf(rows, f, keyCol)
       // countable from metadata: containment proven AND both counts known
       r.kind == "long" && r.rowCount >= 0 && r.nullCount >= 0 &&
         r.min.toLong >= lo && r.max.toLong <= hi
     }
     val metaCount = metaFiles.map { f =>
-      val r = rowOf(f); r.rowCount - r.nullCount
+      val r = rowOf(rows, f, keyCol); r.rowCount - r.nullCount
     }.sum
     val scanned =
       if (scanFiles.isEmpty) 0L
       else spark.read.parquet(scanFiles.map(_.toString): _*)
         .filter(ks.matchPredicate(keyCol)).count()
     (metaCount + scanned,
-      CountStats(live, files.size, metaFiles.size, scanFiles.size, unknown.size))
+      CountStats(live, files.size, metaFiles.size, scanFiles.size, opened))
   }
 
   /** METADATA-ONLY MIN/MAX of an indexed BIGINT column: fold the sidecar's
@@ -172,20 +192,12 @@ object StatsRead {
     * driver work on an index that is driver-sized by nature, zero data IO. */
   def minMaxLong(spark: SparkSession, root: String,
       keyCol: String): (Option[(Long, Long)], CountStats) = {
-    val live = AtomicTable.currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root"))
-    val liveDir = Paths.get(root, live)
-    TargetedDelete.requireFlatLayout(liveDir, "stats min/max")
-    val files = TargetedDelete.partFiles(liveDir)
-    val side = KeyStats.loadStats(liveDir)
-    val unknown = files.filter(f => !side.contains((f.getFileName.toString, keyCol)))
-    val rows = side ++ KeyStats.statRowsFor(spark, unknown, Seq(keyCol))
-    val (meta, scan) = files.partition { f =>
-      rows.getOrElse((f.getFileName.toString, keyCol),
-        KeyStats.StatRow("none", "", "")).kind == "long"
-    }
+    val (live, files, rows, opened) =
+      resolveStats(spark, root, Seq(keyCol), "stats min/max")
+    val (meta, scan) =
+      files.partition(f => rowOf(rows, f, keyCol).kind == "long")
     val metaRanges = meta.map { f =>
-      val r = rows((f.getFileName.toString, keyCol)); (r.min.toLong, r.max.toLong)
+      val r = rowOf(rows, f, keyCol); (r.min.toLong, r.max.toLong)
     }
     val scanned =
       if (scan.isEmpty) None
@@ -197,7 +209,7 @@ object StatsRead {
     val all = metaRanges ++ scanned
     val result =
       if (all.isEmpty) None else Some((all.map(_._1).min, all.map(_._2).max))
-    (result, CountStats(live, files.size, meta.size, scan.size, unknown.size))
+    (result, CountStats(live, files.size, meta.size, scan.size, opened))
   }
 
   // ---- declared queries -------------------------------------------------

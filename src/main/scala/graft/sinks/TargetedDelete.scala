@@ -126,21 +126,22 @@ object TargetedDelete {
     def survivorPredicate(keyCol: String): Column =
       col(keyCol).isNull || !col(keyCol).between(lo, hi)
     def matchPredicate(keyCol: String): Column = col(keyCol).between(lo, hi)
-    def toDF(spark: SparkSession): DataFrame = {
-      import spark.implicits._
-      spark.range(lo, if (hi == Long.MaxValue) hi else hi + 1).toDF("__del_key")
-    }
+    def toDF(spark: SparkSession): DataFrame =
+      throw new UnsupportedOperationException(
+        "a key range is never expressed as a join side")
     override def preferPredicate: Boolean = true
   }
 
   /** A CONTIGUOUS STRING key range [lo, hi] under UNSIGNED UTF-8 BYTE order
-    * — the doc-hash twin of [[LongRange]] (e.g. every key with a given hash
-    * prefix: `[p, p + "￿..."]`). All three comparison sites agree on
-    * the byte order: the stats probe uses [[KeyStats.Utf8Order]], Spark
+    * — the doc-hash twin of [[LongRange]]. All three comparison sites agree
+    * on the byte order: the stats probe uses [[KeyStats.Utf8Order]], Spark
     * compares strings as UTF8String binary, and DuckDB's default collation
     * is memcmp — so a range predicate means the same thing in the footer,
     * the engine, and the oracle. Always a two-comparison literal predicate,
-    * never a join. */
+    * never a join. For "every key starting with p" use [[StringPrefix]] —
+    * an inclusive [p, p+X] upper bound CANNOT express a prefix block (under
+    * byte order any 4-byte codepoint sorts above U+FFFF, so `p + "￿"`
+    * silently excludes p-prefixed keys with astral suffixes). */
   final case class StringRange(lo: String, hi: String) extends KeySet {
     require(lo != null && hi != null && KeyStats.Utf8Order.compare(lo, hi) <= 0,
       s"empty string range [$lo, $hi]")
@@ -158,6 +159,54 @@ object TargetedDelete {
     def toDF(spark: SparkSession): DataFrame =
       throw new UnsupportedOperationException(
         "a string range is never expressed as a join side")
+    override def preferPredicate: Boolean = true
+  }
+
+  /** EVERY key starting with `prefix`, under UNSIGNED UTF-8 BYTE order —
+    * the GDPR "delete a withdrawn source's hash-prefix block" shape. A
+    * prefix block is a byte-order interval with NO finite inclusive upper
+    * bound (astral suffixes sort above U+FFFF; arbitrarily long max-byte
+    * suffixes always exist), so it gets its own KeySet instead of a
+    * [[StringRange]] recipe: the stats probe compares a value's FIRST
+    * |prefix| BYTES against the prefix (a value below/inside/above the
+    * block), and the row predicate is `startsWith` — byte-prefix semantics
+    * in Spark's UTF8String, `starts_with`/`LIKE 'p%'` in an oracle.
+    * Containment (whole-file drop/metadata count) holds when BOTH stats
+    * endpoints start with the prefix: every string between two p-prefixed
+    * strings is p-prefixed (byte-interval property); writer-truncated stats
+    * err toward "not contained" (a truncated min is a proper prefix → judged
+    * below the block; an upward-adjusted max bounds the true max). */
+  final case class StringPrefix(prefix: String) extends KeySet {
+    require(prefix != null && prefix.nonEmpty, "empty prefix matches everything")
+    private val pBytes = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    /** <0: s sorts below every p-prefixed string; 0: s IS p-prefixed;
+      * >0: s sorts above every p-prefixed string. */
+    private def cmpBlock(s: String): Int = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(b.length, pBytes.length)
+      var i = 0
+      while (i < n) {
+        val d = (b(i) & 0xff) - (pBytes(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      if (b.length >= pBytes.length) 0 else -1 // proper prefix of p → below
+    }
+    def size: Int = Int.MaxValue // unenumerable; preferPredicate overrides
+    def intersectsStats(mn: Any, mx: Any): Boolean = (mn, mx) match {
+      case (fMin: String, fMax: String) =>
+        !(cmpBlock(fMax) < 0 || cmpBlock(fMin) > 0)
+      case _ => true // foreign stats type: conservative
+    }
+    /** both endpoints inside the block → every key between them is too */
+    private[sinks] def containsRange(mn: String, mx: String): Boolean =
+      cmpBlock(mn) == 0 && cmpBlock(mx) == 0
+    def survivorPredicate(keyCol: String): Column =
+      col(keyCol).isNull || !col(keyCol).startsWith(prefix)
+    def matchPredicate(keyCol: String): Column = col(keyCol).startsWith(prefix)
+    def toDF(spark: SparkSession): DataFrame =
+      throw new UnsupportedOperationException(
+        "a prefix block is never expressed as a join side")
     override def preferPredicate: Boolean = true
   }
 
@@ -300,6 +349,9 @@ object TargetedDelete {
       row.kind == "string" && row.nullCount == 0L &&
         KeyStats.Utf8Order.compare(row.min, lo) >= 0 &&
         KeyStats.Utf8Order.compare(row.max, hi) <= 0
+    case p: StringPrefix =>
+      row.kind == "string" && row.nullCount == 0L &&
+        p.containsRange(row.min, row.max)
     case _ => false
   }
 
@@ -355,8 +407,17 @@ object TargetedDelete {
     requireFlatLayout(liveDir, "targeted delete")
     val files = partFiles(liveDir)
     val pr = pruneFiles(spark, liveDir, files, keyCol, ks)
-    val (dropped, rewrite) = pr.touched.partition(f =>
+    val (dropped0, rewrite0) = pr.touched.partition(f =>
       rowContained(pr.keyRows(f.getFileName.toString), ks))
+    // a delete that would drop EVERY file must still publish a READABLE
+    // version: demote one dropped file to the rewrite path so its 0-row
+    // rewrite leaves a schema-bearing part file (spark.read.parquet on a
+    // fileless directory cannot infer a schema — the table would be
+    // permanently unreadable)
+    val (dropped, rewrite) =
+      if (rewrite0.isEmpty && pr.reused.isEmpty && dropped0.nonEmpty)
+        (dropped0.tail, dropped0.take(1))
+      else (dropped0, rewrite0)
     Files.createDirectories(stageDir)
     if (rewrite.nonEmpty) {
       // one job over ONLY the partially-intersecting files
@@ -421,12 +482,21 @@ object TargetedDelete {
       lo: Long, hi: Long): DeleteStats =
     deleteKeySet(spark, root, keyCol, LongRange(lo, hi))
 
-  /** [[deleteKeyRange]] for STRING keys under UTF-8 byte order — e.g. every
-    * doc hash with a withdrawn source's prefix. Contained files drop whole,
-    * same as the long form. */
+  /** [[deleteKeyRange]] for STRING keys under UTF-8 byte order. Contained
+    * files drop whole, same as the long form. For "everything with prefix p"
+    * use [[deleteStringKeyPrefix]] — an inclusive range cannot express a
+    * prefix block. */
   def deleteStringKeyRange(spark: SparkSession, root: String, keyCol: String,
       lo: String, hi: String): DeleteStats =
     deleteKeySet(spark, root, keyCol, StringRange(lo, hi))
+
+  /** Delete EVERY key starting with `prefix` — the withdrawn-source
+    * hash-prefix block, complete by construction (astral and max-byte
+    * suffixes included, which no inclusive [p, p+X] range can promise).
+    * Contained files drop whole. */
+  def deleteStringKeyPrefix(spark: SparkSession, root: String, keyCol: String,
+      prefix: String): DeleteStats =
+    deleteKeySet(spark, root, keyCol, StringPrefix(prefix))
 
   private def deleteKeySet(spark: SparkSession, root: String, keyCol: String,
       ks: KeySet): DeleteStats = {
@@ -448,7 +518,9 @@ object TargetedDelete {
       val target = Paths.get(root, next)
       if (Files.exists(target)) {
         if (Files.exists(target.resolve(AtomicTable.Committed))) {
-          AtomicTable.publish(root, next) // adopt, then rebase via the loop
+          // adopt under the publish lock, forward-only, age-gated prune —
+          // then rebase via the loop
+          AtomicTable.adoptForward(root, next)
         } else {
           AtomicTable.deleteRecursively(target)
         }

@@ -244,6 +244,63 @@ class StatsReadSpec extends AnyFunSuite {
       "UTF-8 byte-order range misjudged supplementary-plane bounds")
   }
 
+  test("prefix block ops are COMPLETE: astral and U+FFFF suffixes included") {
+    import spark.implicits._
+    // the failure a [p, p+"￿"] range recipe hits: p+"😀" sorts ABOVE
+    // p+U+FFFF in byte order, so the range silently retains it — a GDPR
+    // delete that reports success while keeping data. StringPrefix must
+    // catch every suffix.
+    val root = "spark-warehouse/test_s16_prefix"
+    deleteAll(Paths.get(root))
+    val rows = Seq(
+      ("src1/a", 1L), ("src1/￿", 2L), ("src1/😀doc", 3L),
+      ("src10x", 4L), // starts with "src1" as BYTES → in the src1 block
+      ("src0zz", 5L), ("src2aa", 6L))
+    AtomicTable.commit(rows.toDF("doc_id", "v").coalesce(1),
+      root, statsCols = Seq("doc_id"))
+    val (out, _) = StatsRead.readStringKeyPrefix(spark, root, "doc_id", "src1")
+    assert(out.select("doc_id").as[String].collect().toSet ==
+      Set("src1/a", "src1/￿", "src1/😀doc", "src10x"),
+      "prefix read missed a suffix the byte order puts inside the block")
+    val del = TargetedDelete.deleteStringKeyPrefix(spark, root, "doc_id", "src1")
+    val live = AtomicTable.read(spark, root)
+    assert(live.select("doc_id").as[String].collect().toSet ==
+      Set("src0zz", "src2aa"),
+      s"prefix delete retained or over-deleted: $del")
+    // clustered prefix block over many files: interior files DROP whole
+    val root2 = "spark-warehouse/test_s16_prefixdrop"
+    deleteAll(Paths.get(root2))
+    val df = spark.range(8000L).select(
+      format_string("doc%05d", col("id")).as("doc_id"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(
+      df.repartitionByRange(64, col("doc_id")).sortWithinPartitions(col("doc_id")),
+      root2, statsCols = Seq("doc_id"))
+    // "doc01" block = doc01000..doc01999, ~8 of 64 files
+    val stats = TargetedDelete.deleteStringKeyPrefix(spark, root2, "doc_id", "doc01")
+    assert(stats.footerReads == 0 && stats.droppedFiles >= 4 &&
+      stats.rewrittenFiles <= 2, stats.toString)
+    val live2 = AtomicTable.read(spark, root2)
+    assert(live2.count() == 7000)
+    assert(live2.filter(col("doc_id").startsWith("doc01")).count() == 0)
+  }
+
+  test("a delete that empties the table still publishes a READABLE version") {
+    val root = "spark-warehouse/test_s16_dropall"
+    buildTable(root, 1000, statsCols = Seq("id"))
+    // every file is fully contained: without the demote-one guard the next
+    // version would hold zero parquet files and schema inference would
+    // throw on every later read — the table permanently unreadable
+    val stats = TargetedDelete.deleteKeyRange(spark, root, "id", 0L, 99999L)
+    assert(stats.rewrittenFiles == 1 && stats.droppedFiles == stats.totalFiles - 1,
+      s"drop-all must demote exactly one file to keep the schema: $stats")
+    val live = AtomicTable.read(spark, root) // must not throw
+    assert(live.count() == 0)
+    assert(live.columns.toSeq == Seq("id", "grp", "payload"))
+    // and the emptied table stays writable/deletable
+    val again = TargetedDelete.deleteKeyRange(spark, root, "id", 0L, 10L)
+    assert(again.totalFiles >= 1, again.toString)
+  }
+
   test("metadata-only count: interior files count from the sidecar, boundaries scan") {
     val root = "spark-warehouse/test_s16_count"
     deleteAll(Paths.get(root))
