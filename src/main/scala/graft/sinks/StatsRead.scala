@@ -101,17 +101,24 @@ object StatsRead {
     * file missing any requested column), and how many footer opens that
     * took. Every stats-served read/count/aggregate starts here. */
   private def resolveStats(spark: SparkSession, root: String,
-      cols: Seq[String], op: String)
+      cols: Seq[String], op: String, version: Option[String] = None)
       : (String, Seq[java.nio.file.Path], Map[(String, String), KeyStats.StatRow], Int) = {
-    val live = AtomicTable.currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root"))
-    val liveDir = Paths.get(root, live)
-    TargetedDelete.requireFlatLayout(liveDir, op)
-    val files = TargetedDelete.partFiles(liveDir)
-    val side = KeyStats.loadStats(liveDir)
+    val v = version match {
+      case Some(w) => // time travel: same retained-or-fail contract as readVersion
+        if (!AtomicTable.versions(root).contains(w))
+          throw new IllegalStateException(
+            s"version $w not retained at $root (have: ${AtomicTable.versions(root).mkString(",")})")
+        w
+      case None => AtomicTable.currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+    }
+    val dir = Paths.get(root, v)
+    TargetedDelete.requireFlatLayout(dir, op)
+    val files = TargetedDelete.partFiles(dir)
+    val side = KeyStats.loadStats(dir)
     val unknown = files.filter(f =>
       cols.exists(c => !side.contains((f.getFileName.toString, c))))
-    (live, files, side ++ KeyStats.statRowsFor(spark, unknown, cols), unknown.size)
+    (v, files, side ++ KeyStats.statRowsFor(spark, unknown, cols), unknown.size)
   }
 
   private def rowOf(rows: Map[(String, String), KeyStats.StatRow],
@@ -128,21 +135,33 @@ object StatsRead {
     else spark.read.parquet(liveDir.toString).where(lit(false))
 
   def readWhereAll(spark: SparkSession, root: String,
-      preds: Seq[(String, TargetedDelete.KeySet)]): (DataFrame, ReadStats) = {
+      preds: Seq[(String, TargetedDelete.KeySet)]): (DataFrame, ReadStats) =
+    readVersionWhereAll(spark, root, preds, None)
+
+  /** [[readWhereAll]] against a RETAINED version (time travel + data
+    * skipping compose): the sidecar lives INSIDE each version directory, so
+    * a historical read prunes with the stats that version was committed
+    * with — a GDPR audit ("which files held this id block before the
+    * delete?") touches the same 1-2 files a live read would. Asking for a
+    * pruned/never-committed version fails loudly, matching
+    * [[AtomicTable.readVersion]]'s contract. */
+  def readVersionWhereAll(spark: SparkSession, root: String,
+      preds: Seq[(String, TargetedDelete.KeySet)],
+      version: Option[String]): (DataFrame, ReadStats) = {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
-    val (live, files, rows, opened) =
-      resolveStats(spark, root, preds.map(_._1), "stats-pruned read")
+    val (v, files, rows, opened) =
+      resolveStats(spark, root, preds.map(_._1), "stats-pruned read", version)
     val touched = files.filter { f =>
       preds.forall { case (c, ks) =>
         TargetedDelete.rowIntersects(rowOf(rows, f, c), ks)
       }
     }
     val df =
-      if (touched.isEmpty) emptyLike(spark, files, Paths.get(root, live))
+      if (touched.isEmpty) emptyLike(spark, files, Paths.get(root, v))
       else preds.foldLeft(spark.read.parquet(touched.map(_.toString): _*)) {
         case (d, (c, ks)) => TargetedDelete.matched(d, c, ks)
       }
-    (df, ReadStats(live, files.size, touched.size, opened))
+    (df, ReadStats(v, files.size, touched.size, opened))
   }
 
   /** A metadata-count's audit row: `metadataFiles` contributed their match
@@ -325,11 +344,42 @@ object StatsRead {
       lit(lo).as("min_id"), lit(hi).as("max_id"))
   }
 
+  /** TIME TRAVEL + DATA SKIPPING composed: commit the indexed corpus (v1),
+    * range-delete the block (v2), then stats-read the PRIOR version for the
+    * deleted block — the GDPR audit shape ("what did we hold before the
+    * delete?"). The historical read must prune from v1's own sidecar
+    * (footerReads==0, filesRead < totalFiles — the sidecar travels with its
+    * version, so skipping works on history too), and the live read of the
+    * same block must be EMPTY; both enforced in-query. The oracle replays
+    * the block aggregate over the source = the pre-delete state. */
+  def qS16KeyedReadAsof(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_asof"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_id"))
+    TargetedDelete.deleteKeyRange(spark, root, "doc_id", ReadFrom, ReadTo)
+    val prev = AtomicTable.previousVersion(root).getOrElse(
+      throw new IllegalStateException(s"pre-delete version not retained at $root"))
+    val (hist, rs) = readVersionWhereAll(spark, root,
+      Seq("doc_id" -> TargetedDelete.LongRange(ReadFrom, ReadTo)), Some(prev))
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles)
+      throw new IllegalStateException(
+        s"historical stats read did not skip: $rs")
+    val (live, _) = readKeyRange(spark, root, "doc_id", ReadFrom, ReadTo)
+    if (live.limit(1).count() != 0L)
+      throw new IllegalStateException(
+        "deleted block still visible in the LIVE version")
+    docsAgg(hist)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_keyed_read" -> (qS16KeyedRead _),
     "s16_keyed_read_set" -> (qS16KeyedReadSet _),
     "s16_keyed_read_str" -> (qS16KeyedReadStr _),
-    "s16_keyed_count" -> (qS16KeyedCount _))
+    "s16_keyed_count" -> (qS16KeyedCount _),
+    "s16_keyed_read_asof" -> (qS16KeyedReadAsof _))
 
   val oracles: Map[String, String] = Map(
     "s16_keyed_read" ->
@@ -357,5 +407,14 @@ object StatsRead {
       s"""SELECT (SELECT count(*) FROM documents
          |        WHERE doc_id BETWEEN $CountFrom AND $CountTo) AS n_docs,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    // the PRIOR version == the un-deleted source, so the oracle is the
+    // plain block aggregate — same body as s16_keyed_read
+    "s16_keyed_read_asof" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE doc_id BETWEEN $ReadFrom AND $ReadTo
+         |GROUP BY lang, source""".stripMargin)
 }

@@ -159,6 +159,25 @@ class StatsReadSpec extends AnyFunSuite {
     assert(out.count() == 121) // 11 x 11 box
   }
 
+  test("time-travel stats read prunes from the retained version's own sidecar") {
+    val root = "spark-warehouse/test_s16_asof"
+    buildTable(root, 8000, statsCols = Seq("id"))
+    TargetedDelete.deleteKeyRange(spark, root, "id", 1000L, 1200L) // v2
+    val prev = AtomicTable.previousVersion(root).get
+    val (hist, rs) = StatsRead.readVersionWhereAll(spark, root,
+      Seq("id" -> TargetedDelete.LongRange(1000L, 1200L)), Some(prev))
+    assert(rs.version == prev && rs.footerReads == 0 &&
+      rs.filesRead >= 1 && rs.filesRead <= 2, rs.toString)
+    assert(hist.count() == 201, "history must still serve the deleted block")
+    val (live, _) = StatsRead.readKeyRange(spark, root, "id", 1000L, 1200L)
+    assert(live.count() == 0)
+    // fails loudly for a pruned / never-committed version (readVersion contract)
+    intercept[IllegalStateException] {
+      StatsRead.readVersionWhereAll(spark, root,
+        Seq("id" -> TargetedDelete.LongRange(0L, 1L)), Some("v99"))
+    }
+  }
+
   test("range delete removes the block with the same pruned selectivity") {
     val root = "spark-warehouse/test_s16_rangedel"
     buildTable(root, 8000, statsCols = Seq("id"))
