@@ -133,7 +133,10 @@ object Similarity {
     // query subset — a shared crnk<=NProbe corpus window would emit 3× the
     // rows and make the query branch pay the full-corpus window too.
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(centroids).withColumn("c_sim", round(centroidCos, 6))
+      // broadcast PINNED at the join site (not just at the caller): the
+      // centroid side is a model (≤NumCells rows) and must never fall to a
+      // shuffled cartesian under autoBroadcast threshold/config drift
+      val scored = df.crossJoin(broadcast(centroids)).withColumn("c_sim", round(centroidCos, 6))
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("cell_id").asc)
       scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
         .select(col(idCol), col("va"), col("cell_id"))

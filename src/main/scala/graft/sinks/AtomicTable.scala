@@ -413,10 +413,28 @@ object AtomicTable {
     * pruned or never-committed version fails loudly rather than falling
     * back to live data. */
   def readVersion(spark: SparkSession, root: String, version: String): DataFrame = {
+    requireRetained(root, version)
+    spark.read.parquet(s"$root/$version")
+  }
+
+  /** Guard for every explicit-version read (here and [[StatsRead
+    * .readVersionWhereAll]]): the target must be on disk AND no newer than
+    * the manifest's live version. `versions()` lists any `vN` directory, so
+    * without the second check an UNPUBLISHED claim — a crashed bare stage or
+    * an unadopted occCommit claim at v{N+1} — would be accepted as a
+    * time-travel target and could hand back a never-published (possibly
+    * partial) snapshot (r17 advisory). Published history is always ≤ the
+    * manifest pointer, so the bound rejects exactly the unpublished tail. */
+  private[sinks] def requireRetained(root: String, version: String): Unit = {
     if (!versions(root).contains(version))
       throw new IllegalStateException(
         s"version $version not retained at $root (have: ${versions(root).mkString(",")})")
-    spark.read.parquet(s"$root/$version")
+    val live = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    if (version.drop(1).toLong > live.drop(1).toLong)
+      throw new IllegalStateException(
+        s"version $version at $root is newer than the live $live — an " +
+          "unpublished claim directory is not a valid time-travel target")
   }
 
   /** The newest retained version BEFORE the live one, if any. A table with

@@ -90,10 +90,16 @@ object KeyStats {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Footer opens performed so far, for the spec-level contract that indexing
-    * k columns costs ONE open per file, not k (r16 verdict item 3). Counted in
-    * [[footerStatRows]] — in local mode executor increments land on the same
-    * singleton, and the driver-loop branch (≤ threshold) is always exact. */
+  /** TEST-ONLY instrumentation: footer opens performed so far, for the
+    * spec-level contract that indexing k columns costs ONE open per file, not
+    * k (r16 verdict item 3). Counted in [[footerStatRows]] — in local mode
+    * executor increments land on the same singleton, and the driver-loop
+    * branch (≤ threshold) is always exact. NOT a production audit channel: on
+    * a real cluster the parallel branch increments executor-side singletons
+    * the driver never sees. Production audits use the per-operation counts
+    * derived from the unknown-file lists ([[graft.sinks.StatsRead.ReadStats]]
+    * `.footerReads`, DeleteStats/MergeStats likewise), which are exact
+    * everywhere (r17 advisory). */
   private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** One column's whole-file stats merged from per-block footer stats —

@@ -104,10 +104,9 @@ object StatsRead {
       cols: Seq[String], op: String, version: Option[String] = None)
       : (String, Seq[java.nio.file.Path], Map[(String, String), KeyStats.StatRow], Int) = {
     val v = version match {
-      case Some(w) => // time travel: same retained-or-fail contract as readVersion
-        if (!AtomicTable.versions(root).contains(w))
-          throw new IllegalStateException(
-            s"version $w not retained at $root (have: ${AtomicTable.versions(root).mkString(",")})")
+      case Some(w) => // time travel: same retained-AND-published contract as
+        // readVersion — an unpublished claim directory is rejected
+        AtomicTable.requireRetained(root, w)
         w
       case None => AtomicTable.currentVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
@@ -221,8 +220,11 @@ object StatsRead {
     val scanned =
       if (scan.isEmpty) None
       else {
+        // cast inside the aggregate: a key column whose footer stats are not
+        // INT64 (e.g. INT32-backed) lands here with kind "none", and a bare
+        // getLong on its min/max would ClassCastException (r17 advisory)
         val row = spark.read.parquet(scan.map(_.toString): _*)
-          .agg(min(col(keyCol)), max(col(keyCol))).head
+          .agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head
         if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
       }
     val all = metaRanges ++ scanned
@@ -309,6 +311,31 @@ object StatsRead {
         sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** LOUD testdata-span guard (r17 advice): the metadata-count and
+    * whole-file-drop gates assume the [lo, hi] block FULLY CONTAINS at least
+    * one file of the just-committed id-clustered layout (per-file spans ≪
+    * block width). At a scale factor where spans outgrow the block, those
+    * gates would fail deep inside the query even though the CODE is correct —
+    * this names the assumption and fails FIRST, with the observed spans. */
+  private[sinks] def requireContainedFile(root: String, keyCol: String,
+      lo: Long, hi: Long, gate: String): Unit = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val rows = KeyStats.loadStats(Paths.get(root, live)).collect {
+      case ((_, c), r) if c == keyCol && r.kind == "long" => r
+    }
+    val contained = rows.exists(r =>
+      r.min.toLong >= lo && r.max.toLong <= hi && r.nullCount == 0L)
+    if (!contained)
+      throw new IllegalStateException(
+        s"TESTDATA SPAN ASSUMPTION BROKEN for $gate: no committed file is " +
+          s"fully contained in [$lo, $hi] on $keyCol (observed spans: " +
+          rows.map(r => s"[${r.min},${r.max}]").take(6).mkString(", ") +
+          s"${if (rows.size > 6) ", …" else ""}) — the containment gate " +
+          "would fail although the pruning code is correct; widen the block " +
+          "for this SF's per-file spans")
+  }
+
   /** The counted block: long relative to the per-file id span at every SF
     * (64 files over ≥500 ids → spans ≈80 ids at sf0.1, ≈8 below; the 400-id
     * block covers several spans even under range-sampling skew), so the
@@ -330,6 +357,7 @@ object StatsRead {
       Tables.documents(spark, dir)
         .repartitionByRange(CountFiles, col("doc_id"))
         .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_id"))
+    requireContainedFile(root, "doc_id", CountFrom, CountTo, "s16_keyed_count")
     val (n, cs) = countKeyRange(spark, root, "doc_id", CountFrom, CountTo)
     if (cs.footerReads != 0 || cs.scannedFiles > 2 || cs.metadataFiles < 1)
       throw new IllegalStateException(

@@ -699,6 +699,8 @@ object TargetedDelete {
       Tables.documents(spark, dir)
         .repartitionByRange(StatsRead.CountFiles, col("doc_id"))
         .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_id"))
+    StatsRead.requireContainedFile(root, "doc_id",
+      StatsRead.CountFrom, StatsRead.CountTo, "s22_targeted_delete_range")
     val stats = deleteKeyRange(spark, root, "doc_id",
       StatsRead.CountFrom, StatsRead.CountTo)
     if (stats.footerReads != 0 || stats.droppedFiles < 1 || stats.rewrittenFiles > 2)

@@ -66,4 +66,26 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(violations.isEmpty,
       s"scale-killer operators found:\n  ${violations.mkString("\n  ")}")
   }
+
+  test("sim_ivf_topk's centroid cross join is EXPLICITLY broadcast, build side = centroids") {
+    // r17 advisory: the assignment crossJoin must not ride the autoBroadcast
+    // threshold — the hint is pinned at the join site, so the plan keeps the
+    // centroid (right) side as the broadcast build side under any
+    // spark.sql.autoBroadcastJoinThreshold, including -1
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val plan = SparkEntry.queries("sim_ivf_topk")(spark, sf).queryExecution.sparkPlan
+    val bnlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.nonEmpty, "expected the centroid-assignment BNLJ in the plan")
+    assert(bnlj.forall(_.buildSide == BuildRight),
+      s"centroid side must be the broadcast build side: ${bnlj.map(_.buildSide)}")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pinned = SparkEntry.queries("sim_ivf_topk")(spark, sf)
+        .queryExecution.sparkPlan
+        .collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(pinned.nonEmpty && pinned.forall(_.buildSide == BuildRight),
+        "broadcast hint must survive autoBroadcastJoinThreshold=-1")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
