@@ -199,6 +199,56 @@ object AtomicTable {
     }
   }
 
+  /** SINGLE-WRITER staged commit of a CUSTOM next-state producer — the loop
+    * [[TargetedDelete]] pioneered, factored here so every file-granular
+    * stager ([[KeyedMerge]], deletes) shares ONE orphan-handling policy:
+    * a v{N+1} directory WITHOUT [[Committed]] is a crashed bare [[stage]]
+    * (nothing else can clean it up — overwrite, mirroring [[commit]]); one
+    * WITH the marker is a COMPLETE claim from an occCommit writer that died
+    * between its CAS rename and its manifest flip — destroying it would be
+    * silent data loss, so it is ADOPTED ([[adoptForward]]) and the stager
+    * REBASES on the adopted version (hence the loop). `stage(liveVersion,
+    * stageDir)` must materialize the complete next version into `stageDir`.
+    * `batch` optionally stamps the manifest with an (appId, batchId)
+    * redelivery tag ([[commitBatch]]'s contract) instead of carrying the
+    * previous tag forward. */
+  private[sinks] def singleWriterStaged(root: String, stagePrefix: String,
+      batch: Option[(String, Long)] = None)
+      (stage: (String, Path) => Unit): String = {
+    var attempt = 0
+    while (true) {
+      val live = currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"no live version at $root"))
+      val next = "v" + (live.drop(1).toLong + 1)
+      val target = Paths.get(root, next)
+      if (Files.exists(target)) {
+        if (Files.exists(target.resolve(Committed))) adoptForward(root, next)
+        else deleteRecursively(target)
+      }
+      if (!Files.exists(target)) {
+        val stageDir = Paths.get(root, s".stage-$stagePrefix-${UUID.randomUUID()}")
+        try {
+          stage(live, stageDir)
+          Files.move(stageDir, target, StandardCopyOption.ATOMIC_MOVE)
+          batch match {
+            case Some(tag) => publish(root, next, Some(tag))
+            case None => publish(root, next)
+          }
+          return next
+        } finally {
+          if (Files.exists(stageDir)) deleteRecursively(stageDir)
+        }
+      }
+      attempt += 1
+      if (attempt > 4)
+        throw new IllegalStateException(
+          s"single-writer $stagePrefix found a fresh complete claim at $root " +
+            "on every attempt — concurrent occCommit writers are active; use " +
+            "the OCC variant on multi-writer tables")
+    }
+    sys.error("unreachable")
+  }
+
   // ------------------------------------------------- multi-writer commits
 
   /** Per-root monitor so two threads in ONE JVM serialize the manifest flip

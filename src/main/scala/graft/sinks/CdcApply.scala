@@ -143,7 +143,10 @@ object CdcApply {
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"),
         graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
-    AtomicTable.commit(base, tableRoot)
+    // id-clustered + indexed base: the pruned merge's file-level decision
+    // starts from the sidecar (and each merge self-maintains it)
+    AtomicTable.commit(base.repartitionByRange(8, col("id"))
+      .sortWithinPartitions(col("id")), tableRoot, statsCols = Seq("id"))
     val feed = changeFeed(spark, dir)
     writeFeedSlice(feedDir, feed, 0)
     writeFeedSlice(feedDir, feed, 1)
@@ -155,14 +158,15 @@ object CdcApply {
         .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/b*")
         .writeStream
         .foreachBatch { (b: DataFrame, bid: Long) =>
-          // statsCols: every micro-batch commit emits an INDEXED version, so
-          // streamed tables stay on the zero-footer-read maintenance path
-          // (r16 verdict item 2); enforced by qS23CdcStreamDelete below
-          if (AtomicTable.commitBatch(
-              apply(AtomicTable.read(spark, tableRoot), b),
-              tableRoot, "s23-cdc-stream", bid, statsCols = Seq("id")))
-            applied.incrementAndGet()
-          else redelivered.incrementAndGet()
+          // STATS-PRUNED micro-batch apply (r17 verdict item 1): each batch
+          // rewrites only the files its keys intersect and hard-links the
+          // rest — the redelivery guard and the manifest batch tag are
+          // commitBatchKeyed's, same exactly-once corridor as before
+          KeyedMerge.commitBatchKeyed(spark, tableRoot, "s23-cdc-stream",
+              bid, "id", b, apply) match {
+            case Some(_) => applied.incrementAndGet()
+            case None => redelivered.incrementAndGet()
+          }
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -214,7 +218,8 @@ object CdcApply {
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"),
         graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
-    AtomicTable.commit(base, tableRoot)
+    AtomicTable.commit(base.repartitionByRange(8, col("id"))
+      .sortWithinPartitions(col("id")), tableRoot, statsCols = Seq("id"))
     val feed = changeFeed(spark, dir)
     (0 to 2).foreach(writeFeedSlice(feedDir, feed, _))
     val schema = spark.read.parquet(s"$feedDir/b0").schema
@@ -222,9 +227,10 @@ object CdcApply {
       .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/b*")
       .writeStream
       .foreachBatch { (b: DataFrame, bid: Long) =>
-        AtomicTable.commitBatch(
-          apply(AtomicTable.read(spark, tableRoot), b),
-          tableRoot, "s23-cdc-stream-del", bid, statsCols = Seq("id"))
+        // pruned merge per micro-batch; its self-maintained sidecar is what
+        // the targeted delete below prunes from (footerReads==0 enforced)
+        KeyedMerge.commitBatchKeyed(spark, tableRoot, "s23-cdc-stream-del",
+          bid, "id", b, apply)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -242,10 +248,79 @@ object CdcApply {
     AtomicTable.read(spark, tableRoot)
   }
 
+  // ---- stats-pruned keyed merge under the hash gate (r17 verdict item 1) --
+
+  /** The CLUSTERED changeset of the pruned-merge query: one contiguous
+    * update block, one contiguous delete block, plus net-new inserts above
+    * every existing key — a withdrawn-source correction batch on the
+    * id-clustered layout, the shape where file-granular MERGE pays. Blocks
+    * sit in ids < 350 (customers exist there at every SF). */
+  val PrunedUpdFrom = 100L; val PrunedUpdTo = 299L
+  val PrunedDelFrom = 300L; val PrunedDelTo = 349L
+  val PrunedInserts = 200
+  val PrunedFiles = 16
+
+  private def prunedFeed(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
+    val upds = keys.filter(col("id").between(PrunedUpdFrom, PrunedUpdTo))
+      .select(col("id"), lit(1L).as("seq"), lit("U").as("op"),
+        (col("id") * 100L).as("bal_c"))
+    val dels = keys.filter(col("id").between(PrunedDelFrom, PrunedDelTo))
+      .select(col("id"), lit(1L).as("seq"), lit("D").as("op"),
+        lit(null).cast("long").as("bal_c"))
+    val ins = spark.range(PrunedInserts.toLong)
+      .select((lit(InsertBase) + col("id")).as("id"), lit(1L).as("seq"),
+        lit("I").as("op"), (col("id") * 7L).as("bal_c"))
+    upds.unionAll(dels).unionAll(ins)
+  }
+
+  /** FILE-GRANULAR MERGE under the driver gate: the customer table is
+    * committed id-clustered and indexed; the clustered changeset is applied
+    * through [[KeyedMerge.mergeChangesKeyed]] — and the query THROWS unless
+    * (a) the pruning decision came entirely from the sidecar
+    * (footerReads==0), (b) the merge rewrote a MINORITY of the files and
+    * linked at least one, and (c) every reused file in the new version is
+    * the SAME INODE as its predecessor (hard link verified, not a copy and
+    * not a rewrite). The oracle replays the full apply in SQL, so the hash
+    * row proves the pruned merge lands byte-identical state to the
+    * full-rewrite apply while touching only the changeset's files. */
+  def qS23CdcMergePruned(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val root = streamRoot(dir) + "_merge"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
+    AtomicTable.commit(base.repartitionByRange(PrunedFiles, col("id"))
+      .sortWithinPartitions(col("id")), root, statsCols = Seq("id"))
+    val prev = AtomicTable.currentVersion(root).get
+    val ms = KeyedMerge.mergeChangesKeyed(spark, root, "id",
+      prunedFeed(spark, dir), apply)
+    if (ms.footerReads != 0 || ms.reusedFiles < 1 ||
+        ms.rewrittenFiles * 2 >= ms.totalFiles)
+      throw new IllegalStateException(
+        s"pruned merge did not engage: $ms (want footerReads=0, reused>=1, " +
+          "rewritten < total/2)")
+    val prevDir = Paths.get(root, prev)
+    val liveDir = Paths.get(root, ms.version)
+    val reusedNames = TargetedDelete.partFiles(liveDir)
+      .map(_.getFileName.toString)
+      .filter(n => java.nio.file.Files.exists(prevDir.resolve(n)))
+    if (reusedNames.size != ms.reusedFiles ||
+        !reusedNames.forall(n =>
+          KeyedMerge.sameInode(prevDir.resolve(n), liveDir.resolve(n))))
+      throw new IllegalStateException(
+        s"link reuse not verified by inode: ${reusedNames.size} carried names " +
+          s"vs ${ms.reusedFiles} reused (every carried name must share its " +
+          "predecessor's inode)")
+    AtomicTable.read(spark, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s23_cdc_apply" -> (qS23CdcApply _),
     "s23_cdc_apply_stream" -> (qS23CdcApplyStream _),
-    "s23_cdc_stream_delete" -> (qS23CdcStreamDelete _))
+    "s23_cdc_stream_delete" -> (qS23CdcStreamDelete _),
+    "s23_cdc_merge_pruned" -> (qS23CdcMergePruned _))
 
   /** The streamed apply must land the SAME final state as the one-shot batch
     * apply — one oracle body serves both. */
@@ -285,5 +360,28 @@ object CdcApply {
     "s23_cdc_apply_stream" -> cdcOracleSql,
     "s23_cdc_stream_delete" ->
       s"""SELECT * FROM ($cdcOracleSql) AS applied
-         |WHERE id NOT BETWEEN $StreamDeleteFrom AND $StreamDeleteTo""".stripMargin)
+         |WHERE id NOT BETWEEN $StreamDeleteFrom AND $StreamDeleteTo""".stripMargin,
+    // the pruned merge must land the SAME state a full-rewrite apply would:
+    // the oracle replays the whole clustered feed apply in SQL (one change
+    // per key, so no fold needed)
+    "s23_cdc_merge_pruned" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey AS id, c_name AS name,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+         |  FROM customer),
+         |feed AS (
+         |  SELECT c_custkey AS id, 'U' AS op, CAST(c_custkey * 100 AS BIGINT) AS bal_c
+         |  FROM customer WHERE c_custkey BETWEEN $PrunedUpdFrom AND $PrunedUpdTo
+         |  UNION ALL
+         |  SELECT c_custkey, 'D', CAST(NULL AS BIGINT)
+         |  FROM customer WHERE c_custkey BETWEEN $PrunedDelFrom AND $PrunedDelTo
+         |  UNION ALL
+         |  SELECT $InsertBase + i.range, 'I', CAST(i.range * 7 AS BIGINT)
+         |  FROM range($PrunedInserts) i)
+         |SELECT coalesce(b.id, f.id) AS id,
+         |  CASE WHEN f.id IS NULL THEN b.name
+         |       ELSE coalesce(b.name, 'cdc_inserted') END AS name,
+         |  CASE WHEN f.id IS NULL THEN b.bal_c ELSE f.bal_c END AS bal_c
+         |FROM base b FULL OUTER JOIN feed f ON b.id = f.id
+         |WHERE f.id IS NULL OR f.op <> 'D'""".stripMargin)
 }

@@ -1,0 +1,293 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.BasicFileAttributes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STATS-PRUNED KEYED MERGE — file-granular upsert on the atomic table (r17
+  * verdict item 1, its top-next): apply a keyed changeset (the CDC
+  * insert/update/delete feed, an upsert batch) by rewriting ONLY the data
+  * files whose key statistics intersect the changeset's keys, hard-linking
+  * every other file into the next version unchanged, and appending net-new
+  * inserts into the rewrite output. This is the Delta/Iceberg MERGE
+  * file-granularity contract: before it, every [[AtomicTable.mergeCommit]]
+  * producer materialized the COMPLETE next version per merge — 100% write
+  * amplification per micro-batch; at 100 TB with a changeset touching 0.1%
+  * of keys that is 1000× more bytes than necessary. The delete path
+  * ([[TargetedDelete.stageDelete]]) proved the prune/rewrite/link staging;
+  * this generalizes "delete matched rows" to "replace matched rows + append
+  * net-new" (reference hot path: the pipeline's poi/mention upserts,
+  * utils/database.py:737-896 — Postgres gives it row-granular writes; this
+  * is the file-granular lakehouse re-expression).
+  *
+  * Pruning decision (sidecar first, footer fallback — the same ladder as
+  * delete/read): a live file is REWRITTEN iff its [min,max] on `keyCol` can
+  * contain a changeset key; everything else is LINKED (metadata-only, O(1)
+  * per file). Two regimes for "can contain":
+  *
+  *  - ≤ [[DriverKeyThreshold]] distinct change keys: the sorted key array is
+  *    enumerated on the driver (a CDC micro-batch's key set — driver-sized
+  *    by nature) and each file's range is probed by binary search, exactly
+  *    [[TargetedDelete.LongKeys]]'s stats probe;
+  *  - beyond it: the assignment inverts — the per-file boundary index (the
+  *    sidecar the driver already holds) is closed over by a key→files lookup
+  *    (binary search + bounded overlap walk) and run as a SPARK JOB over the
+  *    changeset; only intersecting FILE NAMES come back to the driver, never
+  *    keys. On a clustered layout the walk is O(log files) per key.
+  *
+  * The merge kernel `applyFn(base, changes)` sees ONLY the intersecting
+  * files' rows as `base` and must honor the contract that makes link-reuse
+  * sound: rows of `base` whose key has no change pass through unchanged, and
+  * every output row's key is in base ∪ changes ([[CdcApply.apply]] and the
+  * MergeSink upsert kernels are exactly this shape). Files the stats prove
+  * disjoint from every change key cannot hold a matched row, so linking them
+  * is not an approximation — it is the same proof the delete path uses.
+  *
+  * LAYOUT MAINTENANCE: the rewrite output is range-repartitioned on `keyCol`
+  * back to the touched-file count, so an id-clustered table STAYS
+  * id-clustered across merges — without it every merge would shatter the
+  * clustering (shuffle.partitions-many overlapping files) and the NEXT
+  * merge's pruning would decay toward rewrite-everything. The output
+  * version's `_KEYSTATS` sidecar self-maintains: linked files carry all
+  * their index rows forward, rewritten files get fresh `keyCol` rows from
+  * their just-written local footers — so merge after merge stays on the
+  * zero-footer-read path.
+  *
+  * Concurrency mirrors the delete: [[mergeChangesKeyed]] is the
+  * single-writer path ([[AtomicTable.singleWriterStaged]] — crashed-stage
+  * overwrite, complete-claim adoption + rebase); [[mergeChangesKeyedOcc]]
+  * runs the same staging through [[AtomicTable.occCommit]]'s claim/rebase
+  * CAS; [[commitBatchKeyed]] adds [[AtomicTable.commitBatch]]'s
+  * (appId, batchId) redelivery guard for Structured Streaming foreachBatch —
+  * the streamed CDC apply ([[CdcApply]]) runs on it. */
+object KeyedMerge {
+
+  /** The merge's audit row. `rewrittenFiles` counts files whose stats
+    * intersected a change key (plus conservative unknowns); `reusedFiles`
+    * were hard-linked; `footerReads` is 0 when the sidecar indexed `keyCol`
+    * (the manifest-stats path). `totalFiles` counts the BASE version's files;
+    * the output may hold more or fewer (inserts, 0-row rewrites). */
+  final case class MergeStats(version: String, totalFiles: Int,
+      rewrittenFiles: Int, reusedFiles: Int, footerReads: Int)
+
+  /** Above this many distinct change keys the file-assignment decision runs
+    * as a Spark job against the broadcast boundary index instead of
+    * enumerating keys on the driver. */
+  val DriverKeyThreshold = 100000
+
+  /** Bin-packing target for the rewrite output (the Delta optimized-write
+    * move): the output file count is ceil(rewrittenRows / this), capped at
+    * the touched-file count — so a micro-batch rewriting 3 small files emits
+    * ONE file instead of 3 slivers, while a 10⁹-row rewrite keeps the
+    * touched layout's granularity. Wide-hull files a merge leaves behind
+    * (an insert block far from the update block in one output file) are
+    * healed by the maintenance pass ([[Compaction]]/[[ZorderLayout]]),
+    * exactly Delta's MERGE-then-OPTIMIZE contract. */
+  val MergeTargetRowsPerFile: Long = 4L << 20
+
+  /** fileKey (inode identity) equality — the PROOF a "reused" file was
+    * hard-linked, not copied or rewritten. Used by the declared query's
+    * audit and the spec. */
+  def sameInode(a: Path, b: Path): Boolean = {
+    val ka = Files.readAttributes(a, classOf[BasicFileAttributes]).fileKey()
+    val kb = Files.readAttributes(b, classOf[BasicFileAttributes]).fileKey()
+    ka != null && ka == kb
+  }
+
+  /** Which live files can contain a change key. Files whose stats prove
+    * nothing (`kind != "long"`) are conservatively touched. Returns touched
+    * file NAMES — the only thing that ever reaches the driver on the
+    * distributed path. */
+  private def touchedNames(files: Seq[Path], rows: Map[String, KeyStats.StatRow],
+      keyCol: String, changes: DataFrame, driverKeyThreshold: Int): Set[String] = {
+    val named = files.map(f => f.getFileName.toString -> rows(f.getFileName.toString))
+    val (longStat, blind) = named.partition(_._2.kind == "long")
+    val blindNames = blind.map(_._1).toSet
+    if (longStat.isEmpty) return blindNames
+    // regime probe: one SHUFFLE-FREE job (CollectLimit, no distinct — a
+    // micro-batch's rows come back raw and dedup on the driver; a distinct
+    // here would cost a 32-partition exchange per micro-batch). The
+    // threshold therefore counts change ROWS, the conservative upper bound
+    // on distinct keys.
+    val keyRows = changes.select(col(keyCol).cast("long").as("k"))
+      .na.drop().limit(driverKeyThreshold + 1).collect()
+    val touchedLong: Set[String] =
+      if (keyRows.length <= driverKeyThreshold) {
+        // driver regime: binary-search each file's range against the sorted
+        // key array — the LongKeys stats probe, shared with the delete path
+        val ks = TargetedDelete.LongKeys(keyRows.map(_.getLong(0)).distinct.sorted)
+        longStat.collect {
+          case (n, r) if ks.intersectsStats(
+            java.lang.Long.valueOf(r.min), java.lang.Long.valueOf(r.max)) => n
+        }.toSet
+      } else {
+        // distributed regime: key→files lookup over the broadcast boundary
+        // index (sorted by min; prefixMax bounds the overlap walk, O(log F)
+        // per key on a clustered layout), run as a Spark job — only file
+        // names are collected. The lookup is a closure UDF: this is the
+        // PRUNING METADATA pass over distinct keys, not the data path.
+        val sorted = longStat.map { case (n, r) => (r.min.toLong, r.max.toLong, n) }
+          .sortBy(_._1).toArray
+        val mins = sorted.map(_._1); val maxs = sorted.map(_._2)
+        val names = sorted.map(_._3)
+        val prefixMax = maxs.clone()
+        var i = 1
+        while (i < prefixMax.length) {
+          prefixMax(i) = math.max(prefixMax(i - 1), prefixMax(i)); i += 1
+        }
+        val filesFor = udf { (k: java.lang.Long) =>
+          if (k == null) Array.empty[String]
+          else {
+            val key = k.longValue
+            var lo = 0; var hi = mins.length
+            while (lo < hi) { // upper_bound on min
+              val m = (lo + hi) >>> 1
+              if (mins(m) <= key) lo = m + 1 else hi = m
+            }
+            var j = lo - 1
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (j >= 0 && prefixMax(j) >= key) {
+              if (maxs(j) >= key) out += names(j)
+              j -= 1
+            }
+            out.toArray
+          }
+        }
+        changes.select(explode(filesFor(col(keyCol).cast("long"))).as("f"))
+          .distinct().collect().map(_.getString(0)).toSet
+      }
+    blindNames ++ touchedLong
+  }
+
+  /** Stage the post-merge state of `liveDir` into `stageDir`: rewrite ONLY
+    * the stats-intersecting files through `applyFn`, hard-link the rest,
+    * write the next version's self-maintained `_KEYSTATS`.
+    * Returns (totalFiles, rewritten, reused, footerReads). */
+  private def stageMerge(spark: SparkSession, liveDir: Path, stageDir: Path,
+      keyCol: String, changes: DataFrame,
+      applyFn: (DataFrame, DataFrame) => DataFrame,
+      driverKeyThreshold: Int): (Int, Int, Int, Int) = {
+    TargetedDelete.requireFlatLayout(liveDir, "keyed merge")
+    val files = TargetedDelete.partFiles(liveDir)
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"keyed merge against a fileless version at $liveDir")
+    val sideAll = KeyStats.loadStats(liveDir)
+    val side = sideAll.collect { case ((f, c), r) if c == keyCol => f -> r }
+    val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
+    val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
+    val touched = touchedNames(files, rows, keyCol, changes, driverKeyThreshold)
+    val (rewrite, reused) = files.partition(f => touched(f.getFileName.toString))
+    Files.createDirectories(stageDir)
+    // base = ONLY the intersecting files' rows; stats-disjoint files cannot
+    // hold a matched key, so the kernel never needs to see them
+    val base =
+      if (rewrite.nonEmpty) spark.read.parquet(rewrite.map(_.toString): _*)
+      else spark.read.parquet(files.head.toString).where(lit(false))
+    // layout maintenance: range-repartition the rewrite output back onto the
+    // key so the clustered layout (and with it, the NEXT merge's pruning)
+    // survives the merge instead of shattering into shuffle.partitions-many
+    // overlapping files. The kernel output is PERSISTED around the range
+    // exchange: RangePartitioner's sampling pass would otherwise re-run the
+    // whole merge join a second time for the write.
+    // row-aware output sizing: known when every touched file's sidecar/footer
+    // row carries a rowCount (unknown → fall back to the touched-file count)
+    val touchedRows = rewrite.map(f => rows(f.getFileName.toString).rowCount)
+    val outParts =
+      if (rewrite.isEmpty || touchedRows.exists(_ < 0L)) math.max(rewrite.size, 1)
+      else {
+        val target = (touchedRows.sum + MergeTargetRowsPerFile - 1) / MergeTargetRowsPerFile
+        math.max(1L, math.min(rewrite.size.toLong, target)).toInt
+      }
+    val merged = applyFn(base, changes).persist()
+    val rewriteOut = stageDir.resolve("rewrite")
+    try {
+      merged.repartitionByRange(outParts, col(keyCol))
+        .sortWithinPartitions(col(keyCol))
+        .write.mode("overwrite").parquet(rewriteOut.toString)
+    } finally merged.unpersist(blocking = false)
+    TargetedDelete.partFiles(rewriteOut).foreach { f =>
+      Files.move(f, stageDir.resolve(f.getFileName))
+    }
+    val rest = Files.list(rewriteOut)
+    try {
+      import scala.jdk.CollectionConverters._
+      rest.iterator().asScala.toSeq.foreach(Files.delete)
+    } finally rest.close()
+    Files.delete(rewriteOut)
+    reused.foreach(TargetedDelete.linkInto(stageDir, _))
+    val staged = TargetedDelete.partFiles(stageDir)
+    if (staged.isEmpty)
+      throw new IllegalStateException(
+        "keyed merge staged a fileless version — the table would be unreadable")
+    // self-maintaining sidecar: linked files carry ALL their index rows,
+    // rewritten files get fresh keyCol rows from their local footers
+    // (executor-parallel past the threshold)
+    val reusedNames = reused.map(_.getFileName.toString).toSet
+    val carried = sideAll.filter { case ((f, _), _) => reusedNames(f) }
+    val reusedKeyRows = reusedNames.toSeq.map(n => (n, keyCol) -> rows(n)).toMap
+    val freshFiles = staged.filterNot(p => reusedNames(p.getFileName.toString))
+    val freshRows = KeyStats.statRowsFor(spark, freshFiles, keyCol)
+      .map { case (n, row) => (n, keyCol) -> row }
+    KeyStats.writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
+    (files.size, rewrite.size, reused.size, unknown.size)
+  }
+
+  /** Single-writer stats-pruned merge: apply `changes` onto the live version
+    * through `applyFn`, rewriting only key-intersecting files. The table
+    * must have a committed base ([[AtomicTable.commit]] it first — a merge
+    * needs a schema-bearing version to prune against). */
+  def mergeChangesKeyed(spark: SparkSession, root: String, keyCol: String,
+      changes: DataFrame, applyFn: (DataFrame, DataFrame) => DataFrame,
+      driverKeyThreshold: Int = DriverKeyThreshold): MergeStats = {
+    @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
+    val next = AtomicTable.singleWriterStaged(root, "merge") { (live, stageDir) =>
+      last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
+        changes, applyFn, driverKeyThreshold)
+    }
+    MergeStats(next, last._1, last._2, last._3, last._4)
+  }
+
+  /** MULTI-WRITER stats-pruned merge through [[AtomicTable.occCommit]]'s
+    * claim/rebase CAS — a lost race re-prunes against the winner's version
+    * (its file set differs), so the changeset lands exactly once alongside
+    * interleaved merges and deletes. Stats reflect the attempt that won. */
+  def mergeChangesKeyedOcc(spark: SparkSession, root: String, keyCol: String,
+      changes: DataFrame, applyFn: (DataFrame, DataFrame) => DataFrame,
+      maxRetries: Int = 16, pruneAgeMs: Long = AtomicTable.MergePruneAgeMs,
+      driverKeyThreshold: Int = DriverKeyThreshold): MergeStats = {
+    @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
+    val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
+      val live = base.getOrElse(throw new IllegalStateException(
+        s"no live version at $root — commit a base before merging"))
+      last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
+        changes, applyFn, driverKeyThreshold)
+    }
+    MergeStats(v, last._1, last._2, last._3, last._4)
+  }
+
+  /** Idempotent streaming form — [[AtomicTable.commitBatch]]'s
+    * (appId, batchId) redelivery guard over the pruned merge: a redelivered
+    * micro-batch (foreachBatch is at-least-once) is SKIPPED without
+    * evaluating `changes`; a new one stages the pruned merge and stamps the
+    * manifest with its id in the same publish. Returns None on a skip. */
+  def commitBatchKeyed(spark: SparkSession, root: String, appId: String,
+      batchId: Long, keyCol: String, changes: => DataFrame,
+      applyFn: (DataFrame, DataFrame) => DataFrame,
+      driverKeyThreshold: Int = DriverKeyThreshold): Option[MergeStats] = {
+    if (AtomicTable.lastBatch(root).exists { case (app, b) =>
+        app == appId && batchId <= b }) None
+    else {
+      val c = changes
+      @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
+      val next = AtomicTable.singleWriterStaged(root, "merge",
+          batch = Some((appId, batchId))) { (live, stageDir) =>
+        last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
+          c, applyFn, driverKeyThreshold)
+      }
+      Some(MergeStats(next, last._1, last._2, last._3, last._4))
+    }
+  }
+}

@@ -500,51 +500,14 @@ object TargetedDelete {
 
   private def deleteKeySet(spark: SparkSession, root: String, keyCol: String,
       ks: KeySet): DeleteStats = {
-    // The orphan-v{N+1} handling must distinguish WHO left it (r16 advice):
-    // a bare directory without [[AtomicTable.Committed]] is a crashed
-    // single-writer stage — nothing else can ever clean it up, so overwrite
-    // (mirrors commit()'s semantics). A directory WITH the marker is a
-    // COMPLETE claim from an occCommit writer that died between its CAS
-    // rename and its manifest flip: destroying it would be silent data loss,
-    // so ADOPT it (publish forward, as occCommit does) and REBASE the delete
-    // on the adopted version. Adoption advances the live version, hence the
-    // small loop.
-    var attempt = 0
-    while (true) {
-      val live = AtomicTable.currentVersion(root).getOrElse(
-        throw new IllegalStateException(s"no live version at $root"))
-      val liveDir = Paths.get(root, live)
-      val next = "v" + (live.drop(1).toLong + 1)
-      val target = Paths.get(root, next)
-      if (Files.exists(target)) {
-        if (Files.exists(target.resolve(AtomicTable.Committed))) {
-          // adopt under the publish lock, forward-only, age-gated prune —
-          // then rebase via the loop
-          AtomicTable.adoptForward(root, next)
-        } else {
-          AtomicTable.deleteRecursively(target)
-        }
-      }
-      if (!Files.exists(target)) {
-        val stageDir = Paths.get(root, s".stage-del-${java.util.UUID.randomUUID()}")
-        try {
-          val (total, rewritten, droppedN, reusedN, footerReads) =
-            stageDelete(spark, liveDir, stageDir, keyCol, ks)
-          Files.move(stageDir, target, StandardCopyOption.ATOMIC_MOVE)
-          AtomicTable.publish(root, next)
-          return DeleteStats(next, total, rewritten, reusedN, footerReads, droppedN)
-        } finally {
-          if (Files.exists(stageDir)) AtomicTable.deleteRecursively(stageDir)
-        }
-      }
-      attempt += 1
-      if (attempt > 4)
-        throw new IllegalStateException(
-          s"deleteKeys found a fresh complete claim at $root on every " +
-            s"attempt — concurrent occCommit writers are active; use " +
-            "deleteKeysOcc on multi-writer tables")
+    // orphan handling (crashed-bare-stage overwrite vs complete-claim
+    // adoption + rebase) lives in [[AtomicTable.singleWriterStaged]],
+    // shared with the keyed merge
+    @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
+    val next = AtomicTable.singleWriterStaged(root, "del") { (live, stageDir) =>
+      last = stageDelete(spark, Paths.get(root, live), stageDir, keyCol, ks)
     }
-    sys.error("unreachable")
+    DeleteStats(next, last._1, last._2, last._4, last._5, last._3)
   }
 
   /** MULTI-WRITER targeted delete: the same staged prune/rewrite/link run
