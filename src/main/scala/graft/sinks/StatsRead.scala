@@ -171,16 +171,36 @@ object StatsRead {
   final case class CountStats(version: String, totalFiles: Int,
       metadataFiles: Int, scannedFiles: Int, footerReads: Int)
 
-  /** METADATA-ONLY COUNT (r17): `count(*) WHERE keyCol BETWEEN lo AND hi`
-    * answered from the stats sidecar for every file the range fully
-    * contains — on an id-clustered corpus a huge contiguous block counts by
+  /** Containment FOR COUNTING: every NON-NULL key in the file provably
+    * matches `ks`. Unlike the whole-file-drop proof ([[TargetedDelete
+    * .rowContained]]) this tolerates null keys — the count arithmetic
+    * subtracts them (`rowCount − nullCount`), it never deletes them. String
+    * containment compares under [[KeyStats.Utf8Order]], the byte order
+    * parquet computed the stats with; a writer-truncated min/max errs toward
+    * "not contained" (truncated min is a lower bound, adjusted max an upper
+    * bound), so truncation can cost a scan, never a wrong count. */
+  private def countContained(r: KeyStats.StatRow,
+      ks: TargetedDelete.KeySet): Boolean = ks match {
+    case TargetedDelete.LongRange(lo, hi) =>
+      r.kind == "long" && r.min.toLong >= lo && r.max.toLong <= hi
+    case TargetedDelete.StringRange(lo, hi) =>
+      r.kind == "string" && KeyStats.Utf8Order.compare(r.min, lo) >= 0 &&
+        KeyStats.Utf8Order.compare(r.max, hi) <= 0
+    case p: TargetedDelete.StringPrefix =>
+      r.kind == "string" && p.containsRange(r.min, r.max)
+    case _ => false
+  }
+
+  /** METADATA-ONLY COUNT (r17; generalized to every containment-capable
+    * [[TargetedDelete.KeySet]] in r18): `count(*) WHERE <ks matches keyCol>`
+    * answered from the stats sidecar for every file the predicate fully
+    * contains — on a clustered corpus a huge contiguous block counts by
     * reading ~2 boundary files no matter how many interior files exist
     * (Delta/Iceberg answer these from numRecords the same way). min/max
     * ignore nulls, so a contained file contributes `rowCount − nullCount`;
     * a file with unknown counts is scanned, never guessed. */
-  def countKeyRange(spark: SparkSession, root: String, keyCol: String,
-      lo: Long, hi: Long): (Long, CountStats) = {
-    val ks = TargetedDelete.LongRange(lo, hi)
+  def countWhere(spark: SparkSession, root: String, keyCol: String,
+      ks: TargetedDelete.KeySet): (Long, CountStats) = {
     val (live, files, rows, opened) =
       resolveStats(spark, root, Seq(keyCol), "stats-pruned count")
     val overlapping =
@@ -188,8 +208,7 @@ object StatsRead {
     val (metaFiles, scanFiles) = overlapping.partition { f =>
       val r = rowOf(rows, f, keyCol)
       // countable from metadata: containment proven AND both counts known
-      r.kind == "long" && r.rowCount >= 0 && r.nullCount >= 0 &&
-        r.min.toLong >= lo && r.max.toLong <= hi
+      r.rowCount >= 0 && r.nullCount >= 0 && countContained(r, ks)
     }
     val metaCount = metaFiles.map { f =>
       val r = rowOf(rows, f, keyCol); r.rowCount - r.nullCount
@@ -201,6 +220,23 @@ object StatsRead {
     (metaCount + scanned,
       CountStats(live, files.size, metaFiles.size, scanFiles.size, opened))
   }
+
+  /** BIGINT range form of [[countWhere]] (the r17 entry point, unchanged). */
+  def countKeyRange(spark: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long): (Long, CountStats) =
+    countWhere(spark, root, keyCol, TargetedDelete.LongRange(lo, hi))
+
+  /** STRING range count under UTF-8 byte order — `[lo, hi]` on a
+    * lang/hash-clustered corpus counts interior files from the sidecar. */
+  def countStringKeyRange(spark: SparkSession, root: String, keyCol: String,
+      lo: String, hi: String): (Long, CountStats) =
+    countWhere(spark, root, keyCol, TargetedDelete.StringRange(lo, hi))
+
+  /** PREFIX-block count — `count(*) WHERE keyCol LIKE 'p%'` with astral
+    * suffixes included by construction ([[TargetedDelete.StringPrefix]]). */
+  def countStringKeyPrefix(spark: SparkSession, root: String, keyCol: String,
+      prefix: String): (Long, CountStats) =
+    countWhere(spark, root, keyCol, TargetedDelete.StringPrefix(prefix))
 
   /** METADATA-ONLY MIN/MAX of an indexed BIGINT column: fold the sidecar's
     * per-file ranges (SQL MIN/MAX ignore nulls, exactly like parquet's
@@ -230,6 +266,37 @@ object StatsRead {
     val all = metaRanges ++ scanned
     val result =
       if (all.isEmpty) None else Some((all.map(_._1).min, all.map(_._2).max))
+    (result, CountStats(live, files.size, meta.size, scan.size, opened))
+  }
+
+  /** [[minMaxLong]] for STRING columns: fold the sidecar's per-file ranges
+    * under [[KeyStats.Utf8Order]] — min/max over Spark strings, parquet
+    * stats, and DuckDB memcmp all agree on that order, so the folded value
+    * is the SQL answer. Assumes untruncated footer statistics (Spark's
+    * parquet writer default — a truncated min would be a below-data bound,
+    * not a data value); files whose stats prove nothing fall back to one
+    * scan. */
+  def minMaxString(spark: SparkSession, root: String,
+      keyCol: String): (Option[(String, String)], CountStats) = {
+    val (live, files, rows, opened) =
+      resolveStats(spark, root, Seq(keyCol), "stats min/max")
+    val (meta, scan) =
+      files.partition(f => rowOf(rows, f, keyCol).kind == "string")
+    val metaRanges = meta.map { f =>
+      val r = rowOf(rows, f, keyCol); (r.min, r.max)
+    }
+    val scanned =
+      if (scan.isEmpty) None
+      else {
+        val row = spark.read.parquet(scan.map(_.toString): _*)
+          .agg(min(col(keyCol).cast("string")), max(col(keyCol).cast("string"))).head
+        if (row.isNullAt(0)) None else Some((row.getString(0), row.getString(1)))
+      }
+    val all = metaRanges ++ scanned
+    val result =
+      if (all.isEmpty) None
+      else Some((all.map(_._1).min(KeyStats.Utf8Order),
+        all.map(_._2).max(KeyStats.Utf8Order)))
     (result, CountStats(live, files.size, meta.size, scan.size, opened))
   }
 
@@ -372,6 +439,61 @@ object StatsRead {
       lit(lo).as("min_id"), lit(hi).as("max_id"))
   }
 
+  /** [[requireContainedFile]]'s STRING twin: at least one committed file
+    * must sit entirely inside the [lo, hi] byte-order block. */
+  private[sinks] def requireContainedFileStr(root: String, keyCol: String,
+      lo: String, hi: String, gate: String): Unit = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val rows = KeyStats.loadStats(Paths.get(root, live)).collect {
+      case ((_, c), r) if c == keyCol && r.kind == "string" => r
+    }
+    val contained = rows.exists(r =>
+      KeyStats.Utf8Order.compare(r.min, lo) >= 0 &&
+        KeyStats.Utf8Order.compare(r.max, hi) <= 0 && r.nullCount == 0L)
+    if (!contained)
+      throw new IllegalStateException(
+        s"TESTDATA SPAN ASSUMPTION BROKEN for $gate: no committed file is " +
+          s"fully contained in [$lo, $hi] on $keyCol (observed: " +
+          rows.map(r => s"[${r.min},${r.max}]").take(6).mkString(", ") +
+          ") — widen the layout's file count for this SF")
+  }
+
+  /** The string-count layout: 24 files clustered on (lang, doc_id) — 'en'
+    * is ~40% of the corpus at every SF, so it fully contains several
+    * interior files and at most 2 boundary files hold its block edges. */
+  val CountStrFiles = 24
+  val CountLang = "en"
+
+  /** METADATA-ONLY COUNT ON A STRING KEY (r18 — the r17 "generalize past
+    * kind==long" item): the lang-clustered corpus is committed indexed, and
+    * `count(*) WHERE lang = 'en'` must come from the sidecar's
+    * rowCount−nullCount for every interior all-'en' file — ≤2 boundary
+    * scans, zero footer reads, both enforced; then metadata-served string
+    * MIN/MAX on the same table (zero scans enforced). The containment
+    * arithmetic is byte-order end to end; the oracle replays the plain SQL
+    * count + min/max, value-checking the fold. */
+  def qS16KeyedCountStr(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_cntstr"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(CountStrFiles, col("lang"), col("doc_id"))
+        .sortWithinPartitions(col("lang"), col("doc_id")),
+      root, statsCols = Seq("lang"))
+    requireContainedFileStr(root, "lang", CountLang, CountLang, "s16_keyed_count_str")
+    val (n, cs) = countStringKeyRange(spark, root, "lang", CountLang, CountLang)
+    if (cs.footerReads != 0 || cs.scannedFiles > 2 || cs.metadataFiles < 1)
+      throw new IllegalStateException(
+        s"string metadata count did not engage: $cs (want footerReads=0, scanned<=2, metadata>=1)")
+    val (mm, ms) = minMaxString(spark, root, "lang")
+    if (ms.footerReads != 0 || ms.scannedFiles != 0 || mm.isEmpty)
+      throw new IllegalStateException(s"string metadata min/max did not engage: $ms")
+    val (lo, hi) = mm.get
+    spark.range(1).select(lit(n).as("n_lang"),
+      lit(lo).as("min_lang"), lit(hi).as("max_lang"))
+  }
+
   /** TIME TRAVEL + DATA SKIPPING composed: commit the indexed corpus (v1),
     * range-delete the block (v2), then stats-read the PRIOR version for the
     * deleted block — the GDPR audit shape ("what did we hold before the
@@ -407,6 +529,7 @@ object StatsRead {
     "s16_keyed_read_set" -> (qS16KeyedReadSet _),
     "s16_keyed_read_str" -> (qS16KeyedReadStr _),
     "s16_keyed_count" -> (qS16KeyedCount _),
+    "s16_keyed_count_str" -> (qS16KeyedCountStr _),
     "s16_keyed_read_asof" -> (qS16KeyedReadAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -435,6 +558,11 @@ object StatsRead {
       s"""SELECT (SELECT count(*) FROM documents
          |        WHERE doc_id BETWEEN $CountFrom AND $CountTo) AS n_docs,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents""".stripMargin,
+    "s16_keyed_count_str" ->
+      s"""SELECT (SELECT count(*) FROM documents
+         |        WHERE lang = '$CountLang') AS n_lang,
+         |  min(lang) AS min_lang, max(lang) AS max_lang
          |FROM documents""".stripMargin,
     // the PRIOR version == the un-deleted source, so the oracle is the
     // plain block aggregate — same body as s16_keyed_read

@@ -359,4 +359,53 @@ class StatsReadSpec extends AnyFunSuite {
     assert(mm3.contains((100L, 199L)), s"$mm3 / $ms3")
     assert(ms3.scannedFiles == 1 && ms3.metadataFiles == 1, ms3.toString)
   }
+
+  test("string containment count + min/max: interior files metadata-only, byte order holds") {
+    import spark.implicits._
+    val root = "spark-warehouse/test_s16_countstr"
+    deleteAll(Paths.get(root))
+    val df = spark.range(8000L).select(
+      format_string("doc%05d", col("id")).as("doc_id"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(
+      df.repartitionByRange(64, col("doc_id")).sortWithinPartitions(col("doc_id")),
+      root, statsCols = Seq("doc_id"))
+    // contiguous string block [doc01000, doc02000]: interiors metadata-count
+    val (n, cs) = StatsRead.countStringKeyRange(
+      spark, root, "doc_id", "doc01000", "doc02000")
+    assert(n == 1001, cs.toString)
+    assert(cs.footerReads == 0 && cs.metadataFiles >= 4 && cs.scannedFiles <= 2,
+      cs.toString)
+    // prefix-block count: "doc01" = exactly 1000 keys, interiors metadata-only
+    val (np, csp) = StatsRead.countStringKeyPrefix(spark, root, "doc_id", "doc01")
+    assert(np == 1000, csp.toString)
+    assert(csp.footerReads == 0 && csp.metadataFiles >= 4 && csp.scannedFiles <= 2,
+      csp.toString)
+    // metadata-served string min/max on the indexed table, zero scans
+    val (mm, ms) = StatsRead.minMaxString(spark, root, "doc_id")
+    assert(mm.contains(("doc00000", "doc07999")), s"$mm / $ms")
+    assert(ms.scannedFiles == 0 && ms.footerReads == 0, ms.toString)
+    // byte-order regression: a fold across files holding U+FFFF and an
+    // astral codepoint must pick the ASTRAL value as max (Java's default
+    // String order would pick U+FFFF)
+    val root2 = "spark-warehouse/test_s16_minmaxastral"
+    deleteAll(Paths.get(root2))
+    AtomicTable.commit(
+      Seq(("a", 0L), ("￿", 0L)).toDF("k", "grp").coalesce(1)
+        .unionAll(Seq(("b", 1L), ("😀", 1L)).toDF("k", "grp").coalesce(1))
+        .repartitionByRange(2, col("grp")).sortWithinPartitions(col("k")),
+      root2, statsCols = Seq("k"))
+    val (mm2, ms2) = StatsRead.minMaxString(spark, root2, "k")
+    assert(mm2.contains(("a", "😀")),
+      s"fold not under UTF-8 byte order: $mm2 / $ms2")
+    // null keys subtract from a contained file's count, never match
+    val root3 = "spark-warehouse/test_s16_countstrnull"
+    deleteAll(Paths.get(root3))
+    val rows = (0L until 1000L).map(i =>
+      (if (i % 10 == 9) Option.empty[String] else Option(f"k$i%04d"), i))
+    AtomicTable.commit(rows.toDF("k", "v").coalesce(1),
+      root3, statsCols = Seq("k"))
+    val (n3, cs3) = StatsRead.countStringKeyRange(spark, root3, "k", "k0000", "k0999")
+    assert(n3 == 900, s"null keys counted: $n3 / $cs3")
+    assert(cs3.metadataFiles == 1 && cs3.scannedFiles == 0, cs3.toString)
+  }
 }
