@@ -1,0 +1,186 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** PER-FILE BLOOM SIDECAR — point-lookup skipping on UNCLUSTERED keys (r17
+  * verdict item 2). Min/max statistics prune nothing on a randomly-ordered
+  * column: every file's [min,max] on a hash key spans ~the whole key space,
+  * so `readStringKeyIn` over a non-hash-clustered corpus plans every file.
+  * This is the Delta bloom-index move: one bloom filter per (file, column)
+  * in a `_KEYBLOOM.tsv` beside `_KEYSTATS.tsv`, probed BEFORE min/max — a
+  * "seen this doc-hash?" probe (the incremental dedup gate's hot question)
+  * plans only the files whose blooms admit a key, independent of layout.
+  *
+  * BUILD is one distributed pass: the unindexed files are read once,
+  * each key explodes to its k (wordIdx, bitMask) pairs, and a
+  * map-side-combinable `bit_or` per (file, wordIdx) reduces to at most
+  * bits/64 longs per file — only those non-zero words reach the driver.
+  * Hashing is double-hashed FNV-1a over the key's canonical bytes (8-byte
+  * big-endian for integers, UTF-8 for strings), the SAME pure function on
+  * executors (build) and driver (probe) — no dependence on Spark's seeded
+  * hash builtins.
+  *
+  * SIZING: fpp ≈ (1 − e^(−k·n/m))^k — at the default m=2¹⁴ bits (2 KB/file)
+  * and k=7, a 2000-row file probes at ~2% fpp; size `bits` ≈ 10× expected
+  * rows per file. SCALE BOUNDARY, stated honestly: this sidecar is
+  * driver-materialized like `_KEYSTATS`, so it serves tables up to
+  * ~10⁴–10⁵ files (bits/8 bytes each — tens of MB). At 10⁶+ files the
+  * right home is parquet's NATIVE column bloom filters (written per file,
+  * read by the scan itself) or a sharded/parquet sidecar probed as a join;
+  * the probe API here is the contract either backend would serve.
+  *
+  * MAINTENANCE: delete/merge/compaction carry bloom rows forward for
+  * hard-LINKED files (same bytes, same bloom); rewritten files lose their
+  * rows and fall back to min/max stats until [[indexKeyBloom]] runs again —
+  * conservative, never wrong. */
+object KeyBloom {
+
+  val BloomFile = "_KEYBLOOM.tsv"
+  val DefaultBits: Int = 1 << 14
+  val NumHashes = 7
+
+  /** One (file, column) bloom: `kind` is the key's canonical-bytes family
+    * ("long" | "string") — a probe of the other family ignores the row
+    * (conservative fallback) rather than probing bytes hashed differently. */
+  final case class BloomRow(kind: String, bits: Int, k: Int, words: Array[Long]) {
+    def mightContain(keyBytes: Array[Byte]): Boolean = {
+      val (h1, h2) = hashPair(keyBytes)
+      var i = 0
+      while (i < k) {
+        val pos = (((h1 + i * h2) % bits + bits) % bits).toInt
+        if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Double hash: FNV-1a 64 under two offset bases, each finalized with a
+    * splitmix64 avalanche (raw FNV's low bits are weak for double hashing).
+    * h2 is forced ODD so the probe sequence walks every residue. */
+  private[sinks] def hashPair(bytes: Array[Byte]): (Long, Long) = {
+    def fnv(basis: Long): Long = {
+      var h = basis
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      // splitmix64 finalizer
+      h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+      h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+    val h1 = fnv(0xcbf29ce484222325L)
+    val h2 = fnv(0x84222325cbf29ce4L) | 1L
+    (h1, h2)
+  }
+
+  private[sinks] def longBytes(k: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(k).array()
+  private[sinks] def stringBytes(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.UTF_8)
+
+  /** The k bit positions of a key, packed as (wordIdx, bitMask) — the build
+    * side's explode payload; the probe side recomputes the same walk in
+    * [[BloomRow.mightContain]]. */
+  private def wordMasks(bytes: Array[Byte], bits: Int): Array[(Int, Long)] = {
+    val (h1, h2) = hashPair(bytes)
+    Array.tabulate(NumHashes) { i =>
+      val pos = (((h1 + i * h2) % bits + bits) % bits).toInt
+      (pos >>> 6, 1L << (pos & 63))
+    }
+  }
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  def loadBlooms(versionDir: Path): Map[(String, String), BloomRow] = {
+    val p = versionDir.resolve(BloomFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val a = line.split("\t", 6)
+      val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(a(5)))
+      val words = new Array[Long](bb.remaining() / 8)
+      bb.asLongBuffer().get(words)
+      (dec(a(0)), dec(a(1))) -> BloomRow(a(2), a(3).toInt, a(4).toInt, words)
+    }.toMap
+  }
+
+  def writeBlooms(versionDir: Path, rows: Map[(String, String), BloomRow]): Unit = {
+    val body = rows.toSeq.sortBy(_._1).map { case ((f, c), r) =>
+      val bb = java.nio.ByteBuffer.allocate(r.words.length * 8)
+      bb.asLongBuffer().put(r.words)
+      s"${enc(f)}\t${enc(c)}\t${r.kind}\t${r.bits}\t${r.k}\t" +
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+    }.mkString("\n")
+    val tmp = versionDir.resolve(s".$BloomFile.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, versionDir.resolve(BloomFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Build (or extend) the LIVE version's `_KEYBLOOM` for `keyCol`: ONE
+    * distributed pass over the not-yet-indexed files (`input_file_name`
+    * grouping — no per-file jobs), `bit_or`-reduced to non-zero words.
+    * Returns the number of files indexed. Metadata augmentation only —
+    * data files are never touched. */
+  def indexKeyBloom(spark: SparkSession, root: String, keyCol: String,
+      bits: Int = DefaultBits): Int = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0, s"bits must be a power of two >= 64: $bits")
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    val liveDir = Paths.get(root, live)
+    TargetedDelete.requireFlatLayout(liveDir, "bloom indexing")
+    val old = loadBlooms(liveDir)
+    val missing = TargetedDelete.partFiles(liveDir)
+      .filter(f => !old.contains((f.getFileName.toString, keyCol)))
+    if (missing.isEmpty) return 0
+    val kind = spark.read.parquet(missing.head.toString).schema(keyCol).dataType match {
+      case LongType | IntegerType => "long"
+      case StringType => "string"
+      case t => throw new IllegalArgumentException(
+        s"bloom index supports BIGINT/INT/STRING keys, not $t")
+    }
+    val masks =
+      if (kind == "long") udf((k: java.lang.Long) =>
+        if (k == null) Array.empty[(Int, Long)] else wordMasks(longBytes(k), bits))
+      else udf((s: String) =>
+        if (s == null) Array.empty[(Int, Long)] else wordMasks(stringBytes(s), bits))
+    val collected = spark.read.parquet(missing.map(_.toString): _*)
+      .select(input_file_name().as("f"), explode(masks(col(keyCol))).as("m"))
+      .groupBy(col("f"), col("m._1").as("w"))
+      .agg(expr("bit_or(m._2)").as("word"))
+      .collect()
+    val byFile = collected.groupBy(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+      .getFileName.toString)
+    val fresh = missing.map { f =>
+      val name = f.getFileName.toString
+      val words = new Array[Long](bits >>> 6)
+      byFile.getOrElse(name, Array.empty).foreach { r =>
+        words(r.getInt(1)) |= r.getLong(2)
+      }
+      (name, keyCol) -> BloomRow(kind, bits, NumHashes, words)
+    }.toMap
+    writeBlooms(liveDir, old ++ fresh)
+    missing.size
+  }
+
+  /** Carry bloom rows forward for hard-LINKED files when a delete/merge/
+    * compaction stages the next version — same bytes, same bloom. Rewritten
+    * files get no row (fall back to stats until re-indexed). */
+  private[sinks] def carryForward(liveDir: Path, stageDir: Path,
+      reusedNames: Set[String]): Unit = {
+    val old = loadBlooms(liveDir)
+    if (old.isEmpty) return
+    val carried = old.filter { case ((f, _), _) => reusedNames(f) }
+    if (carried.nonEmpty) writeBlooms(stageDir, carried)
+  }
+}

@@ -163,6 +163,68 @@ object StatsRead {
     (df, ReadStats(v, files.size, touched.size, opened))
   }
 
+  // ---- bloom-pruned point lookups (r18 — r17 verdict item 2) -------------
+
+  /** BLOOM-PRUNED point-lookup batch on a key min/max cannot help with: a
+    * file is planned only if its `_KEYBLOOM` row ([[KeyBloom]]) admits at
+    * least one probe key — layout-INDEPENDENT skipping, the move that serves
+    * the dedup gate's "is this doc-hash already in the corpus?" on a corpus
+    * that is NOT clustered by that hash. Files without a (matching-kind)
+    * bloom row fall back to the min/max stats ladder (sidecar, then footer —
+    * conservative hybrid, like every other pruning path); the row-level
+    * predicate re-applies inside survivors, so a bloom false positive costs
+    * one extra file scan, never a wrong row. */
+  def readKeyInBloom(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[Long]): (DataFrame, ReadStats) =
+    readWhereBloom(spark, root, keyCol,
+      TargetedDelete.LongKeys(keys.distinct.sorted.toArray),
+      "long", keys.distinct.map(KeyBloom.longBytes))
+
+  /** [[readKeyInBloom]] for STRING keys (doc hashes — the named consumer). */
+  def readStringKeyInBloom(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[String]): (DataFrame, ReadStats) = {
+    val ks = keys.filter(_ != null).distinct
+    readWhereBloom(spark, root, keyCol,
+      TargetedDelete.StringKeys(ks.sorted(KeyStats.Utf8Order).toArray),
+      "string", ks.map(KeyBloom.stringBytes))
+  }
+
+  private def readWhereBloom(spark: SparkSession, root: String, keyCol: String,
+      ks: TargetedDelete.KeySet, kind: String,
+      keyBytes: Seq[Array[Byte]]): (DataFrame, ReadStats) = {
+    val v = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val dir = Paths.get(root, v)
+    TargetedDelete.requireFlatLayout(dir, "bloom-pruned read")
+    val files = TargetedDelete.partFiles(dir)
+    val blooms = KeyBloom.loadBlooms(dir)
+    val (bloomed, rest) = files.partition { f =>
+      blooms.get((f.getFileName.toString, keyCol)).exists(_.kind == kind)
+    }
+    val bloomTouched = bloomed.filter { f =>
+      val b = blooms((f.getFileName.toString, keyCol))
+      keyBytes.exists(b.mightContain)
+    }
+    // hybrid fallback for bloom-less files: the min/max ladder
+    val (restTouched, opened) =
+      if (rest.isEmpty) (Seq.empty[java.nio.file.Path], 0)
+      else {
+        val side = KeyStats.loadStats(dir).collect {
+          case ((f, c), row) if c == keyCol => f -> row
+        }
+        val unknown = rest.filterNot(f => side.contains(f.getFileName.toString))
+        val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
+        (rest.filter(f => TargetedDelete.rowIntersects(
+          rows(f.getFileName.toString), ks)), unknown.size)
+      }
+    val touched = bloomTouched ++ restTouched
+    val df =
+      if (touched.isEmpty) emptyLike(spark, files, dir)
+      else TargetedDelete.matched(
+        spark.read.parquet(touched.map(_.toString): _*), keyCol, ks)
+    (df, ReadStats(v, files.size, touched.size, opened))
+  }
+
   /** A metadata-count's audit row: `metadataFiles` contributed their match
     * count from the sidecar alone (`rowCount − nullCount` of a file whose
     * [min,max] lies inside the range), `scannedFiles` (the ≤2 boundary files
@@ -494,6 +556,50 @@ object StatsRead {
       lit(lo).as("min_lang"), lit(hi).as("max_lang"))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** The probed documents — present at every SF (ids < 500). */
+  val BloomProbeIds: Seq[Long] = Seq(7L, 143L, 421L)
+  val BloomFiles = 24
+
+  /** BLOOM SKIPPING ON AN UNCLUSTERED KEY (r18): the corpus is keyed by
+    * `doc_hash = md5(doc_id)` — scattered by construction — but laid out
+    * clustered on `doc_id`, so every file's hash [min,max] spans ~the whole
+    * key space and min/max stats prune ~NOTHING (asserted in-query: the
+    * stats read plans ≥ totalFiles−2). The bloom-probed read of the same
+    * three hashes must plan ≤6 of the 24 files with zero footer reads
+    * (enforced) — layout-independent point-lookup skipping, the dedup
+    * gate's "seen this hash?" shape. The oracle recomputes md5 in SQL, so
+    * the hash row value-checks the probe end to end. */
+  def qS16KeyedReadBloom(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_bloom"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .withColumn("doc_hash", md5(col("doc_id").cast("string")))
+        .repartitionByRange(BloomFiles, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, statsCols = Seq("doc_hash"))
+    val probes = BloomProbeIds.map(i => md5hex(i.toString))
+    // the premise: min/max stats CANNOT skip on the scattered key
+    val (_, rsStats) = readStringKeyIn(spark, root, "doc_hash", probes)
+    if (rsStats.filesRead < rsStats.totalFiles - 2)
+      throw new IllegalStateException(
+        s"fixture premise broken: min/max stats pruned a scattered key ($rsStats)")
+    KeyBloom.indexKeyBloom(spark, root, "doc_hash")
+    val (df, rs) = readStringKeyInBloom(spark, root, "doc_hash", probes)
+    if (rs.footerReads != 0 || rs.filesRead > 6 || rs.filesRead < 1)
+      throw new IllegalStateException(
+        s"bloom read did not skip: $rs (want footerReads=0, 1 <= filesRead <= 6)")
+    df.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   /** TIME TRAVEL + DATA SKIPPING composed: commit the indexed corpus (v1),
     * range-delete the block (v2), then stats-read the PRIOR version for the
     * deleted block — the GDPR audit shape ("what did we hold before the
@@ -530,6 +636,7 @@ object StatsRead {
     "s16_keyed_read_str" -> (qS16KeyedReadStr _),
     "s16_keyed_count" -> (qS16KeyedCount _),
     "s16_keyed_count_str" -> (qS16KeyedCountStr _),
+    "s16_keyed_read_bloom" -> (qS16KeyedReadBloom _),
     "s16_keyed_read_asof" -> (qS16KeyedReadAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -559,6 +666,14 @@ object StatsRead {
          |        WHERE doc_id BETWEEN $CountFrom AND $CountTo) AS n_docs,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM documents""".stripMargin,
+    "s16_keyed_read_bloom" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR)) IN
+         |  (${BloomProbeIds.map(i => s"md5('$i')").mkString(", ")})
+         |GROUP BY lang, source""".stripMargin,
     "s16_keyed_count_str" ->
       s"""SELECT (SELECT count(*) FROM documents
          |        WHERE lang = '$CountLang') AS n_lang,

@@ -434,6 +434,9 @@ object TargetedDelete {
     }
     pr.reused.foreach(linkInto(stageDir, _))
     val reusedNames = pr.reused.map(_.getFileName.toString).toSet
+    // linked files keep their bloom rows (same bytes, same bloom);
+    // rewritten files fall back to stats until re-indexed
+    KeyBloom.carryForward(liveDir, stageDir, reusedNames)
     val carried = pr.allSideRows.filter { case ((f, _), _) => reusedNames(f) }
     val reusedKeyRows = reusedNames.toSeq
       .map(n => (n, keyCol) -> pr.keyRows(n)).toMap
