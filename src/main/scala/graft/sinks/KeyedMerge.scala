@@ -96,69 +96,106 @@ object KeyedMerge {
     ka != null && ka == kb
   }
 
-  /** Which live files can contain a change key. Files whose stats prove
-    * nothing (`kind != "long"`) are conservatively touched. Returns touched
-    * file NAMES — the only thing that ever reaches the driver on the
-    * distributed path. */
+  /** The boundary-index walk shared by both distributed regimes: sorted by
+    * min under `ord`, prefix-max bounds the overlap walk — O(log F) per key
+    * on a clustered layout. Pure and Serializable (closed over by the
+    * lookup UDF). */
+  private def boundaryLookup[K](mins: Array[K], maxs: Array[K],
+      names: Array[String], prefixMax: Array[K], ord: Ordering[K])
+      (key: K): Array[String] = {
+    var lo = 0; var hi = mins.length
+    while (lo < hi) { // upper_bound on min
+      val m = (lo + hi) >>> 1
+      if (ord.lteq(mins(m), key)) lo = m + 1 else hi = m
+    }
+    var j = lo - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (j >= 0 && ord.gteq(prefixMax(j), key)) {
+      if (ord.gteq(maxs(j), key)) out += names(j)
+      j -= 1
+    }
+    out.toArray
+  }
+
+  private def boundaryIndex[K: scala.reflect.ClassTag](
+      stat: Seq[(String, KeyStats.StatRow)], decode: String => K,
+      ord: Ordering[K]): (Array[K], Array[K], Array[String], Array[K]) = {
+    val sorted = stat.map { case (n, r) => (decode(r.min), decode(r.max), n) }
+      .sortBy(_._1)(ord).toArray
+    val mins = sorted.map(_._1); val maxs = sorted.map(_._2)
+    val names = sorted.map(_._3)
+    val prefixMax = maxs.clone()
+    var i = 1
+    while (i < prefixMax.length) {
+      prefixMax(i) = ord.max(prefixMax(i - 1), prefixMax(i)); i += 1
+    }
+    (mins, maxs, names, prefixMax)
+  }
+
+  /** Which live files can contain a change key. The key family comes from
+    * the changeset's schema: BIGINT/INT keys probe "long" stat rows, STRING
+    * keys probe "string" rows under [[KeyStats.Utf8Order]] (the byte order
+    * parquet computed them with — the poi/doc-hash upsert path); any other
+    * key type, and any file whose stats prove nothing, is conservatively
+    * touched. Returns touched file NAMES — the only thing that ever reaches
+    * the driver on the distributed path. */
   private def touchedNames(files: Seq[Path], rows: Map[String, KeyStats.StatRow],
       keyCol: String, changes: DataFrame, driverKeyThreshold: Int): Set[String] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val kind = changes.schema(keyCol).dataType match {
+      case LongType | IntegerType => "long"
+      case StringType => "string"
+      case _ => return files.map(_.getFileName.toString).toSet // no stats family
+    }
     val named = files.map(f => f.getFileName.toString -> rows(f.getFileName.toString))
-    val (longStat, blind) = named.partition(_._2.kind == "long")
+    val (stat, blind) = named.partition(_._2.kind == kind)
     val blindNames = blind.map(_._1).toSet
-    if (longStat.isEmpty) return blindNames
+    if (stat.isEmpty) return blindNames
     // regime probe: one SHUFFLE-FREE job (CollectLimit, no distinct — a
     // micro-batch's rows come back raw and dedup on the driver; a distinct
     // here would cost a 32-partition exchange per micro-batch). The
     // threshold therefore counts change ROWS, the conservative upper bound
     // on distinct keys.
-    val keyRows = changes.select(col(keyCol).cast("long").as("k"))
-      .na.drop().limit(driverKeyThreshold + 1).collect()
-    val touchedLong: Set[String] =
-      if (keyRows.length <= driverKeyThreshold) {
+    val probe = changes.select((kind match {
+      case "long" => col(keyCol).cast("long")
+      case _ => col(keyCol)
+    }).as("k")).na.drop().limit(driverKeyThreshold + 1).collect()
+    val touchedStat: Set[String] =
+      if (probe.length <= driverKeyThreshold) {
         // driver regime: binary-search each file's range against the sorted
-        // key array — the LongKeys stats probe, shared with the delete path
-        val ks = TargetedDelete.LongKeys(keyRows.map(_.getLong(0)).distinct.sorted)
-        longStat.collect {
-          case (n, r) if ks.intersectsStats(
-            java.lang.Long.valueOf(r.min), java.lang.Long.valueOf(r.max)) => n
+        // key array — the KeySet stats probes, shared with the delete path
+        val ks: TargetedDelete.KeySet =
+          if (kind == "long")
+            TargetedDelete.LongKeys(probe.map(_.getLong(0)).distinct.sorted)
+          else TargetedDelete.StringKeys(
+            probe.map(_.getString(0)).distinct.sorted(KeyStats.Utf8Order).toArray)
+        stat.collect {
+          case (n, r) if TargetedDelete.rowIntersects(r, ks) => n
         }.toSet
-      } else {
+      } else if (kind == "long") {
         // distributed regime: key→files lookup over the broadcast boundary
-        // index (sorted by min; prefixMax bounds the overlap walk, O(log F)
-        // per key on a clustered layout), run as a Spark job — only file
-        // names are collected. The lookup is a closure UDF: this is the
-        // PRUNING METADATA pass over distinct keys, not the data path.
-        val sorted = longStat.map { case (n, r) => (r.min.toLong, r.max.toLong, n) }
-          .sortBy(_._1).toArray
-        val mins = sorted.map(_._1); val maxs = sorted.map(_._2)
-        val names = sorted.map(_._3)
-        val prefixMax = maxs.clone()
-        var i = 1
-        while (i < prefixMax.length) {
-          prefixMax(i) = math.max(prefixMax(i - 1), prefixMax(i)); i += 1
-        }
+        // index, run as a Spark job — only file names are collected. The
+        // lookup is a closure UDF: this is the PRUNING METADATA pass over
+        // the changeset's keys, not the data path.
+        val (mins, maxs, names, pmax) =
+          boundaryIndex[Long](stat, _.toLong, Ordering.Long)
         val filesFor = udf { (k: java.lang.Long) =>
           if (k == null) Array.empty[String]
-          else {
-            val key = k.longValue
-            var lo = 0; var hi = mins.length
-            while (lo < hi) { // upper_bound on min
-              val m = (lo + hi) >>> 1
-              if (mins(m) <= key) lo = m + 1 else hi = m
-            }
-            var j = lo - 1
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            while (j >= 0 && prefixMax(j) >= key) {
-              if (maxs(j) >= key) out += names(j)
-              j -= 1
-            }
-            out.toArray
-          }
+          else boundaryLookup(mins, maxs, names, pmax, Ordering.Long)(k.longValue)
         }
         changes.select(explode(filesFor(col(keyCol).cast("long"))).as("f"))
           .distinct().collect().map(_.getString(0)).toSet
+      } else {
+        val (mins, maxs, names, pmax) =
+          boundaryIndex[String](stat, identity, KeyStats.Utf8Order)
+        val filesFor = udf { (k: String) =>
+          if (k == null) Array.empty[String]
+          else boundaryLookup(mins, maxs, names, pmax, KeyStats.Utf8Order)(k)
+        }
+        changes.select(explode(filesFor(col(keyCol))).as("f"))
+          .distinct().collect().map(_.getString(0)).toSet
       }
-    blindNames ++ touchedLong
+    blindNames ++ touchedStat
   }
 
   /** Stage the post-merge state of `liveDir` into `stageDir`: rewrite ONLY

@@ -78,20 +78,22 @@ object SinkQueries {
 
   /** S9 through the MULTI-WRITER path: seed the table with one
     * [[AtomicTable.mergeCommit]] (replacing whatever a previous run left
-    * live, so re-runs are deterministic), then apply the incoming batch with
-    * a second mergeCommit whose kernel reads the LIVE version it is handed —
-    * the exact shape a concurrent ingester uses, where the kernel may be
-    * re-invoked against a newer base after losing a CAS race. The driver's
-    * hash gate then proves the optimistic path is value-identical to the
-    * single-writer round trip ([[qS9AtomicRoundtrip]]'s oracle). */
+    * live, so re-runs are deterministic), then apply the incoming batch
+    * through the STATS-PRUNED OCC merge ([[KeyedMerge.mergeChangesKeyedOcc]]
+    * — r18: the upsert producer rides the file-granular path, rewriting only
+    * key-intersecting files; on this fixture that is the whole single-file
+    * table, but the code path is the one a 10⁶-file poi table runs). A lost
+    * CAS race re-prunes against the winner's version, the exact shape a
+    * concurrent ingester uses. The driver's hash gate then proves the
+    * optimistic pruned path is value-identical to the single-writer round
+    * trip ([[qS9AtomicRoundtrip]]'s oracle). */
   def qS9OptimisticUpsert(spark: SparkSession, dir: String): DataFrame = {
     val root = "spark-warehouse/s9_opt_" + new java.io.File(dir).getName
     AtomicTable.mergeCommit(spark, root) { _ => existingDf(spark) }
-    AtomicTable.mergeCommit(spark, root) { live =>
-      MergeSink.upsert(live.getOrElse(existingDf(spark).limit(0)),
-        incomingDf(spark), "google_place_id",
-        updateCols = Seq("name", "rating", "reviews_count"), asOf = Fixtures.asOf)
-    }
+    KeyedMerge.mergeChangesKeyedOcc(spark, root, "google_place_id",
+      incomingDf(spark),
+      (base, inc) => MergeSink.upsert(base, inc, "google_place_id",
+        updateCols = Seq("name", "rating", "reviews_count"), asOf = Fixtures.asOf))
     AtomicTable.read(spark, root)
       .select(col("google_place_id"), col("name"), col("rating"), col("reviews_count"),
         date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"))

@@ -107,16 +107,24 @@ object IngestLoop {
       .select(col("r.*"))
       .withColumn("first_ingested_at", lit(null).cast("timestamp"))
 
-    // statsCols: the streamed poi table emits INDEXED versions (string key —
-    // UTF-8 byte-order stats), so a later targeted delete/read prunes with
-    // zero footer reads; the ledger is |api_types|-row, not worth a sidecar
-    AtomicTable.commitBatch({
-      val existing =
-        if (AtomicTable.currentVersion(poiRoot).isDefined) AtomicTable.read(spark, poiRoot)
-        else parsed.limit(0).withColumn("first_ingested_at", lit(null).cast("timestamp"))
-      MergeSink.upsert(existing, parsed, "google_place_id",
+    // the poi upsert rides the STATS-PRUNED merge once a base version exists
+    // (r18): each micro-batch rewrites only the files its keys intersect
+    // (string key — UTF-8 byte-order stats) and the self-maintained sidecar
+    // keeps the table on the zero-footer-read maintenance path. The very
+    // first batch IS the full table, so it takes the plain indexed commit;
+    // the ledger is |api_types|-row, not worth a sidecar.
+    def upsertKernel(base: org.apache.spark.sql.DataFrame,
+        inc: org.apache.spark.sql.DataFrame) =
+      MergeSink.upsert(base, inc, "google_place_id",
         updateCols = Seq("name", "rating"), asOf = asOf)
-    }, poiRoot, appId, batchId, statsCols = Seq("google_place_id"))
+    if (AtomicTable.currentVersion(poiRoot).isDefined)
+      graft.sinks.KeyedMerge.commitBatchKeyed(spark, poiRoot, appId, batchId,
+        "google_place_id", parsed, upsertKernel)
+    else
+      AtomicTable.commitBatch(
+        upsertKernel(parsed.limit(0)
+          .withColumn("first_ingested_at", lit(null).cast("timestamp")), parsed),
+        poiRoot, appId, batchId, statsCols = Seq("google_place_id"))
     AtomicTable.commitBatch(newLedger, ledgerRoot, appId, batchId)
   }
 

@@ -137,6 +137,43 @@ class KeyedMergeSpec extends AnyFunSuite {
     assert(other.nonEmpty)
   }
 
+  test("STRING-keyed merge prunes under UTF-8 byte order, both regimes, astral content") {
+    import spark.implicits._
+    def strBase() = spark.range(4000L).select(
+      format_string("doc%05d", col("id")).as("k"), (col("id") * 3L).as("v"))
+    def build(root: String): Unit = {
+      deleteAll(Paths.get(root))
+      AtomicTable.commit(strBase().repartitionByRange(32, col("k"))
+        .sortWithinPartitions(col("k")), root, statsCols = Seq("k"))
+    }
+    // upsert a contiguous doc block + net-new astral-suffixed keys (sort
+    // ABOVE every doc* key in byte order — must not mark interior files)
+    def strChanges() = spark.range(1000L, 1400L)
+      .select(format_string("doc%05d", col("id")).as("k"), lit(-1L).as("v"))
+      .unionAll(Seq(("😀new1", -2L), ("😀new2", -2L)).toDF("k", "v"))
+    val upsert = (base: org.apache.spark.sql.DataFrame,
+        inc: org.apache.spark.sql.DataFrame) => {
+      val merged = base.join(inc.select(col("k"), col("v").as("nv")), Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("nv"), col("v")).as("v"))
+      merged
+    }
+    val rootA = "spark-warehouse/kmspec_strA"; build(rootA)
+    val msA = KeyedMerge.mergeChangesKeyed(spark, rootA, "k", strChanges(), upsert)
+    assert(msA.footerReads == 0 && msA.reusedFiles >= 20 &&
+      msA.rewrittenFiles <= 6, s"string pruning did not engage: $msA")
+    val rootB = "spark-warehouse/kmspec_strB"; build(rootB)
+    val msB = KeyedMerge.mergeChangesKeyed(spark, rootB, "k", strChanges(), upsert,
+      driverKeyThreshold = 0)
+    assert(msB.rewrittenFiles == msA.rewrittenFiles &&
+      msB.reusedFiles == msA.reusedFiles, s"regimes diverged: $msA vs $msB")
+    val expect = upsert(strBase(), strChanges())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    Seq(rootA, rootB).foreach { r =>
+      assert(AtomicTable.read(spark, r).collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSet == expect, r)
+    }
+  }
+
   test("OCC merge variant lands the same state through the claim/rebase CAS") {
     val root = freshRoot("occ")
     commitClustered(root)

@@ -602,13 +602,17 @@ class StreamingSpec extends AnyFunSuite {
             col("reviews_count"), col("updated_at"))
           .withColumn("first_ingested_at", nullTs)
           .withColumn("last_scored_at", nullTs)
-        // commitBatch, not commit: foreachBatch is at-least-once, and the
-        // manifest-recorded batch id makes a redelivered micro-batch a no-op
-        // (exercised end-to-end by the restart test below)
-        assert(AtomicTable.commitBatch(
-          MergeSink.upsert(AtomicTable.read(spark, stateRoot), pois,
-            "google_place_id", SinkQueries.pipeVolUpdateCols, asOf = day),
-          stateRoot, "pipe-cycle", bid), s"fresh batch $bid skipped as redelivered")
+        // commitBatchKeyed, not commit: foreachBatch is at-least-once, and
+        // the manifest-recorded batch id makes a redelivered micro-batch a
+        // no-op (exercised end-to-end by the restart test below); the keyed
+        // form additionally rewrites only the files the day's keys intersect
+        // — the deployed shape after r18's pruned-merge rebase
+        assert(graft.sinks.KeyedMerge.commitBatchKeyed(spark, stateRoot,
+          "pipe-cycle", bid, "google_place_id", pois,
+          (base: org.apache.spark.sql.DataFrame, inc: org.apache.spark.sql.DataFrame) =>
+            MergeSink.upsert(base, inc, "google_place_id",
+              SinkQueries.pipeVolUpdateCols, asOf = day)).nonEmpty,
+          s"fresh batch $bid skipped as redelivered")
         val snapBatch = b.filter(col("kind") === "snap")
           .select(col("poi_id"), col("source_id"), col("rating_value"),
             col("rc_snap").as("reviews_count"), col("captured_at"))
@@ -679,10 +683,11 @@ class StreamingSpec extends AnyFunSuite {
               col("reviews_count"), col("updated_at"))
             .withColumn("first_ingested_at", nullTs)
             .withColumn("last_scored_at", nullTs)
-          AtomicTable.commitBatch(
-            MergeSink.upsert(AtomicTable.read(spark, stateRoot), pois,
-              "google_place_id", SinkQueries.pipeVolUpdateCols, asOf = day),
-            stateRoot, "pipe-restart", bid)
+          graft.sinks.KeyedMerge.commitBatchKeyed(spark, stateRoot,
+            "pipe-restart", bid, "google_place_id", pois,
+            (base: org.apache.spark.sql.DataFrame, inc: org.apache.spark.sql.DataFrame) =>
+              MergeSink.upsert(base, inc, "google_place_id",
+                SinkQueries.pipeVolUpdateCols, asOf = day))
           val snapBatch = b.filter(col("kind") === "snap")
             .select(col("poi_id"), col("source_id"), col("rating_value"),
               col("rc_snap").as("reviews_count"), col("captured_at"))
