@@ -161,18 +161,14 @@ object Compaction {
       spark.read.parquet(small.map(_.toString): _*)
         .repartition(n)
         .write.mode("overwrite").parquet(rewriteOut.toString)
-      TargetedDelete.partFiles(rewriteOut).foreach { f =>
-        JFiles.move(f, stageDir.resolve(f.getFileName)); nOut += 1
-      }
-      val rest = JFiles.list(rewriteOut)
-      try { import scala.jdk.CollectionConverters._
-        rest.iterator().asScala.toSeq.foreach(JFiles.delete) }
-      finally rest.close()
-      JFiles.delete(rewriteOut)
+      nOut = TargetedDelete.moveStagedParts(rewriteOut, stageDir)
       big.foreach(TargetedDelete.linkInto(stageDir, _))
       // stats lifecycle: linked files keep ALL their indexed rows; fresh
-      // outputs get statsCol rows from their just-written local footers
+      // outputs get statsCol rows from their just-written local footers;
+      // linked files also carry their BLOOM rows (same bytes, same bloom —
+      // the maintenance pass must not degrade the bloom path)
       val linkedNames = big.map(_.getFileName.toString).toSet
+      KeyBloom.carryForward(liveDir, stageDir, linkedNames)
       val carried = TargetedDelete.loadStats(liveDir)
         .filter { case ((f, _), _) => linkedNames(f) }
       val fresh = statsCol match {

@@ -45,6 +45,20 @@ object KeyBloom {
   val DefaultBits: Int = 1 << 14
   val NumHashes = 7
 
+  /** Power-of-two bits sized for ~`rowsPerFile` keys: m ≈ 16n (rounded up
+    * to a power of two, floored at [[DefaultBits]]) gives fpp ≤ ~0.1% at
+    * k=7 — callers that know their layout's rows-per-file MUST size with
+    * this instead of assuming the default fits (a bloom built at fixed bits
+    * degrades toward admit-everything as files grow; a query gating on
+    * filesRead would then fail at a larger SF even though the code is
+    * correct). Capped at 2²⁶ bits = 8 MB/file — past that, use parquet's
+    * native blooms. */
+  def bitsFor(rowsPerFile: Long): Int = {
+    val want = math.max(DefaultBits.toLong, rowsPerFile * 16L)
+    val p2 = java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1
+    math.min(p2, 1L << 26).toInt
+  }
+
   /** One (file, column) bloom: `kind` is the key's canonical-bytes family
     * ("long" | "string") — a probe of the other family ignores the row
     * (conservative fallback) rather than probing bytes hashed differently. */

@@ -173,27 +173,39 @@ object KeyedMerge {
           case (n, r) if TargetedDelete.rowIntersects(r, ks) => n
         }.toSet
       } else if (kind == "long") {
-        // distributed regime: key→files lookup over the broadcast boundary
-        // index, run as a Spark job — only file names are collected. The
-        // lookup is a closure UDF: this is the PRUNING METADATA pass over
-        // the changeset's keys, not the data path.
-        val (mins, maxs, names, pmax) =
-          boundaryIndex[Long](stat, _.toLong, Ordering.Long)
+        // distributed regime: key→files lookup over the boundary index,
+        // ACTUALLY broadcast (sc.broadcast — a plain closure capture would
+        // re-serialize the 10⁵-entry index into every task), run as a Spark
+        // job — only file names are collected. The lookup is a closure UDF:
+        // this is the PRUNING METADATA pass over the changeset's keys, not
+        // the data path.
+        val bc = changes.sparkSession.sparkContext.broadcast(
+          boundaryIndex[Long](stat, _.toLong, Ordering.Long))
         val filesFor = udf { (k: java.lang.Long) =>
           if (k == null) Array.empty[String]
-          else boundaryLookup(mins, maxs, names, pmax, Ordering.Long)(k.longValue)
+          else {
+            val (mins, maxs, names, pmax) = bc.value
+            boundaryLookup(mins, maxs, names, pmax, Ordering.Long)(k.longValue)
+          }
         }
-        changes.select(explode(filesFor(col(keyCol).cast("long"))).as("f"))
+        val out = changes.select(explode(filesFor(col(keyCol).cast("long"))).as("f"))
           .distinct().collect().map(_.getString(0)).toSet
+        bc.unpersist(blocking = false)
+        out
       } else {
-        val (mins, maxs, names, pmax) =
-          boundaryIndex[String](stat, identity, KeyStats.Utf8Order)
+        val bc = changes.sparkSession.sparkContext.broadcast(
+          boundaryIndex[String](stat, identity, KeyStats.Utf8Order))
         val filesFor = udf { (k: String) =>
           if (k == null) Array.empty[String]
-          else boundaryLookup(mins, maxs, names, pmax, KeyStats.Utf8Order)(k)
+          else {
+            val (mins, maxs, names, pmax) = bc.value
+            boundaryLookup(mins, maxs, names, pmax, KeyStats.Utf8Order)(k)
+          }
         }
-        changes.select(explode(filesFor(col(keyCol))).as("f"))
+        val out = changes.select(explode(filesFor(col(keyCol))).as("f"))
           .distinct().collect().map(_.getString(0)).toSet
+        bc.unpersist(blocking = false)
+        out
       }
     blindNames ++ touchedStat
   }
@@ -238,22 +250,30 @@ object KeyedMerge {
         val target = (touchedRows.sum + MergeTargetRowsPerFile - 1) / MergeTargetRowsPerFile
         math.max(1L, math.min(rewrite.size.toLong, target)).toInt
       }
-    val merged = applyFn(base, changes).persist()
+    val merged0 = applyFn(base, changes)
+    // LINK-REUSE SCHEMA GUARD: linked files keep the table's physical types;
+    // a kernel that drifts a column's type (e.g. coalescing an INT column
+    // with a LONG literal) would publish a MIXED-schema version the full-
+    // rewrite path could never create — discovered only at read time, as a
+    // vectorized-reader conversion error. Fail here, before staging.
+    if (reused.nonEmpty) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      if (shape(merged0.schema) != shape(base.schema))
+        throw new IllegalStateException(
+          "keyed-merge kernel output schema drifts from the linked files' " +
+            s"schema — cast the kernel's columns to the table's types.\n" +
+            s"  table:  ${shape(base.schema).mkString(", ")}\n" +
+            s"  kernel: ${shape(merged0.schema).mkString(", ")}")
+    }
+    val merged = merged0.persist()
     val rewriteOut = stageDir.resolve("rewrite")
     try {
       merged.repartitionByRange(outParts, col(keyCol))
         .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").parquet(rewriteOut.toString)
     } finally merged.unpersist(blocking = false)
-    TargetedDelete.partFiles(rewriteOut).foreach { f =>
-      Files.move(f, stageDir.resolve(f.getFileName))
-    }
-    val rest = Files.list(rewriteOut)
-    try {
-      import scala.jdk.CollectionConverters._
-      rest.iterator().asScala.toSeq.foreach(Files.delete)
-    } finally rest.close()
-    Files.delete(rewriteOut)
+    TargetedDelete.moveStagedParts(rewriteOut, stageDir)
     reused.foreach(TargetedDelete.linkInto(stageDir, _))
     val staged = TargetedDelete.partFiles(stageDir)
     if (staged.isEmpty)

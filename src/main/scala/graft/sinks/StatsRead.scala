@@ -320,8 +320,20 @@ object StatsRead {
       else {
         // cast inside the aggregate: a key column whose footer stats are not
         // INT64 (e.g. INT32-backed) lands here with kind "none", and a bare
-        // getLong on its min/max would ClassCastException (r17 advisory)
-        val row = spark.read.parquet(scan.map(_.toString): _*)
+        // getLong on its min/max would ClassCastException (r17 advisory).
+        // But ONLY for integral columns — on anything else the cast would
+        // null out uncastable values and fold a silently PARTIAL answer, so
+        // non-integral schema drift fails loudly instead.
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val scanDf = spark.read.parquet(scan.map(_.toString): _*)
+        scanDf.schema(keyCol).dataType match {
+          case LongType | IntegerType | ShortType | ByteType => ()
+          case t => throw new IllegalStateException(
+            s"minMaxLong: $keyCol is $t in ${scan.size} stats-less files — " +
+              "a non-integral key cannot contribute to a BIGINT min/max; " +
+              "use minMaxString or repair the schema drift")
+        }
+        val row = scanDf
           .agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head
         if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
       }
@@ -577,9 +589,10 @@ object StatsRead {
   def qS16KeyedReadBloom(spark: SparkSession, dir: String): DataFrame = {
     val root = tableRoot(dir) + "_bloom"
     AtomicTable.deleteRecursively(Paths.get(root))
+    val docs = Tables.documents(spark, dir)
+    val nRows = docs.count()
     AtomicTable.commit(
-      Tables.documents(spark, dir)
-        .withColumn("doc_hash", md5(col("doc_id").cast("string")))
+      docs.withColumn("doc_hash", md5(col("doc_id").cast("string")))
         .repartitionByRange(BloomFiles, col("doc_id"))
         .sortWithinPartitions(col("doc_id")),
       root, statsCols = Seq("doc_hash"))
@@ -589,7 +602,10 @@ object StatsRead {
     if (rsStats.filesRead < rsStats.totalFiles - 2)
       throw new IllegalStateException(
         s"fixture premise broken: min/max stats pruned a scattered key ($rsStats)")
-    KeyBloom.indexKeyBloom(spark, root, "doc_hash")
+    // bits sized from the observed rows-per-file so the filesRead gate
+    // below holds at ANY scale factor, not just the tested ones
+    KeyBloom.indexKeyBloom(spark, root, "doc_hash",
+      KeyBloom.bitsFor(nRows / BloomFiles + 1))
     val (df, rs) = readStringKeyInBloom(spark, root, "doc_hash", probes)
     if (rs.footerReads != 0 || rs.filesRead > 6 || rs.filesRead < 1)
       throw new IllegalStateException(

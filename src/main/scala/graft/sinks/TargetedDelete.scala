@@ -424,13 +424,7 @@ object TargetedDelete {
       val rewriteOut = stageDir.resolve("rewrite")
       survivors(spark.read.parquet(rewrite.map(_.toString): _*), keyCol, ks)
         .write.mode("overwrite").parquet(rewriteOut.toString)
-      partFiles(rewriteOut).foreach { f =>
-        Files.move(f, stageDir.resolve(f.getFileName))
-      }
-      val rest = Files.list(rewriteOut)
-      try rest.iterator().asScala.toSeq.foreach(Files.delete)
-      finally rest.close()
-      Files.delete(rewriteOut)
+      moveStagedParts(rewriteOut, stageDir)
     }
     pr.reused.foreach(linkInto(stageDir, _))
     val reusedNames = pr.reused.map(_.getFileName.toString).toSet
@@ -447,6 +441,23 @@ object TargetedDelete {
       .map { case (n, row) => (n, keyCol) -> row }
     writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
     (files.size, rewrite.size, dropped.size, pr.reused.size, pr.footerReads)
+  }
+
+  /** Move a staged rewrite's part files up into `stageDir`, then remove the
+    * rewrite directory with ALL its committer leftovers (`_SUCCESS`, CRC
+    * shadows, a crashed task's `_temporary`). One home for the sequence —
+    * delete, merge, and compaction staging all run it. Returns the number
+    * of part files moved. */
+  private[sinks] def moveStagedParts(rewriteOut: Path, stageDir: Path): Int = {
+    var n = 0
+    partFiles(rewriteOut).foreach { f =>
+      Files.move(f, stageDir.resolve(f.getFileName)); n += 1
+    }
+    val rest = Files.list(rewriteOut)
+    try rest.iterator().asScala.toSeq.foreach(AtomicTable.deleteRecursively)
+    finally rest.close()
+    Files.delete(rewriteOut)
+    n
   }
 
   /** Link (or copy, cross-device) `src` into `dir` under its own name. */
