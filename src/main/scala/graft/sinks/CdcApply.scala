@@ -316,11 +316,99 @@ object CdcApply {
     AtomicTable.read(spark, root)
   }
 
+  /** Fixture for the BLOOM-pruned merge: an UNCLUSTERED key. The corpus is
+    * id-clustered but keyed by `doc_hash` = md5(doc_id) — every file's
+    * [min,max] hull on the hash spans ~the whole hex space, so min/max
+    * stats cannot prune a point changeset (the premise is ASSERTED before
+    * the bloom is built). Update ids exist at every SF. */
+  val BloomMergeFiles = 16
+  val BloomMergeUpdIds: Seq[Long] = Seq(7L, 143L, 421L)
+  val BloomMergeInserts = 2
+
+  /** Upsert by doc_hash — replace matched rows, append net-new; base rows
+    * without a change pass through (the [[KeyedMerge]] kernel contract). */
+  private def upsertDocs(base: DataFrame, changes: DataFrame): DataFrame =
+    base.as("b").join(changes.as("c"), Seq("doc_hash"), "full_outer")
+      .select(col("doc_hash"),
+        coalesce(col("c.doc_id"), col("b.doc_id")).as("doc_id"),
+        coalesce(col("c.lang"), col("b.lang")).as("lang"),
+        coalesce(col("c.source"), col("b.source")).as("source"),
+        coalesce(col("c.n_chars"), col("b.n_chars")).as("n_chars"))
+
+  /** BLOOM-PRUNED MERGE — the unclustered half of the file-granular story
+    * ([[qS23CdcMergePruned]] is the clustered half). The dedup/corpus hot
+    * path upserts by doc HASH, a key no layout can cluster for min/max
+    * skipping; the `_KEYBLOOM` sidecar is the only thing standing between a
+    * point changeset and a 100%-rewrite merge. The query THROWS unless
+    * (a) min/max stats alone would plan ~every file (the fixture premise),
+    * (b) the merge's pruning was metadata-only (footerReads==0),
+    * (c) the BLOOM did the pruning (bloomSkipped>=1, rewritten<=6,
+    * reused>=total-6 — fpp-proof margins at any SF with sized blooms), and
+    * (d) every reused file is inode-identical to its predecessor. The
+    * oracle replays the upsert in SQL over md5 keys computed by DuckDB —
+    * the hash row value-checks kernel, prune, and link reuse end to end. */
+  def qS23CdcMergeBloom(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val root = streamRoot(dir) + "_mergebloom"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("doc_hash", md5(col("doc_id").cast("string")))
+    val nRows = docs.count()
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < InsertBase,
+      s"documents ids reach $maxId >= InsertBase $InsertBase: inserts would " +
+        "collide at this SF")
+    AtomicTable.commit(docs.repartitionByRange(BloomMergeFiles, col("doc_id"))
+      .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_hash"))
+    val changes = docs.filter(col("doc_id").isin(BloomMergeUpdIds: _*))
+      .select(col("doc_hash"), col("doc_id"), col("lang"), col("source"),
+        (col("doc_id") * 1000L).as("n_chars"))
+      .unionAll(spark.range(BloomMergeInserts.toLong)
+        .select(md5((lit(InsertBase) + col("id")).cast("string")).as("doc_hash"),
+          (lit(InsertBase) + col("id")).as("doc_id"),
+          lit("xx").as("lang"), lit("cdc").as("source"),
+          ((lit(InsertBase) + col("id")) * 11L).as("n_chars")))
+    // fixture premise: min/max stats CANNOT skip on the scattered hash key
+    val probes = changes.select(col("doc_hash")).collect().map(_.getString(0)).toSeq
+    val (_, rsStats) = StatsRead.readStringKeyIn(spark, root, "doc_hash", probes)
+    if (rsStats.filesRead < rsStats.totalFiles - 2)
+      throw new IllegalStateException(
+        s"fixture premise broken: min/max stats pruned a scattered key ($rsStats)")
+    // bits sized from observed rows-per-file so the gates hold at ANY SF
+    KeyBloom.indexKeyBloom(spark, root, "doc_hash",
+      KeyBloom.bitsFor(nRows / BloomMergeFiles + 1))
+    val prev = AtomicTable.currentVersion(root).get
+    val ms = KeyedMerge.mergeChangesKeyed(spark, root, "doc_hash", changes, upsertDocs)
+    if (ms.footerReads != 0 || ms.bloomSkipped < 1 || ms.rewrittenFiles > 6 ||
+        ms.reusedFiles < ms.totalFiles - 6)
+      throw new IllegalStateException(
+        s"bloom-pruned merge did not engage: $ms (want footerReads=0, " +
+          "bloomSkipped>=1, rewritten<=6, reused>=total-6)")
+    val prevDir = Paths.get(root, prev)
+    val liveDir = Paths.get(root, ms.version)
+    val reusedNames = TargetedDelete.partFiles(liveDir)
+      .map(_.getFileName.toString)
+      .filter(n => java.nio.file.Files.exists(prevDir.resolve(n)))
+    if (reusedNames.size != ms.reusedFiles ||
+        !reusedNames.forall(n =>
+          KeyedMerge.sameInode(prevDir.resolve(n), liveDir.resolve(n))))
+      throw new IllegalStateException(
+        s"link reuse not verified by inode: ${reusedNames.size} carried names " +
+          s"vs ${ms.reusedFiles} reused")
+    AtomicTable.read(spark, root)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s23_cdc_apply" -> (qS23CdcApply _),
     "s23_cdc_apply_stream" -> (qS23CdcApplyStream _),
     "s23_cdc_stream_delete" -> (qS23CdcStreamDelete _),
-    "s23_cdc_merge_pruned" -> (qS23CdcMergePruned _))
+    "s23_cdc_merge_pruned" -> (qS23CdcMergePruned _),
+    "s23_cdc_merge_bloom" -> (qS23CdcMergeBloom _))
 
   /** The streamed apply must land the SAME final state as the one-shot batch
     * apply — one oracle body serves both. */
@@ -383,5 +471,28 @@ object CdcApply {
          |       ELSE coalesce(b.name, 'cdc_inserted') END AS name,
          |  CASE WHEN f.id IS NULL THEN b.bal_c ELSE f.bal_c END AS bal_c
          |FROM base b FULL OUTER JOIN feed f ON b.id = f.id
-         |WHERE f.id IS NULL OR f.op <> 'D'""".stripMargin)
+         |WHERE f.id IS NULL OR f.op <> 'D'""".stripMargin,
+    // the bloom-pruned merge must land the SAME state a full-rewrite upsert
+    // would: the oracle replays the doc_hash upsert with DuckDB's own md5
+    "s23_cdc_merge_bloom" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR)) AS doc_hash
+         |  FROM documents),
+         |changes AS (
+         |  SELECT doc_hash, doc_id, lang, source, doc_id * 1000 AS n_chars
+         |  FROM base WHERE doc_id IN (${BloomMergeUpdIds.mkString(", ")})
+         |  UNION ALL
+         |  SELECT md5(CAST($InsertBase + i.range AS VARCHAR)),
+         |    $InsertBase + i.range, 'xx', 'cdc', ($InsertBase + i.range) * 11
+         |  FROM range($BloomMergeInserts) i),
+         |merged AS (
+         |  SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+         |    coalesce(c.source, b.source) AS source,
+         |    coalesce(c.n_chars, b.n_chars) AS n_chars
+         |  FROM base b FULL OUTER JOIN changes c ON b.doc_hash = c.doc_hash)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM merged GROUP BY source""".stripMargin)
 }

@@ -68,9 +68,12 @@ object KeyedMerge {
     * intersected a change key (plus conservative unknowns); `reusedFiles`
     * were hard-linked; `footerReads` is 0 when the sidecar indexed `keyCol`
     * (the manifest-stats path). `totalFiles` counts the BASE version's files;
-    * the output may hold more or fewer (inserts, 0-row rewrites). */
+    * the output may hold more or fewer (inserts, 0-row rewrites).
+    * `bloomSkipped` counts files min/max stats would have rewritten that the
+    * `_KEYBLOOM` sidecar proved disjoint — the unclustered-key prune. */
   final case class MergeStats(version: String, totalFiles: Int,
-      rewrittenFiles: Int, reusedFiles: Int, footerReads: Int)
+      rewrittenFiles: Int, reusedFiles: Int, footerReads: Int,
+      bloomSkipped: Int = 0)
 
   /** Above this many distinct change keys the file-assignment decision runs
     * as a Spark job against the broadcast boundary index instead of
@@ -132,25 +135,49 @@ object KeyedMerge {
     (mins, maxs, names, prefixMax)
   }
 
-  /** Which live files can contain a change key. The key family comes from
-    * the changeset's schema: BIGINT/INT keys probe "long" stat rows, STRING
-    * keys probe "string" rows under [[KeyStats.Utf8Order]] (the byte order
-    * parquet computed them with — the poi/doc-hash upsert path); any other
-    * key type, and any file whose stats prove nothing, is conservatively
-    * touched. Returns touched file NAMES — the only thing that ever reaches
+  /** Probe `keys[lo..hi]` (the slice a file's [min,max] admits — parquet
+    * writer-truncated bounds only WIDEN the slice, never narrow it) against
+    * the file's bloom; true iff any key might be present. Early-exits on the
+    * first maybe. */
+  private def sliceMaybe[K](b: KeyBloom.BloomRow, keys: Array[K], lo: K, hi: K,
+      ord: Ordering[K], bytes: K => Array[Byte]): Boolean = {
+    var l = 0; var h = keys.length // lower_bound(lo)
+    while (l < h) { val m = (l + h) >>> 1; if (ord.lt(keys(m), lo)) l = m + 1 else h = m }
+    var i = l
+    while (i < keys.length && ord.lteq(keys(i), hi)) {
+      if (b.mightContain(bytes(keys(i)))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Which live files can contain a change key, and how many files the bloom
+    * sidecar pruned past min/max. The key family comes from the changeset's
+    * schema: BIGINT/INT keys probe "long" stat rows, STRING keys probe
+    * "string" rows under [[KeyStats.Utf8Order]] (the byte order parquet
+    * computed them with — the poi/doc-hash upsert path); any other key type,
+    * and any file neither stats nor bloom can disprove, is conservatively
+    * touched. A `_KEYBLOOM` row of the matching kind is probed AFTER min/max
+    * (with the key slice the range admits): on an unclustered key — every
+    * file's hull spans the key space, min/max prunes nothing — the bloom is
+    * the only thing standing between a point changeset and a full-table
+    * rewrite. Returns touched file NAMES — the only thing that ever reaches
     * the driver on the distributed path. */
   private def touchedNames(files: Seq[Path], rows: Map[String, KeyStats.StatRow],
-      keyCol: String, changes: DataFrame, driverKeyThreshold: Int): Set[String] = {
+      keyCol: String, changes: DataFrame, driverKeyThreshold: Int,
+      blooms: Map[(String, String), KeyBloom.BloomRow]): (Set[String], Int) = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val kind = changes.schema(keyCol).dataType match {
       case LongType | IntegerType => "long"
       case StringType => "string"
-      case _ => return files.map(_.getFileName.toString).toSet // no stats family
+      case _ => return (files.map(_.getFileName.toString).toSet, 0) // no stats family
     }
+    val bloomFor: Map[String, KeyBloom.BloomRow] =
+      blooms.collect { case ((f, c), b) if c == keyCol && b.kind == kind => f -> b }
     val named = files.map(f => f.getFileName.toString -> rows(f.getFileName.toString))
     val (stat, blind) = named.partition(_._2.kind == kind)
     val blindNames = blind.map(_._1).toSet
-    if (stat.isEmpty) return blindNames
+    if (stat.isEmpty && bloomFor.isEmpty) return (blindNames, 0)
     // regime probe: one SHUFFLE-FREE job (CollectLimit, no distinct — a
     // micro-batch's rows come back raw and dedup on the driver; a distinct
     // here would cost a 32-partition exchange per micro-batch). The
@@ -160,54 +187,89 @@ object KeyedMerge {
       case "long" => col(keyCol).cast("long")
       case _ => col(keyCol)
     }).as("k")).na.drop().limit(driverKeyThreshold + 1).collect()
-    val touchedStat: Set[String] =
-      if (probe.length <= driverKeyThreshold) {
-        // driver regime: binary-search each file's range against the sorted
-        // key array — the KeySet stats probes, shared with the delete path
-        val ks: TargetedDelete.KeySet =
-          if (kind == "long")
-            TargetedDelete.LongKeys(probe.map(_.getLong(0)).distinct.sorted)
-          else TargetedDelete.StringKeys(
-            probe.map(_.getString(0)).distinct.sorted(KeyStats.Utf8Order).toArray)
-        stat.collect {
-          case (n, r) if TargetedDelete.rowIntersects(r, ks) => n
+    if (probe.length <= driverKeyThreshold) {
+      // driver regime: binary-search each file's range against the sorted
+      // key array — the KeySet stats probes, shared with the delete path —
+      // then probe the range-admitted key slice against the file's bloom.
+      // Blind files (no usable stats) are saved by a bloom alone when every
+      // key misses it.
+      def decide[K](keys: Array[K], ks: TargetedDelete.KeySet, ord: Ordering[K],
+          decode: String => K, bytes: K => Array[Byte]): (Set[String], Int) = {
+        val statsTouched = stat.collect {
+          case (n, r) if TargetedDelete.rowIntersects(r, ks) => (n, r)
+        }
+        val touched = statsTouched.collect {
+          case (n, r) if bloomFor.get(n).forall(b =>
+            sliceMaybe(b, keys, decode(r.min), decode(r.max), ord, bytes)) => n
         }.toSet
-      } else if (kind == "long") {
-        // distributed regime: key→files lookup over the boundary index,
-        // ACTUALLY broadcast (sc.broadcast — a plain closure capture would
-        // re-serialize the 10⁵-entry index into every task), run as a Spark
-        // job — only file names are collected. The lookup is a closure UDF:
-        // this is the PRUNING METADATA pass over the changeset's keys, not
-        // the data path.
-        val bc = changes.sparkSession.sparkContext.broadcast(
-          boundaryIndex[Long](stat, _.toLong, Ordering.Long))
-        val filesFor = udf { (k: java.lang.Long) =>
-          if (k == null) Array.empty[String]
-          else {
-            val (mins, maxs, names, pmax) = bc.value
-            boundaryLookup(mins, maxs, names, pmax, Ordering.Long)(k.longValue)
-          }
-        }
-        val out = changes.select(explode(filesFor(col(keyCol).cast("long"))).as("f"))
-          .distinct().collect().map(_.getString(0)).toSet
-        bc.unpersist(blocking = false)
-        out
-      } else {
-        val bc = changes.sparkSession.sparkContext.broadcast(
-          boundaryIndex[String](stat, identity, KeyStats.Utf8Order))
-        val filesFor = udf { (k: String) =>
-          if (k == null) Array.empty[String]
-          else {
-            val (mins, maxs, names, pmax) = bc.value
-            boundaryLookup(mins, maxs, names, pmax, KeyStats.Utf8Order)(k)
-          }
-        }
-        val out = changes.select(explode(filesFor(col(keyCol))).as("f"))
-          .distinct().collect().map(_.getString(0)).toSet
-        bc.unpersist(blocking = false)
-        out
+        val blindTouched = blind.collect {
+          case (n, _) if bloomFor.get(n).forall(b =>
+            keys.exists(k => b.mightContain(bytes(k)))) => n
+        }.toSet
+        val wouldTouch = statsTouched.size + blind.size
+        (touched ++ blindTouched, wouldTouch - touched.size - blindTouched.size)
       }
-    blindNames ++ touchedStat
+      if (kind == "long") {
+        val keys = probe.map(_.getLong(0)).distinct.sorted
+        decide[Long](keys, TargetedDelete.LongKeys(keys), Ordering.Long,
+          _.toLong, KeyBloom.longBytes)
+      } else {
+        val keys = probe.map(_.getString(0)).distinct.sorted(KeyStats.Utf8Order).toArray
+        decide[String](keys, TargetedDelete.StringKeys(keys), KeyStats.Utf8Order,
+          identity, KeyBloom.stringBytes)
+      }
+    } else {
+      // distributed regime: key→files lookup over the boundary index,
+      // ACTUALLY broadcast (sc.broadcast — a plain closure capture would
+      // re-serialize the 10⁵-entry index into every task), run as a Spark
+      // job — only (file name, bloom verdict) pairs are collected. The
+      // lookup is a closure UDF: this is the PRUNING METADATA pass over the
+      // changeset's keys, not the data path. Each range hit is bloom-probed
+      // in the same pass; a file is touched iff ANY key both lands in its
+      // range and survives its bloom. Blind files stay conservatively
+      // touched here (their bloom would need an every-key probe per file —
+      // the driver regime's job; stats coverage is complete on any
+      // self-maintained table, so this corner is commit-without-statsCols
+      // only).
+      val collected =
+        if (kind == "long") {
+          val bc = changes.sparkSession.sparkContext.broadcast(
+            (boundaryIndex[Long](stat, _.toLong, Ordering.Long), bloomFor))
+          val filesFor = udf { (k: java.lang.Long) =>
+            if (k == null) Array.empty[(String, Boolean)]
+            else {
+              val ((mins, maxs, names, pmax), bl) = bc.value
+              boundaryLookup(mins, maxs, names, pmax, Ordering.Long)(k.longValue)
+                .map(n => (n, bl.get(n).forall(
+                  _.mightContain(KeyBloom.longBytes(k.longValue)))))
+            }
+          }
+          val out = changes.select(explode(filesFor(col(keyCol).cast("long"))).as("m"))
+            .groupBy(col("m._1").as("f")).agg(max(col("m._2")).as("t")).collect()
+          bc.unpersist(blocking = false)
+          out
+        } else {
+          val bc = changes.sparkSession.sparkContext.broadcast(
+            (boundaryIndex[String](stat, identity, KeyStats.Utf8Order), bloomFor))
+          val filesFor = udf { (k: String) =>
+            if (k == null) Array.empty[(String, Boolean)]
+            else {
+              val ((mins, maxs, names, pmax), bl) = bc.value
+              boundaryLookup(mins, maxs, names, pmax, KeyStats.Utf8Order)(k)
+                .map(n => (n, bl.get(n).forall(
+                  _.mightContain(KeyBloom.stringBytes(k)))))
+            }
+          }
+          val out = changes.select(explode(filesFor(col(keyCol))).as("m"))
+            .groupBy(col("m._1").as("f")).agg(max(col("m._2")).as("t")).collect()
+          bc.unpersist(blocking = false)
+          out
+        }
+      val touchedStat = collected.collect {
+        case r if r.getBoolean(1) => r.getString(0)
+      }.toSet
+      (blindNames ++ touchedStat, collected.length - touchedStat.size)
+    }
   }
 
   /** Stage the post-merge state of `liveDir` into `stageDir`: rewrite ONLY
@@ -217,7 +279,7 @@ object KeyedMerge {
   private def stageMerge(spark: SparkSession, liveDir: Path, stageDir: Path,
       keyCol: String, changes: DataFrame,
       applyFn: (DataFrame, DataFrame) => DataFrame,
-      driverKeyThreshold: Int): (Int, Int, Int, Int) = {
+      driverKeyThreshold: Int): (Int, Int, Int, Int, Int) = {
     TargetedDelete.requireFlatLayout(liveDir, "keyed merge")
     val files = TargetedDelete.partFiles(liveDir)
     if (files.isEmpty)
@@ -227,7 +289,9 @@ object KeyedMerge {
     val side = sideAll.collect { case ((f, c), r) if c == keyCol => f -> r }
     val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
     val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
-    val touched = touchedNames(files, rows, keyCol, changes, driverKeyThreshold)
+    val (touched, bloomSkipped) =
+      touchedNames(files, rows, keyCol, changes, driverKeyThreshold,
+        KeyBloom.loadBlooms(liveDir))
     val (rewrite, reused) = files.partition(f => touched(f.getFileName.toString))
     Files.createDirectories(stageDir)
     // base = ONLY the intersecting files' rows; stats-disjoint files cannot
@@ -290,7 +354,7 @@ object KeyedMerge {
     val freshRows = KeyStats.statRowsFor(spark, freshFiles, keyCol)
       .map { case (n, row) => (n, keyCol) -> row }
     KeyStats.writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
-    (files.size, rewrite.size, reused.size, unknown.size)
+    (files.size, rewrite.size, reused.size, unknown.size, bloomSkipped)
   }
 
   /** Single-writer stats-pruned merge: apply `changes` onto the live version
@@ -300,12 +364,12 @@ object KeyedMerge {
   def mergeChangesKeyed(spark: SparkSession, root: String, keyCol: String,
       changes: DataFrame, applyFn: (DataFrame, DataFrame) => DataFrame,
       driverKeyThreshold: Int = DriverKeyThreshold): MergeStats = {
-    @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
+    @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
     val next = AtomicTable.singleWriterStaged(root, "merge") { (live, stageDir) =>
       last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
         changes, applyFn, driverKeyThreshold)
     }
-    MergeStats(next, last._1, last._2, last._3, last._4)
+    MergeStats(next, last._1, last._2, last._3, last._4, last._5)
   }
 
   /** MULTI-WRITER stats-pruned merge through [[AtomicTable.occCommit]]'s
@@ -316,14 +380,14 @@ object KeyedMerge {
       changes: DataFrame, applyFn: (DataFrame, DataFrame) => DataFrame,
       maxRetries: Int = 16, pruneAgeMs: Long = AtomicTable.MergePruneAgeMs,
       driverKeyThreshold: Int = DriverKeyThreshold): MergeStats = {
-    @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
+    @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
     val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
       val live = base.getOrElse(throw new IllegalStateException(
         s"no live version at $root — commit a base before merging"))
       last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
         changes, applyFn, driverKeyThreshold)
     }
-    MergeStats(v, last._1, last._2, last._3, last._4)
+    MergeStats(v, last._1, last._2, last._3, last._4, last._5)
   }
 
   /** Idempotent streaming form — [[AtomicTable.commitBatch]]'s
@@ -339,13 +403,13 @@ object KeyedMerge {
         app == appId && batchId <= b }) None
     else {
       val c = changes
-      @volatile var last: (Int, Int, Int, Int) = (0, 0, 0, 0)
+      @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
       val next = AtomicTable.singleWriterStaged(root, "merge",
           batch = Some((appId, batchId))) { (live, stageDir) =>
         last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
           c, applyFn, driverKeyThreshold)
       }
-      Some(MergeStats(next, last._1, last._2, last._3, last._4))
+      Some(MergeStats(next, last._1, last._2, last._3, last._4, last._5))
     }
   }
 }

@@ -182,4 +182,101 @@ class KeyedMergeSpec extends AnyFunSuite {
     assert(sortedState(AtomicTable.read(spark, root)) ==
       sortedState(CdcApply.apply(base(), feed())))
   }
+
+  // ---- bloom-pruned merge: the UNCLUSTERED-key regime ----
+
+  /** Hash-keyed corpus: id-clustered files, but the merge key is md5(id) —
+    * every file's hull spans the hex space, so min/max stats prune nothing
+    * and the `_KEYBLOOM` sidecar is the only prune. */
+  private def hashBase() = spark.range(4000L).select(
+    md5(col("id").cast("string")).as("h"), col("id").as("v"))
+
+  private def buildHashed(root: String): Unit = {
+    deleteAll(Paths.get(root))
+    AtomicTable.commit(hashBase().repartitionByRange(16, col("v")),
+      root, statsCols = Seq("h"))
+  }
+
+  private def hashChanges() = spark.range(3L)
+    .select(md5((col("id") * 997L).cast("string")).as("h"), lit(-1L).as("nv"))
+    .unionAll(spark.range(2L).select(
+      md5((lit(9000000L) + col("id")).cast("string")).as("h"), lit(-2L).as("nv")))
+
+  private val hashUpsert = (base: DataFrame, inc: DataFrame) =>
+    base.join(inc, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("nv"), col("v")).as("v"))
+
+  test("bloom sidecar prunes an unclustered-key merge that min/max cannot") {
+    val root = freshRoot("bloom")
+    buildHashed(root)
+    // premise + control: WITHOUT a bloom the hash-key merge rewrites ~all
+    val msNone = KeyedMerge.mergeChangesKeyed(spark, root, "h",
+      hashChanges(), hashUpsert)
+    assert(msNone.bloomSkipped == 0 &&
+      msNone.rewrittenFiles >= msNone.totalFiles - 2,
+      s"premise broken: min/max pruned a scattered hash key: $msNone")
+    // fresh table, bloom indexed: the same merge links almost everything
+    buildHashed(root + "_b")
+    graft.sinks.KeyBloom.indexKeyBloom(spark, root + "_b", "h",
+      graft.sinks.KeyBloom.bitsFor(4000L / 16 + 1))
+    val prev = AtomicTable.currentVersion(root + "_b").get
+    val ms = KeyedMerge.mergeChangesKeyed(spark, root + "_b", "h",
+      hashChanges(), hashUpsert)
+    assert(ms.footerReads == 0 && ms.bloomSkipped >= 1 &&
+      ms.rewrittenFiles <= 5 && ms.reusedFiles >= ms.totalFiles - 5,
+      s"bloom prune did not engage: $ms")
+    // state identical to the unpruned control merge
+    assert(AtomicTable.read(spark, root + "_b").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      AtomicTable.read(spark, root).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet)
+    // linked files carried their BLOOM rows: a SECOND merge (different
+    // keys) still prunes on the carried blooms, zero footer reads
+    val liveDir = Paths.get(root + "_b", ms.version)
+    val prevDir = Paths.get(root + "_b", prev)
+    val carriedBlooms = graft.sinks.KeyBloom.loadBlooms(liveDir)
+    partFiles(liveDir).map(_.getFileName.toString)
+      .filter(n => Files.exists(prevDir.resolve(n)))
+      .foreach(n => assert(carriedBlooms.contains((n, "h")),
+        s"linked file $n lost its bloom row across the merge"))
+    val second = spark.range(1L).select(
+      md5(lit(1777L).cast("string")).as("h"), lit(-3L).as("nv"))
+    val ms2 = KeyedMerge.mergeChangesKeyed(spark, root + "_b", "h",
+      second, hashUpsert)
+    assert(ms2.footerReads == 0 && ms2.bloomSkipped >= 1,
+      s"second merge fell off the carried-bloom path: $ms2")
+  }
+
+  test("bloom prune: distributed regime decides the same files, same state") {
+    val rootA = freshRoot("bloomdA"); val rootB = freshRoot("bloomdB")
+    Seq(rootA, rootB).foreach { r =>
+      buildHashed(r)
+      graft.sinks.KeyBloom.indexKeyBloom(spark, r, "h",
+        graft.sinks.KeyBloom.bitsFor(4000L / 16 + 1))
+    }
+    val msA = KeyedMerge.mergeChangesKeyed(spark, rootA, "h", hashChanges(), hashUpsert)
+    val msB = KeyedMerge.mergeChangesKeyed(spark, rootB, "h", hashChanges(), hashUpsert,
+      driverKeyThreshold = 0)
+    assert(msB.footerReads == 0 && msB.bloomSkipped >= 1,
+      s"distributed regime did not bloom-prune: $msB")
+    assert(msA.rewrittenFiles == msB.rewrittenFiles &&
+      msA.reusedFiles == msB.reusedFiles, s"regimes diverged: $msA vs $msB")
+    assert(AtomicTable.read(spark, rootA).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      AtomicTable.read(spark, rootB).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("bloom prune: insert-only hash changeset links every file") {
+    val root = freshRoot("bloomins")
+    buildHashed(root)
+    graft.sinks.KeyBloom.indexKeyBloom(spark, root, "h",
+      graft.sinks.KeyBloom.bitsFor(4000L / 16 + 1))
+    val ins = spark.range(4L).select(
+      md5((lit(8000000L) + col("id")).cast("string")).as("h"), lit(-9L).as("nv"))
+    val ms = KeyedMerge.mergeChangesKeyed(spark, root, "h", ins, hashUpsert)
+    assert(ms.rewrittenFiles == 0 && ms.reusedFiles == ms.totalFiles,
+      s"net-new hashes must not rewrite any file under a sized bloom: $ms")
+    assert(AtomicTable.read(spark, root).count() == 4004L)
+  }
 }
