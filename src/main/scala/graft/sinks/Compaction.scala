@@ -188,6 +188,143 @@ object Compaction {
     CompactStats(v, out._1, out._2, out._3, out._4)
   }
 
+  // ------------------------------------------------- overlap-aware RECLUSTER
+
+  /** What a recluster did. `overlapGroups` counts connected components of
+    * ≥2 files whose key hulls overlap (the rewrite set); singleton
+    * components are hard-LINKED untouched. On a no-op pass (already
+    * pairwise-disjoint) `noOp` is true and no version is committed. */
+  final case class ReclusterStats(version: String, totalFiles: Int,
+      overlapGroups: Int, rewrittenFiles: Int, outputFiles: Int,
+      linkedFiles: Int, footerReads: Int, noOp: Boolean = false)
+
+  /** Connected components of interval overlap: sort hulls by min, extend a
+    * running max — a file whose min is ≤ the running max chains into the
+    * open component. O(F log F), metadata only. */
+  private def componentsBy[K](named: Seq[(java.nio.file.Path, K, K)],
+      ord: Ordering[K]): Seq[Seq[java.nio.file.Path]] = {
+    val sorted = named.sortBy(_._2)(ord)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[java.nio.file.Path]]
+    var runningMax: Option[K] = None
+    sorted.foreach { case (p, mn, mx) =>
+      if (runningMax.exists(rm => ord.lteq(mn, rm))) {
+        out.last += p
+        runningMax = Some(ord.max(runningMax.get, mx))
+      } else {
+        out += scala.collection.mutable.ArrayBuffer(p)
+        runningMax = Some(mx)
+      }
+    }
+    out.map(_.toSeq).toSeq
+  }
+
+  /** Per-file hulls on `keyCol` → overlap components, from the sidecar
+    * (footer fallback counted). Throws on a file whose stats can't order
+    * under the key's kind — recluster is a layout pass over a
+    * stats-indexable key by contract. */
+  private def overlapComponents(spark: SparkSession, liveDir: java.nio.file.Path,
+      keyCol: String): (Seq[Seq[java.nio.file.Path]], Int, Int) = {
+    val files = TargetedDelete.partFiles(liveDir)
+    val side = KeyStats.loadStats(liveDir)
+      .collect { case ((f, c), r) if c == keyCol => f -> r }
+    val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
+    val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
+    val kinds = files.map(f => rows(f.getFileName.toString).kind).distinct
+    if (kinds.size != 1 || !Set("long", "string")(kinds.head))
+      throw new IllegalArgumentException(
+        s"recluster needs orderable min/max stats on $keyCol for every file " +
+          s"(saw kinds: ${kinds.mkString(", ")})")
+    val comps =
+      if (kinds.head == "long")
+        componentsBy[Long](files.map { f =>
+          val r = rows(f.getFileName.toString); (f, r.min.toLong, r.max.toLong)
+        }, Ordering.Long)
+      else
+        componentsBy[String](files.map { f =>
+          val r = rows(f.getFileName.toString); (f, r.min, r.max)
+        }, KeyStats.Utf8Order)
+    (comps, files.size, unknown.size)
+  }
+
+  /** OVERLAP-AWARE RECLUSTER — the maintenance pass that closes the
+    * merge-lifecycle loop. File-granular merges keep a clustered layout
+    * roughly clustered (the rewrite output is range-repartitioned), but
+    * repeated merges and wide insert blocks drift hulls into overlap, and
+    * every overlapping file is one more file a stats read/delete/merge must
+    * touch — skipping decays write by write. This pass restores it:
+    *
+    *  - the DECISION is metadata-only: per-file [min,max] on `keyCol` from
+    *    the `_KEYSTATS` sidecar (footer fallback counted in the stats),
+    *    connected components of interval overlap;
+    *  - singleton components are already disjoint from everything — LINKED
+    *    (O(1) per file, no data movement);
+    *  - each ≥2-file component is rewritten range-partitioned + sorted ON
+    *    ITS OWN hull (per-component output counts sized by bytes), all
+    *    components in ONE write action (a union of range-partitioned
+    *    children keeps their partitions — no cross-component shuffle). The
+    *    per-component form is what makes the result PROVABLY pairwise
+    *    disjoint: a global range-repartition could emit a file spanning the
+    *    gap between two components and re-overlap a linked singleton.
+    *
+    * Sidecar + bloom lifecycle matches delete/merge/compaction: linked
+    * files carry all index and bloom rows, fresh files get keyCol stats
+    * from their just-written footers. Commits through
+    * [[AtomicTable.occCommit]]; an already-disjoint layout commits NOTHING
+    * (maintenance is idempotent-cheap). This is Iceberg's sort-order
+    * rewrite / Delta OPTIMIZE ZORDER restricted to the files that actually
+    * drifted. */
+  def reclusterVersion(spark: SparkSession, root: String, keyCol: String,
+      targetBytes: Long = TargetBytes): ReclusterStats = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val live0 = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    TargetedDelete.requireFlatLayout(Paths.get(root, live0), "recluster")
+    // cheap pre-check outside the commit: already disjoint → no version churn
+    val (comps0, total0, _) = overlapComponents(spark, Paths.get(root, live0), keyCol)
+    if (!comps0.exists(_.size >= 2))
+      return ReclusterStats(live0, total0, 0, 0, 0, 0, 0, noOp = true)
+    final case class AlreadyClustered(live: String, nFiles: Int) extends Exception
+    var out: (Int, Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0, 0)
+    val v = try AtomicTable.occCommit(root) { (base, stageDir) =>
+      val liveV = base.getOrElse(
+        throw new IllegalStateException(s"no live version at $root"))
+      val liveDir = Paths.get(root, liveV)
+      TargetedDelete.requireFlatLayout(liveDir, "recluster")
+      val (comps, total, footer) = overlapComponents(spark, liveDir, keyCol)
+      val (multi, single) = comps.partition(_.size >= 2)
+      if (multi.isEmpty) throw AlreadyClustered(liveV, total)
+      JFiles.createDirectories(stageDir)
+      val parts = multi.map { comp =>
+        val bytes = comp.map(JFiles.size(_)).sum
+        val n = math.max(1L, math.min(comp.size.toLong,
+          (bytes + targetBytes - 1) / targetBytes)).toInt
+        spark.read.parquet(comp.map(_.toString): _*)
+          .repartitionByRange(n, col(keyCol))
+          .sortWithinPartitions(col(keyCol))
+      }
+      val rewriteOut = stageDir.resolve("rewrite")
+      parts.reduce(_.unionAll(_)).write.mode("overwrite").parquet(rewriteOut.toString)
+      val nOut = TargetedDelete.moveStagedParts(rewriteOut, stageDir)
+      val linked = single.flatten
+      linked.foreach(TargetedDelete.linkInto(stageDir, _))
+      val linkedNames = linked.map(_.getFileName.toString).toSet
+      KeyBloom.carryForward(liveDir, stageDir, linkedNames)
+      val carried = TargetedDelete.loadStats(liveDir)
+        .filter { case ((f, _), _) => linkedNames(f) }
+      val freshFiles = TargetedDelete.partFiles(stageDir)
+        .filterNot(p => linkedNames(p.getFileName.toString))
+      val fresh = KeyStats.statRowsFor(spark, freshFiles, keyCol)
+        .map { case (n, row) => (n, keyCol) -> row }
+      KeyStats.writeStats(stageDir, carried ++ fresh)
+      out = (total, multi.size, multi.map(_.size).sum, nOut, linked.size, footer)
+    } catch {
+      case AlreadyClustered(live, n) =>
+        return ReclusterStats(live, n, 0, 0, 0, 0, 0, noOp = true)
+    }
+    ReclusterStats(v, out._1, out._2, out._3, out._4, out._5, out._6)
+  }
+
   def versionedRoot(dir: String): String =
     "spark-warehouse/s18_events_vers_" + new java.io.File(dir).getName
 
@@ -218,9 +355,81 @@ object Compaction {
         max(col("day")).as("max_day"))
   }
 
+  def reclusterRoot(dir: String): String =
+    "spark-warehouse/s18_recluster_" + new java.io.File(dir).getName
+
+  /** RECLUSTER round trip — the drift→heal lifecycle, driver-gated. The
+    * fixture is the exact state interleaved writers leave behind: a low id
+    * block committed properly clustered (4 disjoint files) plus a high
+    * block written as two PARITY-interleaved range layouts (every even file
+    * overlaps its odd twin — min/max skipping over the high block decays to
+    * ~2× the files a clustered layout would plan; asserted as the premise).
+    * The query THROWS unless the recluster decision was metadata-only
+    * (footerReads==0), it linked the already-disjoint low files, rewrote
+    * only the overlapping high files, left the live version's hulls
+    * PAIRWISE DISJOINT (checked from the sidecar), and the same block read
+    * now plans strictly fewer files. The oracle replays the aggregate over
+    * the source — recluster must move bytes, never change them. */
+  def qS18ReclusterOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val root = reclusterRoot(dir)
+    AtomicTable.deleteRecursively(Paths.get(root))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"),
+        graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
+    val maxId = cust.agg(max(col("id"))).head.getLong(0)
+    val lowCut = maxId / 4
+    val low = cust.filter(col("id") <= lowCut)
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    val hi = cust.filter(col("id") > lowCut)
+    val hiEven = hi.filter(col("id") % 2 === 0)
+      .repartitionByRange(6, col("id")).sortWithinPartitions(col("id"))
+    val hiOdd = hi.filter(col("id") % 2 === 1)
+      .repartitionByRange(6, col("id")).sortWithinPartitions(col("id"))
+    // union of range-partitioned children keeps their partitions: 16 files,
+    // the 12 high ones pairwise interleaved across parities
+    AtomicTable.commit(low.unionAll(hiEven).unionAll(hiOdd), root,
+      statsCols = Seq("id"))
+    // premise: a high block read plans the interleaved (≥2-file) layout
+    val blockFrom = lowCut * 2
+    val blockTo = blockFrom + math.max(2L, maxId / 10)
+    val (_, rsBefore) = StatsRead.readKeyRange(spark, root, "id", blockFrom, blockTo)
+    if (rsBefore.footerReads != 0 || rsBefore.filesRead < 2)
+      throw new IllegalStateException(
+        s"fixture premise broken: interleaved layout not visible ($rsBefore)")
+    val st = reclusterVersion(spark, root, "id")
+    if (st.noOp || st.footerReads != 0 || st.overlapGroups < 1 ||
+        st.linkedFiles < 1 || st.rewrittenFiles < 2)
+      throw new IllegalStateException(
+        s"recluster did not engage: $st (want footerReads=0, groups>=1, " +
+          "linked>=1, rewritten>=2)")
+    // payoff 1: live hulls pairwise disjoint, straight from the sidecar
+    val liveDir = Paths.get(root, st.version)
+    val hulls = KeyStats.loadStats(liveDir)
+      .collect { case ((f, c), r) if c == "id" => (f, r.min.toLong, r.max.toLong) }
+      .toSeq.sortBy(_._2)
+    hulls.sliding(2).foreach {
+      case Seq((fa, _, maxA), (fb, minB, _)) =>
+        if (minB <= maxA) throw new IllegalStateException(
+          s"recluster left overlapping hulls: $fa max=$maxA vs $fb min=$minB")
+      case _ => ()
+    }
+    // payoff 2: the same block read plans strictly fewer files
+    val (_, rsAfter) = StatsRead.readKeyRange(spark, root, "id", blockFrom, blockTo)
+    if (rsAfter.footerReads != 0 || rsAfter.filesRead >= rsBefore.filesRead)
+      throw new IllegalStateException(
+        s"skipping not restored: before=$rsBefore after=$rsAfter")
+    AtomicTable.read(spark, root)
+      .groupBy((col("id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("bal_c")).as("sum_bal_c"),
+        sum(col("id")).as("sum_ids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s18_compaction" -> (qS18Compaction _),
-    "s18_compaction_versioned" -> (qS18CompactionVersioned _))
+    "s18_compaction_versioned" -> (qS18CompactionVersioned _),
+    "s18_recluster_overlap" -> (qS18ReclusterOverlap _))
 
   val oracles: Map[String, String] = Map(
     "s18_compaction" ->
@@ -233,5 +442,13 @@ object Compaction {
         |  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
         |  count(DISTINCT event_id) AS n_distinct_ids,
         |  max(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS max_day
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    // recluster moves bytes, never changes them: the oracle is the plain
+    // source aggregate (exact integer cents)
+    "s18_recluster_overlap" ->
+      """SELECT c_custkey % 10 AS bucket, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_bal_c,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_ids
+        |FROM customer GROUP BY 1""".stripMargin)
 }

@@ -135,4 +135,92 @@ class CompactionSpec extends AnyFunSuite {
     assert(again.noOp && again.linkedFiles == 0,
       s"no-op pass misreported as real work: $again")
   }
+
+  // ---- overlap-aware recluster ----
+
+  import java.nio.file.{Files, Path, Paths}
+  import scala.jdk.CollectionConverters._
+  import graft.sinks.{AtomicTable, KeyStats}
+
+  private def fileKey(p: Path): AnyRef =
+    Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+
+  private def rmAll(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p)
+      try it.iterator().asScala.toSeq.foreach(rmAll) finally it.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  private def hullsOf(liveDir: Path, keyCol: String): Seq[(String, Long, Long)] =
+    KeyStats.loadStats(liveDir)
+      .collect { case ((f, c), r) if c == keyCol => (f, r.min.toLong, r.max.toLong) }
+      .toSeq.sortBy(_._2)
+
+  test("recluster: rewrites only overlapping components, links the rest, restores disjoint hulls") {
+    val root = "spark-warehouse/cmp_recluster"
+    rmAll(Paths.get(root))
+    val base = spark.range(8000L).select(col("id"), (col("id") * 3L).as("v"))
+    val low = base.filter(col("id") < 2000L)
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    val hiA = base.filter(col("id") >= 2000L && col("id") % 2 === 0)
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    val hiB = base.filter(col("id") >= 2000L && col("id") % 2 === 1)
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    AtomicTable.commit(low.unionAll(hiA).unionAll(hiB), root, statsCols = Seq("id"))
+    val prev = AtomicTable.currentVersion(root).get
+    val st = Compaction.reclusterVersion(spark, root, "id")
+    assert(!st.noOp && st.footerReads == 0 && st.overlapGroups >= 1 &&
+      st.linkedFiles >= 4 && st.rewrittenFiles >= 2,
+      s"recluster did not engage as expected: $st")
+    // hulls pairwise disjoint afterwards
+    val hulls = hullsOf(Paths.get(root, st.version), "id")
+    hulls.sliding(2).foreach {
+      case Seq((_, _, maxA), (_, minB, _)) => assert(minB > maxA,
+        s"overlap survived recluster: $hulls")
+      case _ => ()
+    }
+    // linked by inode; content identical
+    val prevDir = Paths.get(root, prev); val liveDir = Paths.get(root, st.version)
+    val carried = Files.list(liveDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filter(p => Files.exists(prevDir.resolve(p.getFileName.toString))).toSeq
+    assert(carried.size == st.linkedFiles)
+    carried.foreach(p => assert(
+      fileKey(p) == fileKey(prevDir.resolve(p.getFileName.toString)),
+      s"linked file ${p.getFileName} was copied"))
+    assert(AtomicTable.read(spark, root).agg(sum(col("v"))).head.getLong(0) ==
+      base.agg(sum(col("v"))).head.getLong(0))
+    // idempotence: disjoint layout → noOp, no version churn
+    val again = Compaction.reclusterVersion(spark, root, "id")
+    assert(again.noOp && again.version == st.version,
+      s"no-op recluster churned a version: $again")
+  }
+
+  test("recluster: string-keyed overlap heals under UTF-8 byte order") {
+    val root = "spark-warehouse/cmp_recluster_str"
+    rmAll(Paths.get(root))
+    val base = spark.range(4000L)
+      .select(format_string("k%05d", col("id")).as("k"), col("id").as("v"))
+    val a = base.filter(col("v") % 2 === 0)
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    val b = base.filter(col("v") % 2 === 1)
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    AtomicTable.commit(a.unionAll(b), root, statsCols = Seq("k"))
+    val st = Compaction.reclusterVersion(spark, root, "k")
+    assert(!st.noOp && st.footerReads == 0 && st.rewrittenFiles >= 2,
+      s"string recluster did not engage: $st")
+    val live = Paths.get(root, st.version)
+    val hulls = KeyStats.loadStats(live)
+      .collect { case ((f, c), r) if c == "k" => (f, r.min, r.max) }
+      .toSeq.sortBy(_._2)(KeyStats.Utf8Order)
+    hulls.sliding(2).foreach {
+      case Seq((_, _, maxA), (_, minB, _)) =>
+        assert(KeyStats.Utf8Order.compare(minB, maxA) > 0,
+          s"string overlap survived: $hulls")
+      case _ => ()
+    }
+    assert(AtomicTable.read(spark, root).count() == 4000L)
+  }
 }
