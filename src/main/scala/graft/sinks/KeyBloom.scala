@@ -102,6 +102,22 @@ object KeyBloom {
   private[sinks] def stringBytes(s: String): Array[Byte] =
     s.getBytes(StandardCharsets.UTF_8)
 
+  /** Probe the slice of `keys` (sorted under `ord`) a file's [lo,hi] hull
+    * admits; true iff any key might be present. Parquet writer-truncated
+    * bounds only WIDEN the slice, never narrow it. Early-exits on the first
+    * maybe. Shared by the merge and delete prunes. */
+  private[sinks] def sliceMaybe[K](b: BloomRow, keys: Array[K], lo: K, hi: K,
+      ord: Ordering[K], bytes: K => Array[Byte]): Boolean = {
+    var l = 0; var h = keys.length // lower_bound(lo)
+    while (l < h) { val m = (l + h) >>> 1; if (ord.lt(keys(m), lo)) l = m + 1 else h = m }
+    var i = l
+    while (i < keys.length && ord.lteq(keys(i), hi)) {
+      if (b.mightContain(bytes(keys(i)))) return true
+      i += 1
+    }
+    false
+  }
+
   /** The k bit positions of a key, packed as (wordIdx, bitMask) — the build
     * side's explode payload; the probe side recomputes the same walk in
     * [[BloomRow.mightContain]]. */

@@ -135,22 +135,6 @@ object KeyedMerge {
     (mins, maxs, names, prefixMax)
   }
 
-  /** Probe `keys[lo..hi]` (the slice a file's [min,max] admits — parquet
-    * writer-truncated bounds only WIDEN the slice, never narrow it) against
-    * the file's bloom; true iff any key might be present. Early-exits on the
-    * first maybe. */
-  private def sliceMaybe[K](b: KeyBloom.BloomRow, keys: Array[K], lo: K, hi: K,
-      ord: Ordering[K], bytes: K => Array[Byte]): Boolean = {
-    var l = 0; var h = keys.length // lower_bound(lo)
-    while (l < h) { val m = (l + h) >>> 1; if (ord.lt(keys(m), lo)) l = m + 1 else h = m }
-    var i = l
-    while (i < keys.length && ord.lteq(keys(i), hi)) {
-      if (b.mightContain(bytes(keys(i)))) return true
-      i += 1
-    }
-    false
-  }
-
   /** Which live files can contain a change key, and how many files the bloom
     * sidecar pruned past min/max. The key family comes from the changeset's
     * schema: BIGINT/INT keys probe "long" stat rows, STRING keys probe
@@ -200,7 +184,7 @@ object KeyedMerge {
         }
         val touched = statsTouched.collect {
           case (n, r) if bloomFor.get(n).forall(b =>
-            sliceMaybe(b, keys, decode(r.min), decode(r.max), ord, bytes)) => n
+            KeyBloom.sliceMaybe(b, keys, decode(r.min), decode(r.max), ord, bytes)) => n
         }.toSet
         val blindTouched = blind.collect {
           case (n, _) if bloomFor.get(n).forall(b =>

@@ -59,7 +59,7 @@ object TargetedDelete {
     * them; `totalFiles == rewrittenFiles + droppedFiles + reusedFiles`. */
   final case class DeleteStats(version: String, totalFiles: Int,
       rewrittenFiles: Int, reusedFiles: Int, footerReads: Int = 0,
-      droppedFiles: Int = 0)
+      droppedFiles: Int = 0, bloomSkipped: Int = 0)
 
   /** Above this many delete keys the survivor filter switches from a
     * literal NOT-IN predicate to a broadcast LEFT ANTI join. */
@@ -357,13 +357,37 @@ object TargetedDelete {
 
   private[sinks] final case class Pruned(touched: Seq[Path], reused: Seq[Path],
       footerReads: Int, keyRows: Map[String, StatRow],
-      allSideRows: Map[(String, String), StatRow])
+      allSideRows: Map[(String, String), StatRow], bloomSkipped: Int = 0)
+
+  /** Can the file's `_KEYBLOOM` row disprove EVERY key of the set within
+    * the file's stats hull? Only enumerated sets probe (a range/prefix
+    * holds unboundedly many keys — a bloom cannot disprove it); a file with
+    * unusable stats probes ALL keys (the bloom is its only chance at a
+    * link). Conservative-false everywhere else. */
+  private def bloomClears(b: KeyBloom.BloomRow, row: StatRow, ks: KeySet): Boolean =
+    (ks, b.kind) match {
+      case (LongKeys(sorted), "long") =>
+        if (row.kind == "long")
+          !KeyBloom.sliceMaybe(b, sorted, row.min.toLong, row.max.toLong,
+            Ordering.Long, KeyBloom.longBytes)
+        else !sorted.exists(k => b.mightContain(KeyBloom.longBytes(k)))
+      case (StringKeys(sorted), "string") =>
+        if (row.kind == "string")
+          !KeyBloom.sliceMaybe(b, sorted, row.min, row.max,
+            KeyStats.Utf8Order, KeyBloom.stringBytes)
+        else !sorted.exists(k => b.mightContain(KeyBloom.stringBytes(k)))
+      case _ => false
+    }
 
   /** Partition the live files into (touched, reusable): sidecar rows decide
     * for free; only files the sidecar doesn't cover fall back to footer
-    * reads (hybrid — a partial index still prunes maximally). The loaded
-    * sidecar rides along in the result so the staging pass never re-reads
-    * it. */
+    * reads (hybrid — a partial index still prunes maximally). Min/max
+    * survivors with a `_KEYBLOOM` row get a second chance: on an
+    * UNCLUSTERED key (hash hulls span the key space, min/max prunes
+    * nothing — the GDPR delete-by-doc-hash shape) the bloom is the only
+    * thing standing between a point delete and a full-table rewrite. The
+    * loaded sidecar rides along in the result so the staging pass never
+    * re-reads it. */
   private[sinks] def pruneFiles(spark: SparkSession, liveDir: Path, files: Seq[Path],
       keyCol: String, ks: KeySet): Pruned = {
     val sideAll = loadStats(liveDir)
@@ -372,9 +396,17 @@ object TargetedDelete {
     }
     val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
     val rows = side ++ statRowsFor(spark, unknown, keyCol)
-    val (touched, reused) =
+    val (touched0, reused0) =
       files.partition(f => rowIntersects(rows(f.getFileName.toString), ks))
-    Pruned(touched, reused, unknown.size, rows, sideAll)
+    val blooms = KeyBloom.loadBlooms(liveDir)
+    val (bloomCleared, touched) =
+      if (blooms.isEmpty) (Seq.empty[Path], touched0)
+      else touched0.partition { f =>
+        val n = f.getFileName.toString
+        blooms.get((n, keyCol)).exists(b => bloomClears(b, rows(n), ks))
+      }
+    Pruned(touched, reused0 ++ bloomCleared, unknown.size, rows, sideAll,
+      bloomCleared.size)
   }
 
   /** The survivor filter over the touched files' rows. */
@@ -401,9 +433,9 @@ object TargetedDelete {
     * delete's output version is always fully indexed on the delete column
     * and the next delete on it needs ZERO footer reads. Shared by the
     * single-writer and OCC paths.
-    * Returns (total, rewritten, dropped, reused, footerReads). */
+    * Returns (total, rewritten, dropped, reused, footerReads, bloomSkipped). */
   private def stageDelete(spark: SparkSession, liveDir: Path, stageDir: Path,
-      keyCol: String, ks: KeySet): (Int, Int, Int, Int, Int) = {
+      keyCol: String, ks: KeySet): (Int, Int, Int, Int, Int, Int) = {
     requireFlatLayout(liveDir, "targeted delete")
     val files = partFiles(liveDir)
     val pr = pruneFiles(spark, liveDir, files, keyCol, ks)
@@ -440,7 +472,8 @@ object TargetedDelete {
     val freshRows = statRowsFor(spark, freshFiles, keyCol)
       .map { case (n, row) => (n, keyCol) -> row }
     writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
-    (files.size, rewrite.size, dropped.size, pr.reused.size, pr.footerReads)
+    (files.size, rewrite.size, dropped.size, pr.reused.size, pr.footerReads,
+      pr.bloomSkipped)
   }
 
   /** Move a staged rewrite's part files up into `stageDir`, then remove the
@@ -517,11 +550,11 @@ object TargetedDelete {
     // orphan handling (crashed-bare-stage overwrite vs complete-claim
     // adoption + rebase) lives in [[AtomicTable.singleWriterStaged]],
     // shared with the keyed merge
-    @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
+    @volatile var last: (Int, Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0, 0)
     val next = AtomicTable.singleWriterStaged(root, "del") { (live, stageDir) =>
       last = stageDelete(spark, Paths.get(root, live), stageDir, keyCol, ks)
     }
-    DeleteStats(next, last._1, last._2, last._4, last._5, last._3)
+    DeleteStats(next, last._1, last._2, last._4, last._5, last._3, last._6)
   }
 
   /** MULTI-WRITER targeted delete: the same staged prune/rewrite/link run
@@ -549,13 +582,13 @@ object TargetedDelete {
 
   private def deleteKeySetOcc(spark: SparkSession, root: String, keyCol: String,
       ks: KeySet, maxRetries: Int, pruneAgeMs: Long): DeleteStats = {
-    @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
+    @volatile var last: (Int, Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0, 0)
     val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
       val liveV = base.getOrElse(
         throw new IllegalStateException(s"no live version at $root"))
       last = stageDelete(spark, Paths.get(root, liveV), stageDir, keyCol, ks)
     }
-    DeleteStats(v, last._1, last._2, last._4, last._5, last._3)
+    DeleteStats(v, last._1, last._2, last._4, last._5, last._3, last._6)
   }
 
   // ---- declared query -------------------------------------------------
@@ -687,12 +720,55 @@ object TargetedDelete {
     survivorAgg(spark, root)
   }
 
+  /** Delete ids for the bloom-pruned GDPR shape — must exist at every SF. */
+  val BloomDeleteIds: Seq[Long] = Seq(11L, 222L, 433L)
+
+  /** BLOOM-PRUNED DELETE — the GDPR shape on an UNCLUSTERED key: "delete
+    * these documents BY CONTENT HASH". No layout clusters a hash for
+    * min/max skipping (asserted as the premise: stats alone rewrite ~every
+    * file), so the `_KEYBLOOM` sidecar makes the file-granular delete
+    * possible at all. THROWS unless the prune was metadata-only
+    * (footerReads==0) and the bloom did it (bloomSkipped>=1, rewritten<=6,
+    * reused>=total-6 — fpp-proof margins under sized blooms). The oracle
+    * replays the survivor aggregate with DuckDB's own md5. */
+  def qS22TargetedDeleteBloom(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_bloom"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    val docs = Tables.documents(spark, dir)
+      .withColumn("doc_hash", md5(col("doc_id").cast("string")))
+    val nRows = docs.count()
+    AtomicTable.commit(docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_hash"))
+    val delHashes = docs.filter(col("doc_id").isin(BloomDeleteIds: _*))
+      .select(col("doc_hash")).collect().map(_.getString(0)).toSeq
+    // premise: WITHOUT a bloom this delete rewrites ~everything (probe via
+    // the read path's planner — same stats, no mutation)
+    val (_, rsStats) = StatsRead.readStringKeyIn(spark, root, "doc_hash", delHashes)
+    if (rsStats.filesRead < rsStats.totalFiles - 2)
+      throw new IllegalStateException(
+        s"fixture premise broken: min/max pruned a scattered hash ($rsStats)")
+    KeyBloom.indexKeyBloom(spark, root, "doc_hash",
+      KeyBloom.bitsFor(nRows / 16 + 1))
+    val stats = deleteStringKeys(spark, root, "doc_hash", delHashes)
+    if (stats.footerReads != 0 || stats.bloomSkipped < 1 ||
+        stats.rewrittenFiles > 6 || stats.reusedFiles < stats.totalFiles - 6)
+      throw new IllegalStateException(
+        s"bloom-pruned delete did not engage: $stats (want footerReads=0, " +
+          "bloomSkipped>=1, rewritten<=6, reused>=total-6)")
+    AtomicTable.read(spark, root)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_targeted_delete" -> (qS22TargetedDelete _),
     "s22_targeted_delete_occ" -> (qS22TargetedDeleteOcc _),
     "s22_targeted_delete_vol" -> (qS22TargetedDeleteVol _),
     "s22_targeted_delete_indexed" -> (qS22TargetedDeleteIndexed _),
-    "s22_targeted_delete_range" -> (qS22TargetedDeleteRange _))
+    "s22_targeted_delete_range" -> (qS22TargetedDeleteRange _),
+    "s22_targeted_delete_bloom" -> (qS22TargetedDeleteBloom _))
 
   private val s22OracleSql: String =
     s"""SELECT lang, source, count(*) AS n_docs,
@@ -720,5 +796,15 @@ object TargetedDelete {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM documents
          |WHERE NOT (doc_id % $VolKeyStride = 0 AND doc_id < $VolKeyMax)
+         |GROUP BY lang, source""".stripMargin,
+    // delete-by-hash must land the same survivors a row-level delete would:
+    // DuckDB recomputes the same md5 keys
+    "s22_targeted_delete_bloom" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR)) NOT IN
+         |  (${BloomDeleteIds.map(i => s"md5('$i')").mkString(", ")})
          |GROUP BY lang, source""".stripMargin)
 }

@@ -343,4 +343,43 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(live.agg(sum(col("id"))).head.getLong(0) ==
       (0L until 4000L).sum - 10L - 20L - 30L)
   }
+
+  test("bloom sidecar prunes a delete-by-hash that min/max cannot") {
+    import graft.sinks.KeyBloom
+    val root = "spark-warehouse/tds_bloom"
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p)
+        try it.iterator().asScala.toSeq.foreach(rm) finally it.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(root)); rm(Paths.get(root + "_b"))
+    def build(r: String): Unit = AtomicTable.commit(
+      spark.range(4000L).select(md5(col("id").cast("string")).as("h"),
+        col("id").as("v")).repartitionByRange(16, col("v")),
+      r, statsCols = Seq("h"))
+    val delKeys = Seq(17L, 1234L, 3999L).map(i =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString))
+    // control: no bloom → stats rewrite ~everything, bloomSkipped 0
+    build(root)
+    val s0 = TargetedDelete.deleteStringKeys(spark, root, "h", delKeys)
+    assert(s0.bloomSkipped == 0 && s0.rewrittenFiles >= s0.totalFiles - 2,
+      s"premise broken: min/max pruned a scattered hash: $s0")
+    // bloom indexed → same delete links almost everything
+    build(root + "_b")
+    KeyBloom.indexKeyBloom(spark, root + "_b", "h", KeyBloom.bitsFor(4000L / 16 + 1))
+    val s1 = TargetedDelete.deleteStringKeys(spark, root + "_b", "h", delKeys)
+    assert(s1.footerReads == 0 && s1.bloomSkipped >= 1 &&
+      s1.rewrittenFiles <= 5 && s1.reusedFiles >= s1.totalFiles - 5,
+      s"bloom-pruned delete did not engage: $s1")
+    // identical survivors both ways
+    def state(r: String) = AtomicTable.read(spark, r).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(state(root) == state(root + "_b"))
+    assert(AtomicTable.read(spark, root + "_b").count() == 3997L)
+    // a range KeySet never bloom-probes (unbounded keys): conservative path
+    val s2 = TargetedDelete.deleteKeyRange(spark, root + "_b", "v", 100L, 120L)
+    assert(s2.bloomSkipped == 0, s"range delete must not claim bloom prunes: $s2")
+  }
 }
