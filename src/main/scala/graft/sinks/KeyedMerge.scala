@@ -146,8 +146,9 @@ object KeyedMerge {
     * file's hull spans the key space, min/max prunes nothing — the bloom is
     * the only thing standing between a point changeset and a full-table
     * rewrite. Returns touched file NAMES — the only thing that ever reaches
-    * the driver on the distributed path. */
-  private def touchedNames(files: Seq[Path], rows: Map[String, KeyStats.StatRow],
+    * the driver on the distributed path. Shared with [[StatsRead
+    * .joinPruned]] (dynamic file pruning: the same decision, read-side). */
+  private[sinks] def touchedNames(files: Seq[Path], rows: Map[String, KeyStats.StatRow],
       keyCol: String, changes: DataFrame, driverKeyThreshold: Int,
       blooms: Map[(String, String), KeyBloom.BloomRow]): (Set[String], Int) = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}

@@ -133,6 +133,44 @@ object StatsRead {
     if (files.nonEmpty) spark.read.parquet(files.head.toString).where(lit(false))
     else spark.read.parquet(liveDir.toString).where(lit(false))
 
+  /** DYNAMIC FILE PRUNING, join-shaped (Delta's DFP, decided from the
+    * manifest instead of at runtime): join `probe` against the live version
+    * on `keyCol`, constructing the scan over ONLY the files whose stats —
+    * bloom-checked where a `_KEYBLOOM` row exists — admit a probe key. The
+    * file-level prune is a superset of the join's matches and the join
+    * itself is the exact row-level filter, so no predicate re-application
+    * is needed. The decision is [[KeyedMerge.touchedNames]], the merge
+    * prune read-side: probe keys ≤ `driverKeyThreshold` enumerate on the
+    * driver; beyond, the assignment runs as a Spark job over the broadcast
+    * boundary index and only file names return. The join strategy is left
+    * to Catalyst (a micro-batch probe auto-broadcasts; a large probe
+    * shuffles — correct either way). `probe` is evaluated twice (prune +
+    * join): persist it first if it is expensive. */
+  def joinPruned(spark: SparkSession, root: String, keyCol: String,
+      probe: DataFrame,
+      driverKeyThreshold: Int = KeyedMerge.DriverKeyThreshold)
+      : (DataFrame, ReadStats) = {
+    require(probe.columns.contains(keyCol),
+      s"probe frame must carry the join key column $keyCol")
+    val v = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val dir = Paths.get(root, v)
+    TargetedDelete.requireFlatLayout(dir, "pruned join")
+    val files = TargetedDelete.partFiles(dir)
+    val side = KeyStats.loadStats(dir)
+      .collect { case ((f, c), r) if c == keyCol => f -> r }
+    val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
+    val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
+    val (touched, _) = KeyedMerge.touchedNames(files, rows, keyCol, probe,
+      driverKeyThreshold, KeyBloom.loadBlooms(dir))
+    val touchedFiles = files.filter(f => touched(f.getFileName.toString))
+    val base =
+      if (touchedFiles.isEmpty) emptyLike(spark, files, dir)
+      else spark.read.parquet(touchedFiles.map(_.toString): _*)
+    (base.join(probe, Seq(keyCol), "inner"),
+      ReadStats(v, files.size, touchedFiles.size, unknown.size))
+  }
+
   def readWhereAll(spark: SparkSession, root: String,
       preds: Seq[(String, TargetedDelete.KeySet)]): (DataFrame, ReadStats) =
     readVersionWhereAll(spark, root, preds, None)
@@ -646,7 +684,37 @@ object StatsRead {
     docsAgg(hist)
   }
 
+  /** Probe block for the DFP join — inside documents' id range at every SF. */
+  val DfpFrom = 50L; val DfpTo = 89L
+
+  /** DYNAMIC-FILE-PRUNING JOIN, driver-gated: enrich a small keyed probe
+    * (the "join the changeset with its current rows" shape) against the
+    * committed id-clustered corpus through [[joinPruned]] — THROWS unless
+    * the scan was constructed over a strict subset of the files with zero
+    * footer reads. The oracle replays the equi-join as a range filter (the
+    * probe is a contiguous block with a derived payload), so the hash row
+    * value-checks both the pruned scan and the join semantics. */
+  def qS16DfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_dfp"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      Tables.documents(spark, dir)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_id"))
+    val probe = spark.range(DfpFrom, DfpTo + 1)
+      .select(col("id").as("doc_id"), (col("id") * 7L).as("w"))
+    val (df, rs) = joinPruned(spark, root, "doc_id", probe)
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles || rs.filesRead < 1)
+      throw new IllegalStateException(
+        s"DFP join did not prune: $rs (want footerReads=0, 1 <= filesRead < total)")
+    df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("w")).as("sum_w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_dfp_join" -> (qS16DfpJoin _),
     "s16_keyed_read" -> (qS16KeyedRead _),
     "s16_keyed_read_set" -> (qS16KeyedReadSet _),
     "s16_keyed_read_str" -> (qS16KeyedReadStr _),
@@ -656,6 +724,15 @@ object StatsRead {
     "s16_keyed_read_asof" -> (qS16KeyedReadAsof _))
 
   val oracles: Map[String, String] = Map(
+    // the probe is a contiguous block with payload w = doc_id * 7, so the
+    // equi-join replays as a range filter
+    "s16_dfp_join" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id * 7) AS BIGINT) AS sum_w
+         |FROM documents
+         |WHERE doc_id BETWEEN $DfpFrom AND $DfpTo
+         |GROUP BY source""".stripMargin,
     "s16_keyed_read" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

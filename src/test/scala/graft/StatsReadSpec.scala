@@ -408,4 +408,49 @@ class StatsReadSpec extends AnyFunSuite {
     assert(n3 == 900, s"null keys counted: $n3 / $cs3")
     assert(cs3.metadataFiles == 1 && cs3.scannedFiles == 0, cs3.toString)
   }
+
+  test("DFP join: pruned scan, exact join rows, both regimes, empty and bloom paths") {
+    val root = "spark-warehouse/test_s16_dfp"
+    deleteAll(Paths.get(root))
+    AtomicTable.commit(
+      spark.range(4000L).select(col("id"), (col("id") * 3L).as("v"))
+        .repartitionByRange(16, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    val probe = spark.range(100L, 160L)
+      .select(col("id"), (col("id") * 7L).as("w"))
+    val (df, rs) = StatsRead.joinPruned(spark, root, "id", probe)
+    assert(rs.footerReads == 0 && rs.filesRead >= 1 && rs.filesRead < rs.totalFiles,
+      s"DFP join did not prune: $rs")
+    val got = df.select(col("id"), col("v"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (100L until 160L).map(i => (i, i * 3, i * 7)).toSet
+    assert(got == want, "join rows diverge from the exact equi-join")
+    // distributed regime (threshold 0): same prune, same rows
+    val (df2, rs2) = StatsRead.joinPruned(spark, root, "id", probe,
+      driverKeyThreshold = 0)
+    assert(rs2.filesRead == rs.filesRead, s"regimes diverged: $rs vs $rs2")
+    assert(df2.select(col("id"), col("v"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+    // probe entirely outside every hull: empty join, ZERO files scanned
+    val miss = spark.range(2L).select((lit(900000L) + col("id")).as("id"),
+      lit(0L).as("w"))
+    val (df3, rs3) = StatsRead.joinPruned(spark, root, "id", miss)
+    assert(rs3.filesRead == 0 && df3.count() == 0L,
+      s"out-of-hull probe must not construct a scan: $rs3")
+    // unclustered key + bloom: the prune composes with _KEYBLOOM
+    val rootH = "spark-warehouse/test_s16_dfp_bloom"
+    deleteAll(Paths.get(rootH))
+    AtomicTable.commit(
+      spark.range(4000L).select(md5(col("id").cast("string")).as("h"),
+        col("id").as("v")).repartitionByRange(16, col("v")),
+      rootH, statsCols = Seq("h"))
+    graft.sinks.KeyBloom.indexKeyBloom(spark, rootH, "h",
+      graft.sinks.KeyBloom.bitsFor(4000L / 16 + 1))
+    val probeH = spark.range(3L)
+      .select(md5((col("id") * 997L).cast("string")).as("h"), col("id").as("w"))
+    val (dfH, rsH) = StatsRead.joinPruned(spark, rootH, "h", probeH)
+    assert(rsH.footerReads == 0 && rsH.filesRead <= 5,
+      s"bloom did not prune the hash-keyed DFP join: $rsH")
+    assert(dfH.count() == 3L)
+  }
 }
