@@ -396,6 +396,14 @@ object CdcApply {
       throw new IllegalStateException(
         s"link reuse not verified by inode: ${reusedNames.size} carried names " +
           s"vs ${ms.reusedFiles} reused")
+    // the bloom must SELF-MAINTAIN across the merge: every live file —
+    // linked or freshly rewritten — carries a doc_hash bloom row, so the
+    // NEXT merge prunes just as well without a re-index pass
+    val liveBlooms = KeyBloom.loadBlooms(liveDir)
+    TargetedDelete.partFiles(liveDir).foreach(f =>
+      if (!liveBlooms.contains((f.getFileName.toString, "doc_hash")))
+        throw new IllegalStateException(
+          s"bloom not self-maintained for ${f.getFileName} after the merge"))
     AtomicTable.read(spark, root)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

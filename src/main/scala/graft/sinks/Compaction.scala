@@ -168,7 +168,7 @@ object Compaction {
       // linked files also carry their BLOOM rows (same bytes, same bloom —
       // the maintenance pass must not degrade the bloom path)
       val linkedNames = big.map(_.getFileName.toString).toSet
-      KeyBloom.carryForward(liveDir, stageDir, linkedNames)
+      KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames)
       val carried = TargetedDelete.loadStats(liveDir)
         .filter { case ((f, _), _) => linkedNames(f) }
       val fresh = statsCol match {
@@ -309,7 +309,7 @@ object Compaction {
       val linked = single.flatten
       linked.foreach(TargetedDelete.linkInto(stageDir, _))
       val linkedNames = linked.map(_.getFileName.toString).toSet
-      KeyBloom.carryForward(liveDir, stageDir, linkedNames)
+      KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames)
       val carried = TargetedDelete.loadStats(liveDir)
         .filter { case ((f, _), _) => linkedNames(f) }
       val freshFiles = TargetedDelete.partFiles(stageDir)

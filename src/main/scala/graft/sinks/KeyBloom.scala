@@ -35,10 +35,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * read by the scan itself) or a sharded/parquet sidecar probed as a join;
   * the probe API here is the contract either backend would serve.
   *
-  * MAINTENANCE: delete/merge/compaction carry bloom rows forward for
-  * hard-LINKED files (same bytes, same bloom); rewritten files lose their
-  * rows and fall back to min/max stats until [[indexKeyBloom]] runs again —
-  * conservative, never wrong. */
+  * MAINTENANCE: delete/merge/compaction/recluster SELF-MAINTAIN the bloom
+  * exactly like `_KEYSTATS` ([[maintainStage]]): hard-LINKED files carry
+  * their rows (same bytes, same bloom), freshly staged files get rows
+  * REBUILT on every column the predecessor bloomed — one pass over only
+  * the just-written bytes. A bloomed table stays bloomed, version after
+  * version. */
 object KeyBloom {
 
   val BloomFile = "_KEYBLOOM.tsv"
@@ -157,23 +159,15 @@ object KeyBloom {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Build (or extend) the LIVE version's `_KEYBLOOM` for `keyCol`: ONE
-    * distributed pass over the not-yet-indexed files (`input_file_name`
-    * grouping — no per-file jobs), `bit_or`-reduced to non-zero words.
-    * Returns the number of files indexed. Metadata augmentation only —
-    * data files are never touched. */
-  def indexKeyBloom(spark: SparkSession, root: String, keyCol: String,
-      bits: Int = DefaultBits): Int = {
+  /** The build core: ONE distributed pass over `files` for `keyCol` at
+    * `bits` (`input_file_name` grouping — no per-file jobs), `bit_or`-
+    * reduced to non-zero words. A 0-row file gets an all-zero bloom (every
+    * probe misses — whole-file skip, correct by construction). */
+  private def buildRows(spark: SparkSession, files: Seq[Path], keyCol: String,
+      bits: Int): Map[(String, String), BloomRow] = {
     require(bits >= 64 && (bits & (bits - 1)) == 0, s"bits must be a power of two >= 64: $bits")
-    val live = AtomicTable.currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no live version at $root"))
-    val liveDir = Paths.get(root, live)
-    TargetedDelete.requireFlatLayout(liveDir, "bloom indexing")
-    val old = loadBlooms(liveDir)
-    val missing = TargetedDelete.partFiles(liveDir)
-      .filter(f => !old.contains((f.getFileName.toString, keyCol)))
-    if (missing.isEmpty) return 0
-    val kind = spark.read.parquet(missing.head.toString).schema(keyCol).dataType match {
+    if (files.isEmpty) return Map.empty
+    val kind = spark.read.parquet(files.head.toString).schema(keyCol).dataType match {
       case LongType | IntegerType => "long"
       case StringType => "string"
       case t => throw new IllegalArgumentException(
@@ -184,14 +178,14 @@ object KeyBloom {
         if (k == null) Array.empty[(Int, Long)] else wordMasks(longBytes(k), bits))
       else udf((s: String) =>
         if (s == null) Array.empty[(Int, Long)] else wordMasks(stringBytes(s), bits))
-    val collected = spark.read.parquet(missing.map(_.toString): _*)
+    val collected = spark.read.parquet(files.map(_.toString): _*)
       .select(input_file_name().as("f"), explode(masks(col(keyCol))).as("m"))
       .groupBy(col("f"), col("m._1").as("w"))
       .agg(expr("bit_or(m._2)").as("word"))
       .collect()
     val byFile = collected.groupBy(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
       .getFileName.toString)
-    val fresh = missing.map { f =>
+    files.map { f =>
       val name = f.getFileName.toString
       val words = new Array[Long](bits >>> 6)
       byFile.getOrElse(name, Array.empty).foreach { r =>
@@ -199,18 +193,47 @@ object KeyBloom {
       }
       (name, keyCol) -> BloomRow(kind, bits, NumHashes, words)
     }.toMap
-    writeBlooms(liveDir, old ++ fresh)
+  }
+
+  /** Build (or extend) the LIVE version's `_KEYBLOOM` for `keyCol` over the
+    * not-yet-indexed files. Returns the number of files indexed. Metadata
+    * augmentation only — data files are never touched. */
+  def indexKeyBloom(spark: SparkSession, root: String, keyCol: String,
+      bits: Int = DefaultBits): Int = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    val liveDir = Paths.get(root, live)
+    TargetedDelete.requireFlatLayout(liveDir, "bloom indexing")
+    val old = loadBlooms(liveDir)
+    val missing = TargetedDelete.partFiles(liveDir)
+      .filter(f => !old.contains((f.getFileName.toString, keyCol)))
+    if (missing.isEmpty) return 0
+    writeBlooms(liveDir, old ++ buildRows(spark, missing, keyCol, bits))
     missing.size
   }
 
-  /** Carry bloom rows forward for hard-LINKED files when a delete/merge/
-    * compaction stages the next version — same bytes, same bloom. Rewritten
-    * files get no row (fall back to stats until re-indexed). */
-  private[sinks] def carryForward(liveDir: Path, stageDir: Path,
-      reusedNames: Set[String]): Unit = {
+  /** Stage-side bloom lifecycle for delete/merge/compaction/recluster:
+    * carry rows for hard-LINKED files (same bytes, same bloom) and REBUILD
+    * rows for freshly staged files on every column the predecessor bloomed
+    * — the bloom path SELF-MAINTAINS exactly like `_KEYSTATS`. Without the
+    * rebuild, a merge's rewrite output — the files holding the table's
+    * HOTTEST keys — would fall off the bloom path and every subsequent
+    * point merge/delete/read would conservatively touch them until a manual
+    * [[indexKeyBloom]]. Bits per column carry the predecessor's maximum
+    * (sizing is a commit-time decision; maintenance must never shrink it).
+    * Cost: one pass per bloomed column over ONLY the fresh files — bytes
+    * the staging job just wrote, already pruned to the minimum. */
+  private[sinks] def maintainStage(spark: SparkSession, liveDir: Path,
+      stageDir: Path, reusedNames: Set[String]): Unit = {
     val old = loadBlooms(liveDir)
     if (old.isEmpty) return
     val carried = old.filter { case ((f, _), _) => reusedNames(f) }
-    if (carried.nonEmpty) writeBlooms(stageDir, carried)
+    val freshFiles = TargetedDelete.partFiles(stageDir)
+      .filterNot(p => reusedNames(p.getFileName.toString))
+    val fresh = old.keys.map(_._2).toSeq.distinct.sorted.flatMap { c =>
+      val bits = old.collect { case ((_, cc), b) if cc == c => b.bits }.max
+      buildRows(spark, freshFiles, c, bits)
+    }.toMap
+    if (carried.nonEmpty || fresh.nonEmpty) writeBlooms(stageDir, carried ++ fresh)
   }
 }

@@ -332,7 +332,7 @@ object KeyedMerge {
     // rewritten files get fresh keyCol rows from their local footers
     // (executor-parallel past the threshold)
     val reusedNames = reused.map(_.getFileName.toString).toSet
-    KeyBloom.carryForward(liveDir, stageDir, reusedNames)
+    KeyBloom.maintainStage(spark, liveDir, stageDir, reusedNames)
     val carried = sideAll.filter { case ((f, _), _) => reusedNames(f) }
     val reusedKeyRows = reusedNames.toSeq.map(n => (n, keyCol) -> rows(n)).toMap
     val freshFiles = staged.filterNot(p => reusedNames(p.getFileName.toString))

@@ -460,9 +460,9 @@ object TargetedDelete {
     }
     pr.reused.foreach(linkInto(stageDir, _))
     val reusedNames = pr.reused.map(_.getFileName.toString).toSet
-    // linked files keep their bloom rows (same bytes, same bloom);
-    // rewritten files fall back to stats until re-indexed
-    KeyBloom.carryForward(liveDir, stageDir, reusedNames)
+    // bloom lifecycle: linked files carry rows, fresh rewrites get rows
+    // REBUILT on every column the predecessor bloomed (self-maintaining)
+    KeyBloom.maintainStage(spark, liveDir, stageDir, reusedNames)
     val carried = pr.allSideRows.filter { case ((f, _), _) => reusedNames(f) }
     val reusedKeyRows = reusedNames.toSeq
       .map(n => (n, keyCol) -> pr.keyRows(n)).toMap
