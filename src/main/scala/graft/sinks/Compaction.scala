@@ -220,31 +220,40 @@ object Compaction {
   }
 
   /** Per-file hulls on `keyCol` → overlap components, from the sidecar
-    * (footer fallback counted). Throws on a file whose stats can't order
-    * under the key's kind — recluster is a layout pass over a
-    * stats-indexable key by contract. */
+    * (footer fallback counted). Files whose stats carry no orderable hull
+    * (kind "none": a 0-row schema-bearing rewrite the delete/merge paths
+    * legitimately produce, or an all-NULL-key file) cannot overlap any
+    * hull on the key — they come back separately: provably-empty files
+    * (rowCount==0) for the caller to DROP, the rest to link as singletons.
+    * Throws only on genuinely mixed orderable kinds (a broken table). */
   private def overlapComponents(spark: SparkSession, liveDir: java.nio.file.Path,
-      keyCol: String): (Seq[Seq[java.nio.file.Path]], Int, Int) = {
+      keyCol: String): (Seq[Seq[java.nio.file.Path]], Int, Int,
+      Seq[java.nio.file.Path], Seq[java.nio.file.Path]) = {
     val files = TargetedDelete.partFiles(liveDir)
     val side = KeyStats.loadStats(liveDir)
       .collect { case ((f, c), r) if c == keyCol => f -> r }
     val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
     val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
-    val kinds = files.map(f => rows(f.getFileName.toString).kind).distinct
-    if (kinds.size != 1 || !Set("long", "string")(kinds.head))
+    val (hulled, hullless) =
+      files.partition(f => Set("long", "string")(rows(f.getFileName.toString).kind))
+    val (emptyFiles, nullKeyed) =
+      hullless.partition(f => rows(f.getFileName.toString).rowCount == 0L)
+    val kinds = hulled.map(f => rows(f.getFileName.toString).kind).distinct
+    if (kinds.size > 1)
       throw new IllegalArgumentException(
-        s"recluster needs orderable min/max stats on $keyCol for every file " +
-          s"(saw kinds: ${kinds.mkString(", ")})")
+        s"recluster found MIXED stats kinds on $keyCol (${kinds.mkString(", ")}) " +
+          "— the table's key column types diverge across files")
     val comps =
-      if (kinds.head == "long")
-        componentsBy[Long](files.map { f =>
+      if (hulled.isEmpty) Seq.empty
+      else if (kinds.head == "long")
+        componentsBy[Long](hulled.map { f =>
           val r = rows(f.getFileName.toString); (f, r.min.toLong, r.max.toLong)
         }, Ordering.Long)
       else
-        componentsBy[String](files.map { f =>
+        componentsBy[String](hulled.map { f =>
           val r = rows(f.getFileName.toString); (f, r.min, r.max)
         }, KeyStats.Utf8Order)
-    (comps, files.size, unknown.size)
+    (comps, files.size, unknown.size, emptyFiles, nullKeyed)
   }
 
   /** OVERLAP-AWARE RECLUSTER — the maintenance pass that closes the
@@ -281,7 +290,8 @@ object Compaction {
       throw new IllegalStateException(s"no live version at $root"))
     TargetedDelete.requireFlatLayout(Paths.get(root, live0), "recluster")
     // cheap pre-check outside the commit: already disjoint → no version churn
-    val (comps0, total0, _) = overlapComponents(spark, Paths.get(root, live0), keyCol)
+    val (comps0, total0, _, _, _) =
+      overlapComponents(spark, Paths.get(root, live0), keyCol)
     if (!comps0.exists(_.size >= 2))
       return ReclusterStats(live0, total0, 0, 0, 0, 0, 0, noOp = true)
     final case class AlreadyClustered(live: String, nFiles: Int) extends Exception
@@ -291,7 +301,8 @@ object Compaction {
         throw new IllegalStateException(s"no live version at $root"))
       val liveDir = Paths.get(root, liveV)
       TargetedDelete.requireFlatLayout(liveDir, "recluster")
-      val (comps, total, footer) = overlapComponents(spark, liveDir, keyCol)
+      val (comps, total, footer, emptyFiles, nullKeyed) =
+        overlapComponents(spark, liveDir, keyCol)
       val (multi, single) = comps.partition(_.size >= 2)
       if (multi.isEmpty) throw AlreadyClustered(liveV, total)
       JFiles.createDirectories(stageDir)
@@ -306,7 +317,10 @@ object Compaction {
       val rewriteOut = stageDir.resolve("rewrite")
       parts.reduce(_.unionAll(_)).write.mode("overwrite").parquet(rewriteOut.toString)
       val nOut = TargetedDelete.moveStagedParts(rewriteOut, stageDir)
-      val linked = single.flatten
+      // hull-less files: provably-empty (rowCount==0) rewrites are DROPPED
+      // (a rewrite is staging its replacement bytes, so the version stays
+      // readable); all-NULL-key files cannot overlap any hull — linked
+      val linked = single.flatten ++ nullKeyed
       linked.foreach(TargetedDelete.linkInto(stageDir, _))
       val linkedNames = linked.map(_.getFileName.toString).toSet
       KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames)

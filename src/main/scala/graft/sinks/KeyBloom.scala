@@ -224,8 +224,15 @@ object KeyBloom {
     * Cost: one pass per bloomed column over ONLY the fresh files — bytes
     * the staging job just wrote, already pruned to the minimum. */
   private[sinks] def maintainStage(spark: SparkSession, liveDir: Path,
-      stageDir: Path, reusedNames: Set[String]): Unit = {
-    val old = loadBlooms(liveDir)
+      stageDir: Path, reusedNames: Set[String]): Unit =
+    maintainStage(spark, liveDir, stageDir, reusedNames, loadBlooms(liveDir))
+
+  /** [[maintainStage]] with the predecessor's blooms already loaded — the
+    * staging pass that probed them must not parse the sidecar twice
+    * (mirrors `Pruned.allSideRows` on the stats side). */
+  private[sinks] def maintainStage(spark: SparkSession, liveDir: Path,
+      stageDir: Path, reusedNames: Set[String],
+      old: Map[(String, String), BloomRow]): Unit = {
     if (old.isEmpty) return
     val carried = old.filter { case ((f, _), _) => reusedNames(f) }
     val freshFiles = TargetedDelete.partFiles(stageDir)

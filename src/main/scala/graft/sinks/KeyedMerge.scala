@@ -274,9 +274,17 @@ object KeyedMerge {
     val side = sideAll.collect { case ((f, c), r) if c == keyCol => f -> r }
     val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
     val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
+    // MATERIALIZE the changeset before the prune probe: the same frame is
+    // evaluated again by the kernel, and a non-stable source (a directory a
+    // writer is appending to, a per-action-varying expression) evaluated
+    // differently in the two passes could surface a key the prune never saw
+    // — the kernel would insert it while a linked file still holds the old
+    // row (Delta materializes the MERGE source for exactly this reason).
+    // Eager localCheckpoint: one evaluation, lineage severed, auto-GC'd.
+    val stable = changes.localCheckpoint(true)
+    val blooms = KeyBloom.loadBlooms(liveDir)
     val (touched, bloomSkipped) =
-      touchedNames(files, rows, keyCol, changes, driverKeyThreshold,
-        KeyBloom.loadBlooms(liveDir))
+      touchedNames(files, rows, keyCol, stable, driverKeyThreshold, blooms)
     val (rewrite, reused) = files.partition(f => touched(f.getFileName.toString))
     Files.createDirectories(stageDir)
     // base = ONLY the intersecting files' rows; stats-disjoint files cannot
@@ -299,7 +307,7 @@ object KeyedMerge {
         val target = (touchedRows.sum + MergeTargetRowsPerFile - 1) / MergeTargetRowsPerFile
         math.max(1L, math.min(rewrite.size.toLong, target)).toInt
       }
-    val merged0 = applyFn(base, changes)
+    val merged0 = applyFn(base, stable)
     // LINK-REUSE SCHEMA GUARD: linked files keep the table's physical types;
     // a kernel that drifts a column's type (e.g. coalescing an INT column
     // with a LONG literal) would publish a MIXED-schema version the full-
@@ -332,7 +340,7 @@ object KeyedMerge {
     // rewritten files get fresh keyCol rows from their local footers
     // (executor-parallel past the threshold)
     val reusedNames = reused.map(_.getFileName.toString).toSet
-    KeyBloom.maintainStage(spark, liveDir, stageDir, reusedNames)
+    KeyBloom.maintainStage(spark, liveDir, stageDir, reusedNames, blooms)
     val carried = sideAll.filter { case ((f, _), _) => reusedNames(f) }
     val reusedKeyRows = reusedNames.toSeq.map(n => (n, keyCol) -> rows(n)).toMap
     val freshFiles = staged.filterNot(p => reusedNames(p.getFileName.toString))

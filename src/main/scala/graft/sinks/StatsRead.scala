@@ -239,19 +239,24 @@ object StatsRead {
     val (bloomed, rest) = files.partition { f =>
       blooms.get((f.getFileName.toString, keyCol)).exists(_.kind == kind)
     }
+    // the two ladders COMPOSE on bloomed files: a sidecar min/max row that
+    // already disproves the key set vetoes a bloom false positive for free
+    // (no footer read is ever paid for a bloomed file — the bloom alone
+    // decides when the sidecar is silent)
+    val sideAll = KeyStats.loadStats(dir).collect {
+      case ((f, c), row) if c == keyCol => f -> row
+    }
     val bloomTouched = bloomed.filter { f =>
-      val b = blooms((f.getFileName.toString, keyCol))
-      keyBytes.exists(b.mightContain)
+      val n = f.getFileName.toString
+      sideAll.get(n).forall(TargetedDelete.rowIntersects(_, ks)) &&
+        keyBytes.exists(blooms((n, keyCol)).mightContain)
     }
     // hybrid fallback for bloom-less files: the min/max ladder
     val (restTouched, opened) =
       if (rest.isEmpty) (Seq.empty[java.nio.file.Path], 0)
       else {
-        val side = KeyStats.loadStats(dir).collect {
-          case ((f, c), row) if c == keyCol => f -> row
-        }
-        val unknown = rest.filterNot(f => side.contains(f.getFileName.toString))
-        val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
+        val unknown = rest.filterNot(f => sideAll.contains(f.getFileName.toString))
+        val rows = sideAll ++ KeyStats.statRowsFor(spark, unknown, keyCol)
         (rest.filter(f => TargetedDelete.rowIntersects(
           rows(f.getFileName.toString), ks)), unknown.size)
       }

@@ -357,7 +357,8 @@ object TargetedDelete {
 
   private[sinks] final case class Pruned(touched: Seq[Path], reused: Seq[Path],
       footerReads: Int, keyRows: Map[String, StatRow],
-      allSideRows: Map[(String, String), StatRow], bloomSkipped: Int = 0)
+      allSideRows: Map[(String, String), StatRow], bloomSkipped: Int = 0,
+      blooms: Map[(String, String), KeyBloom.BloomRow] = Map.empty)
 
   /** Can the file's `_KEYBLOOM` row disprove EVERY key of the set within
     * the file's stats hull? Only enumerated sets probe (a range/prefix
@@ -406,7 +407,7 @@ object TargetedDelete {
         blooms.get((n, keyCol)).exists(b => bloomClears(b, rows(n), ks))
       }
     Pruned(touched, reused0 ++ bloomCleared, unknown.size, rows, sideAll,
-      bloomCleared.size)
+      bloomCleared.size, blooms)
   }
 
   /** The survivor filter over the touched files' rows. */
@@ -462,7 +463,7 @@ object TargetedDelete {
     val reusedNames = pr.reused.map(_.getFileName.toString).toSet
     // bloom lifecycle: linked files carry rows, fresh rewrites get rows
     // REBUILT on every column the predecessor bloomed (self-maintaining)
-    KeyBloom.maintainStage(spark, liveDir, stageDir, reusedNames)
+    KeyBloom.maintainStage(spark, liveDir, stageDir, reusedNames, pr.blooms)
     val carried = pr.allSideRows.filter { case ((f, _), _) => reusedNames(f) }
     val reusedKeyRows = reusedNames.toSeq
       .map(n => (n, keyCol) -> pr.keyRows(n)).toMap

@@ -198,6 +198,31 @@ class CompactionSpec extends AnyFunSuite {
       s"no-op recluster churned a version: $again")
   }
 
+  test("recluster tolerates 0-row files (kind=none stats): drops them, never throws") {
+    val root = "spark-warehouse/cmp_recluster_empty"
+    rmAll(Paths.get(root))
+    val base = spark.range(2000L).select(col("id"), (col("id") * 3L).as("v"))
+    val a = base.filter(col("id") % 2 === 0)
+      .repartitionByRange(3, col("id")).sortWithinPartitions(col("id"))
+    val b = base.filter(col("id") % 2 === 1)
+      .repartitionByRange(3, col("id")).sortWithinPartitions(col("id"))
+    // a 0-row schema-bearing part file — the shape a drop-all delete or an
+    // all-deleting merge batch legitimately leaves behind
+    val empty = base.where(lit(false)).repartition(1)
+    AtomicTable.commit(a.unionAll(b).unionAll(empty), root, statsCols = Seq("id"))
+    val st = Compaction.reclusterVersion(spark, root, "id")
+    assert(!st.noOp && st.rewrittenFiles >= 2,
+      s"recluster dead-ended on the empty file: $st")
+    // the empty file was dropped, the data is intact, hulls disjoint
+    val liveDir = Paths.get(root, st.version)
+    assert(AtomicTable.read(spark, root).count() == 2000L)
+    val hulls = hullsOf(liveDir, "id")
+    hulls.sliding(2).foreach {
+      case Seq((_, _, maxA), (_, minB, _)) => assert(minB > maxA, hulls.toString)
+      case _ => ()
+    }
+  }
+
   test("recluster: string-keyed overlap heals under UTF-8 byte order") {
     val root = "spark-warehouse/cmp_recluster_str"
     rmAll(Paths.get(root))
