@@ -146,23 +146,40 @@ object KeyedMerge {
     * file's hull spans the key space, min/max prunes nothing — the bloom is
     * the only thing standing between a point changeset and a full-table
     * rewrite. Returns touched file NAMES — the only thing that ever reaches
-    * the driver on the distributed path. Shared with [[StatsRead
-    * .joinPruned]] (dynamic file pruning: the same decision, read-side). */
+    * the driver on the distributed path — plus the STABLE changeset the
+    * caller must feed downstream. The changeset is evaluated once more by
+    * the merge kernel / the pruned join, and a non-stable source (a
+    * directory a writer is appending to) evaluated differently could
+    * surface a key the prune never saw — a linked file would keep the old
+    * row while the kernel inserts it (Delta materializes the MERGE source
+    * for exactly this reason). Two costs, by regime: the DRIVER regime's
+    * probe provably read EVERY row (the limit returned under the
+    * threshold), so consistency needs only a key-membership filter on the
+    * kernel's input — keys unseen by the prune are deferred, NULL-key rows
+    * pass (they match nothing, affect no linked file) — zero extra jobs;
+    * the DISTRIBUTED regime eagerly localCheckpoints before the lookup job
+    * so the assignment and the kernel read the same bytes. Shared with
+    * [[StatsRead.joinPruned]] (dynamic file pruning: the same decision,
+    * read-side). */
+  private[sinks] final case class Assignment(touched: Set[String],
+      bloomSkipped: Int, stableChanges: DataFrame)
+
   private[sinks] def touchedNames(files: Seq[Path], rows: Map[String, KeyStats.StatRow],
       keyCol: String, changes: DataFrame, driverKeyThreshold: Int,
-      blooms: Map[(String, String), KeyBloom.BloomRow]): (Set[String], Int) = {
+      blooms: Map[(String, String), KeyBloom.BloomRow]): Assignment = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val kind = changes.schema(keyCol).dataType match {
       case LongType | IntegerType => "long"
       case StringType => "string"
-      case _ => return (files.map(_.getFileName.toString).toSet, 0) // no stats family
+      case _ => // no stats family: nothing prunes, any evaluation is consistent
+        return Assignment(files.map(_.getFileName.toString).toSet, 0, changes)
     }
     val bloomFor: Map[String, KeyBloom.BloomRow] =
       blooms.collect { case ((f, c), b) if c == keyCol && b.kind == kind => f -> b }
     val named = files.map(f => f.getFileName.toString -> rows(f.getFileName.toString))
     val (stat, blind) = named.partition(_._2.kind == kind)
     val blindNames = blind.map(_._1).toSet
-    if (stat.isEmpty && bloomFor.isEmpty) return (blindNames, 0)
+    if (stat.isEmpty && bloomFor.isEmpty) return Assignment(blindNames, 0, changes)
     // regime probe: one SHUFFLE-FREE job (CollectLimit, no distinct — a
     // micro-batch's rows come back raw and dedup on the driver; a distinct
     // here would cost a 32-partition exchange per micro-batch). The
@@ -179,7 +196,7 @@ object KeyedMerge {
       // Blind files (no usable stats) are saved by a bloom alone when every
       // key misses it.
       def decide[K](keys: Array[K], ks: TargetedDelete.KeySet, ord: Ordering[K],
-          decode: String => K, bytes: K => Array[Byte]): (Set[String], Int) = {
+          decode: String => K, bytes: K => Array[Byte]): Assignment = {
         val statsTouched = stat.collect {
           case (n, r) if TargetedDelete.rowIntersects(r, ks) => (n, r)
         }
@@ -192,7 +209,13 @@ object KeyedMerge {
             keys.exists(k => b.mightContain(bytes(k)))) => n
         }.toSet
         val wouldTouch = statsTouched.size + blind.size
-        (touched ++ blindTouched, wouldTouch - touched.size - blindTouched.size)
+        // consistency filter, not a checkpoint: the probe saw every row, so
+        // restricting the downstream evaluation to the probed keys (NULLs
+        // pass — they match nothing) makes source drift harmless for free
+        val stable = changes.filter(
+          col(keyCol).isNull || ks.matchPredicate(keyCol))
+        Assignment(touched ++ blindTouched,
+          wouldTouch - touched.size - blindTouched.size, stable)
       }
       if (kind == "long") {
         val keys = probe.map(_.getLong(0)).distinct.sorted
@@ -204,7 +227,11 @@ object KeyedMerge {
           identity, KeyBloom.stringBytes)
       }
     } else {
-      // distributed regime: key→files lookup over the boundary index,
+      // distributed regime: materialize FIRST (eager localCheckpoint — one
+      // evaluation, lineage severed, auto-GC'd), so the lookup job and the
+      // downstream kernel/join read the same bytes.
+      val stable = changes.localCheckpoint(true)
+      // key→files lookup over the boundary index,
       // ACTUALLY broadcast (sc.broadcast — a plain closure capture would
       // re-serialize the 10⁵-entry index into every task), run as a Spark
       // job — only (file name, bloom verdict) pairs are collected. The
@@ -218,7 +245,7 @@ object KeyedMerge {
       // only).
       val collected =
         if (kind == "long") {
-          val bc = changes.sparkSession.sparkContext.broadcast(
+          val bc = stable.sparkSession.sparkContext.broadcast(
             (boundaryIndex[Long](stat, _.toLong, Ordering.Long), bloomFor))
           val filesFor = udf { (k: java.lang.Long) =>
             if (k == null) Array.empty[(String, Boolean)]
@@ -229,12 +256,12 @@ object KeyedMerge {
                   _.mightContain(KeyBloom.longBytes(k.longValue)))))
             }
           }
-          val out = changes.select(explode(filesFor(col(keyCol).cast("long"))).as("m"))
+          val out = stable.select(explode(filesFor(col(keyCol).cast("long"))).as("m"))
             .groupBy(col("m._1").as("f")).agg(max(col("m._2")).as("t")).collect()
           bc.unpersist(blocking = false)
           out
         } else {
-          val bc = changes.sparkSession.sparkContext.broadcast(
+          val bc = stable.sparkSession.sparkContext.broadcast(
             (boundaryIndex[String](stat, identity, KeyStats.Utf8Order), bloomFor))
           val filesFor = udf { (k: String) =>
             if (k == null) Array.empty[(String, Boolean)]
@@ -245,7 +272,7 @@ object KeyedMerge {
                   _.mightContain(KeyBloom.stringBytes(k)))))
             }
           }
-          val out = changes.select(explode(filesFor(col(keyCol))).as("m"))
+          val out = stable.select(explode(filesFor(col(keyCol))).as("m"))
             .groupBy(col("m._1").as("f")).agg(max(col("m._2")).as("t")).collect()
           bc.unpersist(blocking = false)
           out
@@ -253,7 +280,8 @@ object KeyedMerge {
       val touchedStat = collected.collect {
         case r if r.getBoolean(1) => r.getString(0)
       }.toSet
-      (blindNames ++ touchedStat, collected.length - touchedStat.size)
+      Assignment(blindNames ++ touchedStat,
+        collected.length - touchedStat.size, stable)
     }
   }
 
@@ -274,17 +302,12 @@ object KeyedMerge {
     val side = sideAll.collect { case ((f, c), r) if c == keyCol => f -> r }
     val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
     val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
-    // MATERIALIZE the changeset before the prune probe: the same frame is
-    // evaluated again by the kernel, and a non-stable source (a directory a
-    // writer is appending to, a per-action-varying expression) evaluated
-    // differently in the two passes could surface a key the prune never saw
-    // — the kernel would insert it while a linked file still holds the old
-    // row (Delta materializes the MERGE source for exactly this reason).
-    // Eager localCheckpoint: one evaluation, lineage severed, auto-GC'd.
-    val stable = changes.localCheckpoint(true)
     val blooms = KeyBloom.loadBlooms(liveDir)
-    val (touched, bloomSkipped) =
-      touchedNames(files, rows, keyCol, stable, driverKeyThreshold, blooms)
+    // the assignment also hands back the STABLE changeset the kernel must
+    // consume (key-filtered in the driver regime, checkpointed in the
+    // distributed one) — see touchedNames' consistency contract
+    val Assignment(touched, bloomSkipped, stable) =
+      touchedNames(files, rows, keyCol, changes, driverKeyThreshold, blooms)
     val (rewrite, reused) = files.partition(f => touched(f.getFileName.toString))
     Files.createDirectories(stageDir)
     // base = ONLY the intersecting files' rows; stats-disjoint files cannot
@@ -295,9 +318,7 @@ object KeyedMerge {
     // layout maintenance: range-repartition the rewrite output back onto the
     // key so the clustered layout (and with it, the NEXT merge's pruning)
     // survives the merge instead of shattering into shuffle.partitions-many
-    // overlapping files. The kernel output is PERSISTED around the range
-    // exchange: RangePartitioner's sampling pass would otherwise re-run the
-    // whole merge join a second time for the write.
+    // overlapping files.
     // row-aware output sizing: known when every touched file's sidecar/footer
     // row carries a rowCount (unknown → fall back to the touched-file count)
     val touchedRows = rewrite.map(f => rows(f.getFileName.toString).rowCount)
@@ -323,13 +344,25 @@ object KeyedMerge {
             s"  table:  ${shape(base.schema).mkString(", ")}\n" +
             s"  kernel: ${shape(merged0.schema).mkString(", ")}")
     }
-    val merged = merged0.persist()
     val rewriteOut = stageDir.resolve("rewrite")
-    try {
-      merged.repartitionByRange(outParts, col(keyCol))
-        .sortWithinPartitions(col(keyCol))
+    if (outParts == 1) {
+      // micro-batch fast path (the streaming cadence): one output file
+      // needs no range boundaries — coalesce + in-partition sort gives the
+      // same sorted single file without RangePartitioner's sampling pass,
+      // so the kernel runs ONCE and nothing needs persisting
+      merged0.coalesce(1).sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").parquet(rewriteOut.toString)
-    } finally merged.unpersist(blocking = false)
+    } else {
+      // the kernel output is PERSISTED around the range exchange:
+      // RangePartitioner's sampling pass would otherwise re-run the whole
+      // merge join a second time for the write
+      val merged = merged0.persist()
+      try {
+        merged.repartitionByRange(outParts, col(keyCol))
+          .sortWithinPartitions(col(keyCol))
+          .write.mode("overwrite").parquet(rewriteOut.toString)
+      } finally merged.unpersist(blocking = false)
+    }
     TargetedDelete.moveStagedParts(rewriteOut, stageDir)
     reused.foreach(TargetedDelete.linkInto(stageDir, _))
     val staged = TargetedDelete.partFiles(stageDir)

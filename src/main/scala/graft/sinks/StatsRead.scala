@@ -144,8 +144,10 @@ object StatsRead {
     * driver; beyond, the assignment runs as a Spark job over the broadcast
     * boundary index and only file names return. The join strategy is left
     * to Catalyst (a micro-batch probe auto-broadcasts; a large probe
-    * shuffles — correct either way). `probe` is evaluated twice (prune +
-    * join): persist it first if it is expensive. */
+    * shuffles — correct either way). Probe-source drift between the prune
+    * and the join is neutralized by the assignment's consistency contract
+    * (key-filtered in the driver regime, checkpointed in the distributed
+    * one — [[KeyedMerge.touchedNames]]). */
   def joinPruned(spark: SparkSession, root: String, keyCol: String,
       probe: DataFrame,
       driverKeyThreshold: Int = KeyedMerge.DriverKeyThreshold)
@@ -161,13 +163,14 @@ object StatsRead {
       .collect { case ((f, c), r) if c == keyCol => f -> r }
     val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
     val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
-    val (touched, _) = KeyedMerge.touchedNames(files, rows, keyCol, probe,
-      driverKeyThreshold, KeyBloom.loadBlooms(dir))
+    val KeyedMerge.Assignment(touched, _, stableProbe) =
+      KeyedMerge.touchedNames(files, rows, keyCol, probe,
+        driverKeyThreshold, KeyBloom.loadBlooms(dir))
     val touchedFiles = files.filter(f => touched(f.getFileName.toString))
     val base =
       if (touchedFiles.isEmpty) emptyLike(spark, files, dir)
       else spark.read.parquet(touchedFiles.map(_.toString): _*)
-    (base.join(probe, Seq(keyCol), "inner"),
+    (base.join(stableProbe, Seq(keyCol), "inner"),
       ReadStats(v, files.size, touchedFiles.size, unknown.size))
   }
 
