@@ -55,6 +55,7 @@ object SparkEntry {
     (sinks.StatsRead.queries, sinks.StatsRead.oracles),
     (sinks.CdcApply.queries, sinks.CdcApply.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
+    (sinks.Maintenance.queries, sinks.Maintenance.oracles),
     (ops.Quality.queries, ops.Quality.oracles),
     (ops.Retrieval.queries, ops.Retrieval.oracles),
     (ops.Graph.queries, ops.Graph.oracles),

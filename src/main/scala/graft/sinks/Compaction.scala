@@ -201,7 +201,7 @@ object Compaction {
   /** Connected components of interval overlap: sort hulls by min, extend a
     * running max — a file whose min is ≤ the running max chains into the
     * open component. O(F log F), metadata only. */
-  private def componentsBy[K](named: Seq[(java.nio.file.Path, K, K)],
+  private[sinks] def componentsBy[K](named: Seq[(java.nio.file.Path, K, K)],
       ord: Ordering[K]): Seq[Seq[java.nio.file.Path]] = {
     val sorted = named.sortBy(_._2)(ord)
     val out = scala.collection.mutable.ArrayBuffer

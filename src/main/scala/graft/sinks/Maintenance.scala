@@ -1,0 +1,219 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SELF-SCHEDULING MAINTENANCE — the advisor that closes the lakehouse
+  * operations loop (pre-landed r19 candidate). The maintenance operators
+  * exist ([[Compaction.compactVersion]], [[Compaction.reclusterVersion]],
+  * [[TargetedDelete.indexKeyStats]]); what a 100 TB deployment actually
+  * needs is the DECISION: "has this table drifted enough that a rewrite
+  * pays?" — answered from METADATA ONLY (one directory listing + one
+  * sidecar read; the advisor never opens a footer, never scans a byte),
+  * so it can run after every merge batch for free. This is Delta's
+  * auto-optimize / Iceberg's maintenance-policy move, driven by the same
+  * hull arithmetic the prune uses:
+  *
+  *  - **coverage**: files without a sidecar row on the key can't be
+  *    skipped — the cheapest fix ranks first (`index`, one footer sweep);
+  *  - **size**: small files (< targetBytes/2) pay open/plan overhead per
+  *    query — `compact` folds them (ranked before recluster because the
+  *    size-compactor's hash rewrite may widen hulls; the recluster that
+  *    FOLLOWS restores disjointness, never the other way around);
+  *  - **drift**: the fraction of hull-bearing files sitting in ≥2-file
+  *    overlap components — exactly the files every stats read/delete/
+  *    merge must touch past the minimum. Above [[OverlapThreshold]],
+  *    `recluster` pays for itself.
+  *
+  * [[autoMaintain]] executes the advice to a fixed point (each action at
+  * most once — index → compact → recluster is a terminating ladder by
+  * construction: indexing completes coverage, compaction ends with ≤1
+  * small file, recluster leaves hulls pairwise disjoint), returning the
+  * Health trail an operations log would record. */
+object Maintenance {
+
+  /** One metadata-only health reading. `overlapRatio` = overlapping
+    * hulled files / hulled files; `action` is what the policy would run
+    * next ("index" | "compact" | "recluster" | "none"). */
+  final case class Health(version: String, totalFiles: Int, hulledFiles: Int,
+      overlappingFiles: Int, smallFiles: Int, statsCoverage: Double,
+      overlapRatio: Double, action: String)
+
+  /** Recluster pays once this fraction of hulled files overlap. */
+  val OverlapThreshold = 0.3
+
+  /** Metadata-only health check on `keyCol`: directory listing + sidecar
+    * read, nothing else — files the sidecar does not cover are NOT
+    * footer-probed (that would make the advisor cost O(files) IO); they
+    * lower `statsCoverage` and the advice becomes `index`. */
+  def advise(spark: SparkSession, root: String, keyCol: String,
+      targetBytes: Long = Compaction.TargetBytes): Health = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    val liveDir = Paths.get(root, live)
+    TargetedDelete.requireFlatLayout(liveDir, "maintenance advisor")
+    val files = TargetedDelete.partFiles(liveDir)
+    val side = KeyStats.loadStats(liveDir)
+      .collect { case ((f, c), r) if c == keyCol => f -> r }
+    val covered = files.filter(f => side.contains(f.getFileName.toString))
+    val coverage =
+      if (files.isEmpty) 1.0 else covered.size.toDouble / files.size
+    val hulled = covered.filter(f =>
+      Set("long", "string")(side(f.getFileName.toString).kind))
+    val overlapping =
+      if (hulled.isEmpty) 0
+      else {
+        val kind = side(hulled.head.getFileName.toString).kind
+        val comps =
+          if (kind == "long")
+            Compaction.componentsBy[Long](hulled.map { f =>
+              val r = side(f.getFileName.toString); (f, r.min.toLong, r.max.toLong)
+            }, Ordering.Long)
+          else
+            Compaction.componentsBy[String](hulled.map { f =>
+              val r = side(f.getFileName.toString); (f, r.min, r.max)
+            }, KeyStats.Utf8Order)
+        comps.filter(_.size >= 2).map(_.size).sum
+      }
+    val ratio = if (hulled.isEmpty) 0.0 else overlapping.toDouble / hulled.size
+    val small = files.count(f => Files.size(f) < targetBytes / 2)
+    val action =
+      if (coverage < 1.0) "index"
+      else if (small > 1) "compact"
+      else if (ratio > OverlapThreshold) "recluster"
+      else "none"
+    Health(live, files.size, hulled.size, overlapping, small, coverage,
+      ratio, action)
+  }
+
+  /** Advise → execute → re-advise, to the ladder's fixed point (each
+    * action runs at most once). Returns every Health reading taken — the
+    * last one is the post-maintenance state, `action == "none"` when the
+    * table is healthy. */
+  def autoMaintain(spark: SparkSession, root: String, keyCol: String,
+      targetBytes: Long = Compaction.TargetBytes): Seq[Health] = {
+    val trail = scala.collection.mutable.ArrayBuffer.empty[Health]
+    val ran = scala.collection.mutable.Set.empty[String]
+    var h = advise(spark, root, keyCol, targetBytes)
+    trail += h
+    while (h.action != "none" && !ran(h.action)) {
+      ran += h.action
+      h.action match {
+        case "index" => TargetedDelete.indexKeyStats(spark, root, keyCol)
+        case "compact" =>
+          Compaction.compactVersion(spark, root, targetBytes, Some(keyCol))
+        case "recluster" =>
+          Compaction.reclusterVersion(spark, root, keyCol, targetBytes)
+      }
+      h = advise(spark, root, keyCol, targetBytes)
+      trail += h
+    }
+    trail.toSeq
+  }
+
+  // ------------------------------------------------- driver query
+
+  def autoRoot(dir: String): String =
+    "spark-warehouse/s18_auto_" + new java.io.File(dir).getName
+
+  val AutoInsertBase = 5000000L; val AutoInserts = 50
+
+  /** The drift→detect→heal lifecycle, driver-gated end to end. A clustered
+    * table takes a realistic merge (a low update block PLUS net-new ids
+    * far above the table's max — the CDC insert pattern); the merge's
+    * single rewrite output therefore spans [updateBlock, insertMax],
+    * overlapping every file above the block — REAL drift produced by the
+    * engine's own merge, not a synthetic layout. The query THROWS unless
+    * (a) the advisor detects the drift from metadata alone (action
+    * "recluster", overlapRatio > threshold), (b) [[autoMaintain]] heals
+    * it to the fixed point (final action "none", hulls pairwise
+    * disjoint), and (c) a block read that planned extra files before
+    * plans strictly fewer after. `targetBytes` derives from the observed
+    * table size so the size dimension is healthy by construction at any
+    * SF and the DRIFT dimension drives the run. The oracle replays
+    * base + updates + inserts in SQL — maintenance must move bytes,
+    * never change them. */
+  def qS18AutoMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val root = autoRoot(dir)
+    AtomicTable.deleteRecursively(Paths.get(root))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"),
+        graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
+    AtomicTable.commit(base.repartitionByRange(8, col("id"))
+      .sortWithinPartitions(col("id")), root, statsCols = Seq("id"))
+    val liveDir = Paths.get(root, AtomicTable.currentVersion(root).get)
+    val bytes = TargetedDelete.partFiles(liveDir).map(Files.size(_)).sum
+    val targetBytes = math.max(64L, bytes / 8)
+    // SF-independent geometry, derived from the data (mirrored by the
+    // oracle with DuckDB's // integer division): a LOW update block (so
+    // most files sit above it and the wide rewrite hull overlaps them)
+    // and a MID probe block outside the updated file's own hull
+    val maxId = base.agg(max(col("id"))).head.getLong(0)
+    require(maxId < AutoInsertBase,
+      s"customer keys reach $maxId >= $AutoInsertBase: inserts would collide")
+    val updFrom = maxId / 8; val updTo = updFrom + maxId / 16
+    val blockFrom = maxId / 2; val blockTo = blockFrom + maxId / 16
+    val h0 = advise(spark, root, "id", targetBytes)
+    if (h0.action != "none")
+      throw new IllegalStateException(
+        s"fixture premise broken: fresh clustered table not healthy: $h0")
+    // the engine's own merge produces the drift: updates in a low block +
+    // inserts far above max land in ONE rewrite file spanning both
+    val changes = base.filter(col("id").between(updFrom, updTo))
+      .select(col("id"), (col("id") * 100L).as("bal_c"))
+      .unionAll(spark.range(AutoInserts.toLong)
+        .select((lit(AutoInsertBase) + col("id")).as("id"),
+          (col("id") * 7L).as("bal_c")))
+    KeyedMerge.mergeChangesKeyed(spark, root, "id", changes,
+      (b, c) => b.join(c.select(col("id"), col("bal_c").as("nb")), Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("nb"), col("bal_c")).as("bal_c")))
+    val hDrift = advise(spark, root, "id", targetBytes)
+    if (hDrift.action != "recluster" || hDrift.overlapRatio <= OverlapThreshold)
+      throw new IllegalStateException(
+        s"merge drift not detected from metadata: $hDrift")
+    val (_, rsBefore) = StatsRead.readKeyRange(spark, root, "id", blockFrom, blockTo)
+    val trail = autoMaintain(spark, root, "id", targetBytes)
+    val hEnd = trail.last
+    if (hEnd.action != "none" || hEnd.overlappingFiles != 0)
+      throw new IllegalStateException(
+        s"auto-maintenance did not reach the healthy fixed point: $trail")
+    val (_, rsAfter) = StatsRead.readKeyRange(spark, root, "id", blockFrom, blockTo)
+    if (rsAfter.footerReads != 0 || rsAfter.filesRead >= rsBefore.filesRead)
+      throw new IllegalStateException(
+        s"healing did not restore skipping: before=$rsBefore after=$rsAfter")
+    AtomicTable.read(spark, root)
+      .groupBy((col("id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("bal_c")).as("sum_bal_c"),
+        sum(col("id")).as("sum_ids"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_auto_maintenance" -> (qS18AutoMaintenance _))
+
+  val oracles: Map[String, String] = Map(
+    // maintenance moves bytes, never changes them: the oracle replays
+    // base + update block + inserts
+    "s18_auto_maintenance" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey AS id,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+         |  FROM customer),
+         |m AS (SELECT max(c_custkey) AS mx FROM customer),
+         |merged AS (
+         |  SELECT id,
+         |    CASE WHEN id BETWEEN (SELECT mx // 8 FROM m)
+         |              AND (SELECT mx // 8 + mx // 16 FROM m)
+         |         THEN id * 100 ELSE bal_c END AS bal_c
+         |  FROM base
+         |  UNION ALL
+         |  SELECT $AutoInsertBase + i.range, i.range * 7
+         |  FROM range($AutoInserts) i)
+         |SELECT id % 10 AS bucket, count(*) AS n_rows,
+         |  CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+         |  CAST(sum(id) AS BIGINT) AS sum_ids
+         |FROM merged GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.{AtomicTable, KeyedMerge, Maintenance}
+
+/** Advisor contracts the driver query proves only end-to-end: each health
+  * dimension maps to its action (coverage → index, size → compact, drift →
+  * recluster), the ladder terminates at "none" with each action run at most
+  * once, and a healthy table is never churned. */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+
+  private def rm(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p)
+      try it.iterator().asScala.toSeq.foreach(rm) finally it.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  private def fresh(name: String): String = {
+    val root = s"spark-warehouse/maint_$name"; rm(Paths.get(root)); root
+  }
+
+  private def targetFor(root: String): Long = {
+    val live = Paths.get(root, AtomicTable.currentVersion(root).get)
+    val bytes = Files.list(live).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size(_)).sum
+    math.max(64L, bytes / 8)
+  }
+
+  test("healthy clustered table: advice is none, autoMaintain churns nothing") {
+    val root = fresh("healthy")
+    AtomicTable.commit(spark.range(4000L).select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    val t = targetFor(root)
+    val h = Maintenance.advise(spark, root, "id", t)
+    assert(h.action == "none" && h.overlappingFiles == 0 && h.statsCoverage == 1.0, h.toString)
+    val v0 = AtomicTable.currentVersion(root)
+    val trail = Maintenance.autoMaintain(spark, root, "id", t)
+    assert(trail.size == 1 && AtomicTable.currentVersion(root) == v0,
+      s"healthy table churned a version: $trail")
+  }
+
+  test("uncovered stats: advice is index; autoMaintain restores coverage first") {
+    val root = fresh("index")
+    AtomicTable.commit(spark.range(2000L).select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")), root) // NO statsCols
+    val t = targetFor(root)
+    val h = Maintenance.advise(spark, root, "id", t)
+    assert(h.action == "index" && h.statsCoverage == 0.0, h.toString)
+    val trail = Maintenance.autoMaintain(spark, root, "id", t)
+    assert(trail.last.action == "none" && trail.last.statsCoverage == 1.0,
+      trail.toString)
+  }
+
+  test("merge drift: advice is recluster; the ladder heals to a disjoint fixed point") {
+    val root = fresh("drift")
+    AtomicTable.commit(spark.range(4000L).select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    val t = targetFor(root)
+    // the engine's own merge produces the drift: low update block + far inserts
+    val changes = spark.range(500L, 560L).select(col("id"), lit(-1L).as("nv"))
+      .unionAll(spark.range(20L).select((lit(9000000L) + col("id")).as("id"),
+        lit(-2L).as("nv")))
+    KeyedMerge.mergeChangesKeyed(spark, root, "id", changes,
+      (b, c) => b.join(c, Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("nv"), col("v")).as("v")))
+    val h = Maintenance.advise(spark, root, "id", t)
+    assert(h.action == "recluster" && h.overlapRatio > Maintenance.OverlapThreshold,
+      h.toString)
+    val trail = Maintenance.autoMaintain(spark, root, "id", t)
+    assert(trail.last.action == "none" && trail.last.overlappingFiles == 0,
+      trail.toString)
+    // each action ran at most once; content survived the heal
+    val actions = trail.init.map(_.action)
+    assert(actions.distinct.size == actions.size, s"action repeated: $trail")
+    assert(AtomicTable.read(spark, root).count() == 4020L)
+  }
+
+  test("small files: advice is compact; recluster follows if compaction widened hulls") {
+    val root = fresh("small")
+    // 16 deliberately tiny files of a 400-row table
+    AtomicTable.commit(spark.range(400L).select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(16, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    // a target far above any file's size marks everything small
+    val t = 1L << 20
+    val h = Maintenance.advise(spark, root, "id", t)
+    assert(h.action == "compact" && h.smallFiles == 16, h.toString)
+    val trail = Maintenance.autoMaintain(spark, root, "id", t)
+    assert(trail.last.action == "none" && trail.last.smallFiles <= 1,
+      trail.toString)
+    assert(AtomicTable.read(spark, root).count() == 400L)
+  }
+}
