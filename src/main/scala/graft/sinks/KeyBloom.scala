@@ -212,6 +212,25 @@ object KeyBloom {
     missing.size
   }
 
+  /** parquet-NATIVE bloom write options for every column the sidecar
+    * blooms — the ROW-GROUP-level complement of the file-level sidecar,
+    * and the documented 10⁶-file scale path: the sidecar prunes FILES from
+    * the driver without IO; inside a touched multi-row-group file (128 MB
+    * row groups in a 1 GB file at production sizing) the parquet reader
+    * prunes ROW GROUPS with the native bloom when Spark pushes an
+    * equality/IN filter — standard parquet-mr machinery, no custom reader.
+    * Staging rewrites apply these automatically whenever the predecessor
+    * version carries a `_KEYBLOOM` row for the column (sidecar presence IS
+    * the opt-in — a metadata-only decision); table builders can pass the
+    * same options to any initial write. At local test sizes every file is
+    * one row group, so the spec verifies presence + read correctness; the
+    * payoff surface is the multi-row-group file. */
+  private[sinks] def nativeWriteOptions(
+      blooms: Map[(String, String), BloomRow]): Map[String, String] =
+    blooms.keys.map(_._2).toSet.toSeq.sorted.map { c =>
+      s"parquet.bloom.filter.enabled#$c" -> "true"
+    }.toMap
+
   /** Stage-side bloom lifecycle for delete/merge/compaction/recluster:
     * carry rows for hard-LINKED files (same bytes, same bloom) and REBUILD
     * rows for freshly staged files on every column the predecessor bloomed

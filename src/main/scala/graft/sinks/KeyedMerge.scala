@@ -345,13 +345,16 @@ object KeyedMerge {
             s"  kernel: ${shape(merged0.schema).mkString(", ")}")
     }
     val rewriteOut = stageDir.resolve("rewrite")
+    // bloomed tables get parquet-NATIVE blooms in their rewrite output too
+    // (row-group-level skipping inside touched files — the 10^6-file path)
+    val wOpts = KeyBloom.nativeWriteOptions(blooms)
     if (outParts == 1) {
       // micro-batch fast path (the streaming cadence): one output file
       // needs no range boundaries — coalesce + in-partition sort gives the
       // same sorted single file without RangePartitioner's sampling pass,
       // so the kernel runs ONCE and nothing needs persisting
       merged0.coalesce(1).sortWithinPartitions(col(keyCol))
-        .write.mode("overwrite").parquet(rewriteOut.toString)
+        .write.options(wOpts).mode("overwrite").parquet(rewriteOut.toString)
     } else {
       // the kernel output is PERSISTED around the range exchange:
       // RangePartitioner's sampling pass would otherwise re-run the whole
@@ -360,7 +363,7 @@ object KeyedMerge {
       try {
         merged.repartitionByRange(outParts, col(keyCol))
           .sortWithinPartitions(col(keyCol))
-          .write.mode("overwrite").parquet(rewriteOut.toString)
+          .write.options(wOpts).mode("overwrite").parquet(rewriteOut.toString)
       } finally merged.unpersist(blocking = false)
     }
     TargetedDelete.moveStagedParts(rewriteOut, stageDir)

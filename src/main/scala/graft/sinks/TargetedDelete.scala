@@ -453,10 +453,12 @@ object TargetedDelete {
       else (dropped0, rewrite0)
     Files.createDirectories(stageDir)
     if (rewrite.nonEmpty) {
-      // one job over ONLY the partially-intersecting files
+      // one job over ONLY the partially-intersecting files; bloomed tables
+      // keep parquet-native blooms in the surviving rewrite too
       val rewriteOut = stageDir.resolve("rewrite")
       survivors(spark.read.parquet(rewrite.map(_.toString): _*), keyCol, ks)
-        .write.mode("overwrite").parquet(rewriteOut.toString)
+        .write.options(KeyBloom.nativeWriteOptions(pr.blooms))
+        .mode("overwrite").parquet(rewriteOut.toString)
       moveStagedParts(rewriteOut, stageDir)
     }
     pr.reused.foreach(linkInto(stageDir, _))

@@ -127,6 +127,56 @@ class KeyBloomSpec extends AnyFunSuite {
       s"deleted key still admitted by a stale bloom: $rsGone")
   }
 
+  test("bloomed table's merge rewrite carries a parquet-NATIVE bloom; unbloomed doesn't") {
+    import graft.sinks.KeyedMerge
+    def nativeBloom(p: Path, col: String): Boolean = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val rg = r.getRowGroups.get(0)
+        val cc = rg.getColumns.asScala.find(_.getPath.toDotString == col).get
+        r.getBloomFilterDataReader(rg).readBloomFilter(cc) != null
+      } finally r.close()
+    }
+    val upsert = (b: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =>
+      b.join(c, Seq("h"), "full_outer")
+        .select(col("h"), coalesce(col("nv"), col("id")).as("id"),
+          coalesce(col("grp"), lit(0L)).as("grp"))
+    def changes() = spark.range(2L).select(
+      md5((col("id") * 997L).cast("string")).as("h"), lit(-1L).as("nv"))
+    def freshFiles(root: String, prevV: String): Seq[Path] = {
+      val live = Paths.get(root, AtomicTable.currentVersion(root).get)
+      val prev = Paths.get(root, prevV)
+      Files.list(live).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filterNot(p => Files.exists(prev.resolve(p.getFileName.toString))).toSeq
+    }
+    // sidecar-bloomed table: the staging rewrite opts into native blooms
+    val rootB = "spark-warehouse/test_bloom_native_b"
+    buildHashed(rootB)
+    KeyBloom.indexKeyBloom(spark, rootB, "h")
+    val prevB = AtomicTable.currentVersion(rootB).get
+    KeyedMerge.mergeChangesKeyed(spark, rootB, "h", changes(), upsert)
+    val fb = freshFiles(rootB, prevB)
+    assert(fb.nonEmpty && fb.forall(nativeBloom(_, "h")),
+      "bloomed table's rewrite lost the parquet-native bloom")
+    // unbloomed table: no native bloom forced on anyone
+    val rootN = "spark-warehouse/test_bloom_native_n"
+    buildHashed(rootN)
+    val prevN = AtomicTable.currentVersion(rootN).get
+    KeyedMerge.mergeChangesKeyed(spark, rootN, "h", changes(), upsert)
+    val fn = freshFiles(rootN, prevN)
+    assert(fn.nonEmpty && !fn.exists(nativeBloom(_, "h")),
+      "unbloomed table's rewrite unexpectedly carries a native bloom")
+    // correctness through the native-bloomed file: point read finds the row
+    val (out, _) = StatsRead.readStringKeyInBloom(spark, rootB, "h",
+      Seq(md5hex("997")))
+    import spark.implicits._
+    assert(out.select("id").as[Long].collect().toSet == Set(-1L))
+  }
+
   test("astral-plane string keys hash by UTF-8 bytes on both sides") {
     val root = "spark-warehouse/test_bloom_astral"
     deleteAll(Paths.get(root))

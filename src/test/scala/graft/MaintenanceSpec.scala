@@ -85,6 +85,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(AtomicTable.read(spark, root).count() == 4020L)
   }
 
+  test("streaming cadence: autoMaintain between micro-batches keeps the table healthy, exactly-once intact") {
+    val root = fresh("stream")
+    AtomicTable.commit(spark.range(4000L).select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    val t = targetFor(root)
+    val upsert = (b: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =>
+      b.join(c, Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("nv"), col("v")).as("v"))
+    // three drifting micro-batches (each: a block update + far inserts),
+    // the advisor run after every commit — the maintenance loop a real
+    // deployment schedules
+    (0 until 3).foreach { i =>
+      val batch = spark.range(400L + i * 37, 460L + i * 37)
+        .select(col("id"), lit(-1L - i).as("nv"))
+        .unionAll(spark.range(10L).select(
+          (lit(9000000L) + lit(i * 100L) + col("id")).as("id"), lit(-9L).as("nv")))
+      val ms = KeyedMerge.commitBatchKeyed(spark, root, "maint-stream", i.toLong,
+        "id", batch, upsert)
+      assert(ms.nonEmpty, s"batch $i skipped unexpectedly")
+      Maintenance.autoMaintain(spark, root, "id", t)
+      val h = Maintenance.advise(spark, root, "id", t)
+      assert(h.action == "none", s"batch $i left the table unhealthy: $h")
+    }
+    // redelivery of batch 2 after maintenance flipped versions: still skipped
+    var evaluated = false
+    val skipped = KeyedMerge.commitBatchKeyed(spark, root, "maint-stream", 2L,
+      "id", { evaluated = true; spark.range(1).select(col("id"), lit(0L).as("nv")) },
+      upsert)
+    assert(skipped.isEmpty && !evaluated,
+      "maintenance commits must not reset the streaming redelivery guard")
+    assert(AtomicTable.read(spark, root).count() == 4030L)
+  }
+
   test("small files: advice is compact; recluster follows if compaction widened hulls") {
     val root = fresh("small")
     // 16 deliberately tiny files of a 400-row table
