@@ -36,11 +36,13 @@ import graft.Tables
 object Maintenance {
 
   /** One metadata-only health reading. `overlapRatio` = overlapping
-    * hulled files / hulled files; `action` is what the policy would run
-    * next ("index" | "compact" | "recluster" | "none"). */
+    * hulled files / hulled files; `bloomCoverage` is 1.0 when the table
+    * carries no blooms at all (nothing to maintain) and the bloomed
+    * fraction otherwise; `action` is what the policy would run next
+    * ("index" | "bloom" | "compact" | "recluster" | "none"). */
   final case class Health(version: String, totalFiles: Int, hulledFiles: Int,
       overlappingFiles: Int, smallFiles: Int, statsCoverage: Double,
-      overlapRatio: Double, action: String)
+      overlapRatio: Double, action: String, bloomCoverage: Double = 1.0)
 
   /** Recluster pays once this fraction of hulled files overlap. */
   val OverlapThreshold = 0.3
@@ -80,13 +82,29 @@ object Maintenance {
       }
     val ratio = if (hulled.isEmpty) 0.0 else overlapping.toDouble / hulled.size
     val small = files.count(f => Files.size(f) < targetBytes / 2)
+    // bloom coverage: a table with ANY bloom on the key has opted into the
+    // unclustered-key prune — files missing their row (a partial index, an
+    // interrupted build) silently degrade every point merge/delete/read to
+    // conservative touches; staging passes self-maintain, so a gap here
+    // means a re-index is due. A bloom-less table scores 1.0 (no opt-in,
+    // nothing to heal).
+    val bloomed = KeyBloom.loadBlooms(liveDir)
+      .collect { case ((f, c), _) if c == keyCol => f }.toSet
+    val bloomCov =
+      if (bloomed.isEmpty || files.isEmpty) 1.0
+      else files.count(f => bloomed(f.getFileName.toString)).toDouble / files.size
+    // a bloomed key is the declared point-lookup key of an UNCLUSTERED
+    // layout: its hulls overlapping is the expected state (the bloom exists
+    // precisely because min/max cannot prune it), so drift on it is not
+    // actionable — recluster advice applies to hull-pruned keys only
     val action =
       if (coverage < 1.0) "index"
+      else if (bloomCov < 1.0) "bloom"
       else if (small > 1) "compact"
-      else if (ratio > OverlapThreshold) "recluster"
+      else if (ratio > OverlapThreshold && bloomed.isEmpty) "recluster"
       else "none"
     Health(live, files.size, hulled.size, overlapping, small, coverage,
-      ratio, action)
+      ratio, action, bloomCov)
   }
 
   /** Advise → execute → re-advise, to the ladder's fixed point (each
@@ -103,6 +121,13 @@ object Maintenance {
       ran += h.action
       h.action match {
         case "index" => TargetedDelete.indexKeyStats(spark, root, keyCol)
+        case "bloom" =>
+          // carry the table's own sizing: the widest existing bloom's bits
+          val live = Paths.get(root, AtomicTable.currentVersion(root).get)
+          val bits = KeyBloom.loadBlooms(live)
+            .collect { case ((_, c), b) if c == keyCol => b.bits }
+            .foldLeft(KeyBloom.DefaultBits)(math.max)
+          KeyBloom.indexKeyBloom(spark, root, keyCol, bits)
         case "compact" =>
           Compaction.compactVersion(spark, root, targetBytes, Some(keyCol))
         case "recluster" =>

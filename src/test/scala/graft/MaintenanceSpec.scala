@@ -85,6 +85,30 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(AtomicTable.read(spark, root).count() == 4020L)
   }
 
+  test("partial bloom coverage: advice is bloom; re-index carries the widest existing bits") {
+    import graft.sinks.KeyBloom
+    val root = fresh("bloomcov")
+    AtomicTable.commit(spark.range(2000L).select(
+      md5(col("id").cast("string")).as("h"), col("id").as("v"))
+      .repartitionByRange(8, col("v")), root, statsCols = Seq("h"))
+    val t = targetFor(root)
+    KeyBloom.indexKeyBloom(spark, root, "h", 1 << 15)
+    assert(Maintenance.advise(spark, root, "h", t).action == "none")
+    // a partial index: drop half the bloom rows (the interrupted-build shape)
+    val live = Paths.get(root, AtomicTable.currentVersion(root).get)
+    val all = KeyBloom.loadBlooms(live)
+    KeyBloom.writeBlooms(live, all.take(all.size / 2))
+    val h = Maintenance.advise(spark, root, "h", t)
+    assert(h.action == "bloom" && h.bloomCoverage < 1.0, h.toString)
+    val trail = Maintenance.autoMaintain(spark, root, "h", t)
+    assert(trail.last.action == "none" && trail.last.bloomCoverage == 1.0,
+      trail.toString)
+    // re-indexed rows carry the table's own (widened) sizing
+    val after = KeyBloom.loadBlooms(live)
+    assert(after.size == 8 && after.values.forall(_.bits == (1 << 15)),
+      s"re-index lost the table's bloom sizing: ${after.values.map(_.bits).toSet}")
+  }
+
   test("streaming cadence: autoMaintain between micro-batches keeps the table healthy, exactly-once intact") {
     val root = fresh("stream")
     AtomicTable.commit(spark.range(4000L).select(col("id"), (col("id") * 3L).as("v"))
