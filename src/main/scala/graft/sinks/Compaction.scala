@@ -158,9 +158,17 @@ object Compaction {
       val bytes = small.map(JFiles.size(_)).sum
       val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val rewriteOut = stageDir.resolve("rewrite")
+      // bloomed tables keep parquet-native blooms in the coalesced output
+      // (NDV from the inputs' sidecar rowCounts, bytes fallback)
+      val blooms = KeyBloom.loadBlooms(liveDir)
+      val sideRows = TargetedDelete.loadStats(liveDir)
+      def rcOf(name: String): Long = sideRows.collectFirst {
+        case ((f, _), r) if f == name => r.rowCount }.getOrElse(-1L)
       spark.read.parquet(small.map(_.toString): _*)
         .repartition(n)
-        .write.mode("overwrite").parquet(rewriteOut.toString)
+        .write.options(KeyBloom.nativeWriteOptions(blooms,
+          KeyBloom.ndvFor(small, rcOf)))
+        .mode("overwrite").parquet(rewriteOut.toString)
       nOut = TargetedDelete.moveStagedParts(rewriteOut, stageDir)
       big.foreach(TargetedDelete.linkInto(stageDir, _))
       // stats lifecycle: linked files keep ALL their indexed rows; fresh
@@ -168,8 +176,8 @@ object Compaction {
       // linked files also carry their BLOOM rows (same bytes, same bloom —
       // the maintenance pass must not degrade the bloom path)
       val linkedNames = big.map(_.getFileName.toString).toSet
-      KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames)
-      val carried = TargetedDelete.loadStats(liveDir)
+      KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames, blooms)
+      val carried = sideRows
         .filter { case ((f, _), _) => linkedNames(f) }
       val fresh = statsCol match {
         case Some(c) =>
@@ -315,7 +323,15 @@ object Compaction {
           .sortWithinPartitions(col(keyCol))
       }
       val rewriteOut = stageDir.resolve("rewrite")
-      parts.reduce(_.unionAll(_)).write.mode("overwrite").parquet(rewriteOut.toString)
+      // bloomed tables keep parquet-native blooms in the reclustered output
+      val blooms = KeyBloom.loadBlooms(liveDir)
+      val sideRows = TargetedDelete.loadStats(liveDir)
+      def rcOf(name: String): Long = sideRows.collectFirst {
+        case ((f, _), r) if f == name => r.rowCount }.getOrElse(-1L)
+      parts.reduce(_.unionAll(_))
+        .write.options(KeyBloom.nativeWriteOptions(blooms,
+          KeyBloom.ndvFor(multi.flatten, rcOf)))
+        .mode("overwrite").parquet(rewriteOut.toString)
       val nOut = TargetedDelete.moveStagedParts(rewriteOut, stageDir)
       // hull-less files: provably-empty (rowCount==0) rewrites are DROPPED
       // (a rewrite is staging its replacement bytes, so the version stays
@@ -323,8 +339,8 @@ object Compaction {
       val linked = single.flatten ++ nullKeyed
       linked.foreach(TargetedDelete.linkInto(stageDir, _))
       val linkedNames = linked.map(_.getFileName.toString).toSet
-      KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames)
-      val carried = TargetedDelete.loadStats(liveDir)
+      KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames, blooms)
+      val carried = sideRows
         .filter { case ((f, _), _) => linkedNames(f) }
       val freshFiles = TargetedDelete.partFiles(stageDir)
         .filterNot(p => linkedNames(p.getFileName.toString))

@@ -224,12 +224,33 @@ object KeyBloom {
     * the opt-in — a metadata-only decision); table builders can pass the
     * same options to any initial write. At local test sizes every file is
     * one row group, so the spec verifies presence + read correctness; the
-    * payoff surface is the multi-row-group file. */
+    * payoff surface is the multi-row-group file.
+    *
+    * `ndvEstimate` MUST be passed: parquet-mr with no expected-NDV and
+    * adaptive sizing off allocates the MAXIMUM bloom (~1 MB per column per
+    * row group) — a few-hundred-KB micro-batch rewrite would gain a 1 MB
+    * bloom per bloomed column. Callers estimate from the sidecar rowCounts
+    * of the files being rewritten (an upper bound on per-row-group NDV —
+    * oversized is wasted bytes, undersized is fpp; the bound errs small). */
   private[sinks] def nativeWriteOptions(
-      blooms: Map[(String, String), BloomRow]): Map[String, String] =
-    blooms.keys.map(_._2).toSet.toSeq.sorted.map { c =>
-      s"parquet.bloom.filter.enabled#$c" -> "true"
+      blooms: Map[(String, String), BloomRow],
+      ndvEstimate: Long): Map[String, String] = {
+    val ndv = math.max(1024L, ndvEstimate)
+    blooms.keys.map(_._2).toSet.toSeq.sorted.flatMap { c =>
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
     }.toMap
+  }
+
+  /** NDV estimate for a rewrite over `files`: the sidecar rowCounts where
+    * every file carries one, else bytes/16 (>=16 bytes per row — errs
+    * toward a larger, still-bounded bloom). */
+  private[sinks] def ndvFor(files: Seq[Path],
+      rowCountOf: String => Long): Long = {
+    val counts = files.map(f => rowCountOf(f.getFileName.toString))
+    if (files.nonEmpty && counts.forall(_ >= 0L)) counts.sum
+    else files.map(f => Files.size(f) / 16).sum
+  }
 
   /** Stage-side bloom lifecycle for delete/merge/compaction/recluster:
     * carry rows for hard-LINKED files (same bytes, same bloom) and REBUILD

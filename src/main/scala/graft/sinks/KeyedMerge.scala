@@ -211,9 +211,15 @@ object KeyedMerge {
         val wouldTouch = statsTouched.size + blind.size
         // consistency filter, not a checkpoint: the probe saw every row, so
         // restricting the downstream evaluation to the probed keys (NULLs
-        // pass — they match nothing) makes source drift harmless for free
-        val stable = changes.filter(
-          col(keyCol).isNull || ks.matchPredicate(keyCol))
+        // pass — they match nothing) makes source drift harmless for free.
+        // Tiered like every other key filter: a literal predicate while the
+        // set is small, a broadcast LEFT SEMI beyond IsinKeyThreshold (a
+        // 10^5-literal In expression would cost Catalyst per micro-batch)
+        val stable =
+          if (ks.preferPredicate)
+            changes.filter(col(keyCol).isNull || ks.matchPredicate(keyCol))
+          else changes.filter(col(keyCol).isNull)
+            .unionAll(TargetedDelete.matched(changes, keyCol, ks))
         Assignment(touched ++ blindTouched,
           wouldTouch - touched.size - blindTouched.size, stable)
       }
@@ -227,10 +233,20 @@ object KeyedMerge {
           identity, KeyBloom.stringBytes)
       }
     } else {
-      // distributed regime: materialize FIRST (eager localCheckpoint — one
-      // evaluation, lineage severed, auto-GC'd), so the lookup job and the
-      // downstream kernel/join read the same bytes.
-      val stable = changes.localCheckpoint(true)
+      // distributed regime: materialize the DISTINCT KEY SET only (eager
+      // localCheckpoint — one evaluation, lineage severed, auto-GC'd), not
+      // the full changeset: the consistency contract needs the downstream
+      // evaluation restricted to keys the lookup saw, which a semi join
+      // against the checkpointed keys provides at a fraction of the
+      // storage; full-row materialization would write every probe column
+      // to executor storage even for a probe cheaper to evaluate twice.
+      // The distinct also dedups the per-key UDF work in the lookup job.
+      val keyed = changes.select((kind match {
+        case "long" => col(keyCol).cast("long")
+        case _ => col(keyCol)
+      }).as(keyCol)).na.drop().distinct().localCheckpoint(true)
+      val stable = changes.filter(col(keyCol).isNull)
+        .unionAll(changes.join(keyed, Seq(keyCol), "left_semi"))
       // key→files lookup over the boundary index,
       // ACTUALLY broadcast (sc.broadcast — a plain closure capture would
       // re-serialize the 10⁵-entry index into every task), run as a Spark
@@ -245,7 +261,7 @@ object KeyedMerge {
       // only).
       val collected =
         if (kind == "long") {
-          val bc = stable.sparkSession.sparkContext.broadcast(
+          val bc = keyed.sparkSession.sparkContext.broadcast(
             (boundaryIndex[Long](stat, _.toLong, Ordering.Long), bloomFor))
           val filesFor = udf { (k: java.lang.Long) =>
             if (k == null) Array.empty[(String, Boolean)]
@@ -256,12 +272,12 @@ object KeyedMerge {
                   _.mightContain(KeyBloom.longBytes(k.longValue)))))
             }
           }
-          val out = stable.select(explode(filesFor(col(keyCol).cast("long"))).as("m"))
+          val out = keyed.select(explode(filesFor(col(keyCol))).as("m"))
             .groupBy(col("m._1").as("f")).agg(max(col("m._2")).as("t")).collect()
           bc.unpersist(blocking = false)
           out
         } else {
-          val bc = stable.sparkSession.sparkContext.broadcast(
+          val bc = keyed.sparkSession.sparkContext.broadcast(
             (boundaryIndex[String](stat, identity, KeyStats.Utf8Order), bloomFor))
           val filesFor = udf { (k: String) =>
             if (k == null) Array.empty[(String, Boolean)]
@@ -272,7 +288,7 @@ object KeyedMerge {
                   _.mightContain(KeyBloom.stringBytes(k)))))
             }
           }
-          val out = stable.select(explode(filesFor(col(keyCol))).as("m"))
+          val out = keyed.select(explode(filesFor(col(keyCol))).as("m"))
             .groupBy(col("m._1").as("f")).agg(max(col("m._2")).as("t")).collect()
           bc.unpersist(blocking = false)
           out
@@ -346,14 +362,17 @@ object KeyedMerge {
     }
     val rewriteOut = stageDir.resolve("rewrite")
     // bloomed tables get parquet-NATIVE blooms in their rewrite output too
-    // (row-group-level skipping inside touched files — the 10^6-file path)
-    val wOpts = KeyBloom.nativeWriteOptions(blooms)
+    // (row-group-level skipping inside touched files — the 10^6-file path),
+    // NDV-sized from the touched files' sidecar rowCounts
+    val wOpts = KeyBloom.nativeWriteOptions(blooms,
+      KeyBloom.ndvFor(rewrite, n => rows(n).rowCount))
     if (outParts == 1) {
-      // micro-batch fast path (the streaming cadence): one output file
-      // needs no range boundaries — coalesce + in-partition sort gives the
-      // same sorted single file without RangePartitioner's sampling pass,
-      // so the kernel runs ONCE and nothing needs persisting
-      merged0.coalesce(1).sortWithinPartitions(col(keyCol))
+      // single-output fast path (the streaming cadence): RangePartitioner
+      // computes NO range bounds at <=1 partition, so this is one kernel
+      // evaluation with the JOIN still parallel upstream of the 1-partition
+      // exchange — no sampling pass, nothing to persist (coalesce(1) would
+      // instead pull the whole kernel join into a single task)
+      merged0.repartitionByRange(1, col(keyCol)).sortWithinPartitions(col(keyCol))
         .write.options(wOpts).mode("overwrite").parquet(rewriteOut.toString)
     } else {
       // the kernel output is PERSISTED around the range exchange:

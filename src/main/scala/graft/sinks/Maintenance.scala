@@ -47,6 +47,11 @@ object Maintenance {
   /** Recluster pays once this fraction of hulled files overlap. */
   val OverlapThreshold = 0.3
 
+  /** At or above this overlap fraction on a FULLY-BLOOMED key the overlap
+    * is read as structural (a scattered hash key — every hull spans the
+    * space from v1), not merge drift; recluster is suppressed there. */
+  val StructuralOverlapRatio = 0.9
+
   /** Metadata-only health check on `keyCol`: directory listing + sidecar
     * read, nothing else — files the sidecar does not cover are NOT
     * footer-probed (that would make the advisor cost O(files) IO); they
@@ -65,10 +70,15 @@ object Maintenance {
       if (files.isEmpty) 1.0 else covered.size.toDouble / files.size
     val hulled = covered.filter(f =>
       Set("long", "string")(side(f.getFileName.toString).kind))
+    val kinds = hulled.map(f => side(f.getFileName.toString).kind).distinct
+    if (kinds.size > 1)
+      throw new IllegalArgumentException(
+        s"advisor found MIXED stats kinds on $keyCol (${kinds.mkString(", ")})" +
+          " — the table's key column types diverge across files")
     val overlapping =
       if (hulled.isEmpty) 0
       else {
-        val kind = side(hulled.head.getFileName.toString).kind
+        val kind = kinds.head
         val comps =
           if (kind == "long")
             Compaction.componentsBy[Long](hulled.map { f =>
@@ -93,15 +103,20 @@ object Maintenance {
     val bloomCov =
       if (bloomed.isEmpty || files.isEmpty) 1.0
       else files.count(f => bloomed(f.getFileName.toString)).toDouble / files.size
-    // a bloomed key is the declared point-lookup key of an UNCLUSTERED
-    // layout: its hulls overlapping is the expected state (the bloom exists
-    // precisely because min/max cannot prune it), so drift on it is not
-    // actionable — recluster advice applies to hull-pruned keys only
+    // STRUCTURAL vs DRIFT overlap on a bloomed key: a scattered (hash) key
+    // shows ~total overlap from its very first version — that is the state
+    // the bloom exists FOR, and re-sorting by hash would destroy whatever
+    // layout serves the table's other keys, so it is not actionable. A
+    // CLUSTERED key that also carries a bloom shows partial overlap only
+    // when merges have drifted it — recluster still pays there. The
+    // structural band is ratio >= StructuralOverlapRatio with full bloom
+    // coverage; drift below it is healed regardless of blooms.
+    val structural = bloomed.nonEmpty && ratio >= StructuralOverlapRatio
     val action =
       if (coverage < 1.0) "index"
       else if (bloomCov < 1.0) "bloom"
       else if (small > 1) "compact"
-      else if (ratio > OverlapThreshold && bloomed.isEmpty) "recluster"
+      else if (ratio > OverlapThreshold && !structural) "recluster"
       else "none"
     Health(live, files.size, hulled.size, overlapping, small, coverage,
       ratio, action, bloomCov)

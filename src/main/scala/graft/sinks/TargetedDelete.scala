@@ -457,7 +457,8 @@ object TargetedDelete {
       // keep parquet-native blooms in the surviving rewrite too
       val rewriteOut = stageDir.resolve("rewrite")
       survivors(spark.read.parquet(rewrite.map(_.toString): _*), keyCol, ks)
-        .write.options(KeyBloom.nativeWriteOptions(pr.blooms))
+        .write.options(KeyBloom.nativeWriteOptions(pr.blooms,
+          KeyBloom.ndvFor(rewrite, n => pr.keyRows(n).rowCount)))
         .mode("overwrite").parquet(rewriteOut.toString)
       moveStagedParts(rewriteOut, stageDir)
     }

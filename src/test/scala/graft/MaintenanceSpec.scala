@@ -26,12 +26,14 @@ class MaintenanceSpec extends AnyFunSuite {
     val root = s"spark-warehouse/maint_$name"; rm(Paths.get(root)); root
   }
 
+  /** Target ≈ the mean live file size, so the size dimension reads healthy
+    * by construction and the dimension under test drives each scenario. */
   private def targetFor(root: String): Long = {
     val live = Paths.get(root, AtomicTable.currentVersion(root).get)
-    val bytes = Files.list(live).iterator().asScala
+    val sizes = Files.list(live).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size(_)).sum
-    math.max(64L, bytes / 8)
+      .map(Files.size(_)).toSeq
+    math.max(64L, sizes.sum / math.max(1, sizes.size))
   }
 
   test("healthy clustered table: advice is none, autoMaintain churns nothing") {
@@ -107,6 +109,44 @@ class MaintenanceSpec extends AnyFunSuite {
     val after = KeyBloom.loadBlooms(live)
     assert(after.size == 8 && after.values.forall(_.bits == (1 << 15)),
       s"re-index lost the table's bloom sizing: ${after.values.map(_.bits).toSet}")
+  }
+
+  test("clustered-but-bloomed key: drift still heals; scattered-key overlap reads structural") {
+    import graft.sinks.KeyBloom
+    // clustered key carrying a bloom: merge drift gives PARTIAL overlap,
+    // below the structural band — recluster must still be advised
+    val root = fresh("cb")
+    AtomicTable.commit(spark.range(8000L).select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(16, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    val t = targetFor(root)
+    KeyBloom.indexKeyBloom(spark, root, "id", KeyBloom.bitsFor(8000L / 16 + 1))
+    assert(Maintenance.advise(spark, root, "id", t).action == "none")
+    val changes = spark.range(3000L, 3060L).select(col("id"), lit(-1L).as("nv"))
+      .unionAll(spark.range(10L).select((lit(9000000L) + col("id")).as("id"),
+        lit(-2L).as("nv")))
+    KeyedMerge.mergeChangesKeyed(spark, root, "id", changes,
+      (b, c) => b.join(c, Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("nv"), col("v")).as("v")))
+    val h = Maintenance.advise(spark, root, "id", t)
+    assert(h.action == "recluster" &&
+      h.overlapRatio > Maintenance.OverlapThreshold &&
+      h.overlapRatio < Maintenance.StructuralOverlapRatio,
+      s"drift on a bloomed clustered key must still heal: $h")
+    val trail = Maintenance.autoMaintain(spark, root, "id", t)
+    assert(trail.last.action == "none" && trail.last.overlappingFiles == 0,
+      trail.toString)
+    // scattered hash key, fully bloomed: ~total overlap from birth is the
+    // state the bloom exists FOR — structural, never "reclustered away"
+    val rootH = fresh("cbh")
+    AtomicTable.commit(spark.range(2000L).select(
+      md5(col("id").cast("string")).as("h"), col("id").as("v"))
+      .repartitionByRange(8, col("v")), rootH, statsCols = Seq("h"))
+    KeyBloom.indexKeyBloom(spark, rootH, "h", KeyBloom.bitsFor(2000L / 8 + 1))
+    val hh = Maintenance.advise(spark, rootH, "h", targetFor(rootH))
+    assert(hh.action == "none" &&
+      hh.overlapRatio >= Maintenance.StructuralOverlapRatio,
+      s"scattered-key overlap misread as drift: $hh")
   }
 
   test("streaming cadence: autoMaintain between micro-batches keeps the table healthy, exactly-once intact") {
