@@ -56,6 +56,7 @@ object SparkEntry {
     (sinks.CdcApply.queries, sinks.CdcApply.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
     (sinks.Maintenance.queries, sinks.Maintenance.oracles),
+    (sinks.Expectations.queries, sinks.Expectations.oracles),
     (ops.Quality.queries, ops.Quality.oracles),
     (ops.Retrieval.queries, ops.Retrieval.oracles),
     (ops.Graph.queries, ops.Graph.oracles),

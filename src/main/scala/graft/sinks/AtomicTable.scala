@@ -499,6 +499,41 @@ object AtomicTable {
     spark.read.parquet(s"$root/$version")
   }
 
+  /** RESTORE a retained version as the NEW live version (Delta `RESTORE
+    * TABLE ... TO VERSION AS OF`): stage v{N+1} whose part files are HARD
+    * LINKS to the target's (copy fallback across filesystems), carry its
+    * `_KEYSTATS`/`_KEYBLOOM` sidecars byte-for-byte (the restored version
+    * prunes exactly as its original did), and publish through the
+    * single-writer protocol — O(files) metadata, ZERO data movement, and
+    * history-preserving: the undone versions stay retained within the
+    * window, because a restore is itself just another commit, not a
+    * rollback of the log. */
+  def restoreVersion(root: String, version: String): String = {
+    requireRetained(root, version)
+    val srcDir = Paths.get(root, version)
+    singleWriterStaged(root, "restore") { (live, stageDir) =>
+      if (version == live)
+        throw new IllegalArgumentException(
+          s"$version is already the live version at $root")
+      Files.createDirectories(stageDir)
+      val it = Files.list(srcDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.foreach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet")) {
+            try Files.createLink(stageDir.resolve(n), p)
+            catch {
+              case _: UnsupportedOperationException | _: java.io.IOException =>
+                Files.copy(p, stageDir.resolve(n))
+            }
+          } else if (n == KeyStats.StatsFile || n == KeyBloom.BloomFile)
+            Files.copy(p, stageDir.resolve(n))
+        }
+      } finally it.close()
+    }
+  }
+
   /** Guard for every explicit-version read (here and [[StatsRead
     * .readVersionWhereAll]]): the target must be on disk AND no newer than
     * the manifest's live version. `versions()` lists any `vN` directory, so

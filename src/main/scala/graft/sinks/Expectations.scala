@@ -1,0 +1,152 @@
+package graft.sinks
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** WRITE-TIME EXPECTATIONS with QUARANTINE — the data-quality gate a
+  * training corpus cannot skip (Delta CHECK constraints / DLT
+  * expectations, with the `expect_or_quarantine` policy a pipeline
+  * actually wants: aborting a 100 TB ingest because 0.1% of documents are
+  * malformed throws away the 99.9%, and silently dropping the bad rows
+  * destroys the audit trail). One pass over the batch evaluates EVERY
+  * rule (no per-rule scans), rows failing any rule land in a QUARANTINE
+  * table annotated with the failed rule names, the rest commit to the
+  * main table — both through the atomic protocol, so a crash between the
+  * two commits leaves either table readable at its previous version.
+  *
+  * NULL semantics, stated: a rule PASSES only where its predicate is
+  * literally TRUE — an expectation that evaluates to NULL (e.g.
+  * `n_chars > 100` on a NULL n_chars) FAILS, matching the intuition that
+  * an unverifiable row is not a verified row (and unlike SQL CHECK, which
+  * lets NULLs through).
+  *
+  * Scale shape: the rule column is one codegen'd projection
+  * (array of failed names via when/array/filter — no UDF); the batch is
+  * materialized once (eager localCheckpoint — it feeds two writes and a
+  * counts aggregate; re-evaluating a source twice could send a row to
+  * BOTH tables on drift); per-rule counts reduce map-side. */
+object Expectations {
+
+  /** A named expectation over the batch's columns. */
+  final case class Expectation(name: String, predicate: Column)
+
+  /** What the gate did. `byRule` counts quarantined rows per failed rule
+    * (a row failing two rules counts under both). */
+  final case class ExpectStats(version: String, quarantineVersion: String,
+      passed: Long, quarantined: Long, byRule: Map[String, Long])
+
+  /** The annotation column added to quarantined rows. */
+  val FailedCol = "_failed_expectations"
+
+  /** Evaluate `expectations` over `df` in one pass, commit passing rows to
+    * `root` and failing rows (annotated with the failed rule names,
+    * sorted) to `quarantineRoot`. `statsCols` index the MAIN table's
+    * version as usual. */
+  def commitExpect(spark: SparkSession, df: DataFrame, root: String,
+      quarantineRoot: String, expectations: Seq[Expectation],
+      statsCols: Seq[String] = Nil): ExpectStats = {
+    require(expectations.nonEmpty, "commitExpect needs at least one expectation")
+    require(expectations.map(_.name).distinct.size == expectations.size,
+      "expectation names must be unique")
+    // failed = the names whose predicate is not TRUE (NULL fails)
+    val failed = array_compact(array(expectations.map { e =>
+      when(e.predicate, lit(null).cast("string")).otherwise(lit(e.name))
+    }: _*))
+    val annotated = df.withColumn(FailedCol, failed).localCheckpoint(true)
+    val main = annotated.filter(size(col(FailedCol)) === 0).drop(FailedCol)
+    val quarantine = annotated.filter(size(col(FailedCol)) > 0)
+      .withColumn(FailedCol, array_join(array_sort(col(FailedCol)), ","))
+    val v = AtomicTable.commit(main, root, statsCols = statsCols)
+    val qv = AtomicTable.commit(quarantine, quarantineRoot)
+    val countRow = annotated.agg(
+      sum(when(size(col(FailedCol)) === 0, 1L).otherwise(0L)).as("ok"),
+      sum(when(size(col(FailedCol)) > 0, 1L).otherwise(0L)).as("bad"))
+      .head
+    val byRule = expectations.map { e =>
+      e.name -> annotated
+        .filter(array_contains(col(FailedCol), e.name)).count()
+    }.toMap
+    ExpectStats(v, qv,
+      Option(countRow.get(0)).fold(0L)(_ => countRow.getLong(0)),
+      Option(countRow.get(1)).fold(0L)(_ => countRow.getLong(1)), byRule)
+  }
+
+  // ------------------------------------------------- driver query
+
+  def expectRoot(dir: String): String =
+    "spark-warehouse/dq_expect_" + new java.io.File(dir).getName
+
+  val MinChars = 100L
+
+  /** The corpus admission gate, driver-gated: documents pass only if long
+    * enough AND in the allowed language set — REAL rows fail each rule at
+    * every SF. The query THROWS unless the split is lossless
+    * (passed + quarantined == input), the per-rule counts match the
+    * data, both tables committed atomically, and the quarantine rows
+    * carry their failed-rule annotation. The returned frame unions both
+    * tables' aggregates under a bucket label; the oracle replays the
+    * same split in SQL — the hash row value-checks the gate, the
+    * annotation, and both commits end to end. */
+  def qDqExpectQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val root = expectRoot(dir)
+    val qRoot = root + "_quarantine"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.deleteRecursively(Paths.get(qRoot))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val rules = Seq(
+      Expectation("long_enough", col("n_chars") >= MinChars),
+      Expectation("allowed_lang", col("lang").isin("en", "fr", "de", "es")))
+    val st = commitExpect(spark, docs, root, qRoot, rules,
+      statsCols = Seq("doc_id"))
+    val total = docs.count()
+    if (st.passed + st.quarantined != total || st.quarantined < 1 ||
+        st.passed < 1)
+      throw new IllegalStateException(
+        s"expectation split lost rows: $st vs input $total")
+    val expectShort = docs.filter(col("n_chars") < MinChars).count()
+    val expectLang = docs.filter(!col("lang").isin("en", "fr", "de", "es")).count()
+    if (st.byRule("long_enough") != expectShort ||
+        st.byRule("allowed_lang") != expectLang)
+      throw new IllegalStateException(
+        s"per-rule counts diverge from the data: $st " +
+          s"(want long_enough=$expectShort, allowed_lang=$expectLang)")
+    val kept = AtomicTable.read(spark, root)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("bucket", lit("kept"))
+    val quarantined = AtomicTable.read(spark, qRoot)
+      .groupBy(col(FailedCol).as("lang")) // failed-rule string as the group key
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("bucket", lit("quarantined"))
+    kept.unionByName(quarantined)
+      .select(col("bucket"), col("lang"), col("n_docs"), col("sum_chars"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_expect_quarantine" -> (qDqExpectQuarantine _))
+
+  val oracles: Map[String, String] = Map(
+    // the oracle replays the same split AND the same sorted failed-rule
+    // annotation, so the hash row value-checks the quarantine labels too
+    "dq_expect_quarantine" ->
+      s"""WITH flagged AS (
+         |  SELECT lang, n_chars,
+         |    list_sort(list_filter([
+         |      CASE WHEN NOT coalesce(n_chars >= $MinChars, FALSE)
+         |           THEN 'long_enough' END,
+         |      CASE WHEN NOT coalesce(lang IN ('en','fr','de','es'), FALSE)
+         |           THEN 'allowed_lang' END
+         |    ], x -> x IS NOT NULL)) AS failed
+         |  FROM documents)
+         |SELECT 'kept' AS bucket, lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM flagged WHERE len(failed) = 0 GROUP BY lang
+         |UNION ALL
+         |SELECT 'quarantined', array_to_string(failed, ','), count(*),
+         |  CAST(sum(n_chars) AS BIGINT)
+         |FROM flagged WHERE len(failed) > 0 GROUP BY 2""".stripMargin)
+}

@@ -125,6 +125,52 @@ object SinkQueries {
         (col("n_live") - col("n_asof_v1")).as("n_added"))
   }
 
+  /** RESTORE round trip — the undo half of the S19 time-travel story: commit
+    * the indexed corpus (v1), range-delete a block (v2), then RESTORE v1 as
+    * the live version (v3). The query THROWS unless every restored part file
+    * is INODE-IDENTICAL to its v1 original (links, not copies — a restore
+    * moves zero data bytes) and the restored version still SKIPS (the block
+    * read prunes from the carried sidecar: footerReads==0, filesRead <
+    * totalFiles) — the sidecars travel with the restore, so the undone table
+    * is as queryable as the original. The oracle is the plain block
+    * aggregate over the source = the restored (pre-delete) state. */
+  def qS19Restore(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = "spark-warehouse/s19_restore_" + new java.io.File(dir).getName
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      graft.Tables.documents(spark, dir)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, statsCols = Seq("doc_id"))
+    val v1 = AtomicTable.currentVersion(root).get
+    // capture v1's inode identities BEFORE restoring: the restore's publish
+    // prunes v1 past the retention window (a restore is just another
+    // commit), but hard links keep the inodes alive under v3's names
+    def keyOf(p: java.nio.file.Path) = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val v1Keys = TargetedDelete.partFiles(Paths.get(root, v1))
+      .map(p => p.getFileName.toString -> keyOf(p)).toMap
+    TargetedDelete.deleteKeyRange(spark, root, "doc_id",
+      StatsRead.ReadFrom, StatsRead.ReadTo)
+    val v3 = AtomicTable.restoreVersion(root, v1)
+    val restored = TargetedDelete.partFiles(Paths.get(root, v3))
+    if (restored.isEmpty ||
+        restored.map(_.getFileName.toString).toSet != v1Keys.keySet ||
+        !restored.forall(p =>
+          v1Keys(p.getFileName.toString) == keyOf(p)))
+      throw new IllegalStateException(
+        "restore must hard-link the target version's exact file set")
+    val (df, rs) = StatsRead.readKeyRange(spark, root, "doc_id",
+      StatsRead.ReadFrom, StatsRead.ReadTo)
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles)
+      throw new IllegalStateException(
+        s"restored version lost its skipping sidecar: $rs")
+    df.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   def qS10ConditionalAppend(spark: SparkSession, dir: String): DataFrame =
     MergeSink.conditionalAppend(
       graft.domain.Fixtures.snapshotsDf(spark), incomingSnapshotsDf(spark))
@@ -411,6 +457,7 @@ object SinkQueries {
     "s9_atomic_roundtrip" -> (qS9AtomicRoundtrip _),
     "s9_optimistic_upsert" -> (qS9OptimisticUpsert _),
     "s19_time_travel" -> (qS19TimeTravel _),
+    "s19_restore" -> (qS19Restore _),
     "s9_upsert_poi_vol" -> (qS9UpsertVol _),
     "s10_conditional_append" -> (qS10ConditionalAppend _),
     "pipe_incremental" -> (qIncrementalPipeline _),
@@ -615,6 +662,13 @@ object SinkQueries {
     "pipe_incremental_vol" -> pipeIncrementalVolSql,
     "s9_atomic_roundtrip" -> s9AtomicSql,
     "s9_optimistic_upsert" -> s9AtomicSql,
+    "s19_restore" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE doc_id BETWEEN ${StatsRead.ReadFrom} AND ${StatsRead.ReadTo}
+         |GROUP BY lang, source""".stripMargin,
     "s19_time_travel" ->
       s"""WITH a AS (
          |  SELECT o_orderpriority, count(*) AS n_asof_v1 FROM orders
