@@ -185,8 +185,13 @@ object Maintenance {
     AtomicTable.commit(base.repartitionByRange(8, col("id"))
       .sortWithinPartitions(col("id")), root, statsCols = Seq("id"))
     val liveDir = Paths.get(root, AtomicTable.currentVersion(root).get)
-    val bytes = TargetedDelete.partFiles(liveDir).map(Files.size(_)).sum
-    val targetBytes = math.max(64L, bytes / 8)
+    // target = 2x the SMALLEST live file: no file can read as "small"
+    // (small means < target/2 = min, and nothing is < its own minimum), so
+    // the size dimension is healthy by CONSTRUCTION even though
+    // RangePartitioner's per-run sampling shifts the file sizes — the
+    // DRIFT dimension alone drives the run
+    val targetBytes = 2 * math.max(64L,
+      TargetedDelete.partFiles(liveDir).map(Files.size(_)).min)
     // SF-independent geometry, derived from the data (mirrored by the
     // oracle with DuckDB's // integer division): a LOW update block (so
     // most files sit above it and the wide rewrite hull overlaps them)
@@ -215,13 +220,22 @@ object Maintenance {
       throw new IllegalStateException(
         s"merge drift not detected from metadata: $hDrift")
     val (_, rsBefore) = StatsRead.readKeyRange(spark, root, "id", blockFrom, blockTo)
+    // the drifted wide file plus the block's own natural file: >= 2 planned
+    if (rsBefore.footerReads != 0 || rsBefore.filesRead < 2)
+      throw new IllegalStateException(
+        s"drift not visible to the block read: $rsBefore")
     val trail = autoMaintain(spark, root, "id", targetBytes)
     val hEnd = trail.last
     if (hEnd.action != "none" || hEnd.overlappingFiles != 0)
       throw new IllegalStateException(
         s"auto-maintenance did not reach the healthy fixed point: $trail")
+    // post-heal the block spans at most two ADJACENT disjoint files (it may
+    // legitimately straddle one recluster output boundary — the gate must
+    // not depend on where RangePartitioner's per-run sample lands), never
+    // more, and never more than before
     val (_, rsAfter) = StatsRead.readKeyRange(spark, root, "id", blockFrom, blockTo)
-    if (rsAfter.footerReads != 0 || rsAfter.filesRead >= rsBefore.filesRead)
+    if (rsAfter.footerReads != 0 || rsAfter.filesRead > 2 ||
+        rsAfter.filesRead > rsBefore.filesRead)
       throw new IllegalStateException(
         s"healing did not restore skipping: before=$rsBefore after=$rsAfter")
     AtomicTable.read(spark, root)
