@@ -231,6 +231,73 @@ object AtomicTable {
     }
   }
 
+  /** APPEND-ONLY commit — the add-files-only shape (Delta/Iceberg append):
+    * the next version is every live file HARD-LINKED (O(1) metadata per
+    * file, zero data movement) plus the batch's rows written as fresh
+    * files. This is the streaming-ingest workhorse: a micro-batch append
+    * to a 100 TB corpus must cost the batch's bytes, not a version's —
+    * [[commit]] would rewrite the table, [[KeyedMerge]] pays a prune it
+    * doesn't need when rows are known-new. Sidecar lifecycle matches every
+    * other staging pass: linked files carry ALL their `_KEYSTATS`/
+    * `_KEYBLOOM` rows; fresh files are indexed on `statsCols` PLUS every
+    * column the predecessor sidecar already indexed (one footer open per
+    * fresh file serves all columns), and bloomed columns get their rows
+    * rebuilt — an append never degrades the skipping contract. A fresh
+    * table (no live version) bootstraps via the plain staged write.
+    * `batch` stamps the (appId, batchId) redelivery tag. */
+  def commitAppend(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
+      batch: Option[(String, Long)] = None): String = currentVersion(root) match {
+    case None =>
+      val v = stage(df, root)
+      indexStage(df.sparkSession, Paths.get(root, v), statsCols)
+      batch match {
+        case Some(tag) => publish(root, v, Some(tag))
+        case None => publish(root, v)
+      }
+      v
+    case Some(_) =>
+      val spark = df.sparkSession
+      singleWriterStaged(root, "append", batch) { (live, stageDir) =>
+        val liveDir = Paths.get(root, live)
+        TargetedDelete.requireFlatLayout(liveDir, "append commit")
+        Files.createDirectories(stageDir)
+        val blooms = KeyBloom.loadBlooms(liveDir)
+        val side = KeyStats.loadStats(liveDir)
+        // native-bloom NDV for the fresh files: a micro-batch is at most a
+        // file's worth of rows — the live files' mean rowCount bounds it
+        // (undersized errs toward fpp, never a wrong row)
+        val counts = side.values.map(_.rowCount).filter(_ >= 0L)
+        val ndv = if (counts.isEmpty) 1024L else counts.sum / counts.size
+        val rewriteOut = stageDir.resolve("rewrite")
+        df.write.options(KeyBloom.nativeWriteOptions(blooms, ndv))
+          .mode("overwrite").parquet(rewriteOut.toString)
+        TargetedDelete.moveStagedParts(rewriteOut, stageDir)
+        val liveFiles = TargetedDelete.partFiles(liveDir)
+        liveFiles.foreach(TargetedDelete.linkInto(stageDir, _))
+        val linkedNames = liveFiles.map(_.getFileName.toString).toSet
+        KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames, blooms)
+        val freshFiles = TargetedDelete.partFiles(stageDir)
+          .filterNot(p => linkedNames(p.getFileName.toString))
+        // symmetric maintenance: fresh files index every column the table
+        // already indexes, not just the caller's statsCols
+        val allCols = (side.keys.map(_._2).toSet ++ statsCols).toSeq.sorted
+        val fresh = KeyStats.statRowsFor(spark, freshFiles, allCols)
+        if (side.nonEmpty || fresh.nonEmpty)
+          KeyStats.writeStats(stageDir, side ++ fresh)
+      }
+  }
+
+  /** Idempotent streaming [[commitAppend]] — the (appId, batchId)
+    * redelivery guard of [[commitBatch]] over the append-only commit.
+    * `df` is only evaluated when the batch is new.
+    * @return true if the append applied, false on a redelivered batch */
+  def commitAppendBatch(df: => DataFrame, root: String, appId: String,
+      batchId: Long, statsCols: Seq[String] = Nil): Boolean = {
+    if (lastBatch(root).exists { case (app, b) => app == appId && batchId <= b })
+      false
+    else { commitAppend(df, root, statsCols, Some((appId, batchId))); true }
+  }
+
   /** SINGLE-WRITER staged commit of a CUSTOM next-state producer — the loop
     * [[TargetedDelete]] pioneered, factored here so every file-granular
     * stager ([[KeyedMerge]], deletes) shares ONE orphan-handling policy:
@@ -515,6 +582,12 @@ object AtomicTable {
       if (version == live)
         throw new IllegalArgumentException(
           s"$version is already the live version at $root")
+      // RE-validate inside the staged closure (r18 advisory): a concurrent
+      // writer's publish can prune the target between the entry check and
+      // the link loop — with `live` now fixed, a stale target fails HERE
+      // with the retention message instead of a NoSuchFileException
+      // surfacing from the middle of the hard-link sweep
+      requireRetained(root, version)
       Files.createDirectories(stageDir)
       val it = Files.list(srcDir)
       try {
@@ -524,7 +597,12 @@ object AtomicTable {
           if (n.endsWith(".parquet")) {
             try Files.createLink(stageDir.resolve(n), p)
             catch {
-              case _: UnsupportedOperationException | _: java.io.IOException =>
+              // a source pruned mid-stage must fail loudly, not silently
+              // copy a half-gone version; only "links unsupported" /
+              // cross-device link failures fall back to a copy
+              case e: java.nio.file.NoSuchFileException => throw e
+              case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
                 Files.copy(p, stageDir.resolve(n))
             }
           } else if (n == KeyStats.StatsFile || n == KeyBloom.BloomFile)

@@ -41,13 +41,28 @@ object Expectations {
   /** The annotation column added to quarantined rows. */
   val FailedCol = "_failed_expectations"
 
-  /** Evaluate `expectations` over `df` in one pass, commit passing rows to
-    * `root` and failing rows (annotated with the failed rule names,
-    * sorted) to `quarantineRoot`. `statsCols` index the MAIN table's
-    * version as usual. */
+  /** Evaluate `expectations` over `df` in one pass, commit failing rows
+    * (annotated with the failed rule names, sorted) to `quarantineRoot`,
+    * then passing rows to `root`. The QUARANTINE commits FIRST: a crash
+    * between the two commits must never publish the admitted rows while
+    * silently losing their batch's audit trail — retrying the whole batch
+    * after a quarantine-only crash re-quarantines duplicates (visible,
+    * reconcilable) instead of destroying evidence (the r18 advisory; the
+    * streaming form [[commitExpectBatch]] removes even the duplicates via
+    * the redelivery corridor). `statsCols` index the MAIN table's version
+    * as usual. */
   def commitExpect(spark: SparkSession, df: DataFrame, root: String,
       quarantineRoot: String, expectations: Seq[Expectation],
       statsCols: Seq[String] = Nil): ExpectStats = {
+    val (annotated, main, quarantine) = gate(df, expectations)
+    val qv = AtomicTable.commit(quarantine, quarantineRoot)
+    val v = AtomicTable.commit(main, root, statsCols = statsCols)
+    finishStats(v, qv, annotated, expectations)
+  }
+
+  /** The one-pass gate: checkpointed annotated batch + the two splits. */
+  private def gate(df: DataFrame, expectations: Seq[Expectation])
+      : (DataFrame, DataFrame, DataFrame) = {
     require(expectations.nonEmpty, "commitExpect needs at least one expectation")
     require(expectations.map(_.name).distinct.size == expectations.size,
       "expectation names must be unique")
@@ -59,19 +74,63 @@ object Expectations {
     val main = annotated.filter(size(col(FailedCol)) === 0).drop(FailedCol)
     val quarantine = annotated.filter(size(col(FailedCol)) > 0)
       .withColumn(FailedCol, array_join(array_sort(col(FailedCol)), ","))
-    val v = AtomicTable.commit(main, root, statsCols = statsCols)
-    val qv = AtomicTable.commit(quarantine, quarantineRoot)
-    val countRow = annotated.agg(
-      sum(when(size(col(FailedCol)) === 0, 1L).otherwise(0L)).as("ok"),
-      sum(when(size(col(FailedCol)) > 0, 1L).otherwise(0L)).as("bad"))
-      .head
-    val byRule = expectations.map { e =>
-      e.name -> annotated
-        .filter(array_contains(col(FailedCol), e.name)).count()
+    (annotated, main, quarantine)
+  }
+
+  /** ALL the gate's counters — pass/fail totals AND the per-rule counts —
+    * in ONE aggregate job over the checkpointed batch (the r18 advisory:
+    * a count() per rule cost R extra scans; per-rule sums reduce map-side
+    * in the same pass as the totals). */
+  private def finishStats(v: String, qv: String, annotated: DataFrame,
+      expectations: Seq[Expectation]): ExpectStats = {
+    val aggs =
+      sum(when(size(col(FailedCol)) === 0, 1L).otherwise(0L)).as("ok") +:
+      sum(when(size(col(FailedCol)) > 0, 1L).otherwise(0L)).as("bad") +:
+      expectations.zipWithIndex.map { case (e, i) =>
+        sum(when(array_contains(col(FailedCol), e.name), 1L).otherwise(0L))
+          .as(s"r$i")
+      }
+    val row = annotated.agg(aggs.head, aggs.tail: _*).head
+    def at(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    val byRule = expectations.zipWithIndex.map { case (e, i) =>
+      e.name -> at(2 + i)
     }.toMap
-    ExpectStats(v, qv,
-      Option(countRow.get(0)).fold(0L)(_ => countRow.getLong(0)),
-      Option(countRow.get(1)).fold(0L)(_ => countRow.getLong(1)), byRule)
+    ExpectStats(v, qv, at(0), at(1), byRule)
+  }
+
+  /** EXACTLY-ONCE streaming form of [[commitExpect]] — the corpus
+    * admission gate inside `foreachBatch` (the r18 verdict item 3).
+    * `foreachBatch` is at-least-once, and the gate writes TWO tables, so
+    * the redelivery corridor must cover BOTH commits:
+    *
+    *  - a batch the MAIN table has absorbed is a full redelivery — skipped
+    *    without evaluating `df` (manifest-only check), returns None;
+    *  - otherwise the gate evaluates ONCE (checkpointed) and each table
+    *    APPENDS through [[AtomicTable.commitAppendBatch]]'s (appId,
+    *    batchId) stamp, QUARANTINE FIRST — a streamed corpus accumulates
+    *    batches, and the append-only commit costs the batch's bytes, not
+    *    the table's. A crash between the two commits replays the batch:
+    *    the quarantine table skips (already stamped), the main table
+    *    applies — both tables converge to exactly one copy, and the
+    *    audit-trail rows are never published without their complement.
+    *
+    * The per-rule counters run only when something committed. */
+  def commitExpectBatch(spark: SparkSession, df: => DataFrame, root: String,
+      quarantineRoot: String, expectations: Seq[Expectation], appId: String,
+      batchId: Long, statsCols: Seq[String] = Nil): Option[ExpectStats] = {
+    if (AtomicTable.lastBatch(root).exists { case (app, b) =>
+        app == appId && batchId <= b }) None
+    else {
+      val (annotated, main, quarantine) = gate(df, expectations)
+      AtomicTable.commitAppendBatch(quarantine, quarantineRoot, appId, batchId)
+      val qv = AtomicTable.currentVersion(quarantineRoot).getOrElse(
+        throw new IllegalStateException(
+          s"quarantine commit left no version at $quarantineRoot"))
+      AtomicTable.commitAppendBatch(main, root, appId, batchId, statsCols)
+      val v = AtomicTable.currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"main commit left no version at $root"))
+      Some(finishStats(v, qv, annotated, expectations))
+    }
   }
 
   // ------------------------------------------------- driver query

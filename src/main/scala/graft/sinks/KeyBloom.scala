@@ -277,10 +277,22 @@ object KeyBloom {
     val carried = old.filter { case ((f, _), _) => reusedNames(f) }
     val freshFiles = TargetedDelete.partFiles(stageDir)
       .filterNot(p => reusedNames(p.getFileName.toString))
-    val fresh = old.keys.map(_._2).toSeq.distinct.sorted.flatMap { c =>
-      val bits = old.collect { case ((_, cc), b) if cc == c => b.bits }.max
-      buildRows(spark, freshFiles, c, bits)
-    }.toMap
+    // a full-rewrite merge (reused empty — the link-reuse schema guard
+    // never ran) may legitimately DROP or RENAME a bloomed column; absent
+    // columns are skipped (their bloom rows lapse) instead of failing the
+    // whole merge from inside buildRows (r18 advisory)
+    val freshCols: Set[String] =
+      if (freshFiles.isEmpty) Set.empty
+      else spark.read.parquet(freshFiles.head.toString).schema.fields.collect {
+        // same type family buildRows accepts — a retyped column lapses too
+        case f if Set[org.apache.spark.sql.types.DataType](
+          LongType, IntegerType, StringType)(f.dataType) => f.name
+      }.toSet
+    val fresh = old.keys.map(_._2).toSeq.distinct.sorted
+      .filter(freshCols.contains).flatMap { c =>
+        val bits = old.collect { case ((_, cc), b) if cc == c => b.bits }.max
+        buildRows(spark, freshFiles, c, bits)
+      }.toMap
     if (carried.nonEmpty || fresh.nonEmpty) writeBlooms(stageDir, carried ++ fresh)
   }
 }

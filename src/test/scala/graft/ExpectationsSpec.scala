@@ -69,6 +69,38 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(AtomicTable.read(spark, q2).count() == 1)
   }
 
+  test("commitExpectBatch: redelivery skips both tables; a crash between the two commits converges on replay") {
+    import spark.implicits._
+    val (root, q) = roots("batch")
+    def batch = Seq((1L, 200L), (2L, -5L)).toDF("id", "n")
+    val rules = Seq(Expectation("pos", col("n") > 0L))
+    val st = Expectations.commitExpectBatch(spark, batch, root, q, rules, "appA", 0L)
+    assert(st.exists(s => s.passed == 1 && s.quarantined == 1), st.toString)
+    val (v0, qv0) = (AtomicTable.currentVersion(root), AtomicTable.currentVersion(q))
+    // full redelivery: evaluated nothing, committed nothing
+    assert(Expectations.commitExpectBatch(spark,
+      sys.error("redelivered batch must not be evaluated"), root, q, rules,
+      "appA", 0L).isEmpty)
+    assert(AtomicTable.currentVersion(root) == v0 &&
+      AtomicTable.currentVersion(q) == qv0, "redelivery must not commit")
+    // crash window: quarantine stamped with batch 1, main not — the replay
+    // must skip the quarantine commit and apply only the main one
+    AtomicTable.commitAppendBatch(
+      batch.filter(col("n") <= 0L)
+        .withColumn(Expectations.FailedCol, lit("pos")), q, "appA", 1L)
+    val qv1 = AtomicTable.currentVersion(q)
+    val st2 = Expectations.commitExpectBatch(spark, batch, root, q, rules, "appA", 1L)
+    assert(st2.nonEmpty, "main table had not absorbed batch 1")
+    assert(AtomicTable.currentVersion(q) == qv1,
+      "replay double-appended the quarantine table")
+    assert(AtomicTable.currentVersion(root) != v0, "main commit missing")
+    // appends accumulate exactly once: (batch 0 + batch 1) x 1 row each
+    assert(AtomicTable.read(spark, q).count() == 2,
+      "quarantine rows duplicated or lost across the crash window")
+    assert(AtomicTable.read(spark, root).count() == 2,
+      "main rows duplicated or lost across the crash window")
+  }
+
   test("statsCols index the MAIN table: a point read on it prunes with zero footers") {
     val (root, q) = roots("indexed")
     val df = spark.range(2000L).select(col("id"), (col("id") % 100).as("n"))

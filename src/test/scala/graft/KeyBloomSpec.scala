@@ -127,6 +127,31 @@ class KeyBloomSpec extends AnyFunSuite {
       s"deleted key still admitted by a stale bloom: $rsGone")
   }
 
+  test("full-rewrite merge dropping a bloomed column lapses its rows instead of failing") {
+    import graft.sinks.KeyedMerge
+    val root = "spark-warehouse/test_bloom_dropcol"
+    deleteAll(Paths.get(root))
+    val df = spark.range(200L).select(
+      col("id"), md5(col("id").cast("string")).as("h"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(df.repartitionByRange(2, col("id"))
+      .sortWithinPartitions(col("id")), root, statsCols = Seq("id"))
+    KeyBloom.indexKeyBloom(spark, root, "h")
+    // changeset spans both files -> full rewrite (reused empty, the
+    // link-reuse schema guard never runs) and the kernel DROPS column h;
+    // before the r19 fix, maintainStage's bloom rebuild threw on h
+    val changes = spark.range(2L).select(
+      (col("id") * 150L).as("id"), lit(-1L).as("grp"))
+    val st = KeyedMerge.mergeChangesKeyed(spark, root, "id", changes,
+      (b, c) => b.select(col("id"), col("grp"))
+        .join(c.select(col("id"), col("grp").as("ng")), Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("ng"), col("grp")).as("grp")))
+    assert(st.reusedFiles == 0 && st.rewrittenFiles == 2, st.toString)
+    val live = Paths.get(root, AtomicTable.currentVersion(root).get)
+    assert(!AtomicTable.read(spark, root).columns.contains("h"))
+    assert(KeyBloom.loadBlooms(live).isEmpty,
+      "bloom rows for the dropped column must lapse, not linger")
+  }
+
   test("bloomed table's merge rewrite carries a parquet-NATIVE bloom; unbloomed doesn't") {
     import graft.sinks.KeyedMerge
     def nativeBloom(p: Path, col: String): Boolean = {

@@ -117,6 +117,56 @@ class SinkSpec extends AnyFunSuite {
     assert(rows.length == 3 && rows.forall(_.getInt(1) == 3))
   }
 
+  test("commitAppend: live files hard-link (inode-verified), sidecar carries and extends, blooms self-maintain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Paths
+    val root = java.nio.file.Files.createTempDirectory("graftappend").toString
+    AtomicTable.commitAppend(
+      spark.range(1000L).select(col("id"), md5(col("id").cast("string")).as("h"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    graft.sinks.KeyBloom.indexKeyBloom(spark, root, "h")
+    def parts(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally st.close()
+    }
+    val v1 = Paths.get(root, AtomicTable.currentVersion(root).get)
+    val v1Parts = parts(v1)
+    AtomicTable.commitAppend(
+      spark.range(1000L, 1010L).select(col("id"), md5(col("id").cast("string")).as("h")),
+      root)
+    val v2 = Paths.get(root, AtomicTable.currentVersion(root).get)
+    assert(v2 != v1)
+    // every v1 part is inode-identical in v2 (linked, not copied/rewritten)
+    v1Parts.foreach { p =>
+      assert(graft.sinks.KeyedMerge.sameInode(p, v2.resolve(p.getFileName.toString)),
+        s"append did not hard-link ${p.getFileName}")
+    }
+    assert(AtomicTable.read(spark, root).count() == 1010L)
+    // sidecar: carried rows + fresh-file rows on EVERY indexed column
+    val side = graft.sinks.KeyStats.loadStats(v2)
+    val v1Names = v1Parts.map(_.getFileName.toString).toSet
+    val freshNames = parts(v2).map(_.getFileName.toString).filterNot(v1Names)
+    assert(freshNames.nonEmpty)
+    freshNames.foreach { n =>
+      assert(side.contains((n, "id")), s"fresh append file $n missing id stats")
+    }
+    // blooms: fresh files got rows rebuilt; the appended key is findable
+    val blooms = graft.sinks.KeyBloom.loadBlooms(v2)
+    freshNames.foreach { n =>
+      assert(blooms.contains((n, "h")), s"fresh append file $n missing bloom row")
+    }
+    val probe = java.security.MessageDigest.getInstance("MD5")
+      .digest("1005".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (out, rs) = graft.sinks.StatsRead.readStringKeyInBloom(spark, root, "h", Seq(probe))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1005L))
+    assert(rs.footerReads == 0 && rs.filesRead <= 2, rs.toString)
+  }
+
   test("commitBatch: redelivered ids skip, legacy manifests upgrade, ids survive plain commits") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftbatch").toString
