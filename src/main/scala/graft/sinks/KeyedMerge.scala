@@ -392,15 +392,20 @@ object KeyedMerge {
       throw new IllegalStateException(
         "keyed merge staged a fileless version — the table would be unreadable")
     // self-maintaining sidecar: linked files carry ALL their index rows,
-    // rewritten files get fresh keyCol rows from their local footers
-    // (executor-parallel past the threshold)
+    // rewritten files get fresh rows on EVERY column the predecessor
+    // indexed — not just keyCol — in the same footer sweep (one open per
+    // file serves all columns; r18 verdict item 2: a Z-ordered two-column
+    // table must not lose zero-footer-read box reads after a merge on one
+    // dimension). Columns a full-rewrite kernel dropped lapse gracefully.
     val reusedNames = reused.map(_.getFileName.toString).toSet
     KeyBloom.maintainStage(spark, liveDir, stageDir, reusedNames, blooms)
     val carried = sideAll.filter { case ((f, _), _) => reusedNames(f) }
     val reusedKeyRows = reusedNames.toSeq.map(n => (n, keyCol) -> rows(n)).toMap
     val freshFiles = staged.filterNot(p => reusedNames(p.getFileName.toString))
-    val freshRows = KeyStats.statRowsFor(spark, freshFiles, keyCol)
-      .map { case (n, row) => (n, keyCol) -> row }
+    val outCols = merged0.schema.fieldNames.toSet
+    val indexedCols = (sideAll.keys.map(_._2).toSet + keyCol)
+      .filter(outCols).toSeq.sorted
+    val freshRows = KeyStats.statRowsFor(spark, freshFiles, indexedCols)
     KeyStats.writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
     (files.size, rewrite.size, reused.size, unknown.size, bloomSkipped)
   }

@@ -472,9 +472,12 @@ object TargetedDelete {
       .map(n => (n, keyCol) -> pr.keyRows(n)).toMap
     val freshFiles = partFiles(stageDir).filterNot(p => reusedNames(p.getFileName.toString))
     // executor-parallel past the threshold — a scattered delete rewrites
-    // many files and their index rows must not serialize on the driver
-    val freshRows = statRowsFor(spark, freshFiles, keyCol)
-      .map { case (n, row) => (n, keyCol) -> row }
+    // many files and their index rows must not serialize on the driver.
+    // Rebuilt on EVERY predecessor-indexed column (one footer open per
+    // file serves all — a delete must not degrade the OTHER columns'
+    // zero-footer-read reads; r18 verdict item 2)
+    val indexedCols = (pr.allSideRows.keys.map(_._2).toSet + keyCol).toSeq.sorted
+    val freshRows = KeyStats.statRowsFor(spark, freshFiles, indexedCols)
     writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
     (files.size, rewrite.size, dropped.size, pr.reused.size, pr.footerReads,
       pr.bloomSkipped)

@@ -125,10 +125,62 @@ object ZorderLayout {
         countDistinct(col("l_partkey")).as("n_parts"))
   }
 
+  /** Partkeys the merge bumps and the quantity delta — inside the box read
+    * so the update is hash-visible, present at every SF. */
+  val MergeKeyFrom = 1L; val MergeKeyTo = 20L; val MergeDelta = 5.0
+
+  /** SYMMETRIC STATS MAINTENANCE under merge (r19 — r18 verdict item 2):
+    * the z-ordered table is indexed on BOTH dimensions, then a keyed merge
+    * updates one dimension's key block. Every staging pass now rebuilds
+    * fresh-file `_KEYSTATS` rows for EVERY predecessor-indexed column in
+    * its one footer sweep — so the box read over BOTH dimensions after the
+    * merge still plans from the sidecar alone. THROWS unless (a) the merge
+    * itself pruned from the sidecar (footerReads==0) and linked most files
+    * (the changeset's partkey hull touches few z-rectangles), and (b) the
+    * post-merge conjunctive box read pays ZERO footer reads and still
+    * skips files — before the fix, every rewritten file's l_suppkey row
+    * was missing and the box read degraded to footer opens forever. The
+    * oracle replays source + update in SQL: maintenance must move bytes,
+    * the merge must change exactly the keyed rows. */
+  def qZorderMergeSkip(spark: SparkSession, dir: String): DataFrame = {
+    val root = zorderRoot(dir) + "_m"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
+    AtomicTable.commit(
+      Tables.lineitem(spark, dir)
+        .withColumn("zcode", zcode(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(NumFiles, col("zcode"))
+        .sortWithinPartitions(col("zcode"))
+        .drop("zcode"),
+      root, statsCols = Seq("l_partkey", "l_suppkey"))
+    val changes = spark.range(MergeKeyFrom, MergeKeyTo + 1)
+      .select(col("id").as("l_partkey"), lit(MergeDelta).as("dq"))
+    val ms = KeyedMerge.mergeChangesKeyed(spark, root, "l_partkey", changes,
+      (base, c) => base.join(c, Seq("l_partkey"), "left")
+        .withColumn("l_quantity",
+          col("l_quantity") + coalesce(col("dq"), lit(0.0)))
+        .drop("dq"))
+    if (ms.footerReads != 0 || ms.reusedFiles < 1 ||
+        ms.rewrittenFiles >= ms.totalFiles)
+      throw new IllegalStateException(
+        s"z-layout merge did not prune from the sidecar: $ms")
+    val (df, rs) = StatsRead.readWhereAll(spark, root, Seq(
+      "l_partkey" -> TargetedDelete.LongRange(0L, 100L),
+      "l_suppkey" -> TargetedDelete.LongRange(0L, 5L)))
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles)
+      throw new IllegalStateException(
+        s"post-merge box read fell off the zero-footer path: $rs " +
+          "(the staging pass must rebuild EVERY indexed column's stats)")
+    df.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s17_zorder_code" -> (qZorderCode _),
     "s17_zorder_scan" -> (qZorderScan _),
-    "s17_zorder_skip" -> (qZorderSkip _))
+    "s17_zorder_skip" -> (qZorderSkip _),
+    "s17_zorder_merge_skip" -> (qZorderMergeSkip _))
 
   /** DuckDB replay of [[spread]], generated from [[SpreadStages]]. */
   private def spreadCtesSql: String = {
@@ -163,5 +215,16 @@ object ZorderLayout {
         |  count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem
         |WHERE l_partkey BETWEEN 0 AND 100 AND l_suppkey BETWEEN 0 AND 5
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    // source + the keyed update, replayed in SQL — the merge changes
+    // exactly the keyed rows, maintenance only moves bytes
+    "s17_zorder_merge_skip" ->
+      s"""SELECT l_suppkey, count(*) AS n_rows,
+         |  CAST(round(sum(CASE WHEN l_partkey BETWEEN $MergeKeyFrom AND $MergeKeyTo
+         |                      THEN l_quantity + $MergeDelta
+         |                      ELSE l_quantity END), 4) AS DOUBLE) AS sum_qty,
+         |  count(DISTINCT l_partkey) AS n_parts
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 0 AND 100 AND l_suppkey BETWEEN 0 AND 5
+         |GROUP BY 1""".stripMargin)
 }

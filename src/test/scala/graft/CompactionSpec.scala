@@ -198,6 +198,33 @@ class CompactionSpec extends AnyFunSuite {
       s"no-op recluster churned a version: $again")
   }
 
+  test("recluster/compact rebuild EVERY indexed column's stats on fresh files, not just the key") {
+    val root = "spark-warehouse/cmp_allcols"
+    rmAll(Paths.get(root))
+    val base = spark.range(6000L).select(col("id"), (col("id") * 3L).as("v"))
+    val a = base.filter(col("id") % 2 === 0)
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    val b = base.filter(col("id") % 2 === 1)
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    AtomicTable.commit(a.unionAll(b), root, statsCols = Seq("id", "v"))
+    val st = Compaction.reclusterVersion(spark, root, "id")
+    assert(!st.noOp && st.rewrittenFiles >= 2, st.toString)
+    // every live file carries BOTH columns' rows — a box read over (id, v)
+    // still plans from the sidecar with zero footer reads
+    val (_, rs) = graft.sinks.StatsRead.readWhereAll(spark, root, Seq(
+      "id" -> graft.sinks.TargetedDelete.LongRange(100L, 200L),
+      "v" -> graft.sinks.TargetedDelete.LongRange(300L, 600L)))
+    assert(rs.footerReads == 0,
+      s"recluster degraded the second column to footer fallback: $rs")
+    // same contract through the delete path
+    graft.sinks.TargetedDelete.deleteKeyRange(spark, root, "id", 500L, 600L)
+    val (_, rs2) = graft.sinks.StatsRead.readWhereAll(spark, root, Seq(
+      "id" -> graft.sinks.TargetedDelete.LongRange(100L, 200L),
+      "v" -> graft.sinks.TargetedDelete.LongRange(300L, 600L)))
+    assert(rs2.footerReads == 0,
+      s"delete degraded the second column to footer fallback: $rs2")
+  }
+
   test("recluster tolerates 0-row files (kind=none stats): drops them, never throws") {
     val root = "spark-warehouse/cmp_recluster_empty"
     rmAll(Paths.get(root))
