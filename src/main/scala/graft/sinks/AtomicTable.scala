@@ -269,7 +269,9 @@ object AtomicTable {
         val counts = side.values.map(_.rowCount).filter(_ >= 0L)
         val ndv = if (counts.isEmpty) 1024L else counts.sum / counts.size
         val rewriteOut = stageDir.resolve("rewrite")
-        df.write.options(KeyBloom.nativeWriteOptions(blooms, ndv))
+        df.write.options(KeyBloom.nativeWriteOptionsCols(
+            blooms.keys.map(_._2).toSet ++ BloomManifest.coveredColumns(liveDir),
+            ndv))
           .mode("overwrite").parquet(rewriteOut.toString)
         TargetedDelete.moveStagedParts(rewriteOut, stageDir)
         val liveFiles = TargetedDelete.partFiles(liveDir)
@@ -607,6 +609,26 @@ object AtomicTable {
             }
           } else if (n == KeyStats.StatsFile || n == KeyBloom.BloomFile)
             Files.copy(p, stageDir.resolve(n))
+          else if (n == BloomManifest.ManifestDir && Files.isDirectory(p)) {
+            // carry the sharded bloom manifest: link its shards, copy the
+            // header — the restored version probes exactly as its original
+            val out = stageDir.resolve(n)
+            Files.createDirectories(out)
+            val shards = Files.list(p)
+            try shards.iterator().asScala.foreach { s =>
+              val sn = s.getFileName.toString
+              if (sn.endsWith(".parquet")) {
+                try Files.createLink(out.resolve(sn), s)
+                catch {
+                  case e: java.nio.file.NoSuchFileException => throw e
+                  case _: UnsupportedOperationException |
+                       _: java.nio.file.FileSystemException =>
+                    Files.copy(s, out.resolve(sn))
+                }
+              } else if (sn == BloomManifest.HeaderFile)
+                Files.copy(s, out.resolve(sn))
+            } finally shards.close()
+          }
         }
       } finally it.close()
     }

@@ -166,7 +166,8 @@ object Compaction {
         case ((f, _), r) if f == name => r.rowCount }.getOrElse(-1L)
       spark.read.parquet(small.map(_.toString): _*)
         .repartition(n)
-        .write.options(KeyBloom.nativeWriteOptions(blooms,
+        .write.options(KeyBloom.nativeWriteOptionsCols(
+          blooms.keys.map(_._2).toSet ++ BloomManifest.coveredColumns(liveDir),
           KeyBloom.ndvFor(small, rcOf)))
         .mode("overwrite").parquet(rewriteOut.toString)
       nOut = TargetedDelete.moveStagedParts(rewriteOut, stageDir)
@@ -333,7 +334,8 @@ object Compaction {
       def rcOf(name: String): Long = sideRows.collectFirst {
         case ((f, _), r) if f == name => r.rowCount }.getOrElse(-1L)
       parts.reduce(_.unionAll(_))
-        .write.options(KeyBloom.nativeWriteOptions(blooms,
+        .write.options(KeyBloom.nativeWriteOptionsCols(
+          blooms.keys.map(_._2).toSet ++ BloomManifest.coveredColumns(liveDir),
           KeyBloom.ndvFor(multi.flatten, rcOf)))
         .mode("overwrite").parquet(rewriteOut.toString)
       val nOut = TargetedDelete.moveStagedParts(rewriteOut, stageDir)

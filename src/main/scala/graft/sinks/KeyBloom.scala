@@ -134,8 +134,18 @@ object KeyBloom {
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** TEST-ONLY instrumentation (the [[KeyStats.footerOpens]] pattern):
+    * how many times the TSV sidecar was driver-materialized. The sharded
+    * manifest's declared query asserts its probe left this counter
+    * untouched — the prune decision provably ran without loading a bloom
+    * row onto the driver. */
+  private[graft] val loadCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def loadBlooms(versionDir: Path): Map[(String, String), BloomRow] = {
     val p = versionDir.resolve(BloomFile)
+    // counted only when a sidecar actually materializes (a missing file
+    // loads nothing — a manifest-backed table stays at zero)
+    if (Files.exists(p)) loadCalls.incrementAndGet()
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
       val a = line.split("\t", 6)
@@ -234,9 +244,15 @@ object KeyBloom {
     * oversized is wasted bytes, undersized is fpp; the bound errs small). */
   private[sinks] def nativeWriteOptions(
       blooms: Map[(String, String), BloomRow],
+      ndvEstimate: Long): Map[String, String] =
+    nativeWriteOptionsCols(blooms.keys.map(_._2).toSet, ndvEstimate)
+
+  /** [[nativeWriteOptions]] from a column set — manifest-bloomed columns
+    * ([[BloomManifest.coveredColumns]]) compose with the TSV map's. */
+  private[sinks] def nativeWriteOptionsCols(cols: Set[String],
       ndvEstimate: Long): Map[String, String] = {
     val ndv = math.max(1024L, ndvEstimate)
-    blooms.keys.map(_._2).toSet.toSeq.sorted.flatMap { c =>
+    cols.toSeq.sorted.flatMap { c =>
       Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
         s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
     }.toMap
@@ -273,6 +289,9 @@ object KeyBloom {
   private[sinks] def maintainStage(spark: SparkSession, liveDir: Path,
       stageDir: Path, reusedNames: Set[String],
       old: Map[(String, String), BloomRow]): Unit = {
+    // the sharded parquet manifest self-maintains through the same hook —
+    // every staging site composes both backends with this one call
+    BloomManifest.maintainStage(spark, liveDir, stageDir, reusedNames)
     if (old.isEmpty) return
     val carried = old.filter { case ((f, _), _) => reusedNames(f) }
     val freshFiles = TargetedDelete.partFiles(stageDir)

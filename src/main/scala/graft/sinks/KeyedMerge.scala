@@ -166,7 +166,8 @@ object KeyedMerge {
 
   private[sinks] def touchedNames(files: Seq[Path], rows: Map[String, KeyStats.StatRow],
       keyCol: String, changes: DataFrame, driverKeyThreshold: Int,
-      blooms: Map[(String, String), KeyBloom.BloomRow]): Assignment = {
+      blooms: Map[(String, String), KeyBloom.BloomRow],
+      liveDir: Option[Path] = None): Assignment = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val kind = changes.schema(keyCol).dataType match {
       case LongType | IntegerType => "long"
@@ -176,10 +177,16 @@ object KeyedMerge {
     }
     val bloomFor: Map[String, KeyBloom.BloomRow] =
       blooms.collect { case ((f, c), b) if c == keyCol && b.kind == kind => f -> b }
+    // sharded-manifest availability (header presence only — the probe job
+    // itself runs once per driver-regime prune; the distributed regime's
+    // bulk changesets stay on the boundary-index path, where per-file
+    // bloom probing is the lookup job's own business)
+    val manifestAvail = liveDir.exists(BloomManifest.exists)
     val named = files.map(f => f.getFileName.toString -> rows(f.getFileName.toString))
     val (stat, blind) = named.partition(_._2.kind == kind)
     val blindNames = blind.map(_._1).toSet
-    if (stat.isEmpty && bloomFor.isEmpty) return Assignment(blindNames, 0, changes)
+    if (stat.isEmpty && bloomFor.isEmpty && !manifestAvail)
+      return Assignment(blindNames, 0, changes)
     // regime probe: one SHUFFLE-FREE job (CollectLimit, no distinct — a
     // micro-batch's rows come back raw and dedup on the driver; a distinct
     // here would cost a 32-partition exchange per micro-batch). The
@@ -197,15 +204,24 @@ object KeyedMerge {
       // key misses it.
       def decide[K](keys: Array[K], ks: TargetedDelete.KeySet, ord: Ordering[K],
           decode: String => K, bytes: K => Array[Byte]): Assignment = {
+        // the distributed manifest probe composes conjunctively with the
+        // TSV bloom and the stats hull: a covered, non-admitted file is
+        // provably disjoint from every probed key
+        val manifest =
+          if (!manifestAvail) None
+          else BloomManifest.probe(changes.sparkSession, liveDir.get, keyCol,
+            kind, keys.toSeq.map(bytes))
+        def mOk(n: String): Boolean =
+          manifest.forall(p => !p.covered(n) || p.admitted(n))
         val statsTouched = stat.collect {
           case (n, r) if TargetedDelete.rowIntersects(r, ks) => (n, r)
         }
         val touched = statsTouched.collect {
-          case (n, r) if bloomFor.get(n).forall(b =>
+          case (n, r) if mOk(n) && bloomFor.get(n).forall(b =>
             KeyBloom.sliceMaybe(b, keys, decode(r.min), decode(r.max), ord, bytes)) => n
         }.toSet
         val blindTouched = blind.collect {
-          case (n, _) if bloomFor.get(n).forall(b =>
+          case (n, _) if mOk(n) && bloomFor.get(n).forall(b =>
             keys.exists(k => b.mightContain(bytes(k)))) => n
         }.toSet
         val wouldTouch = statsTouched.size + blind.size
@@ -323,7 +339,8 @@ object KeyedMerge {
     // consume (key-filtered in the driver regime, checkpointed in the
     // distributed one) — see touchedNames' consistency contract
     val Assignment(touched, bloomSkipped, stable) =
-      touchedNames(files, rows, keyCol, changes, driverKeyThreshold, blooms)
+      touchedNames(files, rows, keyCol, changes, driverKeyThreshold, blooms,
+        Some(liveDir))
     val (rewrite, reused) = files.partition(f => touched(f.getFileName.toString))
     Files.createDirectories(stageDir)
     // base = ONLY the intersecting files' rows; stats-disjoint files cannot
@@ -364,7 +381,8 @@ object KeyedMerge {
     // bloomed tables get parquet-NATIVE blooms in their rewrite output too
     // (row-group-level skipping inside touched files — the 10^6-file path),
     // NDV-sized from the touched files' sidecar rowCounts
-    val wOpts = KeyBloom.nativeWriteOptions(blooms,
+    val wOpts = KeyBloom.nativeWriteOptionsCols(
+      blooms.keys.map(_._2).toSet ++ BloomManifest.coveredColumns(liveDir),
       KeyBloom.ndvFor(rewrite, n => rows(n).rowCount))
     if (outParts == 1) {
       // single-output fast path (the streaming cadence): RangePartitioner

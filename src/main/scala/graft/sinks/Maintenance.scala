@@ -99,7 +99,9 @@ object Maintenance {
     // means a re-index is due. A bloom-less table scores 1.0 (no opt-in,
     // nothing to heal).
     val bloomed = KeyBloom.loadBlooms(liveDir)
-      .collect { case ((f, c), _) if c == keyCol => f }.toSet
+      .collect { case ((f, c), _) if c == keyCol => f }.toSet ++
+      BloomManifest.loadHeader(liveDir)
+        .collect { case ((f, c), _) if c == keyCol => f }
     val bloomCov =
       if (bloomed.isEmpty || files.isEmpty) 1.0
       else files.count(f => bloomed(f.getFileName.toString)).toDouble / files.size
@@ -137,12 +139,21 @@ object Maintenance {
       h.action match {
         case "index" => TargetedDelete.indexKeyStats(spark, root, keyCol)
         case "bloom" =>
-          // carry the table's own sizing: the widest existing bloom's bits
+          // carry the table's own sizing AND backend: a manifest-backed
+          // key heals through the sharded manifest, a TSV key through
+          // the sidecar — the widest existing bits either way
           val live = Paths.get(root, AtomicTable.currentVersion(root).get)
-          val bits = KeyBloom.loadBlooms(live)
-            .collect { case ((_, c), b) if c == keyCol => b.bits }
-            .foldLeft(KeyBloom.DefaultBits)(math.max)
-          KeyBloom.indexKeyBloom(spark, root, keyCol, bits)
+          val mHeader = BloomManifest.loadHeader(live)
+            .collect { case ((_, c), h) if c == keyCol => h }
+          if (mHeader.nonEmpty)
+            BloomManifest.indexBloomManifest(spark, root, keyCol,
+              mHeader.map(_.bits).max, mHeader.map(_.k).max)
+          else {
+            val bits = KeyBloom.loadBlooms(live)
+              .collect { case ((_, c), b) if c == keyCol => b.bits }
+              .foldLeft(KeyBloom.DefaultBits)(math.max)
+            KeyBloom.indexKeyBloom(spark, root, keyCol, bits)
+          }
         case "compact" =>
           Compaction.compactVersion(spark, root, targetBytes, Some(keyCol))
         case "recluster" =>

@@ -264,9 +264,13 @@ object TargetedDelete {
     * hand-assembled or future partitioned version must fail here, not there. */
   private[sinks] def requireFlatLayout(dir: Path, op: String): Unit = {
     val st = Files.list(dir)
+    // metadata directories (underscore/dot-prefixed — the `_KEYBLOOM_PQ`
+    // manifest, in-flight `.tmp` swaps) are invisible to Spark scans and
+    // to partFiles, so they are NOT a partitioned layout
     val subdirs =
       try st.iterator().asScala.filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).toList
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toList
       finally st.close()
     if (subdirs.nonEmpty)
       throw new IllegalStateException(
@@ -399,12 +403,24 @@ object TargetedDelete {
     val rows = side ++ statRowsFor(spark, unknown, keyCol)
     val (touched0, reused0) =
       files.partition(f => rowIntersects(rows(f.getFileName.toString), ks))
+    // sharded-manifest probe for enumerated key sets (one distributed job,
+    // no driver bloom materialization); a covered, non-admitted file is
+    // provably key-free. Ranges/prefixes can't bloom-probe (unbounded key
+    // sets) and stay on the stats ladder.
+    val manifest = ks match {
+      case LongKeys(sorted) => BloomManifest.probe(spark, liveDir, keyCol,
+        "long", sorted.toSeq.map(KeyBloom.longBytes))
+      case StringKeys(sorted) => BloomManifest.probe(spark, liveDir, keyCol,
+        "string", sorted.toSeq.map(KeyBloom.stringBytes))
+      case _ => None
+    }
     val blooms = KeyBloom.loadBlooms(liveDir)
     val (bloomCleared, touched) =
-      if (blooms.isEmpty) (Seq.empty[Path], touched0)
+      if (blooms.isEmpty && manifest.isEmpty) (Seq.empty[Path], touched0)
       else touched0.partition { f =>
         val n = f.getFileName.toString
-        blooms.get((n, keyCol)).exists(b => bloomClears(b, rows(n), ks))
+        manifest.exists(p => p.covered(n) && !p.admitted(n)) ||
+          blooms.get((n, keyCol)).exists(b => bloomClears(b, rows(n), ks))
       }
     Pruned(touched, reused0 ++ bloomCleared, unknown.size, rows, sideAll,
       bloomCleared.size, blooms)
@@ -457,7 +473,8 @@ object TargetedDelete {
       // keep parquet-native blooms in the surviving rewrite too
       val rewriteOut = stageDir.resolve("rewrite")
       survivors(spark.read.parquet(rewrite.map(_.toString): _*), keyCol, ks)
-        .write.options(KeyBloom.nativeWriteOptions(pr.blooms,
+        .write.options(KeyBloom.nativeWriteOptionsCols(
+          pr.blooms.keys.map(_._2).toSet ++ BloomManifest.coveredColumns(liveDir),
           KeyBloom.ndvFor(rewrite, n => pr.keyRows(n).rowCount)))
         .mode("overwrite").parquet(rewriteOut.toString)
       moveStagedParts(rewriteOut, stageDir)

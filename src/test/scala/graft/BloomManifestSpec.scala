@@ -1,0 +1,222 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.{AtomicTable, BloomManifest, KeyBloom, KeyedMerge,
+  Maintenance, StatsRead, TargetedDelete}
+
+/** Sharded-manifest contracts the declared query proves only in aggregate:
+  * the distributed probe's verdicts match the driver-materialized TSV
+  * bloom's bit for bit (same hash walk, two backends); staging passes
+  * self-maintain the manifest (carried rows by semi-join, fresh rebuilds,
+  * removed files dropped); the merge/delete prunes compose it; RESTORE
+  * carries it; the advisor sees and heals it. */
+class BloomManifestSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+
+  private def deleteAll(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p)
+      try it.iterator().asScala.toSeq.foreach(deleteAll) finally it.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def parts(dir: Path): Seq[String] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    finally st.close()
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Hash-keyed corpus, id-clustered (hash scattered), manifest-bloomed. */
+  private def buildManifested(root: String, bits: Int = 1 << 16): Unit = {
+    deleteAll(Paths.get(root))
+    val df = spark.range(4000L).select(
+      col("id"), md5(col("id").cast("string")).as("h"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(
+      df.repartitionByRange(32, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("h"))
+    assert(BloomManifest.indexBloomManifest(spark, root, "h", bits) == 32)
+  }
+
+  private def liveDir(root: String): Path =
+    Paths.get(root, AtomicTable.currentVersion(root).get)
+
+  test("distributed probe verdicts == driver TSV bloom verdicts, key by key") {
+    val root = "spark-warehouse/test_bmanifest_parity"
+    buildManifested(root)
+    // build the TSV backend at the SAME bits on a sibling copy of the
+    // same files and compare per-file verdicts for a mixed key set
+    KeyBloom.indexKeyBloom(spark, root, "h", 1 << 16)
+    val dir = liveDir(root)
+    val tsv = KeyBloom.loadBlooms(dir)
+    val keys = (Seq(0L, 17L, 3999L).map(i => md5hex(i.toString)) ++
+      Seq("absent-a", "absent-b").map(md5hex)).sorted
+    val probe = BloomManifest.probe(spark, dir, "h", "string",
+      keys.map(utf8)).get
+    assert(probe.covered.size == 32)
+    val names = probe.covered.toSeq.sorted
+    names.foreach { n =>
+      val tsvAdmits = keys.exists(k =>
+        tsv((n, "h")).mightContain(utf8(k)))
+      assert(probe.admitted(n) == tsvAdmits,
+        s"backend divergence on $n: manifest=${probe.admitted(n)} tsv=$tsvAdmits")
+    }
+    // present keys are found through the composed read; the TSV counter
+    // DOES move here (both backends present) — parity is the point
+    val (out, rs) = StatsRead.readStringKeyIn(spark, root, "h",
+      Seq(md5hex("17")))
+    import spark.implicits._
+    assert(out.select("id").as[Long].collect().toSet == Set(17L) ||
+      rs.filesRead >= 30) // stats path plans ~all; value check is below
+    val (out2, rs2) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("17")))
+    assert(out2.select("id").as[Long].collect().toSet == Set(17L))
+    assert(rs2.footerReads == 0 && rs2.filesRead <= 4, rs2.toString)
+  }
+
+  test("manifest-only table: point read decides distributed, zero TSV loads") {
+    val root = "spark-warehouse/test_bmanifest_only"
+    buildManifested(root)
+    val dir = liveDir(root)
+    assert(!Files.exists(dir.resolve(KeyBloom.BloomFile)))
+    val loads0 = KeyBloom.loadCalls.get()
+    val (out, rs) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("1234")))
+    import spark.implicits._
+    assert(out.select("id").as[Long].collect().toSet == Set(1234L))
+    assert(rs.footerReads == 0 && rs.filesRead <= 4 && rs.manifestFiles == 32,
+      rs.toString)
+    assert(KeyBloom.loadCalls.get() == loads0,
+      "probe materialized a TSV sidecar that does not exist")
+    // absent key: covered everywhere, admitted ~nowhere
+    val (miss, rsMiss) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("nope")))
+    assert(miss.count() == 0 && rsMiss.filesRead <= 2, rsMiss.toString)
+  }
+
+  test("targeted delete self-maintains the manifest: carry, rebuild, drop") {
+    val root = "spark-warehouse/test_bmanifest_maint"
+    buildManifested(root)
+    val del = TargetedDelete.deleteKeyRange(spark, root, "id", 1050L, 1949L)
+    assert(del.reusedFiles >= 1 && del.rewrittenFiles >= 1, del.toString)
+    val dir = liveDir(root)
+    val header = BloomManifest.loadHeader(dir)
+    val names = parts(dir)
+    names.foreach(n => assert(header.contains((n, "h")),
+      s"post-delete file $n lost manifest coverage"))
+    assert(header.size == names.size,
+      s"stale manifest entries for removed files: ${header.keys}")
+    // a surviving key is found; a DELETED key's probe plans zero files
+    val (out, rs) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("50")))
+    import spark.implicits._
+    assert(out.select("id").as[Long].collect().toSet == Set(50L))
+    assert(rs.footerReads == 0 && rs.manifestFiles == names.size, rs.toString)
+    val (gone, rsGone) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("1500")))
+    assert(gone.count() == 0L && rsGone.filesRead == 0,
+      s"deleted key admitted by a stale manifest bloom: $rsGone")
+  }
+
+  test("keyed merge and delete prunes compose the manifest (bloomSkipped)") {
+    val root = "spark-warehouse/test_bmanifest_merge"
+    buildManifested(root)
+    val changes = spark.createDataFrame(
+      Seq((md5hex("77"), 770L), (md5hex("2048"), -1L)))
+      .toDF("h", "grp")
+    val ms = KeyedMerge.mergeChangesKeyed(spark, root, "h", changes,
+      (base, c) => base.select(col("id"), col("h"), col("grp"))
+        .join(c.select(col("h"), col("grp").as("ng")), Seq("h"), "left")
+        .select(coalesce(col("id"), lit(-1L)).as("id"), col("h"),
+          coalesce(col("ng"), col("grp")).as("grp")))
+    assert(ms.footerReads == 0 && ms.bloomSkipped >= 1 &&
+      ms.rewrittenFiles <= 4 && ms.reusedFiles >= ms.totalFiles - 4,
+      s"manifest did not prune the merge: $ms")
+    // the rewrite output re-enters the manifest (self-maintained)
+    val dir = liveDir(root)
+    val names = parts(dir)
+    val header = BloomManifest.loadHeader(dir)
+    names.foreach(n => assert(header.contains((n, "h"))))
+    val delStats = TargetedDelete.deleteStringKeys(spark, root, "h",
+      Seq(md5hex("3000")))
+    assert(delStats.bloomSkipped >= 1 && delStats.rewrittenFiles <= 4,
+      s"manifest did not prune the delete: $delStats")
+  }
+
+  test("RESTORE carries the manifest: restored version probes distributed") {
+    val root = "spark-warehouse/test_bmanifest_restore"
+    buildManifested(root)
+    val v1 = AtomicTable.currentVersion(root).get
+    TargetedDelete.deleteKeyRange(spark, root, "id", 0L, 999L)
+    AtomicTable.restoreVersion(root, v1)
+    val dir = liveDir(root)
+    assert(BloomManifest.exists(dir), "restore dropped the manifest")
+    val (out, rs) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("500"))) // deleted in v2, alive again after restore
+    import spark.implicits._
+    assert(out.select("id").as[Long].collect().toSet == Set(500L))
+    assert(rs.footerReads == 0 && rs.manifestFiles == rs.totalFiles, rs.toString)
+  }
+
+  test("advisor sees manifest coverage and heals through the manifest backend") {
+    val root = "spark-warehouse/test_bmanifest_advise"
+    buildManifested(root)
+    // neutralize the size dimension (2x the smallest live file — nothing
+    // reads as small, the s18_auto trick) so the heal is the bloom alone
+    val target = 2 * parts(liveDir(root)).map(n =>
+      Files.size(liveDir(root).resolve(n))).min
+    val h0 = Maintenance.advise(spark, root, "h", target)
+    assert(h0.bloomCoverage == 1.0, h0.toString)
+    // strip the header to fake a partial build: coverage drops, the heal
+    // must re-index through the MANIFEST (no TSV may appear)
+    val dir = liveDir(root)
+    val header = BloomManifest.loadHeader(dir)
+    val victim = header.keys.head
+    val mDir = BloomManifest.manifestPath(dir)
+    val body = header.-(victim).toSeq.sortBy(_._1).map { case ((f, c), h) =>
+      java.net.URLEncoder.encode(f, "UTF-8") + "\t" +
+        java.net.URLEncoder.encode(c, "UTF-8") + s"\t${h.kind}\t${h.bits}\t${h.k}"
+    }.mkString("\n")
+    Files.writeString(mDir.resolve(BloomManifest.HeaderFile), body)
+    val h1 = Maintenance.advise(spark, root, "h", target)
+    assert(h1.bloomCoverage < 1.0 && h1.action == "bloom", h1.toString)
+    val trail = Maintenance.autoMaintain(spark, root, "h", target)
+    assert(trail.last.action == "none" && trail.last.bloomCoverage == 1.0,
+      trail.toString)
+    assert(!Files.exists(liveDir(root).resolve(KeyBloom.BloomFile)),
+      "advisor healed a manifest-backed key through the TSV backend")
+    val hdr2 = BloomManifest.loadHeader(liveDir(root))
+    assert(hdr2.contains(victim), "heal did not restore the missing entry")
+  }
+
+  test("full-rewrite merge dropping the bloomed column lapses the manifest gracefully") {
+    val root = "spark-warehouse/test_bmanifest_dropcol"
+    deleteAll(Paths.get(root))
+    val df = spark.range(200L).select(
+      col("id"), md5(col("id").cast("string")).as("h"), (col("id") % 7).as("grp"))
+    AtomicTable.commit(df.repartitionByRange(2, col("id"))
+      .sortWithinPartitions(col("id")), root, statsCols = Seq("id"))
+    BloomManifest.indexBloomManifest(spark, root, "h")
+    val changes = spark.range(2L).select(
+      (col("id") * 150L).as("id"), lit(-1L).as("grp"))
+    val st = KeyedMerge.mergeChangesKeyed(spark, root, "id", changes,
+      (b, c) => b.select(col("id"), col("grp"))
+        .join(c.select(col("id"), col("grp").as("ng")), Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("ng"), col("grp")).as("grp")))
+    assert(st.reusedFiles == 0 && st.rewrittenFiles == 2, st.toString)
+    assert(BloomManifest.loadHeader(liveDir(root)).isEmpty,
+      "manifest rows for the dropped column must lapse, not linger")
+  }
+}
