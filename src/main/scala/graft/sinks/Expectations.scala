@@ -185,10 +185,119 @@ object Expectations {
       .select(col("bucket"), col("lang"), col("n_docs"), col("sum_chars"))
   }
 
+  /** STREAMED EXPECTATIONS GATE, driver-gated (r18 verdict item 3): the
+    * corpus arrives as an AvailableNow file stream (one file per
+    * micro-batch, three batches partitioning `documents` by doc_id % 3),
+    * each batch through [[commitExpectBatch]] — quarantine appended first,
+    * both tables stamped under one (appId, batchId). A MID-FEED RESTART is
+    * baked in: after two micro-batches the engine's commit record for
+    * batch 1 is dropped (the crash-after-sink-commit window foreachBatch
+    * documents), the third file lands, and the stream restarts on the
+    * same checkpoint — Spark redelivers batch 1 and the gate must SKIP
+    * BOTH tables (None) without evaluating the batch, then apply batch 2.
+    * THROWS unless applied==3 ∧ redelivered-skips==1 ∧ the accumulated
+    * split is lossless. The final frame unions both tables' aggregates —
+    * same oracle as the batch gate, so the hash row is green only through
+    * the exactly-once append corridor. Scale shape per micro-batch: the
+    * one-pass rule projection + two add-files-only appends
+    * ([[AtomicTable.commitAppend]] — the batch's bytes, never the
+    * table's). */
+  def qDqExpectStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = expectRoot(dir) + "_stream"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    val (mainRoot, qRoot, feedDir, ckpt) =
+      (s"$root/table", s"$root/quarantine", s"$root/feed", s"$root/ckpt")
+    Files.createDirectories(Paths.get(feedDir))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    (0 to 2).foreach { i =>
+      val f = s"$feedDir/b$i"
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(f)
+      val it = Files.list(Paths.get(f)) // mtime order = delivery order
+      try it.forEach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)))
+      finally it.close()
+    }
+    val rules = Seq(
+      Expectation("long_enough", col("n_chars") >= MinChars),
+      Expectation("allowed_lang", col("lang").isin("en", "fr", "de", "es")))
+    val schema = spark.read.parquet(s"$feedDir/b0").schema
+    val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val redelivered = new java.util.concurrent.atomic.AtomicInteger(0)
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/b*")
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          commitExpectBatch(spark, b, mainRoot, qRoot, rules,
+              "dq-expect-stream", bid, statsCols = Seq("doc_id")) match {
+            case Some(_) => applied.incrementAndGet()
+            case None => redelivered.incrementAndGet()
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException("dq expect stream timed out")
+      }
+    }
+    // feed files all exist up front; two runs with a dropped commit record
+    // between them force the redelivery of batch 1 on the same checkpoint
+    runStream()
+    Files.delete(Paths.get(ckpt, "commits", "2"))
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".2.crc"))
+    runStream()
+    if (applied.get != 3 || redelivered.get != 1)
+      throw new IllegalStateException(
+        s"exactly-once violated: applied=${applied.get} (want 3), " +
+          s"redelivered-skips=${redelivered.get} (want 1)")
+    val total = docs.count()
+    val kept = AtomicTable.read(spark, mainRoot)
+    val quarantined = AtomicTable.read(spark, qRoot)
+    if (kept.count() + quarantined.count() != total)
+      throw new IllegalStateException(
+        "streamed expectation split lost or duplicated rows")
+    kept.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("bucket", lit("kept"))
+      .unionByName(quarantined
+        .groupBy(col(FailedCol).as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("bucket", lit("quarantined")))
+      .select(col("bucket"), col("lang"), col("n_docs"), col("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq_expect_quarantine" -> (qDqExpectQuarantine _))
+    "dq_expect_quarantine" -> (qDqExpectQuarantine _),
+    "dq_expect_stream" -> (qDqExpectStream _))
+
+  private def expectOracleSql: String =
+    s"""WITH flagged AS (
+       |  SELECT lang, n_chars,
+       |    list_sort(list_filter([
+       |      CASE WHEN NOT coalesce(n_chars >= $MinChars, FALSE)
+       |           THEN 'long_enough' END,
+       |      CASE WHEN NOT coalesce(lang IN ('en','fr','de','es'), FALSE)
+       |           THEN 'allowed_lang' END
+       |    ], x -> x IS NOT NULL)) AS failed
+       |  FROM documents)
+       |SELECT 'kept' AS bucket, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM flagged WHERE len(failed) = 0 GROUP BY lang
+       |UNION ALL
+       |SELECT 'quarantined', array_to_string(failed, ','), count(*),
+       |  CAST(sum(n_chars) AS BIGINT)
+       |FROM flagged WHERE len(failed) > 0 GROUP BY 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // batch cuts must not change the gate: the streamed form replays the
+    // SAME whole-corpus split
+    "dq_expect_stream" -> expectOracleSql,
     // the oracle replays the same split AND the same sorted failed-rule
     // annotation, so the hash row value-checks the quarantine labels too
     "dq_expect_quarantine" ->
