@@ -199,6 +199,8 @@ object BloomManifest {
     Files.move(tmp, mPath, StandardCopyOption.ATOMIC_MOVE)
     writeHeader(mPath, header ++ missing.map(f =>
       (f.getFileName.toString, keyCol) -> HeaderRow(kind, bits, k)))
+    // first-bloom witness for the advisor's structural-vs-drift call
+    Maintenance.recordBloomBaseline(spark, root, keyCol)
     missing.size
   }
 

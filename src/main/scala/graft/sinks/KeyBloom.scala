@@ -219,6 +219,8 @@ object KeyBloom {
       .filter(f => !old.contains((f.getFileName.toString, keyCol)))
     if (missing.isEmpty) return 0
     writeBlooms(liveDir, old ++ buildRows(spark, missing, keyCol, bits))
+    // first-bloom witness for the advisor's structural-vs-drift call
+    Maintenance.recordBloomBaseline(spark, root, keyCol)
     missing.size
   }
 

@@ -428,6 +428,16 @@ object KeyedMerge {
     (files.size, rewrite.size, reused.size, unknown.size, bloomSkipped)
   }
 
+  /** Every merge appends its prune outcome to the table's operations log
+    * — the drift signal [[Maintenance.adviseTelemetry]] reads without
+    * touching a sidecar (advisory channel: best-effort, never fails the
+    * merge). */
+  private def logged(root: String, keyCol: String, ms: MergeStats): MergeStats = {
+    Maintenance.recordMerge(root, keyCol, ms.totalFiles, ms.rewrittenFiles,
+      ms.bloomSkipped)
+    ms
+  }
+
   /** Single-writer stats-pruned merge: apply `changes` onto the live version
     * through `applyFn`, rewriting only key-intersecting files. The table
     * must have a committed base ([[AtomicTable.commit]] it first — a merge
@@ -440,7 +450,8 @@ object KeyedMerge {
       last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
         changes, applyFn, driverKeyThreshold)
     }
-    MergeStats(next, last._1, last._2, last._3, last._4, last._5)
+    logged(root, keyCol,
+      MergeStats(next, last._1, last._2, last._3, last._4, last._5))
   }
 
   /** MULTI-WRITER stats-pruned merge through [[AtomicTable.occCommit]]'s
@@ -458,18 +469,30 @@ object KeyedMerge {
       last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
         changes, applyFn, driverKeyThreshold)
     }
-    MergeStats(v, last._1, last._2, last._3, last._4, last._5)
+    logged(root, keyCol,
+      MergeStats(v, last._1, last._2, last._3, last._4, last._5))
   }
 
   /** Idempotent streaming form — [[AtomicTable.commitBatch]]'s
     * (appId, batchId) redelivery guard over the pruned merge: a redelivered
     * micro-batch (foreachBatch is at-least-once) is SKIPPED without
     * evaluating `changes`; a new one stages the pruned merge and stamps the
-    * manifest with its id in the same publish. Returns None on a skip. */
+    * manifest with its id in the same publish. Returns None on a skip.
+    *
+    * `maintainEvery > 0` closes the operations loop INSIDE the cadence
+    * (r18 verdict item 5): after every Nth applied batch the
+    * [[Maintenance.autoMaintain]] ladder runs against the just-published
+    * version — the advisor's check is metadata-only (free per batch), a
+    * heal is an interleaved sequential commit whose publish carries the
+    * (appId, batchId) tag forward, so the exactly-once guard survives the
+    * version flips (MaintenanceSpec pins it). A redelivered batch skips
+    * maintenance too — no new bytes, no new drift. */
   def commitBatchKeyed(spark: SparkSession, root: String, appId: String,
       batchId: Long, keyCol: String, changes: => DataFrame,
       applyFn: (DataFrame, DataFrame) => DataFrame,
-      driverKeyThreshold: Int = DriverKeyThreshold): Option[MergeStats] = {
+      driverKeyThreshold: Int = DriverKeyThreshold,
+      maintainEvery: Int = 0,
+      maintainTargetBytes: Long = Compaction.TargetBytes): Option[MergeStats] = {
     if (AtomicTable.lastBatch(root).exists { case (app, b) =>
         app == appId && batchId <= b }) None
     else {
@@ -480,7 +503,11 @@ object KeyedMerge {
         last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
           c, applyFn, driverKeyThreshold)
       }
-      Some(MergeStats(next, last._1, last._2, last._3, last._4, last._5))
+      val out = Some(logged(root, keyCol,
+        MergeStats(next, last._1, last._2, last._3, last._4, last._5)))
+      if (maintainEvery > 0 && batchId % maintainEvery == 0)
+        Maintenance.autoMaintain(spark, root, keyCol, maintainTargetBytes)
+      out
     }
   }
 }

@@ -1,6 +1,7 @@
 package graft.sinks
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,8 +50,108 @@ object Maintenance {
 
   /** At or above this overlap fraction on a FULLY-BLOOMED key the overlap
     * is read as structural (a scattered hash key — every hull spans the
-    * space from v1), not merge drift; recluster is suppressed there. */
+    * space from v1), not merge drift; recluster is suppressed there.
+    * DISAMBIGUATED BY HISTORY (r18 advisory): structural means the overlap
+    * was ALREADY there when the key was first bloomed — the recorded
+    * [[bloomBaseline]] must itself sit in the band. A clustered key that
+    * carried blooms and then DRIFTED past 90% (many merges before
+    * maintenance first ran) has a low first baseline and still heals;
+    * only a key born scattered is suppressed. Keys bloomed before the
+    * telemetry existed fall back to the instantaneous ratio. */
   val StructuralOverlapRatio = 0.9
+
+  // ------------------------------------------------- operations telemetry
+
+  /** Table-root operations log (`_MAINT_LOG.tsv`) — the advisor's memory
+    * across versions. Advisory channel by contract: appends are
+    * best-effort (a merge must never fail because its telemetry line
+    * could not be written), readers tolerate torn tails, and every
+    * decision that CAN fall back to live metadata does. Two record kinds:
+    * `baseline <keyCol> <overlapRatio>` written when a key is FIRST
+    * bloomed (the structural-vs-drift witness), and
+    * `merge <keyCol> <total> <rewritten> <bloomSkipped>` appended by
+    * every keyed merge — the drift signal [[adviseTelemetry]] reads
+    * WITHOUT touching a sidecar hull. */
+  val MaintLog = "_MAINT_LOG.tsv"
+
+  /** Drift reads from the last [[TelemetryWindow]] merges. */
+  val TelemetryWindow = 5
+  /** Recent mean rewritten/total at or above this says the prune decayed. */
+  val DriftRewriteThreshold = 0.25
+  /** ...and it must have RISEN vs the first window (a table that always
+    * rewrote 30% is shaped that way, not drifting). */
+  val DriftRiseFactor = 1.5
+
+  private def logPath(root: String) = Paths.get(root, MaintLog)
+
+  private[graft] def record(root: String, fields: Seq[String]): Unit =
+    try {
+      Files.createDirectories(Paths.get(root))
+      Files.write(logPath(root),
+        (fields.mkString("\t") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(_) => () } // advisory only
+
+  private def logLines(root: String, kind: String, keyCol: String): Seq[Array[String]] = {
+    val p = logPath(root)
+    if (!Files.exists(p)) Seq.empty
+    else scala.util.Try(Files.readAllLines(p).asScala.toSeq).getOrElse(Seq.empty)
+      .map(_.split("\t"))
+      .filter(a => a.length >= 3 && a(0) == kind && a(1) == keyCol)
+  }
+
+  /** Record the key's overlap ratio at bloom-build time — called by
+    * [[KeyBloom.indexKeyBloom]] and [[BloomManifest.indexBloomManifest]];
+    * first write wins (the FIRST baseline is the witness), and a key with
+    * no orderable hulls records nothing (an unindexed scatter key must
+    * not fake a low baseline). */
+  private[graft] def recordBloomBaseline(spark: SparkSession, root: String,
+      keyCol: String): Unit =
+    if (logLines(root, "baseline", keyCol).isEmpty) {
+      scala.util.Try {
+        val h = advise(spark, root, keyCol)
+        if (h.hulledFiles > 0)
+          record(root, Seq("baseline", keyCol, h.overlapRatio.toString))
+      }
+      ()
+    }
+
+  /** First-ever recorded overlap baseline for the key, if any. */
+  def bloomBaseline(root: String, keyCol: String): Option[Double] =
+    logLines(root, "baseline", keyCol).headOption
+      .flatMap(a => scala.util.Try(a(2).toDouble).toOption)
+
+  /** Append one merge's prune outcome — called by [[KeyedMerge]]. */
+  private[graft] def recordMerge(root: String, keyCol: String,
+      total: Int, rewritten: Int, bloomSkipped: Int): Unit =
+    record(root, Seq("merge", keyCol, total.toString, rewritten.toString,
+      bloomSkipped.toString))
+
+  /** TELEMETRY-ONLY drift advice (r18 verdict item 4): does the merge
+    * history alone — no directory listing, no sidecar hull — say the
+    * prune has decayed? Some("recluster") when the last
+    * [[TelemetryWindow]] merges rewrote ≥ [[DriftRewriteThreshold]] of
+    * the table on average AND that mean rose ≥ [[DriftRiseFactor]]× over
+    * the first window's (needs ≥ 2·window merges to compare). The
+    * hull-based [[advise]] remains the precise decision; this is the
+    * free pre-filter a merge cadence can evaluate per batch. */
+  def adviseTelemetry(root: String, keyCol: String,
+      window: Int = TelemetryWindow): Option[String] = {
+    val merges = logLines(root, "merge", keyCol).flatMap { a =>
+      scala.util.Try((a(2).toInt, a(3).toInt)).toOption
+    }.filter(_._1 > 0)
+    if (merges.size < 2 * window) None
+    else {
+      def mean(xs: Seq[(Int, Int)]): Double =
+        xs.map { case (t, r) => r.toDouble / t }.sum / xs.size
+      val early = mean(merges.take(window))
+      val recent = mean(merges.takeRight(window))
+      if (recent >= DriftRewriteThreshold && recent >= DriftRiseFactor * early)
+        Some("recluster")
+      else None
+    }
+  }
 
   /** Metadata-only health check on `keyCol`: directory listing + sidecar
     * read, nothing else — files the sidecar does not cover are NOT
@@ -112,8 +213,12 @@ object Maintenance {
     // CLUSTERED key that also carries a bloom shows partial overlap only
     // when merges have drifted it — recluster still pays there. The
     // structural band is ratio >= StructuralOverlapRatio with full bloom
-    // coverage; drift below it is healed regardless of blooms.
-    val structural = bloomed.nonEmpty && ratio >= StructuralOverlapRatio
+    // coverage, AND the key's FIRST bloom baseline must already sit in
+    // the band (r18 advisory: a clustered key that drifted past 90%
+    // before maintenance first ran is drift, not structure — its low
+    // recorded baseline proves it). No baseline → instantaneous fallback.
+    val structural = bloomed.nonEmpty && ratio >= StructuralOverlapRatio &&
+      bloomBaseline(root, keyCol).forall(_ >= StructuralOverlapRatio)
     val action =
       if (coverage < 1.0) "index"
       else if (bloomCov < 1.0) "bloom"
@@ -163,6 +268,74 @@ object Maintenance {
       trail += h
     }
     trail.toSeq
+  }
+
+  // ------------------------------------------------- multi-key policy
+
+  /** MULTI-KEY advice (r18 verdict item 4's policy question, answered):
+    * `keyCols.head` is the PRIMARY — the clustering owner, declared by
+    * the caller's order — and runs the full ladder. Every other key is
+    * SECONDARY: its coverage gaps still heal (index/bloom are
+    * layout-independent), but its overlap is NEVER actionable as a
+    * recluster — re-sorting the table on a secondary would destroy the
+    * primary's layout, which is exactly the wrong trade. A secondary
+    * whose overlap would have called for recluster is mapped to `bloom`
+    * while unbloomed (the layout-independent fix for its point lookups)
+    * and to `none` once bloomed; the bloom build records the high
+    * baseline, so the single-key advisor converges to the same verdict. */
+  def adviseMulti(spark: SparkSession, root: String, keyCols: Seq[String],
+      targetBytes: Long = Compaction.TargetBytes): Seq[(String, Health)] = {
+    require(keyCols.nonEmpty, "adviseMulti needs at least one key")
+    keyCols.zipWithIndex.map { case (c, i) =>
+      val h = advise(spark, root, c, targetBytes)
+      val action =
+        if (i == 0 || h.action != "recluster") h.action
+        else {
+          val dir = Paths.get(root, h.version)
+          val bloomedAtAll = KeyBloom.loadBlooms(dir).exists(_._1._2 == c) ||
+            BloomManifest.loadHeader(dir).exists(_._1._2 == c)
+          if (bloomedAtAll && h.bloomCoverage >= 1.0) "none" else "bloom"
+        }
+      c -> h.copy(action = action)
+    }
+  }
+
+  /** Execute [[adviseMulti]] to each key's fixed point — primary first
+    * (its recluster/compact moves bytes the secondaries' advice must see),
+    * secondaries heal index/bloom only. */
+  def autoMaintainMulti(spark: SparkSession, root: String, keyCols: Seq[String],
+      targetBytes: Long = Compaction.TargetBytes): Map[String, Seq[Health]] = {
+    require(keyCols.nonEmpty, "autoMaintainMulti needs at least one key")
+    val primary = keyCols.head -> autoMaintain(spark, root, keyCols.head, targetBytes)
+    val rest = keyCols.tail.map { c =>
+      val trail = scala.collection.mutable.ArrayBuffer.empty[Health]
+      val ran = scala.collection.mutable.Set.empty[String]
+      var h = adviseMulti(spark, root, Seq(keyCols.head, c), targetBytes)(1)._2
+      trail += h
+      while (Set("index", "bloom")(h.action) && !ran(h.action)) {
+        ran += h.action
+        h.action match {
+          case "index" => TargetedDelete.indexKeyStats(spark, root, c)
+          case "bloom" =>
+            val live = Paths.get(root, AtomicTable.currentVersion(root).get)
+            val mHeader = BloomManifest.loadHeader(live)
+              .collect { case ((_, cc), hh) if cc == c => hh }
+            if (mHeader.nonEmpty)
+              BloomManifest.indexBloomManifest(spark, root, c,
+                mHeader.map(_.bits).max, mHeader.map(_.k).max)
+            else {
+              val bits = KeyBloom.loadBlooms(live)
+                .collect { case ((_, cc), b) if cc == c => b.bits }
+                .foldLeft(KeyBloom.DefaultBits)(math.max)
+              KeyBloom.indexKeyBloom(spark, root, c, bits)
+            }
+        }
+        h = adviseMulti(spark, root, Seq(keyCols.head, c), targetBytes)(1)._2
+        trail += h
+      }
+      c -> trail.toSeq
+    }
+    (primary +: rest).toMap
   }
 
   // ------------------------------------------------- driver query
@@ -256,10 +429,124 @@ object Maintenance {
         sum(col("id")).as("sum_ids"))
   }
 
+  def streamRoot(dir: String): String =
+    "spark-warehouse/s18_stream_" + new java.io.File(dir).getName
+
+  val StreamBatches = 3; val StreamInsertBase = 5000000L; val StreamInserts = 50
+
+  /** AUTO-MAINTENANCE INSIDE THE STREAMING CADENCE, driver-gated (r18
+    * verdict item 5): the drift-producing change feed (each micro-batch
+    * updates a LOW id block and inserts far above max — every batch's
+    * rewrite output spans the key space) streams AvailableNow into TWO
+    * tables from the same files: the MAINTAINED table commits through
+    * `commitBatchKeyed(maintainEvery = 1)` — the loop itself advises
+    * (metadata-only) and heals after each batch — and a CONTROL table
+    * commits the same batches with the hook off. THROWS unless the
+    * control table ends DRIFTED (action "recluster" — the feed really
+    * injects drift) while the maintained table ends HEALTHY (action
+    * "none", hulls disjoint) with NO explicit maintenance call anywhere
+    * in the query. Both tables must agree row-for-row (asserted), and the
+    * oracle replays base + last-writer-wins updates + all inserts — so
+    * the hash row proves the in-loop maintenance moved bytes, never
+    * changed them, and never broke a batch. */
+  def qS18StreamMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = streamRoot(dir)
+    AtomicTable.deleteRecursively(JPaths.get(root))
+    val (mRoot, cRoot, feedDir, ckpt) =
+      (s"$root/maintained", s"$root/control", s"$root/feed", s"$root/ckpt")
+    JFiles.createDirectories(JPaths.get(feedDir))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"),
+        graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
+    val layout = base.repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+    AtomicTable.commit(layout, mRoot, statsCols = Seq("id"))
+    AtomicTable.commit(layout, cRoot, statsCols = Seq("id"))
+    val maxId = base.agg(max(col("id"))).head.getLong(0)
+    require(maxId < StreamInsertBase, s"keys reach $maxId: inserts would collide")
+    val updFrom = maxId / 8; val updTo = updFrom + maxId / 16
+    val targetBytes = 2 * math.max(64L,
+      TargetedDelete.partFiles(JPaths.get(mRoot,
+        AtomicTable.currentVersion(mRoot).get)).map(JFiles.size(_)).min)
+    (0 until StreamBatches).foreach { i =>
+      val f = s"$feedDir/b$i"
+      base.filter(col("id").between(updFrom, updTo))
+        .select(col("id"), (col("id") * (10L + i)).as("bal_c"))
+        .unionAll(spark.range(StreamInserts.toLong)
+          .select((lit(StreamInsertBase) + i * 1000L + col("id")).as("id"),
+            (col("id") * 7L + i).as("bal_c")))
+        .coalesce(1).write.mode("overwrite").parquet(f)
+      val it = JFiles.list(JPaths.get(f))
+      try it.forEach(p => JFiles.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)))
+      finally it.close()
+    }
+    val schema = spark.read.parquet(s"$feedDir/b0").schema
+    def upsert(b: DataFrame, c: DataFrame): DataFrame =
+      b.join(c.select(col("id"), col("bal_c").as("nb")), Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("nb"), col("bal_c")).as("bal_c"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/b*")
+      .writeStream
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val stable = b.localCheckpoint(true) // one eval, two tables
+        KeyedMerge.commitBatchKeyed(spark, mRoot, "s18-stream-m", bid, "id",
+          stable, upsert, maintainEvery = 1, maintainTargetBytes = targetBytes)
+        KeyedMerge.commitBatchKeyed(spark, cRoot, "s18-stream-c", bid, "id",
+          stable, upsert)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException("s18 maintenance stream timed out")
+    }
+    val hControl = advise(spark, cRoot, "id", targetBytes)
+    if (hControl.action != "recluster" || hControl.overlapRatio <= OverlapThreshold)
+      throw new IllegalStateException(
+        s"fixture premise broken: the feed did not inject drift ($hControl)")
+    val hMaint = advise(spark, mRoot, "id", targetBytes)
+    if (hMaint.action != "none" || hMaint.overlappingFiles != 0)
+      throw new IllegalStateException(
+        s"the streaming loop did not heal its own drift: $hMaint")
+    val (m, c) = (AtomicTable.read(spark, mRoot), AtomicTable.read(spark, cRoot))
+    if (m.exceptAll(c).limit(1).count() != 0 || c.exceptAll(m).limit(1).count() != 0)
+      throw new IllegalStateException(
+        "maintained and control tables diverged — maintenance changed bytes")
+    m.groupBy((col("id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("bal_c")).as("sum_bal_c"),
+        sum(col("id")).as("sum_ids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s18_auto_maintenance" -> (qS18AutoMaintenance _))
+    "s18_auto_maintenance" -> (qS18AutoMaintenance _),
+    "s18_stream_maintenance" -> (qS18StreamMaintenance _))
 
   val oracles: Map[String, String] = Map(
+    // last-writer-wins updates (batch 2 → id*12) + every batch's inserts
+    "s18_stream_maintenance" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey AS id,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+         |  FROM customer),
+         |m AS (SELECT max(c_custkey) AS mx FROM customer),
+         |merged AS (
+         |  SELECT id,
+         |    CASE WHEN id BETWEEN (SELECT mx // 8 FROM m)
+         |              AND (SELECT mx // 8 + mx // 16 FROM m)
+         |         THEN id * ${10 + StreamBatches - 1} ELSE bal_c END AS bal_c
+         |  FROM base
+         |  UNION ALL
+         |  SELECT $StreamInsertBase + i.range * 1000 + j.range,
+         |    j.range * 7 + i.range
+         |  FROM range($StreamBatches) i, range($StreamInserts) j)
+         |SELECT id % 10 AS bucket, count(*) AS n_rows,
+         |  CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+         |  CAST(sum(id) AS BIGINT) AS sum_ids
+         |FROM merged GROUP BY 1""".stripMargin,
     // maintenance moves bytes, never changes them: the oracle replays
     // base + update block + inserts
     "s18_auto_maintenance" ->

@@ -149,6 +149,95 @@ class MaintenanceSpec extends AnyFunSuite {
       s"scattered-key overlap misread as drift: $hh")
   }
 
+  test("structural is decided by HISTORY: a bloomed clustered key drifted past 90% still heals") {
+    import graft.sinks.KeyBloom
+    val root = fresh("hist")
+    AtomicTable.commit(spark.range(8000L).select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(16, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id"))
+    val t = targetFor(root)
+    KeyBloom.indexKeyBloom(spark, root, "id", KeyBloom.bitsFor(8000L / 16 + 1))
+    // the first-bloom witness: a clustered key records a LOW baseline
+    assert(Maintenance.bloomBaseline(root, "id").exists(_ < 0.5))
+    // drift past the structural band with the engine's own merge: updates
+    // at the BOTTOM + inserts far above max land in one rewrite file
+    // spanning the whole key space — every hull overlaps it (ratio ~1.0),
+    // and the staging pass CARRIES the blooms (coverage stays full)
+    val changes = spark.range(0L, 60L).select(col("id"), lit(-1L).as("nv"))
+      .unionAll(spark.range(10L).select((lit(9000000L) + col("id")).as("id"),
+        lit(-2L).as("nv")))
+    KeyedMerge.mergeChangesKeyed(spark, root, "id", changes,
+      (b, c) => b.join(c, Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("nv"), col("v")).as("v")))
+    val h = Maintenance.advise(spark, root, "id", t)
+    assert(h.overlapRatio >= Maintenance.StructuralOverlapRatio &&
+      h.bloomCoverage == 1.0,
+      s"fixture premise: want full-bloom >=90% overlap, got $h")
+    // the r18 advisory's trap: the instantaneous rule would read this as
+    // structural and reach the "none" fixed point with a degraded layout;
+    // the recorded baseline proves drift and the ladder must heal it
+    assert(h.action == "recluster",
+      s"90%-drifted clustered key misread as structural: $h")
+    val trail = Maintenance.autoMaintain(spark, root, "id", t)
+    assert(trail.last.action == "none" && trail.last.overlappingFiles == 0,
+      trail.toString)
+  }
+
+  test("multi-key policy: secondary overlap maps to bloom then none, never recluster") {
+    val root = fresh("multi")
+    val n = 8000L
+    // clustered on id (primary); v is a scrambled permutation — every
+    // file's v-hull spans the space (the scattered-secondary shape)
+    AtomicTable.commit(spark.range(n).select(col("id"),
+        (col("id") * 37L % n).as("v"))
+      .repartitionByRange(16, col("id")).sortWithinPartitions(col("id")),
+      root, statsCols = Seq("id", "v"))
+    val t = targetFor(root)
+    val v0 = AtomicTable.currentVersion(root)
+    val advice = Maintenance.adviseMulti(spark, root, Seq("id", "v"), t)
+    assert(advice.head._2.action == "none", advice.toString)
+    // single-key advice on v would recluster (overlapping, unbloomed);
+    // the policy downgrades the secondary to the layout-independent heal
+    assert(Maintenance.advise(spark, root, "v", t).action == "recluster")
+    assert(advice(1)._2.action == "bloom", advice.toString)
+    val trails = Maintenance.autoMaintainMulti(spark, root, Seq("id", "v"), t)
+    assert(trails("v").last.action == "none", trails("v").toString)
+    assert(trails("id").size == 1 && trails("id").head.action == "none")
+    // the heal was metadata augmentation only: no version churn, and the
+    // primary's clustering untouched
+    assert(AtomicTable.currentVersion(root) == v0,
+      "secondary heal must not rewrite the table")
+    // converged: the single-key advisor now agrees (structural by its own
+    // recorded high baseline)
+    assert(Maintenance.advise(spark, root, "v", t).action == "none")
+  }
+
+  test("adviseTelemetry: rising rewrite fraction recommends recluster from the log alone") {
+    val root = fresh("telem")
+    (1 to 5).foreach(_ => Maintenance.recordMerge(root, "id", 20, 1, 0))
+    assert(Maintenance.adviseTelemetry(root, "id").isEmpty,
+      "needs two full windows before judging")
+    (1 to 5).foreach(_ => Maintenance.recordMerge(root, "id", 20, 8, 0))
+    assert(Maintenance.adviseTelemetry(root, "id").contains("recluster"),
+      "0.05 -> 0.40 rewrite fraction is drift")
+    // a table that ALWAYS rewrites 40% is shaped that way, not drifting
+    val root2 = fresh("telem2")
+    (1 to 10).foreach(_ => Maintenance.recordMerge(root2, "id", 20, 8, 0))
+    assert(Maintenance.adviseTelemetry(root2, "id").isEmpty)
+    // end-to-end: a real merge appends its line
+    val root3 = fresh("telem3")
+    AtomicTable.commit(spark.range(500L).select(col("id"), col("id").as("v"))
+      .repartitionByRange(4, col("id")), root3, statsCols = Seq("id"))
+    KeyedMerge.mergeChangesKeyed(spark, root3, "id",
+      spark.range(5L).select(col("id"), lit(-1L).as("nv")),
+      (b, c) => b.join(c, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nv"), col("v")).as("v")))
+    val log = Paths.get(root3, Maintenance.MaintLog)
+    assert(Files.exists(log) &&
+      Files.readString(log).linesIterator.exists(_.startsWith("merge\tid\t")),
+      "merge did not append its telemetry line")
+  }
+
   test("streaming cadence: autoMaintain between micro-batches keeps the table healthy, exactly-once intact") {
     val root = fresh("stream")
     AtomicTable.commit(spark.range(4000L).select(col("id"), (col("id") * 3L).as("v"))
