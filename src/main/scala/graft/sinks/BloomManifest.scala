@@ -244,13 +244,40 @@ object BloomManifest {
     Some(Probe(covered, admitted))
   }
 
-  /** Stage-side manifest lifecycle — carried rows survive via a semi-join
-    * on the reused names (never an O(files) literal), fresh files rebuild
-    * per bloomed column at the column's max declared (bits, k). Invoked
-    * from [[KeyBloom.maintainStage]], so every staging pass (delete,
-    * merge, compaction, recluster, append) self-maintains the manifest
-    * exactly like the TSV sidecar. The whole pass is executor-side: the
-    * driver never holds a bloom word. */
+  /** Past this many shard files a staging pass COMPACTS the manifest
+    * (filter to live rows + re-sort) instead of linking it forward — the
+    * delta ledger's amortization bound. Each delta pass adds at most a
+    * handful of shards, so a merge cadence pays one O(manifest) rewrite
+    * per ~64 merges and O(batch) everywhere else. */
+  val CompactShardThreshold = 64
+
+  private def shardFiles(mPath: Path): Seq[Path] =
+    if (!Files.isDirectory(mPath)) Seq.empty
+    else {
+      val st = Files.list(mPath)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally st.close()
+    }
+
+  /** Stage-side manifest lifecycle, DELTA-LEDGER shaped (the refinement
+    * the first cut documented as future work): the predecessor's shard
+    * files are HARD-LINKED into the stage manifest (O(1) metadata each)
+    * and only the fresh files' rows are written as NEW shards — a
+    * micro-batch merge pays O(batch) manifest IO, not O(manifest). Rows
+    * for files the pass removed go STALE in the linked shards, which is
+    * sound by construction: the header (rewritten every pass) defines
+    * coverage, probes are consulted only for names in the live file
+    * list, and writer-UUID part names are never reused — a stale row can
+    * never be attributed to a live file. Staleness is bounded by
+    * [[CompactShardThreshold]]: past it the pass compacts (semi-join to
+    * the reused names + re-sort), and [[compactManifest]] offers the
+    * same rewrite on demand. Fresh files rebuild per bloomed column at
+    * the column's max declared (bits, k). Invoked from
+    * [[KeyBloom.maintainStage]], so every staging pass (delete, merge,
+    * compaction, recluster, append) self-maintains the manifest exactly
+    * like the TSV sidecar. The whole pass is executor-side: the driver
+    * never holds a bloom word. */
   private[sinks] def maintainStage(spark: SparkSession, liveDir: Path,
       stageDir: Path, reusedNames: Set[String]): Unit = {
     val header = loadHeader(liveDir)
@@ -267,27 +294,75 @@ object BloomManifest {
           LongType, IntegerType, StringType)(f.dataType) => f.name
       }.toSet
     val cols = header.keys.map(_._2).toSeq.distinct.sorted.filter(freshCols.contains)
-    import spark.implicits._
-    val keepNames = reusedNames.toSeq.toDF("file")
-    val carried = spark.read.parquet(mPath.toString)
-      .join(keepNames, Seq("file"), "left_semi")
-      // re-project to the canonical column order for the unionByName
-      .select(col("cname"), col("kind"), col("bits"), col("k"),
-        col("file"), col("idx"), col("word"))
     val freshPerCol = cols.map { c =>
       val hs = header.collect { case ((_, cc), h) if cc == c => h }
       val bits = hs.map(_.bits).max
       val k = hs.map(_.k).max
       (c, bits, k, buildRowsDf(spark, freshFiles, c, bits, k))
     }
-    val allRows = (carried +: freshPerCol.map(_._4._1)).reduce(_.unionByName(_))
     val outDir = manifestPath(stageDir)
-    val total = reusedNames.size + freshFiles.size
-    writeShards(allRows, outDir)
+    val oldShards = shardFiles(mPath)
+    if (oldShards.size < CompactShardThreshold) {
+      // DELTA pass: link the ledger forward, append only the batch's rows
+      Files.createDirectories(outDir)
+      oldShards.foreach { s =>
+        try Files.createLink(outDir.resolve(s.getFileName.toString), s)
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(s, outDir.resolve(s.getFileName.toString))
+        }
+      }
+      if (freshPerCol.nonEmpty) {
+        val tmp = stageDir.resolve(".KEYBLOOM_PQ.fresh")
+        AtomicTable.deleteRecursively(tmp)
+        writeShards(freshPerCol.map(_._4._1).reduce(_.unionByName(_)), tmp)
+        TargetedDelete.moveStagedParts(tmp, outDir)
+      }
+    } else {
+      // COMPACT pass: drop the accumulated stale rows, restore one
+      // globally-sorted shard set
+      import spark.implicits._
+      val keepNames = reusedNames.toSeq.toDF("file")
+      val carried = spark.read.parquet(mPath.toString)
+        .join(keepNames, Seq("file"), "left_semi")
+        .select(col("cname"), col("kind"), col("bits"), col("k"),
+          col("file"), col("idx"), col("word"))
+      writeShards((carried +: freshPerCol.map(_._4._1)).reduce(_.unionByName(_)),
+        outDir)
+    }
     val carriedHeader = header.filter { case ((f, _), _) => reusedNames(f) }
     val freshHeader = freshPerCol.flatMap { case (c, bits, k, (_, kind)) =>
       freshFiles.map(f => (f.getFileName.toString, c) -> HeaderRow(kind, bits, k))
     }.toMap
     writeHeader(outDir, carriedHeader ++ freshHeader)
+  }
+
+  /** On-demand manifest compaction of the LIVE version: rewrite the shard
+    * set filtered to the live file list (dropping every delta pass's
+    * stale rows), re-sorted for probe pushdown. Metadata-only from the
+    * table's point of view — data files and the header are untouched.
+    * Returns the shard count after. */
+  def compactManifest(spark: SparkSession, root: String): Int = {
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    val liveDir = java.nio.file.Paths.get(root, live)
+    val mPath = manifestPath(liveDir)
+    if (!Files.exists(mPath) || loadHeader(liveDir).isEmpty) return 0
+    import spark.implicits._
+    val liveNames = TargetedDelete.partFiles(liveDir)
+      .map(_.getFileName.toString).toDF("file")
+    val compacted = spark.read.parquet(mPath.toString)
+      .join(liveNames, Seq("file"), "left_semi")
+      .select(col("cname"), col("kind"), col("bits"), col("k"),
+        col("file"), col("idx"), col("word"))
+    val header = loadHeader(liveDir)
+    val tmp = liveDir.resolve(s".$ManifestDir.tmp")
+    AtomicTable.deleteRecursively(tmp)
+    writeShards(compacted, tmp)
+    AtomicTable.deleteRecursively(mPath)
+    Files.move(tmp, mPath, StandardCopyOption.ATOMIC_MOVE)
+    writeHeader(mPath, header)
+    shardFiles(mPath).size
   }
 }

@@ -155,6 +155,44 @@ class BloomManifestSpec extends AnyFunSuite {
       s"manifest did not prune the delete: $delStats")
   }
 
+  test("delta ledger: staging links shards forward (inode-verified); compaction drops stale rows") {
+    val root = "spark-warehouse/test_bmanifest_delta"
+    buildManifested(root)
+    val dir0 = liveDir(root)
+    val shard0 = parts(BloomManifest.manifestPath(dir0))
+    assert(shard0.nonEmpty)
+    // a staging pass with drops + rewrites: predecessor shards must link
+    // forward untouched, fresh rows append as new shards
+    TargetedDelete.deleteKeyRange(spark, root, "id", 1050L, 1949L)
+    val dir1 = liveDir(root)
+    val m1 = BloomManifest.manifestPath(dir1)
+    shard0.foreach { n =>
+      assert(KeyedMerge.sameInode(
+        BloomManifest.manifestPath(dir0).resolve(n), m1.resolve(n)),
+        s"delta pass rewrote predecessor shard $n instead of linking it")
+    }
+    assert(parts(m1).size > shard0.size, "fresh rows did not append as new shards")
+    // stale rows for removed files linger (bounded, harmless: dead names
+    // are never consulted) until compaction drops them
+    val live1 = parts(dir1)
+    val stale = spark.read.parquet(m1.toString)
+      .filter(!col("file").isin(live1: _*)).count()
+    assert(stale > 0, "expected stale rows for the dropped interior files")
+    BloomManifest.compactManifest(spark, root)
+    assert(spark.read.parquet(m1.toString)
+      .filter(!col("file").isin(live1: _*)).count() == 0,
+      "compaction left stale rows")
+    // probes stay exact through delta AND compaction
+    import spark.implicits._
+    val (out, rs) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("50")))
+    assert(out.select("id").as[Long].collect().toSet == Set(50L))
+    assert(rs.footerReads == 0 && rs.manifestFiles == live1.size, rs.toString)
+    val (gone, rsGone) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("1500")))
+    assert(gone.count() == 0L && rsGone.filesRead == 0, rsGone.toString)
+  }
+
   test("RESTORE carries the manifest: restored version probes distributed") {
     val root = "spark-warehouse/test_bmanifest_restore"
     buildManifested(root)
