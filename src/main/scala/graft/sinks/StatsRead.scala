@@ -700,17 +700,23 @@ object StatsRead {
     * ≤6 of ≥1000 files with zero footer reads. The oracle recomputes the
     * same md5 keys by rank in SQL, so the hash row value-checks the
     * distributed probe end to end. */
-  def qS16KeyedReadBloomSharded(spark: SparkSession, dir: String): DataFrame = {
-    val root = tableRoot(dir) + "_shard"
-    val li = Tables.lineitem(spark, dir)
+  /** The SF-stable hash-keyed lineitem slice both sharded queries build
+    * on. */
+  private def shardSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") < ShardKeyMax)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .withColumn("row_hash",
         md5((col("l_orderkey") * 8 + col("l_linenumber")).cast("string")))
-    // the fixture is READ-ONLY and deterministic, so a prior run's build
-    // is reused when its shape still holds (10³ files, full manifest
-    // coverage, no TSV) — every audit below re-validates the on-disk
-    // state per run regardless; a shape mismatch rebuilds from scratch
+
+  /** Build (or reuse) the ≥10³-file manifest-bloomed fixture at `root`.
+    * The fixture is deterministic — and for the merge query IDEMPOTENT
+    * (the merge pins fixed keys to fixed values) — so a prior run's build
+    * is reused when its shape still holds (10³ files, full manifest
+    * coverage on row_hash, no TSV); every declared audit re-validates the
+    * on-disk state per run regardless, and a shape mismatch rebuilds. */
+  private def ensureShardFixture(spark: SparkSession, dir: String,
+      root: String): Unit = {
     val reusable = AtomicTable.currentVersion(root).exists { v =>
       val vDir = Paths.get(root, v)
       val covered = BloomManifest.loadHeader(vDir)
@@ -721,14 +727,27 @@ object StatsRead {
     if (!reusable) {
       AtomicTable.deleteRecursively(Paths.get(root))
       AtomicTable.commit(
-        li.repartitionByRange(ShardFiles, col("l_orderkey"), col("l_linenumber"))
+        shardSource(spark, dir)
+          .repartitionByRange(ShardFiles, col("l_orderkey"), col("l_linenumber"))
           .sortWithinPartitions(col("l_orderkey"), col("l_linenumber")),
         root, statsCols = Seq("row_hash"))
       BloomManifest.indexBloomManifest(spark, root, "row_hash", bits = 1 << 26)
     }
-    val ranked = li.orderBy(col("l_orderkey"), col("l_linenumber"))
-      .select(col("row_hash")).limit(ShardProbeRanks.max).collect()
-    val probes = ShardProbeRanks.map(r => ranked(r - 1).getString(0))
+  }
+
+  /** The rank-picked probe hashes (same order both engines can replay). */
+  private def shardProbes(spark: SparkSession, dir: String,
+      ranks: Seq[Int]): Seq[String] = {
+    val ranked = shardSource(spark, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("row_hash")).limit(ranks.max).collect()
+    ranks.map(r => ranked(r - 1).getString(0))
+  }
+
+  def qS16KeyedReadBloomSharded(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_shard"
+    ensureShardFixture(spark, dir, root)
+    val probes = shardProbes(spark, dir, ShardProbeRanks)
     // premise: min/max stats CANNOT skip on the scattered key, and the
     // fixture really is in the >=10^3-file regime
     // premise, decided from the sidecar alone (no 10³-path scan needs to
@@ -764,6 +783,54 @@ object StatsRead {
     df.agg(count(lit(1)).as("n_rows"),
       round(sum(col("l_quantity")), 4).as("sum_qty"),
       sum(col("l_orderkey") * 8 + col("l_linenumber")).as("sum_keys"))
+  }
+
+  /** The merged keys (by rank) and the value they are pinned to — fixed,
+    * so the merge is IDEMPOTENT and the fixture cache stays valid. */
+  val ShardMergeRanks: Seq[Int] = Seq(10, 200, 400)
+  val ShardMergeQty = 999.0
+
+  /** THE DEDUP GATE'S WRITE SIDE AT ≥10³ FILES (r19 — the headline's
+    * merge-shaped twin): a keyed upsert by scattered row hash against the
+    * manifest-bloomed fixture. The merge prune must decide from the
+    * DISTRIBUTED manifest probe — THROWS unless footerReads==0, the bloom
+    * cleared at least a third of the table past min/max
+    * (bloomSkipped ≥ total/3), at most 6 of ≥1000 files rewrote, and the
+    * TSV-materialization counter stayed flat (no bloom row on the driver).
+    * The kernel pins three rank-picked keys' l_quantity to a fixed value;
+    * the oracle replays the same ranks in SQL — the hash row value-checks
+    * prune, kernel, link reuse, and the self-maintained manifest end to
+    * end. At 100 TB this is "upsert this doc-hash batch" touching the
+    * batch's files instead of the corpus. */
+  def qS23MergeShardedBloom(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_shardm"
+    ensureShardFixture(spark, dir, root)
+    val keys = shardProbes(spark, dir, ShardMergeRanks)
+    import spark.implicits._
+    // distinct: (orderkey, linenumber) is NOT unique in the synthetic
+    // lineitem, so two ranks can map to one hash — a duplicate change row
+    // would multiply matched base rows through the join
+    val changes = keys.distinct.toDF("row_hash")
+      .withColumn("nq", lit(ShardMergeQty))
+    val loads0 = KeyBloom.loadCalls.get()
+    val ms = KeyedMerge.mergeChangesKeyed(spark, root, "row_hash", changes,
+      (base, c) => base.join(c, Seq("row_hash"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("nq"), col("l_quantity")).as("l_quantity"),
+          col("row_hash")))
+    if (ms.totalFiles < 1000 || ms.footerReads != 0 ||
+        ms.rewrittenFiles > 6 || ms.reusedFiles < ms.totalFiles - 6 ||
+        ms.bloomSkipped < ms.totalFiles / 3)
+      throw new IllegalStateException(
+        s"sharded merge did not prune distributed: $ms (want >=1000 files, " +
+          "footerReads=0, rewritten<=6, bloomSkipped>=total/3)")
+    if (KeyBloom.loadCalls.get() != loads0)
+      throw new IllegalStateException(
+        "the merge prune materialized a TSV bloom sidecar on the driver")
+    AtomicTable.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        sum(col("l_orderkey") * 8 + col("l_linenumber")).as("sum_keys"))
   }
 
   /** TIME TRAVEL + DATA SKIPPING composed: commit the indexed corpus (v1),
@@ -834,6 +901,7 @@ object StatsRead {
     "s16_keyed_count_str" -> (qS16KeyedCountStr _),
     "s16_keyed_read_bloom" -> (qS16KeyedReadBloom _),
     "s16_keyed_read_bloom_sharded" -> (qS16KeyedReadBloomSharded _),
+    "s23_merge_sharded_bloom" -> (qS23MergeShardedBloom _),
     "s16_keyed_read_asof" -> (qS16KeyedReadAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -895,6 +963,22 @@ object StatsRead {
          |FROM src
          |WHERE h IN (SELECT h FROM src
          |            WHERE rn IN (${ShardProbeRanks.mkString(", ")}))""".stripMargin,
+    // the merge pins EVERY row sharing a rank-picked HASH ((orderkey,
+    // linenumber) is not unique in the synthetic data, so the oracle pins
+    // by hash membership, exactly the upsert-by-key semantics)
+    "s23_merge_sharded_bloom" ->
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_linenumber, l_quantity,
+         |    md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)) AS h,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+         |  FROM lineitem WHERE l_orderkey < $ShardKeyMax)
+         |SELECT count(*) AS n_rows,
+         |  CAST(round(sum(CASE WHEN h IN (SELECT h FROM src
+         |                    WHERE rn IN (${ShardMergeRanks.mkString(", ")}))
+         |                      THEN $ShardMergeQty ELSE l_quantity END), 4)
+         |    AS DOUBLE) AS sum_qty,
+         |  CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT) AS sum_keys
+         |FROM src""".stripMargin,
     "s16_keyed_count_str" ->
       s"""SELECT (SELECT count(*) FROM documents
          |        WHERE lang = '$CountLang') AS n_lang,
