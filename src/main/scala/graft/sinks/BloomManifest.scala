@@ -260,6 +260,54 @@ object BloomManifest {
       finally st.close()
     }
 
+  /** BULK probe — the >10⁵-key regime the driver-built position list
+    * cannot serve: `keys` arrive as a one-column DataFrame (the merge's
+    * checkpointed distinct key set), explode to positions EXECUTOR-side,
+    * and join the manifest distributed-to-distributed. Same admission
+    * rule as [[probe]]; only admitted file NAMES are collected (O(files)
+    * driver — the same class as the file listing itself). No idx
+    * pushdown (a bulk key set touches most word indices anyway — the
+    * join IS the filter). Returns None when the version has no manifest
+    * rows of this (column, kind). */
+  def probeBulk(spark: SparkSession, versionDir: Path, keyCol: String,
+      kind: String, keys: DataFrame): Option[Probe] = {
+    val header = loadHeader(versionDir).collect {
+      case ((f, c), h) if c == keyCol && h.kind == kind => f -> h
+    }
+    if (header.isEmpty) return None
+    val mPath = manifestPath(versionDir)
+    if (!Files.exists(mPath)) return None
+    val covered = header.keySet
+    val combos = header.values.map(h => (h.bits, h.k)).toSet.toSeq
+    val keyed = keys.toDF("__k")
+    val posPerCombo = combos.map { case (bits, k) =>
+      val posUdf =
+        if (kind == "long") udf((key: java.lang.Long) =>
+          if (key == null) Array.empty[(Int, Long, Int)]
+          else positions(KeyBloom.longBytes(key), bits, k).zipWithIndex
+            .map { case ((i, m), p) => (i, m, p) })
+        else udf((s: String) =>
+          if (s == null) Array.empty[(Int, Long, Int)]
+          else positions(KeyBloom.stringBytes(s), bits, k).zipWithIndex
+            .map { case ((i, m), p) => (i, m, p) })
+      keyed.select(col("__k"), explode(posUdf(col("__k"))).as("m"))
+        .select(lit(bits).as("bits"), lit(k).as("k"),
+          col("m._1").as("idx"), col("m._2").as("mask"),
+          col("__k").as("keyId"), col("m._3").as("p"))
+    }
+    val posDf = posPerCombo.reduce(_.unionByName(_))
+    val m = spark.read.parquet(mPath.toString)
+      .filter(col("cname") === keyCol && col("kind") === kind)
+    val admitted = m.join(posDf, Seq("bits", "k", "idx"))
+      .filter((col("word").bitwiseAND(col("mask"))) =!= 0L)
+      .groupBy(col("file"), col("keyId"))
+      .agg(countDistinct(col("p")).as("hits"), first(col("k")).as("kk"))
+      .filter(col("hits") === col("kk"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    Some(Probe(covered, admitted))
+  }
+
   /** Stage-side manifest lifecycle, DELTA-LEDGER shaped (the refinement
     * the first cut documented as future work): the predecessor's shard
     * files are HARD-LINKED into the stage manifest (O(1) metadata each)

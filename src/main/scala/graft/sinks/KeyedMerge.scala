@@ -312,8 +312,20 @@ object KeyedMerge {
       val touchedStat = collected.collect {
         case r if r.getBoolean(1) => r.getString(0)
       }.toSet
-      Assignment(blindNames ++ touchedStat,
-        collected.length - touchedStat.size, stable)
+      // bulk manifest probe: the checkpointed distinct keys join the
+      // sharded manifest distributed-to-distributed — the >10^5-key
+      // changeset gets the same layout-independent clearing as a point
+      // merge, with nothing but admitted names on the driver
+      val mProbe =
+        if (!manifestAvail) None
+        else BloomManifest.probeBulk(changes.sparkSession, liveDir.get,
+          keyCol, kind, keyed)
+      def mOk(n: String): Boolean =
+        mProbe.forall(p => !p.covered(n) || p.admitted(n))
+      val touchedAll = (blindNames ++ touchedStat).filter(mOk)
+      Assignment(touchedAll,
+        collected.length - touchedStat.size +
+          (blindNames.size + touchedStat.size - touchedAll.size), stable)
     }
   }
 

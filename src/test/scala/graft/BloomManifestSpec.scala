@@ -155,6 +155,33 @@ class BloomManifestSpec extends AnyFunSuite {
       s"manifest did not prune the delete: $delStats")
   }
 
+  test("bulk probe: the distributed merge regime clears files through the manifest too") {
+    val root = "spark-warehouse/test_bmanifest_bulk"
+    buildManifested(root)
+    // probeBulk parity with the point probe on the same key set
+    val keys = Seq(md5hex("77"), md5hex("2048"), md5hex("absent"))
+    val dir = liveDir(root)
+    val point = BloomManifest.probe(spark, dir, "h", "string", keys.map(utf8)).get
+    import spark.implicits._
+    val bulk = BloomManifest.probeBulk(spark, dir, "h", "string",
+      keys.toDF("h")).get
+    assert(bulk.covered == point.covered && bulk.admitted == point.admitted,
+      s"bulk/point probe divergence: $bulk vs $point")
+    // force the DISTRIBUTED regime (driverKeyThreshold = 0): the merge
+    // prune must still clear non-matching files via the manifest
+    val changes = spark.createDataFrame(
+      Seq((md5hex("77"), 770L), (md5hex("2048"), -1L))).toDF("h", "grp")
+    val ms = KeyedMerge.mergeChangesKeyed(spark, root, "h", changes,
+      (base, c) => base.select(col("id"), col("h"), col("grp"))
+        .join(c.select(col("h"), col("grp").as("ng")), Seq("h"), "left")
+        .select(coalesce(col("id"), lit(-1L)).as("id"), col("h"),
+          coalesce(col("ng"), col("grp")).as("grp")),
+      driverKeyThreshold = 0)
+    assert(ms.footerReads == 0 && ms.bloomSkipped >= ms.totalFiles - 4 &&
+      ms.rewrittenFiles <= 4,
+      s"bulk-regime merge did not prune through the manifest: $ms")
+  }
+
   test("delta ledger: staging links shards forward (inode-verified); compaction drops stale rows") {
     val root = "spark-warehouse/test_bmanifest_delta"
     buildManifested(root)
