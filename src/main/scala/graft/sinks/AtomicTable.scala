@@ -597,37 +597,32 @@ object AtomicTable {
         it.iterator().asScala.foreach { p =>
           val n = p.getFileName.toString
           if (n.endsWith(".parquet")) {
-            try Files.createLink(stageDir.resolve(n), p)
-            catch {
-              // a source pruned mid-stage must fail loudly, not silently
-              // copy a half-gone version; only "links unsupported" /
-              // cross-device link failures fall back to a copy
-              case e: java.nio.file.NoSuchFileException => throw e
-              case _: UnsupportedOperationException |
-                   _: java.nio.file.FileSystemException =>
-                Files.copy(p, stageDir.resolve(n))
-            }
+            // strict: a source pruned mid-stage fails loudly, never a
+            // silent copy of a half-gone version
+            TargetedDelete.linkOrCopyStrict(p, stageDir.resolve(n))
           } else if (n == KeyStats.StatsFile || n == KeyBloom.BloomFile)
             Files.copy(p, stageDir.resolve(n))
           else if (n == BloomManifest.ManifestDir && Files.isDirectory(p)) {
-            // carry the sharded bloom manifest: link its shards, copy the
-            // header — the restored version probes exactly as its original
+            // carry the sharded bloom manifest: link the generation dirs'
+            // shards, copy the header — the restored version probes
+            // exactly as its original
             val out = stageDir.resolve(n)
             Files.createDirectories(out)
-            val shards = Files.list(p)
-            try shards.iterator().asScala.foreach { s =>
+            val entries = Files.list(p)
+            try entries.iterator().asScala.foreach { s =>
               val sn = s.getFileName.toString
-              if (sn.endsWith(".parquet")) {
-                try Files.createLink(out.resolve(sn), s)
-                catch {
-                  case e: java.nio.file.NoSuchFileException => throw e
-                  case _: UnsupportedOperationException |
-                       _: java.nio.file.FileSystemException =>
-                    Files.copy(s, out.resolve(sn))
-                }
-              } else if (sn == BloomManifest.HeaderFile)
-                Files.copy(s, out.resolve(sn))
-            } finally shards.close()
+              if (sn == BloomManifest.HeaderFile) Files.copy(s, out.resolve(sn))
+              else if (Files.isDirectory(s)) {
+                val outGen = out.resolve(sn)
+                Files.createDirectories(outGen)
+                val shards = Files.list(s)
+                try shards.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .foreach(sh => TargetedDelete.linkOrCopyStrict(
+                    sh, outGen.resolve(sh.getFileName.toString)))
+                finally shards.close()
+              }
+            } finally entries.close()
           }
         }
       } finally it.close()

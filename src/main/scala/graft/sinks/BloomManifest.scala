@@ -5,7 +5,6 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** SHARDED PARQUET BLOOM MANIFEST — the bloom probe past driver scale
   * (r18 verdict, the round's headline). The `_KEYBLOOM.tsv` sidecar
@@ -14,9 +13,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * that is ~80 GB of driver heap at just 10⁴ production files — the one
   * boundary between this table format and the 100 TB dedup gate. This
   * backend removes it with the Iceberg manifest move: the blooms become
-  * DATA — a parquet table `_KEYBLOOM_PQ/` inside the version directory —
-  * and the probe becomes a Spark JOB that collects ONLY admitted file
-  * names, never a bloom word.
+  * DATA — a parquet table under `_KEYBLOOM_PQ/` inside the version
+  * directory — and the probe becomes a Spark JOB that collects ONLY
+  * admitted file names, never a bloom word.
   *
   * REPRESENTATION — sparse words: one row per NON-ZERO bloom word,
   * `(cname, kind, bits, k, file, idx, word)`. Two regimes, one schema:
@@ -29,32 +28,52 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * `idx IN (…)` pushes into the parquet reader and prunes row groups —
   * the manifest skips inside itself.
   *
+  * LAYOUT — generations under one atomic pointer: shards live in
+  * `_KEYBLOOM_PQ/g{N}/`, and the single-file `_HEADER.tsv` (replaced by
+  * ATOMIC_MOVE, like every pointer in this repo) names the live
+  * generation on its `@gen` line. A rebuild (index extension, manifest
+  * compaction) writes the NEXT generation completely, flips the header,
+  * and prunes all generations but the new one and its immediate
+  * predecessor — so an in-flight probe that resolved the old header
+  * keeps its shards for a full generation (the AtomicTable KeepVersions
+  * discipline applied to the manifest itself), a crash before the flip
+  * leaves the old manifest intact, and a crash after it leaves only an
+  * orphan directory the next rebuild clears. Readers never observe an
+  * absent or half-deleted manifest.
+  *
   * PROBE — one equi-join, no bloom ever crosses to the driver: each probe
   * key explodes to its k `(bits, k, idx, mask)` positions (same
   * [[KeyBloom.hashPair]] double-hash walk as the build side, per distinct
-  * (bits, k) in the header); positions broadcast-join manifest rows on
+  * (bits, k) in the header); positions join manifest rows on
   * `(bits, k, idx)`; a key hits a file's position iff the word covers the
   * mask, and a file is ADMITTED iff some key hits ALL k of its positions
   * (`countDistinct(position) == k` — an absent row is a zero word, a
-  * miss, and inner-join absence encodes it for free). Driver traffic is
-  * the admitted names — O(result), not O(files·bits).
+  * miss, and inner-join absence encodes it for free). [[probe]] builds
+  * positions on the driver (point lookups), [[probeBulk]] explodes them
+  * executor-side from a key DataFrame (the >10⁵-key merge regime); both
+  * share one admission pipeline. Driver traffic is the admitted names —
+  * O(result), not O(files·bits). Callers gate the job on a non-empty
+  * stats-admitted candidate set, so an already-pruned operation never
+  * pays a manifest scan.
   *
-  * HEADER — `_KEYBLOOM_PQ/_HEADER.tsv`, one line per (file, column):
-  * kind/bits/k. Coverage and sizing are driver decisions over file NAMES
-  * (the same O(files) class as `_KEYSTATS` itself — names, not bloom
-  * payloads); 0-row files appear in the header but have no word rows, so
-  * every probe misses them: whole-file skip by construction.
+  * HEADER — one line per (file, column): kind/bits/k. Coverage and sizing
+  * are driver decisions over file NAMES (the same O(files) class as
+  * `_KEYSTATS` itself — names, not bloom payloads); 0-row files appear in
+  * the header but have no word rows, so every probe misses them:
+  * whole-file skip by construction.
   *
-  * MAINTENANCE — staging passes rewrite the manifest DISTRIBUTED: carried
-  * rows survive via a semi-join on the reused names, fresh files rebuild
-  * per bloomed column in one pass over just-written bytes
-  * ([[maintainStage]], invoked from [[KeyBloom.maintainStage]] so every
-  * existing staging site composes). The rewrite is O(manifest) executor
-  * IO per staging pass with zero driver materialization — the
-  * append-only delta-manifest refinement can land behind this same API.
-  * A column a full-rewrite kernel drops lapses gracefully, mirroring the
-  * TSV path. [[AtomicTable.restoreVersion]] carries the manifest by
-  * hard-linking its shards.
+  * MAINTENANCE — DELTA-LEDGER shaped: a staging pass HARD-LINKS the live
+  * generation's shards into the stage manifest (O(1) metadata each) and
+  * appends only the fresh files' rows as new shards — a micro-batch merge
+  * pays O(batch) manifest IO, not O(manifest). Rows for removed files go
+  * stale in the linked shards, which is sound by construction: the header
+  * (rewritten every pass) defines coverage, probes are consulted only for
+  * names in the live file list, and writer-UUID part names are never
+  * reused. Staleness is bounded by [[CompactShardThreshold]] (past it the
+  * pass compacts via the semi-join rewrite) and [[compactManifest]] offers
+  * the same rewrite on demand. A column a full-rewrite kernel drops lapses
+  * gracefully, mirroring the TSV path. [[AtomicTable.restoreVersion]]
+  * carries the manifest by hard-linking its shards.
   *
   * The TSV sidecar remains the small-table fast path; tables opt into
   * this backend with [[indexBloomManifest]], and every probe site
@@ -70,9 +89,16 @@ object BloomManifest {
   val MaxIdxPushdown = 8192
 
   /** Probe keys beyond this are a bulk changeset, not a point lookup —
-    * the position list is driver-built, so the probe declines and the
-    * caller stays on the stats ladder. */
+    * the position list is driver-built, so [[probe]] declines and the
+    * caller uses [[probeBulk]] or stays on the stats ladder. */
   val MaxProbeKeys: Int = KeyedMerge.DriverKeyThreshold
+
+  /** Past this many shard files a staging pass COMPACTS the manifest
+    * (filter to live rows + re-sort) instead of linking it forward — the
+    * delta ledger's amortization bound. Each delta pass adds at most a
+    * handful of shards, so a merge cadence pays one O(manifest) rewrite
+    * per ~64 merges and O(batch) everywhere else. */
+  val CompactShardThreshold = 64
 
   final case class HeaderRow(kind: String, bits: Int, k: Int)
 
@@ -89,30 +115,82 @@ object BloomManifest {
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
-  def loadHeader(versionDir: Path): Map[(String, String), HeaderRow] = {
+  private def headerLines(versionDir: Path): Seq[String] = {
     val p = manifestPath(versionDir).resolve(HeaderFile)
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  def loadHeader(versionDir: Path): Map[(String, String), HeaderRow] =
+    headerLines(versionDir).filterNot(_.startsWith("@")).map { line =>
       val a = line.split("\t", 5)
       (dec(a(0)), dec(a(1))) -> HeaderRow(a(2), a(3).toInt, a(4).toInt)
     }.toMap
-  }
 
-  private def writeHeader(manifestDir: Path,
+  /** The live shard generation named by the header's `@gen` line. */
+  private def liveGen(versionDir: Path): Option[String] =
+    headerLines(versionDir).collectFirst {
+      case l if l.startsWith("@gen\t") => l.split("\t", 2)(1)
+    }
+
+  /** The live generation's shard directory, if the manifest is intact. */
+  def shardDir(versionDir: Path): Option[Path] =
+    liveGen(versionDir).map(manifestPath(versionDir).resolve)
+      .filter(Files.isDirectory(_))
+
+  private def writeHeader(manifestDir: Path, gen: String,
       rows: Map[(String, String), HeaderRow]): Unit = {
-    val body = rows.toSeq.sortBy(_._1).map { case ((f, c), h) =>
+    val body = (s"@gen\t$gen" +: rows.toSeq.sortBy(_._1).map { case ((f, c), h) =>
       s"${enc(f)}\t${enc(c)}\t${h.kind}\t${h.bits}\t${h.k}"
-    }.mkString("\n")
+    }).mkString("\n")
+    Files.createDirectories(manifestDir)
     val tmp = manifestDir.resolve(s".$HeaderFile.tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, manifestDir.resolve(HeaderFile),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Next generation name: one past the largest on disk (crashed orphans
+    * included, so a retry never collides with its own debris). */
+  private def nextGen(manifestDir: Path): String = {
+    val n =
+      if (!Files.isDirectory(manifestDir)) 0L
+      else {
+        val st = Files.list(manifestDir)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(s => s.startsWith("g") && s.drop(1).nonEmpty &&
+            s.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toLong).foldLeft(0L)(math.max)
+        finally st.close()
+      }
+    s"g${n + 1}"
+  }
+
+  /** Drop every generation but `keep` — called AFTER a header flip, so
+    * the predecessor in `keep` gives in-flight probes their grace. */
+  private def pruneGens(manifestDir: Path, keep: Set[String]): Unit = {
+    if (!Files.isDirectory(manifestDir)) return
+    val st = Files.list(manifestDir)
+    val stale =
+      try st.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        !keep(p.getFileName.toString)).toList
+      finally st.close()
+    stale.foreach(AtomicTable.deleteRecursively)
+  }
+
   /** Columns the live manifest blooms (staging rewrites add native blooms
     * for these too, like the TSV path). */
   private[sinks] def coveredColumns(versionDir: Path): Set[String] =
     loadHeader(versionDir).keys.map(_._2).toSet
+
+  /** Files the manifest covers for (keyCol, kind) — header-only, no job.
+    * Callers use this to build the stats-admitted candidate set BEFORE
+    * paying for a probe job. */
+  private[sinks] def coveredFiles(versionDir: Path, keyCol: String,
+      kind: String): Set[String] =
+    loadHeader(versionDir).collect {
+      case ((f, c), h) if c == keyCol && h.kind == kind => f
+    }.toSet
 
   /** The k (idx, mask) word positions of a key at (bits, k) — the SAME
     * double-hash walk as [[KeyBloom.BloomRow.mightContain]]; build and
@@ -133,6 +211,7 @@ object BloomManifest {
       bits: Int, k: Int): (DataFrame, String) = {
     require(bits >= 64 && (bits & (bits - 1)) == 0,
       s"bits must be a power of two >= 64: $bits")
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val kind = spark.read.parquet(files.head.toString).schema(keyCol).dataType match {
       case LongType | IntegerType => "long"
       case StringType => "string"
@@ -157,25 +236,42 @@ object BloomManifest {
     (df, kind)
   }
 
-  /** Write `rows` as the manifest parquet at `manifestDir` (fresh dir),
-    * range-sharded and sorted on (cname, idx) so probe pushdown prunes
-    * row groups. No explicit shard count: AQE coalesces the range
-    * exchange to byte-sized outputs, so a test-scale manifest lands in
-    * one shard and a production-density one (≈ dense bits/8 per file)
-    * fans out to as many as its bytes need — sizing by DATA, not by a
-    * file-count heuristic that would misfire at one of the two regimes. */
-  private def writeShards(rows: DataFrame, manifestDir: Path): Unit =
+  /** Write `rows` as a shard generation, range-sharded and sorted on
+    * (cname, idx) so probe pushdown prunes row groups. No explicit shard
+    * count: AQE coalesces the range exchange to byte-sized outputs, so a
+    * test-scale manifest lands in one shard and a production-density one
+    * (≈ dense bits/8 per file) fans out to as many as its bytes need —
+    * sizing by DATA, not by a file-count heuristic that would misfire at
+    * one of the two regimes. */
+  private def writeShards(rows: DataFrame, genDir: Path): Unit =
     rows.repartitionByRange(col("cname"), col("idx"))
       .sortWithinPartitions(col("cname"), col("idx"))
-      .write.mode("overwrite").parquet(manifestDir.toString)
+      .write.mode("overwrite").parquet(genDir.toString)
+
+  /** Publish `rows` as the live version's next manifest generation:
+    * write the new generation completely, flip the header atomically,
+    * prune all but {new, predecessor}. Crash before the flip → old
+    * manifest intact (orphan generation cleared by the next attempt);
+    * crash after it → fully consistent. */
+  private def publishGen(spark: SparkSession, liveDir: Path, rows: DataFrame,
+      header: Map[(String, String), HeaderRow]): Unit = {
+    val mPath = manifestPath(liveDir)
+    val prev = liveGen(liveDir)
+    val gen = nextGen(mPath)
+    val genDir = mPath.resolve(gen)
+    AtomicTable.deleteRecursively(genDir)
+    writeShards(rows, genDir)
+    writeHeader(mPath, gen, header)
+    pruneGens(mPath, Set(gen) ++ prev)
+  }
 
   /** Build (or extend) the LIVE version's bloom MANIFEST for `keyCol` at
     * `bits` — the 10⁶-file twin of [[KeyBloom.indexKeyBloom]]. Metadata
     * augmentation only; the build is distributed end to end (the driver
-    * handles file NAMES). Extending an existing manifest rewrites it in
-    * one executor pass (read ∪ fresh rows → re-shard); a crash mid-swap
-    * leaves no manifest and every probe falls back to the stats ladder —
-    * re-index to recover. Returns the number of files indexed. */
+    * handles file NAMES). Extending an existing manifest rewrites it as
+    * the next generation in one executor pass (read ∪ fresh rows →
+    * re-shard) under the atomic header flip. Returns the number of files
+    * indexed. */
   def indexBloomManifest(spark: SparkSession, root: String, keyCol: String,
       bits: Int = KeyBloom.DefaultBits, k: Int = KeyBloom.NumHashes): Int = {
     val live = AtomicTable.currentVersion(root).getOrElse(
@@ -187,28 +283,35 @@ object BloomManifest {
     val missing = files.filter(f => !header.contains((f.getFileName.toString, keyCol)))
     if (missing.isEmpty) return 0
     val (freshRows, kind) = buildRowsDf(spark, missing, keyCol, bits, k)
-    val mPath = manifestPath(liveDir)
-    val tmp = liveDir.resolve(s".$ManifestDir.tmp")
-    AtomicTable.deleteRecursively(tmp)
-    val all =
-      if (Files.exists(mPath) && header.nonEmpty)
-        spark.read.parquet(mPath.toString).unionByName(freshRows)
-      else freshRows
-    writeShards(all, tmp)
-    AtomicTable.deleteRecursively(mPath)
-    Files.move(tmp, mPath, StandardCopyOption.ATOMIC_MOVE)
-    writeHeader(mPath, header ++ missing.map(f =>
+    val all = shardDir(liveDir) match {
+      case Some(d) if header.nonEmpty =>
+        spark.read.parquet(d.toString).unionByName(freshRows)
+      case _ => freshRows
+    }
+    publishGen(spark, liveDir, all, header ++ missing.map(f =>
       (f.getFileName.toString, keyCol) -> HeaderRow(kind, bits, k)))
     // first-bloom witness for the advisor's structural-vs-drift call
     Maintenance.recordBloomBaseline(spark, root, keyCol)
     missing.size
   }
 
+  /** The shared admission pipeline both probe regimes feed: join position
+    * rows against the manifest on (bits, k, idx), a key hits a file's
+    * position iff the word covers the mask, and a file is admitted iff
+    * some key hits ALL k of its positions. Collects admitted NAMES only. */
+  private def admit(m: DataFrame, posDf: DataFrame): Set[String] =
+    m.join(posDf, Seq("bits", "k", "idx"))
+      .filter((col("word").bitwiseAND(col("mask"))) =!= 0L)
+      .groupBy(col("file"), col("keyId"))
+      .agg(countDistinct(col("p")).as("hits"), first(col("k")).as("kk"))
+      .filter(col("hits") === col("kk"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+
   /** Distributed point probe: which covered files might contain any of
-    * `keyBytes`? None when the version has no manifest rows of this
+    * `keyBytes`? None when the version has no manifest of this
     * (column, kind) — caller falls back to the TSV/stats ladder — or when
-    * the key set is beyond point-lookup size. The job collects admitted
-    * file names ONLY. */
+    * the key set is beyond point-lookup size. */
   def probe(spark: SparkSession, versionDir: Path, keyCol: String,
       kind: String, keyBytes: Seq[Array[Byte]]): Option[Probe] = {
     if (keyBytes.isEmpty || keyBytes.size > MaxProbeKeys) return None
@@ -216,8 +319,7 @@ object BloomManifest {
       case ((f, c), h) if c == keyCol && h.kind == kind => f -> h
     }
     if (header.isEmpty) return None
-    val mPath = manifestPath(versionDir)
-    if (!Files.exists(mPath)) return None
+    val mDir = shardDir(versionDir).getOrElse(return None)
     val covered = header.keySet
     val combos = header.values.map(h => (h.bits, h.k)).toSet.toSeq
     val pos: Seq[(Int, Int, Int, Long, Int, Int)] = for {
@@ -226,57 +328,30 @@ object BloomManifest {
       (pws, i) <- positions(kb, bits, k).zipWithIndex
     } yield (bits, k, pws._1, pws._2, keyId, i)
     import spark.implicits._
-    val posDf = pos.toDF("bits", "k", "idx", "mask", "keyId", "p")
+    val posDf = broadcast(pos.toDF("bits", "k", "idx", "mask", "keyId", "p"))
     val idxs = pos.map(_._3).distinct
-    val m0 = spark.read.parquet(mPath.toString)
+    val m0 = spark.read.parquet(mDir.toString)
       .filter(col("cname") === keyCol && col("kind") === kind)
     // scan pushdown on the sorted idx: the manifest prunes its own row
     // groups for a point probe
     val m = if (idxs.size <= MaxIdxPushdown)
       m0.filter(col("idx").isin(idxs.map(Int.box): _*)) else m0
-    val admitted = m.join(broadcast(posDf), Seq("bits", "k", "idx"))
-      .filter((col("word").bitwiseAND(col("mask"))) =!= 0L)
-      .groupBy(col("file"), col("keyId"))
-      .agg(countDistinct(col("p")).as("hits"), first(col("k")).as("kk"))
-      .filter(col("hits") === col("kk"))
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
-    Some(Probe(covered, admitted))
+    Some(Probe(covered, admit(m, posDf)))
   }
-
-  /** Past this many shard files a staging pass COMPACTS the manifest
-    * (filter to live rows + re-sort) instead of linking it forward — the
-    * delta ledger's amortization bound. Each delta pass adds at most a
-    * handful of shards, so a merge cadence pays one O(manifest) rewrite
-    * per ~64 merges and O(batch) everywhere else. */
-  val CompactShardThreshold = 64
-
-  private def shardFiles(mPath: Path): Seq[Path] =
-    if (!Files.isDirectory(mPath)) Seq.empty
-    else {
-      val st = Files.list(mPath)
-      try st.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      finally st.close()
-    }
 
   /** BULK probe — the >10⁵-key regime the driver-built position list
     * cannot serve: `keys` arrive as a one-column DataFrame (the merge's
     * checkpointed distinct key set), explode to positions EXECUTOR-side,
     * and join the manifest distributed-to-distributed. Same admission
-    * rule as [[probe]]; only admitted file NAMES are collected (O(files)
-    * driver — the same class as the file listing itself). No idx
-    * pushdown (a bulk key set touches most word indices anyway — the
-    * join IS the filter). Returns None when the version has no manifest
-    * rows of this (column, kind). */
+    * rule as [[probe]] via the shared pipeline. No idx pushdown (a bulk
+    * key set touches most word indices anyway — the join IS the filter). */
   def probeBulk(spark: SparkSession, versionDir: Path, keyCol: String,
       kind: String, keys: DataFrame): Option[Probe] = {
     val header = loadHeader(versionDir).collect {
       case ((f, c), h) if c == keyCol && h.kind == kind => f -> h
     }
     if (header.isEmpty) return None
-    val mPath = manifestPath(versionDir)
-    if (!Files.exists(mPath)) return None
+    val mDir = shardDir(versionDir).getOrElse(return None)
     val covered = header.keySet
     val combos = header.values.map(h => (h.bits, h.k)).toSet.toSeq
     val keyed = keys.toDF("__k")
@@ -295,52 +370,39 @@ object BloomManifest {
           col("m._1").as("idx"), col("m._2").as("mask"),
           col("__k").as("keyId"), col("m._3").as("p"))
     }
-    val posDf = posPerCombo.reduce(_.unionByName(_))
-    val m = spark.read.parquet(mPath.toString)
+    val m = spark.read.parquet(mDir.toString)
       .filter(col("cname") === keyCol && col("kind") === kind)
-    val admitted = m.join(posDf, Seq("bits", "k", "idx"))
-      .filter((col("word").bitwiseAND(col("mask"))) =!= 0L)
-      .groupBy(col("file"), col("keyId"))
-      .agg(countDistinct(col("p")).as("hits"), first(col("k")).as("kk"))
-      .filter(col("hits") === col("kk"))
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
-    Some(Probe(covered, admitted))
+    Some(Probe(covered, admit(m, posPerCombo.reduce(_.unionByName(_)))))
   }
 
-  /** Stage-side manifest lifecycle, DELTA-LEDGER shaped (the refinement
-    * the first cut documented as future work): the predecessor's shard
-    * files are HARD-LINKED into the stage manifest (O(1) metadata each)
-    * and only the fresh files' rows are written as NEW shards — a
-    * micro-batch merge pays O(batch) manifest IO, not O(manifest). Rows
-    * for files the pass removed go STALE in the linked shards, which is
-    * sound by construction: the header (rewritten every pass) defines
-    * coverage, probes are consulted only for names in the live file
-    * list, and writer-UUID part names are never reused — a stale row can
-    * never be attributed to a live file. Staleness is bounded by
-    * [[CompactShardThreshold]]: past it the pass compacts (semi-join to
-    * the reused names + re-sort), and [[compactManifest]] offers the
-    * same rewrite on demand. Fresh files rebuild per bloomed column at
-    * the column's max declared (bits, k). Invoked from
+  private def shardFiles(genDir: Path): Seq[Path] =
+    if (!Files.isDirectory(genDir)) Seq.empty
+    else {
+      val st = Files.list(genDir)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally st.close()
+    }
+
+  /** Stage-side manifest lifecycle (see the object doc's MAINTENANCE
+    * section): DELTA pass links the live generation's shards into the
+    * stage's `g1` and appends only fresh rows; past
+    * [[CompactShardThreshold]] shards it compacts instead. Invoked from
     * [[KeyBloom.maintainStage]], so every staging pass (delete, merge,
     * compaction, recluster, append) self-maintains the manifest exactly
-    * like the TSV sidecar. The whole pass is executor-side: the driver
-    * never holds a bloom word. */
+    * like the TSV sidecar. Executor-side throughout: the driver never
+    * holds a bloom word. */
   private[sinks] def maintainStage(spark: SparkSession, liveDir: Path,
       stageDir: Path, reusedNames: Set[String]): Unit = {
     val header = loadHeader(liveDir)
     if (header.isEmpty) return
-    val mPath = manifestPath(liveDir)
-    if (!Files.exists(mPath)) return
+    val liveShards = shardDir(liveDir).getOrElse(return)
     val freshFiles = TargetedDelete.partFiles(stageDir)
       .filterNot(p => reusedNames(p.getFileName.toString))
     // graceful lapse for dropped/retyped columns (mirrors the TSV path)
     val freshCols: Set[String] =
       if (freshFiles.isEmpty) Set.empty
-      else spark.read.parquet(freshFiles.head.toString).schema.fields.collect {
-        case f if Set[org.apache.spark.sql.types.DataType](
-          LongType, IntegerType, StringType)(f.dataType) => f.name
-      }.toSet
+      else KeyBloom.bloomableCols(spark, freshFiles.head)
     val cols = header.keys.map(_._2).toSeq.distinct.sorted.filter(freshCols.contains)
     val freshPerCol = cols.map { c =>
       val hs = header.collect { case ((_, cc), h) if cc == c => h }
@@ -348,69 +410,59 @@ object BloomManifest {
       val k = hs.map(_.k).max
       (c, bits, k, buildRowsDf(spark, freshFiles, c, bits, k))
     }
-    val outDir = manifestPath(stageDir)
-    val oldShards = shardFiles(mPath)
-    if (oldShards.size < CompactShardThreshold) {
+    val outM = manifestPath(stageDir)
+    val outGen = outM.resolve("g1")
+    val old = shardFiles(liveShards)
+    if (old.size < CompactShardThreshold) {
       // DELTA pass: link the ledger forward, append only the batch's rows
-      Files.createDirectories(outDir)
-      oldShards.foreach { s =>
-        try Files.createLink(outDir.resolve(s.getFileName.toString), s)
-        catch {
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            Files.copy(s, outDir.resolve(s.getFileName.toString))
-        }
-      }
+      Files.createDirectories(outGen)
+      old.foreach(s =>
+        TargetedDelete.linkOrCopyStrict(s, outGen.resolve(s.getFileName.toString)))
       if (freshPerCol.nonEmpty) {
         val tmp = stageDir.resolve(".KEYBLOOM_PQ.fresh")
         AtomicTable.deleteRecursively(tmp)
         writeShards(freshPerCol.map(_._4._1).reduce(_.unionByName(_)), tmp)
-        TargetedDelete.moveStagedParts(tmp, outDir)
+        TargetedDelete.moveStagedParts(tmp, outGen)
       }
     } else {
       // COMPACT pass: drop the accumulated stale rows, restore one
       // globally-sorted shard set
       import spark.implicits._
       val keepNames = reusedNames.toSeq.toDF("file")
-      val carried = spark.read.parquet(mPath.toString)
+      val carried = spark.read.parquet(liveShards.toString)
         .join(keepNames, Seq("file"), "left_semi")
         .select(col("cname"), col("kind"), col("bits"), col("k"),
           col("file"), col("idx"), col("word"))
       writeShards((carried +: freshPerCol.map(_._4._1)).reduce(_.unionByName(_)),
-        outDir)
+        outGen)
     }
     val carriedHeader = header.filter { case ((f, _), _) => reusedNames(f) }
     val freshHeader = freshPerCol.flatMap { case (c, bits, k, (_, kind)) =>
       freshFiles.map(f => (f.getFileName.toString, c) -> HeaderRow(kind, bits, k))
     }.toMap
-    writeHeader(outDir, carriedHeader ++ freshHeader)
+    writeHeader(outM, "g1", carriedHeader ++ freshHeader)
   }
 
   /** On-demand manifest compaction of the LIVE version: rewrite the shard
     * set filtered to the live file list (dropping every delta pass's
-    * stale rows), re-sorted for probe pushdown. Metadata-only from the
-    * table's point of view — data files and the header are untouched.
-    * Returns the shard count after. */
+    * stale rows) as the next generation under the atomic header flip.
+    * Metadata-only from the table's point of view — data files and header
+    * entries are untouched. Returns the live generation's shard count. */
   def compactManifest(spark: SparkSession, root: String): Int = {
     val live = AtomicTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no live version at $root"))
     val liveDir = java.nio.file.Paths.get(root, live)
-    val mPath = manifestPath(liveDir)
-    if (!Files.exists(mPath) || loadHeader(liveDir).isEmpty) return 0
+    val header = loadHeader(liveDir)
+    val mDir = shardDir(liveDir)
+    if (header.isEmpty || mDir.isEmpty) return 0
     import spark.implicits._
     val liveNames = TargetedDelete.partFiles(liveDir)
       .map(_.getFileName.toString).toDF("file")
-    val compacted = spark.read.parquet(mPath.toString)
+    val compacted = spark.read.parquet(mDir.get.toString)
       .join(liveNames, Seq("file"), "left_semi")
       .select(col("cname"), col("kind"), col("bits"), col("k"),
         col("file"), col("idx"), col("word"))
-    val header = loadHeader(liveDir)
-    val tmp = liveDir.resolve(s".$ManifestDir.tmp")
-    AtomicTable.deleteRecursively(tmp)
-    writeShards(compacted, tmp)
-    AtomicTable.deleteRecursively(mPath)
-    Files.move(tmp, mPath, StandardCopyOption.ATOMIC_MOVE)
-    writeHeader(mPath, header)
-    shardFiles(mPath).size
+    publishGen(spark, liveDir, compacted, header)
+    shardDir(liveDir).map(shardFiles(_).size).getOrElse(0)
   }
 }

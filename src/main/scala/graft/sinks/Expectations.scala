@@ -189,12 +189,13 @@ object Expectations {
     * corpus arrives as an AvailableNow file stream (one file per
     * micro-batch, three batches partitioning `documents` by doc_id % 3),
     * each batch through [[commitExpectBatch]] — quarantine appended first,
-    * both tables stamped under one (appId, batchId). A MID-FEED RESTART is
-    * baked in: after two micro-batches the engine's commit record for
-    * batch 1 is dropped (the crash-after-sink-commit window foreachBatch
-    * documents), the third file lands, and the stream restarts on the
-    * same checkpoint — Spark redelivers batch 1 and the gate must SKIP
-    * BOTH tables (None) without evaluating the batch, then apply batch 2.
+    * both tables stamped under one (appId, batchId). A RESTART is baked
+    * in: the first AvailableNow run consumes all three batches, then the
+    * engine's commit record for the LAST batch (2) is dropped — the
+    * crash-after-sink-commit-before-offsets-checkpoint window
+    * foreachBatch documents — and the stream restarts on the same
+    * checkpoint: Spark redelivers batch 2 and the gate must SKIP BOTH
+    * tables (None) without evaluating the batch.
     * THROWS unless applied==3 ∧ redelivered-skips==1 ∧ the accumulated
     * split is lossless. The final frame unions both tables' aggregates —
     * same oracle as the batch gate, so the hash row is green only through

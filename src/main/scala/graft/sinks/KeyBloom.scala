@@ -134,6 +134,15 @@ object KeyBloom {
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** The columns of `file` whose type family both bloom backends accept —
+    * ONE schema open shared by the TSV and manifest maintenance passes
+    * (a retyped column lapses like a dropped one). */
+  private[sinks] def bloomableCols(spark: SparkSession, file: Path): Set[String] =
+    spark.read.parquet(file.toString).schema.fields.collect {
+      case f if Set[org.apache.spark.sql.types.DataType](
+        LongType, IntegerType, StringType)(f.dataType) => f.name
+    }.toSet
+
   /** TEST-ONLY instrumentation (the [[KeyStats.footerOpens]] pattern):
     * how many times the TSV sidecar was driver-materialized. The sharded
     * manifest's declared query asserts its probe left this counter
@@ -304,11 +313,7 @@ object KeyBloom {
     // whole merge from inside buildRows (r18 advisory)
     val freshCols: Set[String] =
       if (freshFiles.isEmpty) Set.empty
-      else spark.read.parquet(freshFiles.head.toString).schema.fields.collect {
-        // same type family buildRows accepts — a retyped column lapses too
-        case f if Set[org.apache.spark.sql.types.DataType](
-          LongType, IntegerType, StringType)(f.dataType) => f.name
-      }.toSet
+      else bloomableCols(spark, freshFiles.head)
     val fresh = old.keys.map(_._2).toSeq.distinct.sorted
       .filter(freshCols.contains).flatMap { c =>
         val bits = old.collect { case ((_, cc), b) if cc == c => b.bits }.max

@@ -204,18 +204,20 @@ object KeyedMerge {
       // key misses it.
       def decide[K](keys: Array[K], ks: TargetedDelete.KeySet, ord: Ordering[K],
           decode: String => K, bytes: K => Array[Byte]): Assignment = {
+        val statsTouched = stat.collect {
+          case (n, r) if TargetedDelete.rowIntersects(r, ks) => (n, r)
+        }
         // the distributed manifest probe composes conjunctively with the
         // TSV bloom and the stats hull: a covered, non-admitted file is
-        // provably disjoint from every probed key
+        // provably disjoint from every probed key. Gated on a non-empty
+        // candidate set — a changeset the hulls already cleared never
+        // pays the probe job.
         val manifest =
-          if (!manifestAvail) None
+          if (!manifestAvail || (statsTouched.isEmpty && blind.isEmpty)) None
           else BloomManifest.probe(changes.sparkSession, liveDir.get, keyCol,
             kind, keys.toSeq.map(bytes))
         def mOk(n: String): Boolean =
           manifest.forall(p => !p.covered(n) || p.admitted(n))
-        val statsTouched = stat.collect {
-          case (n, r) if TargetedDelete.rowIntersects(r, ks) => (n, r)
-        }
         val touched = statsTouched.collect {
           case (n, r) if mOk(n) && bloomFor.get(n).forall(b =>
             KeyBloom.sliceMaybe(b, keys, decode(r.min), decode(r.max), ord, bytes)) => n
@@ -315,9 +317,10 @@ object KeyedMerge {
       // bulk manifest probe: the checkpointed distinct keys join the
       // sharded manifest distributed-to-distributed — the >10^5-key
       // changeset gets the same layout-independent clearing as a point
-      // merge, with nothing but admitted names on the driver
+      // merge, with nothing but admitted names on the driver. Gated on a
+      // non-empty candidate set like the driver regime.
       val mProbe =
-        if (!manifestAvail) None
+        if (!manifestAvail || (touchedStat.isEmpty && blindNames.isEmpty)) None
         else BloomManifest.probeBulk(changes.sparkSession, liveDir.get,
           keyCol, kind, keyed)
       def mOk(n: String): Boolean =

@@ -82,15 +82,34 @@ object Maintenance {
     * rewrote 30% is shaped that way, not drifting). */
   val DriftRiseFactor = 1.5
 
+  /** The log self-bounds: past this size an append COMPACTS it — every
+    * `baseline` line survives (the structural witness is permanent, one
+    * line per key) and the newest [[CompactKeepTail]] other lines are
+    * kept, far more than any telemetry window reads. Without the bound a
+    * maintainEvery=1 stream would make every per-batch advise re-read an
+    * ever-growing file — O(total merges ever) on the hot path. */
+  val MaxLogBytes: Long = 256L * 1024
+  val CompactKeepTail = 1024
+
   private def logPath(root: String) = Paths.get(root, MaintLog)
 
   private[graft] def record(root: String, fields: Seq[String]): Unit =
     try {
       Files.createDirectories(Paths.get(root))
-      Files.write(logPath(root),
+      val p = logPath(root)
+      Files.write(p,
         (fields.mkString("\t") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      if (Files.size(p) > MaxLogBytes) {
+        val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+        val (baselines, rest) = lines.partition(_.startsWith("baseline\t"))
+        val tmp = Paths.get(root, s".$MaintLog.tmp")
+        Files.writeString(tmp,
+          (baselines ++ rest.takeRight(CompactKeepTail)).mkString("\n") + "\n")
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch { case scala.util.control.NonFatal(_) => () } // advisory only
 
   private def logLines(root: String, kind: String, keyCol: String): Seq[Array[String]] = {

@@ -244,9 +244,7 @@ object StatsRead {
     // only admitted names reach the driver — the 10⁶-file path), the
     // driver-materialized TSV sidecar for files the manifest doesn't
     // cover (the small-table fast path), the min/max stats ladder last
-    val manifest = BloomManifest.probe(spark, dir, keyCol, kind, keyBytes)
-    val mCovered = manifest.map(_.covered).getOrElse(Set.empty[String])
-    val mAdmitted = manifest.map(_.admitted).getOrElse(Set.empty[String])
+    val mCovered = BloomManifest.coveredFiles(dir, keyCol, kind)
     val (manifested, rest0) = files.partition(f => mCovered(f.getFileName.toString))
     val blooms = KeyBloom.loadBlooms(dir)
     val (bloomed, rest) = rest0.partition { f =>
@@ -259,10 +257,19 @@ object StatsRead {
     val sideAll = KeyStats.loadStats(dir).collect {
       case ((f, c), row) if c == keyCol => f -> row
     }
-    val manifestTouched = manifested.filter { f =>
-      val n = f.getFileName.toString
-      sideAll.get(n).forall(TargetedDelete.rowIntersects(_, ks)) && mAdmitted(n)
+    // the probe job runs only when the stats hull leaves candidates, and
+    // a torn manifest (crash between header and shards) degrades to
+    // planning every candidate — conservative, never a wrong skip
+    val candidates = manifested.filter { f =>
+      sideAll.get(f.getFileName.toString)
+        .forall(TargetedDelete.rowIntersects(_, ks))
     }
+    val manifestTouched =
+      if (candidates.isEmpty) Seq.empty[java.nio.file.Path]
+      else BloomManifest.probe(spark, dir, keyCol, kind, keyBytes) match {
+        case Some(p) => candidates.filter(f => p.admitted(f.getFileName.toString))
+        case None => candidates
+      }
     val bloomTouched = bloomed.filter { f =>
       val n = f.getFileName.toString
       sideAll.get(n).forall(TargetedDelete.rowIntersects(_, ks)) &&
@@ -722,6 +729,7 @@ object StatsRead {
       val covered = BloomManifest.loadHeader(vDir)
         .count { case ((_, c), _) => c == "row_hash" }
       covered >= 1000 && TargetedDelete.partFiles(vDir).size == covered &&
+        BloomManifest.shardDir(vDir).isDefined && // intact shard generation
         !java.nio.file.Files.exists(vDir.resolve(KeyBloom.BloomFile))
     }
     if (!reusable) {

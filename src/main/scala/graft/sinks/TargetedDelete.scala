@@ -406,14 +406,17 @@ object TargetedDelete {
     // sharded-manifest probe for enumerated key sets (one distributed job,
     // no driver bloom materialization); a covered, non-admitted file is
     // provably key-free. Ranges/prefixes can't bloom-probe (unbounded key
-    // sets) and stay on the stats ladder.
-    val manifest = ks match {
-      case LongKeys(sorted) => BloomManifest.probe(spark, liveDir, keyCol,
-        "long", sorted.toSeq.map(KeyBloom.longBytes))
-      case StringKeys(sorted) => BloomManifest.probe(spark, liveDir, keyCol,
-        "string", sorted.toSeq.map(KeyBloom.stringBytes))
-      case _ => None
-    }
+    // sets), and a delete the stats hull already fully cleared never pays
+    // the probe job — both stay on the stats ladder.
+    val manifest =
+      if (touched0.isEmpty) None
+      else ks match {
+        case LongKeys(sorted) => BloomManifest.probe(spark, liveDir, keyCol,
+          "long", sorted.toSeq.map(KeyBloom.longBytes))
+        case StringKeys(sorted) => BloomManifest.probe(spark, liveDir, keyCol,
+          "string", sorted.toSeq.map(KeyBloom.stringBytes))
+        case _ => None
+      }
     val blooms = KeyBloom.loadBlooms(liveDir)
     val (bloomCleared, touched) =
       if (blooms.isEmpty && manifest.isEmpty) (Seq.empty[Path], touched0)
@@ -524,6 +527,18 @@ object TargetedDelete {
     catch { case _: UnsupportedOperationException | _: java.io.IOException =>
       Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES) }
   }
+
+  /** [[linkInto]]'s STRICT form, shared by restore and manifest carries: a
+    * source vanished mid-stage fails loudly (never silently copies a
+    * half-gone file); only links-unsupported / cross-device failures fall
+    * back to a copy. */
+  private[sinks] def linkOrCopyStrict(src: Path, dst: Path): Unit =
+    try Files.createLink(dst, src)
+    catch {
+      case e: java.nio.file.NoSuchFileException => throw e
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst)
+    }
 
   private def longKeySet(keys: Seq[Long]): KeySet =
     LongKeys(keys.distinct.sorted.toArray)

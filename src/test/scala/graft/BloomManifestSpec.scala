@@ -186,27 +186,31 @@ class BloomManifestSpec extends AnyFunSuite {
     val root = "spark-warehouse/test_bmanifest_delta"
     buildManifested(root)
     val dir0 = liveDir(root)
-    val shard0 = parts(BloomManifest.manifestPath(dir0))
+    val gen0 = BloomManifest.shardDir(dir0).get
+    val shard0 = parts(gen0)
     assert(shard0.nonEmpty)
     // a staging pass with drops + rewrites: predecessor shards must link
     // forward untouched, fresh rows append as new shards
     TargetedDelete.deleteKeyRange(spark, root, "id", 1050L, 1949L)
     val dir1 = liveDir(root)
-    val m1 = BloomManifest.manifestPath(dir1)
+    val gen1 = BloomManifest.shardDir(dir1).get
     shard0.foreach { n =>
-      assert(KeyedMerge.sameInode(
-        BloomManifest.manifestPath(dir0).resolve(n), m1.resolve(n)),
+      assert(KeyedMerge.sameInode(gen0.resolve(n), gen1.resolve(n)),
         s"delta pass rewrote predecessor shard $n instead of linking it")
     }
-    assert(parts(m1).size > shard0.size, "fresh rows did not append as new shards")
+    assert(parts(gen1).size > shard0.size, "fresh rows did not append as new shards")
     // stale rows for removed files linger (bounded, harmless: dead names
     // are never consulted) until compaction drops them
     val live1 = parts(dir1)
-    val stale = spark.read.parquet(m1.toString)
+    val stale = spark.read.parquet(gen1.toString)
       .filter(!col("file").isin(live1: _*)).count()
     assert(stale > 0, "expected stale rows for the dropped interior files")
     BloomManifest.compactManifest(spark, root)
-    assert(spark.read.parquet(m1.toString)
+    // compaction publishes a NEW generation under the atomic header flip
+    // (the predecessor is retained one publish for in-flight probes)
+    val gen2 = BloomManifest.shardDir(dir1).get
+    assert(gen2 != gen1, "compaction must flip to a fresh generation")
+    assert(spark.read.parquet(gen2.toString)
       .filter(!col("file").isin(live1: _*)).count() == 0,
       "compaction left stale rows")
     // probes stay exact through delta AND compaction
