@@ -155,6 +155,20 @@ class BloomManifestSpec extends AnyFunSuite {
       s"manifest did not prune the delete: $delStats")
   }
 
+  test("probe scan pushes idx IN (...) into the parquet reader (row-group pruning inside the manifest)") {
+    val root = "spark-warehouse/test_bmanifest_pushdown"
+    buildManifested(root)
+    val gen = BloomManifest.shardDir(liveDir(root)).get
+    // the probe's scan shape: cname/kind equality + the idx IN list — the
+    // sorted (cname, idx) layout makes the In prune row groups
+    val scan = spark.read.parquet(gen.toString)
+      .filter(col("cname") === "h" && col("kind") === "string" &&
+        col("idx").isin(1, 77, 4095))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(idx"),
+      s"idx IN did not reach the parquet scan:\n${plan.take(1500)}")
+  }
+
   test("bulk probe: the distributed merge regime clears files through the manifest too") {
     val root = "spark-warehouse/test_bmanifest_bulk"
     buildManifested(root)
