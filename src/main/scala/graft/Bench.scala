@@ -22,12 +22,20 @@ object Bench {
     // a FAILED run must not record its short abort time as a legitimate
     // sample (with count() gone there is no rows signal to catch it) — the
     // ok flag routes failures to an error counter instead of the stats
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // first failure MESSAGE per query rides into the archive (r19: four
+    // in-session flake errors shipped as bare counts and the cause had to
+    // be re-derived — the message is the evidence the adjudication needs)
+    val errMsgs = scala.collection.mutable.Map.empty[Int, String]
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        idx: Int = -1): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] query failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          if (idx >= 0 && !errMsgs.contains(idx))
+            errMsgs(idx) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(300)
           false
         }
       ((System.nanoTime() - t0) / 1e9, ok)
@@ -96,7 +104,7 @@ object Bench {
     scanCalibs += calibrateScan()
     for (_ <- 1 to n) {
       named.zipWithIndex.foreach { case ((_, fn), idx) =>
-        val (t, ok) = once(fn)
+        val (t, ok) = once(fn, idx)
         if (ok) samples(idx) += t else errCounts(idx) += 1
       }
       calibs += calibrate()
@@ -130,7 +138,7 @@ object Bench {
         // resting on a single possibly-contaminated sample. Resolution now
         // needs a SECOND independent sample (retry or prior min) within
         // 1.5× of the new min, so the spliced min is always corroborated.
-        val attempts = Seq(once(fn), once(fn))
+        val attempts = Seq(once(fn, idx), once(fn, idx))
         // a failed retry is still a failure — count it like main-round errors
         // (advisor r11: silently dropping it undercounts the artifact)
         errCounts(idx) += attempts.count(!_._2)
@@ -166,12 +174,17 @@ object Bench {
     val errors = named.zipWithIndex.collect {
       case ((name, _), idx) if errCounts(idx) > 0 => jstr(name) + ":" + errCounts(idx)
     }.mkString("{", ",", "}")
+    val errorMsgs = named.zipWithIndex.collect {
+      case ((name, _), idx) if errMsgs.contains(idx) =>
+        jstr(name) + ":" + jstr(errMsgs(idx))
+    }.mkString("{", ",", "}")
     val finite = results.values.filter(v => java.lang.Double.isFinite(v._1)).toSeq
     val total = finite.map(_._1).sum
     val totalMin = finite.map(_._2).sum
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"total_min":${jnum(totalMin)},"contended":$contended,""" +
       s""""contended_resolved":$contendedResolved,"errors":$errors,""" +
+      s""""error_msgs":$errorMsgs,""" +
       s""""sf":${jstr(sfDir)},"n":$n}""")
     // second, SHORT summary line: the full per-query line above can exceed
     // the driver's tail capture (BENCH artifacts ended up parsed:null), so
@@ -213,7 +226,8 @@ object Bench {
       s""""slowest5":$slowest5,"spread_p95":${jnum(spreadP95)},""" +
       s""""spread_max":${jnum(spreadMax)},"calib":$calibArr,""" +
       s""""calib_scan":$scanCalibArr,""" +
-      s""""box_loaded":$boxLoaded,"errors":$errors,"num_errors":${errCounts.sum},""" +
+      s""""box_loaded":$boxLoaded,"errors":$errors,"error_msgs":$errorMsgs,""" +
+      s""""num_errors":${errCounts.sum},""" +
       s""""sf":${jstr(sfDir)},"n":$n,"num_queries":${results.size}}"""
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson)
