@@ -499,7 +499,7 @@ object AtomicTable {
   /** Cross-process + cross-thread critical section for the `_CURRENT` flip:
     * a JVM monitor per root (file locks are not reentrant within a JVM)
     * wrapping an OS advisory `FileChannel.lock` on `root/_lock`. */
-  private def withPublishLock[A](root: String)(body: => A): A = {
+  private[sinks] def withPublishLock[A](root: String)(body: => A): A = {
     val mon = rootMonitors.computeIfAbsent(
       Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
     mon.synchronized {

@@ -283,13 +283,24 @@ object BloomManifest {
     val missing = files.filter(f => !header.contains((f.getFileName.toString, keyCol)))
     if (missing.isEmpty) return 0
     val (freshRows, kind) = buildRowsDf(spark, missing, keyCol, bits, k)
-    val all = shardDir(liveDir) match {
+    // carry: live generation first; a LEGACY (pre-generation) manifest's
+    // top-level shards migrate into the new generation; a header with no
+    // rows anywhere is STALE COVERAGE and must be dropped, not republished
+    // — coverage without rows would read as "provably key-free" everywhere
+    val legacy = shardFiles(manifestPath(liveDir))
+    val (carriedRows, carriedHeader) = shardDir(liveDir) match {
       case Some(d) if header.nonEmpty =>
-        spark.read.parquet(d.toString).unionByName(freshRows)
-      case _ => freshRows
+        (Some(spark.read.parquet(d.toString)), header)
+      case None if header.nonEmpty && legacy.nonEmpty =>
+        (Some(spark.read.parquet(legacy.map(_.toString): _*)), header)
+      case _ => (None, Map.empty[(String, String), HeaderRow])
     }
-    publishGen(spark, liveDir, all, header ++ missing.map(f =>
+    val all = carriedRows.fold(freshRows)(_.unionByName(freshRows))
+    publishGen(spark, liveDir, all, carriedHeader ++ missing.map(f =>
       (f.getFileName.toString, keyCol) -> HeaderRow(kind, bits, k)))
+    // a migrated legacy layout leaves its top-level shards behind — gone
+    // now that the generation holds their rows
+    if (shardDir(liveDir).isDefined) legacy.foreach(Files.deleteIfExists(_))
     // first-bloom witness for the advisor's structural-vs-drift call
     Maintenance.recordBloomBaseline(spark, root, keyCol)
     missing.size
@@ -396,7 +407,16 @@ object BloomManifest {
       stageDir: Path, reusedNames: Set[String]): Unit = {
     val header = loadHeader(liveDir)
     if (header.isEmpty) return
-    val liveShards = shardDir(liveDir).getOrElse(return)
+    // a LEGACY (pre-generation) manifest's top-level shards serve as the
+    // live shard set — the staging pass migrates them into the stage's
+    // generation instead of silently dropping the index; a header with no
+    // rows anywhere is stale coverage and lapses (correctly: coverage
+    // without rows must never propagate)
+    val liveShards = shardDir(liveDir)
+      .getOrElse {
+        val legacy = shardFiles(manifestPath(liveDir))
+        if (legacy.isEmpty) return else manifestPath(liveDir)
+      }
     val freshFiles = TargetedDelete.partFiles(stageDir)
       .filterNot(p => reusedNames(p.getFileName.toString))
     // graceful lapse for dropped/retyped columns (mirrors the TSV path)
@@ -429,7 +449,9 @@ object BloomManifest {
       // globally-sorted shard set
       import spark.implicits._
       val keepNames = reusedNames.toSeq.toDF("file")
-      val carried = spark.read.parquet(liveShards.toString)
+      // explicit shard paths, not the directory: a legacy manifest dir may
+      // also hold a crashed rebuild's orphan generation subdirectory
+      val carried = spark.read.parquet(old.map(_.toString): _*)
         .join(keepNames, Seq("file"), "left_semi")
         .select(col("cname"), col("kind"), col("bits"), col("k"),
           col("file"), col("idx"), col("word"))

@@ -247,8 +247,9 @@ object Expectations {
         throw new IllegalStateException("dq expect stream timed out")
       }
     }
-    // feed files all exist up front; two runs with a dropped commit record
-    // between them force the redelivery of batch 1 on the same checkpoint
+    // feed files all exist up front: the first run consumes batches 0-2;
+    // dropping the LAST batch's commit record (2) then restarting on the
+    // same checkpoint forces Spark to redeliver batch 2
     runStream()
     Files.delete(Paths.get(ckpt, "commits", "2"))
     Files.deleteIfExists(Paths.get(ckpt, "commits", ".2.crc"))

@@ -95,20 +95,25 @@ object Maintenance {
 
   private[graft] def record(root: String, fields: Seq[String]): Unit =
     try {
-      Files.createDirectories(Paths.get(root))
-      val p = logPath(root)
-      Files.write(p,
-        (fields.mkString("\t") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      if (Files.size(p) > MaxLogBytes) {
-        val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
-        val (baselines, rest) = lines.partition(_.startsWith("baseline\t"))
-        val tmp = Paths.get(root, s".$MaintLog.tmp")
-        Files.writeString(tmp,
-          (baselines ++ rest.takeRight(CompactKeepTail)).mkString("\n") + "\n")
-        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // under the table's publish lock: the multi-writer (OCC) path can
+      // append from two processes, and a size-triggered compaction's
+      // read-rewrite-move would otherwise clobber a concurrent append —
+      // losing a key's only baseline line silently
+      AtomicTable.withPublishLock(root) {
+        val p = logPath(root)
+        Files.write(p,
+          (fields.mkString("\t") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        if (Files.size(p) > MaxLogBytes) {
+          val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+          val (baselines, rest) = lines.partition(_.startsWith("baseline\t"))
+          val tmp = Paths.get(root, s".$MaintLog.tmp")
+          Files.writeString(tmp,
+            (baselines ++ rest.takeRight(CompactKeepTail)).mkString("\n") + "\n")
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () } // advisory only
 

@@ -268,7 +268,14 @@ object StatsRead {
       if (candidates.isEmpty) Seq.empty[java.nio.file.Path]
       else BloomManifest.probe(spark, dir, keyCol, kind, keyBytes) match {
         case Some(p) => candidates.filter(f => p.admitted(f.getFileName.toString))
-        case None => candidates
+        case None => candidates.filter { f =>
+          // probe declined (key set past MaxProbeKeys, or a torn/legacy
+          // manifest): a covered file keeps its TSV-bloom second chance
+          // when it has one; otherwise planned conservatively
+          val n = f.getFileName.toString
+          blooms.get((n, keyCol)).filter(_.kind == kind)
+            .forall(b => keyBytes.exists(b.mightContain))
+        }
       }
     val bloomTouched = bloomed.filter { f =>
       val n = f.getFileName.toString

@@ -238,6 +238,61 @@ class BloomManifestSpec extends AnyFunSuite {
     assert(gone.count() == 0L && rsGone.filesRead == 0, rsGone.toString)
   }
 
+  /** Rewrite a modern manifest as the pre-generation layout: shards at the
+    * manifest top level, header without the @gen pointer. */
+  private def degenerate(dir: Path): Unit = {
+    val m = BloomManifest.manifestPath(dir)
+    val gen = BloomManifest.shardDir(dir).get
+    parts(gen).foreach(n => Files.move(gen.resolve(n), m.resolve(n)))
+    deleteAll(gen)
+    val hdr = Files.readAllLines(m.resolve(BloomManifest.HeaderFile))
+      .asScala.filterNot(_.startsWith("@"))
+    Files.writeString(m.resolve(BloomManifest.HeaderFile), hdr.mkString("\n"))
+    assert(BloomManifest.shardDir(dir).isEmpty &&
+      BloomManifest.loadHeader(dir).nonEmpty)
+  }
+
+  test("legacy (pre-generation) manifests: no wrong skips, and both upgrade paths migrate the rows") {
+    import spark.implicits._
+    // path 1: a STAGING pass migrates the legacy shards into its generation
+    val root = "spark-warehouse/test_bmanifest_legacy"
+    buildManifested(root)
+    degenerate(liveDir(root))
+    // probes decline on the legacy layout -> conservative planning, the
+    // row is still found (coverage-without-rows must never read as skip)
+    val (out, _) = StatsRead.readStringKeyIn(spark, root, "h", Seq(md5hex("123")))
+    assert(out.select("id").as[Long].collect().toSet == Set(123L))
+    TargetedDelete.deleteKeyRange(spark, root, "id", 100L, 199L)
+    val dir2 = liveDir(root)
+    assert(BloomManifest.shardDir(dir2).isDefined,
+      "staging pass dropped the legacy manifest instead of migrating it")
+    val (out2, rs2) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("1234")))
+    assert(out2.select("id").as[Long].collect().toSet == Set(1234L))
+    assert(rs2.footerReads == 0 && rs2.manifestFiles == rs2.totalFiles &&
+      rs2.filesRead <= 4, rs2.toString)
+    val (gone, rsGone) = StatsRead.readStringKeyInBloom(spark, root, "h",
+      Seq(md5hex("150"))) // deleted
+    assert(gone.count() == 0L && rsGone.filesRead == 0, rsGone.toString)
+    // path 2: an INDEX EXTENSION (new column) carries the legacy rows into
+    // the new generation and clears the top-level shards
+    val root2 = "spark-warehouse/test_bmanifest_legacy2"
+    buildManifested(root2)
+    degenerate(liveDir(root2))
+    assert(BloomManifest.indexBloomManifest(spark, root2, "id") == 32)
+    val d2 = liveDir(root2)
+    assert(BloomManifest.shardDir(d2).isDefined)
+    assert(parts(BloomManifest.manifestPath(d2)).isEmpty,
+      "legacy top-level shards must clear after migration")
+    val pH = BloomManifest.probe(spark, d2, "h", "string",
+      Seq(utf8(md5hex("77")))).get
+    assert(pH.covered.size == 32 && pH.admitted.nonEmpty,
+      s"legacy rows lost in index-extension migration: $pH")
+    val pId = BloomManifest.probe(spark, d2, "id", "long",
+      Seq(java.nio.ByteBuffer.allocate(8).putLong(77L).array())).get
+    assert(pId.admitted.nonEmpty)
+  }
+
   test("RESTORE carries the manifest: restored version probes distributed") {
     val root = "spark-warehouse/test_bmanifest_restore"
     buildManifested(root)
@@ -268,10 +323,12 @@ class BloomManifestSpec extends AnyFunSuite {
     val header = BloomManifest.loadHeader(dir)
     val victim = header.keys.head
     val mDir = BloomManifest.manifestPath(dir)
-    val body = header.-(victim).toSeq.sortBy(_._1).map { case ((f, c), h) =>
+    val genLine = Files.readAllLines(mDir.resolve(BloomManifest.HeaderFile))
+      .asScala.find(_.startsWith("@gen")).toSeq // keep the generation pointer
+    val body = (genLine ++ header.-(victim).toSeq.sortBy(_._1).map { case ((f, c), h) =>
       java.net.URLEncoder.encode(f, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(c, "UTF-8") + s"\t${h.kind}\t${h.bits}\t${h.k}"
-    }.mkString("\n")
+    }).mkString("\n")
     Files.writeString(mDir.resolve(BloomManifest.HeaderFile), body)
     val h1 = Maintenance.advise(spark, root, "h", target)
     assert(h1.bloomCoverage < 1.0 && h1.action == "bloom", h1.toString)
