@@ -28,12 +28,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *
   * SIZING: fpp ≈ (1 − e^(−k·n/m))^k — at the default m=2¹⁴ bits (2 KB/file)
   * and k=7, a 2000-row file probes at ~2% fpp; size `bits` ≈ 10× expected
-  * rows per file. SCALE BOUNDARY, stated honestly: this sidecar is
-  * driver-materialized like `_KEYSTATS`, so it serves tables up to
-  * ~10⁴–10⁵ files (bits/8 bytes each — tens of MB). At 10⁶+ files the
-  * right home is parquet's NATIVE column bloom filters (written per file,
-  * read by the scan itself) or a sharded/parquet sidecar probed as a join;
-  * the probe API here is the contract either backend would serve.
+  * rows per file. SCALE BOUNDARY, stated honestly: this TSV sidecar is
+  * driver-materialized like `_KEYSTATS`, so at the PRODUCTION sizing
+  * ([[bitsFor]]'s 8 MB/file cap) it serves only ~10³ production files —
+  * it is the SMALL-TABLE FAST PATH. Past it, [[BloomManifest]] (r19) is
+  * the same probe contract served distributed: blooms as sharded parquet
+  * inside the version directory, probed as a join that collects only
+  * admitted file names, self-maintained as a delta ledger — opt in with
+  * [[BloomManifest.indexBloomManifest]]; every probe site consults both
+  * backends. Staging rewrites additionally write parquet's NATIVE column
+  * blooms for row-group-level skipping inside touched files.
   *
   * MAINTENANCE: delete/merge/compaction/recluster SELF-MAINTAIN the bloom
   * exactly like `_KEYSTATS` ([[maintainStage]]): hard-LINKED files carry
