@@ -158,6 +158,73 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_r").as("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  // --------------------------------------------------- IVF, DISK-BACKED
+
+  /** Fewer queries than the in-memory gallery: the audit needs probed
+    * cells ≪ total cells so unread FILES provably exist at every
+    * RangePartitioner sample. */
+  val DiskQueries = 3
+  val DiskFiles = 16
+
+  def annIvfDiskRoot(dir: String): String =
+    "spark-warehouse/ann_ivf_" + new java.io.File(dir).getName
+
+  /** DISK-BACKED IVF (r19): the inverted lists become TABLE LAYOUT — the
+    * corpus is assigned to its nearest cell, range-clustered by `cell_id`
+    * into an [[graft.sinks.AtomicTable]] committed with `statsCols`, and a
+    * query's NProbe cells are served by [[graft.sinks.StatsRead.readKeyIn]]
+    * FILE SKIPPING: the scan is constructed over only the files whose
+    * cell-hull admits a probed cell, zero footer reads (both enforced —
+    * the query THROWS otherwise). This is the ANN shape that actually
+    * holds at 100 TB: the index is the layout, a query reads the probed
+    * lists' files and nothing else, and the exact rerank runs inside the
+    * candidates. Same assignment arithmetic as [[simIvfTopk]] (6-dp
+    * rounded cosine, cell tie-break), so the oracle replays the whole
+    * dataflow — layout must change IO, never results. */
+  def simIvfDisk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{AtomicTable, StatsRead}
+    val root = annIvfDiskRoot(dir)
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
+    val e = Tables.embeddings(spark, dir)
+    val centroids = broadcast(e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(centroids).withColumn("c_sim", round(cosine, 6))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("cell_id").asc)
+      scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
+        .select(col(idCol), col("va"), col("cell_id"))
+    }
+    val inverted = assign(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("va")), "n_id", 1)
+      .select(col("cell_id"), col("n_id"), col("va").as("vb"))
+    AtomicTable.commit(
+      inverted.repartitionByRange(DiskFiles, col("cell_id"))
+        .sortWithinPartitions(col("cell_id"), col("n_id")),
+      root, statsCols = Seq("cell_id"))
+    val queryCells = assign(
+      e.filter(col("vec_id") < DiskQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("va")),
+      "q_id", NProbe)
+    // the probed cell ids are MODEL-sized (≤ queries × NProbe) — the only
+    // thing that ever reaches the driver; the corpus stays on disk
+    val cells = queryCells.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val (listed, rs) = StatsRead.readKeyIn(spark, root, "cell_id", cells)
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles || rs.filesRead < 1)
+      throw new IllegalStateException(
+        s"disk IVF probe did not skip files: $rs (probed ${cells.size} of " +
+          s"$NumCells cells; want footerReads=0, 1 <= filesRead < totalFiles)")
+    val cands = broadcast(queryCells).join(listed, Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos_r", round(cosine, 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), col("cos_r").as("cos"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   // ------------------------------------------- IVF with TRAINED centroids
 
   val KMeansIters = 2
@@ -448,6 +515,7 @@ object Similarity {
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "ann_ivf_disk" -> (simIvfDisk _),
     "sim_ivf_kmeans" -> (simIvfKmeansTopk _),
     "sim_kmeans_clusters" -> (simKmeansClusters _),
     "sim_cluster_sample" -> (simClusterSample _))
@@ -651,18 +719,23 @@ object Similarity {
          |  FROM probes p JOIN tbl_sigs c ON p.tbl = c.tbl AND p.sig = c.sig
          |  WHERE p.q_id != c.vec_id),
          |$topkSql""".stripMargin,
-    "sim_ivf_topk" ->
-      s"""WITH assign AS (
-         |  SELECT e.vec_id, c.vec_id AS cell_id,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |        CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS crnk
-         |  FROM embeddings e, embeddings c WHERE c.vec_id < $NumCells),
-         |inv AS (SELECT vec_id AS n_id, cell_id FROM assign WHERE crnk = 1),
-         |qp AS (SELECT vec_id AS q_id, cell_id FROM assign
-         |       WHERE crnk <= $NProbe AND vec_id < $NumQueries),
-         |cands AS (
-         |  SELECT DISTINCT q_id, n_id FROM qp JOIN inv USING (cell_id)
-         |  WHERE q_id != n_id),
-         |$topkSql""".stripMargin)
+    "sim_ivf_topk" -> ivfTopkOracle(NumQueries),
+    // the disk layout must change IO, never results: same replay as the
+    // in-memory IVF, over the disk variant's query count
+    "ann_ivf_disk" -> ivfTopkOracle(DiskQueries))
+
+  private def ivfTopkOracle(nq: Int): String =
+    s"""WITH assign AS (
+       |  SELECT e.vec_id, c.vec_id AS cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |        CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS crnk
+       |  FROM embeddings e, embeddings c WHERE c.vec_id < $NumCells),
+       |inv AS (SELECT vec_id AS n_id, cell_id FROM assign WHERE crnk = 1),
+       |qp AS (SELECT vec_id AS q_id, cell_id FROM assign
+       |       WHERE crnk <= $NProbe AND vec_id < $nq),
+       |cands AS (
+       |  SELECT DISTINCT q_id, n_id FROM qp JOIN inv USING (cell_id)
+       |  WHERE q_id != n_id),
+       |$topkSql""".stripMargin
 }

@@ -682,7 +682,7 @@ object AtomicTable {
     } finally it.close()
   }
 
-  private[sinks] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val it = Files.list(p)
       try it.forEach(deleteRecursively) finally it.close()
