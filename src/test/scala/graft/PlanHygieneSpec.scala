@@ -39,6 +39,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "pipe_e2e_vol",               // composed: catalog + templates + count singletons
     "sim_bruteforce_topk",        // broadcast query set — the documented exact baseline
     "sim_ivf_topk",               // broadcast probe set + 16-centroid model
+    "ann_ivf_disk",               // same 16-centroid broadcast model; the
+                                  // corpus side is the stats-pruned scan
     "tc_mix_budget",              // broadcast 1-row corpus total
     "tr_validation",              // broadcast poi fixture, contains() residual
     "ts_bm25_topk",               // broadcast 1-row (n_docs, avgdl) corpus stats

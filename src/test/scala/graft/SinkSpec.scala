@@ -223,7 +223,11 @@ class SinkSpec extends AnyFunSuite {
           // snapshot-lifetime tradeoff, not a torn read — only tearing fails
           case _: org.apache.spark.sql.AnalysisException => ()
           case e: org.apache.spark.SparkException
-            if e.getMessage != null && e.getMessage.contains("FileNotFound") => ()
+            // Spark words the lost-to-retention read two ways depending on
+            // where the prune lands: FileNotFound (listing) or
+            // FAILED_READ_FILE.FILE_NOT_EXIST (mid-scan)
+            if e.getMessage != null && (e.getMessage.contains("FileNotFound") ||
+              e.getMessage.contains("FILE_NOT_EXIST")) => ()
         }
       }
     } finally writer.join()
