@@ -260,6 +260,25 @@ object AtomicTable {
       singleWriterStaged(root, "append", batch) { (live, stageDir) =>
         val liveDir = Paths.get(root, live)
         TargetedDelete.requireFlatLayout(liveDir, "append commit")
+        // LINK-REUSE SCHEMA GUARD (r19 advice): this is a MIXED-schema path
+        // — linked live files + caller-written fresh files — and the plain
+        // read (no mergeSchema) would read a drifted append silently wrong
+        // (columns nulled/dropped by whichever file infers the schema).
+        // Validate against the live version's physical schema BEFORE any
+        // byte is staged, mirroring the keyed merge's guard. One footer
+        // open (schema-only) per append — metadata cost.
+        val liveFiles0 = TargetedDelete.partFiles(liveDir)
+        if (liveFiles0.nonEmpty) {
+          def shape(s: org.apache.spark.sql.types.StructType) =
+            s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          val liveSchema = spark.read.parquet(liveFiles0.head.toString).schema
+          if (shape(df.schema) != shape(liveSchema))
+            throw new IllegalStateException(
+              "append batch schema drifts from the linked live files' " +
+                "schema — cast the batch's columns to the table's types.\n" +
+                s"  table: ${shape(liveSchema).mkString(", ")}\n" +
+                s"  batch: ${shape(df.schema).mkString(", ")}")
+        }
         Files.createDirectories(stageDir)
         val blooms = KeyBloom.loadBlooms(liveDir)
         val side = KeyStats.loadStats(liveDir)
@@ -274,7 +293,7 @@ object AtomicTable {
             ndv))
           .mode("overwrite").parquet(rewriteOut.toString)
         TargetedDelete.moveStagedParts(rewriteOut, stageDir)
-        val liveFiles = TargetedDelete.partFiles(liveDir)
+        val liveFiles = liveFiles0
         liveFiles.foreach(TargetedDelete.linkInto(stageDir, _))
         val linkedNames = liveFiles.map(_.getFileName.toString).toSet
         KeyBloom.maintainStage(spark, liveDir, stageDir, linkedNames, blooms)

@@ -280,6 +280,14 @@ object BloomManifest {
     TargetedDelete.requireFlatLayout(liveDir, "bloom manifest indexing")
     val files = TargetedDelete.partFiles(liveDir)
     val header = loadHeader(liveDir)
+    // orphan sweep BEFORE the early return (r19 advice): a crash between a
+    // prior migration's header flip and its legacy-shard deletion leaves
+    // top-level pre-generation shards behind, and the retry would hit the
+    // missing.isEmpty return before ever reaching the cleanup — dead bytes
+    // forever. With a live generation the header owns coverage, so any
+    // top-level shard is provably stale.
+    if (shardDir(liveDir).isDefined)
+      shardFiles(manifestPath(liveDir)).foreach(Files.deleteIfExists(_))
     val missing = files.filter(f => !header.contains((f.getFileName.toString, keyCol)))
     if (missing.isEmpty) return 0
     val (freshRows, kind) = buildRowsDf(spark, missing, keyCol, bits, k)

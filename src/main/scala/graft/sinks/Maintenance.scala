@@ -107,7 +107,13 @@ object Maintenance {
           java.nio.file.StandardOpenOption.APPEND)
         if (Files.size(p) > MaxLogBytes) {
           val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
-          val (baselines, rest) = lines.partition(_.startsWith("baseline\t"))
+          // every *base record is PERMANENT (one line per key): the bloom
+          // baseline, the first-merge-window mean, the first-probe cost —
+          // the witnesses history-based advice compares against must
+          // survive every self-compaction (r19 advice)
+          val (baselines, rest) = lines.partition(l =>
+            l.startsWith("baseline\t") || l.startsWith("mergebase\t") ||
+              l.startsWith("probebase\t"))
           val tmp = Paths.get(root, s".$MaintLog.tmp")
           Files.writeString(tmp,
             (baselines ++ rest.takeRight(CompactKeepTail)).mkString("\n") + "\n")
@@ -152,14 +158,26 @@ object Maintenance {
     record(root, Seq("merge", keyCol, total.toString, rewritten.toString,
       bloomSkipped.toString))
 
+  /** The key's PERSISTED first-merge-window rewrite-fraction mean, if
+    * recorded. Permanent like [[bloomBaseline]] — survives log
+    * self-compaction. */
+  def mergeBaseline(root: String, keyCol: String): Option[Double] =
+    logLines(root, "mergebase", keyCol).headOption
+      .flatMap(a => scala.util.Try(a(2).toDouble).toOption)
+
   /** TELEMETRY-ONLY drift advice (r18 verdict item 4): does the merge
     * history alone — no directory listing, no sidecar hull — say the
     * prune has decayed? Some("recluster") when the last
     * [[TelemetryWindow]] merges rewrote ≥ [[DriftRewriteThreshold]] of
     * the table on average AND that mean rose ≥ [[DriftRiseFactor]]× over
-    * the first window's (needs ≥ 2·window merges to compare). The
-    * hull-based [[advise]] remains the precise decision; this is the
-    * free pre-filter a merge cadence can evaluate per batch. */
+    * the FIRST window's (needs ≥ 2·window merges to compare). The first
+    * window's mean is PERSISTED as a permanent `mergebase` line on first
+    * computation (r19 advice): the log self-compacts to its newest 1024
+    * merge lines, so without the witness a long-horizon high-cadence
+    * stream would eventually compare recent-vs-recent and slow decay
+    * would stop triggering. The hull-based [[advise]] remains the precise
+    * decision; this is the free pre-filter a merge cadence can evaluate
+    * per batch. */
   def adviseTelemetry(root: String, keyCol: String,
       window: Int = TelemetryWindow): Option[String] = {
     val merges = logLines(root, "merge", keyCol).flatMap { a =>
@@ -169,7 +187,11 @@ object Maintenance {
     else {
       def mean(xs: Seq[(Int, Int)]): Double =
         xs.map { case (t, r) => r.toDouble / t }.sum / xs.size
-      val early = mean(merges.take(window))
+      val early = mergeBaseline(root, keyCol).getOrElse {
+        val e = mean(merges.take(window))
+        record(root, Seq("mergebase", keyCol, e.toString))
+        e
+      }
       val recent = mean(merges.takeRight(window))
       if (recent >= DriftRewriteThreshold && recent >= DriftRiseFactor * early)
         Some("recluster")

@@ -359,4 +359,23 @@ class BloomManifestSpec extends AnyFunSuite {
     assert(BloomManifest.loadHeader(liveDir(root)).isEmpty,
       "manifest rows for the dropped column must lapse, not linger")
   }
+
+  test("orphan pre-generation shards are swept even when coverage is complete") {
+    val root = "spark-warehouse/test_bmanifest_orphan"
+    buildManifested(root)
+    val dir = liveDir(root)
+    val mDir = BloomManifest.manifestPath(dir)
+    // plant the crash debris: a migration that flipped its header but died
+    // before deleting the legacy top-level shard leaves it beside the
+    // generation directories
+    val orphan = mDir.resolve("part-legacy-orphan.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    // full coverage → the r19 early-return path; the sweep must still run
+    assert(BloomManifest.indexBloomManifest(spark, root, "h", 1 << 16) == 0)
+    assert(!Files.exists(orphan), "orphan legacy shard lingered past a retry")
+    // the live generation is untouched and still probes
+    val probe = BloomManifest.probe(spark, dir, "h", "string",
+      Seq(utf8(md5hex("17")))).get
+    assert(probe.covered.size == 32 && probe.admitted.nonEmpty)
+  }
 }

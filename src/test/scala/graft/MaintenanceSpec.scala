@@ -287,4 +287,36 @@ class MaintenanceSpec extends AnyFunSuite {
       trail.toString)
     assert(AtomicTable.read(spark, root).count() == 400L)
   }
+
+  test("adviseTelemetry persists the first-window mean and compares against it") {
+    val root = fresh("mergebase")
+    Files.createDirectories(Paths.get(root))
+    // 5 healthy merges (rewrite 1/10) then 5 decayed ones (4/10): the first
+    // advise must both fire and persist the first-window witness
+    (1 to 5).foreach(_ => Maintenance.recordMerge(root, "id", 10, 1, 0))
+    (1 to 5).foreach(_ => Maintenance.recordMerge(root, "id", 10, 4, 0))
+    assert(Maintenance.mergeBaseline(root, "id").isEmpty)
+    assert(Maintenance.adviseTelemetry(root, "id").contains("recluster"))
+    val base = Maintenance.mergeBaseline(root, "id")
+    assert(base.exists(b => math.abs(b - 0.1) < 1e-9), base.toString)
+    // simulate the self-compaction losing the early lines: even with ONLY
+    // decayed lines retained (recent-vs-recent mean ratio 1.0 — the r19
+    // advisory trap), the persisted witness keeps the drift visible
+    val p = Paths.get(root, Maintenance.MaintLog)
+    val kept = Files.readAllLines(p).asScala.toSeq
+      .filter(l => l.startsWith("mergebase\t") ||
+        (l.startsWith("merge\t") && l.endsWith("\t4\t0")))
+    Files.writeString(p, kept.mkString("\n") + "\n")
+    // top the retained decayed tail back up to 2 windows
+    (1 to 5).foreach(_ => Maintenance.recordMerge(root, "id", 10, 4, 0))
+    assert(Maintenance.adviseTelemetry(root, "id").contains("recluster"),
+      "drift signal degenerated to recent-vs-recent after compaction")
+    // and a genuinely always-hot table (flat history, no witness gap)
+    // still does NOT fire: baseline == recent
+    val root2 = fresh("mergeflat")
+    Files.createDirectories(Paths.get(root2))
+    (1 to 10).foreach(_ => Maintenance.recordMerge(root2, "id", 10, 4, 0))
+    assert(Maintenance.adviseTelemetry(root2, "id").isEmpty)
+    assert(Maintenance.mergeBaseline(root2, "id").exists(b => math.abs(b - 0.4) < 1e-9))
+  }
 }

@@ -454,6 +454,35 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("commitAppend: a schema-drifting batch fails loudly before publish") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graftappdrift").toString
+    AtomicTable.commitAppend(
+      spark.range(100L).select(col("id"), (col("id") * 3L).as("v")), root)
+    val v1 = AtomicTable.currentVersion(root)
+    // retyped column: v drifts long -> double — the mixed-schema version a
+    // plain read would interpret silently wrong must never publish
+    val e1 = intercept[IllegalStateException] {
+      AtomicTable.commitAppend(
+        spark.range(100L, 110L).select(col("id"), (col("id") * 1.5).as("v")), root)
+    }
+    assert(e1.getMessage.contains("schema drifts"), e1.getMessage)
+    // extra column drifts too
+    intercept[IllegalStateException] {
+      AtomicTable.commitAppend(
+        spark.range(100L, 110L).select(col("id"), (col("id") * 3L).as("v"),
+          lit("x").as("extra")), root)
+    }
+    assert(AtomicTable.currentVersion(root) == v1,
+      "a drifted append published a version")
+    assert(AtomicTable.read(spark, root).count() == 100L)
+    // a conforming append still lands
+    AtomicTable.commitAppend(
+      spark.range(100L, 110L).select(col("id"), (col("id") * 3L).as("v")), root)
+    assert(AtomicTable.read(spark, root).count() == 110L)
+  }
+
   test("S4 cache: HIT within TTL, STALE past TTL, MISS when absent") {
     val st = SerpCache.qCacheLookup(spark, "").collect()
       .map(r => r.getString(0) -> (r.getString(4), Option(r.getString(2)))).toMap
