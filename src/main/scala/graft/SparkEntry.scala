@@ -53,6 +53,7 @@ object SparkEntry {
     (sinks.OrcTable.queries, sinks.OrcTable.oracles),
     (sinks.TargetedDelete.queries, sinks.TargetedDelete.oracles),
     (sinks.StatsRead.queries, sinks.StatsRead.oracles),
+    (sinks.CompositeKey.queries, sinks.CompositeKey.oracles),
     (sinks.CdcApply.queries, sinks.CdcApply.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
     (sinks.Maintenance.queries, sinks.Maintenance.oracles),

@@ -225,16 +225,47 @@ object BloomManifest {
       else udf((s: String) =>
         if (s == null) Array.empty[(Int, Long)]
         else positions(KeyBloom.stringBytes(s), bits, k))
-    val df = spark.read.parquet(files.map(_.toString): _*)
+    val masked = spark.read.parquet(files.map(_.toString): _*)
       .select(input_file_name().as("f"), explode(masks(col(keyCol))).as("m"))
-      .groupBy(col("f"), col("m._1").as("idx"))
+    (rowsFromMasks(masked, keyCol, kind, bits, k), kind)
+  }
+
+  /** The shared row shape both build regimes reduce into. */
+  private def rowsFromMasks(masked: DataFrame, cname: String, kind: String,
+      bits: Int, k: Int): DataFrame =
+    masked.groupBy(col("f"), col("m._1").as("idx"))
       .agg(expr("bit_or(m._2)").as("word"))
-      .select(lit(keyCol).as("cname"), lit(kind).as("kind"),
+      .select(lit(cname).as("cname"), lit(kind).as("kind"),
         lit(bits).as("bits"), lit(k).as("k"),
         expr("url_decode(element_at(split(f, '/'), -1))").as("file"),
         col("idx"), col("word"))
-    (df, kind)
-  }
+
+  /** [[buildRowsDf]] dispatching on the column name: a COMPOSITE name
+    * ([[CompositeKey.Sep]]-joined components) hashes the length-framed
+    * canonical tuple bytes under the single composite cname — the probe
+    * side ([[probe]]/[[probeBulkBytes]]) is already generic over
+    * (cname, kind, bytes) and needs nothing. */
+  private def buildRowsDfFor(spark: SparkSession, files: Seq[Path],
+      cname: String, bits: Int, k: Int): (DataFrame, String) =
+    if (!CompositeKey.isComposite(cname)) buildRowsDf(spark, files, cname, bits, k)
+    else {
+      require(bits >= 64 && (bits & (bits - 1)) == 0,
+        s"bits must be a power of two >= 64: $bits")
+      val keyCols = CompositeKey.componentsOf(cname)
+      val schema = spark.read.parquet(files.head.toString).schema
+      val kinds = CompositeKey.kindsOf(schema, keyCols).getOrElse(
+        throw new IllegalArgumentException(
+          s"composite bloom manifest supports BIGINT/INT/STRING components, got " +
+            keyCols.map(c => schema(c).dataType).mkString(", ")))
+      val kind = CompositeKey.kindName(kinds)
+      val masks = udf((b: Array[Byte]) =>
+        if (b == null) Array.empty[(Int, Long)] else positions(b, bits, k))
+      val bytesCol = CompositeKey.bytesUdf(kinds)(
+        struct(CompositeKey.keySelect(kinds, keyCols): _*))
+      val masked = spark.read.parquet(files.map(_.toString): _*)
+        .select(input_file_name().as("f"), explode(masks(bytesCol)).as("m"))
+      (rowsFromMasks(masked, cname, kind, bits, k), kind)
+    }
 
   /** Write `rows` as a shard generation, range-sharded and sorted on
     * (cname, idx) so probe pushdown prunes row groups. No explicit shard
@@ -273,7 +304,21 @@ object BloomManifest {
     * re-shard) under the atomic header flip. Returns the number of files
     * indexed. */
   def indexBloomManifest(spark: SparkSession, root: String, keyCol: String,
-      bits: Int = KeyBloom.DefaultBits, k: Int = KeyBloom.NumHashes): Int = {
+      bits: Int = KeyBloom.DefaultBits, k: Int = KeyBloom.NumHashes): Int =
+    indexManifestFor(spark, root, keyCol, bits, k)
+
+  /** [[indexBloomManifest]]'s COMPOSITE twin: manifest-bloom the key TUPLE
+    * under one manifest column — the >= 10⁶-file path for composite point
+    * merges/deletes/reads ([[CompositeKey]]). */
+  def indexBloomManifestTuple(spark: SparkSession, root: String,
+      keyCols: Seq[String], bits: Int = KeyBloom.DefaultBits,
+      k: Int = KeyBloom.NumHashes): Int = {
+    require(keyCols.size >= 2, "composite manifest needs >= 2 key columns")
+    indexManifestFor(spark, root, CompositeKey.colName(keyCols), bits, k)
+  }
+
+  private def indexManifestFor(spark: SparkSession, root: String, keyCol: String,
+      bits: Int, k: Int): Int = {
     val live = AtomicTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no live version at $root"))
     val liveDir = java.nio.file.Paths.get(root, live)
@@ -290,7 +335,7 @@ object BloomManifest {
       shardFiles(manifestPath(liveDir)).foreach(Files.deleteIfExists(_))
     val missing = files.filter(f => !header.contains((f.getFileName.toString, keyCol)))
     if (missing.isEmpty) return 0
-    val (freshRows, kind) = buildRowsDf(spark, missing, keyCol, bits, k)
+    val (freshRows, kind) = buildRowsDfFor(spark, missing, keyCol, bits, k)
     // carry: live generation first; a LEGACY (pre-generation) manifest's
     // top-level shards migrate into the new generation; a header with no
     // rows anywhere is STALE COVERAGE and must be dropped, not republished
@@ -366,6 +411,23 @@ object BloomManifest {
     * key set touches most word indices anyway — the join IS the filter). */
   def probeBulk(spark: SparkSession, versionDir: Path, keyCol: String,
       kind: String, keys: DataFrame): Option[Probe] = {
+    val toBytes =
+      if (kind == "long") udf((key: java.lang.Long) =>
+        if (key == null) null else KeyBloom.longBytes(key))
+      else udf((s: String) =>
+        if (s == null) null else KeyBloom.stringBytes(s))
+    probeBulkBytes(spark, versionDir, keyCol, kind,
+      keys.toDF("__k").select(toBytes(col("__k")).as("__k")))
+  }
+
+  /** The BYTES-generic bulk probe both the typed form and the COMPOSITE
+    * assignment feed ([[CompositeKey.touched]]'s distributed regime): the
+    * key frame arrives as ONE binary column of canonical bytes, explodes
+    * to positions executor-side, and joins the manifest
+    * distributed-to-distributed — the probe layer never knows whether the
+    * bytes frame a single value or a length-framed tuple. */
+  def probeBulkBytes(spark: SparkSession, versionDir: Path, keyCol: String,
+      kind: String, keyBytes: DataFrame): Option[Probe] = {
     val header = loadHeader(versionDir).collect {
       case ((f, c), h) if c == keyCol && h.kind == kind => f -> h
     }
@@ -373,21 +435,16 @@ object BloomManifest {
     val mDir = shardDir(versionDir).getOrElse(return None)
     val covered = header.keySet
     val combos = header.values.map(h => (h.bits, h.k)).toSet.toSeq
-    val keyed = keys.toDF("__k")
+    val keyed = keyBytes.toDF("__k").na.drop()
     val posPerCombo = combos.map { case (bits, k) =>
-      val posUdf =
-        if (kind == "long") udf((key: java.lang.Long) =>
-          if (key == null) Array.empty[(Int, Long, Int)]
-          else positions(KeyBloom.longBytes(key), bits, k).zipWithIndex
-            .map { case ((i, m), p) => (i, m, p) })
-        else udf((s: String) =>
-          if (s == null) Array.empty[(Int, Long, Int)]
-          else positions(KeyBloom.stringBytes(s), bits, k).zipWithIndex
-            .map { case ((i, m), p) => (i, m, p) })
+      val posUdf = udf((b: Array[Byte]) =>
+        if (b == null) Array.empty[(Int, Long, Int)]
+        else positions(b, bits, k).zipWithIndex
+          .map { case ((i, m), p) => (i, m, p) })
       keyed.select(col("__k"), explode(posUdf(col("__k"))).as("m"))
         .select(lit(bits).as("bits"), lit(k).as("k"),
           col("m._1").as("idx"), col("m._2").as("mask"),
-          col("__k").as("keyId"), col("m._3").as("p"))
+          base64(col("__k")).as("keyId"), col("m._3").as("p"))
     }
     val m = spark.read.parquet(mDir.toString)
       .filter(col("cname") === keyCol && col("kind") === kind)
@@ -431,12 +488,15 @@ object BloomManifest {
     val freshCols: Set[String] =
       if (freshFiles.isEmpty) Set.empty
       else KeyBloom.bloomableCols(spark, freshFiles.head)
-    val cols = header.keys.map(_._2).toSeq.distinct.sorted.filter(freshCols.contains)
+    // composite columns survive iff every component does (same graceful
+    // lapse as the TSV path)
+    val cols = header.keys.map(_._2).toSeq.distinct.sorted
+      .filter(c => CompositeKey.componentsOf(c).forall(freshCols.contains))
     val freshPerCol = cols.map { c =>
       val hs = header.collect { case ((_, cc), h) if cc == c => h }
       val bits = hs.map(_.bits).max
       val k = hs.map(_.k).max
-      (c, bits, k, buildRowsDf(spark, freshFiles, c, bits, k))
+      (c, bits, k, buildRowsDfFor(spark, freshFiles, c, bits, k))
     }
     val outM = manifestPath(stageDir)
     val outGen = outM.resolve("g1")

@@ -218,6 +218,64 @@ object KeyBloom {
     }.toMap
   }
 
+  /** [[buildRows]] for a COMPOSITE key: one distributed pass hashing the
+    * LENGTH-FRAMED canonical tuple bytes ([[CompositeKey.tupleBytes]]) —
+    * rows land under the single composite column name with the tuple's
+    * kind string, so probes of drifted component types ignore them. A row
+    * with any NULL component contributes nothing (a null tuple is not a
+    * key). */
+  private def buildRowsTuple(spark: SparkSession, files: Seq[Path],
+      keyCols: Seq[String], bits: Int): Map[(String, String), BloomRow] = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 64: $bits")
+    if (files.isEmpty) return Map.empty
+    val schema = spark.read.parquet(files.head.toString).schema
+    val kinds = CompositeKey.kindsOf(schema, keyCols).getOrElse(
+      throw new IllegalArgumentException(
+        s"composite bloom supports BIGINT/INT/STRING components, got " +
+          keyCols.map(c => schema(c).dataType).mkString(", ")))
+    val cname = CompositeKey.colName(keyCols)
+    val kind = CompositeKey.kindName(kinds)
+    val masks = udf((b: Array[Byte]) =>
+      if (b == null) Array.empty[(Int, Long)] else wordMasks(b, bits))
+    val bytesCol = CompositeKey.bytesUdf(kinds)(
+      struct(CompositeKey.keySelect(kinds, keyCols): _*))
+    val collected = spark.read.parquet(files.map(_.toString): _*)
+      .select(input_file_name().as("f"), explode(masks(bytesCol)).as("m"))
+      .groupBy(col("f"), col("m._1").as("w"))
+      .agg(expr("bit_or(m._2)").as("word"))
+      .collect()
+    val byFile = collected.groupBy(r =>
+      Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+    files.map { f =>
+      val name = f.getFileName.toString
+      val words = new Array[Long](bits >>> 6)
+      byFile.getOrElse(name, Array.empty).foreach { r =>
+        words(r.getInt(1)) |= r.getLong(2)
+      }
+      (name, cname) -> BloomRow(kind, bits, NumHashes, words)
+    }.toMap
+  }
+
+  /** [[indexKeyBloom]]'s COMPOSITE twin: bloom the key TUPLE under one
+    * sidecar column (the [[CompositeKey.Sep]]-joined component names).
+    * Returns the number of files indexed. */
+  def indexKeyBloomTuple(spark: SparkSession, root: String,
+      keyCols: Seq[String], bits: Int = DefaultBits): Int = {
+    require(keyCols.size >= 2, "composite bloom needs >= 2 key columns")
+    val live = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no live version at $root"))
+    val liveDir = Paths.get(root, live)
+    TargetedDelete.requireFlatLayout(liveDir, "composite bloom indexing")
+    val cname = CompositeKey.colName(keyCols)
+    val old = loadBlooms(liveDir)
+    val missing = TargetedDelete.partFiles(liveDir)
+      .filter(f => !old.contains((f.getFileName.toString, cname)))
+    if (missing.isEmpty) return 0
+    writeBlooms(liveDir, old ++ buildRowsTuple(spark, missing, keyCols, bits))
+    missing.size
+  }
+
   /** Build (or extend) the LIVE version's `_KEYBLOOM` for `keyCol` over the
     * not-yet-indexed files. Returns the number of files indexed. Metadata
     * augmentation only — data files are never touched. */
@@ -267,7 +325,9 @@ object KeyBloom {
   private[sinks] def nativeWriteOptionsCols(cols: Set[String],
       ndvEstimate: Long): Map[String, String] = {
     val ndv = math.max(1024L, ndvEstimate)
-    cols.toSeq.sorted.flatMap { c =>
+    // composite sidecar names are VIRTUAL — no physical column to
+    // native-bloom; their components may still be bloomed individually
+    cols.filterNot(CompositeKey.isComposite).toSeq.sorted.flatMap { c =>
       Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
         s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
     }.toMap
@@ -318,10 +378,16 @@ object KeyBloom {
     val freshCols: Set[String] =
       if (freshFiles.isEmpty) Set.empty
       else bloomableCols(spark, freshFiles.head)
+    // a COMPOSITE bloom column survives iff EVERY component survives the
+    // rewrite with a bloomable type — then its rows rebuild from the
+    // framed tuple bytes exactly like the build side
     val fresh = old.keys.map(_._2).toSeq.distinct.sorted
-      .filter(freshCols.contains).flatMap { c =>
+      .filter(c => CompositeKey.componentsOf(c).forall(freshCols.contains))
+      .flatMap { c =>
         val bits = old.collect { case ((_, cc), b) if cc == c => b.bits }.max
-        buildRows(spark, freshFiles, c, bits)
+        if (CompositeKey.isComposite(c))
+          buildRowsTuple(spark, freshFiles, CompositeKey.componentsOf(c), bits)
+        else buildRows(spark, freshFiles, c, bits)
       }.toMap
     if (carried.nonEmpty || fresh.nonEmpty) writeBlooms(stageDir, carried ++ fresh)
   }

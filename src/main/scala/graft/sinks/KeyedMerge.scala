@@ -334,28 +334,38 @@ object KeyedMerge {
 
   /** Stage the post-merge state of `liveDir` into `stageDir`: rewrite ONLY
     * the stats-intersecting files through `applyFn`, hard-link the rest,
-    * write the next version's self-maintained `_KEYSTATS`.
-    * Returns (totalFiles, rewritten, reused, footerReads). */
+    * write the next version's self-maintained `_KEYSTATS`. `keyCols.size
+    * == 1` is the single-key fast path ([[touchedNames]]); more columns
+    * dispatch to the COMPOSITE assignment ([[CompositeKey.touched]] —
+    * conjunctive hull veto + tuple bloom).
+    * Returns (totalFiles, rewritten, reused, footerReads, bloomSkipped). */
   private def stageMerge(spark: SparkSession, liveDir: Path, stageDir: Path,
-      keyCol: String, changes: DataFrame,
+      keyCols: Seq[String], changes: DataFrame,
       applyFn: (DataFrame, DataFrame) => DataFrame,
       driverKeyThreshold: Int): (Int, Int, Int, Int, Int) = {
+    require(keyCols.nonEmpty, "keyed merge needs at least one key column")
     TargetedDelete.requireFlatLayout(liveDir, "keyed merge")
     val files = TargetedDelete.partFiles(liveDir)
     if (files.isEmpty)
       throw new IllegalStateException(
         s"keyed merge against a fileless version at $liveDir")
     val sideAll = KeyStats.loadStats(liveDir)
-    val side = sideAll.collect { case ((f, c), r) if c == keyCol => f -> r }
-    val unknown = files.filterNot(f => side.contains(f.getFileName.toString))
-    val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCol)
+    val keySet = keyCols.toSet
+    val side = sideAll.filter { case ((_, c), _) => keySet(c) }
+    val unknown = files.filter(f =>
+      keyCols.exists(c => !side.contains((f.getFileName.toString, c))))
+    val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCols)
     val blooms = KeyBloom.loadBlooms(liveDir)
     // the assignment also hands back the STABLE changeset the kernel must
     // consume (key-filtered in the driver regime, checkpointed in the
     // distributed one) — see touchedNames' consistency contract
     val Assignment(touched, bloomSkipped, stable) =
-      touchedNames(files, rows, keyCol, changes, driverKeyThreshold, blooms,
-        Some(liveDir))
+      if (keyCols.size == 1)
+        touchedNames(files,
+          rows.map { case ((f, _), r) => f -> r }, keyCols.head, changes,
+          driverKeyThreshold, blooms, Some(liveDir))
+      else CompositeKey.touched(files, rows, keyCols, changes,
+        driverKeyThreshold, blooms, Some(liveDir))
     val (rewrite, reused) = files.partition(f => touched(f.getFileName.toString))
     Files.createDirectories(stageDir)
     // base = ONLY the intersecting files' rows; stats-disjoint files cannot
@@ -369,7 +379,8 @@ object KeyedMerge {
     // overlapping files.
     // row-aware output sizing: known when every touched file's sidecar/footer
     // row carries a rowCount (unknown → fall back to the touched-file count)
-    val touchedRows = rewrite.map(f => rows(f.getFileName.toString).rowCount)
+    val touchedRows = rewrite.map(f =>
+      rows((f.getFileName.toString, keyCols.head)).rowCount)
     val outParts =
       if (rewrite.isEmpty || touchedRows.exists(_ < 0L)) math.max(rewrite.size, 1)
       else {
@@ -398,14 +409,15 @@ object KeyedMerge {
     // NDV-sized from the touched files' sidecar rowCounts
     val wOpts = KeyBloom.nativeWriteOptionsCols(
       blooms.keys.map(_._2).toSet ++ BloomManifest.coveredColumns(liveDir),
-      KeyBloom.ndvFor(rewrite, n => rows(n).rowCount))
+      KeyBloom.ndvFor(rewrite, n => rows((n, keyCols.head)).rowCount))
+    val keyExprs = keyCols.map(col)
     if (outParts == 1) {
       // single-output fast path (the streaming cadence): RangePartitioner
       // computes NO range bounds at <=1 partition, so this is one kernel
       // evaluation with the JOIN still parallel upstream of the 1-partition
       // exchange — no sampling pass, nothing to persist (coalesce(1) would
       // instead pull the whole kernel join into a single task)
-      merged0.repartitionByRange(1, col(keyCol)).sortWithinPartitions(col(keyCol))
+      merged0.repartitionByRange(1, keyExprs: _*).sortWithinPartitions(keyExprs: _*)
         .write.options(wOpts).mode("overwrite").parquet(rewriteOut.toString)
     } else {
       // the kernel output is PERSISTED around the range exchange:
@@ -413,8 +425,8 @@ object KeyedMerge {
       // merge join a second time for the write
       val merged = merged0.persist()
       try {
-        merged.repartitionByRange(outParts, col(keyCol))
-          .sortWithinPartitions(col(keyCol))
+        merged.repartitionByRange(outParts, keyExprs: _*)
+          .sortWithinPartitions(keyExprs: _*)
           .write.options(wOpts).mode("overwrite").parquet(rewriteOut.toString)
       } finally merged.unpersist(blocking = false)
     }
@@ -433,10 +445,12 @@ object KeyedMerge {
     val reusedNames = reused.map(_.getFileName.toString).toSet
     KeyBloom.maintainStage(spark, liveDir, stageDir, reusedNames, blooms)
     val carried = sideAll.filter { case ((f, _), _) => reusedNames(f) }
-    val reusedKeyRows = reusedNames.toSeq.map(n => (n, keyCol) -> rows(n)).toMap
+    val reusedKeyRows = (for {
+      n <- reusedNames.toSeq; c <- keyCols
+    } yield (n, c) -> rows((n, c))).toMap
     val freshFiles = staged.filterNot(p => reusedNames(p.getFileName.toString))
     val outCols = merged0.schema.fieldNames.toSet
-    val indexedCols = (sideAll.keys.map(_._2).toSet + keyCol)
+    val indexedCols = (sideAll.keys.map(_._2).toSet ++ keyCols)
       .filter(outCols).toSeq.sorted
     val freshRows = KeyStats.statRowsFor(spark, freshFiles, indexedCols)
     KeyStats.writeStats(stageDir, carried ++ reusedKeyRows ++ freshRows)
@@ -462,7 +476,7 @@ object KeyedMerge {
       driverKeyThreshold: Int = DriverKeyThreshold): MergeStats = {
     @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
     val next = AtomicTable.singleWriterStaged(root, "merge") { (live, stageDir) =>
-      last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
+      last = stageMerge(spark, Paths.get(root, live), stageDir, Seq(keyCol),
         changes, applyFn, driverKeyThreshold)
     }
     logged(root, keyCol,
@@ -481,10 +495,50 @@ object KeyedMerge {
     val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
       val live = base.getOrElse(throw new IllegalStateException(
         s"no live version at $root — commit a base before merging"))
-      last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
+      last = stageMerge(spark, Paths.get(root, live), stageDir, Seq(keyCol),
         changes, applyFn, driverKeyThreshold)
     }
     logged(root, keyCol,
+      MergeStats(v, last._1, last._2, last._3, last._4, last._5))
+  }
+
+  /** COMPOSITE-KEY stats-pruned merge (r19 verdict item 1): the changeset
+    * carries the key TUPLE's columns and the assignment is the conjunctive
+    * hull veto + composite bloom ([[CompositeKey.touched]]) — the
+    * reference's (poi_id, url) mention upsert rides the pruned path
+    * instead of the full rewrite. Same staging, linking, self-maintained
+    * sidecars, and kernel contract as [[mergeChangesKeyed]]; telemetry
+    * records under the composite column name. Single-writer path. */
+  def mergeChangesKeyedTuple(spark: SparkSession, root: String,
+      keyCols: Seq[String], changes: DataFrame,
+      applyFn: (DataFrame, DataFrame) => DataFrame,
+      driverKeyThreshold: Int = DriverKeyThreshold): MergeStats = {
+    require(keyCols.size >= 2, "use mergeChangesKeyed for a single key column")
+    @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
+    val next = AtomicTable.singleWriterStaged(root, "merge") { (live, stageDir) =>
+      last = stageMerge(spark, Paths.get(root, live), stageDir, keyCols,
+        changes, applyFn, driverKeyThreshold)
+    }
+    logged(root, CompositeKey.colName(keyCols),
+      MergeStats(next, last._1, last._2, last._3, last._4, last._5))
+  }
+
+  /** [[mergeChangesKeyedTuple]] through [[AtomicTable.occCommit]]'s
+    * claim/rebase CAS — the multi-writer composite upsert. */
+  def mergeChangesKeyedTupleOcc(spark: SparkSession, root: String,
+      keyCols: Seq[String], changes: DataFrame,
+      applyFn: (DataFrame, DataFrame) => DataFrame,
+      maxRetries: Int = 16, pruneAgeMs: Long = AtomicTable.MergePruneAgeMs,
+      driverKeyThreshold: Int = DriverKeyThreshold): MergeStats = {
+    require(keyCols.size >= 2, "use mergeChangesKeyedOcc for a single key column")
+    @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
+    val v = AtomicTable.occCommit(root, maxRetries, pruneAgeMs) { (base, stageDir) =>
+      val live = base.getOrElse(throw new IllegalStateException(
+        s"no live version at $root — commit a base before merging"))
+      last = stageMerge(spark, Paths.get(root, live), stageDir, keyCols,
+        changes, applyFn, driverKeyThreshold)
+    }
+    logged(root, CompositeKey.colName(keyCols),
       MergeStats(v, last._1, last._2, last._3, last._4, last._5))
   }
 
@@ -515,7 +569,7 @@ object KeyedMerge {
       @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
       val next = AtomicTable.singleWriterStaged(root, "merge",
           batch = Some((appId, batchId))) { (live, stageDir) =>
-        last = stageMerge(spark, Paths.get(root, live), stageDir, keyCol,
+        last = stageMerge(spark, Paths.get(root, live), stageDir, Seq(keyCol),
           c, applyFn, driverKeyThreshold)
       }
       val out = Some(logged(root, keyCol,

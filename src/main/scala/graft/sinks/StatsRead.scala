@@ -299,6 +299,44 @@ object StatsRead {
     (df, ReadStats(v, files.size, touched.size, opened, manifested.size))
   }
 
+  /** COMPOSITE-KEY point-lookup batch (r19 verdict item 1): plan only the
+    * files whose per-column hulls CONJUNCTIVELY admit some probe tuple,
+    * tightened by the composite bloom sidecar/manifest
+    * ([[CompositeKey.touched]] — the merge prune, read-side). `tuples` is
+    * a frame of the key columns. The row-level tail is exact tuple
+    * membership via a semi join against the assignment's stable key set;
+    * `manifestFiles` counts files whose decision the DISTRIBUTED composite
+    * manifest covered. */
+  def readTupleIn(spark: SparkSession, root: String, keyCols: Seq[String],
+      tuples: DataFrame): (DataFrame, ReadStats) = {
+    require(keyCols.size >= 2, "use readKeyIn/readStringKeyIn for one column")
+    val v = AtomicTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val dir = Paths.get(root, v)
+    TargetedDelete.requireFlatLayout(dir, "composite-pruned read")
+    val files = TargetedDelete.partFiles(dir)
+    val keySet = keyCols.toSet
+    val side = KeyStats.loadStats(dir).filter { case ((_, c), _) => keySet(c) }
+    val unknown = files.filter(f =>
+      keyCols.exists(c => !side.contains((f.getFileName.toString, c))))
+    val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCols)
+    val asg = CompositeKey.touched(files, rows, keyCols, tuples,
+      KeyedMerge.DriverKeyThreshold, KeyBloom.loadBlooms(dir), Some(dir))
+    val touchedFiles = files.filter(f => asg.touched(f.getFileName.toString))
+    val base =
+      if (touchedFiles.isEmpty) emptyLike(spark, files, dir)
+      else spark.read.parquet(touchedFiles.map(_.toString): _*)
+    val out = base.join(
+      asg.stableChanges.select(keyCols.map(col): _*).na.drop("any").distinct(),
+      keyCols, "left_semi")
+    val manifested = CompositeKey.kindsOf(tuples.schema, keyCols)
+      .map(k => BloomManifest.coveredFiles(dir,
+        CompositeKey.colName(keyCols), CompositeKey.kindName(k)))
+      .getOrElse(Set.empty[String])
+    (out, ReadStats(v, files.size, touchedFiles.size, unknown.size,
+      files.count(f => manifested(f.getFileName.toString))))
+  }
+
   /** A metadata-count's audit row: `metadataFiles` contributed their match
     * count from the sidecar alone (`rowCount − nullCount` of a file whose
     * [min,max] lies inside the range), `scannedFiles` (the ≤2 boundary files

@@ -630,6 +630,20 @@ object TargetedDelete {
     DeleteStats(v, last._1, last._2, last._4, last._5, last._3, last._6)
   }
 
+  /** COMPOSITE-KEY targeted delete (r19 verdict item 1): remove exact key
+    * TUPLES — the "(poi_id, url) pair withdrawn" shape. `tuples` is a frame
+    * of the key columns; the prune is [[CompositeKey.touched]]'s
+    * conjunctive hull veto + composite bloom, and the anti-join kernel
+    * rides the keyed-merge staging (link reuse, self-maintained sidecars,
+    * single-writer orphan policy — all shared). Rows with a NULL component
+    * always survive, matching the single-key three-valued-logic contract. */
+  def deleteTupleKeys(spark: SparkSession, root: String, keyCols: Seq[String],
+      tuples: DataFrame): KeyedMerge.MergeStats =
+    KeyedMerge.mergeChangesKeyedTuple(spark, root, keyCols, tuples,
+      (base, c) => base.join(
+        c.select(keyCols.map(col): _*).na.drop("any").distinct(),
+        keyCols, "left_anti"))
+
   // ---- declared query -------------------------------------------------
 
   /** The opted-out set: one contiguous id block (a withdrawn source's docs
