@@ -838,6 +838,77 @@ object StatsRead {
       sum(col("l_orderkey") * 8 + col("l_linenumber")).as("sum_keys"))
   }
 
+  /** The saturated-regime layout: ~250 rows/file at 2¹⁴ bits — the
+    * density where nearly EVERY 64-bit bloom word holds a set bit, i.e.
+    * the sparse-word manifest provably in its DENSE regime (rows/file ≈
+    * bits/64), while k=7 fpp stays ~1e-7 (bit density ~11%). */
+  val SatFiles = 24
+  val SatBits: Int = 1 << 14
+  val SatProbeRanks: Seq[Int] = Seq(5, 150, 300)
+
+  /** THE SATURATED-MANIFEST REGIME, exercised not asserted (r19 verdict
+    * item 2): [[BloomManifest]]'s sparse-word representation was proven at
+    * test density (few keys/file → few non-zero words); this pins the
+    * OTHER regime the object doc claims production sizing lands in. The
+    * fixture's ~250 rows/file at 2¹⁴ bits saturates the words — the query
+    * THROWS unless the manifest really is dense (rows ≥ 95% of
+    * files × bits/64), so the probe below runs against the
+    * dense-as-production shape. Then (a) probes of PRESENT keys plan ≤ 6
+    * of ≥ 20 files with zero footer reads, decided fully distributed
+    * (manifestFiles == totalFiles), hash-checked against the oracle's
+    * rank replay (admitted ⊇ truth — a lost row breaks the hash); and
+    * (b) probes of ABSENT keys admit ≤ 2 files — the FP envelope at the
+    * saturated density (fpp ≈ 0.107⁷ ≈ 1e-7; whole-word saturation is NOT
+    * bit saturation). In-manifest row-group pruning under this density is
+    * pinned by BloomManifestSpec with scan metrics. */
+  def qS16BloomSaturated(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_sat"
+    AtomicTable.deleteRecursively(Paths.get(root))
+    AtomicTable.commit(
+      shardSource(spark, dir)
+        .repartitionByRange(SatFiles, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber")),
+      root, statsCols = Seq("row_hash"))
+    BloomManifest.indexBloomManifest(spark, root, "row_hash", bits = SatBits)
+    val live = Paths.get(root, AtomicTable.currentVersion(root).get)
+    // saturation premise: the manifest holds ~the dense row count
+    val mDir = BloomManifest.shardDir(live).getOrElse(
+      throw new IllegalStateException("manifest generation missing"))
+    val mRows = spark.read.parquet(mDir.toString)
+      .filter(col("cname") === "row_hash").count()
+    val nFiles = TargetedDelete.partFiles(live).size
+    val dense = nFiles.toLong * (SatBits / 64)
+    if (nFiles < 20 || mRows < (dense * 95) / 100)
+      throw new IllegalStateException(
+        s"saturation premise broken: $mRows manifest rows vs dense $dense " +
+          s"over $nFiles files — the fixture is not in the dense-word regime")
+    // hull premise: the scattered key leaves min/max badly unpruned
+    val probes = shardProbes(spark, dir, SatProbeRanks)
+    val ksProbe = TargetedDelete.StringKeys(
+      probes.sorted(KeyStats.Utf8Order).toArray)
+    val hulls = KeyStats.loadStats(live).collect {
+      case ((_, c), r) if c == "row_hash" => r
+    }
+    if (hulls.count(TargetedDelete.rowIntersects(_, ksProbe)) < hulls.size / 2)
+      throw new IllegalStateException(
+        "fixture premise broken: min/max pruned the scattered key")
+    // FP envelope at saturated word density: absent keys admit ~nothing
+    val absent = Seq("sat-absent-a", "sat-absent-b", "sat-absent-c").map(md5hex)
+    val (_, rsAbs) = readStringKeyInBloom(spark, root, "row_hash", absent)
+    if (rsAbs.footerReads != 0 || rsAbs.filesRead > 2 ||
+        rsAbs.manifestFiles != rsAbs.totalFiles)
+      throw new IllegalStateException(
+        s"saturated-manifest FP envelope broken: $rsAbs (want filesRead <= 2)")
+    val (df, rs) = readStringKeyInBloom(spark, root, "row_hash", probes)
+    if (rs.footerReads != 0 || rs.filesRead > 6 || rs.filesRead < 1 ||
+        rs.manifestFiles != rs.totalFiles)
+      throw new IllegalStateException(
+        s"saturated-manifest probe did not skip: $rs")
+    df.agg(count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 4).as("sum_qty"),
+      sum(col("l_orderkey") * 8 + col("l_linenumber")).as("sum_keys"))
+  }
+
   /** The merged keys (by rank) and the value they are pinned to — fixed,
     * so the merge is IDEMPOTENT and the fixture cache stays valid. */
   val ShardMergeRanks: Seq[Int] = Seq(10, 200, 400)
@@ -954,6 +1025,7 @@ object StatsRead {
     "s16_keyed_count_str" -> (qS16KeyedCountStr _),
     "s16_keyed_read_bloom" -> (qS16KeyedReadBloom _),
     "s16_keyed_read_bloom_sharded" -> (qS16KeyedReadBloomSharded _),
+    "s16_bloom_saturated" -> (qS16BloomSaturated _),
     "s23_merge_sharded_bloom" -> (qS23MergeShardedBloom _),
     "s16_keyed_read_asof" -> (qS16KeyedReadAsof _))
 
@@ -1016,6 +1088,20 @@ object StatsRead {
          |FROM src
          |WHERE h IN (SELECT h FROM src
          |            WHERE rn IN (${ShardProbeRanks.mkString(", ")}))""".stripMargin,
+    // same rank replay as the sharded query, at the saturated fixture's
+    // own ranks — admitted ⊇ truth is what the hash row proves
+    "s16_bloom_saturated" ->
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_linenumber, l_quantity,
+         |    md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)) AS h,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+         |  FROM lineitem WHERE l_orderkey < $ShardKeyMax)
+         |SELECT count(*) AS n_rows,
+         |  CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT) AS sum_keys
+         |FROM src
+         |WHERE h IN (SELECT h FROM src
+         |            WHERE rn IN (${SatProbeRanks.mkString(", ")}))""".stripMargin,
     // the merge pins EVERY row sharing a rank-picked HASH ((orderkey,
     // linenumber) is not unique in the synthetic data, so the oracle pins
     // by hash membership, exactly the upsert-by-key semantics)
