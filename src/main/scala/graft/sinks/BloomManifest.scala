@@ -400,7 +400,22 @@ object BloomManifest {
     // groups for a point probe
     val m = if (idxs.size <= MaxIdxPushdown)
       m0.filter(col("idx").isin(idxs.map(Int.box): _*)) else m0
-    Some(Probe(covered, admit(m, posDf)))
+    val admitted = admit(m, posDf)
+    recordProbe(versionDir, keyCol, mDir, admitted.size)
+    Some(Probe(covered, admitted))
+  }
+
+  /** Probe-cost telemetry (r19 verdict item 5): every probe appends
+    * `probe <cname> <shardsScanned> <admitted>` to the table's operations
+    * log — [[Maintenance.adviseManifest]] reads it to recommend manifest
+    * compaction from OBSERVED cost (a delta-ledger-bloated shard set makes
+    * every probe scan more files even when the row volume is flat), not
+    * just the staging pass's shard-count threshold. Best-effort like all
+    * telemetry; a probe never fails because its line could not land. */
+  private def recordProbe(versionDir: Path, cname: String, mDir: Path,
+      admitted: Int): Unit = {
+    val root = Option(versionDir.getParent).map(_.toString).getOrElse(return)
+    Maintenance.recordProbe(root, cname, shardFiles(mDir).size, admitted)
   }
 
   /** BULK probe — the >10⁵-key regime the driver-built position list
@@ -448,7 +463,9 @@ object BloomManifest {
     }
     val m = spark.read.parquet(mDir.toString)
       .filter(col("cname") === keyCol && col("kind") === kind)
-    Some(Probe(covered, admit(m, posPerCombo.reduce(_.unionByName(_)))))
+    val admitted = admit(m, posPerCombo.reduce(_.unionByName(_)))
+    recordProbe(versionDir, keyCol, mDir, admitted.size)
+    Some(Probe(covered, admitted))
   }
 
   private def shardFiles(genDir: Path): Seq[Path] =

@@ -158,6 +158,58 @@ object Maintenance {
     record(root, Seq("merge", keyCol, total.toString, rewritten.toString,
       bloomSkipped.toString))
 
+  /** Append one manifest probe's observed cost — called by
+    * [[BloomManifest]] from both probe regimes. */
+  private[graft] def recordProbe(root: String, cname: String,
+      shardsScanned: Int, admitted: Int): Unit =
+    record(root, Seq("probe", cname, shardsScanned.toString, admitted.toString))
+
+  /** The key's PERSISTED first-probe-window mean shard cost, if recorded
+    * — permanent like [[mergeBaseline]]. */
+  def probeBaseline(root: String, cname: String): Option[Double] =
+    logLines(root, "probebase", cname).headOption
+      .flatMap(a => scala.util.Try(a(2).toDouble).toOption)
+
+  /** A manifest advisory can fire only once probes scan at least this
+    * many shards — below it the delta ledger is cheap by construction. */
+  val ProbeShardFloor = 8
+  /** ...and the recent mean must have risen this much over the persisted
+    * first-window cost. */
+  val ProbeCostRiseFactor = 2.0
+
+  /** MANIFEST-COMPACTION advice from OBSERVED probe cost (r19 verdict
+    * item 5): the staging passes already compact the shard ledger past
+    * [[BloomManifest.CompactShardThreshold]], but a probe-heavy table that
+    * rarely stages can accumulate delta shards that every probe pays for
+    * long before that bound trips. Some("compact-manifest") when the last
+    * [[TelemetryWindow]] probes scanned ≥ [[ProbeShardFloor]] shards on
+    * average AND that mean rose ≥ [[ProbeCostRiseFactor]]× over the
+    * FIRST window's (persisted as a permanent `probebase` line on first
+    * computation, the [[mergeBaseline]] pattern). Metadata-free: reads
+    * only the operations log. [[autoMaintain]] executes the heal via
+    * [[BloomManifest.compactManifest]]. */
+  def adviseManifest(root: String, cname: String,
+      window: Int = TelemetryWindow): Option[String] = {
+    val probes = logLines(root, "probe", cname).flatMap { a =>
+      scala.util.Try((a(2).toInt, a(3).toInt)).toOption
+    }
+    if (probes.size < window) None
+    else {
+      def mean(xs: Seq[(Int, Int)]): Double =
+        xs.map(_._1.toDouble).sum / xs.size
+      val base = probeBaseline(root, cname).getOrElse {
+        val b = mean(probes.take(window))
+        record(root, Seq("probebase", cname, b.toString))
+        b
+      }
+      val recent = mean(probes.takeRight(window))
+      if (recent >= ProbeShardFloor &&
+          recent >= ProbeCostRiseFactor * math.max(1.0, base))
+        Some("compact-manifest")
+      else None
+    }
+  }
+
   /** The key's PERSISTED first-merge-window rewrite-fraction mean, if
     * recorded. Permanent like [[bloomBaseline]] — survives log
     * self-compaction. */
@@ -313,6 +365,11 @@ object Maintenance {
       h = advise(spark, root, keyCol, targetBytes)
       trail += h
     }
+    // probe-cost bloat heals through the manifest's own compaction — a
+    // metadata-only generation rewrite invisible to the hull Health,
+    // advised from the probe telemetry alone ([[adviseManifest]])
+    if (adviseManifest(root, keyCol).isDefined)
+      BloomManifest.compactManifest(spark, root)
     trail.toSeq
   }
 

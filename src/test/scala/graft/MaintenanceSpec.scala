@@ -288,6 +288,58 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(AtomicTable.read(spark, root).count() == 400L)
   }
 
+  test("probe telemetry: a delta-bloated manifest triggers compaction advice; the heal makes probes cheaper") {
+    import graft.sinks.{BloomManifest, KeyBloom, StatsRead}
+    val root = fresh("probeadvise")
+    val df = spark.range(3000L).select(col("id"),
+      md5(col("id").cast("string")).as("h"), (col("id") * 2L).as("v"))
+    AtomicTable.commit(df.repartitionByRange(12, col("id"))
+      .sortWithinPartitions(col("id")), root, statsCols = Seq("h"))
+    BloomManifest.indexBloomManifest(spark, root, "h", 1 << 16)
+    def hx(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def probeOnce(i: Long): Unit = {
+      val (out, rs) = StatsRead.readStringKeyInBloom(spark, root, "h",
+        Seq(hx(i.toString)))
+      assert(out.count() == 1L && rs.footerReads == 0, rs.toString)
+    }
+    // first window: the fresh single-generation manifest — cheap probes,
+    // baseline persisted on first advise
+    (1L to Maintenance.TelemetryWindow).foreach(probeOnce)
+    assert(Maintenance.adviseManifest(root, "h").isEmpty)
+    val base = Maintenance.probeBaseline(root, "h")
+    assert(base.exists(_ <= 2.0), base.toString)
+    // bloat the delta ledger: each keyed merge's staging pass links the
+    // shard set forward and appends fresh shards
+    (1 to 10).foreach { i =>
+      KeyedMerge.mergeChangesKeyed(spark, root, "h",
+        spark.range(1).select(md5(lit((i * 100).toString)).as("h"), lit(-i.toLong).as("nv")),
+        (b, c) => b.join(c, Seq("h"), "left")
+          .select(col("id"), col("h"), coalesce(col("nv"), col("v")).as("v")))
+    }
+    val dir = Paths.get(root, AtomicTable.currentVersion(root).get)
+    val shardsNow = {
+      val d = BloomManifest.shardDir(dir).get
+      val st = Files.list(d)
+      try st.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    assert(shardsNow >= Maintenance.ProbeShardFloor,
+      s"fixture: ledger only reached $shardsNow shards")
+    // recent window observes the bloat → the advisory fires from the log
+    (1L to Maintenance.TelemetryWindow).foreach(i => probeOnce(i + 20))
+    assert(Maintenance.adviseManifest(root, "h").contains("compact-manifest"))
+    // the heal (as autoMaintain would run it): one generation again, and
+    // the NEXT probe observably scans fewer shards than before
+    BloomManifest.compactManifest(spark, root)
+    probeOnce(42L)
+    val lastLine = Files.readAllLines(
+      Paths.get(root, Maintenance.MaintLog)).asScala
+      .filter(_.startsWith("probe\t")).last.split("\t")
+    assert(lastLine(2).toInt < shardsNow && lastLine(2).toInt <= 2,
+      s"post-heal probe still scanned ${lastLine(2)} shards (was $shardsNow)")
+  }
+
   test("adviseTelemetry persists the first-window mean and compares against it") {
     val root = fresh("mergebase")
     Files.createDirectories(Paths.get(root))
