@@ -509,8 +509,102 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("dot_r"), col("rnk").cast("long").as("rnk"))
   }
 
+  // ------------------------------------------------- PQ, DISK-BACKED
+
+  def annPqDiskRoot(dir: String): String =
+    "spark-warehouse/ann_pq_" + new java.io.File(dir).getName
+
+  /** DISK-BACKED IVF-PQ — the SPANN/DiskANN shape, composed from what r19
+    * proved separately (r19 verdict item 3): [[simIvfDisk]] made the
+    * inverted lists TABLE LAYOUT; [[simPqAdcTopk]] made the scoring run on
+    * 4-byte codes. Here the PQ CODES ARE A COLUMN of the cell-clustered
+    * [[graft.sinks.AtomicTable]]: the corpus is assigned to its nearest
+    * cell, encoded once ([[graft.expr.functions.pq_cells]] — the persisted
+    * ~bytes-per-vector artifact), and committed range-clustered on
+    * `cell_id` with stats. A query then (1) reads ONLY the probed lists'
+    * FILES via [[graft.sinks.StatsRead.readKeyIn]] — zero footer reads and
+    * a strict file subset, both THROWN on — (2) ADC-scores the candidates
+    * from the codes column against the broadcast per-query lookup table
+    * (never touching the stored floats), (3) exact-refines only the
+    * [[PqShortlist]]-deep shortlist from the same listed rows. At 100 TB
+    * this is the ANN deployment shape: the index is the layout, a query's
+    * IO is NProbe lists' files, and the first-pass bytes are the codes,
+    * not the vectors. Same deterministic training/rounding contract as
+    * the in-memory PQ, so the DuckDB oracle replays assignment, training,
+    * ADC, and refine end to end — the disk layout must change IO, never
+    * results. */
+  def simPqDisk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.{functions => F}
+    import graft.sinks.{AtomicTable, StatsRead}
+    val root = annPqDiskRoot(dir)
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
+    val e = Tables.embeddings(spark, dir)
+    val model = pqCodebooks(e)
+    val centroids = broadcast(e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(centroids).withColumn("c_sim", round(cosine, 6))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("cell_id").asc)
+      scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
+        .select(col(idCol), col("va"), col("cell_id"))
+    }
+    // the stored table: cell-clustered lists carrying the CODES column
+    // (first-pass bytes) beside the raw vector (refine bytes)
+    val inverted = assign(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("va")), "n_id", 1)
+      .select(col("cell_id"), col("n_id"), col("va").as("vb"))
+      .withColumn("codes", F.pq_cells(col("vb"), model))
+    AtomicTable.commit(
+      inverted.repartitionByRange(DiskFiles, col("cell_id"))
+        .sortWithinPartitions(col("cell_id"), col("n_id")),
+      root, statsCols = Seq("cell_id"))
+    val queryCells = assign(
+      e.filter(col("vec_id") < DiskQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("va")),
+      "q_id", NProbe)
+    val cells = queryCells.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val (listed, rs) = StatsRead.readKeyIn(spark, root, "cell_id", cells)
+    if (rs.footerReads != 0 || rs.filesRead >= rs.totalFiles || rs.filesRead < 1)
+      throw new IllegalStateException(
+        s"disk PQ probe did not skip files: $rs (probed ${cells.size} of " +
+          s"$NumCells cells; want footerReads=0, 1 <= filesRead < totalFiles)")
+    // per-query ADC lookup table (PqSubspaces x PqCodes doubles — broadcast)
+    val tbl = pqEv(e.filter(col("vec_id") < DiskQueries))
+      .join(pqCentDf(spark, model), Seq("sub", "dim"))
+      .groupBy(col("vec_id").as("q_id"), col("sub"), col("cell"))
+      .agg(round(sum(col("v") * col("cv")), 6).as("dot"))
+    // candidates = the probed lists' rows only; (q, n) unique by
+    // construction (each n lives in exactly one cell)
+    val cands = broadcast(queryCells.select(col("q_id"), col("cell_id")))
+      .join(listed, Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+    val adc = cands
+      .select(col("q_id"), col("n_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
+      .join(broadcast(tbl), Seq("q_id", "sub", "cell"))
+      .groupBy("q_id", "n_id")
+      .agg(round(sum("dot"), 6).as("adc"))
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)
+    val shortlist = adc.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= PqShortlist)
+      .select("q_id", "n_id")
+    val exactDot = expr(
+      "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+    val refined = shortlist
+      .join(broadcast(e.filter(col("vec_id") < DiskQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("va"))), Seq("q_id"))
+      .join(listed.select(col("n_id"), col("vb")), Seq("n_id"))
+      .withColumn("dot_r", round(exactDot, 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot_r").desc, col("n_id").asc)
+    refined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), col("dot_r"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sim_pq_adc" -> (simPqAdcTopk _),
+    "ann_pq_disk" -> (simPqDisk _),
     "sim_int8_quantize" -> (simInt8Quantize _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
@@ -673,8 +767,65 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY dot_r DESC, n_id ASC) AS rnk
          |  FROM pex) WHERE rnk <= $K""".stripMargin
 
+  /** The disk-PQ oracle: the PQ training/encoding CTEs (the [[pqAdcSql]]
+    * contract) composed with the raw-sample IVF assignment (the
+    * [[ivfTopkOracle]] contract) — ADC and refine run over ONLY the
+    * probed cells' candidates, exactly the rows the disk path reads. */
+  private def annPqDiskSql: String =
+    s"""WITH pev AS (
+       |  SELECT vec_id, CAST((g - 1) // $PqSubDim AS INT) AS sub,
+       |    CAST((g - 1) % $PqSubDim AS INT) AS dim,
+       |    CAST(embedding[g] AS DOUBLE) AS v,
+       |    CAST(round(CAST(embedding[g] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+       |  FROM embeddings, generate_series(1, 64) t(g)),
+       |pc0 AS (SELECT CAST(vec_id AS INT) AS cell, sub, dim, v AS cv
+       |  FROM pev WHERE vec_id < $PqCodes),
+       |""".stripMargin +
+      (1 to PqIters).map(pqIterSql).mkString(",\n") + ",\n" +
+      s"""psf AS (SELECT e.vec_id, e.sub, c.cell,
+         |    round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+         |  FROM pev e JOIN pc$PqIters c ON e.sub = c.sub AND e.dim = c.dim GROUP BY 1, 2, 3),
+         |paf AS (SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cell ASC) AS rn
+         |    FROM psf) WHERE rn = 1),
+         |iasn AS (
+         |  SELECT e.vec_id, c.vec_id AS cell_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS crnk
+         |  FROM embeddings e, embeddings c WHERE c.vec_id < $NumCells),
+         |inv AS (SELECT vec_id AS n_id, cell_id FROM iasn WHERE crnk = 1),
+         |qp AS (SELECT vec_id AS q_id, cell_id FROM iasn
+         |       WHERE crnk <= $NProbe AND vec_id < $DiskQueries),
+         |cands AS (SELECT DISTINCT q_id, n_id FROM qp JOIN inv USING (cell_id)
+         |  WHERE q_id != n_id),
+         |ptbl AS (SELECT q.vec_id AS q_id, c.sub, c.cell,
+         |    round(sum(q.v * c.cv), 6) AS dot
+         |  FROM pev q JOIN pc$PqIters c ON q.sub = c.sub AND q.dim = c.dim
+         |  WHERE q.vec_id < $DiskQueries GROUP BY 1, 2, 3),
+         |padc AS (SELECT cd.q_id, cd.n_id, round(sum(t.dot), 6) AS adc
+         |  FROM cands cd
+         |  JOIN paf a ON a.vec_id = cd.n_id
+         |  JOIN ptbl t ON a.sub = t.sub AND a.cell = t.cell AND t.q_id = cd.q_id
+         |  GROUP BY 1, 2),
+         |pshort AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id ASC) AS srnk
+         |  FROM padc) WHERE srnk <= $PqShortlist),
+         |pex AS (SELECT s.q_id, s.n_id, round(sum(q.v * n.v), 6) AS dot_r
+         |  FROM pshort s
+         |  JOIN pev q ON q.vec_id = s.q_id
+         |  JOIN pev n ON n.vec_id = s.n_id AND n.sub = q.sub AND n.dim = q.dim
+         |  GROUP BY 1, 2)
+         |SELECT q_id, n_id, dot_r, rnk FROM (
+         |  SELECT q_id, n_id, dot_r,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot_r DESC, n_id ASC) AS rnk
+         |  FROM pex) WHERE rnk <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_pq_adc" -> pqAdcSql,
+    "ann_pq_disk" -> annPqDiskSql,
     "sim_int8_quantize" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM s),

@@ -41,6 +41,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_ivf_topk",               // broadcast probe set + 16-centroid model
     "ann_ivf_disk",               // same 16-centroid broadcast model; the
                                   // corpus side is the stats-pruned scan
+    "ann_pq_disk",                // same 16-centroid broadcast assignment;
+                                  // ADC runs on codes from the pruned scan
     "tc_mix_budget",              // broadcast 1-row corpus total
     "tr_validation",              // broadcast poi fixture, contains() residual
     "ts_bm25_topk",               // broadcast 1-row (n_docs, avgdl) corpus stats

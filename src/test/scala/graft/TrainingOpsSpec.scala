@@ -134,6 +134,42 @@ class TrainingOpsSpec extends AnyFunSuite {
       codes.forall(_.forall(_.length == Similarity.PqSubDim)))
   }
 
+  test("disk IVF-PQ: ADC+refine within probed lists matches the exact-dot-in-candidates reference") {
+    // the composed operator's approximation error is ONLY the ADC+shortlist
+    // step — the candidate set (probed lists) is identical by construction,
+    // so the envelope is the in-memory PQ gate's, measured against exact
+    // dots over the SAME candidates
+    val dir = "/root/testdata/sf0.01"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cos = graft.expr.functions.cosine_similarity(col("va"), col("vb"))
+    val centroids = broadcast(e.filter(col("vec_id") < Similarity.NumCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
+    def assign(df: org.apache.spark.sql.DataFrame, idCol: String, keep: Int) = {
+      val scored = df.crossJoin(centroids).withColumn("c_sim", round(cos, 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("cell_id").asc)
+      scored.withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
+        .select(col(idCol), col("va"), col("cell_id"))
+    }
+    val inv = assign(e.select(col("vec_id").as("n_id"), col("embedding").as("va")), "n_id", 1)
+      .select(col("cell_id"), col("n_id"), col("va").as("vb"))
+    val qp = assign(e.filter(col("vec_id") < Similarity.DiskQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("va")), "q_id", Similarity.NProbe)
+    val dot = expr(
+      "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d_r").desc, col("n_id").asc)
+    val reference = broadcast(qp).join(inv, Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("d_r", round(dot, 6))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= Similarity.K)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val disk = Similarity.simPqDisk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = reference.intersect(disk).size.toDouble / reference.size
+    assert(recall >= 0.7, s"disk IVF-PQ recall@5 vs exact-in-candidates too low: $recall")
+  }
+
   test("cluster-blocked embedding near-dup: found pairs exact, recall vs all-pairs") {
     val dir = "/root/testdata/sf0.001"
     import spark.implicits._
