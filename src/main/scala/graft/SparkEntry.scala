@@ -54,6 +54,7 @@ object SparkEntry {
     (sinks.TargetedDelete.queries, sinks.TargetedDelete.oracles),
     (sinks.StatsRead.queries, sinks.StatsRead.oracles),
     (sinks.CompositeKey.queries, sinks.CompositeKey.oracles),
+    (sinks.MultiCommit.queries, sinks.MultiCommit.oracles),
     (sinks.CdcApply.queries, sinks.CdcApply.oracles),
     (sinks.Compaction.queries, sinks.Compaction.oracles),
     (sinks.Maintenance.queries, sinks.Maintenance.oracles),

@@ -110,22 +110,22 @@ object IngestLoop {
     // the poi upsert rides the STATS-PRUNED merge once a base version exists
     // (r18): each micro-batch rewrites only the files its keys intersect
     // (string key — UTF-8 byte-order stats) and the self-maintained sidecar
-    // keeps the table on the zero-footer-read maintenance path. The very
-    // first batch IS the full table, so it takes the plain indexed commit;
-    // the ledger is |api_types|-row, not worth a sidecar.
+    // keeps the table on the zero-footer-read maintenance path; the ledger
+    // is |api_types|-row, not worth a sidecar. Both commits ride the
+    // MULTI-TABLE corridor ([[graft.sinks.MultiCommit]], r20): one
+    // (appId, batchId) stamp across the ordered pair — poi first, ledger
+    // last so admission can never over-spend — and a crash between them
+    // replays into skip+apply, converging exactly-once per table.
     def upsertKernel(base: org.apache.spark.sql.DataFrame,
         inc: org.apache.spark.sql.DataFrame) =
       MergeSink.upsert(base, inc, "google_place_id",
         updateCols = Seq("name", "rating"), asOf = asOf)
-    if (AtomicTable.currentVersion(poiRoot).isDefined)
-      graft.sinks.KeyedMerge.commitBatchKeyed(spark, poiRoot, appId, batchId,
-        "google_place_id", parsed, upsertKernel)
-    else
-      AtomicTable.commitBatch(
-        upsertKernel(parsed.limit(0)
-          .withColumn("first_ingested_at", lit(null).cast("timestamp")), parsed),
-        poiRoot, appId, batchId, statsCols = Seq("google_place_id"))
-    AtomicTable.commitBatch(newLedger, ledgerRoot, appId, batchId)
+    graft.sinks.MultiCommit.commitBatchAll(spark, Seq(
+      graft.sinks.MultiCommit.Keyed(poiRoot, "google_place_id",
+        () => parsed, (b, i) => upsertKernel(b, i), Seq("google_place_id")),
+      graft.sinks.MultiCommit.Replace(ledgerRoot, () => newLedger)),
+      appId, batchId)
+    ()
   }
 
   /** The streaming entry: requests in, the loop per micro-batch. */
