@@ -542,6 +542,38 @@ object KeyedMerge {
       MergeStats(v, last._1, last._2, last._3, last._4, last._5))
   }
 
+  /** Idempotent streaming form of [[mergeChangesKeyedTuple]] — the
+    * (appId, batchId) redelivery guard over the composite pruned merge
+    * (the reference's mention-upsert cadence: micro-batches keyed on
+    * (poi_id, url)). `maintainEvery` composes like the single-key form,
+    * through [[Maintenance.autoMaintainMulti]] with `keyCols.head` as the
+    * clustering owner (primary runs the full ladder, the other components
+    * heal index/bloom only). Returns None on a redelivered batch. */
+  def commitBatchKeyedTuple(spark: SparkSession, root: String, appId: String,
+      batchId: Long, keyCols: Seq[String], changes: => DataFrame,
+      applyFn: (DataFrame, DataFrame) => DataFrame,
+      driverKeyThreshold: Int = DriverKeyThreshold,
+      maintainEvery: Int = 0,
+      maintainTargetBytes: Long = Compaction.TargetBytes): Option[MergeStats] = {
+    require(keyCols.size >= 2, "use commitBatchKeyed for a single key column")
+    if (AtomicTable.lastBatch(root).exists { case (app, b) =>
+        app == appId && batchId <= b }) None
+    else {
+      val c = changes
+      @volatile var last: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)
+      val next = AtomicTable.singleWriterStaged(root, "merge",
+          batch = Some((appId, batchId))) { (live, stageDir) =>
+        last = stageMerge(spark, Paths.get(root, live), stageDir, keyCols,
+          c, applyFn, driverKeyThreshold)
+      }
+      val out = Some(logged(root, CompositeKey.colName(keyCols),
+        MergeStats(next, last._1, last._2, last._3, last._4, last._5)))
+      if (maintainEvery > 0 && batchId % maintainEvery == 0)
+        Maintenance.autoMaintainMulti(spark, root, keyCols, maintainTargetBytes)
+      out
+    }
+  }
+
   /** Idempotent streaming form — [[AtomicTable.commitBatch]]'s
     * (appId, batchId) redelivery guard over the pruned merge: a redelivered
     * micro-batch (foreachBatch is at-least-once) is SKIPPED without

@@ -326,9 +326,24 @@ object StatsRead {
     val base =
       if (touchedFiles.isEmpty) emptyLike(spark, files, dir)
       else spark.read.parquet(touchedFiles.map(_.toString): _*)
-    val out = base.join(
-      asg.stableChanges.select(keyCols.map(col): _*).na.drop("any").distinct(),
-      keyCols, "left_semi")
+    // row-level tail, tiered like every other key filter: a small tuple
+    // set becomes a literal OR-of-ANDs (each conjunct's equalities push
+    // into the surviving files' row-group stats); past the threshold the
+    // semi join against the stable keys is the filter
+    val kindsOpt = CompositeKey.kindsOf(tuples.schema, keyCols)
+    val smallTuples = kindsOpt.flatMap { kinds =>
+      val probe = tuples.select(CompositeKey.keySelect(kinds, keyCols): _*)
+        .na.drop("any").limit(TargetedDelete.IsinKeyThreshold + 1).collect()
+      if (probe.length > TargetedDelete.IsinKeyThreshold) None
+      else Some(probe.map(r => keyCols.indices.map(r.get): Seq[Any]).toSeq.distinct)
+    }
+    val out = smallTuples match {
+      case Some(ts) if ts.isEmpty => base.where(lit(false))
+      case Some(ts) => base.filter(CompositeKey.matchPredicate(keyCols, ts))
+      case None => base.join(
+        asg.stableChanges.select(keyCols.map(col): _*).na.drop("any").distinct(),
+        keyCols, "left_semi")
+    }
     val manifested = CompositeKey.kindsOf(tuples.schema, keyCols)
       .map(k => BloomManifest.coveredFiles(dir,
         CompositeKey.colName(keyCols), CompositeKey.kindName(k)))

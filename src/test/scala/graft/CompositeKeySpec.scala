@@ -171,6 +171,32 @@ class CompositeKeySpec extends AnyFunSuite {
     assert(rs2.footerReads == 0 && rs2.filesRead <= 3, rs2.toString)
   }
 
+  test("streamed composite merge: redelivered (appId, batchId) skips without evaluating") {
+    val root = fresh("stream")
+    mentionsTable(root)
+    import spark.implicits._
+    def kern(b: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      b.join(c, Seq("grp", "name"), "full_outer")
+        .select(col("grp"), col("name"), coalesce(col("nv"), col("v")).as("v"))
+    val st0 = KeyedMerge.commitBatchKeyedTuple(spark, root, "ck-stream", 0L,
+      Seq("grp", "name"), Seq((2L, "n0998", -7L)).toDF("grp", "name", "nv"), kern)
+    assert(st0.exists(s => s.footerReads == 0 && s.rewrittenFiles <= 2), st0.toString)
+    // redelivery (crash before the engine checkpointed offsets): the batch
+    // must skip without ever executing the changes frame
+    val boom = spark.range(1).select(
+      raise_error(lit("evaluated")).cast("long").as("grp"),
+      lit("x").as("name"), lit(0L).as("nv"))
+    assert(KeyedMerge.commitBatchKeyedTuple(spark, root, "ck-stream", 0L,
+      Seq("grp", "name"), boom, kern).isEmpty)
+    // the next batch applies and the tuple prune still holds
+    val st1 = KeyedMerge.commitBatchKeyedTuple(spark, root, "ck-stream", 1L,
+      Seq("grp", "name"), Seq((3L, "n0999", -8L)).toDF("grp", "name", "nv"), kern)
+    assert(st1.exists(s => s.footerReads == 0 && s.rewrittenFiles <= 2), st1.toString)
+    val neg = AtomicTable.read(spark, root).filter(col("v") < 0)
+      .select("grp", "name", "v").as[(Long, String, Long)].collect().toSet
+    assert(neg == Set((2L, "n0998", -7L), (3L, "n0999", -8L)))
+  }
+
   test("composite manifest self-maintains across a merge; bulk regime lands the same rows") {
     val root = fresh("manifest")
     val df = spark.range(2000L).select(col("id"),
