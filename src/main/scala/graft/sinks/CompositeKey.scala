@@ -440,10 +440,103 @@ object CompositeKey {
         sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** Rank-picked probe tuples for the ≥10³-file regime — distinct from
+    * the single-key sharded query's ranks so fixtures stay independent. */
+  val CompShardProbeRanks: Seq[Int] = Seq(2, 120, 280)
+
+  /** The two-hash lineitem slice (SF-stable: orderkeys < ShardKeyMax). */
+  private def compShardSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < StatsRead.ShardKeyMax)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("h1",
+        md5((col("l_orderkey") * 8 + col("l_linenumber")).cast("string")))
+      .withColumn("h2",
+        md5(((col("l_orderkey") * 8 + col("l_linenumber")) * 31 + 7).cast("string")))
+
+  /** Build (or reuse) the ≥10³-file composite-manifest fixture — the
+    * [[StatsRead.ensureShardFixture]] caching contract applied to the
+    * tuple column. */
+  private def ensureCompShardFixture(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    val cname = colName(Seq("h1", "h2"))
+    val reusable = AtomicTable.currentVersion(root).exists { v =>
+      val vDir = Paths.get(root, v)
+      val covered = BloomManifest.loadHeader(vDir)
+        .count { case ((_, c), _) => c == cname }
+      covered >= 1000 && TargetedDelete.partFiles(vDir).size == covered &&
+        BloomManifest.shardDir(vDir).isDefined &&
+        !java.nio.file.Files.exists(vDir.resolve(KeyBloom.BloomFile))
+    }
+    if (!reusable) {
+      AtomicTable.deleteRecursively(Paths.get(root))
+      AtomicTable.commit(
+        compShardSource(spark, dir)
+          .repartitionByRange(StatsRead.ShardFiles,
+            col("l_orderkey"), col("l_linenumber"))
+          .sortWithinPartitions(col("l_orderkey"), col("l_linenumber")),
+        root, statsCols = Seq("h1", "h2"))
+      // PRODUCTION bloom sizing (the bitsFor cap) — the sizing whose dense
+      // TSV twin could never ride the driver at this file count
+      BloomManifest.indexBloomManifestTuple(spark, root, Seq("h1", "h2"),
+        bits = 1 << 26)
+    }
+  }
+
+  /** THE COMPOSITE PRUNE AT ≥10³ FILES (the single-key sharded proof,
+    * tuple-shaped): two scattered hash columns over ≥1000 files, bloomed
+    * ONLY through the composite manifest at production bits. THROWS unless
+    * the conjunctive hulls alone still plan ≥ half of ≥1000 files
+    * (premise: scattered on both axes), the tuple probe plans ≤6 files
+    * with zero footer reads decided fully distributed (manifestFiles ==
+    * totalFiles), and no TSV bloom row ever materialized on the driver
+    * (loadCalls flat). The oracle recomputes both md5 keys by rank, so
+    * the hash row value-checks the distributed tuple probe end to end. */
+  def qS24CompositeSharded(spark: SparkSession, dir: String): DataFrame = {
+    val root = tableRoot(dir) + "_shard"
+    ensureCompShardFixture(spark, dir, root)
+    val ranked = compShardSource(spark, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("h1"), col("h2")).limit(CompShardProbeRanks.max).collect()
+    val tuples: Seq[Seq[Any]] = CompShardProbeRanks
+      .map(r => Seq[Any](ranked(r - 1).getString(0), ranked(r - 1).getString(1)))
+      .distinct
+    val live = Paths.get(root, AtomicTable.currentVersion(root).get)
+    val hulls = KeyStats.loadStats(live)
+    val files = TargetedDelete.partFiles(live).map(_.getFileName.toString)
+    val statsPlanned = files.count { n =>
+      tuples.exists(t => Seq("h1", "h2").zipWithIndex.forall { case (c, i) =>
+        val r = hulls.getOrElse((n, c), KeyStats.StatRow("none", "", ""))
+        r.kind != "string" ||
+          (KeyStats.Utf8Order.compare(r.min, t(i).asInstanceOf[String]) <= 0 &&
+            KeyStats.Utf8Order.compare(t(i).asInstanceOf[String], r.max) <= 0)
+      })
+    }
+    if (files.size < 1000 || statsPlanned < files.size / 2)
+      throw new IllegalStateException(
+        s"fixture premise broken: conjunctive hulls planned $statsPlanned of " +
+          s"${files.size} (want >= half of >= 1000)")
+    val loads0 = KeyBloom.loadCalls.get()
+    val (df, rs) = StatsRead.readTupleIn(spark, root, Seq("h1", "h2"),
+      tupleFrame(spark, Seq("h1", "h2"), Seq("string", "string"), tuples))
+    if (rs.footerReads != 0 || rs.filesRead > 6 || rs.filesRead < 1 ||
+        rs.manifestFiles != rs.totalFiles)
+      throw new IllegalStateException(
+        s"sharded composite read did not skip distributed: $rs " +
+          "(want footerReads=0, 1 <= filesRead <= 6, manifestFiles=totalFiles)")
+    if (KeyBloom.loadCalls.get() != loads0)
+      throw new IllegalStateException(
+        "the composite probe materialized a TSV bloom on the driver")
+    df.agg(count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 4).as("sum_qty"),
+      sum(col("l_orderkey") * 8 + col("l_linenumber")).as("sum_keys"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s24_composite_merge" -> (qS24CompositeMerge _),
     "s24_composite_delete" -> (qS24CompositeDelete _),
-    "s24_composite_read_bloom" -> (qS24CompositeReadBloom _))
+    "s24_composite_read_bloom" -> (qS24CompositeReadBloom _),
+    "s24_composite_sharded" -> (qS24CompositeSharded _))
 
   private def mentionsSql: String =
     s"""mentions AS (
@@ -477,6 +570,25 @@ object CompositeKey {
          |FROM mentions
          |WHERE doc_id NOT IN (${MentionChangeIds.mkString(", ")})
          |GROUP BY poi_id""".stripMargin,
+    // both md5 keys recomputed by rank; the probe tuples join back by the
+    // PAIR, so the hash row value-checks tuple-match semantics at 10^3
+    // files ((l_orderkey, l_linenumber) is not unique in the synthetic
+    // data — duplicate-key rows must all come back, hence the DISTINCT
+    // probe + pair join, the same convention as the single-key sharded
+    // oracle's IN)
+    "s24_composite_sharded" ->
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_linenumber, l_quantity,
+         |    md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)) AS h1,
+         |    md5(CAST((l_orderkey * 8 + l_linenumber) * 31 + 7 AS VARCHAR)) AS h2,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+         |  FROM lineitem WHERE l_orderkey < ${StatsRead.ShardKeyMax}),
+         |probe AS (SELECT DISTINCT h1, h2 FROM src
+         |          WHERE rn IN (${CompShardProbeRanks.mkString(", ")}))
+         |SELECT count(*) AS n_rows,
+         |  CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT) AS sum_keys
+         |FROM src JOIN probe USING (h1, h2)""".stripMargin,
     // both md5 keys recomputed in SQL: tuple membership == id membership
     // (urls/hashes are injective in doc_id)
     "s24_composite_read_bloom" ->

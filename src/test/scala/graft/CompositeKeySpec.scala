@@ -171,6 +171,25 @@ class CompositeKeySpec extends AnyFunSuite {
     assert(rs2.footerReads == 0 && rs2.filesRead <= 3, rs2.toString)
   }
 
+  test("composite OCC merge: the claim/rebase protocol lands the tuple changeset") {
+    val root = fresh("occ")
+    mentionsTable(root)
+    import spark.implicits._
+    val ms = KeyedMerge.mergeChangesKeyedTupleOcc(spark, root, Seq("grp", "name"),
+      Seq((2L, "n0998", -7L)).toDF("grp", "name", "nv"),
+      (b, c) => b.join(c, Seq("grp", "name"), "full_outer")
+        .select(col("grp"), col("name"), coalesce(col("nv"), col("v")).as("v")))
+    assert(ms.footerReads == 0 && ms.rewrittenFiles <= 2, ms.toString)
+    assert(AtomicTable.read(spark, root).filter(col("v") === -7L).count() == 1L)
+    // the OCC claim left a marker-bearing version the next writer adopts
+    val ms2 = KeyedMerge.mergeChangesKeyedTupleOcc(spark, root, Seq("grp", "name"),
+      Seq((3L, "n0999", -8L)).toDF("grp", "name", "nv"),
+      (b, c) => b.join(c, Seq("grp", "name"), "full_outer")
+        .select(col("grp"), col("name"), coalesce(col("nv"), col("v")).as("v")))
+    assert(ms2.footerReads == 0, ms2.toString)
+    assert(AtomicTable.read(spark, root).filter(col("v") < 0).count() == 2L)
+  }
+
   test("streamed composite merge: redelivered (appId, batchId) skips without evaluating") {
     val root = fresh("stream")
     mentionsTable(root)
