@@ -515,6 +515,27 @@ object AtomicTable {
     sys.error("unreachable")
   }
 
+  /** NON-BLOCKING twin of [[withPublishLock]] for advisory work (probe
+    * telemetry): if another PROCESS holds the lock, return None instead of
+    * queueing — a read path must never serialize behind a writer's publish
+    * for a best-effort log line. The per-root monitor still serializes
+    * same-JVM callers (a file tryLock would otherwise throw
+    * OverlappingFileLockException), but its hold time is one small append. */
+  private[sinks] def withPublishLockTry[A](root: String)(body: => A): Option[A] = {
+    val mon = rootMonitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = FileChannel.open(Paths.get(root, "_lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.tryLock()
+        if (lk == null) None
+        else try Some(body) finally lk.release()
+      } finally ch.close()
+    }
+  }
+
   /** Cross-process + cross-thread critical section for the `_CURRENT` flip:
     * a JVM monitor per root (file locks are not reentrant within a JVM)
     * wrapping an OS advisory `FileChannel.lock` on `root/_lock`. */

@@ -373,11 +373,6 @@ object CompositeKey {
   val BloomTupleIds: Seq[Long] = Seq(11L, 222L, 433L)
   val BloomTupleFiles = 24
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   /** COMPOSITE BLOOM ON SCATTERED COLUMNS, decided DISTRIBUTED: the corpus
     * carries two hash keys (h1, h2) no layout clusters — per-column hulls
     * admit ~every file even CONJUNCTIVELY (asserted premise) — and the
@@ -401,7 +396,7 @@ object CompositeKey {
         .sortWithinPartitions(col("doc_id")),
       root, statsCols = Seq("h1", "h2"))
     val tuples: Seq[Seq[Any]] = BloomTupleIds.map(i =>
-      Seq[Any](md5hex(i.toString), md5hex((i * 31 + 7).toString)))
+      Seq[Any](KeyBloom.md5hex(i.toString), KeyBloom.md5hex((i * 31 + 7).toString)))
     // premise from the sidecar alone: even the CONJUNCTION of both hash
     // hulls admits at least half the files — scattered keys, hulls
     // powerless, the tuple bloom is load-bearing

@@ -103,6 +103,15 @@ object KeyBloom {
     (h1, h2)
   }
 
+  /** md5 hex of a UTF-8 string — the driver-side twin of SQL `md5()`.
+    * ONE copy (review catch r20): both sides of the oracle hash contract
+    * depend on this exact byte/format recipe, so the declared fixtures
+    * must share it rather than re-derive it. */
+  private[graft] def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   private[sinks] def longBytes(k: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(8).putLong(k).array()
   private[sinks] def stringBytes(s: String): Array[Byte] =

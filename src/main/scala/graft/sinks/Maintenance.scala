@@ -94,12 +94,22 @@ object Maintenance {
   private def logPath(root: String) = Paths.get(root, MaintLog)
 
   private[graft] def record(root: String, fields: Seq[String]): Unit =
+    record(root, fields, blocking = true)
+
+  /** `blocking = false` is the READ-PATH form (probe telemetry): the
+    * append runs only if the publish lock is free right now — a probe
+    * must never queue behind a writer's publish (or another probe) for a
+    * best-effort log line; a dropped sample just thins the advisory
+    * window. Write paths keep the blocking form: their lines (merge
+    * outcomes, permanent baselines) are the advisor's primary evidence. */
+  private[graft] def record(root: String, fields: Seq[String],
+      blocking: Boolean): Unit =
     try {
       // under the table's publish lock: the multi-writer (OCC) path can
       // append from two processes, and a size-triggered compaction's
       // read-rewrite-move would otherwise clobber a concurrent append —
       // losing a key's only baseline line silently
-      AtomicTable.withPublishLock(root) {
+      def body: Unit = {
         val p = logPath(root)
         Files.write(p,
           (fields.mkString("\t") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -121,6 +131,8 @@ object Maintenance {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
       }
+      if (blocking) AtomicTable.withPublishLock(root)(body)
+      else { AtomicTable.withPublishLockTry(root)(body); () }
     } catch { case scala.util.control.NonFatal(_) => () } // advisory only
 
   private def logLines(root: String, kind: String, keyCol: String): Seq[Array[String]] = {
@@ -159,10 +171,13 @@ object Maintenance {
       bloomSkipped.toString))
 
   /** Append one manifest probe's observed cost — called by
-    * [[BloomManifest]] from both probe regimes. */
+    * [[BloomManifest]] from both probe regimes. NON-BLOCKING (reads must
+    * never queue on the publish lock for telemetry; a dropped sample just
+    * thins the window). */
   private[graft] def recordProbe(root: String, cname: String,
       shardsScanned: Int, admitted: Int): Unit =
-    record(root, Seq("probe", cname, shardsScanned.toString, admitted.toString))
+    record(root, Seq("probe", cname, shardsScanned.toString, admitted.toString),
+      blocking = false)
 
   /** The key's PERSISTED first-probe-window mean shard cost, if recorded
     * — permanent like [[mergeBaseline]]. */
@@ -438,6 +453,15 @@ object Maintenance {
       }
       c -> trail.toSeq
     }
+    // probe-cost telemetry lands under the cname that probed — secondary
+    // columns AND the composite tuple name — so the manifest advisory must
+    // look there too, not just at the primary (whose check ran inside
+    // autoMaintain above). One heal covers every column: compaction
+    // rewrites the whole shard generation.
+    val otherCnames = keyCols.tail ++
+      (if (keyCols.size >= 2) Seq(CompositeKey.colName(keyCols)) else Nil)
+    if (otherCnames.exists(c => adviseManifest(root, c).isDefined))
+      BloomManifest.compactManifest(spark, root)
     (primary +: rest).toMap
   }
 

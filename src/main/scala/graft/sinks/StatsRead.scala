@@ -320,7 +320,27 @@ object StatsRead {
     val unknown = files.filter(f =>
       keyCols.exists(c => !side.contains((f.getFileName.toString, c))))
     val rows = side ++ KeyStats.statRowsFor(spark, unknown, keyCols)
-    val asg = CompositeKey.touched(files, rows, keyCols, tuples,
+    val kindsOpt = CompositeKey.kindsOf(tuples.schema, keyCols)
+    // ONE evaluation of the probe frame (the stable-changeset contract,
+    // read-side): a driver-sized tuple set is collected HERE and
+    // re-presented to the prune as a LOCAL relation, so the file decision
+    // and the row tail share the same tuple bytes by construction — a
+    // non-stable probe source evaluated twice could otherwise return a
+    // tuple's rows from planned files while silently missing them in
+    // unplanned ones. Past the threshold the distributed assignment
+    // checkpoints, and ITS stable frame is the row tail.
+    val collected: Option[Seq[Seq[Any]]] = kindsOpt.flatMap { kinds =>
+      val probe = tuples.select(CompositeKey.keySelect(kinds, keyCols): _*)
+        .na.drop("any").limit(KeyedMerge.DriverKeyThreshold + 1).collect()
+      if (probe.length > KeyedMerge.DriverKeyThreshold) None
+      else Some(probe.map(r => keyCols.indices.map(r.get): Seq[Any]).toSeq.distinct)
+    }
+    val probeFrame = (kindsOpt, collected) match {
+      case (Some(kinds), Some(ts)) =>
+        CompositeKey.tupleFrame(spark, keyCols, kinds, ts)
+      case _ => tuples
+    }
+    val asg = CompositeKey.touched(files, rows, keyCols, probeFrame,
       KeyedMerge.DriverKeyThreshold, KeyBloom.loadBlooms(dir), Some(dir))
     val touchedFiles = files.filter(f => asg.touched(f.getFileName.toString))
     val base =
@@ -328,18 +348,14 @@ object StatsRead {
       else spark.read.parquet(touchedFiles.map(_.toString): _*)
     // row-level tail, tiered like every other key filter: a small tuple
     // set becomes a literal OR-of-ANDs (each conjunct's equalities push
-    // into the surviving files' row-group stats); past the threshold the
-    // semi join against the stable keys is the filter
-    val kindsOpt = CompositeKey.kindsOf(tuples.schema, keyCols)
-    val smallTuples = kindsOpt.flatMap { kinds =>
-      val probe = tuples.select(CompositeKey.keySelect(kinds, keyCols): _*)
-        .na.drop("any").limit(TargetedDelete.IsinKeyThreshold + 1).collect()
-      if (probe.length > TargetedDelete.IsinKeyThreshold) None
-      else Some(probe.map(r => keyCols.indices.map(r.get): Seq[Any]).toSeq.distinct)
-    }
-    val out = smallTuples match {
+    // into the surviving files' row-group stats); larger driver-sized sets
+    // semi-join the SAME local tuple relation the prune used; only the
+    // distributed regime joins the assignment's stable frame
+    val out = collected match {
       case Some(ts) if ts.isEmpty => base.where(lit(false))
-      case Some(ts) => base.filter(CompositeKey.matchPredicate(keyCols, ts))
+      case Some(ts) if ts.size <= TargetedDelete.IsinKeyThreshold =>
+        base.filter(CompositeKey.matchPredicate(keyCols, ts))
+      case Some(_) => base.join(broadcast(probeFrame), keyCols, "left_semi")
       case None => base.join(
         asg.stableChanges.select(keyCols.map(col): _*).na.drop("any").distinct(),
         keyCols, "left_semi")
@@ -695,11 +711,6 @@ object StatsRead {
       lit(lo).as("min_lang"), lit(hi).as("max_lang"))
   }
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   /** The probed documents — present at every SF (ids < 500). */
   val BloomProbeIds: Seq[Long] = Seq(7L, 143L, 421L)
   val BloomFiles = 24
@@ -723,7 +734,7 @@ object StatsRead {
         .repartitionByRange(BloomFiles, col("doc_id"))
         .sortWithinPartitions(col("doc_id")),
       root, statsCols = Seq("doc_hash"))
-    val probes = BloomProbeIds.map(i => md5hex(i.toString))
+    val probes = BloomProbeIds.map(i => KeyBloom.md5hex(i.toString))
     // the premise: min/max stats CANNOT skip on the scattered key
     val (_, rsStats) = readStringKeyIn(spark, root, "doc_hash", probes)
     if (rsStats.filesRead < rsStats.totalFiles - 2)
@@ -908,7 +919,7 @@ object StatsRead {
       throw new IllegalStateException(
         "fixture premise broken: min/max pruned the scattered key")
     // FP envelope at saturated word density: absent keys admit ~nothing
-    val absent = Seq("sat-absent-a", "sat-absent-b", "sat-absent-c").map(md5hex)
+    val absent = Seq("sat-absent-a", "sat-absent-b", "sat-absent-c").map(KeyBloom.md5hex)
     val (_, rsAbs) = readStringKeyInBloom(spark, root, "row_hash", absent)
     if (rsAbs.footerReads != 0 || rsAbs.filesRead > 2 ||
         rsAbs.manifestFiles != rsAbs.totalFiles)

@@ -340,6 +340,51 @@ class MaintenanceSpec extends AnyFunSuite {
       s"post-heal probe still scanned ${lastLine(2)} shards (was $shardsNow)")
   }
 
+  test("composite manifest probe cost advises too: autoMaintainMulti heals the tuple ledger") {
+    import graft.sinks.{BloomManifest, CompositeKey, StatsRead}
+    val root = fresh("probeadvise_ck")
+    val df = spark.range(3000L).select(col("id"),
+      md5(col("id").cast("string")).as("h1"),
+      md5((col("id") + 7777L).cast("string")).as("h2"), (col("id") * 2L).as("v"))
+    AtomicTable.commit(df.repartitionByRange(12, col("id"))
+      .sortWithinPartitions(col("id")), root, statsCols = Seq("h1", "h2"))
+    BloomManifest.indexBloomManifestTuple(spark, root, Seq("h1", "h2"), 1 << 16)
+    def hx(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    import spark.implicits._
+    def probeOnce(i: Long): Unit = {
+      val (out, rs) = StatsRead.readTupleIn(spark, root, Seq("h1", "h2"),
+        Seq((hx(i.toString), hx((i + 7777L).toString))).toDF("h1", "h2"))
+      assert(out.count() == 1L && rs.footerReads == 0, rs.toString)
+    }
+    (1L to Maintenance.TelemetryWindow).foreach(probeOnce)
+    val cname = CompositeKey.colName(Seq("h1", "h2"))
+    assert(Maintenance.adviseManifest(root, cname).isEmpty)
+    // bloat the ledger through tuple merges, then observe through probes
+    (1 to 10).foreach { i =>
+      KeyedMerge.mergeChangesKeyedTuple(spark, root, Seq("h1", "h2"),
+        spark.range(1).select(md5(lit((i * 100).toString)).as("h1"),
+          md5(lit((i * 100 + 7777).toString)).as("h2"), lit(-i.toLong).as("nv")),
+        (b, c) => b.join(c, Seq("h1", "h2"), "left")
+          .select(col("id"), col("h1"), col("h2"),
+            coalesce(col("nv"), col("v")).as("v")))
+    }
+    (1L to Maintenance.TelemetryWindow).foreach(i => probeOnce(i + 20))
+    assert(Maintenance.adviseManifest(root, cname).contains("compact-manifest"))
+    // the heal fires from the MULTI-key cadence hook (the probes recorded
+    // under the COMPOSITE cname, which the single-key ladder never reads)
+    Maintenance.autoMaintainMulti(spark, root, Seq("h1", "h2"))
+    val dir = Paths.get(root, AtomicTable.currentVersion(root).get)
+    val shards = {
+      val d = BloomManifest.shardDir(dir).get
+      val st = Files.list(d)
+      try st.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    assert(shards <= 2, s"autoMaintainMulti did not compact the tuple ledger: $shards shards")
+    probeOnce(42L)
+  }
+
   test("adviseTelemetry persists the first-window mean and compares against it") {
     val root = fresh("mergebase")
     Files.createDirectories(Paths.get(root))
