@@ -117,6 +117,32 @@ object Probe {
         val name = args(1)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
         graft.SparkEntry.queries(name)(spark, sf).explain("formatted")
+      case "explainall" =>
+        // capture `explain("formatted")` for a list of queries (or every
+        // declared query) into <outDir>/<name>_<tag>.txt — the optimization
+        // rounds' before/after plan evidence. Args: explainall <outDir>
+        // <tag> [sfDir] [q1,q2,...]
+        val outDir = args(1)
+        val tag = if (args.length > 2) args(2) else "before"
+        val sf = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+        val wanted: Option[Set[String]] =
+          if (args.length > 4) Some(args(4).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          else None
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        val names = graft.SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => wanted.forall(_.contains(n)))
+        names.foreach { name =>
+          try {
+            val df = graft.SparkEntry.queries(name)(spark, sf)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"), txt)
+            println(s"[explainall] wrote $name")
+          } catch { case e: Throwable =>
+            println(s"[explainall] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
       case "g_stages" =>
         def t[A](label: String)(f: => A): A = {
           val t0 = System.nanoTime(); val r = f
