@@ -101,42 +101,54 @@ object DateEnrichment {
       .when(m === "jul", 7).when(m === "aug", 8).when(m === "sep", 9)
       .when(m === "oct", 10).when(m === "nov", 11).otherwise(12)
 
-  /** SERP snippet patterns in the reference's order (date_enricher.py:83-87). */
-  private def serpDate(snippet: Column): Column = {
-    val s = lower(snippet)
-    val pA = "(\\d{1,2})\\s+(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)\\s+(20\\d{2})"
-    val a = when(regexp_extract(s, pA, 3) =!= "",
-      make_date(regexp_extract(s, pA, 3).cast("int"),
-        monthNum(regexp_extract(s, pA, 2)), regexp_extract(s, pA, 1).cast("int")))
-    val pB = "(20\\d{2})-(\\d{2})-(\\d{2})"
-    val b = when(regexp_extract(s, pB, 1) =!= "",
-      make_date(regexp_extract(s, pB, 1).cast("int"),
-        regexp_extract(s, pB, 2).cast("int"), regexp_extract(s, pB, 3).cast("int")))
-    val pC = "(\\d{1,2})/(\\d{1,2})/(20\\d{2})"
-    val c = when(regexp_extract(s, pC, 3) =!= "",
-      make_date(regexp_extract(s, pC, 3).cast("int"),
-        regexp_extract(s, pC, 2).cast("int"), regexp_extract(s, pC, 1).cast("int")))
+  /** SERP snippet patterns in the reference's order (date_enricher.py:83-87)
+    * and URL patterns (date_enricher.py:270-275). Each pattern's FULL first
+    * match is staged as its own column by [[enrich]] (one scan of the long
+    * source string per pattern); the date builders below then pull the
+    * capture groups out of the ≤12-char match string. The r20 form embedded
+    * `regexp_extract(source, pat, g)` once per group PLUS the non-empty
+    * guard — 4 scans of the snippet/url per pattern, 28 per row across the
+    * cascade (guide §1.2 step 2: per-task work). Group extraction from the
+    * staged match is exact: the match string is the leftmost match, so
+    * re-matching the same pattern against it at position 0 reproduces the
+    * identical greedy group decomposition. */
+  private val pSerpA = "(\\d{1,2})\\s+(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)\\s+(20\\d{2})"
+  private val pSerpB = "(20\\d{2})-(\\d{2})-(\\d{2})"
+  private val pSerpC = "(\\d{1,2})/(\\d{1,2})/(20\\d{2})"
+  private val pUrl1 = "/(20\\d{2})/(\\d{1,2})/(\\d{1,2})/"
+  private val pUrl2 = "/(20\\d{2})-(\\d{2})-(\\d{2})"
+  private val pUrl3 = "/(\\d{1,2})-(\\d{1,2})-(20\\d{2})"
+  private val pUrl4 = "[?&]date=(20\\d{2})-(\\d{2})-(\\d{2})"
+
+  /** serp date from the three staged full-match columns (year-month-day
+    * group positions vary per pattern, as in the reference). */
+  private def serpDateFrom(mA: Column, mB: Column, mC: Column): Column = {
+    val a = when(mA =!= "",
+      make_date(regexp_extract(mA, pSerpA, 3).cast("int"),
+        monthNum(regexp_extract(mA, pSerpA, 2)), regexp_extract(mA, pSerpA, 1).cast("int")))
+    val b = when(mB =!= "",
+      make_date(regexp_extract(mB, pSerpB, 1).cast("int"),
+        regexp_extract(mB, pSerpB, 2).cast("int"), regexp_extract(mB, pSerpB, 3).cast("int")))
+    val c = when(mC =!= "",
+      make_date(regexp_extract(mC, pSerpC, 3).cast("int"),
+        regexp_extract(mC, pSerpC, 2).cast("int"), regexp_extract(mC, pSerpC, 1).cast("int")))
     coalesce(valid(a), valid(b), valid(c))
   }
 
-  /** URL patterns in the reference's order (date_enricher.py:270-275). */
-  private def urlDate(url: Column): Column = {
-    val p1 = "/(20\\d{2})/(\\d{1,2})/(\\d{1,2})/"
-    val d1 = when(regexp_extract(url, p1, 1) =!= "",
-      make_date(regexp_extract(url, p1, 1).cast("int"),
-        regexp_extract(url, p1, 2).cast("int"), regexp_extract(url, p1, 3).cast("int")))
-    val p2 = "/(20\\d{2})-(\\d{2})-(\\d{2})"
-    val d2 = when(regexp_extract(url, p2, 1) =!= "",
-      make_date(regexp_extract(url, p2, 1).cast("int"),
-        regexp_extract(url, p2, 2).cast("int"), regexp_extract(url, p2, 3).cast("int")))
-    val p3 = "/(\\d{1,2})-(\\d{1,2})-(20\\d{2})"
-    val d3 = when(regexp_extract(url, p3, 3) =!= "",
-      make_date(regexp_extract(url, p3, 3).cast("int"),
-        regexp_extract(url, p3, 2).cast("int"), regexp_extract(url, p3, 1).cast("int")))
-    val p4 = "[?&]date=(20\\d{2})-(\\d{2})-(\\d{2})"
-    val d4 = when(regexp_extract(url, p4, 1) =!= "",
-      make_date(regexp_extract(url, p4, 1).cast("int"),
-        regexp_extract(url, p4, 2).cast("int"), regexp_extract(url, p4, 3).cast("int")))
+  /** url-inferred date from the four staged full-match columns. */
+  private def urlDateFrom(m1: Column, m2: Column, m3: Column, m4: Column): Column = {
+    val d1 = when(m1 =!= "",
+      make_date(regexp_extract(m1, pUrl1, 1).cast("int"),
+        regexp_extract(m1, pUrl1, 2).cast("int"), regexp_extract(m1, pUrl1, 3).cast("int")))
+    val d2 = when(m2 =!= "",
+      make_date(regexp_extract(m2, pUrl2, 1).cast("int"),
+        regexp_extract(m2, pUrl2, 2).cast("int"), regexp_extract(m2, pUrl2, 3).cast("int")))
+    val d3 = when(m3 =!= "",
+      make_date(regexp_extract(m3, pUrl3, 3).cast("int"),
+        regexp_extract(m3, pUrl3, 2).cast("int"), regexp_extract(m3, pUrl3, 1).cast("int")))
+    val d4 = when(m4 =!= "",
+      make_date(regexp_extract(m4, pUrl4, 1).cast("int"),
+        regexp_extract(m4, pUrl4, 2).cast("int"), regexp_extract(m4, pUrl4, 3).cast("int")))
     coalesce(valid(d1), valid(d2), valid(d3), valid(d4))
   }
 
@@ -147,20 +159,35 @@ object DateEnrichment {
       .join(broadcast(rss),
         mentions("source_id") === rss("source_id") && mentions("url") === rss("link"), "left")
       .drop(rss("source_id"))
-    // STAGE the seven candidate dates as columns, then derive method/
-    // confidence/published from the staged attributes: each use site below
-    // references the column, so the regex cascades (9 regexp_extracts for
-    // serp, 12 for url) evaluate ONCE per row instead of once per CaseWhen
-    // branch. CollapseProject will not re-inline a non-cheap alias that is
-    // referenced more than once, so the two-Project shape survives
-    // optimization (~3× on the 150k-row volume variant).
-    val staged = joined.select(col("mention_id"),
-      serpDate(col("snippet")).as("d_serp"),
+    // STAGE in three Project levels: (1) the lowercased snippet, (2) each
+    // pattern's FULL first match (one scan of the long string per pattern —
+    // see the pattern scaladoc above), (3) the seven candidate dates, from
+    // which method/confidence/published derive. Each staged alias is
+    // non-cheap and referenced more than once, so CollapseProject keeps
+    // every level evaluated once per row (the r20 two-level form measured
+    // ~3× on the 150k-row volume variant; match staging removes another
+    // ~4× of long-string regex scans).
+    val lowered = joined.select(col("mention_id"), col("url"),
+      lower(col("snippet")).as("s_lc"),
+      col("published"), col("jsonld_date"), col("og_date"), col("meta_date"),
+      col("last_modified"))
+    val matches = lowered.select(col("mention_id"),
+      regexp_extract(col("s_lc"), pSerpA, 0).as("m_sa"),
+      regexp_extract(col("s_lc"), pSerpB, 0).as("m_sb"),
+      regexp_extract(col("s_lc"), pSerpC, 0).as("m_sc"),
+      regexp_extract(col("url"), pUrl1, 0).as("m_u1"),
+      regexp_extract(col("url"), pUrl2, 0).as("m_u2"),
+      regexp_extract(col("url"), pUrl3, 0).as("m_u3"),
+      regexp_extract(col("url"), pUrl4, 0).as("m_u4"),
+      col("published"), col("jsonld_date"), col("og_date"), col("meta_date"),
+      col("last_modified"))
+    val staged = matches.select(col("mention_id"),
+      serpDateFrom(col("m_sa"), col("m_sb"), col("m_sc")).as("d_serp"),
       valid(col("published")).as("d_rss"),
       valid(col("jsonld_date")).as("d_jsonld"),
       valid(col("og_date")).as("d_og"),
       valid(col("meta_date")).as("d_meta"),
-      urlDate(col("url")).as("d_url"),
+      urlDateFrom(col("m_u1"), col("m_u2"), col("m_u3"), col("m_u4")).as("d_url"),
       valid(col("last_modified")).as("d_lastmod"))
     val method = when(col("d_serp").isNotNull, "serp")
       .when(col("d_rss").isNotNull, "rss")

@@ -48,9 +48,12 @@ object MentionScoring {
     val city = ParisProfile.aliases
       .map(a => t.contains(lit(a)) || s.contains(lit(a)))
       .reduce(_ || _)
-    val postal = ParisProfile.postalPrefixes
-      .map { p => val re = s"\\b$p\\d{1,3}\\b"; t.rlike(re) || s.rlike(re) || u.rlike(re) }
-      .reduce(_ || _)
+    // ONE fused alternation per field instead of one rlike per (prefix,
+    // field): rlike is "contains a match", so the alternation of the prefix
+    // patterns accepts exactly the union of the per-prefix languages —
+    // identical boolean, a third of the regex scans (guide §1.2 step 2).
+    val postalRe = ParisProfile.postalPrefixes.map(p => s"\\b$p\\d{1,3}\\b").mkString("|")
+    val postal = t.rlike(postalRe) || s.rlike(postalRe) || u.rlike(postalRe)
     val admin = ParisProfile.adminNames
       .map(a => t.contains(lit(a)) || s.contains(lit(a)))
       .reduce(_ || _)
@@ -76,7 +79,9 @@ object MentionScoring {
     * competing_cities — so total = country only). */
   def countryMismatch(title: Column, snippet: Column, url: Column): Column = {
     val text = lower(concat_ws(" ", title, snippet, url))
-    ParisProfile.countryMismatchPatterns.map(text.rlike(_)).reduce(_ || _)
+    // fused alternation — one scan of the concatenated text instead of six
+    // (union-of-languages identity, same as the postal fuse above)
+    text.rlike(ParisProfile.countryMismatchPatterns.mkString("|"))
   }
 
   // --------------------------------------------------- J2 catalog resolution
@@ -84,40 +89,49 @@ object MentionScoring {
   /** Resolve candidate domains to catalog sources: exact (www-stripped) match,
     * else suffix match either direction (first catalog row wins), else the
     * unknown/generic source, else lowest-authority press
-    * (utils/database.py:617-731). Catalog is broadcast; candidates never
-    * shuffle. */
+    * (utils/database.py:617-731).
+    *
+    * The catalog is MODEL-SIZED (7 rows), so resolution is a pure
+    * projection: one first-hit conditional chain over the catalog in ord
+    * order — exact tiers before suffix tiers — folded with `coalesce`.
+    * The r20 form joined a broadcast catalog twice and then ranked suffix
+    * matches with a row_number window partitioned by cand_id: one full
+    * shuffle + sort of the candidate set purely to pick the first of ≤7
+    * broadcast rows (optimization guide §2.4 — remove shuffles outright).
+    * Semantically identical per row (callers all carry unique cand_ids, so
+    * the old window kept exactly one row per input row), and it is the
+    * same per-row scalar resolution the DuckDB oracle replays with its
+    * correlated `ORDER BY ord LIMIT 1` subqueries. Candidates now never
+    * shuffle at all. */
   def resolveAuthority(cands: DataFrame, spark: SparkSession): DataFrame = {
-    val cat = resolvedCatalog
+    val cat = resolvedCatalog // ord-ascending by construction
     val unknownSid = cat.find(c => Seq("unknown", "generic", "other").contains(c._4.toLowerCase))
       .map(c => (c._2, c._5))
     val pressFallback = cat.filter(_._4.toLowerCase == "press")
       .sortBy(c => (c._5, c._1)).headOption.map(c => (c._2, c._5))
     val fallback = unknownSid.orElse(pressFallback)
 
-    val catDf = broadcast(catalogResolvedDf(spark))
     val d = regexp_replace(lower(col("domain")), "www\\.", "")
+    // staged: norm_domain is non-cheap and referenced by every tier below,
+    // so CollapseProject keeps it evaluated once per row
     val withD = cands.withColumn("norm_domain", d)
-
-    // pass 1: exact
-    val exact = catDf.select(col("cat_domain").as("e_dom"),
-      col("source_id").as("e_sid"), col("cat_authority").as("e_auth"), col("ord").as("e_ord"))
-    val p1 = withD.join(exact, col("norm_domain") === col("e_dom"), "left")
-    // pass 2: suffix either direction, first catalog row by ord
-    val suffix = catDf.select(col("cat_domain").as("s_dom"),
-      col("source_id").as("s_sid"), col("cat_authority").as("s_auth"), col("ord").as("s_ord"))
-    val p2 = p1.join(suffix,
-      col("e_sid").isNull &&
-        (col("norm_domain").endsWith(col("s_dom")) || col("s_dom").endsWith(col("norm_domain"))),
-      "left")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("cand_id")).orderBy(coalesce(col("s_ord"), lit(Int.MaxValue)).asc)
-    p2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .withColumn("resolved_source_id",
-        coalesce(col("e_sid"), col("s_sid"), lit(fallback.map(_._1).orNull)))
-      .withColumn("authority",
-        coalesce(col("e_auth"), col("s_auth"),
-          lit(fallback.map(_._2).getOrElse(0.5))))
-      .drop("e_dom", "e_sid", "e_auth", "e_ord", "s_dom", "s_sid", "s_auth", "s_ord", "rn")
+    val nd = col("norm_domain")
+    def hit(sid: String, aw: Double): Column =
+      struct(lit(sid).as("sid"), lit(aw).as("auth"))
+    val exactTiers = cat.map { case (_, sid, dom, _, aw) =>
+      when(nd === lit(dom), hit(sid, aw))
+    }
+    val suffixTiers = cat.map { case (_, sid, dom, _, aw) =>
+      when(nd.endsWith(lit(dom)) || lit(dom).endsWith(nd), hit(sid, aw))
+    }
+    val fb = struct(lit(fallback.map(_._1).orNull).as("sid"),
+      lit(fallback.map(_._2).getOrElse(0.5)).as("auth"))
+    // staged for the same reason: the chain is evaluated once, both fields
+    // read from the one struct
+    withD.withColumn("j2_hit", coalesce(exactTiers ++ suffixTiers :+ fb: _*))
+      .withColumn("resolved_source_id", col("j2_hit.sid"))
+      .withColumn("authority", col("j2_hit.auth"))
+      .drop("j2_hit")
   }
 
   // ------------------------------------------------------------- full tree
