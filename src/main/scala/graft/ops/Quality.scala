@@ -437,32 +437,34 @@ object Quality {
     }.reduce(_.unionByName(_))
     val hv = Sketches.hexValSpark _
     // dedup ONCE, then derive BOTH the exact count and the registers from
-    // the distinct reprs: registers are max-per-bucket, so duplicates never
-    // change them — and hash each distinct value exactly once. The two
-    // consumers reference identical distinct subtrees (AQE can reuse the
-    // materialized shuffle stage at runtime); an explicit checkpoint
-    // measured no faster at sf0.1, and at deploy scale the n_exact branch
-    // is dropped entirely (see scaladoc), leaving one consumer.
+    // ONE aggregation chain over the distinct reprs: the per-(column,
+    // bucket) register gather also counts its distinct rows, so the exact
+    // count is the SUM of those bucket counts — the r20 form fed `dedup`
+    // to two separate aggregates (registers and a count), and because each
+    // consumer pruned different columns the planner could not reuse the
+    // exchange: the whole union-scan-distinct subtree (11 column scans +
+    // the value shuffle) was executed twice (guide §2.4 — the second pass
+    // was pure recomputation). At deploy scale the n_exact column is
+    // dropped entirely (see scaladoc), leaving the register chain alone.
     val dedup = reprs.distinct()
     val regs = dedup
       .withColumn("h", expr("md5(cast(repr as binary))"))
       .withColumn("bucket", expr(s"${hv("h", 1)} * 16 + ${hv("h", 2)}").cast("long"))
       .withColumn("w", expr(Sketches.wSql("h", hv)))
       .withColumn("rho", expr(Sketches.rhoSql("w")).cast("long"))
-      .groupBy(col("col_name"), col("bucket")).agg(max(col("rho")).as("mj"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("rho")).as("mj"), count(lit(1)).as("n_in_bucket"))
     val m = Sketches.M
-    val est = regs.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_buckets_hit"),
+    regs.groupBy(col("col_name"))
+      .agg(sum(col("n_in_bucket")).as("n_exact"),
+        count(lit(1)).as("n_buckets_hit"),
         sum(expr("power(2.0, -mj)")).as("s_hit"))
       .withColumn("v", lit(m.toLong) - col("n_buckets_hit"))
       .withColumn("est_raw", lit(Sketches.AlphaMM) / (col("s_hit") + col("v")))
-      .select(col("col_name"), col("n_buckets_hit"),
+      .select(col("col_name"), col("n_exact"), col("n_buckets_hit"),
         round(when(col("est_raw") <= lit(2.5 * m) && col("v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(col("est_raw")), 4).as("est_distinct"))
-    val exact = dedup.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_exact"))
-    exact.join(est, Seq("col_name"))
   }
 
   /** Declared name for a profiled table: the orders exemplar keeps its

@@ -156,6 +156,41 @@ object Probe {
           .write.mode("overwrite").format("noop").save())
         t("full query 2")(graft.ops.Graph.gPagerank(spark, sf)
           .write.mode("overwrite").format("noop").save())
+      case "s16_discovery" =>
+        def t[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[s16] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val p = graft.sinks.PartitionedTable.writePartitioned(spark, dir)
+        def read(): Unit = graft.sinks.PartitionedTable.prunedRead(spark, p)
+          .write.mode("overwrite").format("noop").save()
+        read() // warm
+        (1 to 3).foreach { i => t(s"thr=32 read $i")(read()) }
+        spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", 1024)
+        (1 to 3).foreach { i => t(s"thr=1024 read $i")(read()) }
+      case "s16_committer" =>
+        def t[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[s16] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        // warmup
+        graft.sinks.PartitionedTable.writePartitioned(spark, dir)
+        (1 to 3).foreach { i => t(s"v1 write $i")(
+          graft.sinks.PartitionedTable.writePartitioned(spark, dir)) }
+        spark.sparkContext.hadoopConfiguration
+          .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+        (1 to 3).foreach { i => t(s"v2 write $i")(
+          graft.sinks.PartitionedTable.writePartitioned(spark, dir)) }
+      case "s16_phases" =>
+        def t[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[s16] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        (1 to 3).foreach { i =>
+          val p = t(s"write $i")(graft.sinks.PartitionedTable.writePartitioned(spark, dir))
+          t(s"read $i")(graft.sinks.PartitionedTable.prunedRead(spark, p)
+            .write.mode("overwrite").format("noop").save())
+        }
       case "show" =>
         val name = args(1)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
