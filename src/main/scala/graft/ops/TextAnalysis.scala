@@ -193,7 +193,12 @@ object TextAnalysis {
     // recompute is free (persisting them changed nothing warm) — at 100 TB
     // a real curation run would WRITE the survivor corpus between stages
     // (the natural checkpoint), not cache it
+    // staged (lazy localCheckpoint, r21): `cleaned` feeds BOTH the survivor
+    // semi-join and the final verdict join — without the cut each consumer
+    // re-runs the whole clean chain (scan + quality/lang signals + the
+    // dup-survivor window); the staged relation is |docs| × 3 columns
     val cleaned = tcCleanCorpus(spark, dir).select("doc_id", "keep", "drop_reason")
+      .localCheckpoint(false)
     val survivors = Tables.documents(spark, dir)
       .join(cleaned.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     val nearDup = TextDedup.ngramJaccardPairsOf(TextDedup.shingleRowsOf(survivors))
@@ -234,7 +239,10 @@ object TextAnalysis {
     * nothing new beyond the stages themselves, and the final verdict/pack
     * joins are hash joins on doc_id. */
   def tcCorpusE2e(spark: SparkSession, dir: String): DataFrame = {
-    val verdict = curationVerdict(spark, dir)
+    // staged: the verdict feeds the final join AND the kept-tokens semi-join
+    // — uncut, the second consumer re-runs the entire five-stage ladder
+    // (clean chain + near-dup pair join included). |docs| × 3 columns.
+    val verdict = curationVerdict(spark, dir).localCheckpoint(false)
     val keptTokens = Tables.documents(spark, dir)
       .join(verdict.filter(col("final_keep")).select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),

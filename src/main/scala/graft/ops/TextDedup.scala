@@ -227,7 +227,9 @@ object TextDedup {
     * their index artifact. Candidate generation is the banded equi-join;
     * the per-doc reduce is a map-side-combinable min. */
   def ddIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val banded = minhashBandedOf(Tables.documents(spark, dir))
+    // staged: the self-join's two sides would otherwise each re-run the
+    // MinHashSigs pass (same reasoning as ddMinhashLsh's banded staging)
+    val banded = minhashBandedOf(Tables.documents(spark, dir)).localCheckpoint(false)
     val owners = banded
       .join(banded.select(col("doc_id").as("id_a"), col("band_key")), Seq("band_key"))
       .filter(col("id_a") < col("doc_id"))
@@ -258,13 +260,22 @@ object TextDedup {
     // its size == the shingle-row count) — replaces a full-corpus
     // explode + groupBy shuffle; docs with zero shingles get n_sh = 0
     // instead of no row, indistinguishable downstream because only docs in
-    // candidate pairs (≥ 1 shared shingle) are ever looked up
+    // candidate pairs (≥ 1 shared shingle) are ever looked up.
+    // STAGED (lazy localCheckpoint, r21): the relation is |docs|-sized but
+    // its two consumers (n_a / n_b lookups) would each re-run the full
+    // WordShingles pass — the single most expensive projection here — and
+    // their differing aliases defeat exchange reuse (guide §2.4).
     val nSh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(graft.expr.functions.word_shingles(col("text"))).cast("long").as("n_sh"))
+      .localCheckpoint(false)
 
-    // slim banded relation: only (doc_id, band_key) flows through the self-join
-    val banded = minhashBandedOf(Tables.documents(spark, dir))
+    // slim banded relation: only (doc_id, band_key) flows through the
+    // self-join. STAGED for the same reason: both join sides would each
+    // re-run the codegen'd 32-hash MinHashSigs pass over every document;
+    // the checkpointed form computes signatures once and the self-join
+    // reads |docs|×Bands tiny rows twice.
+    val banded = minhashBandedOf(Tables.documents(spark, dir)).localCheckpoint(false)
     val a = banded.select(col("doc_id").as("id_a"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_key"))
     val pairIds = a.join(b, Seq("band_key"))
