@@ -117,6 +117,54 @@ object Probe {
         val name = args(1)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
         graft.SparkEntry.queries(name)(spark, sf).explain("formatted")
+      case "jobs" =>
+        // job-level profile of one named query: one discarded warmup, then a
+        // timed run with a listener recording each Spark job's wall span and
+        // the DRIVER GAP before it (planning/FS/commit work between jobs).
+        // Args: jobs <name> [sfDir] — the quickest way to tell whether a
+        // lifecycle query's cost is data work (few big jobs) or fixed
+        // overhead (many small jobs / large gaps). Comma-separated names run
+        // back to back in one JVM.
+        val names2 = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+        val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        names2.foreach { name =>
+        def runOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, sf)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        runOnce() // warmup
+        val jobs = new java.util.concurrent.ConcurrentHashMap[
+          Int, (String, Long, Long)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+            jobs.put(js.jobId, (site, js.time, 0L))
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val prev = jobs.get(je.jobId)
+            if (prev != null) jobs.put(je.jobId, (prev._1, prev._2, je.time))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val wall = runOnce()
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
+        import scala.jdk.CollectionConverters._
+        val rows = jobs.asScala.toSeq.sortBy(_._1)
+        val jobSum = rows.map { case (_, (_, s, e)) => math.max(0L, e - s) }.sum / 1e3
+        println(f"[jobs] $name wall=$wall%.2f s jobs=${rows.size} jobTimeSum=$jobSum%.2f s")
+        var prevEnd = 0L
+        rows.foreach { case (id, (site, s, e)) =>
+          val gap = if (prevEnd == 0L) 0.0 else math.max(0L, s - prevEnd) / 1e3
+          prevEnd = math.max(prevEnd, e)
+          println(f"[job $id%4d] ${math.max(0L, e - s) / 1e3}%7.3f s  gap=$gap%6.3f s  $site")
+        }
+        }
       case "explainall" =>
         // capture `explain("formatted")` for a list of queries (or every
         // declared query) into <outDir>/<name>_<tag>.txt — the optimization
