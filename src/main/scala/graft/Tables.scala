@@ -65,4 +65,33 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fan an UNSPLITTABLE scan out to the session's shuffle width before an
+    * expensive derivation chain (opt guide §2.5 "input skew": one huge
+    * unsplittable file → repartition immediately after the read). The
+    * testdata tables are single-row-group parquet files, so every map-side
+    * chain rooted at a scan otherwise runs as ONE task no matter how many
+    * cores the session has — at sf0.1 that is a single task exploding,
+    * regexing and sorting 600k rows while 31 cores idle. The partition count
+    * comes from `spark.sql.shuffle.partitions` (scale-adaptive: the session
+    * sizes it to the core count locally, to the cluster on a real
+    * deployment) and is passed EXPLICITLY so AQE does not coalesce the tiny
+    * shuffled bytes back into one partition — the point is parallelism of
+    * the downstream compute, not shuffle-size hygiene. Hash-keyed when a
+    * key is given (no sort-before-repartition pass, deterministic under
+    * retries by construction); round-robin otherwise. Only worth it when
+    * the downstream per-row work dominates the ~row-width shuffle. */
+  def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (keys.nonEmpty) df.repartition(n, keys: _*) else df.repartition(n)
+  }
+
+  /** [[documents]]/[[embeddings]] pre-fanned on their id — the two tables
+    * every expensive text/vector chain roots at. The whole table is well
+    * under a MB at bench SF, so the keyed fan-out shuffle is noise while the
+    * downstream codegen'd per-row work gains the session's full width. */
+  def documentsFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(documents(spark, dir), org.apache.spark.sql.functions.col("doc_id"))
+  def embeddingsFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(embeddings(spark, dir), org.apache.spark.sql.functions.col("vec_id"))
 }

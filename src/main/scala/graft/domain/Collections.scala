@@ -119,7 +119,7 @@ object Collections {
          |THEN array(named_struct('tag', '$tag', 'confidence', CAST(c_custkey % $m AS DOUBLE) / $m.0))
          |ELSE array() END""".stripMargin.replace('\n', ' ')
     }
-    graft.Tables.customer(spark, dir).select(
+    graft.Tables.fanOut(graft.Tables.customer(spark, dir), col("c_custkey")).select(
       col("c_custkey").cast("string").as("poi_id"),
       expr(clauses.mkString("concat(", ", ", ")")).as("tags"))
   }

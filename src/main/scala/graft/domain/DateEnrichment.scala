@@ -374,7 +374,10 @@ object DateEnrichment {
   }
 
   def mentionsVol(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.orders(spark, dir).select(
+    // fanned before the regex cascade in enrich(): the broadcast joins keep
+    // the mentions side's partitioning, so the 7-pattern scan chain runs at
+    // session width instead of on the single scan task (opt guide §2.5)
+    graft.Tables.fanOut(graft.Tables.orders(spark, dir), col("o_orderkey")).select(
       col("o_orderkey").cast("string").as("mention_id"),
       Vol.sourceCol.as("source_id"),
       Vol.urlCol.as("url"),

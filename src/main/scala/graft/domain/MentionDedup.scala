@@ -122,7 +122,11 @@ object MentionDedup {
   def mentionsW3VolDf(spark: SparkSession, dir: String): DataFrame = {
     import graft.expr.{functions => F}
     val g = col("k") % 4000
-    graft.Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    // same single-row-group fan-out as the skew variant: ~1 MB of bare keys
+    // shuffles so the explode + URL + dedupe-key regex chain runs at session
+    // width instead of one scan task (opt guide §2.5)
+    graft.Tables.fanOut(
+        graft.Tables.orders(spark, dir).select(col("o_orderkey").as("k")), col("k"))
       .withColumn("r", explode(sequence(lit(0L), lit(3L))))
       .select(
         (col("k") * 10 + col("r")).as("mid"),
@@ -162,7 +166,12 @@ object MentionDedup {
   def mentionsW3SkewDf(spark: SparkSession, dir: String): DataFrame = {
     import graft.expr.{functions => F}
     val k = col("k")
-    graft.Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    // fan the single-row-group orders scan out BEFORE the ×4 explode + URL
+    // construction + dedupe-key regex: the shuffle moves 150k bare keys
+    // (~1 MB) so the expensive per-row chain runs at session width instead
+    // of inside one scan task (opt guide §2.5)
+    graft.Tables.fanOut(
+        graft.Tables.orders(spark, dir).select(col("o_orderkey").as("k")), col("k"))
       .withColumn("r", explode(sequence(lit(0L), lit(3L))))
       .withColumn("g", when(k % 10 < 4, lit(0L)).otherwise(k % 4000))
       .select(

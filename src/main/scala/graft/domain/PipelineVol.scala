@@ -44,7 +44,9 @@ object PipelineVol {
   private[graft] def placesVol(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
     val t = k % 8
-    Tables.customer(spark, dir).select(
+    // fanned: the ingest chain (array builds + address regex + spatial
+    // rekey) otherwise runs on the single customer scan task (§2.5)
+    Tables.fanOut(Tables.customer(spark, dir), col("c_custkey")).select(
       concat(lit("r"), k.cast("string")).as("result_id"),
       when(k % 41 === 0, lit(null).cast("string"))
         .otherwise(concat(lit("pl"), k.cast("string"))).as("place_id"),
@@ -116,7 +118,7 @@ object PipelineVol {
       .when(k % 6 === 3, "instagram.com")
       .when(k % 6 === 4, "parisbouge.com")
       .otherwise("random-site.org")
-    Tables.orders(spark, dir).select(
+    Tables.fanOut(Tables.orders(spark, dir), col("o_orderkey")).select(
       k.cast("string").as("cand_id"),
       concat(lit("pl"), col("o_custkey").cast("string")).as("poi_id"),
       (lit(48.0) + (k % 200).cast("double") / 100.0).as("poi_lat"),
@@ -137,7 +139,7 @@ object PipelineVol {
 
   /** Orders-derived snapshots keyed to the ingested place ids. */
   private def snapshotsE2e(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).select(
+    Tables.fanOut(Tables.orders(spark, dir), col("o_custkey")).select(
       concat(lit("pl"), col("o_custkey").cast("string")).as("poi_id"),
       lit("google").as("source_id"),
       ((col("o_orderkey") % 21).cast("double") / 10.0 + 2.9).as("rating_value"),

@@ -107,7 +107,7 @@ object Trending {
     * engines) — runs the extraction GENERATOR at data volume: tens of
     * thousands of rows explode through the same regex/blocklist/distinct. */
   def trendCandsVol(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.orders(spark, dir).select(
+    graft.Tables.fanOut(graft.Tables.orders(spark, dir), col("o_orderkey")).select(
       col("o_orderkey").cast("string").as("cand_id"),
       concat(lit("trend q"), (col("o_custkey") % 20).cast("string")).as("query_text"),
       when(col("o_orderkey") % 3 === 0,

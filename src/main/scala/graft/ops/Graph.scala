@@ -60,10 +60,17 @@ object Graph {
     * that breaks first at 100 TB; measured 3 s warm at sf0.1 vs ~1 s for
     * this form). */
   def edges(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
+    // fan the single-row-group lineitem scan out on the GROUP KEY before the
+    // collect_list aggregate: collect_list's partial aggregation reduces no
+    // bytes, so the exchange moves the same rows either way — but keyed
+    // fan-out satisfies the groupBy's distribution (one exchange total,
+    // guide §2.4) and moves the per-order array fold + pair explosion off
+    // the single scan task onto the session's full width (guide §2.5).
+    Tables.fanOut(Tables.lineitem(spark, dir)
       .select(col("l_orderkey"),
         struct(col("l_suppkey").as("s"),
-          expr("unix_micros(cast(l_shipdate as timestamp))").as("d")).as("sd"))
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("d")).as("sd")),
+      col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_list(col("sd")).as("raw"))
       // per-supplier first-ship folded inside the (≤ items-per-order) array,

@@ -72,7 +72,7 @@ object Joins {
     // plan (NameScore projections must sit above the rnk=1 filter).
     val probes = j5Probes.toDF("probe")
       .withColumn("probe_norm", F.normalize_text(col("probe")))
-    val parts = Tables.part(spark, dir)
+    val parts = Tables.fanOut(Tables.part(spark, dir), col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), F.normalize_text(col("p_name")).as("p_norm"))
     val scored = parts
       .join(broadcast(probes))
@@ -100,7 +100,7 @@ object Joins {
     import org.apache.spark.sql.expressions.Window
     val probes = j5Probes.toDF("probe")
       .withColumn("probe_norm", F.normalize_text(col("probe")))
-    val parts = Tables.part(spark, dir)
+    val parts = Tables.fanOut(Tables.part(spark, dir), col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), F.normalize_text(col("p_name")).as("p_norm"))
     val scored = parts
       .join(broadcast(probes))
@@ -141,7 +141,10 @@ object Joins {
         (col("p_partkey") % 7).cast("string")).as("probe"))
       .withColumn("probe_norm", F.normalize_text(col("probe")))
       .withColumn("blk", blk)
-    val parts = Tables.part(spark, dir)
+    // fanned (§2.5): the probe side is broadcast, so the normalize + per-pair
+    // trigram work all runs in the parts side's partitioning — one scan task
+    // without this, regardless of the block key's cardinality
+    val parts = Tables.fanOut(Tables.part(spark, dir), col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), F.normalize_text(col("p_name")).as("p_norm"))
       .withColumn("blk", element_at(split(col("p_norm"), " "), 1))
     val scored = parts

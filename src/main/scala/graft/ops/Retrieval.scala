@@ -59,7 +59,9 @@ object Retrieval {
   }
 
   def tsBm25Topk(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // fanned: the token explosion feeds two separate groupBys (doclen,
+    // postings) and otherwise runs twice on the single scan task (§2.5)
+    val toks = graft.Tables.documentsFanned(spark, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
     val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))

@@ -38,7 +38,7 @@ object Similarity {
     * larger query set than the declared 5 (recall@5 over 5 queries is 25
     * pairs — one flipped neighbor moves it by 4 points, pure noise). */
   private[graft] def bruteforceTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val queries = broadcast(e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("va")))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("vb"))
@@ -69,7 +69,7 @@ object Similarity {
     * bucket id) is unchanged. */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.expr.{functions => F}
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val corpusBase = e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
     val queriesBase = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("v"))
@@ -110,7 +110,7 @@ object Similarity {
     ivfTopkN(spark, dir, NumQueries)
 
   private[graft] def ivfTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val centroids = broadcast(e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
     ivfTopkWith(e, centroids, cosine, nq)
@@ -185,7 +185,7 @@ object Similarity {
     import graft.sinks.{AtomicTable, StatsRead}
     val root = annIvfDiskRoot(dir)
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val centroids = broadcast(e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
@@ -301,7 +301,7 @@ object Similarity {
 
   private[graft] def ivfKmeansTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
     import graft.expr.{functions => F}
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val cent = kmeansCentroidArrays(e)
     val invertedLists = e.select(col("vec_id").as("n_id"), col("embedding").as("vb"),
       F.nearest_cells(col("embedding"), cent, 1).getItem(0).getField("cell_id").as("cell_id"))
@@ -325,7 +325,7 @@ object Similarity {
     * — the per-cluster stats a curation pipeline samples against. One
     * codegen'd assignment projection + one 16-row size aggregate. */
   def simKmeansClusters(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val cent = kmeansCentroidArrays(e)
     val assigned = e.select(col("vec_id"),
         graft.expr.functions.nearest_cells(col("embedding"), cent, 1).getItem(0).as("nc"))
@@ -347,7 +347,7 @@ object Similarity {
     * the oracle replays the whole policy. */
   def simClusterSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.expr.{functions => F}
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val cent = kmeansCentroidArrays(e)
     val assigned = e.select(col("vec_id"),
       F.nearest_cells(col("embedding"), cent, 1).getItem(0).getField("cell_id").as("cell_id"))
@@ -369,7 +369,7 @@ object Similarity {
     * the order-independent summary (code sum, max reconstruction error) so
     * the oracle replay is exact. */
   def simInt8Quantize(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.embeddingsFanned(spark, dir)
       .select(col("vec_id"), graft.expr.functions.int8_quant_stats(col("embedding")).as("st"))
       .select(col("vec_id"),
         col("st").getItem(0).as("mn"),
@@ -475,7 +475,7 @@ object Similarity {
 
   private[graft] def pqAdcTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
     import graft.expr.{functions => F}
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val model = pqCodebooks(e)
     // encode: ONE codegen'd projection per vector (the 4-byte code artifact)
     // — the corpus reaches the ADC join without a single shuffle
@@ -538,7 +538,7 @@ object Similarity {
     import graft.sinks.{AtomicTable, StatsRead}
     val root = annPqDiskRoot(dir)
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val model = pqCodebooks(e)
     val centroids = broadcast(e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))

@@ -32,7 +32,7 @@ object TextAnalysis {
     * 'und' when no marker hits at all. */
   def taLangId(spark: SparkSession, dir: String): DataFrame = {
     val langs = markers.keys.toSeq.sorted
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsFanned(spark, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
     val withScores = langs.foldLeft(base) { (df, l) =>
       df.withColumn(s"score_$l", markerCount(col("words"), l).cast("long"))
@@ -56,7 +56,7 @@ object TextAnalysis {
   def taQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and")
       .map(w => s"'$w'").mkString("array(", ", ", ")")
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("n_words", size(col("words")).cast("long"))
       .withColumn("n_chars_actual", length(trim(col("text"))).cast("long"))
@@ -79,7 +79,7 @@ object TextAnalysis {
     * (letter runs / digit runs / single non-space symbols) + a chars-per-token
     * estimate (the ~4 chars/token rule of thumb). */
   def taTokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
@@ -90,7 +90,7 @@ object TextAnalysis {
   /** Document fingerprinting: md5 over the sorted distinct token set (bag
     * fingerprint, order-insensitive) + md5 of the raw text (exact). */
   def taFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .select(
         col("doc_id"),
@@ -108,7 +108,7 @@ object TextAnalysis {
     val stop = Seq("the", "a", "of", "and")
       .map(w => s"'$w'").mkString("array(", ", ", ")")
     val langs = markers.keys.toSeq.sorted
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsFanned(spark, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("n_words", size(col("words")).cast("long"))
       .withColumn("n_chars_actual", length(trim(col("text"))).cast("long"))
@@ -157,7 +157,7 @@ object TextAnalysis {
     * frac > 0.1; dup_bigrams×5 > n_bigrams×2 ⇔ frac > 0.4), so the
     * threshold has no float-boundary risk against the oracle. */
   def taRepetition(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .select(col("doc_id"), graft.expr.functions.repetition_stats(col("text")).as("st"))
       .select(col("doc_id"),
         col("st").getItem(0).as("n_words"),
@@ -199,7 +199,7 @@ object TextAnalysis {
     // dup-survivor window); the staged relation is |docs| × 3 columns
     val cleaned = tcCleanCorpus(spark, dir).select("doc_id", "keep", "drop_reason")
       .localCheckpoint(false)
-    val survivors = Tables.documents(spark, dir)
+    val survivors = Tables.documentsFanned(spark, dir)
       .join(cleaned.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     val nearDup = TextDedup.ngramJaccardPairsOf(TextDedup.shingleRowsOf(survivors))
       .select(col("id_b").as("doc_id")).distinct()
@@ -243,7 +243,7 @@ object TextAnalysis {
     // — uncut, the second consumer re-runs the entire five-stage ladder
     // (clean chain + near-dup pair join included). |docs| × 3 columns.
     val verdict = curationVerdict(spark, dir).localCheckpoint(false)
-    val keptTokens = Tables.documents(spark, dir)
+    val keptTokens = Tables.documentsFanned(spark, dir)
       .join(verdict.filter(col("final_keep")).select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
@@ -277,7 +277,7 @@ object TextAnalysis {
     * the report relation is O(langs × stages) regardless of corpus size. */
   def tcDatacard(spark: SparkSession, dir: String): DataFrame =
     curationVerdict(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      .join(Tables.documentsFanned(spark, dir).select(col("doc_id"), col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks")),
         Seq("doc_id"))
       .groupBy(col("lang"),
@@ -343,7 +343,7 @@ object TextAnalysis {
     * use. */
   def tcChunk(spark: SparkSession, dir: String): DataFrame = {
     val chunk = expr(s"slice(words, chunk_idx * $ChunkStride + 1, $ChunkSize)")
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("n_words", size(col("words")))
       .withColumn("extra",
@@ -373,7 +373,7 @@ object TextAnalysis {
     * corpus grams. Per-doc output carries the evidence (distinct grams hit,
     * distinct eval docs hit), not just the flag. */
   def tcDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFanned(spark, dir)
     def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
       explode(graft.expr.functions.word_ngrams(col("text"), lit(DecontamN))).as("g"))
     val evalG = grams(docs.filter(col("doc_id") % EvalMod === 0))
@@ -443,7 +443,7 @@ object TextAnalysis {
     * shuffle at any scale; the redacted-text md5 pins the exact masked
     * output, span-for-span. */
   def taPii(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .withColumn("pii", piiText)
       .select(col("doc_id"),
         size(regexp_extract_all(col("pii"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
@@ -470,7 +470,7 @@ object TextAnalysis {
     * rows, driver-trivial), broadcast back. A naive `Window.orderBy(doc_id)`
     * with no partition key would funnel the corpus through ONE task. */
   def tcPackOffsets(spark: SparkSession, dir: String): DataFrame =
-    packScanOf(Tables.documents(spark, dir)
+    packScanOf(Tables.documentsFanned(spark, dir)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
@@ -512,7 +512,7 @@ object TextAnalysis {
     * zero while DuckDB `//` floors — they only agree on positives, and
     * log-probs are negative. */
   def taBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFanned(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
     val toks = docs.select(explode(col("ws")).as("w1"))
     val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))

@@ -45,7 +45,7 @@ object TextDedup {
     * intersects shuffling through the pair join. ~25× faster than the
     * array_intersect formulation at sf0.1. */
   def ddJaccardChars(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsFanned(spark, dir)
       .withColumn("masks", graft.expr.functions.ascii_masks(col("text")))
       .select(col("doc_id"), col("lang"), col("source"),
         col("masks").getItem(0).as("m_lo"), col("masks").getItem(1).as("m_hi"))
@@ -71,8 +71,15 @@ object TextDedup {
     docs.select(col("doc_id"), col("lang"), col("source"),
       explode(graft.expr.functions.word_shingles(col("text"))).as("s"))
 
+  /** Documents fanned out to session width before any expensive per-doc
+    * chain (WordShingles/MinHashSigs/SimHash explosions): the single-row-
+    * group scan otherwise runs the whole codegen'd text pass as ONE task
+    * (opt guide §2.5 — unsplittable input, repartition right after read). */
+  private def docsFanned(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
+
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingleRowsOf(Tables.documents(spark, dir))
+    shingleRowsOf(docsFanned(spark, dir))
 
   /** ASYMMETRIC CONTAINMENT near-dup — the quote/subset detector Jaccard
     * misses: a short doc fully embedded in a long one has low Jaccard
@@ -163,7 +170,7 @@ object TextDedup {
     * bounded while the 45 replica pairs per original doc all survive with
     * their exact reduced-vocabulary Jaccard. */
   def ddNgramJaccardDfcapVol(spark: SparkSession, dir: String): DataFrame =
-    dfcapPairsOf(shingleRowsOf(replicateNearDup(Tables.documents(spark, dir))))
+    dfcapPairsOf(shingleRowsOf(replicateNearDup(docsFanned(spark, dir))))
 
   /** The DF-cap pair dataflow over an arbitrary shingle-row relation. */
   private[ops] def dfcapPairsOf(sh: DataFrame): DataFrame = {
@@ -229,7 +236,7 @@ object TextDedup {
   def ddIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
     // staged: the self-join's two sides would otherwise each re-run the
     // MinHashSigs pass (same reasoning as ddMinhashLsh's banded staging)
-    val banded = minhashBandedOf(Tables.documents(spark, dir)).localCheckpoint(false)
+    val banded = minhashBandedOf(docsFanned(spark, dir)).localCheckpoint(false)
     val owners = banded
       .join(banded.select(col("doc_id").as("id_a"), col("band_key")), Seq("band_key"))
       .filter(col("id_a") < col("doc_id"))
@@ -265,7 +272,7 @@ object TextDedup {
     // its two consumers (n_a / n_b lookups) would each re-run the full
     // WordShingles pass — the single most expensive projection here — and
     // their differing aliases defeat exchange reuse (guide §2.4).
-    val nSh = Tables.documents(spark, dir)
+    val nSh = docsFanned(spark, dir)
       .select(col("doc_id"),
         size(graft.expr.functions.word_shingles(col("text"))).cast("long").as("n_sh"))
       .localCheckpoint(false)
@@ -275,7 +282,7 @@ object TextDedup {
     // re-run the codegen'd 32-hash MinHashSigs pass over every document;
     // the checkpointed form computes signatures once and the self-join
     // reads |docs|×Bands tiny rows twice.
-    val banded = minhashBandedOf(Tables.documents(spark, dir)).localCheckpoint(false)
+    val banded = minhashBandedOf(docsFanned(spark, dir)).localCheckpoint(false)
     val a = banded.select(col("doc_id").as("id_a"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_key"))
     val pairIds = a.join(b, Seq("band_key"))
@@ -319,7 +326,7 @@ object TextDedup {
     * pipeline, so this query carries a complete hash oracle (formerly
     * xxhash64-based and rows-only). */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsFanned(spark, dir)
       .select(col("doc_id"), graft.expr.functions.simhash62(col("text")).as("sim"))
       .filter(col("sim").isNotNull)
     val banded = docs.select(col("doc_id"), col("sim"),
@@ -349,7 +356,7 @@ object TextDedup {
   /** Embedding near-dup pairs: block by label (at scale: an IVF/cluster id),
     * exact cosine within block, threshold. */
   def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
     a.join(b, Seq("label"))
@@ -373,7 +380,7 @@ object TextDedup {
     * standard SemDeDup-style setting) so per-cluster membership, and hence
     * the within-cluster quadratic step, stays constant-bounded as N grows. */
   def ddEmbedKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     val cent = Similarity.kmeansCentroidArrays(e)
     val blocks = e.select(col("vec_id"),
         explode(graft.expr.functions.nearest_cells(col("embedding"), cent, 2)).as("nc"))
@@ -619,7 +626,7 @@ object TextDedup {
     * to reassemble — never any doc×doc pairing, and the block hash is the
     * sparse high-cardinality key you'd bucket by. */
   def ddBlockBoilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    val base = docsFanned(spark, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("n_words", size(col("words")))
     val blocks = base

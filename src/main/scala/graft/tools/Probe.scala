@@ -127,6 +127,11 @@ object Probe {
         // back to back in one JVM.
         val names2 = args(1).split(",").map(_.trim).filter(_.nonEmpty)
         val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        // optional 4th arg: comma-separated k=v session confs to apply first
+        if (args.length > 3) args(3).split(",").filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          spark.conf.set(k, v); println(s"[jobs] conf $k=$v")
+        }
         names2.foreach { name =>
         def runOnce(): Double = {
           val t0 = System.nanoTime()
