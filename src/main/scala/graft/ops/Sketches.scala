@@ -80,7 +80,10 @@ object Sketches {
   }
 
   def sketchRows(spark: SparkSession, dir: String): DataFrame =
-    sketchProjection(Tables.events(spark, dir))
+    // fanned (opt guide §2.5): the md5 + Horner hex chain per row otherwise
+    // runs on the single-row-group scan task; the register groupBys after
+    // it reduce map-side, so the only added cost is a ~2 MB keyed shuffle
+    sketchProjection(Tables.fanOut(Tables.events(spark, dir), col("user_id")))
 
   /** Registers → estimate, with HLL's small-range (linear-counting)
     * correction. `regs` holds (event_type, bucket, mj). */
@@ -168,7 +171,7 @@ object Sketches {
     val hv = hexValSpark _
     def slice(h: String, start: Int): String =
       s"((${hv(h, start)} * 16 + ${hv(h, start + 1)}) * 16 + ${hv(h, start + 2)})"
-    val hashed = Tables.customer(spark, dir)
+    val hashed = Tables.fanOut(Tables.customer(spark, dir), col("c_custkey"))
       .select(col("c_custkey"), col("c_mktsegment"))
       .withColumn("h", expr("md5(cast(cast(c_custkey as string) as binary))"))
       .withColumn("v", explode(array(
@@ -201,7 +204,7 @@ object Sketches {
     * inclusion–exclusion identity and the error envelope). */
   def skHllIntersect(spark: SparkSession, dir: String): DataFrame = {
     val hv = hexValSpark _
-    val flags = Tables.orders(spark, dir)
+    val flags = Tables.fanOut(Tables.orders(spark, dir), col("o_custkey"))
       .groupBy(col("o_custkey"))
       .agg(max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("a"),
         max(when(year(col("o_orderdate")) === 2001, 1).otherwise(0)).as("b"))
@@ -262,7 +265,7 @@ object Sketches {
     def slice(h: String, start: Int): String =
       s"((${hv(h, start)} * 16 + ${hv(h, start + 1)}) * 16 + ${hv(h, start + 2)})"
     def bucketCols = (0 until CmsD).map(j => expr(slice("h", 1 + 3 * j)).cast("long"))
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
     val sketch = toks
