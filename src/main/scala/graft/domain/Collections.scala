@@ -119,7 +119,7 @@ object Collections {
          |THEN array(named_struct('tag', '$tag', 'confidence', CAST(c_custkey % $m AS DOUBLE) / $m.0))
          |ELSE array() END""".stripMargin.replace('\n', ' ')
     }
-    graft.Tables.fanOut(graft.Tables.customer(spark, dir), col("c_custkey")).select(
+    graft.Tables.customer(spark, dir).select(
       col("c_custkey").cast("string").as("poi_id"),
       expr(clauses.mkString("concat(", ", ", ")")).as("tags"))
   }
@@ -145,7 +145,11 @@ object Collections {
   }
 
   def qCollectionsVol24(spark: SparkSession, dir: String): DataFrame =
-    generate(taggedPoisVol(spark, dir), templates24Df(spark))
+    // fanned ONLY here: the 24-template explode × TagMatchScore is the
+    // heavy chain; the 4-template vol variant measured faster unfanned
+    // (the keyed shuffle cost what the extra width saved)
+    generate(graft.Tables.fanOut(taggedPoisVol(spark, dir), col("poi_id")),
+      templates24Df(spark))
 
   private def tagsSql(tags: Seq[(String, Double)]): String =
     tags.map { case (t, c) => s"{'tag': '$t', 'confidence': CAST($c AS DOUBLE)}" }

@@ -26,10 +26,7 @@ object VolumeFixtures {
   // ------------------------------------------------------------ Spark side
 
   def poiVol(spark: SparkSession, dir: String): DataFrame =
-    // single-row-group scan fanned to session width before the per-row
-    // when-chain derivations (opt guide §2.5); keyed on the id the
-    // downstream classify joins/groupBys use
-    Tables.fanOut(Tables.customer(spark, dir), col("c_custkey")).select(
+    Tables.customer(spark, dir).select(
       col("c_custkey").cast("string").as("id"),
       col("c_name").as("name"),
       when(col("c_custkey") % 5 === 0, "cafe")
@@ -49,7 +46,7 @@ object VolumeFixtures {
         .otherwise("approved").as("eligibility_status"))
 
   def mentionsVol(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.orders(spark, dir), col("o_custkey")).select(
+    Tables.orders(spark, dir).select(
       col("o_custkey").cast("string").as("poi_id"),
       when(col("o_orderkey") % 5 === 0, "guide")
         .when(col("o_orderkey") % 5 === 1, "press")
@@ -66,7 +63,7 @@ object VolumeFixtures {
         .otherwise(col("o_orderdate")).as("created_at"))
 
   def snapshotsVol(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.orders(spark, dir), col("o_custkey")).select(
+    Tables.orders(spark, dir).select(
       col("o_custkey").cast("string").as("poi_id"),
       lit("google").as("source_id"),
       ((col("o_orderkey") % 21).cast("double") / 10.0 + 2.9).as("rating_value"),

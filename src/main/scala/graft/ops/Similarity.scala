@@ -38,7 +38,7 @@ object Similarity {
     * larger query set than the declared 5 (recall@5 over 5 queries is 25
     * pairs — one flipped neighbor moves it by 4 points, pure noise). */
   private[graft] def bruteforceTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val queries = broadcast(e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("va")))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("vb"))
@@ -69,7 +69,7 @@ object Similarity {
     * bucket id) is unchanged. */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.expr.{functions => F}
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val corpusBase = e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
     val queriesBase = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("v"))
@@ -110,7 +110,7 @@ object Similarity {
     ivfTopkN(spark, dir, NumQueries)
 
   private[graft] def ivfTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val centroids = broadcast(e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
     ivfTopkWith(e, centroids, cosine, nq)
@@ -185,7 +185,7 @@ object Similarity {
     import graft.sinks.{AtomicTable, StatsRead}
     val root = annIvfDiskRoot(dir)
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val centroids = broadcast(e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
@@ -256,12 +256,17 @@ object Similarity {
     * groupBys + rebuild-join dataflow ran ~4 shuffles per iteration; results
     * are bit-identical (same rounded sims, same exact integer means). */
   private[graft] def kmeansCentroidArrays(e: DataFrame): Array[Array[Double]] = {
-    var cent: Array[Array[Double]] = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id"), col("embedding")).collect()
+    // STAGE the (id, vector) slice once: the init collect plus every Lloyd
+    // iteration re-evaluates `e` — against the fanned scan that was one
+    // shuffle per iteration for a model-sized relation (the r21 fan-out
+    // sweep measured sim_ivf_kmeans 0.77->1.06 s before this cut)
+    val ef = e.select(col("vec_id"), col("embedding")).localCheckpoint()
+    var cent: Array[Array[Double]] = ef.filter(col("vec_id") < NumCells)
+      .collect()
       .sortBy(_.getLong(0))
       .map(_.getAs[collection.Seq[Float]](1).iterator.map(_.toDouble).toArray)
     for (_ <- 1 to KMeansIters) {
-      val assigned = e.select(
+      val assigned = ef.select(
         graft.expr.functions.nearest_cells(col("embedding"), cent, 1)
           .getItem(0).getField("cell_id").as("cell_id"),
         col("embedding"))
@@ -301,7 +306,7 @@ object Similarity {
 
   private[graft] def ivfKmeansTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
     import graft.expr.{functions => F}
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val cent = kmeansCentroidArrays(e)
     val invertedLists = e.select(col("vec_id").as("n_id"), col("embedding").as("vb"),
       F.nearest_cells(col("embedding"), cent, 1).getItem(0).getField("cell_id").as("cell_id"))
@@ -325,11 +330,12 @@ object Similarity {
     * — the per-cluster stats a curation pipeline samples against. One
     * codegen'd assignment projection + one 16-row size aggregate. */
   def simKmeansClusters(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val cent = kmeansCentroidArrays(e)
     val assigned = e.select(col("vec_id"),
         graft.expr.functions.nearest_cells(col("embedding"), cent, 1).getItem(0).as("nc"))
       .select(col("vec_id"), col("nc.cell_id").as("cell_id"), col("nc.sim").as("c_sim"))
+      .localCheckpoint(false) // two consumers (sizes + join): one assignment pass
     val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("cluster_size"))
     assigned.join(broadcast(sizes), Seq("cell_id"))
       .select(col("vec_id"), col("cell_id"), col("c_sim").as("centroid_cos"),
@@ -347,10 +353,11 @@ object Similarity {
     * the oracle replays the whole policy. */
   def simClusterSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.expr.{functions => F}
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val cent = kmeansCentroidArrays(e)
     val assigned = e.select(col("vec_id"),
       F.nearest_cells(col("embedding"), cent, 1).getItem(0).getField("cell_id").as("cell_id"))
+      .localCheckpoint(false) // two consumers (sizes + join): one assignment pass
     val sizes = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("cluster_size"))
     val hex = md5(col("vec_id").cast("string").cast("binary"))
     val coin = (ascii(substring(hex, 1, 1)) * 256 + ascii(substring(hex, 2, 1))) % 100
@@ -369,7 +376,7 @@ object Similarity {
     * the order-independent summary (code sum, max reconstruction error) so
     * the oracle replay is exact. */
   def simInt8Quantize(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddingsFanned(spark, dir)
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), graft.expr.functions.int8_quant_stats(col("embedding")).as("st"))
       .select(col("vec_id"),
         col("st").getItem(0).as("mn"),
@@ -475,7 +482,7 @@ object Similarity {
 
   private[graft] def pqAdcTopkN(spark: SparkSession, dir: String, nq: Int): DataFrame = {
     import graft.expr.{functions => F}
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val model = pqCodebooks(e)
     // encode: ONE codegen'd projection per vector (the 4-byte code artifact)
     // — the corpus reaches the ADC join without a single shuffle
@@ -538,7 +545,7 @@ object Similarity {
     import graft.sinks.{AtomicTable, StatsRead}
     val root = annPqDiskRoot(dir)
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val model = pqCodebooks(e)
     val centroids = broadcast(e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("vb")))

@@ -204,7 +204,7 @@ object Sketches {
     * inclusion–exclusion identity and the error envelope). */
   def skHllIntersect(spark: SparkSession, dir: String): DataFrame = {
     val hv = hexValSpark _
-    val flags = Tables.fanOut(Tables.orders(spark, dir), col("o_custkey"))
+    val flags = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("a"),
         max(when(year(col("o_orderdate")) === 2001, 1).otherwise(0)).as("b"))

@@ -470,7 +470,7 @@ object TextAnalysis {
     * rows, driver-trivial), broadcast back. A naive `Window.orderBy(doc_id)`
     * with no partition key would funnel the corpus through ONE task. */
   def tcPackOffsets(spark: SparkSession, dir: String): DataFrame =
-    packScanOf(Tables.documentsFanned(spark, dir)
+    packScanOf(Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)

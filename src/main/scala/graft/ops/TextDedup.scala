@@ -356,7 +356,7 @@ object TextDedup {
   /** Embedding near-dup pairs: block by label (at scale: an IVF/cluster id),
     * exact cosine within block, threshold. */
   def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
     a.join(b, Seq("label"))
@@ -380,7 +380,7 @@ object TextDedup {
     * standard SemDeDup-style setting) so per-cluster membership, and hence
     * the within-cluster quadratic step, stays constant-bounded as N grows. */
   def ddEmbedKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddingsFanned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val cent = Similarity.kmeansCentroidArrays(e)
     val blocks = e.select(col("vec_id"),
         explode(graft.expr.functions.nearest_cells(col("embedding"), cent, 2)).as("nc"))
