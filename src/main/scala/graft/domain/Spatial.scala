@@ -108,7 +108,14 @@ object Spatial {
     * same shape as [[areasDf]], so both assignment paths work unchanged on
     * the real city. */
   def loadUrbanAreasJsonl(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.json(path)
+    // explicit schema: spark.read.json otherwise runs a full inference pass
+    // over the file (an extra job + scan) before the real read — pure
+    // latency on a path three declared queries sit on (guide §1.2 step 2)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "name STRING, " +
+        "properties STRUCT<admin_level: STRING>, " + // quoted in the JSONL
+        "geometry STRUCT<coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>")
+    val raw = spark.read.schema(schema).json(path)
     raw.select(
       col("name").as("area_id"),
       col("name").as("area_name"),
