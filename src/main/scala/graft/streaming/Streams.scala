@@ -196,7 +196,9 @@ object Streams {
     * fixed overhead. The shuffle key (user_id) cardinality grows 10×, which
     * is exactly how the partition-by-user plan scales on a cluster. */
   def qSessionWindowsVol(spark: SparkSession, dir: String): DataFrame =
-    sessionize(graft.Tables.events(spark, dir)
+    // fanned (opt guide §2.5): the ×10 explode otherwise serializes 1M rows
+    // into the session-window exchange from the single scan task
+    sessionize(graft.Tables.fanOut(graft.Tables.events(spark, dir), col("user_id"))
       .withColumn("k", explode(sequence(lit(0), lit(9))))
       .withColumn("user_id", col("user_id") * 10 + col("k"))
       .drop("k"))
