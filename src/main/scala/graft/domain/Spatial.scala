@@ -170,10 +170,17 @@ object Spatial {
       // true polygon cover (center-contained cells + boundary band): a tight
       // superset of the cells intersecting the polygon, so boundary-crossing
       // points still meet their polygon but far fewer off-polygon candidate
-      // pairs survive to the exact ray-cast than with a bbox cover
-      graft.expr.CellGrid.polygonCover(ring.map(_.toArray).toArray, res)
+      // pairs survive to the exact ray-cast than with a bbox cover. Each
+      // cell carries the INTERIOR flag (provably entirely inside — see
+      // CellGrid.polygonCoverFlagged), which lets the containment filter
+      // skip the O(ring-vertices) ray-cast for the bulk of each polygon.
+      graft.expr.CellGrid.polygonCoverFlagged(ring.map(_.toArray).toArray, res)
     }
-    val cover = areas.withColumn("cell", explode(coverUdf(col("ring"))))
+    val cover = areas
+      .withColumn("cov", explode(coverUdf(col("ring"))))
+      .withColumn("cell", col("cov._1"))
+      .withColumn("cell_interior", col("cov._2"))
+      .drop("cov")
     val keyed = pois.withColumn("cell",
       graft.expr.functions.cell_of(col("lat"), col("lng"), lit(res)))
     keyed.join(cover, Seq("cell")) // EQUI join on cell id
@@ -182,7 +189,8 @@ object Spatial {
   def assignViaCells(pois: DataFrame, areas: DataFrame, spark: SparkSession,
       res: Int = 11): DataFrame = {
     val contained = cellCandidates(pois, areas, res)
-      .filter(graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring")))
+      .filter(col("cell_interior") ||
+        graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring")))
     bestPerLevel(pois, contained)
   }
 

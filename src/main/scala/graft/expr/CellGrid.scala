@@ -232,10 +232,23 @@ object CellGrid {
     * boundary is sampled at ≤ half the circumradius, well under the hex
     * inradius (√3/2 · circumradius), so every boundary-crossed cell is the
     * cell of some sample or one of its 6 neighbors — both included. */
-  def polygonCover(ring: Array[Array[Double]], res: Int): Array[String] = {
+  def polygonCover(ring: Array[Array[Double]], res: Int): Array[String] =
+    polygonCoverFlagged(ring, res).map(_._1)
+
+  /** [[polygonCover]] with a per-cell INTERIOR flag: `true` iff the cell is
+    * provably entirely inside the polygon — center-contained AND not in the
+    * boundary band. By the band's own sampling invariant (every
+    * boundary-crossed cell is some sample's cell or one of its 6 neighbors,
+    * documented on [[polygonCover]]), a cell outside the band is either
+    * entirely inside or entirely outside; center-contained picks the former.
+    * A point in an interior cell is therefore contained WITHOUT a ray-cast —
+    * the skip that removes the O(ring-vertices) exact test for the bulk of a
+    * polygon's area (only the thin boundary band still ray-casts).
+    * Emission order matches the old cover exactly: center cells first, then
+    * band-only cells in walk order. */
+  def polygonCoverFlagged(ring: Array[Array[Double]], res: Int): Array[(String, Boolean)] = {
     if (ring.isEmpty) return Array.empty
-    val seen = scala.collection.mutable.LinkedHashSet[String]()
-    polygonToCells(ring, res).foreach(seen += _)
+    val band = scala.collection.mutable.LinkedHashSet[String]()
     val step = circumradiusMeters(res) * 0.5
     var i = 0
     while (i < ring.length - 1) {
@@ -247,13 +260,18 @@ object CellGrid {
         val t = k.toDouble / n
         val (lat, lng) = unproject(x0 + (x1 - x0) * t, y0 + (y1 - y0) * t)
         val c = latLngToCell(lat, lng, res)
-        seen += c
-        neighbors(c).foreach(seen += _)
+        band += c
+        neighbors(c).foreach(band += _)
         k += 1
       }
       i += 1
     }
-    seen.toArray
+    val center = polygonToCells(ring, res)
+    val centerSet = center.toSet
+    val out = Array.newBuilder[(String, Boolean)]
+    center.foreach(c => out += ((c, !band.contains(c))))
+    band.foreach(c => if (!centerSet.contains(c)) out += ((c, false)))
+    out.result()
   }
 
   /** SUPERSET of the cells at `res` that intersect the lat/lng bbox — the

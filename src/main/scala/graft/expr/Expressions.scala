@@ -272,6 +272,34 @@ object Expressions {
       copy(a, b)
   }
 
+  /** [[PolygonCoverCells]] with the per-cell INTERIOR flag
+    * (CellGrid.polygonCoverFlagged): array<struct<cell, interior>>. An
+    * interior cell's points are contained without the exact ray-cast —
+    * the cell-join paths test `interior OR point_in_ring(...)`. */
+  case class PolygonCoverFlagged(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("interior", BooleanType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(ringRaw: Any, resRaw: Any): Any = {
+      val ad = ringRaw.asInstanceOf[ArrayData]
+      val ring = Array.tabulate(ad.numElements()) { i =>
+        val p = ad.getArray(i)
+        Array(p.getDouble(0), p.getDouble(1))
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        CellGrid.polygonCoverFlagged(ring, resRaw.asInstanceOf[Int]).map {
+          case (c, in) => org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(c), in)
+        })
+    }
+    override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+      copy(a, b)
+  }
+
   /** The 7 aperture-7 children of a hex cell id. */
   case class CellChildren(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)

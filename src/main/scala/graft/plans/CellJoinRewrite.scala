@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.StringType
-import graft.expr.Expressions.{CellOf, PointInRing, PolygonCoverCells}
+import org.apache.spark.sql.types.{BooleanType, StringType}
+import graft.expr.Expressions.{CellOf, PointInRing, PolygonCoverFlagged}
 
 /** Makes the scale-safe spatial plan AUTOMATIC (SURVEY §4 custom-work item 2;
   * VERDICT r9 item 4): a join whose condition is the natural predicate
@@ -71,6 +71,7 @@ object CellJoinRewrite extends Rule[LogicalPlan] {
 
   private val PCell = "__graft_pcell"
   private val CoverCell = "__graft_cover_cell"
+  private val CoverInterior = "__graft_cover_interior"
 
   /** The first point_in_ring conjunct whose point/ring sides line up —
     * a bare predicate or one conjunct among several (e.g. `AND
@@ -120,31 +121,37 @@ object CellJoinRewrite extends Rule[LogicalPlan] {
         // fixed-point guard: a join we already rewrote carries the helper
         // cell columns in its children
         if !j.children.exists(_.output.exists(a =>
-          a.name == PCell || a.name == CoverCell)) &&
+          a.name == PCell || a.name == CoverCell || a.name == CoverInterior)) &&
           !hasEquiKey(cond, left, right) =>
       pirConjunct(cond, left, right) match {
         case Some((pir @ PointInRing(lngE, latE, ringE), pointsOnLeft))
             if !knownTiny(if (pointsOnLeft) left else right) =>
           rewrite(j, points = if (pointsOnLeft) left else right,
             areas = if (pointsOnLeft) right else left,
-            lngE, latE, ringE, cond, pointsOnLeft, hint)
+            lngE, latE, ringE, pir, cond, pointsOnLeft, hint)
         case _ => j
       }
   }
 
   private def rewrite(j: Join, points: LogicalPlan, areas: LogicalPlan,
-      lngE: Expression, latE: Expression, ringE: Expression,
+      lngE: Expression, latE: Expression, ringE: Expression, pir: PointInRing,
       origCond: Expression, pointsOnLeft: Boolean, hint: JoinHint): LogicalPlan = {
     val res = Literal(Res)
     val pCell = Alias(CellOf(latE, lngE, res), PCell)()
     val newPoints = Project(points.output :+ pCell, points)
     val coverCell = AttributeReference(CoverCell, StringType, nullable = false)()
-    val cover = Generate(Explode(PolygonCoverCells(ringE, res)),
+    val coverInterior = AttributeReference(CoverInterior, BooleanType, nullable = false)()
+    val cover = Generate(Inline(PolygonCoverFlagged(ringE, res)),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(coverCell), child = areas)
-    // the cell equality is ADDED to the original condition (which keeps its
-    // point_in_ring conjunct and any other predicates intact)
-    val cond = And(EqualTo(pCell.toAttribute, coverCell), origCond)
+      generatorOutput = Seq(coverCell, coverInterior), child = areas)
+    // the cell equality is ADDED; the point_in_ring conjunct is weakened to
+    // `interior OR point_in_ring` — an interior cell's points are contained
+    // by construction (CellGrid.polygonCoverFlagged), so the exact ray-cast
+    // runs only for boundary-band candidates. Every OTHER conjunct of the
+    // original condition is kept verbatim.
+    val others = splitConjunctivePredicates(origCond).filterNot(_ eq pir)
+    val cond = (EqualTo(pCell.toAttribute, coverCell) +:
+      Or(coverInterior, pir) +: others).reduce(And)
     val joined =
       if (pointsOnLeft) Join(newPoints, cover, Inner, Some(cond), hint)
       else Join(cover, newPoints, Inner, Some(cond), hint)

@@ -3,9 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Explode}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Explode, Inline}
 import graft.domain.Spatial
-import graft.expr.Expressions.{PointInRing, PolygonCoverCells}
+import graft.expr.Expressions.{PointInRing, PolygonCoverFlagged}
 import graft.plans.CellJoinRewrite
 
 /** The automatic spatial plan rewrite (SURVEY §4 item 2 / VERDICT r9 item 4):
@@ -23,12 +23,34 @@ class CellJoinRewriteSpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame) =
     df.queryExecution.optimizedPlan
 
+  test("interior-flagged candidate cells imply exact containment (ray-cast skip sound)") {
+    // r21 optimization: the cell-join paths test `interior OR point_in_ring`
+    // — sound only if EVERY interior-flagged (point, area) candidate is
+    // genuinely contained. Sweep all 60k vol points against the 98 real
+    // Paris rings: zero interior candidates may fail the exact ray-cast,
+    // and the skip must be material (interior candidates dominate, or the
+    // optimization is dead weight).
+    val cands = Spatial.cellCandidates(
+      Spatial.volPoints(spark, Spatial.ParisVolN), parisAreas, 11)
+    val agg = cands.agg(
+      sum(when(col("cell_interior") && !graft.expr.functions.point_in_ring(
+        col("lng"), col("lat"), col("ring")), 1L).otherwise(0L)).as("bad"),
+      sum(when(col("cell_interior"), 1L).otherwise(0L)).as("interior"),
+      count(lit(1)).as("total")).head()
+    assert(agg.getLong(0) == 0L,
+      s"${agg.getLong(0)} interior-flagged candidates fail the exact ray-cast")
+    // measured 42% at res 11 over the Paris rings (the band is ~1 cell wide,
+    // so the fraction grows with polygon area relative to cell size)
+    assert(agg.getLong(1) * 3 > agg.getLong(2),
+      s"interior skip not material: ${agg.getLong(1)} of ${agg.getLong(2)}")
+  }
+
   test("non-tiny point_in_ring join rewrites to the cell-cover equi-join shape") {
     val pts = Spatial.volPoints(spark, Spatial.ParisVolN)
     val plan = planOf(Spatial.assign(pts, parisAreas, spark))
     // the manual assignViaCells shape: a cover explode on the areas side...
     val gens = plan.collect {
-      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+      case g @ Generate(Inline(_: PolygonCoverFlagged), _, _, _, _, _) => g
     }
     assert(gens.nonEmpty, s"no polygon-cover Generate in the rewritten plan:\n$plan")
     // ...and every point_in_ring join now carries a cell equi-condition, so
@@ -64,7 +86,7 @@ class CellJoinRewriteSpec extends AnyFunSuite {
           |  ON point_in_ring(p.lng, p.lat, a.ring)""".stripMargin)
       val plan = df.queryExecution.optimizedPlan
       assert(plan.collect {
-        case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+        case g @ Generate(Inline(_: PolygonCoverFlagged), _, _, _, _, _) => g
       }.nonEmpty, s"SQL-surface join not rewritten:\n$plan")
     } finally {
       spark.catalog.dropTempView("pts_sql")
@@ -84,7 +106,7 @@ class CellJoinRewriteSpec extends AnyFunSuite {
       try (planOf(joined), joined.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
       finally spark.conf.unset(CellJoinRewrite.MinBytesKey)
     assert(rewrittenPlan.collect {
-      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+      case g @ Generate(Inline(_: PolygonCoverFlagged), _, _, _, _, _) => g
     }.nonEmpty, s"conjunctive ON clause not rewritten:\n$rewrittenPlan")
     // ...and agree with the un-rewritten nested loop
     spark.conf.set(CellJoinRewrite.MinBytesKey, Long.MaxValue.toString)
@@ -98,7 +120,7 @@ class CellJoinRewriteSpec extends AnyFunSuite {
     val plan = planOf(parisAreas.join(pts,
       graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring"))))
     assert(plan.collect {
-      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+      case g @ Generate(Inline(_: PolygonCoverFlagged), _, _, _, _, _) => g
     }.nonEmpty, s"mirrored join not rewritten:\n$plan")
   }
 
@@ -123,7 +145,7 @@ class CellJoinRewriteSpec extends AnyFunSuite {
     val join = LJoin(ptsPlan, areasPlan, Inner, Some(cond), JoinHint.NONE)
     val out = CellJoinRewrite(join)
     assert(out.collect {
-      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+      case g @ Generate(Inline(_: PolygonCoverFlagged), _, _, _, _, _) => g
     }.isEmpty, s"non-deterministic join was rewritten:\n$out")
   }
 
@@ -149,7 +171,7 @@ class CellJoinRewriteSpec extends AnyFunSuite {
     // and the auto-rewritten natural join gets exactly ONE cover
     val auto = planOf(Spatial.assign(pts, parisAreas, spark))
     val autoCovers = auto.collect {
-      case g @ Generate(Explode(_: PolygonCoverCells), _, _, _, _, _) => g
+      case g @ Generate(Inline(_: PolygonCoverFlagged), _, _, _, _, _) => g
     }
     assert(autoCovers.size == 1, s"expected exactly one cover, got ${autoCovers.size}")
   }
