@@ -168,6 +168,10 @@ object Temporal {
       .select(col("user_id"), unix_micros(col("s")).as("s_us"), unix_micros(col("e")).as("e_us"))
       .withColumn("bucket",
         explode(sequence(expr(s"s_us div $BucketUs"), expr(s"e_us div $BucketUs"))))
+      // staged (lazy localCheckpoint, r21): both self-join sides consume the
+      // bucketed relation, and their differing aliases defeat exchange reuse
+      // — uncut, each side re-runs the whole sessionization window chain
+      .localCheckpoint(false)
     val a = exploded.select(col("bucket").as("bk1"), col("user_id").as("u1"),
       col("s_us").as("s1"), col("e_us").as("e1"))
     val b = exploded.select(col("bucket").as("bk2"), col("user_id").as("u2"),
