@@ -412,10 +412,23 @@ object BloomManifest {
     * every probe scan more files even when the row volume is flat), not
     * just the staging pass's shard-count threshold. Best-effort like all
     * telemetry; a probe never fails because its line could not land. */
+  /** Shard count per GENERATION dir, cached (r20 advice item 4): a
+    * generation's shard set is immutable once published (publishGen writes
+    * a fresh gen-N dir and flips the header), so re-listing the directory
+    * on EVERY probe — multiplied by the per-column probes of a composite
+    * assignment — was pure read-path overhead for best-effort telemetry.
+    * Bounded: entries are tiny and generations are pruned; evict beyond a
+    * generous cap so a long-lived session over many tables stays flat. */
+  private val shardCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def shardCount(mDir: Path): Int = {
+    if (shardCounts.size > 4096) shardCounts.clear()
+    shardCounts.computeIfAbsent(mDir.toString, _ => shardFiles(mDir).size)
+  }
+
   private def recordProbe(versionDir: Path, cname: String, mDir: Path,
       admitted: Int): Unit = {
     val root = Option(versionDir.getParent).map(_.toString).getOrElse(return)
-    Maintenance.recordProbe(root, cname, shardFiles(mDir).size, admitted)
+    Maintenance.recordProbe(root, cname, shardCount(mDir), admitted)
   }
 
   /** BULK probe — the >10⁵-key regime the driver-built position list
