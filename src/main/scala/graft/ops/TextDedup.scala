@@ -79,7 +79,12 @@ object TextDedup {
     Tables.fanOut(Tables.documents(spark, dir), col("doc_id"))
 
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingleRowsOf(docsFanned(spark, dir))
+    // the shingle relation's consumers (per-doc sizes + both join sides)
+    // each re-evaluate it; staging the FANNED DOCS (lazy localCheckpoint,
+    // ~600 KB) lets every re-evaluation skip the scan + fan-out shuffle and
+    // re-run only the parallel explosion — the full explosion itself stays
+    // unstaged (measured slower to materialize, see ngramJaccardPairsOf)
+    shingleRowsOf(docsFanned(spark, dir).localCheckpoint(false))
 
   /** ASYMMETRIC CONTAINMENT near-dup — the quote/subset detector Jaccard
     * misses: a short doc fully embedded in a long one has low Jaccard
@@ -170,7 +175,8 @@ object TextDedup {
     * bounded while the 45 replica pairs per original doc all survive with
     * their exact reduced-vocabulary Jaccard. */
   def ddNgramJaccardDfcapVol(spark: SparkSession, dir: String): DataFrame =
-    dfcapPairsOf(shingleRowsOf(replicateNearDup(docsFanned(spark, dir))))
+    dfcapPairsOf(shingleRowsOf(replicateNearDup(
+      docsFanned(spark, dir).localCheckpoint(false))))
 
   /** The DF-cap pair dataflow over an arbitrary shingle-row relation. */
   private[ops] def dfcapPairsOf(sh: DataFrame): DataFrame = {
