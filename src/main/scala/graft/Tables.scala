@@ -86,6 +86,25 @@ object Tables {
     if (keys.nonEmpty) df.repartition(n, keys: _*) else df.repartition(n)
   }
 
+  /** Stage (lazy `localCheckpoint`) a multiply-consumed relation ONLY while
+    * its optimizer-estimated size fits under `spark.graft.stage.maxBytes`
+    * (default 1 GiB). `localCheckpoint` stores blocks on executors with no
+    * reliable storage AND truncates lineage, so staging a corpus-sized
+    * relation at 100 TB both pins the corpus in executor memory and turns
+    * any executor loss mid-query into a job failure instead of a recompute
+    * (opt guide §5; r21 verdict "what's wrong" item 1). Under the gate the
+    * staging is the pure win it measured as locally (skip the scan +
+    * fan-out shuffle per consumer); over it the relation is returned
+    * UNCHANGED — consumers recompute it, which is exactly the safe
+    * behavior at scale. The estimate is the optimizer's `sizeInBytes`
+    * (file-size-derived at the leaves), available before any job runs. */
+  def stageLocal(df: DataFrame): DataFrame = {
+    val limit = df.sparkSession.conf
+      .get("spark.graft.stage.maxBytes", (1L << 30).toString).toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= limit) df.localCheckpoint(false) else df
+  }
+
   /** [[documents]]/[[embeddings]] pre-fanned on their id — the two tables
     * every expensive text/vector chain roots at. The whole table is well
     * under a MB at bench SF, so the keyed fan-out shuffle is noise while the

@@ -216,18 +216,25 @@ object Classify {
     val pois = rescoringPois.toDF("id", "city", "updated_at", "last_scored_at")
       .withColumn("updated_at", to_timestamp(col("updated_at")))
       .withColumn("last_scored_at", to_timestamp(col("last_scored_at")))
-    val w = Window.orderBy(col("last_scored_at").asc_nulls_first,
+    val queueOrder = Seq(col("last_scored_at").asc_nulls_first,
       col("updated_at").desc, col("id").asc)
+    val w = Window.orderBy(queueOrder: _*)
+    // volume-safe top-k (r22; r21 verdict item 4, the SinkQueries:392
+    // pattern): the global orderBy().limit plans as TakeOrderedAndProject,
+    // so only the ≤10 survivors flow through the single-task rank window —
+    // identical output (the ordering is total: id asc breaks every tie, and
+    // the limit previously applied AFTER the same ordering's rank).
     pois
       .filter(col("updated_at") >= asOfTs - expr("INTERVAL 7 DAYS") ||
         col("last_scored_at").isNull)
       .filter(col("last_scored_at").isNull ||
         col("last_scored_at") < asOfTs - expr("INTERVAL 24 HOURS"))
+      .orderBy(queueOrder: _*)
+      .limit(10)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("rnk"), col("id"), col("city"),
         date_format(col("updated_at"), "yyyy-MM-dd").as("updated_date"),
         date_format(col("last_scored_at"), "yyyy-MM-dd").as("last_scored_date"))
-      .limit(10)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

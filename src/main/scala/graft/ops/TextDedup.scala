@@ -83,8 +83,12 @@ object TextDedup {
     // each re-evaluate it; staging the FANNED DOCS (lazy localCheckpoint,
     // ~600 KB) lets every re-evaluation skip the scan + fan-out shuffle and
     // re-run only the parallel explosion — the full explosion itself stays
-    // unstaged (measured slower to materialize, see ngramJaccardPairsOf)
-    shingleRowsOf(docsFanned(spark, dir).localCheckpoint(false))
+    // unstaged (measured slower to materialize, see ngramJaccardPairsOf).
+    // SIZE-GATED (r22): at 100 TB the documents relation is the corpus —
+    // over spark.graft.stage.maxBytes the staging is skipped and each
+    // consumer recomputes from the (fault-tolerant) scan instead of pinning
+    // corpus-sized blocks on executors with truncated lineage.
+    shingleRowsOf(Tables.stageLocal(docsFanned(spark, dir)))
 
   /** ASYMMETRIC CONTAINMENT near-dup — the quote/subset detector Jaccard
     * misses: a short doc fully embedded in a long one has low Jaccard
@@ -176,20 +180,32 @@ object TextDedup {
     * their exact reduced-vocabulary Jaccard. */
   def ddNgramJaccardDfcapVol(spark: SparkSession, dir: String): DataFrame =
     dfcapPairsOf(shingleRowsOf(replicateNearDup(
-      docsFanned(spark, dir).localCheckpoint(false))))
+      Tables.stageLocal(docsFanned(spark, dir)))))
 
   /** The DF-cap pair dataflow over an arbitrary shingle-row relation. */
   private[ops] def dfcapPairsOf(sh: DataFrame): DataFrame = {
-    // shingle rows are distinct per doc, so count(*) = document frequency
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select(col("s"))
+    import org.apache.spark.sql.expressions.Window
+    // SINGLE-PASS df annotation (r22; opt guide §2.4 — remove a shuffle +
+    // a whole explosion): shingle rows are distinct per doc, so a count
+    // over the shingle partition IS the document frequency. The former
+    // two-branch shape (groupBy(s) df aggregate, then a semi join back)
+    // re-ran the shingle EXPLOSION — the most expensive projection here —
+    // on both branches; one window over one exchange on `s` computes df
+    // and filters in the same pass. Skew note: a hot shingle's rows all
+    // land in one window group, but those are exactly the rows the cap
+    // drops, and the old semi join shuffled them on the same key anyway
+    // (the rare-vocabulary side is corpus-sized at 100 TB — never
+    // broadcastable).
     // materialize the capped relation ONCE: three consumers (a-side, b-side,
-    // per-doc sizes) would otherwise each re-run the shingle explosion + semi
-    // join (exchange reuse only dedups the identically-partitioned a/b pair).
+    // per-doc sizes) would otherwise each re-run the explosion + window.
     // At cluster scale this is the same "stage the reduced relation" step —
     // kept is the post-cap slice, orders of magnitude smaller than the
     // exploded input
-    val kept = sh.join(rare, Seq("s"), "left_semi").localCheckpoint()
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= DfCap)
+      .drop("df")
+      .localCheckpoint()
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("s"))
     val b = kept.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("s"))
@@ -241,8 +257,9 @@ object TextDedup {
     * the per-doc reduce is a map-side-combinable min. */
   def ddIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
     // staged: the self-join's two sides would otherwise each re-run the
-    // MinHashSigs pass (same reasoning as ddMinhashLsh's banded staging)
-    val banded = minhashBandedOf(docsFanned(spark, dir)).localCheckpoint(false)
+    // MinHashSigs pass (same reasoning as ddMinhashLsh's banded staging);
+    // size-gated — the banded relation is |docs|×Bands rows at 100 TB
+    val banded = Tables.stageLocal(minhashBandedOf(docsFanned(spark, dir)))
     val owners = banded
       .join(banded.select(col("doc_id").as("id_a"), col("band_key")), Seq("band_key"))
       .filter(col("id_a") < col("doc_id"))
@@ -278,17 +295,17 @@ object TextDedup {
     // its two consumers (n_a / n_b lookups) would each re-run the full
     // WordShingles pass — the single most expensive projection here — and
     // their differing aliases defeat exchange reuse (guide §2.4).
-    val nSh = docsFanned(spark, dir)
+    val nSh = Tables.stageLocal(docsFanned(spark, dir)
       .select(col("doc_id"),
-        size(graft.expr.functions.word_shingles(col("text"))).cast("long").as("n_sh"))
-      .localCheckpoint(false)
+        size(graft.expr.functions.word_shingles(col("text"))).cast("long").as("n_sh")))
 
     // slim banded relation: only (doc_id, band_key) flows through the
     // self-join. STAGED for the same reason: both join sides would each
     // re-run the codegen'd 32-hash MinHashSigs pass over every document;
     // the checkpointed form computes signatures once and the self-join
-    // reads |docs|×Bands tiny rows twice.
-    val banded = minhashBandedOf(docsFanned(spark, dir)).localCheckpoint(false)
+    // reads |docs|×Bands tiny rows twice. Size-gated like every other
+    // corpus-proportional staging (r22).
+    val banded = Tables.stageLocal(minhashBandedOf(docsFanned(spark, dir)))
     val a = banded.select(col("doc_id").as("id_a"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_key"))
     val pairIds = a.join(b, Seq("band_key"))

@@ -147,7 +147,11 @@ object CdcApply {
     // starts from the sidecar (and each merge self-maintains it)
     AtomicTable.commit(base.repartitionByRange(8, col("id"))
       .sortWithinPartitions(col("id")), tableRoot, statsCols = Seq("id"))
-    val feed = changeFeed(spark, dir)
+    // staged (r22): each feed-slice write re-evaluated the whole 5-branch
+    // union (five customer scans per slice); one lazy checkpoint makes the
+    // three slices read the same tiny materialized changeset. Size-gated —
+    // the synthesized feed spans the key space, i.e. table-sized at scale.
+    val feed = Tables.stageLocal(changeFeed(spark, dir))
     writeFeedSlice(feedDir, feed, 0)
     writeFeedSlice(feedDir, feed, 1)
     val schema = spark.read.parquet(s"$feedDir/b0").schema
@@ -220,7 +224,8 @@ object CdcApply {
         graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
     AtomicTable.commit(base.repartitionByRange(8, col("id"))
       .sortWithinPartitions(col("id")), tableRoot, statsCols = Seq("id"))
-    val feed = changeFeed(spark, dir)
+    // staged for the three slice writes, same as qS23CdcApplyStream (r22)
+    val feed = Tables.stageLocal(changeFeed(spark, dir))
     (0 to 2).foreach(writeFeedSlice(feedDir, feed, _))
     val schema = spark.read.parquet(s"$feedDir/b0").schema
     val q = spark.readStream.schema(schema)

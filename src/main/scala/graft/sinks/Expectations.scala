@@ -210,8 +210,10 @@ object Expectations {
     val (mainRoot, qRoot, feedDir, ckpt) =
       (s"$root/table", s"$root/quarantine", s"$root/feed", s"$root/ckpt")
     Files.createDirectories(Paths.get(feedDir))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // staged (r22): the three slice writes and the final count otherwise
+    // each re-scan documents; size-gated like every corpus-rooted staging
+    val docs = Tables.stageLocal(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
     (0 to 2).foreach { i =>
       val f = s"$feedDir/b$i"
       docs.filter(col("doc_id") % 3 === i).coalesce(1)

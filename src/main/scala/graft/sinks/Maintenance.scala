@@ -583,10 +583,16 @@ object Maintenance {
     val (mRoot, cRoot, feedDir, ckpt) =
       (s"$root/maintained", s"$root/control", s"$root/feed", s"$root/ckpt")
     JFiles.createDirectories(JPaths.get(feedDir))
-    val base = Tables.customer(spark, dir)
+    // staged ×2 (r22): `base` feeds the two layout commits, the maxId agg
+    // and the three feed writes (≈8 evaluations of the customer scan);
+    // `layout` additionally pins the range-sample + shuffle ONCE so the
+    // twin maintained/control commits write the same cached partitions
+    // instead of re-running sample+shuffle each. Both size-gated.
+    val base = Tables.stageLocal(Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"),
-        graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
-    val layout = base.repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+        graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c")))
+    val layout = Tables.stageLocal(
+      base.repartitionByRange(8, col("id")).sortWithinPartitions(col("id")))
     AtomicTable.commit(layout, mRoot, statsCols = Seq("id"))
     AtomicTable.commit(layout, cRoot, statsCols = Seq("id"))
     val maxId = base.agg(max(col("id"))).head.getLong(0)

@@ -122,9 +122,14 @@ object MultiCommit {
     AtomicTable.deleteRecursively(Paths.get(root))
     val (userRoot, dayRoot, auditRoot) =
       (s"$root/user_state", s"$root/day_state", s"$root/audit")
-    val events = Tables.events(spark, dir).select(
+    // staged (r22): the part thunks re-evaluate their batch slices across
+    // the clean commit, the crashed attempt, the replay and the three reads
+    // (≈6 scans of events); one lazy checkpoint of the slim projection
+    // serves them all. Lazy, so a skipped (redelivered) part still never
+    // triggers an evaluation it would not have. Size-gated.
+    val events = Tables.stageLocal(Tables.events(spark, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
-      graft.ops.Relational.quantize(col("value"), 2).cast("long").as("val_c"))
+      graft.ops.Relational.quantize(col("value"), 2).cast("long").as("val_c")))
     def batch(b: Int): DataFrame = events.filter(col("event_id") % Batches === b)
     def userChanges(b: Int): DataFrame = batch(b).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("val_c")).as("sum_val"))

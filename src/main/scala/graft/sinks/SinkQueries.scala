@@ -248,7 +248,6 @@ object SinkQueries {
   }
 
   def qIncrementalPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // day 1: upsert batch + append allowed snapshots
     val state1 = MergeSink.upsert(pipeState0Df(spark), pipeBatchDf(spark, pipeBatch1, Day1),
       "google_place_id", pipeUpdateCols, asOf = Day1)
@@ -260,25 +259,14 @@ object SinkQueries {
       "google_place_id", pipeUpdateCols, asOf = Day2)
     val snap2 = snap1.unionByName(
       MergeSink.conditionalAppend(snap1, pipeSnapDf(spark, pipeSnapB2)))
-    // P9 rescoring selection over the final state, as of day 2
-    val asOfTs = to_timestamp(lit(Day2))
-    val counts = snap2.groupBy(col("poi_id").as("google_place_id"))
-      .agg(count(lit(1)).as("n_snapshots"))
-    val w = Window.orderBy(col("last_scored_at").asc_nulls_first,
-      col("updated_at").desc, col("google_place_id").asc)
-    state2
-      .filter(col("updated_at") >= asOfTs - expr("INTERVAL 7 DAYS") ||
-        col("last_scored_at").isNull)
-      .filter(col("last_scored_at").isNull ||
-        col("last_scored_at") < asOfTs - expr("INTERVAL 24 HOURS"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .join(counts, Seq("google_place_id"), "left")
-      .select(col("rnk"), col("google_place_id"), col("name"), col("rating"),
-        col("reviews_count"),
-        date_format(col("first_ingested_at"), "yyyy-MM-dd").as("first_ingested_date"),
-        date_format(col("updated_at"), "yyyy-MM-dd").as("updated_date"),
-        date_format(col("last_scored_at"), "yyyy-MM-dd").as("last_scored_date"),
-        coalesce(col("n_snapshots"), lit(0L)).as("n_snapshots"))
+    // P9 rescoring selection over the final state, as of day 2 — the SAME
+    // shared selection stage as the volume/streamed paths (r22; r21 verdict
+    // item 4): the former inline copy ranked the whole eligible set through
+    // an UNPARTITIONED window (one task at 100 TB); rescoreSelection bounds
+    // it with a global orderBy().limit (TakeOrderedAndProject) first. The
+    // fixture's eligible set is a handful of literal rows — far below
+    // RescoreLimit — so the output is row-identical (oracle-checked).
+    rescoreSelection(state2, snap2, Day2)
   }
 
   // --------------------------- incremental pipeline at sf-scale VOLUME
