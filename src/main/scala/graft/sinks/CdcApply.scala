@@ -152,8 +152,10 @@ object CdcApply {
     // three slices read the same tiny materialized changeset. Size-gated —
     // the synthesized feed spans the key space, i.e. table-sized at scale.
     val feed = Tables.stageLocal(changeFeed(spark, dir))
-    writeFeedSlice(feedDir, feed, 0)
-    writeFeedSlice(feedDir, feed, 1)
+    // the two pre-restart slices land in ONE partitioned write job (the
+    // third is written mid-corridor, after the crash window — see below)
+    FeedSlices.writeSlices(feed.filter(col("seq") === 1)
+      .withColumn(FeedSlices.SliceCol, (col("id") % 2).cast("int")), feedDir, 2)
     val schema = spark.read.parquet(s"$feedDir/b0").schema
     val applied = new java.util.concurrent.atomic.AtomicInteger(0)
     val redelivered = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -224,9 +226,10 @@ object CdcApply {
         graft.ops.Relational.quantize(col("c_acctbal"), 2).cast("long").as("bal_c"))
     AtomicTable.commit(base.repartitionByRange(8, col("id"))
       .sortWithinPartitions(col("id")), tableRoot, statsCols = Seq("id"))
-    // staged for the three slice writes, same as qS23CdcApplyStream (r22)
+    // staged + all three slices in ONE partitioned write job (r22)
     val feed = Tables.stageLocal(changeFeed(spark, dir))
-    (0 to 2).foreach(writeFeedSlice(feedDir, feed, _))
+    FeedSlices.writeSlices(feed.withColumn(FeedSlices.SliceCol,
+      when(col("seq") === 2, 2).otherwise(col("id") % 2).cast("int")), feedDir, 3)
     val schema = spark.read.parquet(s"$feedDir/b0").schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/b*")

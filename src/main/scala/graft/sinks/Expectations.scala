@@ -161,13 +161,19 @@ object Expectations {
       Expectation("allowed_lang", col("lang").isin("en", "fr", "de", "es")))
     val st = commitExpect(spark, docs, root, qRoot, rules,
       statsCols = Seq("doc_id"))
-    val total = docs.count()
+    // the three independent count checks fused into ONE scan (r22): the
+    // conditional sums reproduce the former filter().count() semantics
+    // exactly (a NULL predicate contributes 0, as a filter would drop it)
+    val chk = docs.agg(count(lit(1)),
+      sum(when(col("n_chars") < MinChars, 1L).otherwise(0L)),
+      sum(when(!col("lang").isin("en", "fr", "de", "es"), 1L).otherwise(0L))).head
+    val total = chk.getLong(0)
     if (st.passed + st.quarantined != total || st.quarantined < 1 ||
         st.passed < 1)
       throw new IllegalStateException(
         s"expectation split lost rows: $st vs input $total")
-    val expectShort = docs.filter(col("n_chars") < MinChars).count()
-    val expectLang = docs.filter(!col("lang").isin("en", "fr", "de", "es")).count()
+    val expectShort = chk.getLong(1)
+    val expectLang = chk.getLong(2)
     if (st.byRule("long_enough") != expectShort ||
         st.byRule("allowed_lang") != expectLang)
       throw new IllegalStateException(
@@ -214,15 +220,9 @@ object Expectations {
     // each re-scan documents; size-gated like every corpus-rooted staging
     val docs = Tables.stageLocal(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
-    (0 to 2).foreach { i =>
-      val f = s"$feedDir/b$i"
-      docs.filter(col("doc_id") % 3 === i).coalesce(1)
-        .write.mode("overwrite").parquet(f)
-      val it = Files.list(Paths.get(f)) // mtime order = delivery order
-      try it.forEach(p => Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)))
-      finally it.close()
-    }
+    // all three micro-batch slices in ONE partitioned write job (r22)
+    FeedSlices.writeSlices(docs.withColumn(FeedSlices.SliceCol,
+      (col("doc_id") % 3).cast("int")), feedDir, 3)
     val rules = Seq(
       Expectation("long_enough", col("n_chars") >= MinChars),
       Expectation("allowed_lang", col("lang").isin("en", "fr", "de", "es")))
@@ -260,10 +260,15 @@ object Expectations {
       throw new IllegalStateException(
         s"exactly-once violated: applied=${applied.get} (want 3), " +
           s"redelivered-skips=${redelivered.get} (want 1)")
-    val total = docs.count()
     val kept = AtomicTable.read(spark, mainRoot)
     val quarantined = AtomicTable.read(spark, qRoot)
-    if (kept.count() + quarantined.count() != total)
+    // three count checks fused into ONE job (r22): a union of the three
+    // single-row aggregates — same three counts, two fewer job submissions
+    val cnts = docs.agg(count(lit(1)))
+      .unionAll(kept.agg(count(lit(1))))
+      .unionAll(quarantined.agg(count(lit(1))))
+      .collect().map(_.getLong(0))
+    if (cnts(1) + cnts(2) != cnts(0))
       throw new IllegalStateException(
         "streamed expectation split lost or duplicated rows")
     kept.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),

@@ -601,19 +601,18 @@ object Maintenance {
     val targetBytes = 2 * math.max(64L,
       TargetedDelete.partFiles(JPaths.get(mRoot,
         AtomicTable.currentVersion(mRoot).get)).map(JFiles.size(_)).min)
-    (0 until StreamBatches).foreach { i =>
-      val f = s"$feedDir/b$i"
+    // all three drift-injecting slices in ONE partitioned write job (r22):
+    // the per-slice content still differs by i (bal_c multiplier, insert
+    // block offset) — the slice tag rides as the partition column and never
+    // reaches the data files
+    FeedSlices.writeSlices((0 until StreamBatches).map { i =>
       base.filter(col("id").between(updFrom, updTo))
         .select(col("id"), (col("id") * (10L + i)).as("bal_c"))
         .unionAll(spark.range(StreamInserts.toLong)
           .select((lit(StreamInsertBase) + i * 1000L + col("id")).as("id"),
             (col("id") * 7L + i).as("bal_c")))
-        .coalesce(1).write.mode("overwrite").parquet(f)
-      val it = JFiles.list(JPaths.get(f))
-      try it.forEach(p => JFiles.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)))
-      finally it.close()
-    }
+        .withColumn(FeedSlices.SliceCol, lit(i))
+    }.reduce(_ unionAll _), feedDir, StreamBatches)
     val schema = spark.read.parquet(s"$feedDir/b0").schema
     def upsert(b: DataFrame, c: DataFrame): DataFrame =
       b.join(c.select(col("id"), col("bal_c").as("nb")), Seq("id"), "full_outer")
@@ -651,7 +650,11 @@ object Maintenance {
       throw new IllegalStateException(
         s"the streaming loop did not heal its own drift: $hMaint")
     val (m, c) = (AtomicTable.read(spark, mRoot), AtomicTable.read(spark, cRoot))
-    if (m.exceptAll(c).limit(1).count() != 0 || c.exceptAll(m).limit(1).count() != 0)
+    // both set-difference probes in ONE job (r22): union of the two
+    // limit(1) branches — same divergence test, one fewer job submission
+    if (m.exceptAll(c).select(lit(1).as("one")).limit(1)
+        .unionAll(c.exceptAll(m).select(lit(1).as("one")).limit(1))
+        .count() != 0)
       throw new IllegalStateException(
         "maintained and control tables diverged — maintenance changed bytes")
     m.groupBy((col("id") % 10).as("bucket"))
