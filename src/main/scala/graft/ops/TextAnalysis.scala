@@ -201,7 +201,7 @@ object TextAnalysis {
       .localCheckpoint(false)
     val survivors = Tables.documentsFanned(spark, dir)
       .join(cleaned.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-    val nearDup = TextDedup.ngramJaccardPairsOf(TextDedup.shingleRowsOf(survivors))
+    val nearDup = TextDedup.ngramJaccardPairsOf(survivors)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("nd", lit(true))
     cleaned.join(nearDup, Seq("doc_id"), "left")

@@ -101,8 +101,15 @@ object TextDedup {
     * quantized to parts-per-million by integer floor division — positive
     * operands, so Spark `div` ≡ DuckDB `//` — and gated at 0.8. */
   def ddContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val docs = Tables.stageLocal(docsFanned(spark, dir))
+    val sh = shingleRowsOf(docs)
+    // |A| per doc as a PROJECTION (WordShingles returns the distinct set,
+    // so its size == the shingle-row count) — replaces a groupBy over the
+    // FULL explosion: one whole explosion and its exchange removed, the
+    // same move ddMinhashLsh's nSh made in r21. Docs in candidate pairs
+    // share ≥1 shingle, so the n_sh=0 rows this adds never join.
+    val n = docs.select(col("doc_id"),
+      size(graft.expr.functions.word_shingles(col("text"))).cast("long").as("n_sh"))
     val a = sh.select(col("doc_id").as("id_a"), col("s"))
     val b = sh.select(col("doc_id").as("id_b"), col("s"))
     a.join(b, Seq("s"))
@@ -126,17 +133,23 @@ object TextDedup {
     * 100 TB the shuffle key is (lang, source, shingle): sparse, skew-safe
     * after the distinct, and linear in matching rows. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairsOf(shingleRows(spark, dir))
+    ngramJaccardPairsOf(Tables.stageLocal(docsFanned(spark, dir)))
 
-  /** The pair dataflow of [[ddNgramJaccard]] over an arbitrary shingle-row
-    * relation — reused by the composed corpus-construction pipeline, which
-    * runs it over the cleaning chain's survivors only. */
-  private[ops] def ngramJaccardPairsOf(sh: DataFrame): DataFrame = {
-    // sh is consumed 3× (sizes + both join sides) but deliberately NOT
-    // checkpointed: unlike dfcapPairsOf's post-cap slice, this is the FULL
-    // explosion — materializing it measured slower than recomputing the
-    // codegen'd explode (1.14 vs 1.36 s warm at sf0.1 under noop)
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+  /** The pair dataflow of [[ddNgramJaccard]] over an arbitrary DOCUMENT
+    * relation (doc_id, lang, source, text) — reused by the composed
+    * corpus-construction pipeline, which runs it over the cleaning chain's
+    * survivors only. Takes docs rather than shingle rows (r22) so the
+    * per-doc sizes come from a `size(word_shingles(text))` projection
+    * instead of a groupBy over the full explosion — one whole explosion
+    * and its exchange removed (the explosion itself still feeds both join
+    * sides once, via exchange reuse; it stays unstaged — materializing it
+    * measured slower than recomputing the codegen'd explode, r21). Docs in
+    * candidate pairs share ≥1 shingle, so the n_sh=0 rows the projection
+    * adds for shingle-less docs never join. */
+  private[ops] def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleRowsOf(docs)
+    val n = docs.select(col("doc_id"),
+      size(graft.expr.functions.word_shingles(col("text"))).cast("long").as("n_sh"))
     val a = sh.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("s"))
     val b = sh.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("s"))
     val inter = a.join(b, Seq("lang", "source", "s"))
