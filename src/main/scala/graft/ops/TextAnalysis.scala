@@ -343,7 +343,7 @@ object TextAnalysis {
     * use. */
   def tcChunk(spark: SparkSession, dir: String): DataFrame = {
     val chunk = expr(s"slice(words, chunk_idx * $ChunkStride + 1, $ChunkSize)")
-    Tables.documentsFanned(spark, dir)
+    Tables.documents(spark, dir)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("n_words", size(col("words")))
       .withColumn("extra",
