@@ -444,15 +444,21 @@ object TextDedup {
 
   /** Large-star rewrite: every node connects its LARGER neighbors to the min
     * of its closed neighborhood — emit (v, m(u)) for v ∈ N(u), v > u with
-    * m(u) = min(N(u) ∪ {u}). One edge-mass groupBy + one edge-mass join.
-    * Output is canonical-oriented but NOT deduplicated (one row per input
-    * edge, ≤ |E| rows) — the min-gathers downstream are duplicate-blind and
-    * [[smallStar]] ends with the distinct, saving a shuffle per round. */
+    * m(u) = min(N(u) ∪ {u}). The min-gather is a WINDOW over the edge mass
+    * (not groupBy + self-join): ordered ascending, the running min at every
+    * row IS the partition min, so one exchange+sort replaces the old
+    * groupBy exchange + join and — critically — the input is consumed ONCE,
+    * which is what lets [[minLabelConverge]] run a whole round as a single
+    * plan with no intra-round staging. Output is canonical-oriented but NOT
+    * deduplicated (one row per input edge, ≤ |E| rows) — the min-gather
+    * downstream is duplicate-blind and [[smallStar]] ends with the distinct,
+    * saving a shuffle per round. */
   private[ops] def largeStar(edges: DataFrame): DataFrame = {
     val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val m = und.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src"), least(col("src"), col("mn")).as("m"))
-    und.join(m, Seq("src"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    und
+      .withColumn("m", least(col("src"), min(col("dst")).over(w)))
       .filter(col("dst") > col("src"))
       .select(least(col("dst"), col("m")).as("src"),
         greatest(col("dst"), col("m")).as("dst"))
@@ -462,13 +468,29 @@ object TextDedup {
   /** Small-star rewrite: every node connects its SMALLER neighbors (and
     * itself) to the min of that set — with the canonical (src<dst) pair
     * orientation, u's smaller neighbors are exactly the src values of its
-    * dst-side rows, so the gather is one groupBy(dst). */
+    * dst-side rows. Same single-pass window gather as [[largeStar]]; the
+    * one (u, min) row the old byU union contributed is emitted by the
+    * group's first row (row_number = 1 over the same window spec). */
   private[ops] def smallStar(edges: DataFrame): DataFrame = {
-    val byU = edges.groupBy(col("dst")).agg(min(col("src")).as("mn"))
-    canonPairs(edges.join(byU, Seq("dst"))
-      .select(col("src"), col("mn").as("dst"))
-      .union(byU.select(col("dst").as("src"), col("mn").as("dst"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("src"))
+    val withMn = edges
+      .withColumn("mn", min(col("src")).over(w))
+      .withColumn("rn", row_number().over(w))
+    canonPairs(withMn
+      .select(explode(when(col("rn") === 1,
+        array(struct(col("src").as("s"), col("mn").as("d")),
+          struct(col("dst").as("s"), col("mn").as("d"))))
+        .otherwise(array(struct(col("src").as("s"), col("mn").as("d"))))).as("p"))
+      .select(col("p.s").as("src"), col("p.d").as("dst")))
   }
+
+  /** Plan-evidence helper (tools.Probe `cc_kernel`): the one-round
+    * contraction kernel over an arbitrary pair set, exposed for explain
+    * capture — the loop's per-round plan never appears in a declared query's
+    * explain (rounds run eagerly behind LogicalRDD checkpoints). */
+  private[graft] def roundKernel(spark: SparkSession): DataFrame =
+    smallStar(largeStar(canonPairs(plantedClusterEdges(spark).toDF("src", "dst"))))
 
   /** Min-label convergence over an undirected pair graph: every node ends
     * with comp = min node id reachable from it — a unique result independent
@@ -483,7 +505,7 @@ object TextDedup {
     * which is exactly what the planted 59-diameter chains in
     * [[plantedClusterEdges]] expose (DedupClusterVolSpec pins the bound: 7
     * rounds where propagation needs ~52). Per-round work stays O(edges):
-    * two edge-mass gathers + joins, no quadratic star expansion. The driver
+    * two edge-mass window gathers, no quadratic star expansion. The driver
     * loop reads only the edge-set fingerprint aggregate, never data. */
   /** One reusable tuned child session per caller session (advisor r12):
     * `newSession()` per converge call leaked a SessionState (and its listener
@@ -558,14 +580,14 @@ object TextDedup {
     while (!converged) {
         rounds += 1
         val tR = System.nanoTime()
-        // the large-star output feeds two gathers in smallStar — stage it
-        // (lazily: the round's single materializing action is the
-        // fingerprint aggregate below). r22 re-tested dropping this in
-        // favor of exchange reuse: reuse does NOT fire across the two
-        // consumers here (per-round times doubled, 0.5 → 1.0 s) — the
-        // staging stays.
-        val ls = largeStar(edges).localCheckpoint(false)
-        val next = smallStar(ls).localCheckpoint(false)
+        // one plan, one lazy checkpoint, one action per round: the window
+        // form of the star rewrites consumes each intermediate exactly once,
+        // so the round no longer needs the ls staging checkpoint (r22; the
+        // old groupBy+join form consumed ls twice and exchange reuse did
+        // not fire across the aliased consumers — re-tested, 0.5 → 1.0 s
+        // per round without the staging). The fingerprint aggregate below
+        // is the round's single materializing action.
+        val next = smallStar(largeStar(edges)).localCheckpoint(false)
         val nfp = fingerprint(next)
         if (nfp == fp) {
           converged = next.except(edges).union(edges.except(next)).isEmpty

@@ -170,6 +170,18 @@ object Probe {
           println(f"[job $id%4d] ${math.max(0L, e - s) / 1e3}%7.3f s  gap=$gap%6.3f s  $site")
         }
         }
+      case "cc_kernel" =>
+        // plan evidence for the star-contraction round kernel: explain ONE
+        // large-star + small-star round over the planted cluster edges. The
+        // loop itself runs eagerly behind per-round localCheckpoints, so the
+        // declared queries' explain dumps never show this shape. Args:
+        // cc_kernel [outFile]
+        val txt = graft.ops.TextDedup.roundKernel(spark)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        if (args.length > 1)
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), txt)
+        else println(txt)
       case "explainall" =>
         // capture `explain("formatted")` for a list of queries (or every
         // declared query) into <outDir>/<name>_<tag>.txt — the optimization
