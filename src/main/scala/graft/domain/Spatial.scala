@@ -176,19 +176,86 @@ object Spatial {
       // skip the O(ring-vertices) ray-cast for the bulk of each polygon.
       graft.expr.CellGrid.polygonCoverFlagged(ring.map(_.toArray).toArray, res)
     }
+    // The cover carries ONLY (cell, interior, area key) — guide §2.3 "shuffle
+    // keys and metadata instead of payloads": exploding the ring column per
+    // cover cell replicated every polygon's full vertex array once per cell
+    // through the broadcast/exchange (at res 12 over the Paris rings that is
+    // 181k copies ≈ 1.6 GB serialized — past spark.driver.maxResultSize).
+    // The ring and the tie-break payload re-attach AFTER the cell join from
+    // the polygon relation itself (tiny by contract: city geometry), so the
+    // heavy vertices cross the wire once per polygon, not once per cell.
     val cover = areas
       .withColumn("cov", explode(coverUdf(col("ring"))))
-      .withColumn("cell", col("cov._1"))
-      .withColumn("cell_interior", col("cov._2"))
-      .drop("cov")
+      .select(col("area_id"), col("admin_level"),
+        col("cov._1").as("cell"), col("cov._2").as("cell_interior"))
     val keyed = pois.withColumn("cell",
       graft.expr.functions.cell_of(col("lat"), col("lng"), lit(res)))
     keyed.join(cover, Seq("cell")) // EQUI join on cell id
+      .join(areas, Seq("area_id", "admin_level")) // re-attach ring + names
+  }
+
+  /** Adaptive cover resolution: the FINEST lattice level whose per-polygon
+    * cover stays within a cell budget for the MEDIAN polygon. Finer cells
+    * thin the boundary band relative to polygon area, so more candidates
+    * carry the interior flag and skip the O(ring-vertices) exact ray-cast,
+    * and the tighter cover admits fewer off-polygon candidate pairs in the
+    * first place — measured on the 98 Paris rings / 60k-point vol fixture
+    * (Probe `spatial_skip`): res 11 → 133k candidates, 42% skip; res 12 →
+    * 106k candidates, 72% skip; res 13 → 97k candidates, 88% skip.
+    *
+    * The budget is the SCALE KNOB (`spark.graft.spatial.coverCellBudget`):
+    * finer res trades a bigger cover relation — a fixed polygon-side
+    * broadcast/build cost per query — against per-candidate ray-cast savings
+    * that scale with the POINT side. At bench scale (60k points) the trade
+    * measured upside-down: res 12's 181k-cell cover build+broadcast costs
+    * ~1.4 s/run while the saved ray-casts are worth ~0.1 s, so the local
+    * default (512 cells/median polygon → res 11 over Paris, 137 cells/
+    * median polygon) keeps the bench shape. In production raise the budget
+    * with point density — ≥2048 puts Paris-scale zones at res 12 — once
+    * points/polygon make the per-candidate term dominate.
+    *
+    * ONE resolution serves the whole join, chosen from the polygon-side
+    * statistic: per-polygon resolutions would force the point side — the
+    * 100 TB side — to compute one cell id per resolution in use,
+    * multiplying the big side's work to optimize the tiny side. The stats
+    * aggregate is one action over the polygon relation (bounded: city
+    * geometry), paid once per query. The statistic is measured in meters
+    * (projected shoelace) — the `area` column stays the oracle-shared
+    * degree² tie-break and is NOT reused here. */
+  private val CoverResMin = 11
+  private val CoverResMax = 13
+
+  private val ringAreaM2Udf = udf { (ring: Seq[Seq[Double]]) =>
+    val p = ring.map(v => graft.expr.CellGrid.project(v(1), v(0)))
+    var s = 0.0
+    var i = 0
+    while (i < p.length - 1) {
+      s += p(i)._1 * p(i + 1)._2 - p(i + 1)._1 * p(i)._2
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  private[graft] def adaptiveCoverRes(areas: DataFrame): Int = {
+    if (!areas.columns.contains("ring")) return CoverResMin
+    val budget = areas.sparkSession.conf
+      .get("spark.graft.spatial.coverCellBudget", "512").toDouble
+    val row = areas.select(ringAreaM2Udf(col("ring")).as("m2"))
+      .agg(expr("percentile(m2, 0.5)")).first()
+    if (row.isNullAt(0)) CoverResMin
+    else {
+      val med = row.getDouble(0)
+      var res = CoverResMin
+      while (res < CoverResMax &&
+        med / graft.expr.CellGrid.hexAreaM2(res + 1) <= budget) res += 1
+      res
+    }
   }
 
   def assignViaCells(pois: DataFrame, areas: DataFrame, spark: SparkSession,
-      res: Int = 11): DataFrame = {
-    val contained = cellCandidates(pois, areas, res)
+      res: Int = 0): DataFrame = {
+    val r = if (res > 0) res else adaptiveCoverRes(areas)
+    val contained = cellCandidates(pois, areas, r)
       .filter(col("cell_interior") ||
         graft.expr.functions.point_in_ring(col("lng"), col("lat"), col("ring")))
     bestPerLevel(pois, contained)

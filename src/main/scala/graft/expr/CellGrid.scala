@@ -43,6 +43,13 @@ object CellGrid {
   def circumradiusMeters(res: Int): Double =
     BaseSize / math.pow(math.sqrt(7.0), (res - MinRes).toDouble)
 
+  /** Hex cell area in m² at `res` (3√3/2 · circumradius²) — sizes polygon
+    * covers for the adaptive-resolution chooser. */
+  def hexAreaM2(res: Int): Double = {
+    val r = circumradiusMeters(res)
+    1.5 * math.sqrt(3.0) * r * r
+  }
+
   // ------------------------------------------------- projection (AEQD)
 
   private val EarthR = 6371000.0
@@ -201,19 +208,57 @@ object CellGrid {
 
   /** Cells at `res` whose CENTER lies inside the polygon (outer ring of
     * (lng,lat) pairs) — h3.polygon_to_cells center-containment semantics
-    * (h3_scheduler.py:104-158). Bounded scan over the ring's axial bbox. */
+    * (h3_scheduler.py:104-158).
+    *
+    * Scanline fill over the ring's axial bbox: cell centers along one axial
+    * column are collinear in the projected plane (centerXY is linear in
+    * (q, r)), so each column intersects the ring ONCE — O(columns · vertices
+    * + cells) instead of the old per-cell ray-cast's O(cells · vertices),
+    * which is what makes finer covers affordable (res 12 over the 98 Paris
+    * rings: ~6k point-in-ring tests per large polygon → ~80 line-ring
+    * intersections). Crossing parity equals the per-center ray-cast for any
+    * center off the boundary; a center within float-epsilon of the boundary
+    * sits in a boundary-crossed cell, which the cover's band includes (and
+    * de-flags) regardless — see [[polygonCoverFlagged]]'s soundness note. */
   def polygonToCells(ring: Array[Array[Double]], res: Int): Array[String] = {
     if (ring.isEmpty) return Array.empty
-    val (q0, q1, r0, r1) = axialBounds(
-      ring.iterator.map(p => project(p(1), p(0))), res, margin = 2L)
+    val proj = ring.map(p => project(p(1), p(0)))
+    val (q0, q1, r0, r1) = axialBounds(proj.iterator, res, margin = 2L)
+    // centerXY is linear with zero offset: center(q, r) = q·U + r·W
+    val (ux, uy) = centerXY(1L, 0L, res)
+    val (wx, wy) = centerXY(0L, 1L, res)
     val out = Array.newBuilder[String]
+    val crossings = new Array[Double](math.max(1, proj.length))
     var q = q0
     while (q <= q1) {
+      // column line: L(t) = (q·ux + t·wx, q·uy + t·wy); centers at integer t
+      val ax = q * ux; val ay = q * uy
+      var nc = 0
+      var i = 0
+      while (i < proj.length - 1) {
+        val (e0x, e0y) = proj(i)
+        val (e1x, e1y) = proj(i + 1)
+        // side of each endpoint relative to the column line (cross with W)
+        val s0 = (e0x - ax) * wy - (e0y - ay) * wx
+        val s1 = (e1x - ax) * wy - (e1y - ay) * wx
+        if ((s0 > 0.0) != (s1 > 0.0)) {
+          val dx = e1x - e0x; val dy = e1y - e0y
+          val denom = wx * dy - wy * dx
+          if (denom != 0.0) {
+            crossings(nc) = ((e0x - ax) * dy - (e0y - ay) * dx) / denom
+            nc += 1
+          }
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(crossings, 0, nc)
+      // center (q, r) is inside iff the crossing count beyond t = r is odd
+      // (a +t ray; identical parity convention to a per-center ray-cast)
+      var ci = 0
       var r = r0
       while (r <= r1) {
-        val (x, y) = centerXY(q, r, res)
-        val (lat, lng) = unproject(x, y)
-        if (TextAlgo.pointInRing(lng, lat, ring)) out += s"h$res:$q:$r"
+        while (ci < nc && crossings(ci) <= r.toDouble) ci += 1
+        if (((nc - ci) & 1) == 1) out += s"h$res:$q:$r"
         r += 1
       }
       q += 1

@@ -97,6 +97,48 @@ object Probe {
         def pairs(c: Array[(String, String)]): Long =
           pts.join(c.toSeq.toDF("area_id", "cell"), Seq("cell")).count()
         println(s"candidate pairs: poly=${pairs(polyCover)} bbox=${pairs(bboxCover)}")
+      case "cover_cost" =>
+        // driver-side wall of polygonCoverFlagged over the 98 Paris rings per
+        // res, plus ring-size stats — isolates cover construction from the
+        // join. Args: cover_cost [res,res,...]
+        val resL = (if (args.length > 1) args(1) else "11,12,13")
+          .split(",").map(_.trim.toInt)
+        val ringRows = graft.domain.Spatial.loadUrbanAreasJsonl(spark,
+          "/root/reference/neighbourhoods/neighbourhoods_paris.jsonl")
+          .select("ring").collect()
+          .map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
+        println(s"[cover] rings=${ringRows.length} " +
+          s"verts total=${ringRows.map(_.length).sum} max=${ringRows.map(_.length).max}")
+        resL.foreach { res =>
+          (1 to 3).foreach { pass =>
+            val t0 = System.nanoTime()
+            val n = ringRows.map(r =>
+              graft.expr.CellGrid.polygonCoverFlagged(r, res).length).sum
+            println(f"[cover] res=$res pass$pass cells=$n wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+        }
+      case "spatial_skip" =>
+        // interior-skip fraction of the j1 vol fixture per cover resolution:
+        // candidates admitted by the cell prefilter, how many skip the exact
+        // ray-cast (cell_interior), cover size, and wall per res. Grounds the
+        // adaptive-resolution choice in measured data. Args: spatial_skip [res,res,...]
+        val resList = (if (args.length > 1) args(1) else "11,12,13")
+          .split(",").map(_.trim.toInt)
+        val areas = graft.domain.Spatial.loadUrbanAreasJsonl(spark,
+          "/root/reference/neighbourhoods/neighbourhoods_paris.jsonl")
+        val pts = graft.domain.Spatial.volPoints(spark, graft.domain.Spatial.ParisVolN)
+        resList.foreach { res =>
+          val t0 = System.nanoTime()
+          val cands = graft.domain.Spatial.cellCandidates(pts, areas, res)
+          val agg = cands.agg(count(lit(1)),
+            sum(when(col("cell_interior"), 1L).otherwise(0L))).first()
+          val (n, interior) = (agg.getLong(0), agg.getLong(1))
+          val coverRows = areas.select(explode(udf { (ring: Seq[Seq[Double]]) =>
+            graft.expr.CellGrid.polygonCover(ring.map(_.toArray).toArray, res)
+          }.apply(col("ring")))).count()
+          println(f"[skip] res=$res cover=$coverRows cands=$n interior=$interior " +
+            f"(${100.0 * interior / math.max(1L, n)}%.1f%% skip) wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       case "p7_stages" =>
         import graft.domain.Collections
         def t[A](label: String)(f: => A): A = {

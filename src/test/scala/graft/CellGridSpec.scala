@@ -175,4 +175,38 @@ class CellGridSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scanline fill equals per-center geographic containment (Paris rings)") {
+    // the scanline computes crossing parity along projected lattice columns;
+    // this sweeps every cover cell of every real Paris ring at two
+    // resolutions and asserts the emitted set is EXACTLY the cells whose
+    // center passes the geographic ray-cast — the reference semantics the
+    // old per-cell implementation evaluated directly
+    val spark = graft.Sessions.local(4)
+    val rings = graft.domain.Spatial.loadUrbanAreasJsonl(spark,
+      "/root/reference/neighbourhoods/neighbourhoods_paris.jsonl")
+      .select("ring").collect()
+      .map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
+    assert(rings.length == 98)
+    var diverged = 0
+    for (res <- 11 to 12; ring <- rings) {
+      val flagged = CellGrid.polygonCoverFlagged(ring, res)
+      val scan = CellGrid.polygonToCells(ring, res).toSet
+      val band = flagged.filter(!_._2).map(_._1).toSet // non-interior cover
+      val expected = flagged.map(_._1).filter { c =>
+        val (lat, lng) = CellGrid.cellToLatLng(c)
+        TextAlgo.pointInRing(lng, lat, ring)
+      }.toSet
+      // parity may disagree with the geographic ray-cast ONLY within float
+      // epsilon of the boundary — such centers sit in boundary-crossed
+      // cells, which the band keeps in the cover with interior=false, so
+      // results are unaffected. Anywhere else the two must agree exactly.
+      val diff = (scan -- expected) ++ (expected -- scan)
+      diverged += diff.size
+      assert(diff.forall(band.contains),
+        s"res=$res non-band divergence: ${(diff -- band).take(3)}")
+      assert(diff.size <= 2, s"res=$res ${diff.size} divergent cells: ${diff.take(5)}")
+    }
+    info(s"boundary-epsilon divergences across 98 rings x 2 res: $diverged")
+  }
 }
