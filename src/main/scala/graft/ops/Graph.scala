@@ -99,48 +99,62 @@ object Graph {
     // iteration, and each iteration references its predecessor twice
     // (contributions + dangling sum) — left as pure lineage that is 2^K
     // re-evaluations of the scan (measured: 12.9 s at sf0.1; the DuckDB
-    // oracle hit the same wall until MATERIALIZED). So: persist the
+    // oracle hit the same wall until MATERIALIZED). So: stage the
     // TopE-bounded edge set once, and truncate lineage each iteration
-    // with an eager localCheckpoint of the (≤|nodes|-row) rank relation —
+    // with a localCheckpoint of the (≤|nodes|-row) rank relation —
     // the distributed analogue of the dup-cluster loop's per-round
     // materialization. A reliable `checkpoint()` replaces localCheckpoint
     // on a real cluster (executor loss re-runs the job there).
-    val e = edgesDf.persist()
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val ew = e.join(outw, Seq("src"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // node count is a model-sized driver scalar (the supplier universe),
-    // same contract as the k-means centroid collect in Similarity
-    val n = nodes.count()
-    // An all-single-supplier (or all-tied-first-ship) order log thins the
-    // co-shipment graph to zero edges; surface the cause instead of an
-    // unexplained ArithmeticException from Scale / 0 below.
-    require(n > 0, "co-shipment graph is empty at this SF: no order has two " +
-      "suppliers with distinct first-ship dates, so PageRank has no nodes")
-    val init = Scale / n
-    val tele = (init * (DampDen - DampNum)) / DampDen
-    val srcs = e.select(col("src")).distinct()
-    // lazy checkpoints: the iteration's own dangling-sum broadcast is the
-    // first consumer and materializes the cut as a side effect — one job
-    // per iteration instead of two
-    var pr = nodes.withColumn("pr", lit(init)).localCheckpoint(false)
-    for (_ <- 1 to Iters) {
-      val contrib = ew.join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("(pr * w) div wout").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      val dangling = pr.join(srcs, pr("node") === srcs("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0L)).as("dmass"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"), expr(
-          s"CAST($tele AS BIGINT) + ($DampNum * " +
-            s"(coalesce(contrib, CAST(0 AS BIGINT)) + (dmass div $n))) div $DampDen")
-          .as("pr"))
-        .localCheckpoint(false)
+    //
+    // The iterations run on the tuned [[LoopSession]] child (AQE off,
+    // shuffle width from the iterate size), exactly like the contraction
+    // loop: at the caller's width each model-sized iteration fragmented
+    // into ~8 AQE stage-jobs plus a ~0.2 s planning gap (Probe jobs:
+    // 47 jobs for 5 iterations), all fixed overhead on a ≤TopE-row edge
+    // set. Confs never leak — the child owns its SQLConf.
+    val caller = edgesDf.sparkSession
+    val staged = edgesDf.localCheckpoint()
+    val loop = LoopSession.forCaller(caller)
+    val ranked = loop.synchronized {
+      LoopSession.tune(caller, loop, staged.count())
+      val e = org.apache.spark.sql.GraftSessionBridge.reRoot(loop, staged)
+      val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      val ew = e.join(outw, Seq("src")).localCheckpoint()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      // node count is a model-sized driver scalar (the supplier universe),
+      // same contract as the k-means centroid collect in Similarity
+      val n = nodes.count()
+      // An all-single-supplier (or all-tied-first-ship) order log thins the
+      // co-shipment graph to zero edges; surface the cause instead of an
+      // unexplained ArithmeticException from Scale / 0 below.
+      require(n > 0, "co-shipment graph is empty at this SF: no order has two " +
+        "suppliers with distinct first-ship dates, so PageRank has no nodes")
+      val init = Scale / n
+      val tele = (init * (DampDen - DampNum)) / DampDen
+      val srcs = e.select(col("src")).distinct().localCheckpoint()
+      // lazy checkpoints: the iteration's own dangling-sum broadcast is the
+      // first consumer and materializes the cut as a side effect — one job
+      // per iteration instead of two
+      var pr = nodes.withColumn("pr", lit(init)).localCheckpoint(false)
+      for (_ <- 1 to Iters) {
+        val contrib = ew.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("(pr * w) div wout").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+        val dangling = pr.join(srcs, pr("node") === srcs("src"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dmass"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"), expr(
+            s"CAST($tele AS BIGINT) + ($DampNum * " +
+              s"(coalesce(contrib, CAST(0 AS BIGINT)) + (dmass div $n))) div $DampDen")
+            .as("pr"))
+          .localCheckpoint(false)
+      }
+      pr
     }
-    e.unpersist(false)
-    pr.select(col("node").as("suppkey"), col("pr").as("pr_q12"))
+    org.apache.spark.sql.GraftSessionBridge.reRoot(caller, ranked)
+      .select(col("node").as("suppkey"), col("pr").as("pr_q12"))
   }
 
   /** The fs → e0 → e edge-build CTE chain shared VERBATIM by all three
@@ -290,26 +304,37 @@ object Graph {
     khopOn(spark, edges(spark, dir))
 
   private[graft] def khopOn(spark: SparkSession, e: DataFrame): DataFrame = {
-    val und = e.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    val sym = und.select(col("u").as("s"), col("v").as("t"))
-      .unionAll(und.select(col("v").as("s"), col("u").as("t")))
-    val nodes = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
-      .distinct()
-    val seeds = nodes.orderBy(col("node").asc).limit(Seeds)
-      .select(col("node"), lit(0L).as("dist"))
-    var reach = seeds.localCheckpoint()
-    for (h <- 1 to Hops) {
-      val next = reach.join(sym, reach("node") === sym("s"))
-        .select(col("t").as("node"), lit(h.toLong).as("dist"))
-      reach = reach.unionAll(next)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
+    // hop loop on the tuned LoopSession child, like pagerankOn: the
+    // model-sized iterate fragments into AQE stage-jobs + a planning gap
+    // per hop at the caller's width, all fixed overhead.
+    val caller = e.sparkSession
+    val stagedE = e.localCheckpoint()
+    val loop = LoopSession.forCaller(caller)
+    val reached = loop.synchronized {
+      LoopSession.tune(caller, loop, stagedE.count())
+      val und = org.apache.spark.sql.GraftSessionBridge.reRoot(loop, stagedE)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      val sym = und.select(col("u").as("s"), col("v").as("t"))
+        .unionAll(und.select(col("v").as("s"), col("u").as("t")))
+      val nodes = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+        .distinct()
+      val seeds = nodes.orderBy(col("node").asc).limit(Seeds)
+        .select(col("node"), lit(0L).as("dist"))
+      var reach = seeds.localCheckpoint()
+      for (h <- 1 to Hops) {
+        val next = reach.join(sym, reach("node") === sym("s"))
+          .select(col("t").as("node"), lit(h.toLong).as("dist"))
+        reach = reach.unionAll(next)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(false)
+      }
+      reach
     }
-    reach
+    org.apache.spark.sql.GraftSessionBridge.reRoot(caller, reached)
   }
 
   private val khopSql: String = {

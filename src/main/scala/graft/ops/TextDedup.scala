@@ -507,19 +507,6 @@ object TextDedup {
     * rounds where propagation needs ~52). Per-round work stays O(edges):
     * two edge-mass window gathers, no quadratic star expansion. The driver
     * loop reads only the edge-set fingerprint aggregate, never data. */
-  /** One reusable tuned child session per caller session (advisor r12):
-    * `newSession()` per converge call leaked a SessionState (and its listener
-    * registration on the context bus) for the life of the SparkContext —
-    * bench warmup + n rounds + retries all hit the loop. WeakHashMap so a
-    * stopped/collected caller releases its child. */
-  private val loopSessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
-  private def loopSessionFor(parent: SparkSession): SparkSession =
-    loopSessions.synchronized {
-      var c = loopSessions.get(parent)
-      if (c == null) { c = parent.newSession(); loopSessions.put(parent, c) }
-      c
-    }
-
   private[ops] def minLabelConverge(pairs: DataFrame): (DataFrame, Int) = {
     // ONE localCheckpoint per round (the round output): the iterate is
     // consumed multiple times per round, so without lineage truncation the
@@ -530,31 +517,13 @@ object TextDedup {
     val caller = pairs.sparkSession
     val staged = canonPairs(pairs.toDF("src", "dst")).localCheckpoint()
     val edgeCount = staged.count() // caller-side: sizes the loop partitions
-    // The whole loop runs on a CHILD session (shared SparkContext, private
-    // SQLConf): the iteration tuning below must never leak into a query
-    // running concurrently on the caller's session (advisor r11 — the old
-    // set/restore dance left the shared session at 2 shuffle partitions for
-    // the loop's duration). The child is REUSED across calls (one per
-    // caller) and the loop body synchronizes on it, so two concurrent
-    // converges serialize instead of racing on its conf.
-    val loop = loopSessionFor(caller)
+    // The whole loop runs on a tuned CHILD session ([[LoopSession]]: AQE
+    // off, shuffle width from the edge count — the session's 32 partitions
+    // made this loop 5× slower than 2 on a 60k-edge graph; confs never
+    // leave the child, advisor r11/r12).
+    val loop = LoopSession.forCaller(caller)
     loop.synchronized {
-    // Iteration-loop tuning, scoped to the child session and set BEFORE any
-    // child-side materialization (advisor r12 — the edge/node staging used
-    // to run at the child's default partitioning with AQE on): (1) AQE off —
-    // its per-stage adaptive re-planning adds a barrier + scheduling round
-    // per shuffle, which dominates on a fixed small iterate whose join sides
-    // are already explicitly broadcast; (2) shuffle partitions sized to the
-    // EDGE COUNT (~250k rows per partition, min 2, capped at the caller's
-    // setting) — the contraction runs ~3 shuffles × log(diameter) rounds,
-    // so over-partitioning multiplies task overhead by partitions×stages
-    // (the session's 32 partitions made this loop 5× slower than 2
-    // partitions on a 60k-edge graph). At 100 TB the same formula sizes UP
-    // with the data. No restore needed: the confs never leave the child.
-    val partsWas = caller.conf.get("spark.sql.shuffle.partitions", "200")
-    val loopParts = math.max(2L, math.min(partsWas.toLong, edgeCount / 250000L + 1L))
-    loop.conf.set("spark.sql.adaptive.enabled", "false")
-    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    LoopSession.tune(caller, loop, edgeCount)
     // re-root via the InternalRow RDD (GraftSessionBridge): RDDs are
     // context-scoped, so the checkpointed edge set moves sessions without
     // the public-Row conversion pass the old createDataFrame(staged.rdd)
