@@ -259,31 +259,41 @@ object Similarity {
     // STAGE the (id, vector) slice once: the init collect plus every Lloyd
     // iteration re-evaluates `e` — against the fanned scan that was one
     // shuffle per iteration for a model-sized relation (the r21 fan-out
-    // sweep measured sim_ivf_kmeans 0.77->1.06 s before this cut)
-    val ef = e.select(col("vec_id"), col("embedding")).localCheckpoint()
-    var cent: Array[Array[Double]] = ef.filter(col("vec_id") < NumCells)
-      .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getAs[collection.Seq[Float]](1).iterator.map(_.toDouble).toArray)
-    for (_ <- 1 to KMeansIters) {
-      val assigned = ef.select(
-        graft.expr.functions.nearest_cells(col("embedding"), cent, 1)
-          .getItem(0).getField("cell_id").as("cell_id"),
-        col("embedding"))
-      val sums = assigned
-        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell_id", "dim")
-        .agg(sum(round(col("x").cast("double") * QuantScale).cast("long")).as("s"),
-          count(lit(1)).as("c"))
+    // sweep measured sim_ivf_kmeans 0.77->1.06 s before this cut).
+    // Iterations run on the tuned LoopSession child (AQE off, width from
+    // the slice size) like the graph loops — the per-iteration aggregate
+    // is map-side-combined to ≤ NumCells×dim rows, so the caller's 32-wide
+    // AQE shuffle is pure fixed overhead on it.
+    val caller = e.sparkSession
+    val staged = e.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val loop = LoopSession.forCaller(caller)
+    loop.synchronized {
+      LoopSession.tune(caller, loop, staged.count())
+      val ef = org.apache.spark.sql.GraftSessionBridge.reRoot(loop, staged)
+      var cent: Array[Array[Double]] = ef.filter(col("vec_id") < NumCells)
         .collect()
-      val next = cent.map(_.clone())
-      sums.foreach { r =>
-        next(r.getLong(0).toInt)(r.getInt(1)) =
-          r.getLong(2).toDouble / (r.getLong(3) * QuantScale)
+        .sortBy(_.getLong(0))
+        .map(_.getAs[collection.Seq[Float]](1).iterator.map(_.toDouble).toArray)
+      for (_ <- 1 to KMeansIters) {
+        val assigned = ef.select(
+          graft.expr.functions.nearest_cells(col("embedding"), cent, 1)
+            .getItem(0).getField("cell_id").as("cell_id"),
+          col("embedding"))
+        val sums = assigned
+          .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("cell_id", "dim")
+          .agg(sum(round(col("x").cast("double") * QuantScale).cast("long")).as("s"),
+            count(lit(1)).as("c"))
+          .collect()
+        val next = cent.map(_.clone())
+        sums.foreach { r =>
+          next(r.getLong(0).toInt)(r.getInt(1)) =
+            r.getLong(2).toDouble / (r.getLong(3) * QuantScale)
+        }
+        cent = next
       }
-      cent = next
+      cent
     }
-    cent
   }
 
   /** [[kmeansCentroidArrays]] as a DataFrame (cell_id, vb) — the persistable
@@ -426,34 +436,43 @@ object Similarity {
     import graft.expr.{functions => F}
     var model: Array[Array[Array[Double]]] =
       Array.fill(PqSubspaces, PqCodes, PqSubDim)(0.0)
-    e.filter(col("vec_id") < PqCodes).select(col("vec_id"), col("embedding"))
-      .collect().foreach { r =>
-        val cell = r.getLong(0).toInt
-        val emb = r.getAs[collection.Seq[Float]](1)
-        var g = 0
-        while (g < PqSubspaces * PqSubDim) {
-          model(g / PqSubDim)(cell)(g % PqSubDim) = emb(g).toDouble
-          g += 1
+    // same LoopSession execution as kmeansCentroidArrays: stage the slice
+    // once, iterate on the tuned child, ship only the ~8 KB model per round
+    val caller = e.sparkSession
+    val staged = e.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val loop = LoopSession.forCaller(caller)
+    loop.synchronized {
+      LoopSession.tune(caller, loop, staged.count())
+      val ef = org.apache.spark.sql.GraftSessionBridge.reRoot(loop, staged)
+      ef.filter(col("vec_id") < PqCodes).select(col("vec_id"), col("embedding"))
+        .collect().foreach { r =>
+          val cell = r.getLong(0).toInt
+          val emb = r.getAs[collection.Seq[Float]](1)
+          var g = 0
+          while (g < PqSubspaces * PqSubDim) {
+            model(g / PqSubDim)(cell)(g % PqSubDim) = emb(g).toDouble
+            g += 1
+          }
         }
+      for (_ <- 1 to PqIters) {
+        // the assignment lives INSIDE the generator input, so it runs once per
+        // vector — a bare select(pq_cells, posexplode) collapses into a
+        // Project above the Generate and re-assigns per exploded row (64×)
+        val sums = ef.select(
+            explode(F.pq_contrib(col("embedding"), model, QuantScale)).as("ct"))
+          .groupBy(col("ct.sub").as("sub"), col("ct.cell").as("cell"),
+            col("ct.dim").as("dim"))
+          .agg(sum(col("ct.qv")).as("s"), count(lit(1)).as("c"))
+          .collect()
+        val next = model.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getAs[Long]("s").toDouble / (r.getAs[Long]("c") * QuantScale)
+        }
+        model = next
       }
-    for (_ <- 1 to PqIters) {
-      // the assignment lives INSIDE the generator input, so it runs once per
-      // vector — a bare select(pq_cells, posexplode) collapses into a
-      // Project above the Generate and re-assigns per exploded row (64×)
-      val sums = e.select(
-          explode(F.pq_contrib(col("embedding"), model, QuantScale)).as("ct"))
-        .groupBy(col("ct.sub").as("sub"), col("ct.cell").as("cell"),
-          col("ct.dim").as("dim"))
-        .agg(sum(col("ct.qv")).as("s"), count(lit(1)).as("c"))
-        .collect()
-      val next = model.map(_.map(_.clone()))
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getAs[Long]("s").toDouble / (r.getAs[Long]("c") * QuantScale)
-      }
-      model = next
+      model
     }
-    model
   }
 
   val PqShortlist = 100 // ADC candidates per query refined with exact dots
